@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared operator query: the driver contract pairs a Spark
+  * DataFrame program with a DuckDB-runnable ANSI-SQL twin over the same
+  * parquet tables (SURVEY.md §2 "query name" column).
+  *
+  * Determinism contract (SURVEY.md §7): every query has an explicit
+  * ORDER BY with a unique tiebreaker; floating aggregates are computed as
+  * exact DECIMAL sums cast to DOUBLE (order-independent), ratios as a
+  * single IEEE double division of exact operands; timestamps compared at
+  * epoch-second granularity (events.ts is ns, Spark truncates to us).
+  */
+final case class QueryDef(
+    name: String,
+    doc: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Central registry: every operator module contributes its QueryDefs. */
+object Registry {
+  lazy val all: Seq[QueryDef] =
+    queries.CoreQueries.defs ++
+      queries.ProfileQueries.defs ++
+      ops.DedupQueries.defs ++
+      ops.SimilarityQueries.defs ++
+      ops.TextQueries.defs ++
+      ops.EventQueries.defs ++
+      ops.MultimodalQueries.defs
+
+  lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  lazy val oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
+
+/** Shared table access for declared queries. */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
+    // for; read it as Long nanos and convert explicitly where needed.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts (Long nanoseconds since epoch) -> epoch seconds, computed
+    * exactly via decimal division (double division could round near second
+    * boundaries at 1e18-nanosecond magnitudes).
+    */
+  def nanosToEpochSec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    import org.apache.spark.sql.types.DecimalType
+    floor(c.cast(DecimalType(38, 0)) / lit(1000000000L)).cast("long")
+  }
+}

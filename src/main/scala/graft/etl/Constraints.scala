@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Constraint & index phase (SURVEY.md §2 E).
+  *
+  * The reference re-creates B-tree indexes and FK constraints on the target
+  * AFTER bulk load (ETLAlchemySource.py::add_indexes ~L1150-1350, ::add_fks
+  * ~L1350-1500). Spark has neither concept, so:
+  *
+  *   - E1 index migration becomes LAYOUT ADVICE: which columns deserve
+  *     bucketing / sort-within-partitions in the written parquet, recorded
+  *     as metadata (and applicable via [[applyLayout]]).
+  *   - E2 FK migration's semantic payload is the referential-integrity
+  *     check itself: a left-anti join counting orphans. At 100 TB this is
+  *     a shuffle-or-broadcast join Catalyst plans like any other; for
+  *     dimension parents (nation, region) it broadcasts.
+  */
+object Constraints {
+
+  /** Orphan rows in child whose key has no match in parent (0 = FK holds). */
+  def fkOrphanCount(
+      child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String): Long =
+    child
+      .join(parent.select(col(parentCol)).distinct(),
+        child(childCol) === col(parentCol), "left_anti")
+      .count()
+
+  /** Distributed variant returning a one-row DataFrame (composable into a
+    * union of edge checks without driver round-trips).
+    */
+  def fkOrphans(
+      label: String,
+      child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String): DataFrame =
+    child
+      .join(parent.select(col(parentCol)).distinct(),
+        child(childCol) === col(parentCol), "left_anti")
+      .agg(count(lit(1)).as("orphan_count"))
+      .select(lit(label).as("fk_edge"), col("orphan_count"))
+
+  /** E1 as layout: an "index" on k columns maps to repartition-by-key +
+    * sort-within-partitions, which gives parquet min/max row-group pruning
+    * on those columns — the closest scalable analogue of a secondary index.
+    */
+  final case class IndexAdvice(table: String, columns: Seq[String])
+
+  def applyLayout(df: DataFrame, advice: IndexAdvice, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, advice.columns.map(col): _*)
+      .sortWithinPartitions(advice.columns.map(col): _*)
+
+  /** Dialect index-name mangling parity (reference dedupes and truncates
+    * index names to the dialect max — MySQL 64, Oracle 30).
+    */
+  def mangleIndexNames(names: Seq[String], maxLen: Int): Seq[String] = {
+    val seen = scala.collection.mutable.Set[String]()
+    names.map { n =>
+      var base = n.take(maxLen)
+      var i = 0
+      while (seen.contains(base)) {
+        i += 1
+        val suffix = s"_$i"
+        base = n.take(maxLen - suffix.length) + suffix
+      }
+      seen += base
+      base
+    }
+  }
+}

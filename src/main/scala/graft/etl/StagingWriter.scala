@@ -1,0 +1,90 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+
+/** Staging writers — Spark mapping of the reference's dialect-aware dump
+  * path (A3/A4, literal_value_generator.py::dump_to_csv ~L60-140 and the
+  * INSERT-statement generators ~L150-230) and row-level value transforms
+  * (D1-D3, ::generate_literal_value ~L10-60):
+  *
+  *   D1 literal rendering  -> CSV writer options (quote/escape/nullValue)
+  *   D2 datetime format    -> timestampFormat / dateFormat per dialect
+  *   D3 ''-vs-NULL         -> Oracle treats '' as NULL: canonicalize first
+  *   bool -> 0/1           -> cast through IntegerType where target lacks bool
+  *
+  * The write itself is partition-parallel (D4's chunking for free); the
+  * reference's per-dialect bulk-load subprocesses (A5-A9: LOAD DATA, COPY,
+  * BULK INSERT, sqlldr) collapse into `df.write.jdbc` with batched inserts
+  * — here modeled by [[jdbcOptions]] since this environment has no live
+  * RDBMS to load into.
+  */
+object StagingWriter {
+
+  sealed trait Dialect {
+    def name: String
+    def delimiter: String = ","
+    def nullToken: String = ""
+    def timestampFormat: String = "yyyy-MM-dd HH:mm:ss"
+    def boolAsInt: Boolean = false
+    def emptyStringIsNull: Boolean = false
+  }
+  case object MySql extends Dialect {
+    val name = "mysql"; override val nullToken = "\\N"
+    override val boolAsInt = true
+  }
+  case object Postgres extends Dialect { val name = "postgresql" }
+  case object MsSql extends Dialect {
+    val name = "mssql"; override val delimiter = "|,"
+    override val boolAsInt = true
+  }
+  case object Oracle extends Dialect {
+    val name = "oracle"
+    override val timestampFormat = "yyyy-MM-dd HH:mm:ss" // TO_DATE 'YYYY-MM-DD HH24:MI:SS'
+    override val boolAsInt = true
+    override val emptyStringIsNull = true
+  }
+  case object Sqlite extends Dialect {
+    val name = "sqlite"; override val boolAsInt = true
+  }
+
+  /** D1-D3 canonicalization as plan-level column rewrites. */
+  def canonicalize(df: DataFrame, dialect: Dialect): DataFrame = {
+    val cols = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      f.dataType match {
+        case BooleanType if dialect.boolAsInt =>
+          c.cast(IntegerType).as(f.name)
+        case StringType if dialect.emptyStringIsNull =>
+          when(c === "", lit(null).cast(StringType)).otherwise(c).as(f.name)
+        case _ => c
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** A3: dialect-correct delimited staging dump. */
+  def writeCsv(df: DataFrame, dialect: Dialect, path: String): Unit =
+    canonicalize(df, dialect).write.mode(SaveMode.Overwrite)
+      .option("sep", dialect.delimiter.take(1))
+      .option("nullValue", dialect.nullToken)
+      .option("emptyValue", if (dialect.emptyStringIsNull) dialect.nullToken else "\"\"")
+      .option("quote", "\"")
+      .option("escape", "\"") // quote-doubling, as the reference emits
+      .option("timestampFormat", dialect.timestampFormat)
+      .option("header", "false")
+      .csv(path)
+
+  /** A5-A9: the options `df.write.jdbc` needs for bulk-equivalent load
+    * speed on each dialect (batched/rewritten inserts replace the
+    * reference's LOAD DATA / COPY / BULK INSERT / sqlldr subprocesses).
+    */
+  def jdbcOptions(dialect: Dialect): Map[String, String] = dialect match {
+    case MySql =>
+      Map("rewriteBatchedStatements" -> "true", "batchsize" -> "10000")
+    case Postgres =>
+      Map("reWriteBatchedInserts" -> "true", "batchsize" -> "10000")
+    case _ => Map("batchsize" -> "10000")
+  }
+}

@@ -1,0 +1,292 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator queries (SURVEY.md §2 A/B/D/E/G).
+  *
+  * The reference (seanharr11/etlalchemy, ETLAlchemySource.py::migrate) only
+  * ever issues `SELECT *` per table; everything else here is the Spark-first
+  * mapping of its schema/movement semantics plus the §2-G extension proofs
+  * (joins, windows, sorts, set ops) that a query user of the engine needs.
+  */
+object CoreQueries {
+
+  /** Exact, order-independent sum of a double column: cast to DECIMAL first
+    * so partial-aggregation order cannot perturb the result, then back to
+    * DOUBLE for a stable comparable type. Mirrors the SQL twin
+    * `CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- A1
+    QueryDef(
+      "q_scan_project",
+      "Full-table scan + projection (reference A1: SELECT * fetchall; " +
+        "ours prunes columns at the parquet scan).",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .limit(500)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin)
+    ),
+
+    // ------------------------------------------------------- G filters
+    QueryDef(
+      "q_filter_pushdown",
+      "Predicate pushed to the parquet scan (PushedFilters in explain); " +
+        "reference has no WHERE anywhere — extension proof.",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24.0 &&
+            col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+          .select("l_orderkey", "l_linenumber", "l_discount", "l_quantity")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_discount, l_quantity
+             |FROM lineitem
+             |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ----------------------------------------------------- G aggregates
+    QueryDef(
+      "q_agg_groupby",
+      "TPC-H Q1 shape: partial+final hash aggregate; exact decimal sums " +
+        "(reference's only aggs are the C1-C4 profiling scans).",
+      (s, dir) => {
+        val l = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+        l.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+              .as("sum_disc_price"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (dsum(col("l_discount"), 6) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // --------------------------------------------------------- G joins
+    QueryDef(
+      "q_join_agg",
+      "Equi-join fact-to-dimension + aggregate; orders side is the small " +
+        "build side (broadcast under AQE at this size; shuffle-hash at 100TB).",
+      (s, dir) => {
+        val l = Tables.t(s, dir, "lineitem")
+        val o = Tables.t(s, dir, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("line_count"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS line_count,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // --------------------------------------------------- E2 FK validation
+    QueryDef(
+      "q_fk_orphans",
+      "Referential-integrity check: the semantic payload of reference " +
+        "add_fks (ETLAlchemySource.py::add_fks ~L1350-1500) as left-anti " +
+        "join orphan counts per FK edge.",
+      (s, dir) => {
+        def orphans(child: DataFrame, ck: String, parent: DataFrame,
+                    pk: String, label: String): DataFrame = {
+          val cnt = child.join(parent, child(ck) === parent(pk), "left_anti").count()
+          val spark = s
+          import spark.implicits._
+          Seq((label, cnt)).toDF("fk_edge", "orphan_count")
+        }
+        val l = Tables.t(s, dir, "lineitem"); val o = Tables.t(s, dir, "orders")
+        val c = Tables.t(s, dir, "customer"); val n = Tables.t(s, dir, "nation")
+        val r = Tables.t(s, dir, "region"); val sup = Tables.t(s, dir, "supplier")
+        val p = Tables.t(s, dir, "part")
+        orphans(l, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
+          .union(orphans(l, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"))
+          .union(orphans(l, "l_suppkey", sup, "s_suppkey", "lineitem.l_suppkey->supplier"))
+          .union(orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"))
+          .union(orphans(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"))
+          .union(orphans(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey->region"))
+          .orderBy("fk_edge")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+             |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_count
+             |  UNION ALL SELECT 'lineitem.l_partkey->part',
+             |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+             |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+             |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+             |  UNION ALL SELECT 'orders.o_custkey->customer',
+             |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             |  UNION ALL SELECT 'customer.c_nationkey->nation',
+             |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+             |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+             |  UNION ALL SELECT 'nation.n_regionkey->region',
+             |    (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+             |      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+             |) ORDER BY fk_edge""".stripMargin)
+    ),
+
+    // ------------------------------------------------- B2-B4 rename/drop/cast
+    QueryDef(
+      "q_rename_drop_cast",
+      "SchemaTransformer CSV-rule semantics (schema_transformer.py " +
+        "::transform_column): rename o_totalprice->total_price_usd, retype " +
+        "to DECIMAL(12,2), drop o_orderpriority.",
+      (s, dir) => {
+        graft.etl.SchemaRules(
+          renames = Map("o_totalprice" -> "total_price_usd",
+                        "o_orderdate" -> "order_date"),
+          retypes = Map("o_totalprice" -> DecimalType(12, 2)),
+          deletes = Seq("o_orderpriority", "o_orderstatus"))
+          .apply(Tables.t(s, dir, "orders"))
+          .orderBy("o_orderkey")
+          .limit(500)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(o_totalprice AS DECIMAL(12,2)) AS total_price_usd,
+             |  o_orderdate AS order_date
+             |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin)
+    ),
+
+    // ------------------------------------------------------ G sorts/topk
+    QueryDef(
+      "q_sort_limit",
+      "Global top-k: Spark TakeOrderedAndProject — no full sort at scale.",
+      (s, dir) => {
+        Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)
+    ),
+
+    // --------------------------------------------------------- G set ops
+    QueryDef(
+      "q_set_ops",
+      "UNION / EXCEPT / INTERSECT over customer segments (reference has " +
+        "none; Spark Union/Except/Intersect physical ops).",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val b = c.filter(col("c_acctbal") > 5000.0).select("c_custkey")
+        val u = a.union(b).distinct().withColumn("set_op", lit("union"))
+        val e = a.except(b).withColumn("set_op", lit("except"))
+        val i = a.intersect(b).withColumn("set_op", lit("intersect"))
+        u.union(e).union(i).select("set_op", "c_custkey")
+          .orderBy("set_op", "c_custkey")
+      },
+      Some("""WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+             |SELECT * FROM (
+             |  SELECT 'union' AS set_op, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+             |  UNION ALL SELECT 'except', c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+             |  UNION ALL SELECT 'intersect', c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+             |) ORDER BY set_op, c_custkey""".stripMargin)
+    ),
+
+    // ------------------------------------------------------- G windows
+    QueryDef(
+      "q_window_topk",
+      "Top-3 orders per customer by totalprice: Window.partitionBy + " +
+        "row_number (partition-local sort only — scales without global sort).",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.t(s, dir, "orders")
+          .withColumn("rank_in_cust", row_number().over(w))
+          .filter(col("rank_in_cust") <= 3)
+          .select("o_custkey", "rank_in_cust", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rank_in_cust")
+      },
+      Some("""SELECT o_custkey, rank_in_cust, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+             |  FROM orders)
+             |WHERE rank_in_cust <= 3 ORDER BY o_custkey, rank_in_cust""".stripMargin)
+    ),
+
+    // -------------------------------------------------- D1-D3 string funcs
+    QueryDef(
+      "q_string_funcs",
+      "Scalar string functions (reference D1 literal rendering: quoting, " +
+        "escapes): upper/substring/concat/trim/replace — all codegen'd.",
+      (s, dir) => {
+        Tables.t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_u"),
+            substring(col("p_name"), 1, 10).as("name10"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+            length(col("p_name")).as("name_len"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_u,
+             |  substring(p_name, 1, 10) AS name10,
+             |  concat_ws('|', p_brand, p_type) AS brand_type,
+             |  length(p_name) AS name_len,
+             |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+
+    // ----------------------------------------------------- D2 date funcs
+    QueryDef(
+      "q_date_funcs",
+      "Date/time scalar functions (reference D2 per-dialect datetime " +
+        "literal rendering → date_format/year/month/date_trunc).",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .groupBy(
+            year(col("l_shipdate")).as("ship_year"),
+            month(col("l_shipdate")).as("ship_month"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("ship_year", "ship_month")
+      },
+      Some("""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+             |  CAST(month(l_shipdate) AS INT) AS ship_month,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: for each query result
+parquet written by graft.Verify, run the oracle SQL in DuckDB over the same
+testdata parquet tables and compare (columns sorted by name, values
+hash-compared after row sort). Usage:
+
+    python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok, bad = 0, 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.sql(sql).df()
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            exp, got = canon(exp), canon(got)
+            if list(exp.columns) != list(got.columns):
+                print(f"FAIL {name}: columns exp={list(exp.columns)} "
+                      f"got={list(got.columns)}")
+                bad += 1
+                continue
+            if len(exp) != len(got):
+                print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+                bad += 1
+                continue
+            mism = None
+            for c in exp.columns:
+                ev, gv = exp[c].tolist(), got[c].tolist()
+                for i, (a, b) in enumerate(zip(ev, gv)):
+                    if norm(a) != norm(b):
+                        mism = (c, i, a, b)
+                        break
+                if mism:
+                    break
+            if mism:
+                c, i, a, b = mism
+                print(f"FAIL {name}: value col={c} row={i} exp={a!r} got={b!r}")
+                bad += 1
+            else:
+                print(f"ok   {name} ({len(exp)} rows)")
+                ok += 1
+        except Exception as e:
+            print(f"ERR  {name}: {str(e)[:300]}")
+            bad += 1
+    print(f"== {ok} ok / {bad} failing ==")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
