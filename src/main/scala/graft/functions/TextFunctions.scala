@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the dedup / text-analysis operators (SURVEY.md
+  * §2 H3/H4). Everything here is built-in higher-order functions — fully
+  * codegen-friendly, no UDFs — and each has an exact DuckDB twin so the
+  * declared queries stay oracle-checkable:
+  *
+  *   Spark                                DuckDB
+  *   ----------------------------------   -------------------------------
+  *   regexp_replace(lower(c),p," ")       regexp_replace(lower(c),p,' ','g')
+  *   split(c," ")                         string_split(c,' ')
+  *   transform(sequence(..), i->substr)   list_transform(range(..), i->substr)
+  *   array_min(transform(..md5..))        list_aggregate(list_transform,'min')
+  *
+  * The portable hash family is md5 (present and identical in both engines);
+  * k independent hash functions are derived as md5(s || ":" || x) for seed
+  * s — lexicographic min over fixed-width hex prefixes is order-isomorphic
+  * to numeric min over the corresponding 64-bit values.
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non-alphanumerics, squeeze spaces, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Distinct character k-gram shingles of an (already normalized) string.
+    * Guarded: Spark's sequence(1, n) DESCENDS for n<1, so short strings
+    * must yield an empty array explicitly.
+    */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      array_distinct(transform(
+        sequence(lit(1), length(c) - (k - 1)),
+        i => c.substr(i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct word n-grams over a token array. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One MinHash signature component: min over shingles of a seeded md5
+    * prefix (16 hex chars = 64 bits). Identical semantics in DuckDB:
+    * list_aggregate(list_transform(sh, x -> substr(md5(s||':'||x),1,16)),'min')
+    */
+  def minhashComponent(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles,
+      x => substring(md5(concat(lit(s"$seed:"), x)), 1, 16)))
+
+  /** Full MinHash signature as an array of [[minhashComponent]]s. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(minhashComponent(shingles, _)): _*)
+
+  /** Exact Jaccard similarity of two DISTINCT-element arrays, as a single
+    * deterministic double division of integer set sizes.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b)))
+}

@@ -1,3 +1,224 @@
 package graft.ops
-import graft.QueryDef
-object DedupQueries { val defs: Seq[QueryDef] = Seq() }
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication suite over `documents` / `embeddings` (SURVEY.md §2 H1/H3
+  * and the training-data-pipeline mandate): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): exact dedup is a hash shuffle on the key; MinHash
+  * LSH turns all-pairs similarity into an equi-join on (band, band_hash)
+  * buckets — the only all-pairs work left is within buckets; SimHash is a
+  * pure per-row map + groupBy fingerprint; the n-gram variant blocks on the
+  * min-gram (1-hash LSH) before computing exact Jaccard; the cosine variant
+  * is the brute-force baseline whose scale path is
+  * [[SimilarityQueries]]' hyperplane-bucketed join.
+  */
+object DedupQueries {
+
+  // MinHash parameters: char-5-gram shingles, 12 hashes in 3 bands x 4 rows
+  // -> LSH threshold ~(1/3)^(1/4) ~= 0.76; candidates verified at j >= 0.6
+  // (the corpus separates cleanly: background ~0.3, true near-dups >= 0.9).
+  private val ShingleK = 5
+  private val NumHashes = 12
+  private val Bands = 3
+  private val RowsPerBand = 4
+  private val MinhashVerifyJ = 0.6
+  private val NgramJ = 0.5
+  private val CosineTau = 0.4
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
+
+  /** doc_id + distinct char-k shingle set of normalized text. */
+  private def shingleDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      charShingles(normText(col("text")), ShingleK).as("sh"))
+
+  private val shingleSqlCte =
+    s"""t AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |d AS (SELECT doc_id, list_distinct(list_transform(
+       |  range(1, length(nt)-${ShingleK - 2}), i -> substr(nt,i,$ShingleK))) AS sh FROM t)""".stripMargin
+
+  private val sigSql = (0 until NumHashes).map(s =>
+    s"list_aggregate(list_transform(sh, x -> substr(md5('$s:'||x),1,16)),'min')")
+    .mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------- H1
+    QueryDef(
+      "q_dedup_exact",
+      "Exact dedup: hash groupBy on normalized text, keep min doc_id " +
+        "(partial agg -> one shuffle on the key; salt only if a single " +
+        "text value dominates).",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .groupBy(normText(col("text")).as("norm_text"))
+          .agg(min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("keeper_id"), col("n_copies"),
+            substring(md5(col("norm_text")), 1, 16).as("text_fp"))
+          .orderBy("keeper_id")
+      },
+      Some(s"""SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies,
+              |  substr(md5($normSql),1,16) AS text_fp
+              |FROM documents GROUP BY $normSql ORDER BY keeper_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------- H3
+    QueryDef(
+      "q_doc_dedup",
+      "MinHash+LSH near-dup detection: shingle -> 12 seeded-md5 minhashes " +
+        "-> 3 bands of 4 -> bucket equi-join -> exact-Jaccard verify. " +
+        "The all-pairs problem becomes a join on (band, band_hash).",
+      (s, dir) => {
+        val d = shingleDf(Tables.t(s, dir, "documents"))
+          .withColumn("sig", minhashSignature(col("sh"), NumHashes))
+        val bands = d.select(
+          col("doc_id"), col("sh"),
+          explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+            struct(b.as("band"),
+              md5(concat((1 to RowsPerBand).map(r =>
+                element_at(col("sig"), b * RowsPerBand + lit(r))): _*)).as("bh"))))
+            .as("bb"))
+          .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
+        val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+          col("band"), col("bh"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+          col("band"), col("bh"))
+        a.join(b, Seq("band", "bh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            jaccard(col("sha"), col("shb")).as("j"))
+          .distinct()
+          .filter(col("j") >= MinhashVerifyJ)
+          .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val bandHash = (1 to RowsPerBand).map(r => s"sg[$RowsPerBand*b+$r]")
+          .mkString("md5(", "||", ")")
+        s"""WITH $shingleSqlCte,
+           |sig AS (SELECT doc_id, sh, $sigSql AS sg FROM d),
+           |bands AS (SELECT doc_id, sh, b, $bandHash AS bh
+           |  FROM sig, (SELECT unnest(range($Bands)) AS b)),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+           |      len(list_distinct(list_concat(a.sh,b.sh))) AS j
+           |  FROM bands a JOIN bands b ON a.b=b.b AND a.bh=b.bh
+           |    AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, round(j,6) AS jaccard FROM pairs
+           |WHERE j >= $MinhashVerifyJ ORDER BY doc_a, doc_b""".stripMargin
+      }
+    ),
+
+    // ------------------------------------------------------------- H3'
+    QueryDef(
+      "q_dedup_simhash",
+      "SimHash fingerprinting: 32-bit bit-majority over token md5s (one " +
+        "explode + groupBy; integer sums are order-independent), then " +
+        "fingerprint-equality clustering.",
+      (s, dir) => {
+        val bitSums = (0 until 32).map(i =>
+          sum(when(substring(md5(col("tok")), i + 1, 1) >= "8", 1)
+            .otherwise(-1)).as(s"s$i"))
+        val fp = concat((0 until 32).map(i =>
+          when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*)
+        val sums = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), fp.as("simhash"))
+        val clusters = sums.groupBy("simhash")
+          .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("cluster_min"))
+        sums.join(clusters, "simhash")
+          .select("doc_id", "simhash", "cluster_size", "cluster_min")
+          .orderBy("doc_id")
+      },
+      Some {
+        val bitSums = (0 until 32).map(i =>
+          s"SUM(CASE WHEN substr(md5(tok),${i + 1},1) >= '8' THEN 1 ELSE -1 END) AS s$i")
+          .mkString(", ")
+        val fp = (0 until 32).map(i =>
+          s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString("||")
+        s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql,' ')) AS tok FROM documents),
+           |sums AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id),
+           |fp AS (SELECT doc_id, $fp AS simhash FROM sums),
+           |clusters AS (SELECT simhash, COUNT(*) AS cluster_size,
+           |  MIN(doc_id) AS cluster_min FROM fp GROUP BY simhash)
+           |SELECT doc_id, fp.simhash, cluster_size, cluster_min
+           |FROM fp JOIN clusters USING (simhash) ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ------------------------------------------------------------- H3''
+    QueryDef(
+      "q_dedup_ngram",
+      "Word-3-gram exact-Jaccard near-dup with min-gram blocking (the " +
+        "lexicographic min gram is a 1-hash MinHash: recall ~= j for a " +
+        "pair with Jaccard j, and the blocking key turns all-pairs into " +
+        "an equi-join).",
+      (s, dir) => {
+        val g = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            wordNgrams(tokens(col("text")), 3).as("ng"))
+          .filter(size(col("ng")) > 0)
+          .withColumn("block", array_min(col("ng")))
+        val a = g.select(col("doc_id").as("doc_a"), col("ng").as("nga"), col("block"))
+        val b = g.select(col("doc_id").as("doc_b"), col("ng").as("ngb"), col("block"))
+        a.join(b, "block")
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            jaccard(col("nga"), col("ngb")).as("j"))
+          .filter(col("j") >= NgramJ)
+          .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split($normSql,' ') AS w FROM documents),
+              |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+              |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS ng
+              |  FROM t WHERE len(w) >= 3),
+              |k AS (SELECT doc_id, ng, list_aggregate(ng,'min') AS block FROM g)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  round(CAST(len(list_intersect(a.ng,b.ng)) AS DOUBLE) /
+              |    len(list_distinct(list_concat(a.ng,b.ng))),6) AS jaccard
+              |FROM k a JOIN k b ON a.block=b.block AND a.doc_id < b.doc_id
+              |WHERE CAST(len(list_intersect(a.ng,b.ng)) AS DOUBLE) /
+              |  len(list_distinct(list_concat(a.ng,b.ng))) >= $NgramJ
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------- H2'
+    QueryDef(
+      "q_dedup_embedding",
+      "Embedding-cosine near-dup: brute-force all-pairs baseline (the " +
+        "scale path is the hyperplane-bucketed join in q_ann_hyperplane); " +
+        "sequential-fold dot products are bit-comparable with DuckDB.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+          .withColumn("nrm", l2Norm(col("v")))
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+        a.crossJoin(b)
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cos") >= CosineTau)
+          .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |n AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  round(list_dot_product(a.v,b.v)/(a.nrm*b.nrm),6) AS cosine
+              |FROM n a JOIN n b ON a.vec_id < b.vec_id
+              |WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= $CosineTau
+              |ORDER BY vec_a, vec_b""".stripMargin)
+    )
+  )
+}

