@@ -24,8 +24,8 @@ object Constraints {
       child: DataFrame, childCol: String,
       parent: DataFrame, parentCol: String): Long =
     child
-      .join(parent.select(col(parentCol)).distinct(),
-        child(childCol) === col(parentCol), "left_anti")
+      .join(parent.select(col(parentCol).as("__fk_parent_key")).distinct(),
+        child(childCol) === col("__fk_parent_key"), "left_anti")
       .count()
 
   /** Distributed variant returning a one-row DataFrame (composable into a
@@ -36,8 +36,8 @@ object Constraints {
       child: DataFrame, childCol: String,
       parent: DataFrame, parentCol: String): DataFrame =
     child
-      .join(parent.select(col(parentCol)).distinct(),
-        child(childCol) === col(parentCol), "left_anti")
+      .join(parent.select(col(parentCol).as("__fk_parent_key")).distinct(),
+        child(childCol) === col("__fk_parent_key"), "left_anti")
       .agg(count(lit(1)).as("orphan_count"))
       .select(lit(label).as("fk_edge"), col("orphan_count"))
 

@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import TextFunctions._
+  import VectorFunctions._
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("r")).head().get(0)
+  }
+
+  test("normText lowercases, strips symbols, squeezes spaces") {
+    assert(one(normText(lit("  Hello,   WORLD!! 42 "))) == "hello world 42")
+    assert(one(normText(lit("!!!"))) == "")
+  }
+
+  test("charShingles: count, distinctness, short-string guard (H3)") {
+    val sh = one(charShingles(lit("abcdef"), 5)).asInstanceOf[collection.Seq[String]]
+    assert(sh == Seq("abcde", "bcdef"))
+    assert(one(charShingles(lit("abc"), 5)).asInstanceOf[collection.Seq[String]].isEmpty)
+    val rep = one(charShingles(lit("aaaaaaa"), 5)).asInstanceOf[collection.Seq[String]]
+    assert(rep == Seq("aaaaa"))
+  }
+
+  test("wordNgrams produces ordered distinct n-grams") {
+    val ng = one(wordNgrams(split(lit("a b c d"), " "), 3)).asInstanceOf[collection.Seq[String]]
+    assert(ng == Seq("a b c", "b c d"))
+    assert(one(wordNgrams(split(lit("a b"), " "), 3)).asInstanceOf[collection.Seq[String]].isEmpty)
+  }
+
+  test("jaccard: identity 1.0, disjoint 0.0") {
+    val a = array(lit("x"), lit("y"))
+    val b = array(lit("p"), lit("q"))
+    assert(one(jaccard(a, a)) == 1.0)
+    assert(one(jaccard(a, b)) == 0.0)
+  }
+
+  test("minhash signature is deterministic and monotone under containment") {
+    val sh = charShingles(lit("the quick brown fox jumps"), 5)
+    val s1 = one(minhashSignature(sh, 12)).asInstanceOf[collection.Seq[String]]
+    val s2 = one(minhashSignature(sh, 12)).asInstanceOf[collection.Seq[String]]
+    assert(s1 == s2 && s1.size == 12)
+    // shingle superset can only lower (or keep) each min-hash component
+    val shBig = charShingles(lit("the quick brown fox jumps over"), 5)
+    val sBig = one(minhashSignature(shBig, 12)).asInstanceOf[collection.Seq[String]]
+    assert(s1.zip(sBig).forall { case (a, b) => b <= a })
+  }
+
+  test("dot/cosine: exact on known vectors; cosine(v,v)=1") {
+    val a = array(lit(1.0), lit(2.0), lit(3.0))
+    val b = array(lit(4.0), lit(-5.0), lit(6.0))
+    assert(one(dot(a, b)) == 12.0)
+    assert(math.abs(one(cosine(a, a)).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
+  test("property: scalar multiple preserves cosine ~ 1 (seeded trials)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 25).foreach { _ =>
+      val v = Seq.fill(8)(rnd.nextDouble() * 10 - 5)
+      val k = 0.5 + rnd.nextDouble() * 3.5
+      if (v.exists(x => math.abs(x) > 1e-3)) {
+        val a = array(v.map(lit): _*)
+        val b = array(v.map(x => lit(x * k)): _*)
+        val c = one(cosine(a, b)).asInstanceOf[Double]
+        assert(math.abs(c - 1.0) < 1e-9, s"v=$v k=$k cos=$c")
+      }
+    }
+  }
+
+  test("property: jaccard symmetric and within [0,1] (seeded trials)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextInt(8).toString).distinct
+      val ys = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextInt(8).toString).distinct
+      val a = array(xs.map(lit): _*)
+      val b = array(ys.map(lit): _*)
+      val jab = one(jaccard(a, b)).asInstanceOf[Double]
+      val jba = one(jaccard(b, a)).asInstanceOf[Double]
+      assert(jab == jba && jab >= 0.0 && jab <= 1.0)
+    }
+  }
+
+  test("hyperplane buckets: deterministic, scalar-positive invariant") {
+    val planes = makePlanes(8, 4)
+    assert(planes == makePlanes(8, 4))
+    assert(planes.flatten.forall(x => x == 1.0 || x == -1.0))
+    val v = array(lit(0.5), lit(-1.0), lit(2.0), lit(0.1))
+    val v2 = array(lit(1.0), lit(-2.0), lit(4.0), lit(0.2)) // 2x scale
+    assert(one(hyperplaneBucket(v, planes)) ==
+      one(hyperplaneBucket(v2, planes)))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class EventStreamSpec extends SparkSpec {
+
+  test("streaming windowed agg matches the batch twin's expressions (H6)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("eventTime", "event_type", "value")
+    val q = EventStream.run(spark, events,
+      Files.createTempDirectory("graft-ckpt").toString, "win_test")
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.5),
+        (ts("2024-01-01 10:55:00"), "click", 2.5),
+        (ts("2024-01-01 11:05:00"), "click", 4.0),
+        (ts("2024-01-01 10:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("win_test")
+        .orderBy("window_start", "event_type").collect()
+      assert(out.length == 3)
+      val first = out(0) // 10:00 window, click
+      assert(first.getAs[Long]("n_events") == 2)
+      assert(first.getAs[Double]("sum_value") == 4.0)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState sessionization tracks gap-separated sessions") {
+    implicit val s = spark
+    import spark.implicits._
+    // batch Dataset exercises the same state-transition function
+    val events = Seq(
+      (7L, 1000L), (7L, 1100L), (7L, 5000L), // gap > 1800 -> new session
+      (8L, 100L)).toDS()
+    val out = EventStream.sessionize(events).collect().map(o => o.userId -> o).toMap
+    assert(out(7L).sessionStart == 5000L && out(7L).nEvents == 1) // latest session
+    assert(out(8L).sessionStart == 100L && out(8L).nEvents == 1)
+  }
+}
