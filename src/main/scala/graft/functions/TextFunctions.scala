@@ -48,17 +48,33 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
 
-  /** One MinHash signature component: min over shingles of a seeded md5
-    * prefix (16 hex chars = 64 bits). Identical semantics in DuckDB:
-    * list_aggregate(list_transform(sh, x -> substr(md5(s||':'||x),1,16)),'min')
+  /** Per-shingle hash material for a MinHash family of `numHashes`
+    * components: ceil(n/4) seeded md5s concatenated (each md5 yields four
+    * independent 8-hex-char = 32-bit slices). One md5 per 4 hash functions
+    * instead of one md5 per hash function.
+    *
+    * IMPORTANT (perf): pass a MATERIALIZED column (a plain attribute) for
+    * `shingles`, not a composed expression — higher-order functions are
+    * interpreted, so a composed argument would be re-evaluated per element.
     */
-  def minhashComponent(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles,
-      x => substring(md5(concat(lit(s"$seed:"), x)), 1, 16)))
+  def minhashMaterial(shingles: Column, numHashes: Int): Column = {
+    val nMd5 = (numHashes + 3) / 4
+    transform(shingles, x =>
+      concat((0 until nMd5).map(s => md5(concat(lit(s"$s:"), x))): _*))
+  }
 
-  /** Full MinHash signature as an array of [[minhashComponent]]s. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(minhashComponent(shingles, _)): _*)
+  /** MinHash signature component i from the material column: min over the
+    * i-th 8-hex-char slice. DuckDB twin:
+    * list_aggregate(list_transform(hs, h -> substr(h,1+8*i,8)),'min')
+    */
+  def minhashComponent(material: Column, i: Int): Column =
+    array_min(transform(material, h => substring(h, 1 + 8 * i, 8)))
+
+  /** Full MinHash signature (array of `numHashes` 32-bit hex slices) from a
+    * materialized [[minhashMaterial]] column.
+    */
+  def minhashSignature(material: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(minhashComponent(material, _)): _*)
 
   /** Exact Jaccard similarity of two DISTINCT-element arrays, as a single
     * deterministic double division of integer set sizes.

@@ -19,7 +19,10 @@ object VectorFunctions {
     */
   def toDoubleVec(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
+  /** Sequential-fold dot product of two equal-length double arrays.
+    * zip_with + aggregate measured faster than an index-based
+    * sequence/element_at fold (fewer boxed index evals per element).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 

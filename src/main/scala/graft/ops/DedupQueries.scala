@@ -35,18 +35,26 @@ object DedupQueries {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
 
-  /** doc_id + distinct char-k shingle set of normalized text. */
+  /** doc_id + distinct char-k shingle set of normalized text. Staged as
+    * two projections so the HOF lambda in charShingles sees a materialized
+    * `nt` attribute — composing normText inline would re-run the regexes
+    * once per shingle (HOFs are interpreted, not codegen'd).
+    */
   private def shingleDf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      charShingles(normText(col("text")), ShingleK).as("sh"))
+    docs.select(col("doc_id"), normText(col("text")).as("nt"))
+      .select(col("doc_id"), charShingles(col("nt"), ShingleK).as("sh"))
 
   private val shingleSqlCte =
     s"""t AS (SELECT doc_id, $normSql AS nt FROM documents),
        |d AS (SELECT doc_id, list_distinct(list_transform(
        |  range(1, length(nt)-${ShingleK - 2}), i -> substr(nt,i,$ShingleK))) AS sh FROM t)""".stripMargin
 
-  private val sigSql = (0 until NumHashes).map(s =>
-    s"list_aggregate(list_transform(sh, x -> substr(md5('$s:'||x),1,16)),'min')")
+  // Hash material: 3 seeded md5s per shingle -> 12 independent 32-bit
+  // slices (4 per md5); sig_i = min over slice i.
+  private val materialSql =
+    "list_transform(sh, x -> md5('0:'||x)||md5('1:'||x)||md5('2:'||x))"
+  private val sigSql = (0 until NumHashes).map(i =>
+    s"list_aggregate(list_transform(hs, h -> substr(h,${1 + 8 * i},8)),'min')")
     .mkString("[", ", ", "]")
 
   val defs: Seq[QueryDef] = Seq(
@@ -77,25 +85,37 @@ object DedupQueries {
         "-> 3 bands of 4 -> bucket equi-join -> exact-Jaccard verify. " +
         "The all-pairs problem becomes a join on (band, band_hash).",
       (s, dir) => {
-        val d = shingleDf(Tables.t(s, dir, "documents"))
-          .withColumn("sig", minhashSignature(col("sh"), NumHashes))
-        val bands = d.select(
-          col("doc_id"), col("sh"),
+        // Stage 1: shingles -> hash material -> signature (each stage a
+        // materialized projection; lambdas only touch attributes).
+        val sh = shingleDf(Tables.t(s, dir, "documents"))
+        val sig = sh
+          .select(col("doc_id"), minhashMaterial(col("sh"), NumHashes).as("hs"))
+          .select(col("doc_id"), minhashSignature(col("hs"), NumHashes).as("sig"))
+        // Stage 2: band hashes; buckets via groupBy (computes the signature
+        // subtree ONCE — a self-join would compute it twice and shuffle the
+        // shingle payload with it).
+        val bands = sig.select(
+          col("doc_id"),
           explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
             struct(b.as("band"),
               md5(concat((1 to RowsPerBand).map(r =>
                 element_at(col("sig"), b * RowsPerBand + lit(r))): _*)).as("bh"))))
             .as("bb"))
-          .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
-        val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
-          col("band"), col("bh"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
-          col("band"), col("bh"))
-        a.join(b, Seq("band", "bh"))
+          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        val pairs = bands.groupBy("band", "bh")
+          .agg(collect_set(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(col("ids")).as("doc_a"), col("ids"))
+          .select(col("doc_a"), explode(col("ids")).as("doc_b"))
           .filter(col("doc_a") < col("doc_b"))
+          .distinct()
+        // Stage 3: exact-Jaccard verify, joining candidates (small) back to
+        // the shingle sets.
+        val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+        pairs.join(a, "doc_a").join(b, "doc_b")
           .select(col("doc_a"), col("doc_b"),
             jaccard(col("sha"), col("shb")).as("j"))
-          .distinct()
           .filter(col("j") >= MinhashVerifyJ)
           .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
           .orderBy("doc_a", "doc_b")
@@ -104,7 +124,8 @@ object DedupQueries {
         val bandHash = (1 to RowsPerBand).map(r => s"sg[$RowsPerBand*b+$r]")
           .mkString("md5(", "||", ")")
         s"""WITH $shingleSqlCte,
-           |sig AS (SELECT doc_id, sh, $sigSql AS sg FROM d),
+           |hm AS (SELECT doc_id, sh, $materialSql AS hs FROM d),
+           |sig AS (SELECT doc_id, sh, $sigSql AS sg FROM hm),
            |bands AS (SELECT doc_id, sh, b, $bandHash AS bh
            |  FROM sig, (SELECT unnest(range($Bands)) AS b)),
            |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -164,11 +185,18 @@ object DedupQueries {
         "pair with Jaccard j, and the blocking key turns all-pairs into " +
         "an equi-join).",
       (s, dir) => {
+        // staged: text -> tokens -> ngrams, each a materialized projection
+        // (the ngram lambda does 3 element_at per gram — must hit an
+        // attribute, not the split expression). The emptiness guard runs on
+        // the CHEAP token stage, and block is wrapped in coalesce to be
+        // non-nullable — otherwise Catalyst pushes size(ng)>0 /
+        // IsNotNull(block) below the projections and INLINES the full
+        // n-gram tree into a per-row scan filter (catastrophic re-eval).
         val g = Tables.t(s, dir, "documents")
-          .select(col("doc_id"),
-            wordNgrams(tokens(col("text")), 3).as("ng"))
-          .filter(size(col("ng")) > 0)
-          .withColumn("block", array_min(col("ng")))
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ng"))
+          .withColumn("block", coalesce(array_min(col("ng")), lit("")))
         val a = g.select(col("doc_id").as("doc_a"), col("ng").as("nga"), col("block"))
         val b = g.select(col("doc_id").as("doc_b"), col("ng").as("ngb"), col("block"))
         a.join(b, "block")

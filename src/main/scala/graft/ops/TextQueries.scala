@@ -168,15 +168,18 @@ object TextQueries {
       "Document fingerprinting: full-text md5 plus a winnowing-style " +
         "min-hash over char-8-gram rolling windows (robust to reordering).",
       (s, dir) => {
-        val norm = normText(col("text"))
+        // staged: the rolling-window lambda must reference the normalized
+        // text as an attribute (else normText re-runs per window position)
+        val nt = col("nt")
         Tables.t(s, dir, "documents")
+          .select(col("doc_id"), normText(col("text")).as("nt"))
           .select(
             col("doc_id"),
-            substring(md5(norm), 1, 16).as("exact_fp"),
+            substring(md5(nt), 1, 16).as("exact_fp"),
             array_min(transform(
-              when(length(norm) >= 8,
-                sequence(lit(1), length(norm) - 7)).otherwise(array(lit(1))),
-              i => substring(md5(norm.substr(i, lit(8))), 1, 16)))
+              when(length(nt) >= 8,
+                sequence(lit(1), length(nt) - 7)).otherwise(array(lit(1))),
+              i => substring(md5(nt.substr(i, lit(8))), 1, 16)))
               .as("winnow_fp"))
           .orderBy("doc_id")
       },

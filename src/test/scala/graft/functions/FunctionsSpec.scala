@@ -39,13 +39,15 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("minhash signature is deterministic and monotone under containment") {
-    val sh = charShingles(lit("the quick brown fox jumps"), 5)
-    val s1 = one(minhashSignature(sh, 12)).asInstanceOf[collection.Seq[String]]
-    val s2 = one(minhashSignature(sh, 12)).asInstanceOf[collection.Seq[String]]
+    def sig(text: String) = one(minhashSignature(
+      minhashMaterial(charShingles(lit(text), 5), 12), 12))
+      .asInstanceOf[collection.Seq[String]]
+    val s1 = sig("the quick brown fox jumps")
+    val s2 = sig("the quick brown fox jumps")
     assert(s1 == s2 && s1.size == 12)
+    assert(s1.forall(_.length == 8)) // 32-bit hex slices
     // shingle superset can only lower (or keep) each min-hash component
-    val shBig = charShingles(lit("the quick brown fox jumps over"), 5)
-    val sBig = one(minhashSignature(shBig, 12)).asInstanceOf[collection.Seq[String]]
+    val sBig = sig("the quick brown fox jumps over")
     assert(s1.zip(sBig).forall { case (a, b) => b <= a })
   }
 
