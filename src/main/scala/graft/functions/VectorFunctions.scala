@@ -19,11 +19,16 @@ object VectorFunctions {
     */
   def toDoubleVec(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product of two equal-length double arrays.
-    * zip_with + aggregate measured faster than an index-based
-    * sequence/element_at fold (fewer boxed index evals per element).
+  /** Sequential-fold dot product of two equal-length double arrays —
+    * native codegen'd expression ([[DotProduct]]); same left-to-right
+    * order as the HOF formulation and DuckDB's list_dot_product.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** Built-in-HOF dot product (interpreted; kept as the reference
+    * implementation that [[DotProduct]] is tested against).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

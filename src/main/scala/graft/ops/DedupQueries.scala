@@ -85,12 +85,12 @@ object DedupQueries {
         "-> 3 bands of 4 -> bucket equi-join -> exact-Jaccard verify. " +
         "The all-pairs problem becomes a join on (band, band_hash).",
       (s, dir) => {
-        // Stage 1: shingles -> hash material -> signature (each stage a
-        // materialized projection; lambdas only touch attributes).
+        // Stage 1: shingles -> signature via the native one-pass expression
+        // (graft.functions.MinHashSignature; bit-identical to the HOF/
+        // DuckDB formulation, ~5x faster on the md5 hot path).
         val sh = shingleDf(Tables.t(s, dir, "documents"))
-        val sig = sh
-          .select(col("doc_id"), minhashMaterial(col("sh"), NumHashes).as("hs"))
-          .select(col("doc_id"), minhashSignature(col("hs"), NumHashes).as("sig"))
+        val sig = sh.select(col("doc_id"),
+          graft.functions.MinHashSignature(col("sh"), NumHashes).as("sig"))
         // Stage 2: band hashes; buckets via groupBy (computes the signature
         // subtree ONCE — a self-join would compute it twice and shuffle the
         // shingle payload with it).

@@ -85,6 +85,40 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native MinHashSignature matches the HOF/oracle formulation exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "spark group query row data slow small filter customer line",
+      "ab", // shorter than shingle width -> empty shingles -> null components
+      "exact five!").toDF("text")
+    val staged = docs
+      .select(normText(col("text")).as("nt"))
+      .select(charShingles(col("nt"), 5).as("sh"))
+    val both = staged.select(
+      MinHashSignature(col("sh"), 12).as("native"),
+      minhashSignature(minhashMaterial(col("sh"), 12), 12).as("hof"))
+      .collect()
+    both.foreach { r => assert(r.get(0) == r.get(1), s"row $r") }
+  }
+
+  test("native DotProduct bit-matches the HOF fold (codegen path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(dot(col("a"), col("b")).as("native"),
+      dotHof(col("a"), col("b")).as("hof")).collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit-exact, same fold order
+    }
+    // null array propagates to null
+    val n = Seq((Option.empty[Seq[Double]], Option(Seq(1.0)))).toDF("a", "b")
+      .select(dot(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("hyperplane buckets: deterministic, scalar-positive invariant") {
     val planes = makePlanes(8, 4)
     assert(planes == makePlanes(8, 4))
