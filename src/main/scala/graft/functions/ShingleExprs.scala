@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass shingling / n-gram / Jaccard expressions (SURVEY.md §2
+  * H3). Semantically identical to the HOF formulations in [[TextFunctions]]
+  * (and therefore to the DuckDB oracle twins), but without the interpreted
+  * per-element lambda dispatch and — critically — without the O(n²) cost of
+  * `substr(s, i, k)` in a loop: UTF8String substring re-scans from the
+  * string start for every position (UTF-8 is variable-width), so HOF
+  * shingling of a 1 kB document costs ~1M byte scans. These run one pass.
+  */
+
+/** Distinct character k-gram shingles of a string, in first-occurrence
+  * order (= `array_distinct(transform(sequence(...), substr))` with the
+  * short-string guard folded in: length < k → empty array).
+  *
+  * Fast path: when the string is pure ASCII (numBytes == numChars — always
+  * true after [[TextFunctions.normText]], which strips to `[a-z0-9 ]`),
+  * shingles are zero-copy 4-byte-slice views over one stable byte array.
+  * Non-ASCII falls back to per-position `substringSQL` (correct, slower).
+  */
+case class CharShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"shingle width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val nChars = s.numChars()
+    if (nChars < k) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (s.numBytes() == nChars) { // ASCII: bytes are chars
+      val bytes = s.getBytes // one stable copy; slices view into it
+      var i = 0
+      while (i <= nChars - k) {
+        out.add(UTF8String.fromBytes(bytes, i, k))
+        i += 1
+      }
+    } else {
+      var i = 1
+      while (i <= nChars - k + 1) {
+        out.add(s.substringSQL(i, k))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+object CharShingles {
+  def apply(s: Column, k: Int): Column =
+    GraftSqlBridge.toColumn(CharShingles(GraftSqlBridge.toExpression(s), k))
+}
+
+/** Distinct word n-grams (space-joined) over a token array, in
+  * first-occurrence order; size < n → empty array. Equals the HOF
+  * `array_distinct(transform(sequence(...), concat_ws(" ", element_at...)))`.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    val gram = new Array[UTF8String](n)
+    while (i <= m - n) {
+      System.arraycopy(toks, i, gram, 0, n)
+      out.add(UTF8String.concatWs(space, gram: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  def apply(toks: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(WordNgrams(GraftSqlBridge.toExpression(toks), n))
+}
+
+/** Exact Jaccard similarity |A∩B| / |A∪B| of two string arrays in one
+  * hash-set pass — replaces `size(array_intersect(a,b)) /
+  * size(array_distinct(concat(a,b)))`, which allocates the concatenated
+  * array plus two intermediate sets per pair. Duplicate elements are
+  * deduped (set semantics, same as the HOF form); null elements are
+  * ignored; an empty union yields NULL (Spark's 0/0 division semantics).
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jaccard"
+
+  private def toSet(a: ArrayData): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) s.add(a.getUTF8String(i))
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = toSet(a.asInstanceOf[ArrayData])
+    val sb = toSet(b.asInstanceOf[ArrayData])
+    var inter = 0
+    val it = (if (sa.size <= sb.size) sa else sb).iterator()
+    val other = if (sa.size <= sb.size) sb else sa
+    while (it.hasNext) if (other.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) null else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSim {
+  def apply(a: Column, b: Column): Column =
+    GraftSqlBridge.toColumn(JaccardSim(
+      GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
+}

@@ -29,19 +29,29 @@ object TextFunctions {
   /** Whitespace tokens of normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 
-  /** Distinct character k-gram shingles of an (already normalized) string.
-    * Guarded: Spark's sequence(1, n) DESCENDS for n<1, so short strings
-    * must yield an empty array explicitly.
+  /** Distinct character k-gram shingles of an (already normalized) string —
+    * native one-pass expression ([[CharShingles]]). The HOF formulation is
+    * O(len²) (substr rescans from the string start per position) and is
+    * kept only as the differential-test reference ([[charShinglesHof]]).
     */
-  def charShingles(c: Column, k: Int): Column =
+  def charShingles(c: Column, k: Int): Column = CharShingles(c, k)
+
+  /** HOF reference for [[charShingles]]. Guarded: Spark's sequence(1, n)
+    * DESCENDS for n<1, so short strings must yield an empty array
+    * explicitly.
+    */
+  def charShinglesHof(c: Column, k: Int): Column =
     when(length(c) >= k,
       array_distinct(transform(
         sequence(lit(1), length(c) - (k - 1)),
         i => c.substr(i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct word n-grams over a token array. */
-  def wordNgrams(toks: Column, n: Int): Column =
+  /** Distinct word n-grams over a token array — native ([[WordNgrams]]). */
+  def wordNgrams(toks: Column, n: Int): Column = WordNgrams(toks, n)
+
+  /** HOF reference for [[wordNgrams]]. */
+  def wordNgramsHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(1), size(toks) - (n - 1)),
@@ -76,10 +86,16 @@ object TextFunctions {
   def minhashSignature(material: Column, numHashes: Int): Column =
     array((0 until numHashes).map(minhashComponent(material, _)): _*)
 
-  /** Exact Jaccard similarity of two DISTINCT-element arrays, as a single
-    * deterministic double division of integer set sizes.
+  /** Exact Jaccard similarity of two string arrays — native one-hash-set
+    * pass ([[JaccardSim]]); set semantics, NULL on empty union.
     */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_distinct(concat(a, b)))
+  def jaccard(a: Column, b: Column): Column = JaccardSim(a, b)
+
+  /** HOF reference for [[jaccard]]: a single deterministic double division
+    * of integer set sizes (try_divide: NULL on empty union — Spark 4 ANSI
+    * mode would otherwise throw DIVIDE_BY_ZERO).
+    */
+  def jaccardHof(a: Column, b: Column): Column =
+    try_divide(size(array_intersect(a, b)).cast("double"),
+      size(array_distinct(concat(a, b))))
 }

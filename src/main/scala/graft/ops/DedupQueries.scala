@@ -35,10 +35,10 @@ object DedupQueries {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
 
-  /** doc_id + distinct char-k shingle set of normalized text. Staged as
-    * two projections so the HOF lambda in charShingles sees a materialized
-    * `nt` attribute — composing normText inline would re-run the regexes
-    * once per shingle (HOFs are interpreted, not codegen'd).
+  /** doc_id + distinct char-k shingle set of normalized text (native
+    * one-pass [[graft.functions.CharShingles]]). Staged as two projections
+    * so downstream filters can never inline the shingle tree below the
+    * normText projection.
     */
   private def shingleDf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), normText(col("text")).as("nt"))
@@ -145,20 +145,29 @@ object DedupQueries {
         "explode + groupBy; integer sums are order-independent), then " +
         "fingerprint-equality clustering.",
       (s, dir) => {
+        // md5 is materialized ONCE per token; the 32 bit-sums then slice
+        // the digest attribute (inlining md5 into each sum would hash
+        // every token 32 times — subexpression elimination does not reach
+        // across independent aggregate expressions).
         val bitSums = (0 until 32).map(i =>
-          sum(when(substring(md5(col("tok")), i + 1, 1) >= "8", 1)
+          sum(when(substring(col("h"), i + 1, 1) >= "8", 1)
             .otherwise(-1)).as(s"s$i"))
         val fp = concat((0 until 32).map(i =>
           when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*)
         val sums = Tables.t(s, dir, "documents")
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), md5(col("tok")).as("h"))
           .groupBy("doc_id")
           .agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"), fp.as("simhash"))
-        val clusters = sums.groupBy("simhash")
-          .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("cluster_min"))
-        sums.join(clusters, "simhash")
-          .select("doc_id", "simhash", "cluster_size", "cluster_min")
+        // Clustering via a window over the fingerprint: ONE shuffle on
+        // simhash, and the explode+md5+bit-sum pipeline runs once — the
+        // groupBy-then-self-join alternative evaluates that whole subtree
+        // twice (once per join side).
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
+        sums.select(col("doc_id"), col("simhash"),
+          count(lit(1)).over(w).as("cluster_size"),
+          min("doc_id").over(w).as("cluster_min"))
           .orderBy("doc_id")
       },
       Some {
@@ -169,11 +178,11 @@ object DedupQueries {
           s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString("||")
         s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql,' ')) AS tok FROM documents),
            |sums AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id),
-           |fp AS (SELECT doc_id, $fp AS simhash FROM sums),
-           |clusters AS (SELECT simhash, COUNT(*) AS cluster_size,
-           |  MIN(doc_id) AS cluster_min FROM fp GROUP BY simhash)
-           |SELECT doc_id, fp.simhash, cluster_size, cluster_min
-           |FROM fp JOIN clusters USING (simhash) ORDER BY doc_id""".stripMargin
+           |fp AS (SELECT doc_id, $fp AS simhash FROM sums)
+           |SELECT doc_id, simhash,
+           |  COUNT(*) OVER (PARTITION BY simhash) AS cluster_size,
+           |  MIN(doc_id) OVER (PARTITION BY simhash) AS cluster_min
+           |FROM fp ORDER BY doc_id""".stripMargin
       }
     ),
 
@@ -185,13 +194,12 @@ object DedupQueries {
         "pair with Jaccard j, and the blocking key turns all-pairs into " +
         "an equi-join).",
       (s, dir) => {
-        // staged: text -> tokens -> ngrams, each a materialized projection
-        // (the ngram lambda does 3 element_at per gram — must hit an
-        // attribute, not the split expression). The emptiness guard runs on
-        // the CHEAP token stage, and block is wrapped in coalesce to be
-        // non-nullable — otherwise Catalyst pushes size(ng)>0 /
-        // IsNotNull(block) below the projections and INLINES the full
-        // n-gram tree into a per-row scan filter (catastrophic re-eval).
+        // staged: text -> tokens -> ngrams, each a materialized projection.
+        // The emptiness guard runs on the CHEAP token stage, and block is
+        // wrapped in coalesce to be non-nullable — otherwise Catalyst
+        // pushes size(ng)>0 / IsNotNull(block) below the projections and
+        // INLINES the full n-gram tree into a per-row scan filter
+        // (re-evaluating it once per pushed predicate).
         val g = Tables.t(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 3)

@@ -119,6 +119,40 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("native shingles/ngrams/jaccard match the HOF formulations exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc d" // tiny alphabet to force repeats -> dedup paths
+    val texts = Seq.fill(40)(
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(5))).mkString) ++
+      Seq("", "abc", "aaaaaaaaaa", "a b c d e f g")
+    val df = texts.toDF("t").select(normText(col("t")).as("nt"))
+    val sh = df.select(
+      charShingles(col("nt"), 5).as("native"),
+      charShinglesHof(col("nt"), 5).as("hof"),
+      wordNgrams(split(col("nt"), " "), 3).as("ng_native"),
+      wordNgramsHof(split(col("nt"), " "), 3).as("ng_hof")).collect()
+    sh.foreach { r =>
+      assert(r.get(0) == r.get(1), s"shingles: $r")
+      assert(r.get(2) == r.get(3), s"ngrams: $r")
+    }
+    // non-ASCII falls back to the slow path but stays HOF-identical
+    val uni = Seq("héllo wörld déjà vu déjà", "ünïcode 文字列のテスト 文字列")
+      .toDF("t")
+      .select(charShingles(col("t"), 5).as("n"), charShinglesHof(col("t"), 5).as("h"))
+      .collect()
+    uni.foreach { r => assert(r.get(0) == r.get(1), s"unicode: $r") }
+    // jaccard: pairwise vs HOF, including empty-vs-empty null semantics
+    val pairs = Seq.fill(30)((
+      Seq.fill(rnd.nextInt(8))(rnd.nextInt(10).toString),
+      Seq.fill(rnd.nextInt(8))(rnd.nextInt(10).toString))) :+
+      (Seq.empty[String], Seq.empty[String])
+    val jc = pairs.toDF("a", "b").select(
+      jaccard(col("a"), col("b")).as("native"),
+      jaccardHof(col("a"), col("b")).as("hof")).collect()
+    jc.foreach { r => assert(r.get(0) == r.get(1), s"jaccard: $r") }
+  }
+
   test("hyperplane buckets: deterministic, scalar-positive invariant") {
     val planes = makePlanes(8, 4)
     assert(planes == makePlanes(8, 4))
