@@ -120,12 +120,15 @@ object CoreQueries {
         "add_fks (ETLAlchemySource.py::add_fks ~L1350-1500) as left-anti " +
         "join orphan counts per FK edge.",
       (s, dir) => {
+        // One declarative plan: each FK edge is an anti-join + count-agg
+        // branch of a single union — NO driver-side .count() per edge (that
+        // would serialize six jobs; here the scheduler runs the branches
+        // concurrently and each parent side broadcasts).
         def orphans(child: DataFrame, ck: String, parent: DataFrame,
                     pk: String, label: String): DataFrame = {
-          val cnt = child.join(parent, child(ck) === parent(pk), "left_anti").count()
-          val spark = s
-          import spark.implicits._
-          Seq((label, cnt)).toDF("fk_edge", "orphan_count")
+          child.join(parent, child(ck) === parent(pk), "left_anti")
+            .agg(count(lit(1)).as("orphan_count"))
+            .select(lit(label).as("fk_edge"), col("orphan_count"))
         }
         val l = Tables.t(s, dir, "lineitem"); val o = Tables.t(s, dir, "orders")
         val c = Tables.t(s, dir, "customer"); val n = Tables.t(s, dir, "nation")
