@@ -36,6 +36,22 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Event-time session windows via the built-in `session_window` (30-min
+    * inactivity gap) — the declarative alternative to [[sessionize]]: the
+    * state store merges overlapping windows per key, the watermark closes
+    * and evicts sessions, so state is bounded by (active keys x open
+    * sessions), not by history.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("eventTime", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("eventTime"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Custom session state via mapGroupsWithState (30-min inactivity gap),
     * the streaming form of q_event_sessionize. Emits the CURRENT session
     * per key on each trigger (update mode semantics).

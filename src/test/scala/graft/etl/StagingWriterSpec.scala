@@ -1,0 +1,66 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StagingWriterSpec extends SparkSpec {
+  import StagingWriter._
+
+  private def sampleDf = {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("active", BooleanType, nullable = true),
+      StructField("note", StringType, nullable = true)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1, "alice", true, "has, comma"),
+        Row(2, "bob \"quoted\"", false, ""),
+        Row(3, null, null, "plain")),
+      schema)
+  }
+
+  test("canonicalize: bool->0/1 and ''-as-NULL per dialect (D1/D3)") {
+    val my = canonicalize(sampleDf, MySql).collect().sortBy(_.getInt(0))
+    assert(my(0).getInt(2) == 1 && my(1).getInt(2) == 0) // bool -> int
+    assert(my(1).getString(3) == "") // mysql keeps empty string
+
+    val ora = canonicalize(sampleDf, Oracle).collect().sortBy(_.getInt(0))
+    assert(ora(1).isNullAt(3)) // oracle: '' IS NULL
+    assert(ora(2).isNullAt(2)) // null bool stays null through the cast
+
+    val pg = canonicalize(sampleDf, Postgres).collect().sortBy(_.getInt(0))
+    assert(pg(0).getBoolean(2)) // postgres keeps native bool
+  }
+
+  test("writeCsv round-trips values through each dialect's conventions (A3)") {
+    Seq(MySql, Postgres, Oracle, Sqlite).foreach { d =>
+      val dir = Files.createTempDirectory(s"graft-csv-${d.name}").toString
+      writeCsv(sampleDf, d, dir)
+      val back = spark.read
+        .option("sep", d.delimiter.take(1))
+        .option("nullValue", d.nullToken)
+        .option("quote", "\"")
+        .option("escape", "\"")
+        .schema(canonicalize(sampleDf, d).schema)
+        .csv(dir)
+        .collect().sortBy(_.getInt(0))
+      assert(back.length == 3, s"dialect ${d.name}")
+      // quoted/comma/escaped content survives the round trip
+      assert(back(0).getString(3) == "has, comma", s"dialect ${d.name}")
+      assert(back(1).getString(1) == "bob \"quoted\"", s"dialect ${d.name}")
+      // null column round-trips to null (via the dialect's null token)
+      assert(back(2).isNullAt(1), s"dialect ${d.name}")
+    }
+  }
+
+  test("jdbc bulk-load options select per-dialect batching (A5-A9)") {
+    assert(jdbcOptions(MySql)("rewriteBatchedStatements") == "true")
+    assert(jdbcOptions(Postgres)("reWriteBatchedInserts") == "true")
+    assert(jdbcOptions(Oracle)("batchsize") == "10000")
+  }
+}

@@ -31,6 +31,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window streaming agg merges by gap and closes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("eventTime", "user_id")
+    val q = EventStream.sessionWindows(events)
+      .writeStream.queryName("sess_test")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-sess").toString)
+      .format("memory")
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:10:00"), 1L), // same session (gap 10m < 30m)
+        (ts("2024-01-01 11:30:00"), 1L), // new session  (gap 80m)
+        (ts("2024-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      val out = spark.table("sess_test")
+        .orderBy("user_id", "session_start").collect()
+      assert(out.length == 3)
+      assert(out(0).getAs[Long]("n_events") == 2) // user 1, merged session
+      assert(out(1).getAs[Long]("n_events") == 1) // user 1, second session
+      assert(out(2).getAs[Long]("n_events") == 1) // user 2
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionization tracks gap-separated sessions") {
     implicit val s = spark
     import spark.implicits._
