@@ -27,6 +27,7 @@ object Registry {
       ops.SimilarityQueries.defs ++
       ops.TextQueries.defs ++
       ops.EventQueries.defs ++
+      ops.AsOfJoin.defs ++
       ops.MultimodalQueries.defs
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

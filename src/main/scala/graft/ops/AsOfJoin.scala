@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — the canonical "operator Spark lacks" (task
+  * mandate; the reference has no joins at all, SURVEY.md §2-G).
+  *
+  * For each left row, attach the payload of the LAST right row with the
+  * same keys and right.ts <= left.ts. Implemented Spark-first, composing
+  * existing operators (preference order (a) of the custom-op ladder):
+  * tag both sides, union, ONE shuffle on the keys, partition-local sort,
+  * running `last(payload, ignoreNulls)` window, keep left rows.
+  *
+  * Scale: cost = one hash shuffle + one in-partition sort of |L|+|R| —
+  * never the O(|L|x|R|) range-join explosion a naive
+  * `join(l.key=r.key && r.ts<=l.ts)` + groupBy-max would produce; skewed
+  * keys split cleanly because the window is ROWS UNBOUNDED PRECEDING
+  * (AQE skew handling still applies to the shuffle).
+  *
+  * Determinism: ties on (ts) between right rows are broken by
+  * `rightTiebreak` (max wins — it sorts last before the left row); a
+  * right row at exactly left.ts COUNTS as "before" (right rows order
+  * ahead of left rows at equal ts).
+  */
+object AsOfJoin {
+
+  def asOfBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      payload: Seq[String], rightTiebreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_t", col(leftTs))
+      .withColumn("_side", lit(0)) // left sorts AFTER right at equal ts
+      .withColumn("_tb", lit(null).cast(right.schema(rightTiebreak).dataType))
+    val lPadded = payload.foldLeft(l)((df, p) =>
+      df.withColumn(p, lit(null).cast(right.schema(p).dataType)))
+    val r0 = right
+      .withColumn("_t", col(rightTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_tb", col(rightTiebreak))
+    val rPadded = leftCols.foldLeft(r0)((df, c) =>
+      if (payload.contains(c) || keys.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val cols = keys.map(col) ++ Seq(col("_t"), col("_side"), col("_tb")) ++
+      leftCols.filterNot(keys.contains).map(col) ++ payload.map(col)
+    val unioned = lPadded.select(cols: _*).unionByName(
+      rPadded.select(cols: _*))
+    // right rows first at equal _t (_side desc), ties by tiebreak asc so
+    // the LARGEST tiebreak is the last-seen (deterministic winner).
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").desc, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPayload = payload.foldLeft(unioned)((df, p) =>
+      df.withColumn(s"asof_$p", last(col(p), ignoreNulls = true).over(w)))
+    withPayload.filter(col("_side") === 0)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Declared query: purchase -> most recent prior click, per user.
+  // The DuckDB twin uses the same union+window formulation (equivalent
+  // to DuckDB's `ASOF LEFT JOIN` but with EXPLICIT tie semantics: equal
+  // nanosecond timestamps resolve to the max click event_id).
+  // ------------------------------------------------------------------
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_asof_join",
+      "Backward as-of join (purchase attribution): each purchase event " +
+        "joins the same user's latest click with click.ts <= purchase.ts. " +
+        "One shuffle + partition sort — no range-join explosion.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("p_tns"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_tns"),
+            col("event_id").as("click_id"))
+        asOfBackward(purchases, clicks, Seq("user_id"),
+          leftTs = "p_tns", rightTs = "c_tns",
+          payload = Seq("click_id", "c_tns"), rightTiebreak = "click_id")
+          .select(col("purchase_id"), col("user_id"),
+            Tables.nanosToEpochSec(col("p_tns")).as("p_sec"),
+            col("asof_click_id").as("click_id"),
+            (Tables.nanosToEpochSec(col("p_tns")) -
+              Tables.nanosToEpochSec(col("asof_c_tns"))).as("gap_sec"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, epoch_ns(ts) AS t, 0 AS side, event_id AS purchase_id,
+             |         NULL::BIGINT AS click_id
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, epoch_ns(ts) AS t, 1 AS side, NULL, event_id
+             |  FROM events WHERE event_type = 'click'),
+             |w AS (
+             |  SELECT *,
+             |    last_value(click_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY t ASC, side DESC, click_id ASC NULLS FIRST
+             |      ROWS UNBOUNDED PRECEDING) AS asof_click_id,
+             |    last_value(CASE WHEN side = 1 THEN t END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY t ASC, side DESC, click_id ASC NULLS FIRST
+             |      ROWS UNBOUNDED PRECEDING) AS asof_t
+             |  FROM u)
+             |SELECT purchase_id, user_id,
+             |  t // 1000000000 AS p_sec,
+             |  asof_click_id AS click_id,
+             |  t // 1000000000 - asof_t // 1000000000 AS gap_sec
+             |FROM w WHERE side = 0 ORDER BY purchase_id""".stripMargin)
+    )
+  )
+}

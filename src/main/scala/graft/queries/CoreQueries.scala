@@ -247,6 +247,35 @@ object CoreQueries {
              |WHERE rank_in_cust <= 3 ORDER BY o_custkey, rank_in_cust""".stripMargin)
     ),
 
+    // ------------------------------------------------ G grouping sets
+    QueryDef(
+      "q_rollup",
+      "Hierarchical totals via ROLLUP (year, returnflag): Spark Expand + " +
+        "single hash agg — subtotals come from one pass, not one job per " +
+        "level. gid disambiguates NULL group values from subtotal rows.",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .select(year(col("l_shipdate")).as("ship_year"),
+            col("l_returnflag").as("flag"), col("l_quantity"))
+          .rollup("ship_year", "flag")
+          .agg(
+            (grouping(col("ship_year")) * 2 + grouping(col("flag")))
+              .cast(IntegerType).as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .select("gid", "ship_year", "flag", "n", "sum_qty")
+          .orderBy(col("gid"), col("ship_year").asc_nulls_first,
+            col("flag").asc_nulls_first)
+      },
+      Some("""WITH t AS (SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+             |  l_returnflag AS flag, l_quantity FROM lineitem)
+             |SELECT CAST(GROUPING(ship_year) * 2 + GROUPING(flag) AS INT) AS gid,
+             |  ship_year, flag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM t GROUP BY ROLLUP(ship_year, flag)
+             |ORDER BY gid, ship_year NULLS FIRST, flag NULLS FIRST""".stripMargin)
+    ),
+
     // -------------------------------------------------- D1-D3 string funcs
     QueryDef(
       "q_string_funcs",

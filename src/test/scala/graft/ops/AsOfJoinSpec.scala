@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("asOfBackward: latest at-or-before match, null when none, max-id tie-break") {
+    import spark.implicits._
+    val left = Seq( // (order_id, user, t)
+      (100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 30L), (103L, 3L, 5L))
+      .toDF("order_id", "user", "lt")
+    val right = Seq( // (user, t, rid)
+      (1L, 20L, 7L), (1L, 40L, 8L), (1L, 60L, 9L), // user 1: before/with/after
+      (2L, 30L, 11L), (2L, 30L, 12L), // exact-equal ts ties -> max rid wins
+      (4L, 1L, 99L)) // user with no left rows
+      .toDF("user", "rt", "rid")
+
+    val out = AsOfJoin.asOfBackward(left, right, Seq("user"),
+      leftTs = "lt", rightTs = "rt", payload = Seq("rid"), rightTiebreak = "rid")
+      .orderBy("order_id").collect()
+
+    assert(out(0).getLong(3) == 8L)  // order 100 @50: rid 8 (@40), not 9 (@60)
+    assert(out(1).isNullAt(3))       // order 101 @10: no click yet
+    assert(out(2).getLong(3) == 12L) // order 102 @30: equal-ts counts; max rid
+    assert(out(3).isNullAt(3))       // user 3: right side empty for key
+  }
+
+  test("asOfBackward plan: one shuffle on the key, window, no range join") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("order_id", "user", "lt")
+    val right = Seq((1L, 5L, 2L)).toDF("user", "rt", "rid")
+    val plan = AsOfJoin.asOfBackward(left, right, Seq("user"),
+      "lt", "rt", Seq("rid"), "rid").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected window plan:\n$plan")
+  }
+}
