@@ -112,12 +112,14 @@ object Pipeline {
       .filter(t => cfg.includedTables.isEmpty || cfg.includedTables.contains(t))
       .filterNot(cfg.excludedTables.contains)
 
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(parallelism))
-    val results = Await.result(
-      Future.sequence(tables.map(t =>
-        Future(migrateTable(spark, cfg, t, outDir)))),
-      Duration.Inf)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results =
+      try Await.result(
+        Future.sequence(tables.map(t =>
+          Future(migrateTable(spark, cfg, t, outDir)))),
+        Duration.Inf)
+      finally pool.shutdown()
 
     // E3: constraints strictly after all loads.
     val fkResults = foreignKeys.map { fk =>

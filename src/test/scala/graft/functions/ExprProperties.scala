@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the native Catalyst expressions (SURVEY.md
+  * §5.3). These exercise `eval` directly with catalyst Literals — no
+  * SparkSession, no jobs — so hundreds of generated cases run in
+  * milliseconds; the DataFrame/codegen paths are covered separately by
+  * the differential tests in FunctionsSpec.
+  */
+object ExprProperties extends Properties("graft.native-expressions") {
+
+  private def strings(arr: Any): Seq[String] =
+    arr.asInstanceOf[ArrayData].toObjectArray(StringType)
+      .map(x => if (x == null) null else x.toString).toSeq
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'e') :+ ' ' :+ '0')).map(_.mkString))
+
+  private val tokenArray: Gen[Seq[String]] =
+    Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(4).mkString)))
+
+  private def shingles(s: String, k: Int): Seq[String] =
+    strings(CharShingles(Literal(s), k).eval(null))
+
+  property("charShingles: distinct, width k, all substrings, exact count") =
+    forAll(asciiText, Gen.chooseNum(1, 7)) { (s, k) =>
+      val sh = shingles(s, k)
+      val expectedCount = (0 to math.max(0, s.length - k))
+        .map(i => s.substring(i, math.min(i + k, s.length)))
+        .filter(_.length == k).distinct.size
+      sh.distinct == sh &&
+        sh.forall(_.length == k) &&
+        sh.forall(s.contains(_)) &&
+        sh.size == expectedCount
+    }
+
+  property("charShingles: first-occurrence order") =
+    forAll(asciiText) { s =>
+      val sh = shingles(s, 3)
+      val firstIdx = sh.map(g => s.indexOf(g))
+      firstIdx == firstIdx.sorted
+    }
+
+  property("wordNgrams: each gram = n consecutive tokens") =
+    forAll(tokenArray, Gen.chooseNum(1, 4)) { (toks, n) =>
+      val out = strings(WordNgrams(
+        Literal.create(toks, ArrayType(StringType)), n).eval(null))
+      val expected = toks.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq.distinct
+      out == expected
+    }
+
+  property("jaccard: symmetric, in [0,1], identity 1, disjoint 0") =
+    forAll(tokenArray, tokenArray) { (a, b) =>
+      def j(x: Seq[String], y: Seq[String]): Option[Double] =
+        Option(JaccardSim(
+          Literal.create(x, ArrayType(StringType)),
+          Literal.create(y, ArrayType(StringType))).eval(null))
+          .map(_.asInstanceOf[Double])
+      val jab = j(a, b); val jba = j(b, a)
+      val sym = jab == jba
+      val bounded = jab.forall(v => v >= 0.0 && v <= 1.0)
+      val ident = a.isEmpty || j(a, a).contains(1.0)
+      val disjoint = {
+        val bb = b.map("zz" + _) // force disjoint from a's alphabet
+        b.isEmpty || a.isEmpty || j(a, bb).contains(0.0)
+      }
+      sym && bounded && ident && disjoint
+    }
+
+  property("minhash: component-wise monotone under shingle superset") =
+    forAll(asciiText, asciiText) { (s1, s2) =>
+      def sig(sh: Seq[String]): Seq[String] =
+        strings(MinHashSignature(
+          Literal.create(sh, ArrayType(StringType)), 8).eval(null))
+      val a = shingles(s1, 3)
+      val ab = (a ++ shingles(s2, 3)).distinct
+      val sa = sig(a); val sab = sig(ab)
+      // min over a superset can only stay equal or decrease (null = empty)
+      sa.zip(sab).forall {
+        case (null, null) => true
+        case (null, _)    => true // empty -> null; superset may fill it
+        case (_, null)    => false
+        case (x, y)       => y <= x
+      }
+    }
+
+  property("dot: bit-equal to a strict left-to-right fold") =
+    forAll(Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0)),
+      Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))) { (a, b) =>
+      val got = DotProduct(
+        Literal.create(a, ArrayType(DoubleType)),
+        Literal.create(b, ArrayType(DoubleType))).eval(null)
+        .asInstanceOf[Double]
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      Prop(java.lang.Double.compare(got, expected) == 0)
+    }
+}
