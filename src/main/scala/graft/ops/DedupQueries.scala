@@ -94,14 +94,14 @@ object DedupQueries {
         // Stage 2: band hashes; buckets via groupBy (computes the signature
         // subtree ONCE — a self-join would compute it twice and shuffle the
         // shingle payload with it).
-        val bands = sig.select(
-          col("doc_id"),
-          explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-            struct(b.as("band"),
-              md5(concat((1 to RowsPerBand).map(r =>
-                element_at(col("sig"), b * RowsPerBand + lit(r))): _*)).as("bh"))))
-            .as("bb"))
-          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        // Static band hashes + posexplode (pos = band id): no interpreted
+        // HOF lambda in the hot path, smaller codegen unit than the
+        // transform(sequence(...), struct(...)) formulation.
+        val bandHashes = (0 until Bands).map(b =>
+          md5(concat((1 to RowsPerBand).map(r =>
+            element_at(col("sig"), b * RowsPerBand + r)): _*)))
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
         val pairs = bands.groupBy("band", "bh")
           .agg(collect_set(col("doc_id")).as("ids"))
           .filter(size(col("ids")) > 1)
