@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * order to both the HOF version and DuckDB's list_dot_product, so oracle
   * comparisons stay bit-exact. Inputs are dense vectors (null ELEMENTS are
   * not supported — embedding columns are dense by contract); a null ARRAY
-  * on either side yields null like any binary expression.
+  * on either side yields null like any binary expression, and a LENGTH
+  * MISMATCH yields null (matching the HOF, whose zip_with null-pads the
+  * shorter side and poisons the sum) — a corrupt embedding must surface
+  * as null, never as a plausible-looking partial dot product.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,10 +41,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // mis-dimensioned -> null, like the HOF
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -50,13 +56,23 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName is mandatory: fixed locals collide when two DotProducts
+      // land in one codegen unit (non-nullable inputs inline unbraced) and
+      // Janino fails the whole unit into interpreted fallback.
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
       s"""
-         |int graftDotN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graftDotAcc = 0.0;
-         |for (int graftDotI = 0; graftDotI < graftDotN; graftDotI++) {
-         |  graftDotAcc += $a.getDouble(graftDotI) * $b.getDouble(graftDotI);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = graftDotAcc;
        """.stripMargin
     })
 

@@ -45,7 +45,10 @@ case class CharShingles(child: Expression, k: Int)
     if (nChars < k) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (s.numBytes() == nChars) { // ASCII: bytes are chars
-      val bytes = s.getBytes // one stable copy; slices view into it
+      // getBytes returns the BACKING array (no copy) when the string spans
+      // it exactly — clone so the emitted slices can never alias a buffer
+      // the upstream operator later reuses.
+      val bytes = s.getBytes.clone()
       var i = 0
       while (i <= nChars - k) {
         out.add(UTF8String.fromBytes(bytes, i, k))
@@ -119,8 +122,9 @@ object WordNgrams {
   * hash-set pass — replaces `size(array_intersect(a,b)) /
   * size(array_distinct(concat(a,b)))`, which allocates the concatenated
   * array plus two intermediate sets per pair. Duplicate elements are
-  * deduped (set semantics, same as the HOF form); null elements are
-  * ignored; an empty union yields NULL (Spark's 0/0 division semantics).
+  * deduped and a null element counts as one set member (exactly the HOF
+  * form's array_intersect/array_distinct semantics); an empty union
+  * yields NULL (the try_divide 0/0 convention).
   */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -139,24 +143,28 @@ case class JaccardSim(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_jaccard"
 
-  private def toSet(a: ArrayData): java.util.HashSet[UTF8String] = {
+  // (set of non-null elements, sawNull) — null is one distinct member,
+  // as array_intersect/array_distinct treat it.
+  private def toSet(a: ArrayData): (java.util.HashSet[UTF8String], Boolean) = {
     val s = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var sawNull = false
     var i = 0
     while (i < a.numElements()) {
-      if (!a.isNullAt(i)) s.add(a.getUTF8String(i))
+      if (a.isNullAt(i)) sawNull = true else s.add(a.getUTF8String(i))
       i += 1
     }
-    s
+    (s, sawNull)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = toSet(a.asInstanceOf[ArrayData])
-    val sb = toSet(b.asInstanceOf[ArrayData])
-    var inter = 0
+    val (sa, nullA) = toSet(a.asInstanceOf[ArrayData])
+    val (sb, nullB) = toSet(b.asInstanceOf[ArrayData])
+    var inter = if (nullA && nullB) 1 else 0
     val it = (if (sa.size <= sb.size) sa else sb).iterator()
     val other = if (sa.size <= sb.size) sb else sa
     while (it.hasNext) if (other.contains(it.next())) inter += 1
-    val union = sa.size + sb.size - inter
+    val union = sa.size + (if (nullA) 1 else 0) +
+      sb.size + (if (nullB) 1 else 0) - inter
     if (union == 0) null else inter.toDouble / union
   }
 

@@ -41,10 +41,11 @@ object TextFunctions {
     * explicitly.
     */
   def charShinglesHof(c: Column, k: Int): Column =
-    when(length(c) >= k,
-      array_distinct(transform(
-        sequence(lit(1), length(c) - (k - 1)),
-        i => c.substr(i, lit(k)))))
+    when(c.isNull, lit(null).cast("array<string>")) // null in -> null out
+      .when(length(c) >= k,
+        array_distinct(transform(
+          sequence(lit(1), length(c) - (k - 1)),
+          i => c.substr(i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
   /** Distinct word n-grams over a token array — native ([[WordNgrams]]). */
@@ -52,10 +53,11 @@ object TextFunctions {
 
   /** HOF reference for [[wordNgrams]]. */
   def wordNgramsHof(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+    when(toks.isNull, lit(null).cast("array<string>")) // null in -> null out
+      .when(size(toks) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
 
   /** Per-shingle hash material for a MinHash family of `numHashes`

@@ -32,6 +32,13 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       payload: Seq[String], rightTiebreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Seq("_t", "_side", "_tb")
+    require((leftCols ++ right.columns).intersect(reserved).isEmpty,
+      s"column names ${reserved.mkString("/")} are reserved by asOfBackward")
+    require(leftCols.intersect(payload).isEmpty,
+      s"left side already has payload column(s) " +
+        s"${leftCols.intersect(payload).mkString(", ")} — rename before joining " +
+        "(padding would silently null them out)")
     val l = left
       .withColumn("_t", col(leftTs))
       .withColumn("_side", lit(0)) // left sorts AFTER right at equal ts

@@ -26,7 +26,11 @@ object EventQueries {
       (s, dir) => {
         Tables.t(s, dir, "events")
           .withColumn("sec", epochSec)
-          .withColumn("window_start", col("sec") - (col("sec") % 3600))
+          // floor-mod, not %: Spark's % truncates toward zero, so a
+          // negative (pre-1970) epoch second would round UP while the
+          // oracle's date_trunc floors — keep both flooring.
+          .withColumn("window_start",
+            col("sec") - ((col("sec") % 3600 + 3600) % 3600))
           .groupBy("window_start", "event_type")
           .agg(
             count(lit(1)).as("n_events"),

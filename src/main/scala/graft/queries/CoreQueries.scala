@@ -123,13 +123,11 @@ object CoreQueries {
         // One declarative plan: each FK edge is an anti-join + count-agg
         // branch of a single union — NO driver-side .count() per edge (that
         // would serialize six jobs; here the scheduler runs the branches
-        // concurrently and each parent side broadcasts).
+        // concurrently and each parent side broadcasts). Shared impl:
+        // graft.etl.Constraints.fkOrphans.
         def orphans(child: DataFrame, ck: String, parent: DataFrame,
-                    pk: String, label: String): DataFrame = {
-          child.join(parent, child(ck) === parent(pk), "left_anti")
-            .agg(count(lit(1)).as("orphan_count"))
-            .select(lit(label).as("fk_edge"), col("orphan_count"))
-        }
+                    pk: String, label: String): DataFrame =
+          graft.etl.Constraints.fkOrphans(label, child, ck, parent, pk)
         val l = Tables.t(s, dir, "lineitem"); val o = Tables.t(s, dir, "orders")
         val c = Tables.t(s, dir, "customer"); val n = Tables.t(s, dir, "nation")
         val r = Tables.t(s, dir, "region"); val sup = Tables.t(s, dir, "supplier")

@@ -20,7 +20,8 @@ object EventStream {
 
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(userId: Long, sessionStart: Long,
-                              sessionEnd: Long, nEvents: Long)
+                              sessionEnd: Long, nEvents: Long,
+                              open: Boolean)
 
   /** Event-time tumbling window with watermark — the streaming form of
     * q_event_window. Input must carry an `eventTime` timestamp column.
@@ -52,29 +53,50 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
-  /** Custom session state via mapGroupsWithState (30-min inactivity gap),
-    * the streaming form of q_event_sessionize. Emits the CURRENT session
-    * per key on each trigger (update mode semantics).
+  /** Custom session state via flatMapGroupsWithState (30-min inactivity
+    * gap), the streaming form of q_event_sessionize. Emits EVERY session
+    * closed within the batch (open=false) plus the still-open session
+    * (open=true) — nothing is lost when several sessions close in one
+    * trigger. Idle keys are evicted by processing-time timeout (their
+    * final session is flushed as closed), so state is bounded by ACTIVE
+    * keys; batch execution has no timeouts, which is fine — batch state
+    * dies with the job.
     */
   def sessionize(events: Dataset[(Long, Long)]) // (user_id, epoch_sec)
       (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
+    // capture OUTSIDE the state closure: the Dataset itself must not be
+    // serialized into the executor lambda
+    val isStreamingSrc = events.isStreaming
     events
       .groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val secs = rows.map(_._2).toSeq.sorted
-          val init = state.getOption
-          val merged = secs.foldLeft(init) {
-            case (None, t) => Some(SessionState(t, t, 1))
-            case (Some(st), t) =>
-              if (t - st.last > 1800) Some(SessionState(t, t, 1)) // new session
-              else Some(st.copy(last = t, n = st.n + 1))
+          if (state.hasTimedOut) {
+            val fin = state.getOption.map(st =>
+              SessionOut(userId, st.start, st.last, st.n, open = false))
+            state.remove()
+            fin.iterator
+          } else {
+            val secs = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            secs.foreach { t =>
+              cur match {
+                case None => cur = Some(SessionState(t, t, 1))
+                case Some(st) if t - st.last > 1800 => // gap -> close + new
+                  closed ::= SessionOut(userId, st.start, st.last, st.n, open = false)
+                  cur = Some(SessionState(t, t, 1))
+                case Some(st) => cur = Some(st.copy(last = t, n = st.n + 1))
+              }
+            }
+            cur.foreach(state.update)
+            if (state.getOption.nonEmpty && isStreamingSrc)
+              state.setTimeoutDuration("1 hour")
+            (closed.reverse ++ cur.map(st =>
+              SessionOut(userId, st.start, st.last, st.n, open = true))).iterator
           }
-          merged.foreach(state.update)
-          val st = merged.get
-          SessionOut(userId, st.start, st.last, st.n)
       }
   }
 

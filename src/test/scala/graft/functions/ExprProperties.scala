@@ -69,7 +69,10 @@ object ExprProperties extends Properties("graft.native-expressions") {
       val bounded = jab.forall(v => v >= 0.0 && v <= 1.0)
       val ident = a.isEmpty || j(a, a).contains(1.0)
       val disjoint = {
-        val bb = b.map("zz" + _) // force disjoint from a's alphabet
+        // "0" prefix is outside a's all-lowercase alphabet, so bb can
+        // never collide with a (a "zz"-style prefix could: a may itself
+        // contain "zz"+token)
+        val bb = b.map("0" + _)
         b.isEmpty || a.isEmpty || j(a, bb).contains(0.0)
       }
       sym && bounded && ident && disjoint

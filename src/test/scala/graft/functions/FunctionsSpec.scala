@@ -117,6 +117,29 @@ class FunctionsSpec extends SparkSpec {
     val n = Seq((Option.empty[Seq[Double]], Option(Seq(1.0)))).toDF("a", "b")
       .select(dot(col("a"), col("b"))).head()
     assert(n.isNullAt(0))
+    // mis-dimensioned vectors -> null, never a truncated partial product
+    val m = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(dot(col("a"), col("b"))).head()
+    assert(m.isNullAt(0))
+  }
+
+  test("two DotProducts in one codegen unit over non-nullable arrays") {
+    // regression: fixed codegen locals collided when two dots landed in the
+    // same WholeStageCodegen unit (non-nullable inputs inline unbraced),
+    // failing Janino and silently falling back to interpreted eval.
+    import spark.implicits._
+    val df = spark.range(4).select(
+      array(col("id").cast("double"), lit(2.0)).as("a"),
+      array(lit(3.0), col("id").cast("double")).as("b"),
+      array(col("id").cast("double"), lit(5.0)).as("c"),
+      array(lit(7.0), col("id").cast("double")).as("d"))
+    val out = df.select(
+      dot(col("a"), col("b")).as("ab"), dot(col("c"), col("d")).as("cd"))
+      .collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) == i * 3.0 + 2.0 * i)
+      assert(r.getDouble(1) == i * 7.0 + 5.0 * i)
+    }
   }
 
   test("native shingles/ngrams/jaccard match the HOF formulations exactly") {
@@ -127,6 +150,7 @@ class FunctionsSpec extends SparkSpec {
       (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(5))).mkString) ++
       Seq("", "abc", "aaaaaaaaaa", "a b c d e f g")
     val df = texts.toDF("t").select(normText(col("t")).as("nt"))
+      .union(Seq(Option.empty[String]).toDF("nt")) // null in -> null out, both impls
     val sh = df.select(
       charShingles(col("nt"), 5).as("native"),
       charShinglesHof(col("nt"), 5).as("hof"),

@@ -67,8 +67,12 @@ class EventStreamSpec extends SparkSpec {
     val events = Seq(
       (7L, 1000L), (7L, 1100L), (7L, 5000L), // gap > 1800 -> new session
       (8L, 100L)).toDS()
-    val out = EventStream.sessionize(events).collect().map(o => o.userId -> o).toMap
-    assert(out(7L).sessionStart == 5000L && out(7L).nEvents == 1) // latest session
-    assert(out(8L).sessionStart == 100L && out(8L).nEvents == 1)
+    val out = EventStream.sessionize(events).collect()
+      .groupBy(_.userId).map { case (k, v) => k -> v.sortBy(_.sessionStart) }
+    // user 7: the CLOSED 2-event session is emitted, not just the latest
+    assert(out(7L).map(s => (s.sessionStart, s.nEvents, s.open)).toSeq ==
+      Seq((1000L, 2L, false), (5000L, 1L, true)))
+    assert(out(8L).map(s => (s.sessionStart, s.nEvents, s.open)).toSeq ==
+      Seq((100L, 1L, true)))
   }
 }
