@@ -274,6 +274,30 @@ object CoreQueries {
              |ORDER BY gid, ship_year NULLS FIRST, flag NULLS FIRST""".stripMargin)
     ),
 
+    // --------------------------------------------------------- G pivot
+    QueryDef(
+      "q_pivot",
+      "Pivot to wide: quantity by ship_year x returnflag. Pivot values " +
+        "are EXPLICIT so Spark skips the extra distinct-scan job a " +
+        "value-less pivot would run first.",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .select(year(col("l_shipdate")).as("ship_year"),
+            col("l_returnflag"), col("l_quantity"))
+          .groupBy("ship_year")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(dsum(col("l_quantity")))
+          .select(col("ship_year"), col("A").as("qty_a"),
+            col("N").as("qty_n"), col("R").as("qty_r"))
+          .orderBy("ship_year")
+      },
+      Some("""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+             |  CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+             |  CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+             |  CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // -------------------------------------------------- D1-D3 string funcs
     QueryDef(
       "q_string_funcs",
