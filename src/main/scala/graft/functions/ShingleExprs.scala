@@ -45,10 +45,12 @@ case class CharShingles(child: Expression, k: Int)
     if (nChars < k) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (s.numBytes() == nChars) { // ASCII: bytes are chars
-      // getBytes returns the BACKING array (no copy) when the string spans
-      // it exactly — clone so the emitted slices can never alias a buffer
-      // the upstream operator later reuses.
-      val bytes = s.getBytes.clone()
+      // getBytes returns the BACKING array (no copy) only when the string
+      // spans it exactly — clone in just that case so emitted slices never
+      // alias reusable memory, without double-copying the common path.
+      val raw = s.getBytes
+      val bytes =
+        if (raw.asInstanceOf[AnyRef] eq s.getBaseObject) raw.clone() else raw
       var i = 0
       while (i <= nChars - k) {
         out.add(UTF8String.fromBytes(bytes, i, k))

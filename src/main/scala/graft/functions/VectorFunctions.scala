@@ -44,7 +44,12 @@ object VectorFunctions {
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     concat(planes.map { p =>
       val plane = array(p.map(lit): _*)
-      when(dot(vec, plane) >= 0.0, lit("1")).otherwise(lit("0"))
+      // two-sided when: a NULL dot (null vector OR dimension mismatch)
+      // stays NULL, and concat propagates it — a corrupt embedding gets a
+      // NULL bucket (dropped by the equi-join) instead of colliding into
+      // the plausible-looking all-zeros bucket.
+      when(dot(vec, plane) >= 0.0, lit("1"))
+        .when(dot(vec, plane) < 0.0, lit("0"))
     }: _*)
 
   /** Deterministic ±1 hyperplanes from a 64-bit LCG (values inlined into

@@ -61,17 +61,34 @@ object EventStream {
     * final session is flushed as closed), so state is bounded by ACTIVE
     * keys; batch execution has no timeouts, which is fine — batch state
     * dies with the job.
+    *
+    * Known trade-offs of the hand-rolled state (use [[sessionWindows]]
+    * when strict event-time semantics matter): the idle-eviction timeout
+    * is WALL-CLOCK, so a slow backfill can close a session that a later
+    * event-time-adjacent event would have extended; and a late event
+    * older than an already-CLOSED session cannot retroactively merge it
+    * (within the open session it is absorbed — start/last are clamped
+    * monotonically). `session_window` + watermark handles both by
+    * buffering until the watermark passes.
     */
-  def sessionize(events: Dataset[(Long, Long)]) // (user_id, epoch_sec)
+  def sessionize(events: Dataset[(Long, Long)], // (user_id, epoch_sec)
+                 idleTimeout: Option[String] = Some("1 hour"))
       (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     // capture OUTSIDE the state closure: the Dataset itself must not be
     // serialized into the executor lambda
     val isStreamingSrc = events.isStreaming
+    // NOTE: with a ProcessingTimeTimeout the engine keeps scheduling
+    // no-data micro-batches to check timers, so processAllAvailable()
+    // never quiesces — tests pass idleTimeout=None; production streams
+    // keep the default so idle keys are evicted.
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val fin = state.getOption.map(st =>
@@ -88,12 +105,20 @@ object EventStream {
                 case Some(st) if t - st.last > 1800 => // gap -> close + new
                   closed ::= SessionOut(userId, st.start, st.last, st.n, open = false)
                   cur = Some(SessionState(t, t, 1))
-                case Some(st) => cur = Some(st.copy(last = t, n = st.n + 1))
+                case Some(st) =>
+                  // cross-batch late event: never move the session window
+                  // BACKWARD (st.last must stay monotone or a later gap
+                  // check would fabricate a split the batch twin doesn't
+                  // have); widen start for events before it.
+                  cur = Some(SessionState(math.min(st.start, t),
+                    math.max(st.last, t), st.n + 1))
               }
             }
             cur.foreach(state.update)
-            if (state.getOption.nonEmpty && isStreamingSrc)
-              state.setTimeoutDuration("1 hour")
+            idleTimeout.foreach { d =>
+              if (state.getOption.nonEmpty && isStreamingSrc)
+                state.setTimeoutDuration(d)
+            }
             (closed.reverse ++ cur.map(st =>
               SessionOut(userId, st.start, st.last, st.n, open = true))).iterator
           }

@@ -23,6 +23,7 @@ class BucketingSpec extends SparkSpec {
     val joined = spark.table("b_lines").join(spark.table("b_orders"), "o_id")
       .groupBy("prio").agg(sum("price").as("rev"))
     // disable broadcast so the join strategy itself is under test
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val plan = joined.queryExecution.executedPlan.toString
@@ -32,7 +33,7 @@ class BucketingSpec extends SparkSpec {
         s"bucketed join must not re-shuffle on the join key:\n$plan")
       assert(joined.collect().length == 100)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lines")
     }

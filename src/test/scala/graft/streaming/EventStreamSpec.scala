@@ -60,6 +60,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: cross-batch late event cannot rewind the session window") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    // idleTimeout=None: processAllAvailable cannot quiesce under
+    // ProcessingTimeTimeout (the engine keeps running timer-check batches)
+    val q = EventStream.sessionize(input.toDS(), idleTimeout = None)
+      .writeStream.queryName("late_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-late").toString)
+      .format("memory")
+      .start()
+    try {
+      input.addData((7L, 1000L), (7L, 2000L))
+      q.processAllAvailable()
+      input.addData((7L, 1900L)) // late: must NOT rewind last to 1900
+      q.processAllAvailable()
+      input.addData((7L, 3701L)) // 3701-2000=1701 < 1800 -> SAME session
+      q.processAllAvailable()
+      val out = spark.table("late_test").collect()
+      // no closed session may ever be emitted: the late event is absorbed
+      assert(!out.exists(r => !r.getAs[Boolean]("open")),
+        s"spurious session split: ${out.mkString(", ")}")
+      val last = out.filter(_.getAs[Boolean]("open"))
+        .maxBy(r => r.getAs[Long]("nEvents"))
+      assert(last.getAs[Long]("sessionStart") == 1000L)
+      assert(last.getAs[Long]("sessionEnd") == 3701L)
+      assert(last.getAs[Long]("nEvents") == 4L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionization tracks gap-separated sessions") {
     implicit val s = spark
     import spark.implicits._
