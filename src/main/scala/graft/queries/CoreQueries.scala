@@ -274,6 +274,34 @@ object CoreQueries {
              |ORDER BY gid, ship_year NULLS FIRST, flag NULLS FIRST""".stripMargin)
     ),
 
+    // ------------------------------------------- C-extension: quantiles
+    QueryDef(
+      "q_quantile_profile",
+      "Exact linear-interpolated quartiles per returnflag (profiling-scan " +
+        "extension of C1): Spark percentile() == DuckDB quantile_cont. At " +
+        "100 TB swap percentile -> percentile_approx (t-digest sketch, " +
+        "mergeable map-side) — same plan shape, bounded memory.",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+            percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+            percentile(col("l_extendedprice"), lit(0.75)).as("p75"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), round(col("p25"), 4).as("p25"),
+            round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"),
+            col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // --------------------------------------------------------- G pivot
     QueryDef(
       "q_pivot",
