@@ -169,17 +169,21 @@ object CoreQueries {
         "::transform_column): rename o_totalprice->total_price_usd, retype " +
         "to DECIMAL(12,2), drop o_orderpriority.",
       (s, dir) => {
+        // Final cast decimal->double: the hash compare renders values, and
+        // DECIMAL keeps trailing zeros ("205941.60") where DOUBLE drops them
+        // ("205941.6") — same exactness, stable rendering (see QueryDef doc).
         graft.etl.SchemaRules(
           renames = Map("o_totalprice" -> "total_price_usd",
                         "o_orderdate" -> "order_date"),
           retypes = Map("o_totalprice" -> DecimalType(12, 2)),
           deletes = Seq("o_orderpriority", "o_orderstatus"))
           .apply(Tables.t(s, dir, "orders"))
+          .withColumn("total_price_usd", col("total_price_usd").cast("double"))
           .orderBy("o_orderkey")
           .limit(500)
       },
       Some("""SELECT o_orderkey, o_custkey,
-             |  CAST(o_totalprice AS DECIMAL(12,2)) AS total_price_usd,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price_usd,
              |  o_orderdate AS order_date
              |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin)
     ),

@@ -39,8 +39,20 @@ def main(out_dir, sf_dir):
     for name, sql in sorted(oracle.items()):
         try:
             exp = con.sql(sql).df()
-            got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # Read the Spark result via pyarrow WITHOUT pandas type
+            # coercion: parquet DECIMAL must stay `Decimal` (the driver's
+            # compare renders values, and Decimal('1.60') != float 1.6 as
+            # strings — caught r1's q_rename_drop_cast hash mismatch).
+            import glob as _glob
+            import pyarrow.parquet as _pq
+            import pandas as _pd
+            _tabs = [_pq.read_table(f) for f in
+                     sorted(_glob.glob(f"{out_dir}/{name}/*.parquet"))]
+            import pyarrow as _pa
+            got = _pa.concat_tables(_tabs).to_pandas()
+            # pandas object columns of Decimal survive to_pandas(); floats
+            # and ints coerce identically to duckdb's .df() path.
+            got = _pd.DataFrame(got)
             exp, got = canon(exp), canon(got)
             if list(exp.columns) != list(got.columns):
                 print(f"FAIL {name}: columns exp={list(exp.columns)} "
