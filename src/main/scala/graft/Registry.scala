@@ -47,6 +47,21 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Fan-out guard for compute-heavy narrow transforms (minhash scans, dot
+    * products, shingling): the bench parquet files are single-row-group, so
+    * the scan leg is ONE task no matter how many cores the session has —
+    * repartition to the scheduler's parallelism when (and only when) the
+    * source splits provide less. At 100 TB the source arrives as thousands
+    * of splits, the guard no-ops, and no shuffle is added; locally it turns
+    * a serial md5/dot-product scan into a 32-way one for a sub-ms shuffle
+    * of kilobyte rows.
+    */
+  def par(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** events.ts (Long nanoseconds since epoch) -> epoch seconds, computed
     * exactly via decimal division (double division could round near second
     * boundaries at 1e18-nanosecond magnitudes).

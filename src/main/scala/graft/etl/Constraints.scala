@@ -41,6 +41,43 @@ object Constraints {
       .agg(count(lit(1)).as("orphan_count"))
       .select(lit(label).as("fk_edge"), col("orphan_count"))
 
+  /** One FK edge of a fact table, for [[fkOrphansFused]]. `broadcastParent`
+    * marks genuine dimension parents (bounded size at any scale factor);
+    * fact-to-fact edges leave it false and shuffle.
+    */
+  final case class FkEdge(
+      label: String,
+      childCol: String,
+      parent: DataFrame,
+      parentCol: String,
+      broadcastParent: Boolean)
+
+  /** All FK edges of one child table validated in ONE scan: left-join each
+    * parent's distinct key set (broadcast for dimensions — zero shuffle of
+    * the child; shuffle only for fact-sized parents), then a single
+    * aggregate counts the unmatched rows per edge. At 100 TB this replaces
+    * k child-table scans + k anti-join shuffles with one scan, one fused
+    * aggregation, and at most the one unavoidable fact-fact shuffle.
+    */
+  def fkOrphansFused(child: DataFrame, edges: Seq[FkEdge]): DataFrame = {
+    val joined = edges.zipWithIndex.foldLeft(
+      child.select(edges.map(_.childCol).distinct.map(col): _*)) {
+      case (df, (e, i)) =>
+        val keys = e.parent.select(col(e.parentCol).as(s"__pk_$i")).distinct()
+        val p = if (e.broadcastParent) broadcast(keys) else keys
+        df.join(p, df(e.childCol) === col(s"__pk_$i"), "left")
+    }
+    val counts = edges.zipWithIndex.map { case (e, i) =>
+      count(when(col(s"__pk_$i").isNull, 1)).as(s"__orphans_$i")
+    }
+    val rows = edges.zipWithIndex.map { case (e, i) =>
+      struct(lit(e.label).as("fk_edge"), col(s"__orphans_$i").as("orphan_count"))
+    }
+    joined.agg(counts.head, counts.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.fk_edge"), col("r.orphan_count"))
+  }
+
   /** E1 as layout: an "index" on k columns maps to repartition-by-key +
     * sort-within-partitions, which gives parquet min/max row-group pruning
     * on those columns — the closest scalable analogue of a secondary index.

@@ -108,3 +108,82 @@ object MinHashSignature {
     GraftSqlBridge.toColumn(
       MinHashSignature(GraftSqlBridge.toExpression(shingles), numHashes))
 }
+
+/** LSH band hashes straight from the shingle array, one pass (SURVEY.md §2
+  * H3): band b (0-based) is md5(sig[b*r+1] || … || sig[b*r+r]) over the
+  * hex-rendered [[MinHashSignature]] components — bit-identical to the
+  * `md5(concat(element_at(sig, …)…))` column formulation and to the DuckDB
+  * twin `md5(sg[4*b+1]||…||sg[4*b+4])`.
+  *
+  * Exists because referencing a signature column k times from a later
+  * projection lets CollapseProject inline the whole MinHash subtree into
+  * every reference — the signature (and its md5 scan over all shingles) was
+  * being recomputed once per band row. Emitting the band array directly
+  * keeps the scan at exactly one evaluation per document.
+  *
+  * Null semantics match the HOF chain: an empty shingle set gives all-null
+  * signature components, `concat(null…)` is null, `md5(null)` is null → an
+  * array of `bands` nulls (posexplode still emits one row per band).
+  */
+case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands >= 1 && rowsPerBand >= 1)
+
+  private val numHashes = bands * rowsPerBand
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_minhash_bands"
+
+  @transient private lazy val sigExpr = MinHashSignature(child, numHashes)
+  @transient private lazy val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = sigExpr.nullSafeEval(input).asInstanceOf[ArrayData]
+    val md = digest.get()
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var anyNull = false
+      val buf = new Array[Byte](8 * rowsPerBand)
+      var r = 0
+      while (r < rowsPerBand && !anyNull) {
+        if (sig.isNullAt(b * rowsPerBand + r)) anyNull = true
+        else {
+          val compBytes = sig.getUTF8String(b * rowsPerBand + r).getBytes
+          System.arraycopy(compBytes, 0, buf, 8 * r, 8)
+        }
+        r += 1
+      }
+      if (!anyNull) {
+        md.reset()
+        val dig = md.digest(buf)
+        val sb = new java.lang.StringBuilder(32)
+        dig.foreach { x =>
+          sb.append(hexDigits((x >> 4) & 0xf)); sb.append(hexDigits(x & 0xf))
+        }
+        out(b) = UTF8String.fromString(sb.toString)
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  /** Column-API entry point. */
+  def apply(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftSqlBridge.toColumn(
+      MinHashBands(GraftSqlBridge.toExpression(shingles), bands, rowsPerBand))
+}

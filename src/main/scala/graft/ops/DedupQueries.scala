@@ -85,23 +85,16 @@ object DedupQueries {
         "-> 3 bands of 4 -> bucket equi-join -> exact-Jaccard verify. " +
         "The all-pairs problem becomes a join on (band, band_hash).",
       (s, dir) => {
-        // Stage 1: shingles -> signature via the native one-pass expression
-        // (graft.functions.MinHashSignature; bit-identical to the HOF/
-        // DuckDB formulation, ~5x faster on the md5 hot path).
-        val sh = shingleDf(Tables.t(s, dir, "documents"))
-        val sig = sh.select(col("doc_id"),
-          graft.functions.MinHashSignature(col("sh"), NumHashes).as("sig"))
-        // Stage 2: band hashes; buckets via groupBy (computes the signature
-        // subtree ONCE — a self-join would compute it twice and shuffle the
-        // shingle payload with it).
-        // Static band hashes + posexplode (pos = band id): no interpreted
-        // HOF lambda in the hot path, smaller codegen unit than the
-        // transform(sequence(...), struct(...)) formulation.
-        val bandHashes = (0 until Bands).map(b =>
-          md5(concat((1 to RowsPerBand).map(r =>
-            element_at(col("sig"), b * RowsPerBand + r)): _*)))
-        val bands = sig.select(col("doc_id"),
-          posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+        // Stage 1+2 fused: shingles -> 12 minhashes -> 3 band hashes in ONE
+        // native pass (graft.functions.MinHashBands; bit-identical to the
+        // HOF/DuckDB formulation). The previous element_at(sig, i)-per-band
+        // formulation let CollapseProject inline the signature subtree into
+        // every band hash — the md5 scan over all shingles ran once per
+        // band reference instead of once per document.
+        val sh = shingleDf(Tables.par(s, dir, "documents"))
+        val bands = sh.select(col("doc_id"),
+          posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
+            .as(Seq("band", "bh")))
         val pairs = bands.groupBy("band", "bh")
           .agg(collect_set(col("doc_id")).as("ids"))
           .filter(size(col("ids")) > 1)
@@ -200,7 +193,7 @@ object DedupQueries {
         // pushes size(ng)>0 / IsNotNull(block) below the projections and
         // INLINES the full n-gram tree into a per-row scan filter
         // (re-evaluating it once per pushed predicate).
-        val g = Tables.t(s, dir, "documents")
+        val g = Tables.par(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ng"))

@@ -120,24 +120,33 @@ object CoreQueries {
         "add_fks (ETLAlchemySource.py::add_fks ~L1350-1500) as left-anti " +
         "join orphan counts per FK edge.",
       (s, dir) => {
-        // One declarative plan: each FK edge is an anti-join + count-agg
-        // branch of a single union — NO driver-side .count() per edge (that
-        // would serialize six jobs; here the scheduler runs the branches
-        // concurrently and each parent side broadcasts). Shared impl:
-        // graft.etl.Constraints.fkOrphans.
-        def orphans(child: DataFrame, ck: String, parent: DataFrame,
-                    pk: String, label: String): DataFrame =
-          graft.etl.Constraints.fkOrphans(label, child, ck, parent, pk)
+        // One scan per CHILD table, all of its edges fused
+        // (graft.etl.Constraints.fkOrphansFused): dimension parents
+        // broadcast their distinct key sets (no child shuffle at all);
+        // only the fact-fact lineitem->orders edge shuffles. Replaces the
+        // previous six independent anti-join branches (lineitem scanned
+        // 3x) with four scans and one shuffle.
+        import graft.etl.Constraints.{FkEdge, fkOrphansFused}
         val l = Tables.t(s, dir, "lineitem"); val o = Tables.t(s, dir, "orders")
         val c = Tables.t(s, dir, "customer"); val n = Tables.t(s, dir, "nation")
         val r = Tables.t(s, dir, "region"); val sup = Tables.t(s, dir, "supplier")
         val p = Tables.t(s, dir, "part")
-        orphans(l, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
-          .union(orphans(l, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"))
-          .union(orphans(l, "l_suppkey", sup, "s_suppkey", "lineitem.l_suppkey->supplier"))
-          .union(orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"))
-          .union(orphans(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"))
-          .union(orphans(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey->region"))
+        fkOrphansFused(l, Seq(
+          FkEdge("lineitem.l_orderkey->orders", "l_orderkey", o, "o_orderkey",
+            broadcastParent = false),
+          FkEdge("lineitem.l_partkey->part", "l_partkey", p, "p_partkey",
+            broadcastParent = true),
+          FkEdge("lineitem.l_suppkey->supplier", "l_suppkey", sup, "s_suppkey",
+            broadcastParent = true)))
+          .union(fkOrphansFused(o, Seq(FkEdge(
+            "orders.o_custkey->customer", "o_custkey", c, "c_custkey",
+            broadcastParent = true))))
+          .union(fkOrphansFused(c, Seq(FkEdge(
+            "customer.c_nationkey->nation", "c_nationkey", n, "n_nationkey",
+            broadcastParent = true))))
+          .union(fkOrphansFused(n, Seq(FkEdge(
+            "nation.n_regionkey->region", "n_regionkey", r, "r_regionkey",
+            broadcastParent = true))))
           .orderBy("fk_edge")
       },
       Some("""SELECT * FROM (

@@ -18,20 +18,40 @@ object ProfileQueries {
         "lineitem, scanned min/max and the Integer-vs-BigInteger verdict " +
         "(ETLAlchemySource.py::standardize_column_type numeric branch).",
       (s, dir) => {
+        // Declarative twin of Profiler.profile + the TypeStandardizer
+        // narrowing rule: ONE fused agg over the scan, then the single
+        // profile row explodes into per-column verdict rows — no eager
+        // driver-side job at query-construction time (the Pipeline uses
+        // Profiler, which needs the collected values; a declared query
+        // must stay one lazy plan).
         val df = Tables.t(s, dir, "lineitem")
-        val prof = Profiler.profile(df)
-        val rows = prof.columns.filter(_.minNumeric.isDefined).map { c =>
-          val narrowed = c.dataType match {
-            case LongType | IntegerType | ShortType =>
-              if (c.maxNumeric.forall(_ <= Int.MaxValue.toDouble) &&
-                c.minNumeric.forall(_ >= Int.MinValue.toDouble)) "int"
-              else "bigint"
-            case _ => "double"
+        val intCols = df.schema.fields.collect {
+          case f if f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == ShortType => f.name
+        }.toSeq
+        val dblCols = df.schema.fields.collect {
+          case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+        }.toSeq
+        val aggs = (intCols ++ dblCols).flatMap(c => Seq(
+          min(col(c)).cast(DoubleType).as(s"${c}__min"),
+          max(col(c)).cast(DoubleType).as(s"${c}__max")))
+        val rows =
+          intCols.map { c =>
+            struct(lit(c).as("column_name"),
+              col(s"${c}__min").as("min_value"),
+              col(s"${c}__max").as("max_value"),
+              when(col(s"${c}__min") >= Int.MinValue.toDouble &&
+                col(s"${c}__max") <= Int.MaxValue.toDouble, "int")
+                .otherwise("bigint").as("narrowed_type"))
+          } ++ dblCols.map { c =>
+            struct(lit(c).as("column_name"),
+              col(s"${c}__min").as("min_value"),
+              col(s"${c}__max").as("max_value"),
+              lit("double").as("narrowed_type"))
           }
-          (c.name, c.minNumeric.get, c.maxNumeric.get, narrowed)
-        }
-        val spark = s; import spark.implicits._
-        rows.toDF("column_name", "min_value", "max_value", "narrowed_type")
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rows: _*)).as("r"))
+          .select(col("r.*"))
           .orderBy("column_name")
       },
       Some {
@@ -60,19 +80,32 @@ object ProfileQueries {
         "rounded up to the nearest power of two " +
         "(ETLAlchemySource.py::get_nearest_power_of_two).",
       (s, dir) => {
-        val tables = Seq("customer", "part", "nation", "region")
-        val perTable = tables.map { tn =>
-          val df = Tables.t(s, dir, tn)
-          val prof = Profiler.profile(df)
-          prof.columns.filter(c => c.dataType == StringType).map { c =>
-            (tn, c.name, c.maxLength.getOrElse(0),
-              Profiler.nearestPowerOfTwo(c.maxLength.getOrElse(0)))
+        // Declarative: one fused max(length) agg per table, exploded to
+        // per-column rows, tables unioned into a single lazy plan (the
+        // scheduler overlaps the four scans inside one job — the previous
+        // eager Profiler version ran four sequential collect()s at
+        // query-construction time). Power-of-two rounding as an expression
+        // mirroring Profiler.nearestPowerOfTwo / the oracle's CASE chain.
+        def pow2(c: org.apache.spark.sql.Column) =
+          (0 to 10).map(i => 1 << i).foldRight(lit(2048)) {
+            case (p, rest) => when(c <= p, p).otherwise(rest)
           }
-        }
-        val spark = s; import spark.implicits._
-        perTable.flatten
-          .toDF("table_name", "column_name", "max_len", "compressed_len")
-          .orderBy("table_name", "column_name")
+        val tables = Seq("customer", "part", "nation", "region")
+        tables.map { tn =>
+          val df = Tables.t(s, dir, tn)
+          val scols = df.schema.fields.collect {
+            case f if f.dataType == StringType => f.name
+          }.toSeq
+          val aggs = scols.map(c => max(length(col(c))).as(s"${c}__maxlen"))
+          val rows = scols.map { c =>
+            struct(lit(tn).as("table_name"), lit(c).as("column_name"),
+              col(s"${c}__maxlen").cast(IntegerType).as("max_len"),
+              pow2(col(s"${c}__maxlen")).cast(IntegerType).as("compressed_len"))
+          }
+          df.agg(aggs.head, aggs.tail: _*)
+            .select(explode(array(rows: _*)).as("r"))
+            .select(col("r.*"))
+        }.reduce(_ union _).orderBy("table_name", "column_name")
       },
       Some {
         val cols = Seq(
@@ -101,13 +134,22 @@ object ProfileQueries {
       "Null-column scan (B8 empty-column elimination): per column of " +
         "orders, non-null count and the would-drop verdict.",
       (s, dir) => {
+        // Declarative: count(*) + count(col) per column in ONE agg pass,
+        // exploded to per-column verdict rows (B8 drop verdict =
+        // rows > 0 && nonnull == 0), no eager collect.
         val df = Tables.t(s, dir, "orders")
-        val prof = Profiler.profile(df)
-        val spark = s; import spark.implicits._
-        prof.columns
-          .map(c => (c.name, prof.rowCount, c.nonNullCount,
-            prof.rowCount - c.nonNullCount, c.isAllNull(prof.rowCount)))
-          .toDF("column_name", "n_rows", "n_nonnull", "n_null", "all_null")
+        val cols = df.columns.toSeq
+        val aggs = count(lit(1)).as("__rows") +:
+          cols.map(c => count(col(c)).as(s"${c}__nn"))
+        val rows = cols.map { c =>
+          struct(lit(c).as("column_name"), col("__rows").as("n_rows"),
+            col(s"${c}__nn").as("n_nonnull"),
+            (col("__rows") - col(s"${c}__nn")).as("n_null"),
+            (col("__rows") > 0 && col(s"${c}__nn") === 0).as("all_null"))
+        }
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rows: _*)).as("r"))
+          .select(col("r.*"))
           .orderBy("column_name")
       },
       Some {
