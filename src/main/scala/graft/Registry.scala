@@ -28,6 +28,7 @@ object Registry {
       ops.TextQueries.defs ++
       ops.EventQueries.defs ++
       ops.AsOfJoin.defs ++
+      ops.JoinQueries.defs ++
       ops.SampleQueries.defs ++
       ops.MultimodalQueries.defs
 
