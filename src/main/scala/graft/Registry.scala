@@ -60,7 +60,20 @@ object Tables {
   def par(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Estimate the scan's split count from file metadata only — no
+    // df.rdd (which would force full physical planning plus a discarded
+    // row-conversion RDD at query-construction time, inside the timed
+    // bench region). splits >= one per file, plus size/maxPartitionBytes
+    // for splittable parquet.
+    val hconf = spark.sessionState.newHadoopConf()
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val files = df.inputFiles
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val estSplits = math.max(files.length.toLong, (bytes + maxSplit - 1) / maxSplit)
+    if (estSplits < target) df.repartition(target) else df
   }
 
   /** events.ts (Long nanoseconds since epoch) -> epoch seconds, computed

@@ -121,11 +121,14 @@ object CoreQueries {
         "join orphan counts per FK edge.",
       (s, dir) => {
         // One scan per CHILD table, all of its edges fused
-        // (graft.etl.Constraints.fkOrphansFused): dimension parents
-        // broadcast their distinct key sets (no child shuffle at all);
-        // only the fact-fact lineitem->orders edge shuffles. Replaces the
-        // previous six independent anti-join branches (lineitem scanned
-        // 3x) with four scans and one shuffle.
+        // (graft.etl.Constraints.fkOrphansFused). Hard broadcast() hints
+        // only for FIXED-cardinality dimensions (nation=25, region=5 at
+        // every scale factor); part/supplier/customer grow linearly with
+        // SF, so their edges leave the broadcast decision to AQE /
+        // autoBroadcastJoinThreshold — at 100 TB a forced broadcast of an
+        // SF-scaling key set would OOM. Replaces the previous six
+        // independent anti-join branches (lineitem scanned 3x) with four
+        // scans.
         import graft.etl.Constraints.{FkEdge, fkOrphansFused}
         val l = Tables.t(s, dir, "lineitem"); val o = Tables.t(s, dir, "orders")
         val c = Tables.t(s, dir, "customer"); val n = Tables.t(s, dir, "nation")
@@ -135,12 +138,12 @@ object CoreQueries {
           FkEdge("lineitem.l_orderkey->orders", "l_orderkey", o, "o_orderkey",
             broadcastParent = false),
           FkEdge("lineitem.l_partkey->part", "l_partkey", p, "p_partkey",
-            broadcastParent = true),
+            broadcastParent = false),
           FkEdge("lineitem.l_suppkey->supplier", "l_suppkey", sup, "s_suppkey",
-            broadcastParent = true)))
+            broadcastParent = false)))
           .union(fkOrphansFused(o, Seq(FkEdge(
             "orders.o_custkey->customer", "o_custkey", c, "c_custkey",
-            broadcastParent = true))))
+            broadcastParent = false))))
           .union(fkOrphansFused(c, Seq(FkEdge(
             "customer.c_nationkey->nation", "c_nationkey", n, "n_nationkey",
             broadcastParent = true))))
