@@ -16,8 +16,8 @@ import org.apache.spark.sql.types._
   * buckets — the only all-pairs work left is within buckets; SimHash is a
   * pure per-row map + groupBy fingerprint; the n-gram variant blocks on the
   * min-gram (1-hash LSH) before computing exact Jaccard; the cosine variant
-  * is the brute-force baseline whose scale path is
-  * [[SimilarityQueries]]' hyperplane-bucketed join.
+  * buckets both sides with banded hyperplane LSH (OR-amplified) and
+  * verifies exact cosine within buckets — no cartesian anywhere.
   */
 object DedupQueries {
 
@@ -31,6 +31,27 @@ object DedupQueries {
   private val MinhashVerifyJ = 0.6
   private val NgramJ = 0.5
   private val CosineTau = 0.4
+
+  /** LSH bucket-size cap (SURVEY §2 H3 "cap boilerplate buckets"): buckets
+    * larger than this are boilerplate (headers, licenses, near-empty docs)
+    * and are skipped rather than expanded into O(bucket²) pairs. Testdata
+    * max bucket is 66 at sf0.1, so the cap is inert for correctness here;
+    * at 100 TB it is the difference between a bounded self-join and one
+    * hot bucket generating 10^12 candidate pairs.
+    */
+  private val HotBucketCap = 256
+
+  /** Hyperplane-LSH banding for embedding near-dup: 4 bands x 4 planes.
+    * OR-amplified collision probability for a pair at angle θ is
+    * 1-(1-(1-θ/π)^4)^4 ≈ 0.95 at cosine 0.9 — high recall for true
+    * near-dups, while the bucket equi-join keeps work linear in bucket
+    * sizes instead of the corpus-squared cross join.
+    */
+  private val EmbBands = 4
+  private val EmbPlanesPerBand = 4
+  private val EmbDim = 64
+  private val embBandPlanes: Seq[Seq[Seq[Double]]] =
+    makePlanes(EmbBands * EmbPlanesPerBand, EmbDim).grouped(EmbPlanesPerBand).toSeq
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
@@ -95,12 +116,24 @@ object DedupQueries {
         val bands = sh.select(col("doc_id"),
           posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
             .as(Seq("band", "bh")))
-        val pairs = bands.groupBy("band", "bh")
-          .agg(collect_set(col("doc_id")).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(col("ids")).as("doc_a"), col("ids"))
-          .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+        // Candidate pairs via a bucket-capped SELF-JOIN on (band, bh) —
+        // not collect_set+explode, which builds an unbounded in-memory
+        // array per bucket and O(bucket²) pairs for a hot boilerplate
+        // bucket. The window count caps bucket size at HotBucketCap
+        // (skip, don't expand, boilerplate buckets); both join legs are
+        // the identical subplan shuffled on the same key, so Spark's
+        // ReuseExchange computes the band pipeline once.
+        import org.apache.spark.sql.expressions.Window
+        val wb = Window.partitionBy("band", "bh")
+        val capped = bands
+          .withColumn("bsz", count(lit(1)).over(wb))
+          .filter(col("bsz") > 1 && col("bsz") <= HotBucketCap)
+          .select("doc_id", "band", "bh")
+        val pairs = capped.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+          .join(capped.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+            Seq("band", "bh"))
           .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
           .distinct()
         // Stage 3: exact-Jaccard verify, joining candidates (small) back to
         // the shingle sets.
@@ -120,7 +153,9 @@ object DedupQueries {
            |hm AS (SELECT doc_id, sh, $materialSql AS hs FROM d),
            |sig AS (SELECT doc_id, sh, $sigSql AS sg FROM hm),
            |bands AS (SELECT doc_id, sh, b, $bandHash AS bh
-           |  FROM sig, (SELECT unnest(range($Bands)) AS b)),
+           |  FROM sig, (SELECT unnest(range($Bands)) AS b)
+           |  QUALIFY count(*) OVER (PARTITION BY b, bh)
+           |    BETWEEN 2 AND $HotBucketCap),
            |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |    CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
            |      len(list_distinct(list_concat(a.sh,b.sh))) AS j
@@ -225,29 +260,53 @@ object DedupQueries {
     // ------------------------------------------------------------- H2'
     QueryDef(
       "q_dedup_embedding",
-      "Embedding-cosine near-dup: brute-force all-pairs baseline (the " +
-        "scale path is the hyperplane-bucketed join in q_ann_hyperplane); " +
-        "sequential-fold dot products are bit-comparable with DuckDB.",
+      s"Embedding-cosine near-dup via banded hyperplane LSH ($EmbBands " +
+        s"bands x $EmbPlanesPerBand planes, OR-amplified): candidates = " +
+        "same (band, bucket) equi-join, then exact-cosine verify. No " +
+        "cartesian anywhere — recall < 1 by design and the oracle twin " +
+        "embeds the identical plane literals.",
       (s, dir) => {
-        val e = Tables.t(s, dir, "embeddings")
+        val e = Tables.par(s, dir, "embeddings")
           .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
           .withColumn("nrm", l2Norm(col("v")))
-        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-        a.crossJoin(b)
+        // One row per (vector, band); each leg of the bucket join carries
+        // its vector so the verify needs no second corpus join. At 100 TB
+        // that is a bands-fold fan-out of the vector column through one
+        // shuffle — linear, vs the corpus-squared cross join it replaces.
+        val banded = e.select(col("vec_id"), col("v"), col("nrm"),
+          posexplode(array(embBandPlanes.map(ps =>
+            hyperplaneBucket(col("v"), ps)): _*)).as(Seq("band", "bkt")))
+        val a = banded.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nrm").as("na"), col("band"), col("bkt"))
+        val b = banded.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb"), col("band"), col("bkt"))
+        a.join(b, Seq("band", "bkt"))
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .filter(col("cos") >= CosineTau)
           .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+          .distinct()
           .orderBy("vec_a", "vec_b")
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |n AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e)
-              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-              |  round(list_dot_product(a.v,b.v)/(a.nrm*b.nrm),6) AS cosine
-              |FROM n a JOIN n b ON a.vec_id < b.vec_id
-              |WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= $CosineTau
-              |ORDER BY vec_a, vec_b""".stripMargin)
+      Some {
+        val bandSelects = embBandPlanes.zipWithIndex.map { case (ps, i) =>
+          val bkt = ps.map { p =>
+            val lits = p.map(v => if (v > 0) "1.0" else "-1.0")
+              .mkString("[", ",", "]")
+            s"CASE WHEN list_dot_product(v, $lits::DOUBLE[]) >= 0.0 THEN '1' ELSE '0' END"
+          }.mkString("||")
+          s"SELECT vec_id, v, nrm, $i AS band, $bkt AS bkt FROM n"
+        }.mkString("\nUNION ALL ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e),
+           |bands AS ($bandSelects)
+           |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round(list_dot_product(a.v,b.v)/(a.nrm*b.nrm),6) AS cosine
+           |FROM bands a JOIN bands b ON a.band=b.band AND a.bkt=b.bkt
+           |  AND a.vec_id < b.vec_id
+           |WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= $CosineTau
+           |ORDER BY vec_a, vec_b""".stripMargin
+      }
     )
   )
 }

@@ -30,11 +30,13 @@ def norm(v):
     return repr(v)
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     ok, bad = 0, 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -49,7 +51,12 @@ def main(out_dir, sf_dir):
             _tabs = [_pq.read_table(f) for f in
                      sorted(_glob.glob(f"{out_dir}/{name}/*.parquet"))]
             import pyarrow as _pa
-            got = _pa.concat_tables(_tabs).to_pandas()
+            if _tabs:
+                got = _pa.concat_tables(_tabs).to_pandas()
+            else:
+                # Zero-row result under AQE can leave no part files; compare
+                # an empty frame with the oracle's columns instead of ERR.
+                got = _pd.DataFrame(columns=exp.columns)
             # pandas object columns of Decimal survive to_pandas(); floats
             # and ints coerce identically to duckdb's .df() path.
             got = _pd.DataFrame(got)
@@ -87,4 +94,5 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
