@@ -17,8 +17,11 @@ object Bench {
     // section below still executes all real sf-target data work cold.
     spark.range(100000).selectExpr("sum(id)").collect()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count() catch { case e: Throwable =>
+        // a degraded warmup silently shifts timings run-to-run; say why.
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -87,4 +87,30 @@ object StagingWriter {
       Map("reWriteBatchedInserts" -> "true", "batchsize" -> "10000")
     case _ => Map("batchsize" -> "10000")
   }
+
+  /** A4-A9 + A10/A11 live path: canonicalized batched-INSERT load over
+    * JDBC. `SaveMode.Overwrite` is the reference's drop-and-recreate
+    * (`ETLAlchemySource.py::send_data` ~L900-1150 + target DDL create):
+    * Spark's JdbcDialect emits the target-native DDL, then every
+    * partition opens its own connection and streams `batchsize`d INSERTs
+    * — the distributed analogue of the per-dialect bulk-load
+    * subprocesses, and the shape that scales to a 1000-executor load.
+    * Exercised in-JVM against embedded Derby (DerbyJdbcSpec) since the
+    * environment has no live MySQL/Postgres/Oracle server; the
+    * per-dialect knobs above are what a live URL would add.
+    */
+  def writeJdbc(df: DataFrame, dialect: Dialect, url: String,
+                table: String): Unit = {
+    val props = new java.util.Properties()
+    jdbcOptions(dialect).foreach { case (k, v) => props.setProperty(k, v) }
+    canonicalize(df, dialect).write.mode(SaveMode.Overwrite)
+      .jdbc(url, table, props)
+  }
+
+  /** Read a staged table back (round-trip verification / migration source
+    * side — the reference's `SELECT *` fetch, ::migrate ~L650).
+    */
+  def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+               table: String): DataFrame =
+    spark.read.jdbc(url, table, new java.util.Properties())
 }

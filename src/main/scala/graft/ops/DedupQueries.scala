@@ -82,21 +82,23 @@ object DedupQueries {
     // ------------------------------------------------------------- H1
     QueryDef(
       "q_dedup_exact",
-      "Exact dedup: hash groupBy on normalized text, keep min doc_id " +
-        "(partial agg -> one shuffle on the key; salt only if a single " +
+      "Exact dedup: hash groupBy on a 128-bit fingerprint of normalized " +
+        "text, keep min doc_id (partial agg -> one shuffle whose key is " +
+        "32 hex chars, not whole documents — at 100 TB the shuffle write " +
+        "shrinks by the mean document length / 32; salt only if a single " +
         "text value dominates).",
       (s, dir) => {
         Tables.t(s, dir, "documents")
-          .groupBy(normText(col("text")).as("norm_text"))
+          .groupBy(md5(normText(col("text"))).as("fp"))
           .agg(min(col("doc_id")).as("keeper_id"),
             count(lit(1)).as("n_copies"))
           .select(col("keeper_id"), col("n_copies"),
-            substring(md5(col("norm_text")), 1, 16).as("text_fp"))
+            substring(col("fp"), 1, 16).as("text_fp"))
           .orderBy("keeper_id")
       },
       Some(s"""SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies,
               |  substr(md5($normSql),1,16) AS text_fp
-              |FROM documents GROUP BY $normSql ORDER BY keeper_id""".stripMargin)
+              |FROM documents GROUP BY md5($normSql) ORDER BY keeper_id""".stripMargin)
     ),
 
     // ------------------------------------------------------------- H3

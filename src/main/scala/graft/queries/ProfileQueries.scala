@@ -30,7 +30,12 @@ object ProfileQueries {
             f.dataType == ShortType => f.name
         }.toSeq
         val dblCols = df.schema.fields.collect {
-          case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+          // DecimalType lands in the 'double' verdict branch like the
+          // Profiler path classified it — if lineitem is regenerated with
+          // DECIMAL columns the query keeps covering them instead of
+          // silently dropping them from the profile.
+          case f if f.dataType == DoubleType || f.dataType == FloatType ||
+            f.dataType.isInstanceOf[DecimalType] => f.name
         }.toSeq
         val aggs = (intCols ++ dblCols).flatMap(c => Seq(
           min(col(c)).cast(DoubleType).as(s"${c}__min"),
