@@ -30,6 +30,7 @@ object Registry {
       ops.AsOfJoin.defs ++
       ops.JoinQueries.defs ++
       ops.SampleQueries.defs ++
+      ops.PackingQueries.defs ++
       ops.MultimodalQueries.defs
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

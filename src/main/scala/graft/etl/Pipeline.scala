@@ -67,13 +67,16 @@ object Pipeline {
       spark: SparkSession,
       cfg: SourceConfig,
       table: String,
-      outDir: String): TableResult = {
+      outDir: String,
+      log: MigrationLog = MigrationLog.silent): TableResult = {
     val t0 = System.nanoTime()
     val outName = cfg.tableRenames.getOrElse(table, table)
+    log.info(table, "migrate", s"start -> $outName")
     val df = spark.read.parquet(s"${cfg.dir}/$table.parquet")
     val prof = Profiler.profile(df)
 
     if (cfg.skipTableIfEmpty && prof.rowCount == 0L) {
+      log.info(table, "migrate", "skipped: empty table (B9)")
       return TableResult(table, outName, 0L, 0L, Nil, Nil, skipped = true,
         (System.nanoTime() - t0) / 1e9)
     }
@@ -91,8 +94,13 @@ object Pipeline {
     val transformed =
       cfg.rules.get(table).map(_.apply(standardized)).getOrElse(standardized)
 
-    transformed.write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/$outName.parquet")
+    log.timed(table, "write") {
+      transformed.write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/$outName.parquet")
+    }
+    if (allNull.nonEmpty)
+      log.info(table, "migrate", s"dropped all-null cols: ${allNull.mkString(",")}")
+    log.info(table, "migrate", s"done rows=${prof.rowCount}")
 
     TableResult(table, outName, prof.rowCount, prof.rowCount,
       allNull, conv, skipped = false, (System.nanoTime() - t0) / 1e9)
@@ -106,30 +114,35 @@ object Pipeline {
       cfg: SourceConfig,
       outDir: String,
       foreignKeys: Seq[ForeignKey] = Nil,
-      parallelism: Int = 4): Report = {
+      parallelism: Int = 4,
+      log: MigrationLog = MigrationLog.silent): Report = {
     val t0 = System.nanoTime()
     val tables = reflectTables(cfg.dir)
       .filter(t => cfg.includedTables.isEmpty || cfg.includedTables.contains(t))
       .filterNot(cfg.excludedTables.contains)
+    log.info("*", "migrate", s"${tables.size} tables: ${tables.mkString(",")}")
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val results =
       try Await.result(
         Future.sequence(tables.map(t =>
-          Future(migrateTable(spark, cfg, t, outDir)))),
+          Future(migrateTable(spark, cfg, t, outDir, log)))),
         Duration.Inf)
       finally pool.shutdown()
 
     // E3: constraints strictly after all loads.
     val fkResults = foreignKeys.map { fk =>
-      val orphans = Constraints.fkOrphanCount(
-        spark.read.parquet(s"$outDir/${fk.childTable}.parquet"), fk.childCol,
-        spark.read.parquet(s"$outDir/${fk.parentTable}.parquet"), fk.parentCol)
-      Report.FkResult(
-        s"${fk.childTable}.${fk.childCol}->${fk.parentTable}.${fk.parentCol}",
-        orphans)
+      val label =
+        s"${fk.childTable}.${fk.childCol}->${fk.parentTable}.${fk.parentCol}"
+      val orphans = log.timed(fk.childTable, s"fk $label") {
+        Constraints.fkOrphanCount(
+          spark.read.parquet(s"$outDir/${fk.childTable}.parquet"), fk.childCol,
+          spark.read.parquet(s"$outDir/${fk.parentTable}.parquet"), fk.parentCol)
+      }
+      Report.FkResult(label, orphans)
     }
+    log.info("*", "migrate", f"all done in ${(System.nanoTime() - t0) / 1e9}%.3fs")
     Report(results, fkResults, (System.nanoTime() - t0) / 1e9)
   }
 }

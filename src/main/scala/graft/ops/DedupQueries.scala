@@ -78,6 +78,99 @@ object DedupQueries {
     s"list_aggregate(list_transform(hs, h -> substr(h,${1 + 8 * i},8)),'min')")
     .mkString("[", ", ", "]")
 
+  /** MinHash+LSH verified near-dup pairs (the q_doc_dedup pipeline),
+    * shared with the cluster-consolidation query so both stay one code
+    * path. Returns (doc_a, doc_b, j) with doc_a < doc_b, j >= threshold.
+    */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    val sh = shingleDf(Tables.par(s, dir, "documents"))
+    val bands = sh.select(col("doc_id"),
+      posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
+        .as(Seq("band", "bh")))
+    // Candidate pairs via a bucket-capped SELF-JOIN on (band, bh) —
+    // not collect_set+explode, which builds an unbounded in-memory
+    // array per bucket and O(bucket²) pairs for a hot boilerplate
+    // bucket. The window count caps bucket size at HotBucketCap
+    // (skip, don't expand, boilerplate buckets); both join legs are
+    // the identical subplan shuffled on the same key, so Spark's
+    // ReuseExchange computes the band pipeline once.
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy("band", "bh")
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") > 1 && col("bsz") <= HotBucketCap)
+      .select("doc_id", "band", "bh")
+    val pairs = capped.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    // Exact-Jaccard verify, joining candidates (small) back to the
+    // shingle sets.
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("j"))
+      .filter(col("j") >= MinhashVerifyJ)
+  }
+
+  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, j)` — the oracle twin
+    * of [[minhashPairs]], shared by q_doc_dedup and q_dedup_clusters.
+    */
+  private val pairsSqlCtes: String = {
+    val bandHash = (1 to RowsPerBand).map(r => s"sg[$RowsPerBand*b+$r]")
+      .mkString("md5(", "||", ")")
+    s"""$shingleSqlCte,
+       |hm AS (SELECT doc_id, sh, $materialSql AS hs FROM d),
+       |sig AS (SELECT doc_id, sh, $sigSql AS sg FROM hm),
+       |bands AS (SELECT doc_id, sh, b, $bandHash AS bh
+       |  FROM sig, (SELECT unnest(range($Bands)) AS b)
+       |  QUALIFY count(*) OVER (PARTITION BY b, bh)
+       |    BETWEEN 2 AND $HotBucketCap),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.sh,b.sh))) AS j
+       |  FROM bands a JOIN bands b ON a.b=b.b AND a.bh=b.bh
+       |    AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT * FROM cand WHERE j >= $MinhashVerifyJ)""".stripMargin
+  }
+
+  /** Fixed iteration count for the cluster min-label propagation: covers
+    * any component of graph diameter <= CcIters. Near-dup components are
+    * clique-like (copies of one source doc all pair with each other), so
+    * diameter rarely exceeds 2; 6 is generous and keeps the query a
+    * single declarative plan (no driver-side convergence loop). At 100 TB
+    * use log2(diameter) alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * same join primitives, fewer rounds on adversarial chains.
+    */
+  private val CcIters = 6
+
+  /** Connected components over an undirected edge list (`src`, `dst`) by
+    * `iters` rounds of min-label propagation: label(x) := min(label(x),
+    * min over neighbors' labels). Exact for any component whose diameter
+    * is <= iters; one declarative plan (each round = equi-join + min-agg),
+    * no driver-side convergence loop. Returns (id, component) where
+    * component = min node id reachable within iters hops.
+    */
+  def connectedComponents(edges: DataFrame, iters: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var lbl = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    for (_ <- 1 to iters) {
+      val viaNeighbor = sym
+        .join(lbl, sym("dst") === lbl("id"))
+        .select(sym("src").as("id"), col("component"))
+      lbl = lbl.union(viaNeighbor)
+        .groupBy("id").agg(min("component").as("component"))
+    }
+    lbl
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------- H1
     QueryDef(
@@ -107,65 +200,52 @@ object DedupQueries {
       "MinHash+LSH near-dup detection: shingle -> 12 seeded-md5 minhashes " +
         "-> 3 bands of 4 -> bucket equi-join -> exact-Jaccard verify. " +
         "The all-pairs problem becomes a join on (band, band_hash).",
+      // Stage 1+2 fused: shingles -> 12 minhashes -> 3 band hashes in ONE
+      // native pass (graft.functions.MinHashBands; bit-identical to the
+      // HOF/DuckDB formulation). The previous element_at(sig, i)-per-band
+      // formulation let CollapseProject inline the signature subtree into
+      // every band hash — the md5 scan over all shingles ran once per
+      // band reference instead of once per document. Pipeline shared with
+      // q_dedup_clusters via minhashPairs.
+      (s, dir) => minhashPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $pairsSqlCtes
+              |SELECT doc_a, doc_b, round(j,6) AS jaccard FROM pairs
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------- H3+
+    QueryDef(
+      "q_dedup_clusters",
+      "Near-dup cluster consolidation: connected components over the " +
+        s"verified MinHash pair graph via $CcIters rounds of min-label " +
+        "propagation (label(x) := min(label(x), min over neighbors)) — " +
+        "one declarative plan, each round an equi-join + min-agg on the " +
+        "tiny pair relation; the keeper per cluster is its min doc_id.",
       (s, dir) => {
-        // Stage 1+2 fused: shingles -> 12 minhashes -> 3 band hashes in ONE
-        // native pass (graft.functions.MinHashBands; bit-identical to the
-        // HOF/DuckDB formulation). The previous element_at(sig, i)-per-band
-        // formulation let CollapseProject inline the signature subtree into
-        // every band hash — the md5 scan over all shingles ran once per
-        // band reference instead of once per document.
-        val sh = shingleDf(Tables.par(s, dir, "documents"))
-        val bands = sh.select(col("doc_id"),
-          posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
-            .as(Seq("band", "bh")))
-        // Candidate pairs via a bucket-capped SELF-JOIN on (band, bh) —
-        // not collect_set+explode, which builds an unbounded in-memory
-        // array per bucket and O(bucket²) pairs for a hot boilerplate
-        // bucket. The window count caps bucket size at HotBucketCap
-        // (skip, don't expand, boilerplate buckets); both join legs are
-        // the identical subplan shuffled on the same key, so Spark's
-        // ReuseExchange computes the band pipeline once.
+        // ReuseExchange computes the (expensive) pair pipeline once even
+        // though the edge relation appears in every propagation round.
+        val edges = minhashPairs(s, dir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         import org.apache.spark.sql.expressions.Window
-        val wb = Window.partitionBy("band", "bh")
-        val capped = bands
-          .withColumn("bsz", count(lit(1)).over(wb))
-          .filter(col("bsz") > 1 && col("bsz") <= HotBucketCap)
-          .select("doc_id", "band", "bh")
-        val pairs = capped.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-          .join(capped.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
-            Seq("band", "bh"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-          .distinct()
-        // Stage 3: exact-Jaccard verify, joining candidates (small) back to
-        // the shingle sets.
-        val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-        pairs.join(a, "doc_a").join(b, "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            jaccard(col("sha"), col("shb")).as("j"))
-          .filter(col("j") >= MinhashVerifyJ)
-          .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
+        val wc = Window.partitionBy("cluster_id")
+        connectedComponents(edges, CcIters)
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(wc))
+          .orderBy("doc_id")
       },
-      Some {
-        val bandHash = (1 to RowsPerBand).map(r => s"sg[$RowsPerBand*b+$r]")
-          .mkString("md5(", "||", ")")
-        s"""WITH $shingleSqlCte,
-           |hm AS (SELECT doc_id, sh, $materialSql AS hs FROM d),
-           |sig AS (SELECT doc_id, sh, $sigSql AS sg FROM hm),
-           |bands AS (SELECT doc_id, sh, b, $bandHash AS bh
-           |  FROM sig, (SELECT unnest(range($Bands)) AS b)
-           |  QUALIFY count(*) OVER (PARTITION BY b, bh)
-           |    BETWEEN 2 AND $HotBucketCap),
-           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
-           |      len(list_distinct(list_concat(a.sh,b.sh))) AS j
-           |  FROM bands a JOIN bands b ON a.b=b.b AND a.bh=b.bh
-           |    AND a.doc_id < b.doc_id)
-           |SELECT doc_a, doc_b, round(j,6) AS jaccard FROM pairs
-           |WHERE j >= $MinhashVerifyJ ORDER BY doc_a, doc_b""".stripMargin
-      }
+      Some(s"""WITH RECURSIVE $pairsSqlCtes,
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(doc_id, reach) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+              |cc AS (SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id)
+              |SELECT doc_id, cluster_id,
+              |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              |FROM cc ORDER BY doc_id""".stripMargin)
     ),
 
     // ------------------------------------------------------------- H3'
