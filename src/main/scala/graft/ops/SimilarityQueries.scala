@@ -19,6 +19,9 @@ object SimilarityQueries {
   private val NumPlanes = 8
   private val Dim = 64
   private val planes = makePlanes(NumPlanes, Dim)
+  /** IVF coarse quantizer: number of inverted-list cells / probed cells. */
+  private val NCells = 16
+  private val NProbe = 4
 
   /** every 25th vector is a "query" — scale-independent choice. */
   private val QueryPred = "vec_id % 25 = 0"
@@ -108,6 +111,80 @@ object SimilarityQueries {
       .filter(col("rank") <= K)
   }
 
+  /** IVF index build: deterministic seed centroids (the NCells vectors
+    * with smallest md5(vec_id) — a hash-order sample, scale-independent
+    * and reproducible in the oracle), one Lloyd refinement round
+    * (element-wise mean per cell), then cell assignment of the full
+    * corpus against the refined centroids. Returns (corpusWithCell,
+    * refinedCentroids).
+    *
+    * Scale shape: centroids are a 16-row relation the optimizer
+    * broadcasts, so both assignment passes are broadcast joins — the
+    * corpus never shuffles to be scored. The argmin windows partition by
+    * vec_id over exactly NCells co-located candidate rows, which
+    * WindowGroupLimit prunes to 1 row per vector BEFORE the exchange —
+    * the assignment shuffle is corpus-width, not NCells x corpus. The
+    * Lloyd mean is posexplode (x Dim) -> partial-agg -> one shuffle of
+    * NCells x Dim groups; means are exact DECIMAL sums divided once in
+    * IEEE double (order-independent, per the Registry determinism
+    * contract), so the refined centroids are bit-identical to the
+    * oracle's regardless of partitioning.
+    */
+  private def ivfParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val n = corpus(s, dir).drop("bucket")
+    val seeds = n.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(NCells)
+      .select(col("vec_id").as("cell0"), col("v").as("cv0"))
+    val wA1 = Window.partitionBy("vec_id").orderBy(col("cos0").desc, col("cell0").asc)
+    val a1 = n.crossJoin(seeds)
+      .withColumn("cos0",
+        dot(col("v"), col("cv0")) / (col("nrm") * sqrt(dot(col("cv0"), col("cv0")))))
+      .withColumn("rn", row_number().over(wA1))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cell0").as("cell"))
+    val cm = a1
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos0", "val")))
+      .groupBy(col("cell"), (col("pos0") + lit(1)).as("pos"))
+      .agg((sum(col("val").cast(DecimalType(30, 15))).cast("double") /
+        count(lit(1))).as("m"))
+    val centn = cm.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val wA2 = Window.partitionBy("vec_id").orderBy(col("cosc").desc, col("cell").asc)
+    val a2 = n.crossJoin(centn)
+      .withColumn("cosc", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(wA2))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    (a2, centn)
+  }
+
+  /** IVF top-k: each query probes its NProbe nearest refined cells; the
+    * candidate set is the union of those inverted lists; exact cosine
+    * re-rank keeps k. A corpus vector lives in exactly one cell and a
+    * query's probe cells are distinct, so no candidate dedup is needed.
+    */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (a2, centn) = ivfParts(s, dir)
+    val q = corpus(s, dir).filter(expr(QueryPred))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("cosc").desc, col("cell").asc)
+    val qp = q.crossJoin(centn)
+      .withColumn("cosc", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    qp.join(a2, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= K)
+  }
+
   // ---------------------------------------------------------------- SQL
   // Shared CTE bodies for the DuckDB twins, composed the same way.
 
@@ -152,6 +229,43 @@ object SimilarityQueries {
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY list_dot_product(qv, v)/(qn*nrm) DESC, vec_id ASC) AS rank
        |  FROM probes JOIN n USING (bucket) WHERE query_id <> vec_id)""".stripMargin
+
+  /** CTE chain ending in `ivf_scored` — the oracle twin of [[ivfTopK]]:
+    * same hash-ordered seeds, same decimal-exact Lloyd means, same
+    * probe/re-rank tiebreaks, so results are bit-comparable.
+    */
+  private val ivfCtes =
+    s"""seeds AS (SELECT vec_id AS cell0, v AS cv0 FROM n
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCells),
+       |a1 AS (SELECT vec_id, v, cell FROM (
+       |  SELECT n.vec_id, n.v, s.cell0 AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_dot_product(n.v, s.cv0)
+       |        /(n.nrm*sqrt(list_dot_product(s.cv0, s.cv0))) DESC,
+       |      s.cell0 ASC) AS rn
+       |  FROM n, seeds s) WHERE rn = 1),
+       |cm AS (SELECT cell, i AS pos,
+       |    CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
+       |  FROM a1, (SELECT unnest(range(1, ${Dim + 1})) AS i) GROUP BY cell, i),
+       |centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM
+       |  (SELECT cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY cell)),
+       |a2 AS (SELECT vec_id, v, nrm, cell FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_dot_product(n.v, c.cv)/(n.nrm*c.cn) DESC,
+       |      c.cell ASC) AS rn
+       |  FROM n, centn c) WHERE rn = 1),
+       |qp AS (SELECT query_id, qv, qn, cell FROM (
+       |  SELECT q.query_id, q.qv, q.qn, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_dot_product(q.qv, c.cv)/(q.qn*c.cn) DESC,
+       |      c.cell ASC) AS pr
+       |  FROM q, centn c) WHERE pr <= $NProbe),
+       |ivf_scored AS (SELECT query_id, vec_id, cell,
+       |    list_dot_product(qv, v)/(qn*nrm) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY list_dot_product(qv, v)/(qn*nrm) DESC, vec_id ASC) AS rank
+       |  FROM qp JOIN a2 USING (cell) WHERE query_id <> vec_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -204,8 +318,27 @@ object SimilarityQueries {
     ),
 
     QueryDef(
+      "q_ann_ivf",
+      s"IVF approximate NN: $NCells-cell coarse quantizer (deterministic " +
+        "hash-ordered seeds + one Lloyd refinement with decimal-exact " +
+        s"means), corpus assigned to nearest cell, queries probe $NProbe " +
+        "cells, exact cosine re-rank in the probed inverted lists. The " +
+        "centroid relation broadcasts, so the corpus is scored without " +
+        "shuffling; same skeleton as H2' with learned buckets.",
+      (s, dir) => ivfTopK(s, dir)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"), col("cell"))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH $baseCte,
+              |$ivfCtes
+              |SELECT query_id, rank, vec_id AS neighbor_id, round(cos,6) AS cosine, cell
+              |FROM ivf_scored WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    QueryDef(
       "q_ann_recall",
-      s"Recall@$K of both ANN variants against the exact top-k, one " +
+      s"Recall@$K of every ANN variant (single-probe LSH, multi-probe " +
+        "LSH, IVF) against the exact top-k, one " +
         "measured row per variant — an ANN operator without a recall " +
         "number is unfalsifiable. Left-join exact neighbors to ANN " +
         "neighbors; recall = matched / expected.",
@@ -223,6 +356,7 @@ object SimilarityQueries {
               round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"))
         recallRow(annTopK(s, dir), "single_probe")
           .union(recallRow(annMultiProbeTopK(s, dir), "multiprobe_h2"))
+          .union(recallRow(ivfTopK(s, dir), s"ivf_nprobe$NProbe"))
           .orderBy("variant")
       },
       Some {
@@ -238,6 +372,7 @@ object SimilarityQueries {
              |  ON ex.query_id = an.query_id AND ex.vec_id = an.vec_id""".stripMargin
         s"""WITH $baseCte,
            |$probesCte,
+           |$ivfCtes,
            |$exactScoredCte,
            |$annScoredCte,
            |$mpScoredCte,
@@ -246,6 +381,8 @@ object SimilarityQueries {
            |${recallSelect("ann_scored", "single_probe")}
            |UNION ALL
            |${recallSelect("mp_scored", "multiprobe_h2")}
+           |UNION ALL
+           |${recallSelect("ivf_scored", s"ivf_nprobe$NProbe")}
            |) ORDER BY variant""".stripMargin
       }
     )

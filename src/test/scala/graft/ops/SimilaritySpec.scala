@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.{Registry, SparkSpec}
+
+/** Invariants for the ANN family on sf0.001 (oracle equality is covered
+  * by the Verify/DuckDB gate; these pin the structural contracts).
+  */
+class SimilaritySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_ann_ivf: <=k ranked candidates per query, ranks contiguous, cosine descending") {
+    val rows = Registry.queryMap("q_ann_ivf")(spark, dir)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"ranks not contiguous for $q")
+      assert(sorted.length <= 5)
+      // rank order must agree with cosine order (desc, neighbor asc tiebreak)
+      val byScore = sorted.sortBy(t => (-t._4, t._3))
+      assert(byScore.map(_._3).toSeq == sorted.map(_._3).toSeq, s"rank/cosine disagree for $q")
+      // a query is never its own neighbor
+      assert(!rs.exists(_._3 == q))
+    }
+  }
+
+  test("q_ann_recall: one measured row per variant, recall within [0,1], ivf present") {
+    val rows = Registry.queryMap("q_ann_recall")(spark, dir).collect()
+    val variants = rows.map(_.getString(0)).toSeq
+    assert(variants.sorted == variants, "output must be ordered by variant")
+    assert(variants.toSet == Set("single_probe", "multiprobe_h2", "ivf_nprobe4"))
+    rows.foreach { r =>
+      val recall = r.getDouble(4)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getLong(2) >= r.getLong(3), "hits cannot exceed exact neighbors")
+    }
+  }
+}
