@@ -125,6 +125,24 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming form of q_dedup_exact (H1):
+    * keep the first arrival of each normalized-text fingerprint. State
+    * holds one 128-bit fingerprint per distinct document seen inside the
+    * watermark horizon; `dropDuplicatesWithinWatermark` evicts a
+    * fingerprint once the watermark passes its arrival time, so state is
+    * bounded by (dedup window x distinct-rate), not by stream history.
+    * Global forever-dedup at 100 TB/day is a batch job (q_dedup_exact)
+    * or an external key store — an unbounded streaming state store is
+    * exactly the anti-pattern this watermark avoids.
+    *
+    * Input must carry `text` and an `eventTime` timestamp column.
+    */
+  def dedupStream(docs: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(graft.functions.TextFunctions.normText(col("text"))))
+      .withWatermark("eventTime", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Wire the windowed aggregation from any streaming source to a sink —
     * the readStream -> transform -> writeStream shape.
     */

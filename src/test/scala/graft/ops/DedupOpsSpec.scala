@@ -32,4 +32,52 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got(6L) == 4L) // only reached 2 hops back, not the global min
   }
+
+  /** Reference union-find over an edge list (min id as representative). */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def checkStar(edges: Seq[(Long, Long)]): Unit = {
+    val got = DedupQueries
+      .connectedComponentsStar(edges.toDF("src", "dst"), maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ufComponents(edges), s"star CC != union-find on $edges")
+  }
+
+  test("star-contraction CC equals union-find on an adversarial 64-chain") {
+    // diameter 63: min-label propagation would need 63 rounds; star
+    // contraction converges in O(log d) — this is its reason to exist
+    checkStar((0L until 63L).map(i => (i, i + 1)))
+  }
+
+  test("star-contraction CC equals union-find on cliques, stars and a random graph") {
+    val clique = for { i <- 100L to 105L; j <- (i + 1) to 105L } yield (i, j)
+    val starUp = (1L to 9L).map(i => (0L, i)) // hub is the min
+    val starDown = (10L to 19L).map(i => (i, 20L)) // hub is the max
+    checkStar(clique ++ starUp ++ starDown)
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    checkStar(random)
+  }
+
+  test("star-contraction CC matches min-label propagation on the shared edge shape") {
+    val edges = Seq((5L, 1L), (6L, 5L), (7L, 6L), (30L, 31L))
+    val prop = DedupQueries.connectedComponents(edges.toDF("src", "dst"), 6)
+      .as[(Long, Long)].collect().toMap
+    val star = DedupQueries
+      .connectedComponentsStar(edges.toDF("src", "dst"), maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
 }

@@ -93,6 +93,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival per fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("eventTime", "doc_id", "text")
+    val q = EventStream.dedupStream(docs)
+      .writeStream.queryName("dedup_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-dedup").toString)
+      .format("memory")
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "Hello,  World!"),
+        (ts("2024-01-01 10:01:00"), 2L, "hello world"), // same normalized fp
+        (ts("2024-01-01 10:02:00"), 3L, "something else"))
+      q.processAllAvailable()
+      input.addData( // second batch, still inside the horizon
+        (ts("2024-01-01 10:03:00"), 4L, "HELLO world"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_test").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(1L, 3L),
+        s"expected first arrivals only, got ${kept.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionization tracks gap-separated sessions") {
     implicit val s = spark
     import spark.implicits._
