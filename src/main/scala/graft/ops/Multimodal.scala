@@ -65,6 +65,91 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** STUB resize: a real implementation would decode, scale to
+    * targetW x targetH, and re-encode. The fake is deterministic and
+    * size-plausible: output bytes = a rolling-hash-seeded prefix whose
+    * length scales with the target pixel count (so downstream sizing
+    * logic — maxPartitionBytes math, batch shaping — exercises real
+    * numbers), and the meta struct reports the target dimensions.
+    */
+  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val outLen = math.max(16, math.min(bytes.length,
+      (targetW.toLong * targetH / 64).toInt))
+    val out = new Array[Byte](outLen)
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < outLen) {
+      h = (h ^ bytes(i % bytes.length)) * 1099511628211L
+      out(i) = (h >>> 24).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Resize pass over the canonical media schema: one row in, one row
+    * out, content replaced by the (stubbed) re-encoded bytes and meta
+    * updated to the target dimensions. Partition-parallel, null-safe —
+    * swapping in a real scaler means replacing ONLY [[resizeStub]].
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        if (bytes == null) r
+        else {
+          val out = resizeStub(bytes, targetW, targetH)
+          val magic = out.take(4).map("%02X".format(_)).mkString
+          Row(r.getLong(0), r.getString(1), out,
+            Row(out.length, magic, targetW, targetH))
+        }
+      }
+    }(enc)
+  }
+
+  /** One sampled frame of a (fake-decoded) video blob. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** STUB frame count: a real demuxer would read the container header.
+    * Deterministic fake: 1 frame per 64 bytes, 1..256.
+    */
+  def frameCountStub(bytes: Array[Byte]): Int =
+    math.max(1, math.min(256, bytes.length / 64))
+
+  /** Frame sampling: every `everyNth` frame of each video row is emitted
+    * as its own row — the 1-to-N fan-out shape (flatMap inside
+    * mapPartitions, so the decoder amortizes per partition and a single
+    * huge video streams frames without materializing them all). Null or
+    * empty content yields no rows. At 100 TB: the fan-out multiplies
+    * ROWS, not bytes read — each emitted frame is a slice, and the
+    * output is typically written partitioned by media_id range so one
+    * video's frames stay co-located for the training shuffle.
+    */
+  def sampleFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth >= 1, "everyNth must be >= 1")
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val id = r.getLong(0)
+          val n = frameCountStub(bytes)
+          // fake frame payload: the byte window "belonging" to the frame
+          (0 until n by everyNth).iterator.map { f =>
+            val from = (f.toLong * bytes.length / n).toInt
+            val until = ((f + 1).toLong * bytes.length / n).toInt
+            Row(id, f, java.util.Arrays.copyOfRange(bytes, from, math.max(from + 1, until)), n)
+          }
+        }
+      }
+    }(enc)
+  }
 }
 
 /** Declared multimodal queries — the oracle-checkable subset (pure SQL

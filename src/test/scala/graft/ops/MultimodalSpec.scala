@@ -37,4 +37,46 @@ class MultimodalSpec extends SparkSpec {
     val (w, h) = Multimodal.decodeStub(b)
     assert(w >= 64 && w < 1024 && h >= 64 && h < 1024)
   }
+
+  test("resize keeps schema, updates meta dims, passes nulls through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a-blob-of-reasonable-length-for-resize")),
+      (2L, Option.empty[String]))
+      .toDF("id", "payload")
+      .withColumn("blob", col("payload").cast("binary"))
+    val media = Multimodal.extractFeatures(df, "id", "blob", "image/png")
+    val out = Multimodal.resize(media, 128, 96)
+    assert(out.schema == Multimodal.mediaSchema)
+    val rows = out.orderBy("media_id").collect()
+    val meta = rows(0).getStruct(3)
+    assert(meta.getInt(2) == 128 && meta.getInt(3) == 96)
+    assert(meta.getInt(0) == rows(0).getAs[Array[Byte]](2).length)
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(3)) // null row untouched
+    // determinism
+    val again = Multimodal.resize(media, 128, 96).orderBy("media_id").collect()
+    assert(again.zip(rows).forall { case (a, b) => a == b })
+  }
+
+  test("sampleFrames fans one video row out to every Nth frame") {
+    import spark.implicits._
+    val blob = Array.tabulate[Byte](640)(i => (i % 97).toByte) // 10 fake frames
+    val media = Seq((7L, "video/mp4", blob))
+      .toDF("media_id", "media_type", "content")
+      .withColumn("meta", lit(null).cast(Multimodal.mediaSchema("meta").dataType))
+    val all = Multimodal.sampleFrames(media, everyNth = 1)
+      .orderBy("frame_idx").collect()
+    assert(all.length == 10 && all.forall(_.getInt(3) == 10))
+    assert(all.map(_.getInt(1)).toSeq == (0 until 10))
+    // frames partition the blob: concatenation round-trips the bytes
+    val concat = all.flatMap(_.getAs[Array[Byte]](2))
+    assert(concat.toSeq == blob.toSeq)
+    val sampled = Multimodal.sampleFrames(media, everyNth = 4)
+      .orderBy("frame_idx").collect()
+    assert(sampled.map(_.getInt(1)).toSeq == Seq(0, 4, 8))
+    // null/empty content yields no rows
+    val noRows = Multimodal.sampleFrames(
+      media.withColumn("content", lit(null).cast("binary")), 1).count()
+    assert(noRows == 0L)
+  }
 }
