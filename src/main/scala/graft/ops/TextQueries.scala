@@ -189,6 +189,91 @@ object TextQueries {
               |    CASE WHEN length(nt) >= 8 THEN range(1, length(nt)-6) ELSE [1] END,
               |    i -> substr(md5(substr(nt,i,8)),1,16)),'min') AS winnow_fp
               |FROM t ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_vocab_ngrams",
+      "Corpus vocabulary induction: top-50 word bigrams by term " +
+        "frequency (count desc, bigram asc tiebreak) — the n-gram count " +
+        "pass a tokenizer/vocab build runs over the whole corpus. " +
+        "Shape: one scan -> per-doc bigram array -> explode -> partial " +
+        "agg -> one shuffle on the ngram key -> TakeOrdered top-k; at " +
+        "100 TB the map-side partial agg collapses each task's counts " +
+        "before the only shuffle, and top-k never sorts globally.",
+      (s, dir) => {
+        val bigrams = when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - lit(2)),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array().cast(ArrayType(StringType)))
+        Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .select(explode(bigrams).as("ngram"))
+          .groupBy("ngram")
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(col("n_occurrences").desc, col("ngram").asc)
+          .limit(50)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |b AS (SELECT unnest(CASE WHEN len(toks) >= 2
+              |    THEN list_transform(range(1, len(toks)), i -> toks[i]||' '||toks[i+1])
+              |    ELSE []::VARCHAR[] END) AS ngram FROM t)
+              |SELECT ngram, COUNT(*) AS n_occurrences FROM b
+              |GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_corpus_filter",
+      "The end-to-end training-corpus filter pass, composed from the " +
+        "operators above in ONE pipeline: quality gate (>= 2 of the " +
+        "q_quality_score points) AND exact-dedup keeper (doc_id = min " +
+        "over its 128-bit normalized-text fingerprint group). One scan, " +
+        "one fingerprint-key window shuffle — the quality expressions " +
+        "ride along for free.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val stop = langMarkers.flatMap(_._2).distinct.sorted
+        val wFp = Window.partitionBy(md5(normText(col("text"))))
+        Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("n_stop",
+            size(filter(col("toks"),
+              t => t.isin(stop.map(x => x: Any): _*))))
+          .withColumn("quality_points",
+            when(col("n_tok") >= 10, lit(1)).otherwise(lit(0)) +
+              when(col("n_stop") > 0, lit(1)).otherwise(lit(0)) +
+              when(length(col("text")) >= 64, lit(1)).otherwise(lit(0)))
+          .withColumn("keeper_id", min(col("doc_id")).over(wFp))
+          .filter(col("quality_points") >= 2 &&
+            col("keeper_id") === col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            col("quality_points"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stop = sqlList(langMarkers.flatMap(_._2).distinct.sorted)
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, text, $toksSql AS toks,
+           |    min(doc_id) OVER (PARTITION BY md5($normSql)) AS keeper_id
+           |  FROM documents
+           |), m AS (
+           |  SELECT doc_id, lang, keeper_id, len(toks) AS n_tok,
+           |    len(list_filter(toks, x -> list_contains($stop, x))) AS n_stop,
+           |    length(text) AS n_chars
+           |  FROM t)
+           |SELECT doc_id, lang, n_tok,
+           |  (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END
+           |   + CASE WHEN n_stop > 0 THEN 1 ELSE 0 END
+           |   + CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS quality_points
+           |FROM m
+           |WHERE (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END
+           |   + CASE WHEN n_stop > 0 THEN 1 ELSE 0 END
+           |   + CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) >= 2
+           |  AND keeper_id = doc_id
+           |ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }
