@@ -31,7 +31,8 @@ object Registry {
       ops.JoinQueries.defs ++
       ops.SampleQueries.defs ++
       ops.PackingQueries.defs ++
-      ops.MultimodalQueries.defs
+      ops.MultimodalQueries.defs ++
+      ops.CorpusQueries.defs
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

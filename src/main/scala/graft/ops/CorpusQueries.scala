@@ -1,0 +1,285 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization (extends SURVEY.md §2 H4/H8):
+  * repetition-based quality filtering (Gopher-style), benchmark
+  * decontamination, TF-IDF term scoring, temperature-weighted domain
+  * mixing, and PII/blocklist redaction. All built-in expressions —
+  * codegen'd end to end, no UDFs — each with a DuckDB oracle twin.
+  *
+  * Determinism: ratios are single IEEE double divisions of exact integers
+  * (exactly-rounded in both engines); no transcendentals (the TF-IDF
+  * rarity weight is the log-free N/df ratio — same ranking on this
+  * corpus, bit-identical across libm implementations).
+  */
+object CorpusQueries {
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
+  private val toksSql = s"string_split($normSql,' ')"
+
+  /** Repetition flags: a doc is repetitive when one token dominates or
+    * bigrams repeat (Gopher repetition signals, Rae et al. 2021).
+    */
+  private val TopWordTau = 0.15
+  private val Dup2Tau = 0.05
+
+  /** Decontamination: benchmark = the `src0` slice (stand-in for an eval
+    * set); a doc is contaminated when >= this fraction of its word
+    * 3-grams appear in the benchmark set.
+    */
+  private val ContamN = 3
+  private val ContamTau = 0.3
+
+  /** Domain mixing: per-source budget = ceil(MixC * sqrt(n_source)) docs
+    * — alpha=0.5 temperature resampling (rare sources up-weighted
+    * relative to their share, as in multilingual LLM data mixes).
+    */
+  private val MixC = 4
+
+  /** PII / blocklist scrub pattern (applied to lowercased text): emails,
+    * phone-shaped digit runs, and a term blocklist. The email/phone arms
+    * are the real-world PII surface (this synthetic corpus contains no
+    * digits or '@', so they match zero rows — the blocklist arm carries
+    * the test); identical RE2/Java-regex subset in both engines.
+    */
+  private val PiiPattern =
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" +
+      "|\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b" +
+      "|\\b(?:customer|vector)\\b"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_repetition_filter",
+      "Gopher-style repetition filter: per-doc top-token fraction and " +
+        "duplicate-bigram fraction -> repetitive flag. Shape: one scan, " +
+        "explode -> two-level hash agg (partial aggs collapse per-task " +
+        "token counts before the only doc_id shuffle); the bigram " +
+        "distinct-count rides along as a group key, no second pass.",
+      (s, dir) => {
+        val t = Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("n_bi2", size(wordNgrams(col("toks"), 2)))
+        val dup2raw = lit(1.0) -
+          col("n_bi2").cast("double") / (col("n_tok") - 1)
+        val topraw = col("top_cnt").cast("double") / col("n_tok")
+        t.select(col("doc_id"), col("n_tok"), col("n_bi2"),
+            explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "n_tok", "n_bi2", "tok")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id", "n_tok", "n_bi2")
+          .agg(max(col("cnt")).as("top_cnt"))
+          .select(
+            col("doc_id"), col("n_tok"),
+            round(topraw, 6).as("top_word_frac"),
+            when(col("n_tok") >= 2, round(dup2raw, 6)).otherwise(0.0)
+              .as("dup_2gram_frac"),
+            when(topraw >= TopWordTau ||
+              (col("n_tok") >= 2 && dup2raw >= Dup2Tau), 1).otherwise(0)
+              .as("repetitive"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |m AS (SELECT doc_id, len(toks) AS n_tok,
+              |    len(list_distinct(list_transform(range(1, len(toks)),
+              |      i -> toks[i]||' '||toks[i+1]))) AS n_bi2,
+              |    unnest(toks) AS tok FROM t),
+              |c AS (SELECT doc_id, n_tok, n_bi2, tok, count(*) AS cnt
+              |  FROM m GROUP BY 1,2,3,4),
+              |a AS (SELECT doc_id, n_tok, n_bi2, max(cnt) AS top_cnt
+              |  FROM c GROUP BY 1,2,3)
+              |SELECT doc_id, n_tok,
+              |  round(CAST(top_cnt AS DOUBLE)/n_tok, 6) AS top_word_frac,
+              |  CASE WHEN n_tok >= 2
+              |    THEN round(1.0 - CAST(n_bi2 AS DOUBLE)/(n_tok-1), 6)
+              |    ELSE 0.0 END AS dup_2gram_frac,
+              |  CASE WHEN CAST(top_cnt AS DOUBLE)/n_tok >= $TopWordTau
+              |    OR (n_tok >= 2 AND 1.0 - CAST(n_bi2 AS DOUBLE)/(n_tok-1) >= $Dup2Tau)
+              |    THEN 1 ELSE 0 END AS repetitive
+              |FROM a ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_contamination",
+      s"Benchmark decontamination: the src0 slice stands in for an eval " +
+        s"set; every other doc's word $ContamN-gram overlap against the " +
+        "benchmark n-gram set is measured and docs >= " +
+        s"$ContamTau flagged. Shape: benchmark distinct n-grams (small) " +
+        "BROADCAST to an equi-join against the exploded corpus n-grams — " +
+        "the corpus never shuffles; at 100 TB the eval-set side stays " +
+        "KBs-to-MBs while the corpus side is a map-only scan + one " +
+        "doc_id agg shuffle. (For eval sets beyond broadcast size: same " +
+        "plan with a shuffled equi-join, or a Bloom filter pre-pass.)",
+      (s, dir) => {
+        val g = Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .filter(size(col("toks")) >= ContamN)
+          .select(col("doc_id"), col("source"),
+            wordNgrams(col("toks"), ContamN).as("ng"))
+        val bench = g.filter(col("source") === "src0")
+          .select(explode(col("ng")).as("ngram")).distinct()
+          .withColumn("hit", lit(1))
+        g.filter(col("source") =!= "src0")
+          .select(col("doc_id"), size(col("ng")).as("n_ngrams"),
+            explode(col("ng")).as("ngram"))
+          .join(broadcast(bench), Seq("ngram"), "left")
+          .groupBy("doc_id", "n_ngrams")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(col("doc_id"), col("n_ngrams"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_ngrams"), 6)
+              .as("overlap_frac"),
+            when(col("n_hits").cast("double") / col("n_ngrams") >= ContamTau,
+              1).otherwise(0).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, source,
+              |    list_distinct(list_transform(range(1, len(toks)-${ContamN - 2}),
+              |      i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS ng
+              |  FROM t WHERE len(toks) >= $ContamN),
+              |bench AS (SELECT DISTINCT unnest(ng) AS ngram FROM g WHERE source='src0'),
+              |x AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS ngram
+              |  FROM g WHERE source <> 'src0'),
+              |j AS (SELECT x.doc_id, x.n_ngrams,
+              |    CAST(sum(CASE WHEN b.ngram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits
+              |  FROM x LEFT JOIN bench b ON x.ngram = b.ngram
+              |  GROUP BY 1,2)
+              |SELECT doc_id, n_ngrams, n_hits,
+              |  round(CAST(n_hits AS DOUBLE)/n_ngrams, 6) AS overlap_frac,
+              |  CASE WHEN CAST(n_hits AS DOUBLE)/n_ngrams >= $ContamTau
+              |    THEN 1 ELSE 0 END AS contaminated
+              |FROM j ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_tfidf_terms",
+      "TF-IDF term scoring: top-10 terms per language by tf x (N/df) — " +
+        "the log-free rarity weight keeps IEEE determinism across " +
+        "engines (same ranking; ln is monotone in N/df). Shape: one " +
+        "explode feeds BOTH the (lang, term) tf agg and the per-doc-" +
+        "distinct df agg; df and the 1-row corpus count broadcast into " +
+        "the tf relation, so the only non-broadcast shuffles are the two " +
+        "term-key aggs. Top-k per lang is a WindowGroupLimit, never a " +
+        "global sort.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val t = docs.select(col("doc_id"), col("lang"),
+          tokens(col("text")).as("toks"))
+        val tf = t.select(col("lang"), explode(col("toks")).as("term"))
+          .groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = t
+          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_total"))
+        val scoreRaw = col("tf").cast("double") *
+          (col("n_total").cast("double") / col("df").cast("double"))
+        val w = Window.partitionBy("lang")
+          .orderBy(scoreRaw.desc, col("term").asc)
+        tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("lang"), col("rank"), col("term"), col("tf"),
+            col("df"), round(scoreRaw, 6).as("tfidf"))
+          .orderBy("lang", "rank")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+              |tf AS (SELECT lang, term, count(*) AS tf FROM
+              |  (SELECT lang, unnest(toks) AS term FROM t) GROUP BY 1,2),
+              |dfq AS (SELECT term, count(*) AS df FROM
+              |  (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+              |  GROUP BY 1),
+              |n AS (SELECT count(*) AS n_total FROM documents),
+              |scored AS (SELECT lang, term, tf, df,
+              |    CAST(tf AS DOUBLE) * (CAST(n_total AS DOUBLE)/CAST(df AS DOUBLE)) AS score,
+              |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+              |      CAST(tf AS DOUBLE) * (CAST(n_total AS DOUBLE)/CAST(df AS DOUBLE)) DESC,
+              |      term ASC) AS rank
+              |  FROM tf JOIN dfq USING (term), n)
+              |SELECT lang, rank, term, tf, df, round(score, 6) AS tfidf
+              |FROM scored WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_domain_mix",
+      s"Domain-mixture resampling: per-source doc budget = ceil($MixC * " +
+        "sqrt(n_source)) — alpha=0.5 temperature reweighting (rare " +
+        "domains keep proportionally more), selection by deterministic " +
+        "md5 rank so the sample is reproducible across engines and " +
+        "layouts. Shape: ONE shuffle on source (window count + " +
+        "row_number share the partitioning), then the per-source agg " +
+        "reuses it; at 100 TB a skewed mega-domain is the hazard — the " +
+        "md5 order is scan-order-independent, so the window can be " +
+        "replaced by a per-source threshold on the hash value (stateless " +
+        "per row, as q_stratified_sample) once budgets are fractions.",
+      (s, dir) => {
+        val wSrc = Window.partitionBy("source")
+        val wOrd = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).as("n_tok"))
+          .withColumn("n_docs", count(lit(1)).over(wSrc))
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("cap", ceil(lit(MixC) * sqrt(col("n_docs"))).cast("long"))
+          .filter(col("rn") <= col("cap"))
+          .groupBy("source")
+          .agg(max(col("n_docs")).as("n_docs"),
+            max(col("cap")).as("sample_cap"),
+            count(lit(1)).as("n_kept"),
+            sum(col("n_tok")).cast("long").as("tokens_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS n_tok FROM documents),
+              |r AS (SELECT doc_id, source, n_tok,
+              |    count(*) OVER (PARTITION BY source) AS n_docs,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              |  FROM t),
+              |k AS (SELECT *, CAST(ceil($MixC * sqrt(n_docs)) AS BIGINT) AS cap
+              |  FROM r)
+              |SELECT source, max(n_docs) AS n_docs, max(cap) AS sample_cap,
+              |  count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+              |FROM k WHERE rn <= cap GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_pii_scrub",
+      "PII / blocklist redaction: one regexp alternation (emails, " +
+        "phone-shaped digit runs, blocklisted terms) counted and " +
+        "replaced per doc; output is the redaction count plus a " +
+        "fingerprint of the scrubbed text. Stateless per row — a " +
+        "map-only scan with no shuffle at any scale; the pattern uses " +
+        "the RE2-compatible regex subset so both engines agree.",
+      (s, dir) => {
+        val low = lower(col("text"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(low, lit(PiiPattern)).as("n_redactions"),
+            substring(md5(regexp_replace(low, PiiPattern, "[PII]")), 1, 16)
+              .as("scrubbed_fp"),
+            when(regexp_count(low, lit(PiiPattern)) > 0, 1).otherwise(0)
+              .as("had_pii"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // same pattern; DuckDB needs the 'g' flag for replace-all. SQL
+        // single-quoted strings keep backslashes literal — no re-escaping.
+        val p = PiiPattern.replace("'", "''")
+        s"""SELECT doc_id,
+           |  len(regexp_extract_all(lower(text), '$p')) AS n_redactions,
+           |  substr(md5(regexp_replace(lower(text), '$p', '[PII]', 'g')), 1, 16)
+           |    AS scrubbed_fp,
+           |  CASE WHEN len(regexp_extract_all(lower(text), '$p')) > 0
+           |    THEN 1 ELSE 0 END AS had_pii
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    )
+  )
+}

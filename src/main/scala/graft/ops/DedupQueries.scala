@@ -84,7 +84,19 @@ object DedupQueries {
     */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame = {
+    // The shingle relation is consumed three times (band pipeline + both
+    // verify legs) and by BOTH q_doc_dedup and q_dedup_clusters, so it is
+    // persisted: Spark's CacheManager matches the canonicalized plan, so
+    // every consumer — across queries in the same session — reads the one
+    // materialized copy instead of re-running the normalize+shingle scan.
+    // At 100 TB this is the classic cache-vs-recompute knob: the shingle
+    // relation is ~shingle-count x k bytes (larger than the corpus), so
+    // MEMORY_AND_DISK makes it a disk-backed spill, and dropping the
+    // persist trades 2 extra scans for zero cache footprint — both plans
+    // are correct; this library picks the cache because every byte of it
+    // is consumed at least twice.
     val sh = shingleDf(Tables.par(s, dir, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sh.select(col("doc_id"),
       posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
         .as(Seq("band", "bh")))

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.{Registry, SparkSpec}
+import java.nio.file.Files
+
+/** Semantics of the corpus-curation operators on a controlled corpus:
+  * the declared queries read `documents.parquet` from a dir, so the spec
+  * writes a tiny corpus with known repetition / contamination / PII
+  * structure and checks the flags, not just row counts.
+  */
+class CorpusQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (doc_id, text, lang, source): doc 1 is pathologically repetitive;
+  // doc 2 is diverse; doc 3 (src1) is an exact copy of benchmark doc 4
+  // (src0); doc 5 carries every PII arm (email, phone, blocklist term).
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("corpusspec").toString
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam", "en", "src1"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src1"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight", "en", "src1"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight", "en", "src0"),
+      (5L, "contact me at bob@example.com or 555-867-5309 dear customer", "en", "src2"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(name: String) = Registry.queryMap(name)(spark, dir)
+
+  test("q_repetition_filter flags the one-token doc, passes the diverse doc") {
+    val rows = run("q_repetition_filter")
+      .select("doc_id", "top_word_frac", "dup_2gram_frac", "repetitive")
+      .as[(Long, Double, Double, Int)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    // doc 1: 10x one token -> top frac 1.0, 9 bigram slots / 1 distinct
+    assert(rows(1L) == ((1.0, 0.888889, 1))) // round(1 - 1/9, 6)
+    // doc 2: all tokens distinct -> nothing repeats
+    assert(rows(2L) == ((0.1, 0.0, 0)))
+    // doc 3: "the" twice in 10 tokens = 0.2 >= 0.15 -> flagged
+    assert(rows(3L)._3 == 1)
+  }
+
+  test("q_contamination: exact copy of a benchmark doc has overlap 1.0") {
+    val rows = run("q_contamination")
+      .select("doc_id", "overlap_frac", "contaminated")
+      .as[(Long, Double, Int)].collect()
+      .map { case (id, f, c) => id -> ((f, c)) }.toMap
+    assert(rows(3L) == ((1.0, 1)))  // verbatim copy of src0 doc 4
+    assert(rows(1L) == ((0.0, 0))) // no 3-gram shared with src0
+    assert(!rows.contains(4L))     // benchmark docs are not scored
+  }
+
+  test("q_tfidf_terms: corpus-wide terms score tf*1, unique terms tf*N") {
+    val rows = run("q_tfidf_terms")
+      .select("term", "tf", "df", "tfidf")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // "the" appears in docs 3,4,5... no: docs 3 and 4 (twice each) = tf 4, df 2
+    val the = rows("the")
+    assert(the._2 == 4L && the._3 == 2L && the._4 == 4.0 * (5.0 / 2.0))
+    // "spam": tf 10, df 1 -> 10 * 5/1 = 50, the top-scored en term
+    assert(rows("spam")._4 == 50.0)
+  }
+
+  test("q_domain_mix: small sources keep all docs under the sqrt budget") {
+    val rows = run("q_domain_mix")
+      .select("source", "n_docs", "sample_cap", "n_kept")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // every source here is far below cap = ceil(4*sqrt(n)) -> all kept
+    assert(rows("src1") == (("src1", 3L, 7L, 3L)))
+    assert(rows("src0") == (("src0", 1L, 4L, 1L)))
+    assert(rows("src2") == (("src2", 1L, 4L, 1L)))
+  }
+
+  test("q_pii_scrub counts email + phone + blocklist hits") {
+    val rows = run("q_pii_scrub")
+      .select("doc_id", "n_redactions", "had_pii")
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, n, h) => id -> ((n, h)) }.toMap
+    assert(rows(5L) == ((3, 1))) // bob@example.com, 555-867-5309, customer
+    assert(rows(2L) == ((0, 0)))
+  }
+}
