@@ -123,10 +123,15 @@ object DedupQueries {
     // shingle sets.
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    // The verified pair set is edges ≪ corpus at any scale and is the
+    // shared output of q_doc_dedup and q_dedup_clusters — persist it so
+    // the second consumer starts from the materialized pairs instead of
+    // re-running bucket join + Jaccard verify.
     pairs.join(a, "doc_a").join(b, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sha"), col("shb")).as("j"))
       .filter(col("j") >= MinhashVerifyJ)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, j)` — the oracle twin
@@ -326,8 +331,16 @@ object DedupQueries {
         "one declarative plan, each round an equi-join + min-agg on the " +
         "tiny pair relation; the keeper per cluster is its min doc_id.",
       (s, dir) => {
+        // Eagerly truncate lineage on the verified-pair relation (tiny:
+        // edges ≪ corpus at any scale) before iterating: symSelf's plan
+        // references it three times (both union legs + the node set), and
+        // without truncation each reference re-evaluates the whole
+        // LSH+verify pipeline during cache materialization — measured 3x
+        // the pair cost. Same checkpoint-the-fixpoint-input shape as
+        // connectedComponentsStar.
         val edges = minhashPairs(s, dir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .localCheckpoint(true)
         import org.apache.spark.sql.expressions.Window
         val wc = Window.partitionBy("cluster_id")
         connectedComponents(edges, CcIters)

@@ -38,12 +38,20 @@ object SimilarityQueries {
   // Shared builders: the recall query composes the two pipelines, so they
   // must be the *same code*, not near-copies that can drift.
 
-  /** corpus with double vector, norm, and LSH bucket. */
+  /** corpus with double vector, norm, and LSH bucket. Persisted: this is
+    * the ANN system's prepared index side — every similarity query (and
+    * both legs of each: query rows AND corpus rows come from it) starts
+    * here, so the normalize+bucket scan is materialized once per session
+    * and every consumer across queries hits the CacheManager entry. At
+    * 100 TB this is the index you'd precompute and store anyway;
+    * MEMORY_AND_DISK makes it a disk-backed artifact, not an OOM risk.
+    */
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def rankW = org.apache.spark.sql.expressions.Window
     .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
@@ -159,7 +167,12 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wA2))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    (a2, centn)
+    // The built index (cell assignment + refined centroids) is the
+    // artifact an IVF system stores — persist both so q_ann_ivf and
+    // q_ann_recall score against one materialized index instead of
+    // re-running seed/Lloyd/assign per consumer.
+    (a2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      centn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** IVF top-k: each query probes its NProbe nearest refined cells; the
