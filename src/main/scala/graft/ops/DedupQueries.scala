@@ -143,8 +143,9 @@ object DedupQueries {
     s"""$shingleSqlCte,
        |hm AS (SELECT doc_id, sh, $materialSql AS hs FROM d),
        |sig AS (SELECT doc_id, sh, $sigSql AS sg FROM hm),
-       |bands AS (SELECT doc_id, sh, b, $bandHash AS bh
-       |  FROM sig, (SELECT unnest(range($Bands)) AS b)
+       |bands0 AS (SELECT doc_id, sh, b, $bandHash AS bh
+       |  FROM sig, (SELECT unnest(range($Bands)) AS b)),
+       |bands AS (SELECT * FROM bands0
        |  QUALIFY count(*) OVER (PARTITION BY b, bh)
        |    BETWEEN 2 AND $HotBucketCap),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -501,6 +502,73 @@ object DedupQueries {
            |  AND a.vec_id < b.vec_id
            |WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= $CosineTau
            |ORDER BY vec_a, vec_b""".stripMargin
+      }
+    ),
+
+    // ------------------------------------------------------------- H3++
+    QueryDef(
+      "q_dedup_incremental",
+      "Incremental-ingest near-dup: an arriving batch (doc_id % 10 = 0, " +
+        "a 10% slice) is deduped AGAINST the standing corpus instead of " +
+        "all-pairs — new-batch MinHash bands equi-join the existing band " +
+        "index, exact-Jaccard verify, keep each new doc's best match " +
+        "(max j, min id tiebreak). At 100 TB the existing (band, hash) " +
+        "index is the stored artifact, bucketed on its key, so ONLY the " +
+        "arriving batch shuffles; the hot-bucket cap applies to the " +
+        "index side. This is the daily-ingest path — the whole-corpus " +
+        "q_doc_dedup pass never reruns for a 0.1% batch.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = shingleDf(Tables.par(s, dir, "documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = sh.select(col("doc_id"),
+          posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
+            .as(Seq("band", "bh")))
+        val isNew = col("doc_id") % 10 === 0
+        val wb = Window.partitionBy("band", "bh")
+        // boilerplate cap on the INDEX side only (a bucket with one
+        // existing doc must still match new arrivals, so no lower bound)
+        val exB = bands.filter(!isNew)
+          .withColumn("bsz", count(lit(1)).over(wb))
+          .filter(col("bsz") <= HotBucketCap)
+          .select(col("doc_id").as("match_id"), col("band"), col("bh"))
+        val cand = bands.filter(isNew)
+          .select(col("doc_id"), col("band"), col("bh"))
+          .join(exB, Seq("band", "bh"))
+          .select("doc_id", "match_id").distinct()
+        val a = sh.select(col("doc_id"), col("sh").as("sha"))
+        val b = sh.select(col("doc_id").as("match_id"), col("sh").as("shb"))
+        val wBest = Window.partitionBy("doc_id")
+          .orderBy(col("j").desc, col("match_id").asc)
+        cand.join(a, "doc_id").join(b, "match_id")
+          .select(col("doc_id"), col("match_id"),
+            jaccard(col("sha"), col("shb")).as("j"))
+          .filter(col("j") >= MinhashVerifyJ)
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("match_id"),
+            round(col("j"), 6).as("jaccard"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val j = "CAST(len(list_intersect(a.sh,e.sh)) AS DOUBLE) / " +
+          "len(list_distinct(list_concat(a.sh,e.sh)))"
+        s"""WITH $pairsSqlCtes,
+           |exb AS (SELECT doc_id AS match_id, b, bh FROM bands0
+           |  WHERE doc_id % 10 <> 0
+           |  QUALIFY count(*) OVER (PARTITION BY b, bh) <= $HotBucketCap),
+           |cand2 AS (SELECT DISTINCT n.doc_id, e2.match_id
+           |  FROM (SELECT doc_id, b, bh FROM bands0 WHERE doc_id % 10 = 0) n
+           |  JOIN exb e2 ON n.b = e2.b AND n.bh = e2.bh),
+           |v AS (SELECT c.doc_id, c.match_id, $j AS j
+           |  FROM cand2 c JOIN d a ON a.doc_id = c.doc_id
+           |  JOIN d e ON e.doc_id = c.match_id),
+           |best AS (SELECT doc_id, match_id, j,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id
+           |      ORDER BY j DESC, match_id ASC) AS rn
+           |  FROM v WHERE j >= $MinhashVerifyJ)
+           |SELECT doc_id, match_id, round(j, 6) AS jaccard
+           |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
       }
     )
   )
