@@ -48,7 +48,7 @@ object CorpusQueries {
     * digits or '@', so they match zero rows — the blocklist arm carries
     * the test); identical RE2/Java-regex subset in both engines.
     */
-  private val PiiPattern =
+  private[graft] val piiPattern =
     "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" +
       "|\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b" +
       "|\\b(?:customer|vector)\\b"
@@ -261,17 +261,17 @@ object CorpusQueries {
         val low = lower(col("text"))
         Tables.t(s, dir, "documents")
           .select(col("doc_id"),
-            regexp_count(low, lit(PiiPattern)).as("n_redactions"),
-            substring(md5(regexp_replace(low, PiiPattern, "[PII]")), 1, 16)
+            regexp_count(low, lit(piiPattern)).as("n_redactions"),
+            substring(md5(regexp_replace(low, piiPattern, "[PII]")), 1, 16)
               .as("scrubbed_fp"),
-            when(regexp_count(low, lit(PiiPattern)) > 0, 1).otherwise(0)
+            when(regexp_count(low, lit(piiPattern)) > 0, 1).otherwise(0)
               .as("had_pii"))
           .orderBy("doc_id")
       },
       Some {
         // same pattern; DuckDB needs the 'g' flag for replace-all. SQL
         // single-quoted strings keep backslashes literal — no re-escaping.
-        val p = PiiPattern.replace("'", "''")
+        val p = piiPattern.replace("'", "''")
         s"""SELECT doc_id,
            |  len(regexp_extract_all(lower(text), '$p')) AS n_redactions,
            |  substr(md5(regexp_replace(lower(text), '$p', '[PII]', 'g')), 1, 16)

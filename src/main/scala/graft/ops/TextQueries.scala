@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,7 +17,7 @@ object TextQueries {
   /** Tiny per-language stopword marker lists for the n-gram/stopword
     * language heuristic. Deterministic and inlined into both engines.
     */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is"),
     "es" -> Seq("el", "la", "de", "que", "es"),
     "fr" -> Seq("le", "la", "et", "les", "est"),
@@ -24,6 +25,26 @@ object TextQueries {
     "zh" -> Seq("de", "shi", "le", "wo", "ni"))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  /** Flattened stopword list shared by the quality gate here, the
+    * composed corpus filter, and the streaming curation pipeline
+    * ([[graft.streaming.CorpusStream]]) — one definition so batch and
+    * streaming cannot drift.
+    */
+  private[graft] val stopwords: Seq[String] = langMarkers.flatMap(_._2).distinct.sorted
+
+  private[graft] def nStop(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** The 3-point document quality gate (length, stopword presence, token
+    * count) — the single expression both q_quality_score/q_corpus_filter
+    * and the streaming twin apply.
+    */
+  private[graft] def qualityPoints(nChars: Column, nTok: Column,
+                                   nStopC: Column): Column =
+    when(nTok >= 10, lit(1)).otherwise(lit(0)) +
+      when(nStopC > 0, lit(1)).otherwise(lit(0)) +
+      when(nChars >= 64, lit(1)).otherwise(lit(0))
 
   /** DuckDB twin of the normalized-token expression. */
   private val normSql =
@@ -122,15 +143,12 @@ object TextQueries {
         "ratio, alpha ratio -> composite score (exact int ratios, single " +
         "final rounding).",
       (s, dir) => {
-        val stop = langMarkers.flatMap(_._2).distinct.sorted
         Tables.t(s, dir, "documents")
           .withColumn("toks", tokens(col("text")))
           .withColumn("n_tok", size(col("toks")))
           .withColumn("n_alpha",
             length(regexp_replace(lower(col("text")), "[^a-z]", "")))
-          .withColumn("n_stop",
-            size(filter(col("toks"),
-              t => t.isin(stop.map(x => x: Any): _*))))
+          .withColumn("n_stop", nStop(col("toks")))
           .select(
             col("doc_id"),
             col("n_tok"),
@@ -138,9 +156,7 @@ object TextQueries {
               greatest(length(col("text")), lit(1)), 6).as("alpha_ratio"),
             round(col("n_stop").cast(DoubleType) /
               greatest(col("n_tok"), lit(1)), 6).as("stopword_ratio"),
-            (when(col("n_tok") >= 10, lit(1)).otherwise(lit(0)) +
-              when(col("n_stop") > 0, lit(1)).otherwise(lit(0)) +
-              when(length(col("text")) >= 64, lit(1)).otherwise(lit(0)))
+            qualityPoints(length(col("text")), col("n_tok"), col("n_stop"))
               .as("quality_points"))
           .orderBy("doc_id")
       },
@@ -233,18 +249,13 @@ object TextQueries {
         "ride along for free.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val stop = langMarkers.flatMap(_._2).distinct.sorted
         val wFp = Window.partitionBy(md5(normText(col("text"))))
         Tables.t(s, dir, "documents")
           .withColumn("toks", tokens(col("text")))
           .withColumn("n_tok", size(col("toks")))
-          .withColumn("n_stop",
-            size(filter(col("toks"),
-              t => t.isin(stop.map(x => x: Any): _*))))
+          .withColumn("n_stop", nStop(col("toks")))
           .withColumn("quality_points",
-            when(col("n_tok") >= 10, lit(1)).otherwise(lit(0)) +
-              when(col("n_stop") > 0, lit(1)).otherwise(lit(0)) +
-              when(length(col("text")) >= 64, lit(1)).otherwise(lit(0)))
+            qualityPoints(length(col("text")), col("n_tok"), col("n_stop")))
           .withColumn("keeper_id", min(col("doc_id")).over(wFp))
           .filter(col("quality_points") >= 2 &&
             col("keeper_id") === col("doc_id"))

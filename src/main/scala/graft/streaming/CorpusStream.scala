@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.functions.TextFunctions._
+import graft.ops.{CorpusQueries, TextQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of the batch corpus-curation pass: the SAME quality
+  * gate ([[TextQueries.qualityPoints]]), the SAME PII/blocklist pattern
+  * ([[CorpusQueries.piiPattern]]), and watermark-bounded exact dedup —
+  * applied at ingest time, so a continuously-arriving corpus lands
+  * already curated. The batch pass (q_corpus_filter / q_pii_scrub /
+  * q_dedup_exact) remains the periodic full-history sweep; this path
+  * keeps the daily increment clean without rescanning history.
+  *
+  * State at 100 TB/day: the only stateful operator is the fingerprint
+  * dedup — one 128-bit fingerprint per distinct doc inside the watermark
+  * horizon, evicted as the watermark advances. Quality gate and PII
+  * scrub are stateless per-row expressions (identical Catalyst trees to
+  * the batch queries, so correctness transfers from their oracles).
+  */
+object CorpusStream {
+
+  /** Input must carry `doc_id`, `text`, and an `eventTime` timestamp.
+    * Emits curated rows: quality-gated (>= 2 of 3 points), PII-scrubbed,
+    * first-arrival-per-fingerprint within the watermark horizon.
+    */
+  def curate(docs: DataFrame, horizon: String = "10 minutes"): DataFrame = {
+    val low = lower(col("text"))
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("quality_points",
+        TextQueries.qualityPoints(length(col("text")), size(col("toks")),
+          TextQueries.nStop(col("toks"))))
+      .filter(col("quality_points") >= 2)
+      .withColumn("n_redactions",
+        regexp_count(low, lit(CorpusQueries.piiPattern)))
+      .withColumn("clean_text",
+        regexp_replace(low, CorpusQueries.piiPattern, "[PII]"))
+      .withColumn("fp", md5(normText(col("text"))))
+      .withWatermark("eventTime", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+      .select("eventTime", "doc_id", "clean_text", "quality_points",
+        "n_redactions", "fp")
+  }
+}

@@ -143,6 +143,29 @@ object EventStream {
       .withWatermark("eventTime", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream attribution join: each click matched to the same
+    * user's views in the 30 minutes before it (inclusive). Both sides
+    * carry a 1-hour watermark and the join predicate bounds event time
+    * on BOTH ends, so each side's state store buffers only rows inside
+    * watermark + interval — the bounded-state form of stream-stream
+    * join. At 100 TB/day: state per side ≈ rate x (watermark horizon +
+    * 30 min) rows, keyed and co-partitioned on user_id; an unbounded
+    * un-constrained stream join is the anti-pattern the time bound
+    * avoids. Inner join -> results emit in append mode as soon as both
+    * sides arrive.
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("viewTime", "1 hour")
+    val c = clicks.withWatermark("clickTime", "1 hour")
+    c.join(v,
+      c("user_id") === v("user_id") &&
+        v("viewTime") <= c("clickTime") &&
+        v("viewTime") >= c("clickTime") - expr("INTERVAL 30 MINUTES"))
+      .select(c("user_id"), col("click_id"), col("view_id"),
+        (unix_timestamp(c("clickTime")) - unix_timestamp(v("viewTime")))
+          .as("lag_sec"))
+  }
+
   /** Wire the windowed aggregation from any streaming source to a sink —
     * the readStream -> transform -> writeStream shape.
     */

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+class CorpusStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("curate gates quality, scrubs PII, and dedups within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("eventTime", "doc_id", "text")
+    val q = CorpusStream.curate(docs)
+      .writeStream.queryName("curate_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-cur").toString)
+      .format("memory")
+      .start()
+    try {
+      val good = "the quick brown fox jumps over the lazy dog again and again tonight"
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, good),
+        (ts("2024-01-01 10:00:30"), 2L, good), // dup fingerprint -> dropped
+        (ts("2024-01-01 10:01:00"), 3L, "too short"), // fails quality gate
+        (ts("2024-01-01 10:02:00"), 4L,
+          "dear customer the quick brown fox is writing to bob@example.com about the offer"))
+      q.processAllAvailable()
+      val out = spark.table("curate_test").orderBy("doc_id").collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 4L))
+      val pii = out(1)
+      assert(pii.getAs[Int]("n_redactions") == 2) // customer + email
+      assert(pii.getAs[String]("clean_text").contains("[PII]"))
+      assert(!pii.getAs[String]("clean_text").contains("bob@example.com"))
+    } finally q.stop()
+  }
+
+  test("attributionJoin matches clicks to prior views within 30 minutes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = EventStream.attributionJoin(
+      views.toDF().toDF("viewTime", "user_id", "view_id"),
+      clicks.toDF().toDF("clickTime", "user_id", "click_id"))
+      .writeStream.queryName("attr_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-attr").toString)
+      .format("memory")
+      .start()
+    try {
+      views.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 100L), // 20 min before click: match
+        (ts("2024-01-01 09:00:00"), 1L, 101L), // 80 min before: outside window
+        (ts("2024-01-01 10:05:00"), 2L, 102L)) // other user
+      clicks.addData(
+        (ts("2024-01-01 10:20:00"), 1L, 900L),
+        (ts("2024-01-01 11:00:00"), 2L, 901L)) // 55 min after view: no match
+      q.processAllAvailable()
+      val out = spark.table("attr_test")
+        .orderBy("click_id", "view_id").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[Long]("click_id") == 900L)
+      assert(out(0).getAs[Long]("view_id") == 100L)
+      assert(out(0).getAs[Long]("lag_sec") == 1200L)
+    } finally q.stop()
+  }
+}
