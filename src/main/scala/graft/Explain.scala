@@ -20,9 +20,14 @@ object Explain {
     val df = Registry.queryMap(name)(spark, sfDir)
     df.explain("formatted")
     val t0 = System.nanoTime()
-    val n = df.count()
+    val n = df.collect().length
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[explain] $name: $n rows in $dt%.2fs")
+    // AQE finalizes the plan during execution — print it afterwards so
+    // runtime decisions (broadcast downgrades, stage/exchange reuse,
+    // coalesced partitions) are visible, not just the static guess.
+    println("[explain] final adaptive plan:")
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -161,21 +161,34 @@ object CorpusQueries {
       "q_tfidf_terms",
       "TF-IDF term scoring: top-10 terms per language by tf x (N/df) — " +
         "the log-free rarity weight keeps IEEE determinism across " +
-        "engines (same ranking; ln is monotone in N/df). Shape: one " +
-        "explode feeds BOTH the (lang, term) tf agg and the per-doc-" +
-        "distinct df agg; df and the 1-row corpus count broadcast into " +
-        "the tf relation, so the only non-broadcast shuffles are the two " +
-        "term-key aggs. Top-k per lang is a WindowGroupLimit, never a " +
-        "global sort.",
+        "engines (same ranking; ln is monotone in N/df). Shape: ONE " +
+        "corpus scan -> explode -> (term, lang, doc) partial+final agg; " +
+        "the tf and df branches both re-aggregate that one shuffled " +
+        "relation (ReuseExchange), df (vocab-sized) + the 1-row corpus " +
+        "count broadcast back into tf. Top-k per lang is a " +
+        "WindowGroupLimit, never a global sort.",
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
-        val t = docs.select(col("doc_id"), col("lang"),
-          tokens(col("text")).as("toks"))
-        val tf = t.select(col("lang"), explode(col("toks")).as("term"))
-          .groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = t
-          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
-          .groupBy("term").agg(count(lit(1)).as("df"))
+        // ONE corpus scan: explode -> (term, lang, doc) count, then both
+        // the tf branch and the df branch re-aggregate from that single
+        // shuffled relation (identical subplans -> ReuseExchange computes
+        // the explode+first-agg once). df = rows per term because a doc
+        // has exactly one lang, so (term, doc) is unique in g.
+        val g = docs
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("term"))
+          .groupBy("term", "lang", "doc_id")
+          .agg(count(lit(1)).as("cnt"))
+        val tf = g.groupBy("lang", "term")
+          .agg(sum(col("cnt")).as("tf"))
+        // df == rows of g per term; the cnt >= 1 guard is vacuously true
+        // but forces a real dependency on cnt so this branch's g subplan
+        // stays identical to the tf branch's — otherwise the optimizer
+        // strips the inner count from this copy and the two exchanges no
+        // longer canonicalize equal for ReuseExchange (one corpus scan
+        // instead of two).
+        val dfreq = g.groupBy("term")
+          .agg(count(when(col("cnt") >= 1, 1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_total"))
         val scoreRaw = col("tf").cast("double") *
           (col("n_total").cast("double") / col("df").cast("double"))
