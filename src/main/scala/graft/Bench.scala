@@ -31,7 +31,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
+    // Re-print AFTER spark.stop() so the JSON is the last stdout line
+    // (shutdown logs go to stderr), and drop a file copy — belt and
+    // braces for any harness that greps the tail of mixed output.
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
   }
 }

@@ -1,0 +1,50 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Proves the layout operators actually prune — the E1 index→layout
+  * mapping as measured behavior, not advice.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = (0 until 1000).map { i =>
+    (i.toLong, s"2024-${1 + i % 4}".padTo(7, '0'), i % 50, i * 1.5)
+  }.toDF("event_id", "month", "bucket_key", "value")
+
+  test("partitionBy layout: an equality filter lists only matching dirs") {
+    val path = Files.createTempDirectory("layout-part").toString + "/t"
+    Layout.writePartitioned(events, "month", path)
+    val all = Layout.filesRead(spark, path, "true")
+    val one = Layout.filesRead(spark, path, "month = '2024-10'")
+    assert(all.length > one.length && one.nonEmpty)
+    assert(one.forall(_.contains("month=2024-10")))
+    // the filter must be a PartitionFilter (pruned at listing time),
+    // visible in the executed plan text
+    val plan = spark.read.parquet(path).filter("month = '2024-10'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(month"))
+  }
+
+  test("range-sorted layout: row-group stats make ranges disjoint per file") {
+    val path = Files.createTempDirectory("layout-sort").toString + "/t"
+    Layout.writeSorted(events, Seq("event_id"), path, numFiles = 4)
+    // per-file min/max of the sort column must not overlap across files
+    val perFile = spark.read.parquet(path)
+      .select(input_file_name().as("f"), col("event_id"))
+      .groupBy("f").agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .orderBy("lo").collect()
+    assert(perFile.length == 4)
+    val ranges = perFile.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    // and the range predicate reaches parquet as a pushed filter
+    val plan = spark.read.parquet(path).filter("event_id >= 900")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,900)]"))
+  }
+}
