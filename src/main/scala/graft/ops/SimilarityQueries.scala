@@ -81,6 +81,30 @@ object SimilarityQueries {
       .filter(col("rank") <= K)
   }
 
+  /** Filtered ANN (the canonical vector-DB query: metadata predicate +
+    * nearest neighbors): the index side is PRE-FILTERED — metadata joined
+    * and the predicate applied BEFORE the bucket join — so candidates are
+    * all valid and k survivors are guaranteed. At 100 TB pre-filter wins
+    * when the predicate is selective and the metadata join is cheap
+    * (embeddings and metadata co-bucketed on the id at rest → no
+    * shuffle); for weak predicates the alternative is post-filter:
+    * over-fetch k' > k from the unfiltered index, filter, keep k.
+    */
+  private def annFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val meta = Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val filtered = e.join(meta, "vec_id").filter(col("lang") === "en")
+    val q = e.filter(expr(QueryPred))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    q.join(filtered, "bucket")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= K)
+  }
+
   /** Multi-probe masks: flip 0, 1, or 2 of the NumPlanes sign bits —
     * 1 + 8 + 28 = 37 of 256 buckets probed (~14% of a uniform corpus).
     * Probing the QUERY side keeps the corpus untouched: no re-index, no
@@ -328,6 +352,36 @@ object SimilarityQueries {
               |$mpScoredCte
               |SELECT query_id, rank, vec_id AS neighbor_id, round(cos,6) AS cosine, bucket
               |FROM mp_scored WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_ann_filtered",
+      "Filtered semantic search — metadata predicate (lang = 'en' via " +
+        "the documents join) + LSH-bucketed nearest neighbors, the " +
+        "canonical vector-DB query shape. Pre-filter strategy: the " +
+        "index side is restricted BEFORE the bucket join, so every " +
+        "candidate is valid and k survivors are guaranteed; the " +
+        "post-filter alternative (over-fetch then filter) is documented " +
+        "for weak predicates.",
+      (s, dir) => annFilteredTopK(s, dir)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"), col("bucket"))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH $baseCte,
+              |meta AS (SELECT doc_id AS vec_id, lang FROM documents),
+              |flt AS (SELECT n.* FROM n JOIN meta USING (vec_id)
+              |  WHERE lang = 'en'),
+              |f_scored AS (
+              |  SELECT query_id, flt.vec_id, flt.bucket,
+              |    list_dot_product(qv, v)/(qn*nrm) AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY list_dot_product(qv, v)/(qn*nrm) DESC,
+              |        flt.vec_id ASC) AS rank
+              |  FROM q JOIN flt ON q.bucket = flt.bucket
+              |  WHERE query_id <> flt.vec_id)
+              |SELECT query_id, rank, vec_id AS neighbor_id,
+              |  round(cos,6) AS cosine, bucket
+              |FROM f_scored WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
     ),
 
     QueryDef(
