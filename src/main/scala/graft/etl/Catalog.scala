@@ -18,6 +18,14 @@ object Catalog {
     */
   def recreateDatabase(spark: SparkSession, db: String): Unit = {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    // An in-memory catalog forgets databases across sessions but their
+    // warehouse directories survive, so a later managed-table create
+    // would hit LOCATION_ALREADY_EXISTS — clear any stale location too
+    // (the reference's SQLite drop_database is likewise a file delete).
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, s"$db.db")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     spark.sql(s"CREATE DATABASE `$db`")
   }
 
