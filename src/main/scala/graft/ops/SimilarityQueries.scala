@@ -403,6 +403,49 @@ object SimilarityQueries {
     ),
 
     QueryDef(
+      "q_embedding_quantize",
+      "Scalar int8 quantization of the embedding store (4x bandwidth / " +
+        "storage at 100 TB): per-vector symmetric scale = max|x|/127, " +
+        "elements rounded to [-127,127], reconstruction cosine + max " +
+        "absolute error measured per vector. Stateless map-only scan — " +
+        "no shuffle except the output sort; the quantized corpus is the " +
+        "artifact an ANN index stores, with full-precision vectors kept " +
+        "only for the final re-rank.",
+      (s, dir) => {
+        val v = col("v")
+        val dim = Dim
+        val qz = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+          .withColumn("scale",
+            array_max(transform(v, x => abs(x))) / lit(127.0))
+          .withColumn("dq", transform(v,
+            x => round(x / col("scale"), 0) * col("scale")))
+        qz.select(col("vec_id"), round(col("scale"), 6).as("scale_q"),
+            round(dot(v, col("dq")) /
+              (sqrt(dot(v, v)) * sqrt(dot(col("dq"), col("dq")))), 6)
+              .as("recon_cosine"),
+            round(array_max(transform(sequence(lit(1), lit(dim)),
+              i => abs(element_at(v, i) - element_at(col("dq"), i)))), 6)
+              .as("max_abs_err"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |sc AS (SELECT vec_id, v,
+              |    list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+              |  FROM e),
+              |dq AS (SELECT vec_id, v, scale,
+              |    list_transform(v, x -> round(x / scale, 0) * scale) AS d
+              |  FROM sc)
+              |SELECT vec_id, round(scale, 6) AS scale_q,
+              |  round(list_dot_product(v, d) /
+              |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(d, d))), 6)
+              |    AS recon_cosine,
+              |  round(list_aggregate(list_transform(range(1, ${Dim + 1}),
+              |    i -> abs(v[i] - d[i])), 'max'), 6) AS max_abs_err
+              |FROM dq ORDER BY vec_id""".stripMargin)
+    ),
+
+    QueryDef(
       "q_ann_recall",
       s"Recall@$K of every ANN variant (single-probe LSH, multi-probe " +
         "LSH, IVF) against the exact top-k, one " +
