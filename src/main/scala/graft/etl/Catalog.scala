@@ -37,6 +37,11 @@ object Catalog {
                  mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).saveAsTable(s"`$db`.`$table`")
 
+  /** Persistent tables of `db` — listTables also surfaces session temp
+    * views (memory sinks etc.) regardless of database, so filter to
+    * non-temporary entries.
+    */
   def tables(spark: SparkSession, db: String): Seq[String] =
-    spark.catalog.listTables(db).collect().map(_.name).sorted.toSeq
+    spark.catalog.listTables(db).collect()
+      .filter(!_.isTemporary).map(_.name).sorted.toSeq
 }
