@@ -23,6 +23,10 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
+    // Warmup built shingle/pair/ANN/IVF caches for the WARM dir — dead
+    // weight for the timed section (different dir -> different plans).
+    // Clear so the timed run builds exactly its own working set.
+    spark.sharedState.cacheManager.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -20,7 +20,9 @@ object Explain {
     val df = Registry.queryMap(name)(spark, sfDir)
     df.explain("formatted")
     val t0 = System.nanoTime()
-    val n = df.collect().length
+    // drive df's OWN query execution (so the adaptive plan below is its
+    // final state) without materializing rows on the driver
+    val n = df.queryExecution.toRdd.count()
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[explain] $name: $n rows in $dt%.2fs")
     // AQE finalizes the plan during execution — print it afterwards so

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** DuckDB twin of [[normText]] / [[tokens]] — ONE definition so the
+    * oracle strings cannot drift across query modules (TextQueries,
+    * CorpusQueries, DedupQueries all embed these in their SQL).
+    */
+  private[graft] val normSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
+  private[graft] val toksSql: String = s"string_split($normSql,' ')"
+
   /** Lowercase, strip non-alphanumerics, squeeze spaces, trim. */
   def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))

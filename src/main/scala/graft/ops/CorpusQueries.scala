@@ -19,9 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
-  private val toksSql = s"string_split($normSql,' ')"
 
   /** Repetition flags: a doc is repetitive when one token dominates or
     * bigrams repeat (Gopher repetition signals, Rae et al. 2021).
@@ -35,6 +32,11 @@ object CorpusQueries {
     */
   private val ContamN = 3
   private val ContamTau = 0.3
+  /** n-gram concat for the oracle, derived from ContamN so the two
+    * engines cannot drift if the gram size changes. */
+  private val contamGramSql: String =
+    (0 until ContamN).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString("||' '||")
 
   /** Domain mixing: per-source budget = ceil(MixC * sqrt(n_source)) docs
     * — alpha=0.5 temperature resampling (rare sources up-weighted
@@ -141,7 +143,7 @@ object CorpusQueries {
       Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
               |g AS (SELECT doc_id, source,
               |    list_distinct(list_transform(range(1, len(toks)-${ContamN - 2}),
-              |      i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS ng
+              |      i -> $contamGramSql)) AS ng
               |  FROM t WHERE len(toks) >= $ContamN),
               |bench AS (SELECT DISTINCT unnest(ng) AS ngram FROM g WHERE source='src0'),
               |x AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS ngram

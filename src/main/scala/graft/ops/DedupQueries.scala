@@ -53,8 +53,6 @@ object DedupQueries {
   private val embBandPlanes: Seq[Seq[Seq[Double]]] =
     makePlanes(EmbBands * EmbPlanesPerBand, EmbDim).grouped(EmbPlanesPerBand).toSeq
 
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
 
   /** doc_id + distinct char-k shingle set of normalized text (native
     * one-pass [[graft.functions.CharShingles]]). Staged as two projections
@@ -78,28 +76,42 @@ object DedupQueries {
     s"list_aggregate(list_transform(hs, h -> substr(h,${1 + 8 * i},8)),'min')")
     .mkString("[", ", ", "]")
 
+  /** The shingle relation, persisted: consumed by the band pipeline and
+    * both Jaccard-verify legs, and by ALL of q_doc_dedup /
+    * q_dedup_clusters / q_dedup_incremental (CacheManager matches the
+    * canonicalized plan, so one materialization serves every consumer in
+    * the session). At 100 TB this is the classic cache-vs-recompute knob:
+    * the relation is ~shingle-count x k bytes, so MEMORY_AND_DISK makes
+    * it a disk-backed spill; dropping the persist trades extra scans for
+    * zero cache footprint — both plans are correct.
+    */
+  private def shinglesPersisted(s: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame =
+    shingleDf(Tables.par(s, dir, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The (doc_id, band, band_hash) LSH band index, persisted: it is the
+    * dedup family's stored artifact — the relation an incremental ingest
+    * joins against — and the seeded-md5 MinHash pass that builds it
+    * dominates pipeline cost, so the self-join legs, the cluster query,
+    * and both sides of the incremental query read one materialization.
+    */
+  private def bandsPersisted(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
+        .as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** MinHash+LSH verified near-dup pairs (the q_doc_dedup pipeline),
     * shared with the cluster-consolidation query so both stay one code
-    * path. Returns (doc_a, doc_b, j) with doc_a < doc_b, j >= threshold.
+    * path. Returns (doc_a, doc_b, j) with doc_a < doc_b, j >= threshold,
+    * persisted (edges ≪ corpus; the shared output of q_doc_dedup and
+    * q_dedup_clusters).
     */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame = {
-    // The shingle relation is consumed three times (band pipeline + both
-    // verify legs) and by BOTH q_doc_dedup and q_dedup_clusters, so it is
-    // persisted: Spark's CacheManager matches the canonicalized plan, so
-    // every consumer — across queries in the same session — reads the one
-    // materialized copy instead of re-running the normalize+shingle scan.
-    // At 100 TB this is the classic cache-vs-recompute knob: the shingle
-    // relation is ~shingle-count x k bytes (larger than the corpus), so
-    // MEMORY_AND_DISK makes it a disk-backed spill, and dropping the
-    // persist trades 2 extra scans for zero cache footprint — both plans
-    // are correct; this library picks the cache because every byte of it
-    // is consumed at least twice.
-    val sh = shingleDf(Tables.par(s, dir, "documents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sh.select(col("doc_id"),
-      posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
-        .as(Seq("band", "bh")))
+    val sh = shinglesPersisted(s, dir)
+    val bands = bandsPersisted(sh)
     // Candidate pairs via a bucket-capped SELF-JOIN on (band, bh) —
     // not collect_set+explode, which builds an unbounded in-memory
     // array per bucket and O(bucket²) pairs for a hot boilerplate
@@ -332,16 +344,15 @@ object DedupQueries {
         "one declarative plan, each round an equi-join + min-agg on the " +
         "tiny pair relation; the keeper per cluster is its min doc_id.",
       (s, dir) => {
-        // Eagerly truncate lineage on the verified-pair relation (tiny:
-        // edges ≪ corpus at any scale) before iterating: symSelf's plan
-        // references it three times (both union legs + the node set), and
-        // without truncation each reference re-evaluates the whole
-        // LSH+verify pipeline during cache materialization — measured 3x
-        // the pair cost. Same checkpoint-the-fixpoint-input shape as
-        // connectedComponentsStar.
+        // symSelf references the edge relation three times (both union
+        // legs + the node set); minhashPairs persists the verified pair
+        // set, so those references hit one materialized 256-row cache
+        // instead of re-running the LSH+verify pipeline (measured 3x the
+        // pair cost without it). Persist, not eager checkpoint: the
+        // returned plan keeps full lineage, so PlanAudit/Explain still
+        // see the scans and shuffles behind the pairs.
         val edges = minhashPairs(s, dir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .localCheckpoint(true)
         import org.apache.spark.sql.expressions.Window
         val wc = Window.partitionBy("cluster_id")
         connectedComponents(edges, CcIters)
@@ -519,11 +530,8 @@ object DedupQueries {
         "q_doc_dedup pass never reruns for a 0.1% batch.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val sh = shingleDf(Tables.par(s, dir, "documents"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bands = sh.select(col("doc_id"),
-          posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
-            .as(Seq("band", "bh")))
+        val sh = shinglesPersisted(s, dir)
+        val bands = bandsPersisted(sh)
         val isNew = col("doc_id") % 10 === 0
         val wb = Window.partitionBy("band", "bh")
         // boilerplate cap on the INDEX side only (a bucket with one

@@ -46,10 +46,6 @@ object TextQueries {
       when(nStopC > 0, lit(1)).otherwise(lit(0)) +
       when(nChars >= 64, lit(1)).otherwise(lit(0))
 
-  /** DuckDB twin of the normalized-token expression. */
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
-  private val toksSql = s"string_split($normSql,' ')"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

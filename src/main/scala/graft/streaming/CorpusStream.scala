@@ -26,7 +26,11 @@ object CorpusStream {
     * first-arrival-per-fingerprint within the watermark horizon.
     */
   def curate(docs: DataFrame, horizon: String = "10 minutes"): DataFrame = {
-    val low = lower(col("text"))
+    // Scrub the ORIGINAL text case-insensitively ((?i) inline flag) —
+    // lowercasing the stored output would destroy document casing; the
+    // batch q_pii_scrub lowercases only because it publishes a
+    // fingerprint, not the text itself.
+    val ciPattern = "(?i)" + CorpusQueries.piiPattern
     docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("quality_points",
@@ -34,9 +38,9 @@ object CorpusStream {
           TextQueries.nStop(col("toks"))))
       .filter(col("quality_points") >= 2)
       .withColumn("n_redactions",
-        regexp_count(low, lit(CorpusQueries.piiPattern)))
+        regexp_count(col("text"), lit(ciPattern)))
       .withColumn("clean_text",
-        regexp_replace(low, CorpusQueries.piiPattern, "[PII]"))
+        regexp_replace(col("text"), ciPattern, "[PII]"))
       .withColumn("fp", md5(normText(col("text"))))
       .withWatermark("eventTime", horizon)
       .dropDuplicatesWithinWatermark("fp")

@@ -11,19 +11,19 @@ class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val events = (0 until 1000).map { i =>
-    (i.toLong, s"2024-${1 + i % 4}".padTo(7, '0'), i % 50, i * 1.5)
+    (i.toLong, f"2024-${1 + i % 4}%02d", i % 50, i * 1.5)
   }.toDF("event_id", "month", "bucket_key", "value")
 
   test("partitionBy layout: an equality filter lists only matching dirs") {
     val path = Files.createTempDirectory("layout-part").toString + "/t"
     Layout.writePartitioned(events, "month", path)
     val all = Layout.filesRead(spark, path, "true")
-    val one = Layout.filesRead(spark, path, "month = '2024-10'")
+    val one = Layout.filesRead(spark, path, "month = '2024-01'")
     assert(all.length > one.length && one.nonEmpty)
-    assert(one.forall(_.contains("month=2024-10")))
+    assert(one.forall(_.contains("month=2024-01")))
     // the filter must be a PartitionFilter (pruned at listing time),
     // visible in the executed plan text
-    val plan = spark.read.parquet(path).filter("month = '2024-10'")
+    val plan = spark.read.parquet(path).filter("month = '2024-01'")
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(month"))
   }
