@@ -108,6 +108,23 @@ object DedupQueries {
     * persisted (edges ≪ corpus; the shared output of q_doc_dedup and
     * q_dedup_clusters).
     */
+  /** (doc_id [, passthrough...], band, band_hash) rows for any relation
+    * carrying `doc_id` + `text` — the same ShingleK/Bands/RowsPerBand
+    * expressions as the batch pipeline, usable on a STREAMING input
+    * (stateless per row). [[graft.streaming.CorpusStream]] probes the
+    * batch-built band index with this.
+    */
+  private[graft] def bandRows(docs: DataFrame,
+                              passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = passthrough.map(col)
+    docs
+      .select(col("doc_id") +: keep :+ normText(col("text")).as("nt"): _*)
+      .select(col("doc_id") +: keep :+ charShingles(col("nt"), ShingleK).as("sh"): _*)
+      .select(col("doc_id") +: keep :+
+        posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
+          .as(Seq("band", "bh")): _*)
+  }
+
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame = {
     val sh = shinglesPersisted(s, dir)

@@ -38,6 +38,35 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidates: arriving copy of an indexed doc is flagged (stream-static join)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexed = "the quick brown fox jumps over the lazy dog tonight again"
+    val staticIndex = CorpusStream.buildBandIndex(
+      Seq((10L, indexed),
+        (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = CorpusStream.nearDupCandidates(
+      input.toDF().toDF("eventTime", "doc_id", "text"), staticIndex)
+      .writeStream.queryName("neardup_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-nd").toString)
+      .format("memory")
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, indexed), // verbatim copy -> flagged
+        (ts("2024-01-01 10:00:10"), 2L, "completely different words entirely unrelated content here"))
+      q.processAllAvailable()
+      val out = spark.table("neardup_test")
+        .orderBy("doc_id", "match_id").collect()
+      assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("match_id")))
+        .toSeq == Seq((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("attributionJoin matches clicks to prior views within 30 minutes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
