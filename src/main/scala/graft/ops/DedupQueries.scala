@@ -39,7 +39,7 @@ object DedupQueries {
     * at 100 TB it is the difference between a bounded self-join and one
     * hot bucket generating 10^12 candidate pairs.
     */
-  private val HotBucketCap = 256
+  private[graft] val HotBucketCap = 256
 
   /** Hyperplane-LSH banding for embedding near-dup: 4 bands x 4 planes.
     * OR-amplified collision probability for a pair at angle θ is
@@ -62,6 +62,20 @@ object DedupQueries {
   private def shingleDf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), normText(col("text")).as("nt"))
       .select(col("doc_id"), charShingles(col("nt"), ShingleK).as("sh"))
+
+  /** (doc_id, sh) for any relation carrying doc_id + text — the builder
+    * [[BandIndex]] persists as the stored shingle table.
+    */
+  private[graft] def shingleRows(docs: DataFrame): DataFrame = shingleDf(docs)
+
+  /** (doc_id, band, bh) from a shingle relation — same Bands/RowsPerBand
+    * expressions as the batch pipeline, so a stored index built from
+    * this cannot drift from the ad-hoc path.
+    */
+  private[graft] def bandsFromShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
+        .as(Seq("band", "bh")))
 
   private val shingleSqlCte =
     s"""t AS (SELECT doc_id, $normSql AS nt FROM documents),
@@ -97,9 +111,7 @@ object DedupQueries {
     * and both sides of the incremental query read one materialization.
     */
   private def bandsPersisted(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
-      posexplode(graft.functions.MinHashBands(col("sh"), Bands, RowsPerBand))
-        .as(Seq("band", "bh")))
+    bandsFromShingles(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** MinHash+LSH verified near-dup pairs (the q_doc_dedup pipeline),
@@ -540,29 +552,38 @@ object DedupQueries {
         "a 10% slice) is deduped AGAINST the standing corpus instead of " +
         "all-pairs — new-batch MinHash bands equi-join the existing band " +
         "index, exact-Jaccard verify, keep each new doc's best match " +
-        "(max j, min id tiebreak). At 100 TB the existing (band, hash) " +
-        "index is the stored artifact, bucketed on its key, so ONLY the " +
-        "arriving batch shuffles; the hot-bucket cap applies to the " +
-        "index side. This is the daily-ingest path — the whole-corpus " +
-        "q_doc_dedup pass never reruns for a 0.1% batch.",
+        "(max j, min id tiebreak). The standing corpus's (band, hash) " +
+        "index is a STORED artifact (BandIndex: bucketed on its key, " +
+        "bucket sizes precomputed) — the index side is scan-only, the " +
+        "hot-bucket cap is a pushed parquet predicate on the stored bsz " +
+        "column, and ONLY the arriving batch shuffles. This is the " +
+        "daily-ingest path — the whole-corpus q_doc_dedup pass never " +
+        "reruns for a 0.1% batch.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val sh = shinglesPersisted(s, dir)
-        val bands = bandsPersisted(sh)
         val isNew = col("doc_id") % 10 === 0
-        val wb = Window.partitionBy("band", "bh")
+        // The stored index covers the standing corpus only, so its
+        // precomputed bsz counts standing docs — same population as the
+        // oracle's QUALIFY over the non-new partition.
+        val (idxSh, idxBands) = BandIndex.buildOrLoad(s,
+          Tables.par(s, dir, "documents").filter(!isNew),
+          BandIndex.tag(dir, "standing"))
         // boilerplate cap on the INDEX side only (a bucket with one
-        // existing doc must still match new arrivals, so no lower bound)
-        val exB = bands.filter(!isNew)
-          .withColumn("bsz", count(lit(1)).over(wb))
-          .filter(col("bsz") <= HotBucketCap)
+        // existing doc must still match new arrivals, so no lower bound);
+        // bsz is a stored column -> pushed filter, no window, no Exchange
+        // above the index scan (asserted by DedupOpsSpec).
+        val exB = idxBands.filter(col("bsz") <= HotBucketCap)
           .select(col("doc_id").as("match_id"), col("band"), col("bh"))
-        val cand = bands.filter(isNew)
-          .select(col("doc_id"), col("band"), col("bh"))
+        // Arriving batch: shingled fresh (it is the only data not yet in
+        // the index), persisted — both the band probe and the verify leg
+        // read it.
+        val newSh = shingleRows(Tables.par(s, dir, "documents").filter(isNew))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = bandsFromShingles(newSh)
           .join(exB, Seq("band", "bh"))
           .select("doc_id", "match_id").distinct()
-        val a = sh.select(col("doc_id"), col("sh").as("sha"))
-        val b = sh.select(col("doc_id").as("match_id"), col("sh").as("shb"))
+        val a = newSh.select(col("doc_id"), col("sh").as("sha"))
+        val b = idxSh.select(col("doc_id").as("match_id"), col("sh").as("shb"))
         val wBest = Window.partitionBy("doc_id")
           .orderBy(col("j").desc, col("match_id").asc)
         cand.join(a, "doc_id").join(b, "match_id")

@@ -57,7 +57,7 @@ object SimilarityQueries {
     .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
 
   /** Exact top-k: tiny query side broadcast against the full corpus. */
-  private def exactTopK(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def exactTopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
     val q = e.filter(expr(QueryPred))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -162,15 +162,23 @@ object SimilarityQueries {
     * contract), so the refined centroids are bit-identical to the
     * oracle's regardless of partitioning.
     */
-  private def ivfParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[ops] def ivfParts(s: SparkSession, dir: String,
+                            nCells: Int = NCells): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val n = corpus(s, dir).drop("bucket")
+    // Explicit broadcast() hints on every centroid-side relation: seeds
+    // comes from orderBy+limit and centn from an aggregation, so the
+    // planner has no usable size estimate for either and was picking
+    // shuffle joins (r4 plan: 12 shuffles, 0 broadcast joins) for what
+    // is an nCells-row relation. The hint makes both assignment passes
+    // broadcast nested-loop scoring passes — the corpus never shuffles
+    // to be scored, at any scale.
     val seeds = n.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(NCells)
+      .limit(nCells)
       .select(col("vec_id").as("cell0"), col("v").as("cv0"))
     val wA1 = Window.partitionBy("vec_id").orderBy(col("cos0").desc, col("cell0").asc)
-    val a1 = n.crossJoin(seeds)
+    val a1 = n.crossJoin(broadcast(seeds))
       .withColumn("cos0",
         dot(col("v"), col("cv0")) / (col("nrm") * sqrt(dot(col("cv0"), col("cv0")))))
       .withColumn("rn", row_number().over(wA1))
@@ -186,7 +194,7 @@ object SimilarityQueries {
         x => x.getField("m")).as("cv"))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val wA2 = Window.partitionBy("vec_id").orderBy(col("cosc").desc, col("cell").asc)
-    val a2 = n.crossJoin(centn)
+    val a2 = n.crossJoin(broadcast(centn))
       .withColumn("cosc", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("rn", row_number().over(wA2))
       .filter(col("rn") === 1)
@@ -204,18 +212,24 @@ object SimilarityQueries {
     * re-rank keeps k. A corpus vector lives in exactly one cell and a
     * query's probe cells are distinct, so no candidate dedup is needed.
     */
-  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def ivfTopK(s: SparkSession, dir: String,
+                           nCells: Int = NCells,
+                           nProbe: Int = NProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (a2, centn) = ivfParts(s, dir)
+    val (a2, centn) = ivfParts(s, dir, nCells)
     val q = corpus(s, dir).filter(expr(QueryPred))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("cosc").desc, col("cell").asc)
-    val qp = q.crossJoin(centn)
+    val qp = q.crossJoin(broadcast(centn))
       .withColumn("cosc", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= NProbe)
+      .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
-    qp.join(a2, "cell")
+    // The probed (query, cell) relation is a query batch ≪ the corpus
+    // (same assumption as the exact baseline's broadcast query side), so
+    // the inverted-list lookup is a broadcast-HASH join on cell: the
+    // corpus-sized a2 is streamed in place, never shuffled.
+    broadcast(qp).join(a2, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(rankW))

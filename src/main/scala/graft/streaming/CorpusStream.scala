@@ -48,28 +48,37 @@ object CorpusStream {
         "n_redactions", "fp")
   }
 
-  /** Batch-side build of the MinHash band index — the stored artifact
-    * [[nearDupCandidates]] probes (same expressions as the batch dedup
-    * pipeline, so batch and ingest-time checks cannot drift).
+  /** Batch-side build of the MinHash band index — materializes the SAME
+    * stored artifact the incremental batch path reads
+    * ([[graft.ops.BandIndex]]: bucketed on (band, bh), bucket sizes
+    * precomputed) and returns it for [[nearDupCandidates]] to probe.
+    * Same expressions as the batch dedup pipeline, so batch and
+    * ingest-time checks cannot drift.
     */
-  def buildBandIndex(docs: DataFrame): DataFrame =
-    graft.ops.DedupQueries.bandRows(docs)
+  def buildBandIndex(spark: org.apache.spark.sql.SparkSession,
+                     docs: DataFrame, tag: String): DataFrame =
+    graft.ops.BandIndex.buildOrLoad(spark, docs, tag)._2
 
   /** Ingest-time near-dup check: each arriving doc's MinHash bands probe
-    * the STATIC band index — a stream-static equi-join on (band, hash),
-    * stateless on the stream side except the within-watermark pair
-    * dedup (one (doc, match) row per probe hit). At 100 TB the index is
-    * the batch pipeline's persisted band relation, bucketed on its key
-    * so each micro-batch joins without shuffling the index; exact
-    * Jaccard verify of flagged pairs stays a batch follow-up. Emits
+    * the STATIC stored band index — a stream-static equi-join on
+    * (band, hash), stateless on the stream side except the
+    * within-watermark pair dedup (one (doc, match) row per probe hit).
+    * The index is the stored artifact of [[buildBandIndex]], bucketed on
+    * the join key so each micro-batch joins without shuffling the index,
+    * and its precomputed bucket sizes make the hot-bucket cap a pushed
+    * scan predicate (a boilerplate bucket must not fan every arriving
+    * doc into thousands of candidate rows). Exact Jaccard verify of
+    * flagged pairs stays a batch follow-up. Emits
     * (eventTime, doc_id, match_id) candidates.
     */
   def nearDupCandidates(docs: DataFrame, bandIndex: DataFrame,
                         horizon: String = "10 minutes"): DataFrame =
     graft.ops.DedupQueries.bandRows(docs, Seq("eventTime"))
       .withWatermark("eventTime", horizon)
-      .join(bandIndex.select(col("doc_id").as("match_id"),
-        col("band"), col("bh")), Seq("band", "bh"))
+      .join(bandIndex
+        .filter(col("bsz") <= graft.ops.DedupQueries.HotBucketCap)
+        .select(col("doc_id").as("match_id"),
+          col("band"), col("bh")), Seq("band", "bh"))
       .dropDuplicatesWithinWatermark("doc_id", "match_id")
       .select("eventTime", "doc_id", "match_id")
 }

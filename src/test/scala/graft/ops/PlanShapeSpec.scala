@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-SHAPE assertions for the SCALE.md claims (VERDICT r4 item 7):
+  * a claim like "the stored index side is scan-only" or "this is an
+  * equi-join, not a cartesian" is only real if the physical plan shows
+  * it. AQE is disabled per-test so each query yields one stable plan
+  * tree to traverse (same reasoning as PlanAudit).
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Build df's executed plan with AQE off (stable tree, no runtime
+    * re-plan wrappers) and optionally broadcast joins disabled (to
+    * exercise the large-scale join path a tiny test input would
+    * otherwise hide behind a BroadcastExchange).
+    */
+  private def plan(mk: => DataFrame, noBroadcast: Boolean = false): SparkPlan = {
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if (noBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try mk.queryExecution.executedPlan
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
+  private def scansOf(p: SparkPlan, pathPart: String): Seq[FileSourceScanExec] =
+    p.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(pathPart)) => f
+    }
+
+  private def contains(p: SparkPlan, pathPart: String): Boolean =
+    scansOf(p, pathPart).nonEmpty
+
+  /** Root-to-target node path (reference equality), if target is in p. */
+  private def pathTo(p: SparkPlan, target: SparkPlan): Option[List[SparkPlan]] =
+    if (p eq target) Some(List(p))
+    else p.children.view.flatMap(c => pathTo(c, target))
+      .headOption.map(p :: _)
+
+  private def isJoin(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
+    case _ => false
+  }
+
+  test("q_dedup_incremental: stored band-index side is scan-only " +
+    "(no shuffle Exchange, no Window above the bucketed artifact scans)") {
+    // Broadcast disabled: at test scale the planner would broadcast the
+    // tiny index and hide the exact shape that matters at 100 TB, where
+    // the index side can never broadcast.
+    val p = plan(Registry.queryMap("q_dedup_incremental")(spark, dir),
+      noBroadcast = true)
+    // both stored artifacts are read...
+    assert(contains(p, "_standing_bands"), s"expected band-index scan:\n$p")
+    assert(contains(p, "_standing_shingles"), s"expected shingle-store scan:\n$p")
+    // ...and each index scan's rows flow into their FIRST join with no
+    // shuffle Exchange or Window in between: the bucketed layout
+    // satisfies the join's distribution straight off the scan (VERDICT
+    // r4 defect #2 was a window count over the whole index per run).
+    // Exchanges ABOVE that join are fine — they move the already-reduced
+    // candidate set, not the index.
+    for (tbl <- Seq("_standing_bands", "_standing_shingles");
+         scan <- scansOf(p, tbl)) {
+      val path = pathTo(p, scan).getOrElse(fail(s"no path to $tbl scan"))
+      val belowJoin = path.reverse.takeWhile(n => !isJoin(n))
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"stored $tbl must reach its probe join without a shuffle:\n$p")
+      assert(!belowJoin.exists(_.isInstanceOf[WindowExec]),
+        s"stored $tbl must not be re-windowed at read time:\n$p")
+    }
+    // the hot-bucket cap is a pushed parquet predicate on the stored bsz
+    assert(scansOf(p, "_standing_bands")
+      .exists(_.metadata("PushedFilters").contains("bsz")),
+      s"bsz cap must reach the band-index scan as a pushed filter:\n$p")
+  }
+
+  test("q_range_join: bucketed decomposition is an equi-join " +
+    "(no BroadcastNestedLoop, no CartesianProduct)") {
+    val p = plan(Registry.queryMap("q_range_join")(spark, dir),
+      noBroadcast = true)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"range join must decompose to an equi-join:\n$p")
+  }
+
+  test("q_ann_ivf: centroid passes broadcast; inverted-list probe is a " +
+    "broadcast-hash join; corpus is never cartesian-shuffled") {
+    val p = plan(Registry.queryMap("q_ann_ivf")(spark, dir))
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"inverted-list probe must be a broadcast-hash join:\n$p")
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"no cartesian product anywhere in IVF:\n$p")
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }.length
+    assert(shuffles <= 8,
+      s"IVF should shuffle only for windows/aggs (got $shuffles):\n$p")
+  }
+}

@@ -42,10 +42,10 @@ class CorpusStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val indexed = "the quick brown fox jumps over the lazy dog tonight again"
-    val staticIndex = CorpusStream.buildBandIndex(
+    val staticIndex = CorpusStream.buildBandIndex(spark,
       Seq((10L, indexed),
         (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
-        .toDF("doc_id", "text"))
+        .toDF("doc_id", "text"), "graft_test_nd_stream")
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
     val q = CorpusStream.nearDupCandidates(
       input.toDF().toDF("eventTime", "doc_id", "text"), staticIndex)
