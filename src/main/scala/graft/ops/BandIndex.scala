@@ -55,7 +55,9 @@ object BandIndex {
     * (shingleStore, bandIndex) as reads of the stored bucketed tables.
     */
   def buildOrLoad(spark: SparkSession, standingDocs: DataFrame,
-                  tag: String): (DataFrame, DataFrame) = {
+                  tag: String,
+                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent
+                 ): (DataFrame, DataFrame) = {
     val shT = s"${tag}_shingles"
     val bdT = s"${tag}_bands"
     if (!spark.catalog.tableExists(bdT)) {
@@ -83,6 +85,18 @@ object BandIndex {
         .write.mode(SaveMode.Overwrite)
         .bucketBy(NumBuckets, "band", "bh").sortBy("band", "bh")
         .saveAsTable(bdT)
+      // Readers cap hot buckets with `bsz <= HotBucketCap`; surface what
+      // that cap will silently skip, once, at build time (the stored bsz
+      // makes this a cheap scan-side aggregate).
+      val r = spark.table(bdT)
+        .filter(col("bsz") > DedupQueries.HotBucketCap)
+        .agg(count_distinct(struct(col("band"), col("bh"))).as("n_buckets"),
+          count(lit(1)).as("n_rows"))
+        .collect()(0)
+      val msg = s"hot_bucket_cap=${DedupQueries.HotBucketCap} " +
+        s"skipped_buckets=${r.getLong(0)} skipped_rows=${r.getLong(1)}"
+      if (r.getLong(0) > 0) log.warn(bdT, "band_index_build", msg)
+      else log.info(bdT, "band_index_build", msg)
     }
     (spark.table(shT), spark.table(bdT))
   }

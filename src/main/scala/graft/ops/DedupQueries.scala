@@ -137,6 +137,30 @@ object DedupQueries {
           .as(Seq("band", "bh")): _*)
   }
 
+  /** Hot-bucket cap audit: how many (band, bh) buckets — and how many
+    * band rows inside them — a cap of `cap` skips for `docs`. The cap
+    * bounds the LSH self-join against boilerplate buckets
+    * (O(bucket²) pair explosion), but silent truncation is the one
+    * smell in an otherwise honest pipeline: a 100 TB operator must be
+    * able to see what the cap dropped. Returns (n_buckets, n_rows) and
+    * logs one structured line (WARN when anything was skipped, INFO
+    * when the cap was inert).
+    */
+  def logHotBucketAudit(docs: DataFrame, log: graft.etl.MigrationLog,
+                        cap: Int = HotBucketCap): (Long, Long) = {
+    val r = bandsFromShingles(shingleRows(docs))
+      .groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap)
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(col("bsz")), lit(0L)).as("n_rows"))
+      .collect()(0)
+    val (nBuckets, nRows) = (r.getLong(0), r.getLong(1))
+    val msg = s"hot_bucket_cap=$cap skipped_buckets=$nBuckets skipped_rows=$nRows"
+    if (nBuckets > 0) log.warn("documents", "lsh_dedup", msg)
+    else log.info("documents", "lsh_dedup", msg)
+    (nBuckets, nRows)
+  }
+
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame = {
     val sh = shinglesPersisted(s, dir)

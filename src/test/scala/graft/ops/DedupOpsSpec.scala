@@ -71,6 +71,28 @@ class DedupOpsSpec extends SparkSpec {
     checkStar(random)
   }
 
+  test("logHotBucketAudit surfaces what the cap skips (synthetic hot bucket)") {
+    import scala.jdk.CollectionConverters._
+    val boiler = "this is the same boilerplate license header text " +
+      "repeated verbatim across many documents in the corpus"
+    val docs = ((1L to 6L).map(i => (i, boiler)) :+
+      (100L, "one unique document with entirely different content here"))
+      .toDF("doc_id", "text")
+    val logFile = java.nio.file.Files.createTempFile("graft-hotbucket", ".log")
+    val log = graft.etl.MigrationLog.toFile(logFile)
+    // 6 identical docs -> identical shingle sets -> 3 (band, bh) buckets
+    // of size 6, all over a cap of 4; the unique doc's buckets are size 1.
+    val (nBuckets, nRows) = DedupQueries.logHotBucketAudit(docs, log, cap = 4)
+    assert(nBuckets == 3 && nRows == 18, s"got ($nBuckets, $nRows)")
+    val lines = java.nio.file.Files.readAllLines(logFile).asScala
+    assert(lines.exists(l => l.contains("WARN") &&
+      l.contains("skipped_buckets=3") && l.contains("skipped_rows=18")),
+      s"expected a WARN audit line, got:\n${lines.mkString("\n")}")
+    // an inert cap (nothing skipped) logs INFO, not WARN
+    assert(DedupQueries.logHotBucketAudit(docs, log, cap = 100) == ((0L, 0L)))
+    assert(lines.size < java.nio.file.Files.readAllLines(logFile).size)
+  }
+
   test("star-contraction CC matches min-label propagation on the shared edge shape") {
     val edges = Seq((5L, 1L), (6L, 5L), (7L, 6L), (30L, 31L))
     val prop = DedupQueries.connectedComponents(edges.toDF("src", "dst"), 6)

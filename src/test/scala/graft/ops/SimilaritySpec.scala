@@ -26,6 +26,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF recall holds at a realistic cell count (64 cells, 8 probes, sf0.01)") {
+    // SURVEY's IVF note says "cells ≫ 16 at scale": with NCells/NProbe
+    // parameterized, prove recall survives the scale configuration —
+    // 64 cells over the sf0.01 corpus (~8 vectors/cell), probing 8
+    // (same 12.5% probe fraction a 100 TB deployment would use).
+    import org.apache.spark.sql.functions.col
+    val dir01 = "/root/testdata/sf0.01"
+    val exact = SimilarityQueries.exactTopK(spark, dir01)
+      .select(col("query_id"), col("vec_id"))
+    val ivf = SimilarityQueries.ivfTopK(spark, dir01, nCells = 64, nProbe = 8)
+      .select(col("query_id"), col("vec_id"))
+    val nExact = exact.count().toDouble
+    val hits = exact.join(ivf, Seq("query_id", "vec_id")).count().toDouble
+    assert(nExact > 0)
+    val recall = hits / nExact
+    info(f"ivf recall@5 at 64 cells / 8 probes: $recall%.3f")
+    assert(recall >= 0.5, f"recall collapsed at scale cell count: $recall%.3f")
+  }
+
   test("q_ann_recall: one measured row per variant, recall within [0,1], ivf present") {
     val rows = Registry.queryMap("q_ann_recall")(spark, dir).collect()
     val variants = rows.map(_.getString(0)).toSeq
