@@ -100,4 +100,48 @@ object BandIndex {
     }
     (spark.table(shT), spark.table(bdT))
   }
+
+  /** Daily-ingest maintenance: append `newDocs`' shingles and bands to
+    * the stored tables (insertInto preserves the bucket spec, so reads
+    * stay exchange-free). Appended band rows carry bsz counted WITHIN
+    * the batch — a lower bound on the true bucket size, so the
+    * hot-bucket cap errs toward keeping buckets until the next
+    * [[refreshBucketSizes]]; already-capped buckets stay capped (their
+    * standing rows keep the over-cap bsz). Staleness is bounded by the
+    * refresh cadence.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, tag: String): Unit = {
+    val shT = s"${tag}_shingles"
+    val bdT = s"${tag}_bands"
+    require(spark.catalog.tableExists(shT) && spark.catalog.tableExists(bdT),
+      s"append target $tag does not exist — buildOrLoad first")
+    val sh = DedupQueries.shingleRows(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.write.insertInto(shT)
+      val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+      DedupQueries.bandsFromShingles(sh)
+        .withColumn("bsz", count(lit(1)).over(wb))
+        .select("doc_id", "band", "bh", "bsz")
+        .write.insertInto(bdT)
+    } finally sh.unpersist()
+  }
+
+  /** Periodic compaction: rebuild the band table from the shingle store
+    * with exact bucket sizes (appends leave bsz a per-batch lower
+    * bound). Recomputing from shingles avoids reading the table being
+    * overwritten; at 100 TB this is the index's scheduled compaction
+    * job — a snapshot-and-swap in a real table format, a bucketed
+    * overwrite here.
+    */
+  def refreshBucketSizes(spark: SparkSession, tag: String): Unit = {
+    val shT = s"${tag}_shingles"
+    val bdT = s"${tag}_bands"
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    DedupQueries.bandsFromShingles(spark.table(shT))
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(NumBuckets, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(bdT)
+  }
 }
