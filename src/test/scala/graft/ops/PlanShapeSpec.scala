@@ -93,6 +93,16 @@ class PlanShapeSpec extends SparkSpec {
       s"range join must decompose to an equi-join:\n$p")
   }
 
+  test("q_doc_dedup and q_dedup_embedding: LSH candidate generation is " +
+    "an equi-join (no BroadcastNestedLoop, no CartesianProduct)") {
+    for (q <- Seq("q_doc_dedup", "q_dedup_embedding")) {
+      val p = plan(Registry.queryMap(q)(spark, dir), noBroadcast = true)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q must bucket, not all-pairs:\n$p")
+    }
+  }
+
   test("q_ann_ivf: centroid passes broadcast; inverted-list probe is a " +
     "broadcast-hash join; corpus is never cartesian-shuffled") {
     val p = plan(Registry.queryMap("q_ann_ivf")(spark, dir))
