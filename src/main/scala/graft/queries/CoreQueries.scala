@@ -29,13 +29,20 @@ object CoreQueries {
       "Full-table scan + projection (reference A1: SELECT * fetchall; " +
         "ours prunes columns at the parquet scan).",
       (s, dir) => {
+        // Sort on ALL projected columns: the synthetic lineitem has ~12k
+        // duplicated (l_orderkey, l_linenumber) pairs (unlike real TPC-H),
+        // so the natural key alone leaves in-tie row order engine-defined
+        // — remaining full-row duplicates are interchangeable.
         Tables.t(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
           .limit(500)
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin)
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |LIMIT 500""".stripMargin)
     ),
 
     // ------------------------------------------------------- G filters
@@ -50,14 +57,17 @@ object CoreQueries {
             col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
             col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
           .select("l_orderkey", "l_linenumber", "l_discount", "l_quantity")
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          // full projected-column sort — (l_orderkey, l_linenumber) is NOT
+          // unique in the synthetic data (see q_scan_project).
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_discount"), col("l_quantity"))
       },
       Some("""SELECT l_orderkey, l_linenumber, l_discount, l_quantity
              |FROM lineitem
              |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0
              |  AND l_shipdate >= TIMESTAMP '1996-01-01'
              |  AND l_shipdate <  TIMESTAMP '1997-01-01'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+             |ORDER BY l_orderkey, l_linenumber, l_discount, l_quantity""".stripMargin)
     ),
 
     // ----------------------------------------------------- G aggregates
