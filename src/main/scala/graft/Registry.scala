@@ -24,6 +24,7 @@ object Registry {
     queries.CoreQueries.defs ++
       queries.ProfileQueries.defs ++
       ops.DedupQueries.defs ++
+      ops.SpanDedup.defs ++
       ops.SimilarityQueries.defs ++
       ops.TextQueries.defs ++
       ops.EventQueries.defs ++

@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Substring-level (word-span) duplication analysis — the exact-substring
+  * dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+  * Language Models Better") approximated at word-n-gram granularity, plus
+  * the cross-source contamination matrix built from the same spans.
+  *
+  * Distinct from the doc-level dedup family (`DedupQueries`): those score
+  * whole documents against each other (pairwise Jaccard / MinHash /
+  * SimHash); these profile WHICH SPANS of text recur anywhere in the
+  * corpus — the signal used to cut boilerplate and templated runs that
+  * doc-level dedup leaves behind (a doc that is 20% boilerplate is not a
+  * near-dup of anything, but a fifth of its tokens are still duplicated
+  * training data).
+  *
+  * Scale shape (100 TB): one narrow explode (fan-out = tokens/doc), one
+  * aggregation keyed on a 32-hex md5 span fingerprint (partial aggs
+  * combine map-side; the shuffle carries fingerprints, not text), one
+  * equi-join back, one per-doc agg. Nothing is all-pairs. The
+  * cross-source matrix aggregates to DISTINCT (source, fingerprint)
+  * first, so a span's join fan-out is capped at #sources (low hundreds),
+  * never at #documents.
+  */
+object SpanDedup {
+
+  /** Span width in tokens. 8 balances specificity (random 8-token
+    * collisions are ~impossible) against recall on short boilerplate; the
+    * published substring threshold is 50 BPE tokens — at 100 TB raise N
+    * accordingly, the plan shape is unchanged.
+    */
+  private val SpanN = 8
+
+  /** A span is "duplicated" when it occurs in at least this many docs. */
+  private val MinDocs = 2
+
+  /** SQL twin of the span fingerprint pipeline: doc_id, source, number of
+    * distinct spans in the doc, and one row per distinct span md5.
+    */
+  private val spanSql: String = {
+    val gram = (0 until SpanN).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+      .mkString("||' '||")
+    s"""t AS (SELECT doc_id, source, string_split($normSql,' ') AS w FROM documents),
+       |g AS (SELECT doc_id, source, list_distinct(list_transform(
+       |    range(1, len(w)-${SpanN - 2}), i -> $gram)) AS spans
+       |  FROM t WHERE len(w) >= $SpanN),
+       |e AS (SELECT doc_id, source, len(spans) AS n_spans,
+       |    md5(unnest(spans)) AS sh FROM g)""".stripMargin
+  }
+
+  /** One row per (doc, distinct span): doc_id, source, n_spans (the doc's
+    * distinct-span count), sh (md5 span fingerprint). Spans are distinct
+    * per doc (`WordNgrams` dedups), so a plain count over `sh` below is a
+    * distinct-document count.
+    */
+  private def spanFps(s: SparkSession, dir: String): DataFrame =
+    Tables.par(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SpanN)
+      .select(col("doc_id"), col("source"),
+        wordNgrams(col("toks"), SpanN).as("spans"))
+      .select(col("doc_id"), col("source"),
+        size(col("spans")).as("n_spans"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), col("source"), col("n_spans"),
+        md5(col("span")).as("sh"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_dedup_spans",
+      "Per-document duplicated-span profile: word-8-gram fingerprints " +
+        "occurring in >= 2 docs, per-doc duplicated-span count and " +
+        "fraction. Explode -> fingerprint agg -> join back; shuffle " +
+        "carries 32-hex keys, never text; AQE broadcasts the duplicated " +
+        "set when it is small.",
+      (s, dir) => {
+        val e = spanFps(s, dir)
+        val dup = e.groupBy("sh")
+          .agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= MinDocs)
+          .select(col("sh"), lit(1).as("isdup"))
+        e.join(dup, Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(max(col("n_spans")).as("n_spans"),
+            count(col("isdup")).as("n_dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            round(col("n_dup_spans").cast("double") /
+              col("n_spans").cast("double"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $spanSql,
+              |f AS (SELECT sh FROM e GROUP BY sh HAVING count(*) >= $MinDocs)
+              |SELECT e.doc_id, max(e.n_spans) AS n_spans,
+              |  count(f.sh) AS n_dup_spans,
+              |  round(CAST(count(f.sh) AS DOUBLE)/max(e.n_spans),6) AS dup_frac
+              |FROM e LEFT JOIN f USING(sh)
+              |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_source_overlap",
+      "Cross-source contamination matrix: for each source pair, how many " +
+        "distinct word-8-gram spans they share. Aggregates to DISTINCT " +
+        "(source, fingerprint) BEFORE the self-join, so per-key fan-out " +
+        "is capped at #sources — never #documents.",
+      (s, dir) => {
+        val e = spanFps(s, dir).select("source", "sh").distinct()
+        val a = e.select(col("source").as("source_a"), col("sh"))
+        val b = e.select(col("source").as("source_b"), col("sh"))
+        a.join(b, "sh")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared_spans"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH $spanSql,
+              |d AS (SELECT DISTINCT source, sh FROM e)
+              |SELECT a.source AS source_a, b.source AS source_b,
+              |  count(*) AS n_shared_spans
+              |FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+              |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+    )
+  )
+}
