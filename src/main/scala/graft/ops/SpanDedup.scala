@@ -52,21 +52,51 @@ object SpanDedup {
        |    md5(unnest(spans)) AS sh FROM g)""".stripMargin
   }
 
-  /** One row per (doc, distinct span): doc_id, source, n_spans (the doc's
+  /** One row per (doc, distinct span) for any relation carrying `doc_id`
+    * + `text`: doc_id [, passthrough...], n_spans (the doc's
     * distinct-span count), sh (md5 span fingerprint). Spans are distinct
-    * per doc (`WordNgrams` dedups), so a plain count over `sh` below is a
-    * distinct-document count.
+    * per doc (`WordNgrams` dedups), so a plain count over `sh` is a
+    * distinct-document count. Stateless per row — usable on a STREAMING
+    * input ([[graft.streaming.CorpusStream.boilerplateHits]] probes a
+    * batch-built duplicated-span set with this).
+    */
+  private[graft] def spanRows(docs: DataFrame,
+                              passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = passthrough.map(col)
+    docs
+      .select(col("doc_id") +: keep :+ tokens(col("text")).as("toks"): _*)
+      .filter(size(col("toks")) >= SpanN)
+      .select(col("doc_id") +: keep :+
+        wordNgrams(col("toks"), SpanN).as("spans"): _*)
+      .select(col("doc_id") +: keep :+ size(col("spans")).as("n_spans") :+
+        explode(col("spans")).as("span"): _*)
+      .select(col("doc_id") +: keep :+ col("n_spans") :+
+        md5(col("span")).as("sh"): _*)
+  }
+
+  /** The duplicated-span set of a batch corpus: one `sh` per span
+    * fingerprint occurring in >= [[MinDocs]] docs. At 100 TB this is a
+    * stored artifact like the MinHash band index — write it bucketed on
+    * `sh` (`etl/Layout.writeBucketed`) and refresh with corpus snapshots;
+    * ingest-time probes then read it scan-only.
+    */
+  def duplicatedSpanSet(docs: DataFrame): DataFrame =
+    spanRows(docs).groupBy("sh")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= MinDocs)
+      .select("sh")
+
+  /** Batch span rows for the declared queries, persisted: the profile
+    * query's two legs (per-doc spans + the duplicated-fp set) and the
+    * overlap matrix all read this relation — without the persist each
+    * leg re-runs the scan + normalize + ngram + explode (CacheManager
+    * canonical-plan matching dedups the repeated per-call persist, same
+    * convention as `DedupQueries`'s shingle relation). Same 100 TB
+    * cache-vs-recompute knob as there.
     */
   private def spanFps(s: SparkSession, dir: String): DataFrame =
-    Tables.par(s, dir, "documents")
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= SpanN)
-      .select(col("doc_id"), col("source"),
-        wordNgrams(col("toks"), SpanN).as("spans"))
-      .select(col("doc_id"), col("source"),
-        size(col("spans")).as("n_spans"), explode(col("spans")).as("span"))
-      .select(col("doc_id"), col("source"), col("n_spans"),
-        md5(col("span")).as("sh"))
+    spanRows(Tables.par(s, dir, "documents"), Seq("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

@@ -81,4 +81,20 @@ object CorpusStream {
           col("band"), col("bh")), Seq("band", "bh"))
       .dropDuplicatesWithinWatermark("doc_id", "match_id")
       .select("eventTime", "doc_id", "match_id")
+
+  /** Ingest-time boilerplate check — the streaming twin of
+    * `q_dedup_spans`: each arriving doc's word-8-gram span fingerprints
+    * probe the STATIC duplicated-span set
+    * ([[graft.ops.SpanDedup.duplicatedSpanSet]], at scale a stored
+    * table bucketed on `sh`). Fully stateless: a stream-static inner
+    * join per span row (spans are already distinct per doc, so no
+    * within-stream dedup is needed). Emits one
+    * (eventTime, doc_id, n_spans, sh) row per duplicated-span hit;
+    * per-doc fraction (`hits / n_spans`) is a trivial batch follow-up
+    * on the sink — the same division `q_dedup_spans` publishes.
+    */
+  def boilerplateHits(docs: DataFrame, dupSpans: DataFrame): DataFrame =
+    graft.ops.SpanDedup.spanRows(docs, Seq("eventTime"))
+      .join(dupSpans, "sh")
+      .select("eventTime", "doc_id", "n_spans", "sh")
 }

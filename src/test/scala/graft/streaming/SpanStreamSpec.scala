@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.SpanDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+class SpanStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("boilerplateHits flags arriving docs carrying corpus-duplicated spans") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // batch corpus: docs 10/11 share their first 9 tokens -> 2 duplicated
+    // 8-gram spans; doc 12 is disjoint.
+    val dupSpans = SpanDedup.duplicatedSpanSet(Seq(
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "one two three four five six seven eight nine zzz"),
+      (12L, "aa bb cc dd ee ff gg hh ii jj"))
+      .toDF("doc_id", "text"))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = CorpusStream.boilerplateHits(
+      input.toDF().toDF("eventTime", "doc_id", "text"), dupSpans)
+      .writeStream.queryName("span_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-span").toString)
+      .format("memory")
+      .start()
+    try {
+      input.addData(
+        // carries BOTH duplicated spans (tokens 1..9 of the shared run)
+        (ts("2024-01-01 10:00:00"), 1L,
+          "one two three four five six seven eight nine"),
+        // fresh text -> no hits
+        (ts("2024-01-01 10:00:10"), 2L,
+          "completely different words entirely unrelated content here today ok"))
+      q.processAllAvailable()
+      val out = spark.table("span_test").orderBy("doc_id", "sh").collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 1L))
+      // 9 tokens -> 2 distinct 8-gram spans, both duplicated in the corpus
+      assert(out.forall(_.getAs[Int]("n_spans") == 2))
+    } finally q.stop()
+  }
+}
