@@ -133,15 +133,22 @@ object SpanDedup {
     QueryDef(
       "q_source_overlap",
       "Cross-source contamination matrix: for each source pair, how many " +
-        "distinct word-8-gram spans they share. Aggregates to DISTINCT " +
-        "(source, fingerprint) BEFORE the self-join, so per-key fan-out " +
-        "is capped at #sources — never #documents.",
+        "distinct word-8-gram spans they share. No self-join: collect " +
+        "each span's source SET (bounded by the #sources dimension, a " +
+        "small constant — NOT a doc list) in one agg, then explode the " +
+        "ordered pairs — a hot span present everywhere materializes " +
+        "once, not #sources² join rows.",
       (s, dir) => {
-        val e = spanFps(s, dir).select("source", "sh").distinct()
-        val a = e.select(col("source").as("source_a"), col("sh"))
-        val b = e.select(col("source").as("source_b"), col("sh"))
-        a.join(b, "sh")
-          .filter(col("source_a") < col("source_b"))
+        spanFps(s, dir)
+          .groupBy("sh")
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .filter(size(col("srcs")) >= 2)
+          .select(explode(flatten(transform(col("srcs"), (x, i) =>
+            transform(
+              slice(col("srcs"), i + lit(2), size(col("srcs")) - i - lit(1)),
+              y => struct(x.as("source_a"), y.as("source_b"))))))
+            .as("pair"))
+          .select(col("pair.source_a"), col("pair.source_b"))
           .groupBy("source_a", "source_b")
           .agg(count(lit(1)).as("n_shared_spans"))
           .orderBy("source_a", "source_b")
