@@ -47,6 +47,49 @@ class SpanDedupSpec extends SparkSpec {
     assert(rows == Seq(("srcA", "srcB", 2L)))
   }
 
+  test("differential: random corpus matches a brute-force reference") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    // small vocab + 8..14-token docs -> plenty of genuine 8-gram
+    // collisions across docs, plus sub-8-token docs (excluded)
+    val corpus = (1L to 30L).map { id =>
+      val n = 5 + rnd.nextInt(10)
+      val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, text, "en", s"src${id % 3}")
+    }
+    val d = Files.createTempDirectory("spandiff").toString
+    corpus.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+
+    // brute force: distinct 8-gram spans per doc
+    val docSpans: Map[Long, Set[String]] = corpus.map { case (id, t, _, _) =>
+      id -> t.split(" ").toSeq.sliding(8).filter(_.size == 8)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val spanDocs = docSpans.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dup = spanDocs.filter(_._2.size >= 2).keySet
+
+    val gotProfile = Registry.queryMap("q_dedup_spans")(spark, d)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expProfile = docSpans.map { case (id, ss) =>
+      id -> ((ss.size, ss.count(dup).toLong))
+    }
+    assert(gotProfile == expProfile)
+
+    val srcOf = corpus.map(c => c._1 -> c._4).toMap
+    val expPairs = spanDocs.values.toSeq
+      .map(_.map(srcOf))                       // span -> source set
+      .flatMap(ss => for (a <- ss; b <- ss if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotPairs = Registry.queryMap("q_source_overlap")(spark, d)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotPairs == expPairs)
+  }
+
   test("span fingerprinting dedups repeats WITHIN a doc (no self-dup)") {
     val d = Files.createTempDirectory("spanspec2").toString
     // the same 8-gram occurs twice inside one doc; no other doc has it
