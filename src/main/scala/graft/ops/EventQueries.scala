@@ -17,6 +17,9 @@ object EventQueries {
 
   private def epochSec = Tables.nanosToEpochSec(col("ts"))
 
+  /** Funnel step conversion window (1 day). */
+  private val FunnelWindowSec = 86400L
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_event_window",
@@ -109,6 +112,87 @@ object EventQueries {
              |SELECT user_id, session_idx, COUNT(*) AS n_events,
              |  MIN(sec) AS session_start, MAX(sec) AS session_end
              |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_event_funnel",
+      "Ordered conversion funnel view -> click -> purchase with a 1-day " +
+        "conversion window per step: first view, first click strictly " +
+        "after it (within the window), first purchase strictly after " +
+        "that. Per-stage user counts; each step is a user-keyed " +
+        "equi-join of aggregates over a monotonically SHRINKING stage " +
+        "relation, so at 100 TB the expensive joins run on converters " +
+        "only, never the full event log.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .withColumn("sec", epochSec)
+          .select("user_id", "event_type", "sec")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("sec")).as("v_sec"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("sec") > col("v_sec") &&
+            col("sec") <= col("v_sec") + FunnelWindowSec)
+          .groupBy("user_id").agg(min(col("sec")).as("c_sec"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("sec") > col("c_sec") &&
+            col("sec") <= col("c_sec") + FunnelWindowSec)
+          .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
+        Seq("1_view" -> v, "2_click_after_view" -> c,
+          "3_purchase_after_click" -> p)
+          .map { case (nm, df) =>
+            df.agg(count(lit(1)).as("n_users"))
+              .select(lit(nm).as("stage"), col("n_users"))
+          }
+          .reduce(_.union(_))
+          .orderBy("stage")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_type,
+              |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS sec
+              |  FROM events),
+              |v AS (SELECT user_id, min(sec) AS v_sec FROM e
+              |  WHERE event_type = 'view' GROUP BY 1),
+              |c AS (SELECT e.user_id, min(sec) AS c_sec FROM e JOIN v USING(user_id)
+              |  WHERE event_type = 'click' AND sec > v_sec
+              |    AND sec <= v_sec + $FunnelWindowSec GROUP BY 1),
+              |p AS (SELECT e.user_id, min(sec) AS p_sec FROM e JOIN c USING(user_id)
+              |  WHERE event_type = 'purchase' AND sec > c_sec
+              |    AND sec <= c_sec + $FunnelWindowSec GROUP BY 1)
+              |SELECT stage, n_users FROM (
+              |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+              |  UNION ALL SELECT '2_click_after_view', count(*) FROM c
+              |  UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
+              |ORDER BY stage""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_event_retention",
+      "Daily cohort retention: cohort = a user's first active epoch-day; " +
+        "one row per (cohort_day, day_offset) counting active users. " +
+        "Distinct (user, day) first — the activity relation is bounded " +
+        "by users x days, not by raw events — then one user-keyed min " +
+        "and a user-keyed join; all integer epoch-day arithmetic.",
+      (s, dir) => {
+        val act = Tables.t(s, dir, "events")
+          .withColumn("sec", epochSec)
+          .select(col("user_id"), expr("sec div 86400").as("day"))
+          .distinct()
+        val coh = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        act.join(coh, "user_id")
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).as("n_active_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+             |    (CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) // 86400) AS day
+             |  FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+             |SELECT cohort_day, day - cohort_day AS day_offset,
+             |  count(*) AS n_active_users
+             |FROM e JOIN c USING(user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

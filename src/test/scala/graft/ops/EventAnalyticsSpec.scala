@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.{Registry, SparkSpec}
+import java.nio.file.Files
+
+/** Funnel + retention semantics on a controlled event log. The declared
+  * queries read `events.parquet` with ts as INT64 nanos (the testdata's
+  * TIMESTAMP(NANOS) arrives that way under nanosAsLong), so the fixture
+  * writes Long nanos directly.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Day = 86400L
+  private def ns(sec: Long): Long = sec * 1000000000L
+  private val t0 = Day * 100 // clean day boundary
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String)]): String = {
+    val d = Files.createTempDirectory("eventspec").toString
+    rows.zipWithIndex
+      .map { case ((uid, sec, _, tpe), i) =>
+        (i.toLong, ns(sec), uid, tpe, 1.0, """{"k":"1"}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q_event_funnel: windowed ordered stages, wrong order / late click excluded") {
+    val dir = writeEvents(Seq(
+      // user 1: view -> click(+100s) -> purchase(+200s): full conversion
+      (1L, t0, 0L, "view"), (1L, t0 + 100, 0L, "click"),
+      (1L, t0 + 200, 0L, "purchase"),
+      // user 2: click 2 days after view -> outside the 1-day window
+      (2L, t0, 0L, "view"), (2L, t0 + 2 * Day, 0L, "click"),
+      // user 3: click BEFORE view -> no click strictly after the view
+      (3L, t0 + 100, 0L, "view"), (3L, t0, 0L, "click"),
+      // user 4: never views -> not in the funnel at all
+      (4L, t0, 0L, "click"), (4L, t0 + 100, 0L, "purchase")))
+    val got = Registry.queryMap("q_event_funnel")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("1_view", 3L), ("2_click_after_view", 1L),
+      ("3_purchase_after_click", 1L)))
+  }
+
+  test("q_event_retention: day offsets counted against each user's first day") {
+    val dir = writeEvents(Seq(
+      // cohort day 100: user 1 active days 100,101; user 2 days 100,102
+      (1L, t0 + 10, 0L, "view"), (1L, t0 + Day + 10, 0L, "view"),
+      (2L, t0 + 20, 0L, "view"), (2L, t0 + 2 * Day + 20, 0L, "view"),
+      // two events same day -> ONE active (user, day)
+      (2L, t0 + 30, 0L, "click"),
+      // cohort day 101: user 3 active day 101 only
+      (3L, t0 + Day + 5, 0L, "view")))
+    val got = Registry.queryMap("q_event_retention")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 0L, 2L), (100L, 1L, 1L), (100L, 2L, 1L),
+      (101L, 0L, 1L)))
+  }
+}
