@@ -23,6 +23,12 @@ object EventStream {
                               sessionEnd: Long, nEvents: Long,
                               open: Boolean)
 
+  /** Per-user funnel progress: epoch-second of the first qualifying
+    * event per stage, -1 while unreached.
+    */
+  final case class FunnelState(vSec: Long, cSec: Long, pSec: Long)
+  final case class FunnelOut(userId: Long, stage: Int, sec: Long)
+
   /** Event-time tumbling window with watermark — the streaming form of
     * q_event_window. Input must carry an `eventTime` timestamp column.
     */
@@ -121,6 +127,67 @@ object EventStream {
             }
             (closed.reverse ++ cur.map(st =>
               SessionOut(userId, st.start, st.last, st.n, open = true))).iterator
+          }
+      }
+  }
+
+  /** Streaming funnel tracking — the streaming form of q_event_funnel:
+    * a per-user state machine over (user_id, event_type, epoch_sec)
+    * rows. Stage 1 = first view; stage 2 = first click strictly after
+    * the recorded view within `windowSec`; stage 3 = first purchase
+    * strictly after the recorded click within `windowSec`. Emits one
+    * [[FunnelOut]] row per stage ADVANCE (append-mode friendly); state
+    * is one 3-long case class per user and is REMOVED the moment the
+    * funnel completes, so long-run state is bounded by active
+    * not-yet-converted users (plus idle eviction by timeout).
+    *
+    * Known trade-off vs the batch twin (same spirit as [[sessionize]]):
+    * stages only ADVANCE. A late-arriving view EARLIER than the
+    * recorded one cannot retroactively re-qualify a click that was
+    * out-of-window for the recorded view — batch q_event_funnel over
+    * full history remains the exact periodic sweep.
+    */
+  def funnelStages(events: Dataset[(Long, String, Long)],
+                   windowSec: Long = 86400L,
+                   idleTimeout: Option[String] = Some("7 days"))
+      (implicit spark: SparkSession): Dataset[FunnelOut] = {
+    import spark.implicits._
+    val isStreamingSrc = events.isStreaming
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), timeoutConf) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            var out = List.empty[FunnelOut]
+            // within-batch order by event time; cross-batch late events
+            // are the documented advance-only divergence
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, t) =>
+              tpe match {
+                case "view" if st.vSec < 0 =>
+                  st = st.copy(vSec = t); out ::= FunnelOut(userId, 1, t)
+                case "click" if st.vSec >= 0 && st.cSec < 0 &&
+                    t > st.vSec && t <= st.vSec + windowSec =>
+                  st = st.copy(cSec = t); out ::= FunnelOut(userId, 2, t)
+                case "purchase" if st.cSec >= 0 && st.pSec < 0 &&
+                    t > st.cSec && t <= st.cSec + windowSec =>
+                  st = st.copy(pSec = t); out ::= FunnelOut(userId, 3, t)
+                case _ => // non-funnel type, repeat, or out-of-window
+              }
+            }
+            if (st.pSec >= 0) state.remove() // converted: no more state
+            else {
+              state.update(st)
+              idleTimeout.foreach { d =>
+                if (isStreamingSrc) state.setTimeoutDuration(d)
+              }
+            }
+            out.reverse.iterator
           }
       }
   }

@@ -137,4 +137,49 @@ class EventStreamSpec extends SparkSpec {
     assert(out(8L).map(s => (s.sessionStart, s.nEvents, s.open)).toSeq ==
       Seq((100L, 1L, true)))
   }
+
+  test("funnelStages advances per-user across micro-batches; out-of-window ignored") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventStream.funnelStages(input.toDS(), windowSec = 1000L,
+      idleTimeout = None) // see sessionize note on ProcessingTimeTimeout
+      .writeStream.queryName("funnel_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-fnl").toString)
+      .format("memory")
+      .start()
+    try {
+      // batch 1: user 1 views; user 2 clicks with NO prior view (ignored)
+      input.addData((1L, "view", 100L), (2L, "click", 100L))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks in-window; user 2 views then out-of-window
+      // click (2000 > 200+1000)
+      input.addData((1L, "click", 600L), (2L, "view", 200L),
+        (2L, "click", 2000L))
+      q.processAllAvailable()
+      // batch 3: user 1 purchases in-window -> completes (state removed);
+      // a SECOND purchase must emit nothing (funnel done)
+      input.addData((1L, "purchase", 900L), (1L, "purchase", 950L))
+      q.processAllAvailable()
+      val got = spark.table("funnel_test")
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(got == Seq((1L, 1, 100L), (1L, 2, 600L), (1L, 3, 900L),
+        (2L, 1, 200L)))
+    } finally q.stop()
+  }
+
+  test("funnelStages batch execution matches the within-batch ordered semantics") {
+    implicit val s = spark
+    import spark.implicits._
+    // one batch, shuffled input order: sort-by-sec inside the state fn
+    // must recover view(10) -> click(20) -> purchase(30)
+    val events = Seq((5L, "purchase", 30L), (5L, "view", 10L),
+      (5L, "click", 20L), (5L, "click", 5L)).toDS()
+    val out = EventStream.funnelStages(events, windowSec = 100L)
+      .collect().map(f => (f.stage, f.sec)).sorted.toSeq
+    assert(out == Seq((1, 10L), (2, 20L), (3, 30L)))
+  }
 }
