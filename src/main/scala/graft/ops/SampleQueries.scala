@@ -47,6 +47,37 @@ object SampleQueries {
            |  (CASE $cases ELSE '$defaultRate' END)
            |ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    QueryDef(
+      "q_data_split",
+      "Deterministic train/val/test split (90/5/5): bucket = the first " +
+        "24 md5 bits of doc_id mod 100 — stable under re-partitioning, " +
+        "re-runs, and engine choice (rand()-based splits are none of " +
+        "those). Stateless per-row label + one agg; a doc's split never " +
+        "changes as the corpus grows, so incremental ingest cannot leak " +
+        "train docs into held-out sets.",
+      (s, dir) => {
+        val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+          16, 10).cast("long") % 100
+        Tables.t(s, dir, "documents")
+          .withColumn("split",
+            when(bkt < 90, "train").when(bkt < 95, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("split")
+      },
+      Some("""WITH b AS (SELECT doc_id, source,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bkt
+             |  FROM documents)
+             |SELECT CASE WHEN bkt < 90 THEN 'train'
+             |            WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+             |  count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+             |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }
