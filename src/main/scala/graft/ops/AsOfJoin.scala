@@ -67,6 +67,55 @@ object AsOfJoin {
       .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
   }
 
+  /** Forward as-of join: for each left row, the FIRST right row with the
+    * same keys and right.ts >= left.ts (a right row at exactly left.ts
+    * counts). Same union + one-shuffle + window skeleton as
+    * [[asOfBackward]], scanning time DESCENDING so the running
+    * `last(payload)` at a left row is the nearest at-or-after right row.
+    * Ties on right ts resolve to the max `rightTiebreak` (same
+    * convention as backward). Tolerance (pandas merge_asof style) is a
+    * post-filter on the matched ts — callers include `rightTs` in
+    * `payload` and null out matches beyond the bound.
+    */
+  def asOfForward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      payload: Seq[String], rightTiebreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val reserved = Seq("_t", "_side", "_tb")
+    require((leftCols ++ right.columns).intersect(reserved).isEmpty,
+      s"column names ${reserved.mkString("/")} are reserved by asOfForward")
+    require(leftCols.intersect(payload).isEmpty,
+      s"left side already has payload column(s) " +
+        s"${leftCols.intersect(payload).mkString(", ")} — rename before joining")
+    val l = left
+      .withColumn("_t", col(leftTs))
+      .withColumn("_side", lit(0)) // left sorts AFTER right at equal ts
+      .withColumn("_tb", lit(null).cast(right.schema(rightTiebreak).dataType))
+    val lPadded = payload.foldLeft(l)((df, p) =>
+      df.withColumn(p, lit(null).cast(right.schema(p).dataType)))
+    val r0 = right
+      .withColumn("_t", col(rightTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_tb", col(rightTiebreak))
+    val rPadded = leftCols.foldLeft(r0)((df, c) =>
+      if (payload.contains(c) || keys.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val cols = keys.map(col) ++ Seq(col("_t"), col("_side"), col("_tb")) ++
+      leftCols.filterNot(keys.contains).map(col) ++ payload.map(col)
+    val unioned = lPadded.select(cols: _*).unionByName(
+      rPadded.select(cols: _*))
+    // DESCENDING time scan; right rows first at equal _t (_side desc) so
+    // an exactly-simultaneous right row is visible to the left row.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_side").desc, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPayload = payload.foldLeft(unioned)((df, p) =>
+      df.withColumn(s"asof_$p", last(col(p), ignoreNulls = true).over(w)))
+    withPayload.filter(col("_side") === 0)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
+  }
+
   // ------------------------------------------------------------------
   // Declared query: purchase -> most recent prior click, per user.
   // The DuckDB twin uses the same union+window formulation (equivalent
@@ -120,6 +169,60 @@ object AsOfJoin {
              |  asof_click_id AS click_id,
              |  t // 1000000000 - asof_t // 1000000000 AS gap_sec
              |FROM w WHERE side = 0 ORDER BY purchase_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_asof_forward",
+      "Forward as-of join with tolerance (time-to-conversion): each " +
+        "click joins the same user's NEXT purchase with purchase.ts >= " +
+        "click.ts, nulled when the wait exceeds 1 day (merge_asof " +
+        "tolerance). Same one-shuffle union+window skeleton, time " +
+        "scanned descending.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_tns"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_tns"),
+            col("event_id").as("purchase_id"))
+        val tol = 86400L
+        val raw = asOfForward(clicks, purchases, Seq("user_id"),
+          leftTs = "c_tns", rightTs = "p_tns",
+          payload = Seq("purchase_id", "p_tns"), rightTiebreak = "purchase_id")
+        val gap = Tables.nanosToEpochSec(col("asof_p_tns")) -
+          Tables.nanosToEpochSec(col("c_tns"))
+        raw.select(col("click_id"), col("user_id"),
+            Tables.nanosToEpochSec(col("c_tns")).as("c_sec"),
+            when(gap <= tol, col("asof_purchase_id")).as("purchase_id"),
+            when(gap <= tol, gap).as("wait_sec"))
+          .orderBy("click_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, epoch_ns(ts) AS t, 0 AS side, event_id AS click_id,
+             |         NULL::BIGINT AS purchase_id
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, epoch_ns(ts) AS t, 1 AS side, NULL, event_id
+             |  FROM events WHERE event_type = 'purchase'),
+             |w AS (
+             |  SELECT *,
+             |    last_value(purchase_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY t DESC, side DESC, purchase_id ASC NULLS FIRST
+             |      ROWS UNBOUNDED PRECEDING) AS asof_purchase_id,
+             |    last_value(CASE WHEN side = 1 THEN t END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY t DESC, side DESC, purchase_id ASC NULLS FIRST
+             |      ROWS UNBOUNDED PRECEDING) AS asof_t
+             |  FROM u),
+             |g AS (
+             |  SELECT *, asof_t // 1000000000 - t // 1000000000 AS gap
+             |  FROM w WHERE side = 0)
+             |SELECT click_id, user_id, t // 1000000000 AS c_sec,
+             |  CASE WHEN gap <= 86400 THEN asof_purchase_id END AS purchase_id,
+             |  CASE WHEN gap <= 86400 THEN gap END AS wait_sec
+             |FROM g ORDER BY click_id""".stripMargin)
     )
   )
 }

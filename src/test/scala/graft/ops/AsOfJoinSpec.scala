@@ -35,4 +35,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
     assert(plan.contains("Window"), s"expected window plan:\n$plan")
   }
+
+  test("asOfForward: earliest at-or-after match, null when none, max-id tie-break") {
+    import spark.implicits._
+    val left = Seq( // (order_id, user, t)
+      (100L, 1L, 50L), (101L, 1L, 70L), (102L, 2L, 30L), (103L, 3L, 5L))
+      .toDF("order_id", "user", "lt")
+    val right = Seq(
+      (1L, 40L, 7L), (1L, 60L, 8L), // user 1: before/after the @50 row
+      (2L, 30L, 11L), (2L, 30L, 12L), // exact-equal ts counts; max rid wins
+      (4L, 1L, 99L))
+      .toDF("user", "rt", "rid")
+    val out = AsOfJoin.asOfForward(left, right, Seq("user"),
+      leftTs = "lt", rightTs = "rt", payload = Seq("rid"), rightTiebreak = "rid")
+      .orderBy("order_id").collect()
+    assert(out(0).getLong(3) == 8L)  // order 100 @50: rid 8 (@60), not 7 (@40)
+    assert(out(1).isNullAt(3))       // order 101 @70: nothing after
+    assert(out(2).getLong(3) == 12L) // order 102 @30: equal-ts counts; max rid
+    assert(out(3).isNullAt(3))       // user 3: right side empty for key
+  }
+
+  test("asOfForward plan: window, no join") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("order_id", "user", "lt")
+    val right = Seq((1L, 5L, 2L)).toDF("user", "rt", "rid")
+    val plan = AsOfJoin.asOfForward(left, right, Seq("user"),
+      "lt", "rt", Seq("rid"), "rid").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected window plan:\n$plan")
+  }
 }
