@@ -348,23 +348,25 @@ object DedupQueries {
     // ------------------------------------------------------------- H1
     QueryDef(
       "q_dedup_exact",
-      "Exact dedup: hash groupBy on a 128-bit fingerprint of normalized " +
-        "text, keep min doc_id (partial agg -> one shuffle whose key is " +
-        "32 hex chars, not whole documents — at 100 TB the shuffle write " +
-        "shrinks by the mean document length / 32; salt only if a single " +
-        "text value dominates).",
+      "Exact dedup: hash groupBy on the BINARY 128-bit fingerprint of " +
+        "normalized text, keep min doc_id (partial agg -> one shuffle " +
+        "whose key is 16 bytes, not whole documents and not the 32-char " +
+        "hex rendering — at 100 TB the shuffle write shrinks by the " +
+        "mean document length / 16; salt only if a single text value " +
+        "dominates). The hex prefix is re-derived only for the report.",
       (s, dir) => {
         Tables.t(s, dir, "documents")
-          .groupBy(md5(normText(col("text"))).as("fp"))
+          .groupBy(unhex(md5(normText(col("text")))).as("fp"))
           .agg(min(col("doc_id")).as("keeper_id"),
             count(lit(1)).as("n_copies"))
           .select(col("keeper_id"), col("n_copies"),
-            substring(col("fp"), 1, 16).as("text_fp"))
+            substring(lower(hex(col("fp"))), 1, 16).as("text_fp"))
           .orderBy("keeper_id")
       },
-      Some(s"""SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies,
-              |  substr(md5($normSql),1,16) AS text_fp
-              |FROM documents GROUP BY md5($normSql) ORDER BY keeper_id""".stripMargin)
+      Some(s"""WITH g AS (SELECT unhex(md5($normSql)) AS fp, doc_id FROM documents)
+              |SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies,
+              |  substr(lower(hex(fp)), 1, 16) AS text_fp
+              |FROM g GROUP BY fp ORDER BY keeper_id""".stripMargin)
     ),
 
     // ------------------------------------------------------------- H3
