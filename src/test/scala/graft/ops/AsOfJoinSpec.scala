@@ -64,4 +64,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
     assert(plan.contains("Window"), s"expected window plan:\n$plan")
   }
+
+  test("differential: both directions match brute force on a random log") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // deliberately small time domain -> many exact-ts ties exercise the
+    // tie-break contract (backward AND forward resolve to max rid)
+    val left = (1L to 120L).map(i =>
+      (i, rnd.nextInt(8).toLong, rnd.nextInt(40).toLong))
+    val right = (1L to 150L).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong, 1000L + i))
+    val lDf = left.toDF("order_id", "user", "lt")
+    val rDf = right.toDF("user", "rt", "rid")
+
+    def expect(dirBack: Boolean): Map[Long, Option[Long]] =
+      left.map { case (oid, u, lt) =>
+        val cands = right.filter { case (ru, rt, _) =>
+          ru == u && (if (dirBack) rt <= lt else rt >= lt) }
+        val best =
+          if (cands.isEmpty) None
+          else if (dirBack)
+            // latest ts; ties -> max rid
+            Some(cands.maxBy(c => (c._2, c._3))._3)
+          else
+            // earliest ts; ties -> max rid
+            Some(cands.minBy(c => (c._2, -c._3))._3)
+        oid -> best
+      }.toMap
+
+    val gotBack = AsOfJoin.asOfBackward(lDf, rDf, Seq("user"),
+      "lt", "rt", Seq("rid"), "rid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(gotBack == expect(dirBack = true))
+
+    val gotFwd = AsOfJoin.asOfForward(lDf, rDf, Seq("user"),
+      "lt", "rt", Seq("rid"), "rid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(gotFwd == expect(dirBack = false))
+  }
 }
