@@ -42,6 +42,40 @@ class EventAnalyticsSpec extends SparkSpec {
       ("3_purchase_after_click", 1L)))
   }
 
+  test("differential: funnel stage counts match brute force on a random log") {
+    val rnd = new scala.util.Random(11)
+    val types = Vector("view", "click", "purchase", "error")
+    val rows = (1 to 600).map { _ =>
+      val uid = rnd.nextInt(25).toLong
+      // spread over ~3 days so the 1-day window both admits and rejects
+      (uid, t0 + rnd.nextInt(3 * Day.toInt), 0L, types(rnd.nextInt(types.size)))
+    }
+    val dir = writeEvents(rows)
+
+    // brute force mirror of the declared semantics
+    val byUser = rows.groupBy(_._1)
+    var (s1, s2, s3) = (0, 0, 0)
+    byUser.foreach { case (_, evs) =>
+      val vs = evs.filter(_._4 == "view").map(_._2)
+      if (vs.nonEmpty) {
+        s1 += 1
+        val v = vs.min
+        val cs = evs.filter(e => e._4 == "click" && e._2 > v && e._2 <= v + Day)
+          .map(_._2)
+        if (cs.nonEmpty) {
+          s2 += 1
+          val c = cs.min
+          if (evs.exists(e =>
+              e._4 == "purchase" && e._2 > c && e._2 <= c + Day)) s3 += 1
+        }
+      }
+    }
+    val got = Registry.queryMap("q_event_funnel")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("1_view" -> s1.toLong,
+      "2_click_after_view" -> s2.toLong, "3_purchase_after_click" -> s3.toLong))
+  }
+
   test("q_event_retention: day offsets counted against each user's first day") {
     val dir = writeEvents(Seq(
       // cohort day 100: user 1 active days 100,101; user 2 days 100,102
