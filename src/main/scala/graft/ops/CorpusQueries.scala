@@ -38,6 +38,18 @@ object CorpusQueries {
     (0 until ContamN).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
       .mkString("||' '||")
 
+  /** Bloom pre-filter size (bits) for `q_contamination_bloom`: the
+    * membership pre-pass is a broadcast semi-join against at most this
+    * many distinct bucket ids, so the broadcast side is FIXED-SIZE no
+    * matter how large the eval set grows (the scale path
+    * `q_contamination`'s own doc promises). k=1 hash keeps the filter a
+    * plain integer-key semi-join — codegen'd, no UDF, no sketch object;
+    * false positives cost only extra rows into the exact verify join,
+    * never wrong output. At 100 TB size this ~10x the eval-set n-gram
+    * count for a ~10% false-positive rate.
+    */
+  private val BloomBits = 4096
+
   /** Domain mixing: per-source budget = ceil(MixC * sqrt(n_source)) docs
     * — alpha=0.5 temperature resampling (rare sources up-weighted
     * relative to their share, as in multilingual LLM data mixes).
@@ -140,6 +152,75 @@ object CorpusQueries {
               1).otherwise(0).as("contaminated"))
           .orderBy("doc_id")
       },
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, source,
+              |    list_distinct(list_transform(range(1, len(toks)-${ContamN - 2}),
+              |      i -> $contamGramSql)) AS ng
+              |  FROM t WHERE len(toks) >= $ContamN),
+              |bench AS (SELECT DISTINCT unnest(ng) AS ngram FROM g WHERE source='src0'),
+              |x AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS ngram
+              |  FROM g WHERE source <> 'src0'),
+              |j AS (SELECT x.doc_id, x.n_ngrams,
+              |    CAST(sum(CASE WHEN b.ngram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits
+              |  FROM x LEFT JOIN bench b ON x.ngram = b.ngram
+              |  GROUP BY 1,2)
+              |SELECT doc_id, n_ngrams, n_hits,
+              |  round(CAST(n_hits AS DOUBLE)/n_ngrams, 6) AS overlap_frac,
+              |  CASE WHEN CAST(n_hits AS DOUBLE)/n_ngrams >= $ContamTau
+              |    THEN 1 ELSE 0 END AS contaminated
+              |FROM j ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_contamination_bloom",
+      s"Decontamination with a Bloom-filter pre-pass — the eval-sets-" +
+        "beyond-broadcast-size path q_contamination documents. The " +
+        s"benchmark n-grams hash into a $BloomBits-bit membership set " +
+        "(k=1, expressed as a broadcast semi-join on the bucket id — a " +
+        "FIXED-SIZE broadcast regardless of eval-set scale); only " +
+        "corpus n-grams whose bucket is occupied reach the exact " +
+        "verify join, and the per-doc hit count joins back to one row " +
+        "per doc (a doc-grain shuffle, not the n-gram-grain shuffle of " +
+        "the plain variant). False positives only add verify rows; " +
+        "output is exact — the oracle is the plain contamination SQL.",
+      (s, dir) => {
+        val g = Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .filter(size(col("toks")) >= ContamN)
+          .select(col("doc_id"), col("source"),
+            wordNgrams(col("toks"), ContamN).as("ng"))
+        val bench = g.filter(col("source") === "src0")
+          .select(explode(col("ng")).as("ngram")).distinct()
+        // The Bloom filter: the set of occupied hash buckets. <= BloomBits
+        // rows however large the eval set is.
+        val bits = bench
+          .select(pmod(xxhash64(col("ngram")), lit(BloomBits)).as("bit"))
+          .distinct()
+        val corpus = g.filter(col("source") =!= "src0")
+        // Pre-filter (map-only: broadcast integer semi-join), then exact
+        // verify only on survivors; count exact hits per doc.
+        val hits = corpus
+          .select(col("doc_id"), explode(col("ng")).as("ngram"))
+          .withColumn("bit", pmod(xxhash64(col("ngram")), lit(BloomBits)))
+          .join(broadcast(bits), Seq("bit"), "left_semi")
+          .join(broadcast(bench), Seq("ngram"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+        // Zero-hit docs never enter the verify join; they re-appear via
+        // the doc-grain left join against the unexploded base relation.
+        corpus.select(col("doc_id"), size(col("ng")).as("n_ngrams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_ngrams"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_ngrams"), 6).as("overlap_frac"),
+            when(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_ngrams") >= ContamTau, 1).otherwise(0)
+              .as("contaminated"))
+          .orderBy("doc_id")
+      },
+      // The Bloom pre-pass is output-transparent: the oracle is the plain
+      // exact-contamination SQL (same relation as q_contamination).
       Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
               |g AS (SELECT doc_id, source,
               |    list_distinct(list_transform(range(1, len(toks)-${ContamN - 2}),

@@ -47,6 +47,47 @@ object TextQueries {
       when(nChars >= 64, lit(1)).otherwise(lit(0))
 
 
+  /** Heavy-hitter threshold AND sketch capacity: report terms whose
+    * count exceeds 1/HeavyK of all terms; a per-partition SpaceSaving
+    * summary of HeavyK counters is guaranteed to contain every such
+    * term (Metwally et al. 2005), so the exact recount over the
+    * candidate union is exact — never a sample.
+    */
+  private[graft] val HeavyK = 1024
+
+  /** SpaceSaving frequent-items sketch over one partition: at most `k`
+    * counters; an untracked arrival evicts the min-count entry and
+    * inherits its count + 1. Guarantee used here: any item with true
+    * partition count > partitionSize/k is among the surviving keys —
+    * so unioning per-partition survivors yields a SUPERSET of the
+    * global heavy hitters for threshold total/k (proved in
+    * HeavyHitterSpec by differential test against brute force).
+    * Memory is O(k) per task regardless of per-task vocabulary — the
+    * property a plain hash aggregate cannot give at 100 TB.
+    */
+  private[graft] def spaceSavingKeys(it: Iterator[String], k: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      counts.get(t) match {
+        case Some(c) => counts.update(t, c + 1)
+        case None if counts.size < k => counts.update(t, 1L)
+        case None =>
+          // k is a small constant: the linear min scan is O(k) per
+          // eviction; a production sketch would keep a min-heap.
+          var minKey: String = null
+          var minVal = Long.MaxValue
+          counts.foreach { case (key, v) =>
+            if (v < minVal || (v == minVal && (minKey == null || key < minKey))) {
+              minVal = v; minKey = key
+            }
+          }
+          counts.remove(minKey)
+          counts.update(t, minVal + 1)
+      }
+    }
+    counts.keysIterator
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_stats",
@@ -233,6 +274,65 @@ object TextQueries {
               |    ELSE []::VARCHAR[] END) AS ngram FROM t)
               |SELECT ngram, COUNT(*) AS n_occurrences FROM b
               |GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_heavy_hitters",
+      s"Frequent-terms detection with BOUNDED task memory: every word " +
+        s"bigram above 1/$HeavyK of all bigram occurrences, found by a " +
+        s"per-partition SpaceSaving sketch ($HeavyK counters per task — " +
+        "O(k) memory however large the per-task vocabulary) whose " +
+        "candidate union provably contains every global heavy hitter; " +
+        "an exact recount over candidates only (broadcast semi-join) " +
+        "makes the output exact, so the oracle is the plain exact SQL. " +
+        "Shape: sketch scan (no shuffle beyond the tiny candidate " +
+        "distinct) -> recount scan whose agg shuffle carries only " +
+        "candidate keys — the full-vocabulary shuffle of a naive " +
+        "groupBy never happens.",
+      (s, dir) => {
+        import s.implicits._
+        val bigramsOf = {
+          val toks = tokens(col("text"))
+          explode(when(size(toks) >= 2,
+            transform(sequence(lit(0), size(toks) - lit(2)),
+              i => concat_ws(" ",
+                element_at(toks, i + 1), element_at(toks, i + 2))))
+            .otherwise(array().cast(ArrayType(StringType)))).as("term")
+        }
+        val terms = Tables.par(s, dir, "documents").select(bigramsOf)
+        val candidates = terms.as[String]
+          .mapPartitions(spaceSavingKeys(_, HeavyK))
+          .toDF("term").distinct()
+        // Exact denominator without a third exploded pass: bigrams per
+        // doc = max(n_tok - 1, 0), one map-only agg over documents.
+        val totals = Tables.t(s, dir, "documents")
+          .agg(sum(greatest(size(tokens(col("text"))) - 1, lit(0)))
+            .cast("long").as("n_terms"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("term").asc)
+        terms.join(broadcast(candidates), Seq("term"), "left_semi")
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(totals))
+          .filter(col("cnt") * HeavyK > col("n_terms"))
+          .withColumn("rank", row_number().over(w))
+          .select(col("rank"), col("term"), col("cnt"),
+            round(col("cnt").cast("double") / col("n_terms"), 6)
+              .as("term_frac"))
+          .orderBy("rank")
+      },
+      // The sketch is output-transparent: plain exact heavy-hitter SQL.
+      Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+              |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+              |    i -> toks[i]||' '||toks[i+1])) AS term
+              |  FROM t WHERE len(toks) >= 2),
+              |c AS (SELECT term, count(*) AS cnt FROM b GROUP BY 1),
+              |n AS (SELECT CAST(sum(CASE WHEN len(toks) >= 2
+              |    THEN len(toks)-1 ELSE 0 END) AS BIGINT) AS n_terms FROM t)
+              |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank,
+              |  term, cnt,
+              |  round(CAST(cnt AS DOUBLE)/n_terms, 6) AS term_frac
+              |FROM c, n WHERE cnt * $HeavyK > n_terms
+              |ORDER BY rank""".stripMargin)
     ),
 
     QueryDef(

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import scala.util.Random
+
+/** The two sketch-accelerated exact operators added in round 5:
+  *
+  *   - q_heavy_hitters: per-partition SpaceSaving candidate generation
+  *     + exact recount. The guarantee that makes the output EXACT (not
+  *     approximate) is the superset property — every item with count >
+  *     N/k survives the sketch — which this spec checks differentially
+  *     against brute force on streams where eviction is actually
+  *     exercised (vocabulary >> k), not just on the tiny-vocab bench
+  *     corpus where the sketch never evicts.
+  *
+  *   - q_contamination_bloom: Bloom-bucket semi-join pre-pass in front
+  *     of the exact contamination verify. Output-transparency (bloom
+  *     false positives never change the result) is checked by comparing
+  *     against plain q_contamination row-for-row on real testdata.
+  */
+class HeavyHitterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spaceSavingKeys superset property on an eviction-heavy stream") {
+    val rnd = new Random(42)
+    val k = 100
+    // Zipf-ish: a few hot items over a 5000-item long tail.
+    val stream = Seq.fill(20000) {
+      val r = rnd.nextInt(100)
+      if (r < 30) s"hot${rnd.nextInt(3)}"          // 3 items, ~10% each
+      else if (r < 45) s"warm${rnd.nextInt(20)}"   // 20 items, ~0.75% each
+      else s"cold${rnd.nextInt(5000)}"             // long tail
+    }
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val survivors = TextQueries.spaceSavingKeys(stream.iterator, k).toSet
+    assert(survivors.size <= k)
+    val mustSurvive = exact.collect { case (t, c) if c * k > n => t }
+    assert(mustSurvive.nonEmpty && mustSurvive.size < k / 2) // test has teeth
+    val lost = mustSurvive.filterNot(survivors.contains)
+    assert(lost.isEmpty, s"heavy hitters evicted from the sketch: $lost")
+  }
+
+  test("q_heavy_hitters is exact under active eviction (vocab >> k)") {
+    val d = Files.createTempDirectory("hhspec").toString
+    // 1500 docs, ~4500 distinct bigrams (>> HeavyK=1024, so per-partition
+    // sketches evict); engineered truth: "hot hot" (count 3000) and
+    // "warm warm" (count 15) clear N/1024, the unique filler does not.
+    val docs = (1 to 1500).map { i =>
+      val extra = if (i % 100 == 0) " warm warm" else ""
+      (i.toLong, s"hot hot hot u${i}x u${i}y u${i}z$extra", "en", "src1")
+    }.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$d/documents.parquet")
+
+    val got = Registry.queryMap("q_heavy_hitters")(spark, d)
+      .select("term", "cnt").as[(String, Long)].collect().toMap
+    // brute force over the same definition of the bigram stream
+    val toks = split(trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ")
+    val exploded = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - lit(2)),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("term"))
+    val n = exploded.count()
+    val expected = exploded.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * TextQueries.HeavyK > n)
+      .as[(String, Long)].collect().toMap
+    assert(expected.contains("hot hot") && expected.contains("warm warm"))
+    assert(got == expected, s"sketch+recount diverged from brute force")
+  }
+
+  test("q_contamination_bloom matches plain q_contamination row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = Registry.queryMap("q_contamination")(spark, dir)
+      .select("doc_id", "n_ngrams", "n_hits", "overlap_frac", "contaminated")
+      .collect().map(_.toSeq)
+    val bloom = Registry.queryMap("q_contamination_bloom")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(plain.nonEmpty)
+    assert(bloom.toSeq == plain.toSeq)
+  }
+
+  test("q_contamination_bloom plan: pre-filter and verify are broadcast " +
+    "semi-joins; the corpus side never shuffles before the doc-grain agg") {
+    // AQE off for a stable, traversable plan tree (as PlanShapeSpec).
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p =
+      try Registry.queryMap("q_contamination_bloom")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    val semis = p.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.size >= 2, s"expected bit + ngram broadcast semi-joins:\n$p")
+  }
+}
