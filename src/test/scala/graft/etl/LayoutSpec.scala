@@ -47,4 +47,29 @@ class LayoutSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,900)]"))
   }
+
+  test("z-ordered layout: selective filters on EITHER dimension touch " +
+    "few files; single-column sort only prunes its own dimension") {
+    // 100x100 grid, both dims uniform and independent
+    val grid = (0 until 10000).map(i => (i.toLong, (i % 100).toLong, (i / 100).toLong))
+      .toDF("id", "x", "y")
+    val zPath = Files.createTempDirectory("layout-z").toString + "/t"
+    val sPath = Files.createTempDirectory("layout-s").toString + "/t"
+    Layout.writeZOrdered(grid, "x", "y", zPath, numFiles = 16)
+    Layout.writeSorted(grid, Seq("x"), sPath, numFiles = 16)
+
+    val all = Layout.filesRead(spark, zPath, "true").length
+    assert(all == 16)
+    // a 10%-selective slice on each dimension: the Z tiling bounds BOTH
+    // dims per file, so each slice intersects a strict subset of files
+    val zx = Layout.filesRead(spark, zPath, "x < 10").length
+    val zy = Layout.filesRead(spark, zPath, "y < 10").length
+    assert(zx <= all / 2, s"x-slice touched $zx of $all z-ordered files")
+    assert(zy <= all / 2, s"y-slice touched $zy of $all z-ordered files")
+    // the x-sorted layout prunes x but its y stats span everything
+    val sx = Layout.filesRead(spark, sPath, "x < 10").length
+    val sy = Layout.filesRead(spark, sPath, "y < 10").length
+    assert(sx <= all / 2)
+    assert(sy == 16, s"y-slice should touch every x-sorted file, got $sy")
+  }
 }
