@@ -65,28 +65,44 @@ object TextQueries {
     * Memory is O(k) per task regardless of per-task vocabulary — the
     * property a plain hash aggregate cannot give at 100 TB.
     */
+  private[graft] def spaceSavingAdd(
+      counts: scala.collection.mutable.HashMap[String, Long],
+      t: String, k: Int): Unit =
+    counts.get(t) match {
+      case Some(c) => counts.update(t, c + 1)
+      case None if counts.size < k => counts.update(t, 1L)
+      case None =>
+        // k is a small constant: the linear min scan is O(k) per
+        // eviction; a production sketch would keep a min-heap.
+        var minKey: String = null
+        var minVal = Long.MaxValue
+        // foreachEntry: no per-entry tuple allocation in the scan
+        counts.foreachEntry { (key, v) =>
+          if (v < minVal || (v == minVal && (minKey == null || key < minKey))) {
+            minVal = v; minKey = key
+          }
+        }
+        counts.remove(minKey)
+        counts.update(t, minVal + 1)
+    }
+
   private[graft] def spaceSavingKeys(it: Iterator[String], k: Int): Iterator[String] = {
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    it.foreach { t =>
-      counts.get(t) match {
-        case Some(c) => counts.update(t, c + 1)
-        case None if counts.size < k => counts.update(t, 1L)
-        case None =>
-          // k is a small constant: the linear min scan is O(k) per
-          // eviction; a production sketch would keep a min-heap.
-          var minKey: String = null
-          var minVal = Long.MaxValue
-          counts.foreach { case (key, v) =>
-            if (v < minVal || (v == minVal && (minKey == null || key < minKey))) {
-              minVal = v; minKey = key
-            }
-          }
-          counts.remove(minKey)
-          counts.update(t, minVal + 1)
-      }
-    }
+    it.foreach(spaceSavingAdd(counts, _, k))
     counts.keysIterator
   }
+
+  /** Sequential (non-distinct) word bigrams of a token array — the
+    * occurrence stream q_vocab_ngrams counts, q_heavy_hitters sketches,
+    * and the streaming sketch ([[graft.streaming.CorpusStream]])
+    * consumes: ONE definition so the three cannot drift.
+    */
+  private[graft] def seqBigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - lit(2)),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast(ArrayType(StringType)))
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -254,15 +270,9 @@ object TextQueries {
         "100 TB the map-side partial agg collapses each task's counts " +
         "before the only shuffle, and top-k never sorts globally.",
       (s, dir) => {
-        val bigrams = when(size(col("toks")) >= 2,
-          transform(sequence(lit(0), size(col("toks")) - lit(2)),
-            i => concat_ws(" ",
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2))))
-          .otherwise(array().cast(ArrayType(StringType)))
         Tables.t(s, dir, "documents")
           .withColumn("toks", tokens(col("text")))
-          .select(explode(bigrams).as("ngram"))
+          .select(explode(seqBigrams(col("toks"))).as("ngram"))
           .groupBy("ngram")
           .agg(count(lit(1)).as("n_occurrences"))
           .orderBy(col("n_occurrences").desc, col("ngram").asc)
@@ -291,15 +301,12 @@ object TextQueries {
         "groupBy never happens.",
       (s, dir) => {
         import s.implicits._
-        val bigramsOf = {
-          val toks = tokens(col("text"))
-          explode(when(size(toks) >= 2,
-            transform(sequence(lit(0), size(toks) - lit(2)),
-              i => concat_ws(" ",
-                element_at(toks, i + 1), element_at(toks, i + 2))))
-            .otherwise(array().cast(ArrayType(StringType)))).as("term")
-        }
-        val terms = Tables.par(s, dir, "documents").select(bigramsOf)
+        // toks MUST be a materialized attribute before entering the
+        // higher-order seqBigrams transform (interpreted per element —
+        // a composed tokens(text) argument re-tokenizes per position)
+        val terms = Tables.par(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .select(explode(seqBigrams(col("toks"))).as("term"))
         val candidates = terms.as[String]
           .mapPartitions(spaceSavingKeys(_, HeavyK))
           .toDF("term").distinct()

@@ -2,8 +2,9 @@ package graft.streaming
 
 import graft.functions.TextFunctions._
 import graft.ops.{CorpusQueries, TextQueries}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of the batch corpus-curation pass: the SAME quality
   * gate ([[TextQueries.qualityPoints]]), the SAME PII/blocklist pattern
@@ -97,4 +98,46 @@ object CorpusStream {
     graft.ops.SpanDedup.spanRows(docs, Seq("eventTime"))
       .join(dupSpans, "sh")
       .select("eventTime", "doc_id", "n_spans", "sh")
+
+  /** One surviving sketch counter: `est` is a guaranteed UPPER BOUND on
+    * `term`'s true occurrence count so far (SpaceSaving inherits the
+    * evicted minimum), and every term above 1/k of its bucket's stream
+    * is guaranteed present.
+    */
+  final case class TermEst(bucket: Int, term: String, est: Long)
+
+  /** Streaming twin of `q_heavy_hitters`: frequent word bigrams over an
+    * unbounded document stream with BOUNDED state. Terms hash into
+    * `buckets` groups; each group's [[GroupState]] holds a SpaceSaving
+    * summary of `k` counters maintained by the SAME eviction step as the
+    * batch sketch ([[TextQueries.spaceSavingAdd]] — one definition, no
+    * drift), so total state is exactly `buckets * k` counters however
+    * many distinct terms the stream ever carries. Each trigger emits the
+    * updated buckets' surviving (term, est) rows (Update semantics); the
+    * union across buckets is a superset of every term above total/k by
+    * the same partition argument the batch spec proves — here the
+    * "partitions" are the bucket substreams. The batch recount over the
+    * standing corpus remains the exactness follow-up, exactly as
+    * q_heavy_hitters' second pass.
+    */
+  def heavyHitterSketch(docs: DataFrame, k: Int = 256, buckets: Int = 64)
+                       (implicit spark: SparkSession): Dataset[TermEst] = {
+    import spark.implicits._
+    docs
+      .withColumn("toks", tokens(col("text"))) // materialized: see seqBigrams
+      .select(explode(TextQueries.seqBigrams(col("toks"))).as("term"))
+      .select(pmod(xxhash64(col("term")), lit(buckets)).cast("int")
+        .as("bucket"), col("term"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], TermEst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, rows, state: GroupState[Map[String, Long]]) =>
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(counts ++= _)
+          rows.foreach(r => TextQueries.spaceSavingAdd(counts, r._2, k))
+          state.update(counts.toMap)
+          counts.toSeq.map { case (t, c) => TermEst(bucket, t, c) }.iterator
+      }
+  }
 }

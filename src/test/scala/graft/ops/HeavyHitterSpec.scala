@@ -59,9 +59,10 @@ class HeavyHitterSpec extends SparkSpec {
     val got = Registry.queryMap("q_heavy_hitters")(spark, d)
       .select("term", "cnt").as[(String, Long)].collect().toMap
     // brute force over the same definition of the bigram stream
-    val toks = split(trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ")
+    val toks = col("toks")
     val exploded = spark.read.parquet(s"$d/documents.parquet")
+      .withColumn("toks", split(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " "))
       .select(explode(when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - lit(2)),
           i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))

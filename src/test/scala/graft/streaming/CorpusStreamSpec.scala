@@ -98,4 +98,45 @@ class CorpusStreamSpec extends SparkSpec {
       assert(out(0).getAs[Long]("lag_sec") == 1200L)
     } finally q.stop()
   }
+
+  test("heavyHitterSketch: state bounded by buckets*k under eviction; " +
+    "the hot term survives with an upper-bound estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val k = 4
+    val buckets = 2
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = CorpusStream.heavyHitterSketch(docs, k = k, buckets = buckets)
+      .writeStream.queryName("hh_sketch_test")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-hh").toString)
+      .format("memory")
+      .start()
+    try {
+      // per doc: "hot hot" x3 plus 4 unique tail bigrams -> tail
+      // vocabulary >> buckets*k, so the sketches must evict
+      def doc(i: Int) = s"hot hot hot hot u${i}a u${i}b u${i}c u${i}d"
+      input.addData((1 to 5).map(i => (i.toLong, doc(i))): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("hh_sketch_test").collect()
+      // Update-mode emission per trigger = the surviving counters only
+      assert(afterB1.length <= buckets * k,
+        s"batch-1 emitted ${afterB1.length} rows > state bound ${buckets * k}")
+      input.addData((6 to 10).map(i => (i.toLong, doc(i))): _*)
+      q.processAllAvailable()
+      val all = spark.table("hh_sketch_test").collect()
+      assert(all.length - afterB1.length <= buckets * k)
+      // "hot hot" true count = 30 of 70 bigrams: far above its bucket's
+      // len/k, so the superset guarantee keeps it tracked; its counter
+      // is an upper bound on the true count
+      val hotEsts = all.filter(_.getAs[String]("term") == "hot hot")
+        .map(_.getAs[Long]("est"))
+      assert(hotEsts.nonEmpty, "hot term evicted from the sketch")
+      assert(hotEsts.max >= 30 && hotEsts.max < 70,
+        s"hot-term estimate ${hotEsts.max} outside [30, 70)")
+    } finally q.stop()
+  }
 }
