@@ -343,6 +343,47 @@ object TextQueries {
     ),
 
     QueryDef(
+      "q_oov_rate",
+      "Tokenizer-vocabulary coverage: induce the top-25 unigram " +
+        "vocabulary (count desc, term asc tiebreak), then measure each " +
+        "doc's out-of-vocabulary token fraction — the coverage gate a " +
+        "tokenizer build runs before committing a vocab. Shape: vocab = " +
+        "one term-key agg -> top-V (fixed size, broadcast); corpus = " +
+        "map-only explode + broadcast left join + one doc-grain agg. At " +
+        "100 TB the vocab side is KBs at any corpus size and the corpus " +
+        "never shuffles at token grain — only one row per doc crosses.",
+      (s, dir) => {
+        val x = Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+        val vocab = x.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(25)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        x.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("in_vocab").isNull, 1).otherwise(0))
+              .cast("long").as("n_oov"))
+          .select(col("doc_id"), col("n_tok"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tok"), 6)
+              .as("oov_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              |c AS (SELECT tok, count(*) AS cnt FROM x GROUP BY 1),
+              |v AS (SELECT tok, 1 AS in_vocab FROM c
+              |  ORDER BY cnt DESC, tok LIMIT 25),
+              |j AS (SELECT x.doc_id, count(*) AS n_tok,
+              |    CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_oov
+              |  FROM x LEFT JOIN v ON x.tok = v.tok GROUP BY 1)
+              |SELECT doc_id, n_tok, n_oov,
+              |  round(CAST(n_oov AS DOUBLE)/n_tok, 6) AS oov_frac
+              |FROM j ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
       "q_corpus_filter",
       "The end-to-end training-corpus filter pass, composed from the " +
         "operators above in ONE pipeline: quality gate (>= 2 of the " +

@@ -48,6 +48,15 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,900)]"))
   }
 
+  test("zValue interleaves bits: a at odd positions, b at even") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L),
+      (2L, 3L), (3L, 3L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 4).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // a=2 (bit1 -> pos3 = 8), b=3 (bit0 -> pos0 = 1, bit1 -> pos2 = 4)
+    assert(rows == Seq(0L, 2L, 1L, 3L, 8L, 13L, 15L))
+  }
+
   test("z-ordered layout: selective filters on EITHER dimension touch " +
     "few files; single-column sort only prunes its own dimension") {
     // 100x100 grid, both dims uniform and independent
