@@ -84,4 +84,22 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(rows(5L) == ((3, 1))) // bob@example.com, 555-867-5309, customer
     assert(rows(2L) == ((0, 0)))
   }
+
+  test("q_oov_rate: the highest-frequency doc is fully in-vocab; " +
+    "fractions are n_oov/n_tok") {
+    val rows = run("q_oov_rate")
+      .select("doc_id", "n_tok", "n_oov", "oov_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 is "spam" x10 — the single most frequent term, guaranteed
+    // inside the top-25 vocab -> zero OOV
+    assert(rows(1L) == ((1L, 10L, 0L, 0.0)))
+    // every doc: fraction is exactly the integer ratio, 6dp
+    rows.values.foreach { case (_, n, oov, frac) =>
+      val expect = BigDecimal(oov.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(frac == expect && oov <= n)
+    }
+    assert(rows.size == 5)
+  }
 }
