@@ -32,6 +32,17 @@ object DedupQueries {
   private val NgramJ = 0.5
   private val CosineTau = 0.4
 
+  /** q_dedup_recall measurement panel: every doc with id ≡ 0 (mod Mod)
+    * plus the id < Prefix slice — a fixed, scale-independent sample the
+    * exact all-pairs ground truth is computed on (the union keeps the
+    * panel non-degenerate at every shipped scale factor: the prefix
+    * slice carries the sf0.01 near-dups, the modular slice the sf0.1
+    * ones). Ground-truth cost is |panel|², bounded by design — the same
+    * exact-baseline-on-a-capped-panel pattern as q_ann_recall.
+    */
+  private val RecallMod = 10
+  private val RecallPrefix = 200
+
   /** LSH bucket-size cap (SURVEY §2 H3 "cap boilerplate buckets"): buckets
     * larger than this are boilerplate (headers, licenses, near-empty docs)
     * and are skipped rather than expanded into O(bucket²) pairs. Testdata
@@ -161,17 +172,21 @@ object DedupQueries {
     (nBuckets, nRows)
   }
 
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
-                           dir: String): DataFrame = {
-    val sh = shinglesPersisted(s, dir)
-    val bands = bandsPersisted(sh)
-    // Candidate pairs via a bucket-capped SELF-JOIN on (band, bh) —
-    // not collect_set+explode, which builds an unbounded in-memory
-    // array per bucket and O(bucket²) pairs for a hot boilerplate
-    // bucket. The window count caps bucket size at HotBucketCap
-    // (skip, don't expand, boilerplate buckets); both join legs are
-    // the identical subplan shuffled on the same key, so Spark's
-    // ReuseExchange computes the band pipeline once.
+  /** Candidate pairs from the bucket-capped LSH self-join, each with its
+    * EXACT Jaccard — the pre-threshold stage (q_dedup_recall measures
+    * this stage's precision/recall); [[minhashPairs]] applies the verify
+    * threshold on top.
+    *
+    * Candidate pairs come from a bucket-capped SELF-JOIN on (band, bh) —
+    * not collect_set+explode, which builds an unbounded in-memory
+    * array per bucket and O(bucket²) pairs for a hot boilerplate
+    * bucket. The window count caps bucket size at HotBucketCap
+    * (skip, don't expand, boilerplate buckets); both join legs are
+    * the identical subplan shuffled on the same key, so Spark's
+    * ReuseExchange computes the band pipeline once. The exact-Jaccard
+    * verify joins the (small) candidate set back to the shingle sets.
+    */
+  private def candidateJaccard(sh: DataFrame, bands: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wb = Window.partitionBy("band", "bh")
     val capped = bands
@@ -184,25 +199,31 @@ object DedupQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    // Exact-Jaccard verify, joining candidates (small) back to the
-    // shingle sets.
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("j"))
+  }
+
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    val sh = shinglesPersisted(s, dir)
+    val bands = bandsPersisted(sh)
     // The verified pair set is edges ≪ corpus at any scale and is the
     // shared output of q_doc_dedup and q_dedup_clusters — persist it so
     // the second consumer starts from the materialized pairs instead of
     // re-running bucket join + Jaccard verify.
-    pairs.join(a, "doc_a").join(b, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sha"), col("shb")).as("j"))
+    candidateJaccard(sh, bands)
       .filter(col("j") >= MinhashVerifyJ)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, j)` — the oracle twin
-    * of [[minhashPairs]], shared by q_doc_dedup and q_dedup_clusters.
+  /** DuckDB CTE chain ending in `cand(doc_a, doc_b, j)` — the oracle twin
+    * of [[candidateJaccard]] (pre-threshold LSH candidates with exact
+    * Jaccard), shared by the pair queries and q_dedup_recall.
     */
-  private val pairsSqlCtes: String = {
+  private val candSqlCtes: String = {
     val bandHash = (1 to RowsPerBand).map(r => s"sg[$RowsPerBand*b+$r]")
       .mkString("md5(", "||", ")")
     s"""$shingleSqlCte,
@@ -217,9 +238,15 @@ object DedupQueries {
        |    CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
        |      len(list_distinct(list_concat(a.sh,b.sh))) AS j
        |  FROM bands a JOIN bands b ON a.b=b.b AND a.bh=b.bh
-       |    AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT * FROM cand WHERE j >= $MinhashVerifyJ)""".stripMargin
+       |    AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** CTE chain ending in `pairs(doc_a, doc_b, j)` — the oracle twin of
+    * [[minhashPairs]], shared by q_doc_dedup and q_dedup_clusters.
+    */
+  private val pairsSqlCtes: String =
+    s"""$candSqlCtes,
+       |pairs AS (SELECT * FROM cand WHERE j >= $MinhashVerifyJ)""".stripMargin
 
   /** Fixed iteration count for the cluster min-label propagation: covers
     * any component of graph diameter <= CcIters. Near-dup components are
@@ -388,6 +415,66 @@ object DedupQueries {
       Some(s"""WITH $pairsSqlCtes
               |SELECT doc_a, doc_b, round(j,6) AS jaccard FROM pairs
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------ H3m
+    QueryDef(
+      "q_dedup_recall",
+      "Measured precision/recall of the LSH CANDIDATE stage against " +
+        "exact all-pairs Jaccard ground truth on a fixed doc panel " +
+        s"(id % $RecallMod == 0 or id < $RecallPrefix) — the number " +
+        "that makes the banding parameters falsifiable (the dedup " +
+        "analogue of q_ann_recall): recall counts true near-dup pairs " +
+        "the bucket join surfaces, precision the fraction of " +
+        "candidates that verify. Ground truth is a deliberate " +
+        "exact-baseline cross join bounded to the panel; the candidate " +
+        "side reuses the production bucket pipeline with the panel " +
+        "filter pushed into both self-join legs.",
+      (s, dir) => {
+        def inPanel(c: org.apache.spark.sql.Column) =
+          c % RecallMod === 0 || c < RecallPrefix
+        val sh = shinglesPersisted(s, dir)
+        val candJ = candidateJaccard(sh, bandsPersisted(sh))
+          .filter(inPanel(col("doc_a")) && inPanel(col("doc_b")))
+        val samp = sh.filter(inPanel(col("doc_id")))
+        val truth = samp.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+          .join(broadcast(
+            samp.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
+            col("doc_a") < col("doc_b"))
+          .select(jaccard(col("sha"), col("shb")).as("j"))
+          .filter(col("j") >= MinhashVerifyJ)
+        val m1 = samp.agg(count(lit(1)).as("n_panel_docs"))
+        val m2 = truth.agg(count(lit(1)).as("n_true_pairs"))
+        val m3 = candJ.agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("j") >= MinhashVerifyJ, 1).otherwise(0))
+            .cast("long").as("n_hits"))
+        m1.crossJoin(m2).crossJoin(m3)
+          .select(col("n_panel_docs"), col("n_true_pairs"),
+            col("n_candidates"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_candidates"), 6)
+              .as("precision"),
+            round(col("n_hits").cast("double") / col("n_true_pairs"), 6)
+              .as("recall"))
+      },
+      Some(s"""WITH $candSqlCtes,
+              |scand AS (SELECT * FROM cand
+              |  WHERE (doc_a % $RecallMod = 0 OR doc_a < $RecallPrefix)
+              |    AND (doc_b % $RecallMod = 0 OR doc_b < $RecallPrefix)),
+              |samp AS (SELECT * FROM d
+              |  WHERE doc_id % $RecallMod = 0 OR doc_id < $RecallPrefix),
+              |truth AS (SELECT count(*) AS n_true_pairs
+              |  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+              |    len(list_distinct(list_concat(a.sh,b.sh))) >= $MinhashVerifyJ),
+              |m AS (SELECT (SELECT count(*) FROM samp) AS n_panel_docs,
+              |    (SELECT n_true_pairs FROM truth) AS n_true_pairs,
+              |    (SELECT count(*) FROM scand) AS n_candidates,
+              |    (SELECT count(*) FILTER (j >= $MinhashVerifyJ) FROM scand)
+              |      AS n_hits)
+              |SELECT n_panel_docs, n_true_pairs, n_candidates, n_hits,
+              |  round(CAST(n_hits AS DOUBLE)/n_candidates, 6) AS precision,
+              |  round(CAST(n_hits AS DOUBLE)/n_true_pairs, 6) AS recall
+              |FROM m""".stripMargin)
     ),
 
     // ------------------------------------------------------------- H3+
