@@ -27,14 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  def asOfBackward(
+  /** Shared skeleton: tag both sides, pad to a common schema, union.
+    * Left rows carry `_side = 0` (sorting AFTER right rows at equal ts
+    * under (_t asc, _side desc)), right rows `_side = 1` + `_tb` =
+    * tiebreak. Returns (unioned, leftCols).
+    */
+  private def tagUnion(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      payload: Seq[String], rightTiebreak: String): DataFrame = {
+      payload: Seq[String], rightTiebreak: String,
+      caller: String): (DataFrame, Seq[String]) = {
     val leftCols = left.columns.toSeq
     val reserved = Seq("_t", "_side", "_tb")
     require((leftCols ++ right.columns).intersect(reserved).isEmpty,
-      s"column names ${reserved.mkString("/")} are reserved by asOfBackward")
+      s"column names ${reserved.mkString("/")} are reserved by $caller")
     require(leftCols.intersect(payload).isEmpty,
       s"left side already has payload column(s) " +
         s"${leftCols.intersect(payload).mkString(", ")} — rename before joining " +
@@ -54,8 +60,15 @@ object AsOfJoin {
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val cols = keys.map(col) ++ Seq(col("_t"), col("_side"), col("_tb")) ++
       leftCols.filterNot(keys.contains).map(col) ++ payload.map(col)
-    val unioned = lPadded.select(cols: _*).unionByName(
-      rPadded.select(cols: _*))
+    (lPadded.select(cols: _*).unionByName(rPadded.select(cols: _*)), leftCols)
+  }
+
+  def asOfBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      payload: Seq[String], rightTiebreak: String): DataFrame = {
+    val (unioned, leftCols) = tagUnion(left, right, keys, leftTs, rightTs,
+      payload, rightTiebreak, "asOfBackward")
     // right rows first at equal _t (_side desc), ties by tiebreak asc so
     // the LARGEST tiebreak is the last-seen (deterministic winner).
     val w = Window.partitionBy(keys.map(col): _*)
@@ -81,30 +94,8 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       payload: Seq[String], rightTiebreak: String): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val reserved = Seq("_t", "_side", "_tb")
-    require((leftCols ++ right.columns).intersect(reserved).isEmpty,
-      s"column names ${reserved.mkString("/")} are reserved by asOfForward")
-    require(leftCols.intersect(payload).isEmpty,
-      s"left side already has payload column(s) " +
-        s"${leftCols.intersect(payload).mkString(", ")} — rename before joining")
-    val l = left
-      .withColumn("_t", col(leftTs))
-      .withColumn("_side", lit(0)) // left sorts AFTER right at equal ts
-      .withColumn("_tb", lit(null).cast(right.schema(rightTiebreak).dataType))
-    val lPadded = payload.foldLeft(l)((df, p) =>
-      df.withColumn(p, lit(null).cast(right.schema(p).dataType)))
-    val r0 = right
-      .withColumn("_t", col(rightTs))
-      .withColumn("_side", lit(1))
-      .withColumn("_tb", col(rightTiebreak))
-    val rPadded = leftCols.foldLeft(r0)((df, c) =>
-      if (payload.contains(c) || keys.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val cols = keys.map(col) ++ Seq(col("_t"), col("_side"), col("_tb")) ++
-      leftCols.filterNot(keys.contains).map(col) ++ payload.map(col)
-    val unioned = lPadded.select(cols: _*).unionByName(
-      rPadded.select(cols: _*))
+    val (unioned, leftCols) = tagUnion(left, right, keys, leftTs, rightTs,
+      payload, rightTiebreak, "asOfForward")
     // DESCENDING time scan; right rows first at equal _t (_side desc) so
     // an exactly-simultaneous right row is visible to the left row.
     val w = Window.partitionBy(keys.map(col): _*)
@@ -113,6 +104,52 @@ object AsOfJoin {
     val withPayload = payload.foldLeft(unioned)((df, p) =>
       df.withColumn(s"asof_$p", last(col(p), ignoreNulls = true).over(w)))
     withPayload.filter(col("_side") === 0)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
+  }
+
+  /** Nearest as-of join (pandas merge_asof direction='nearest'): for
+    * each left row, the right row with the same keys minimizing
+    * |right.ts - left.ts|; exact ties in distance resolve BACKWARD (the
+    * at-or-before match wins, delta 0 included).
+    *
+    * ONE shuffle + ONE partition sort: both directions are computed in a
+    * single ascending window pass — the backward candidate as a running
+    * `last(payload)` over [unbounded preceding, current] and the forward
+    * candidate as `first(payload)` over [current, unbounded following];
+    * same partitioning and ordering, so Spark evaluates both frames in
+    * one WindowExec. The per-row pick compares the two candidates' ts
+    * distances at full timestamp precision.
+    *
+    * Tie conventions (a consequence of the single sort order): among
+    * right rows at one ts, the backward candidate is the MAX
+    * `rightTiebreak` (it sorts last before the left row) while the
+    * forward candidate is the MIN (first after); a right row at exactly
+    * left.ts is matched via the backward side with distance 0. Returns
+    * leftCols + `asof_<payload>` (+ nothing else).
+    */
+  def asOfNearest(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      payload: Seq[String], rightTiebreak: String): DataFrame = {
+    // rightTs rides along internally so the pick can compare distances
+    val pay = (payload :+ rightTs).distinct
+    val (unioned, leftCols) = tagUnion(left, right, keys, leftTs, rightTs,
+      pay, rightTiebreak, "asOfNearest")
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").desc, col("_tb").asc_nulls_first)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val both = pay.foldLeft(unioned)((df, p) =>
+      df.withColumn(s"_b_$p", last(col(p), ignoreNulls = true).over(wb))
+        .withColumn(s"_f_$p", first(col(p), ignoreNulls = true).over(wf)))
+    val bT = col(s"_b_$rightTs")
+    val fT = col(s"_f_$rightTs")
+    val useB = bT.isNotNull &&
+      (fT.isNull || (col("_t") - bT) <= (fT - col("_t")))
+    val picked = payload.foldLeft(both)((df, p) =>
+      df.withColumn(s"asof_$p",
+        when(useB, col(s"_b_$p")).otherwise(col(s"_f_$p"))))
+    picked.filter(col("_side") === 0)
       .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
   }
 
@@ -223,6 +260,71 @@ object AsOfJoin {
              |  CASE WHEN gap <= 86400 THEN asof_purchase_id END AS purchase_id,
              |  CASE WHEN gap <= 86400 THEN gap END AS wait_sec
              |FROM g ORDER BY click_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_asof_nearest",
+      "Nearest as-of join (merge_asof direction='nearest'): each click " +
+        "joins the same user's closest purchase in time, either " +
+        "direction, distance ties resolving backward. BOTH direction " +
+        "candidates come from ONE ascending window pass (running last " +
+        "for backward, first-over-following for forward — same sort, " +
+        "one WindowExec), so the cost stays one shuffle + one " +
+        "partition sort; gap_sec is signed (negative = purchase " +
+        "before click).",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_tns"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_tns"),
+            col("event_id").as("purchase_id"))
+        asOfNearest(clicks, purchases, Seq("user_id"),
+          leftTs = "c_tns", rightTs = "p_tns",
+          payload = Seq("purchase_id", "p_tns"), rightTiebreak = "purchase_id")
+          .select(col("click_id"), col("user_id"),
+            Tables.nanosToEpochSec(col("c_tns")).as("c_sec"),
+            col("asof_purchase_id").as("purchase_id"),
+            (Tables.nanosToEpochSec(col("asof_p_tns")) -
+              Tables.nanosToEpochSec(col("c_tns"))).as("gap_sec"))
+          .orderBy("click_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, epoch_ns(ts) AS t, 0 AS side, event_id AS click_id,
+             |         NULL::BIGINT AS purchase_id
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, epoch_ns(ts) AS t, 1 AS side, NULL, event_id
+             |  FROM events WHERE event_type = 'purchase'),
+             |w AS (
+             |  SELECT *,
+             |    last_value(purchase_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY t ASC, side DESC, purchase_id ASC NULLS FIRST
+             |      ROWS UNBOUNDED PRECEDING) AS b_id,
+             |    last_value(CASE WHEN side = 1 THEN t END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY t ASC, side DESC, purchase_id ASC NULLS FIRST
+             |      ROWS UNBOUNDED PRECEDING) AS b_t,
+             |    first_value(purchase_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY t ASC, side DESC, purchase_id ASC NULLS FIRST
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_id,
+             |    first_value(CASE WHEN side = 1 THEN t END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY t ASC, side DESC, purchase_id ASC NULLS FIRST
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_t
+             |  FROM u),
+             |p AS (
+             |  SELECT *, (b_t IS NOT NULL AND (f_t IS NULL OR t - b_t <= f_t - t))
+             |    AS use_b
+             |  FROM w WHERE side = 0)
+             |SELECT click_id, user_id, t // 1000000000 AS c_sec,
+             |  CASE WHEN use_b THEN b_id ELSE f_id END AS purchase_id,
+             |  CASE WHEN use_b THEN b_t // 1000000000 - t // 1000000000
+             |       ELSE f_t // 1000000000 - t // 1000000000 END AS gap_sec
+             |FROM p ORDER BY click_id""".stripMargin)
     )
   )
 }

@@ -103,5 +103,55 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
     assert(gotFwd == expect(dirBack = false))
+
+    // nearest: min |rt - lt|; distance ties -> backward; within a side,
+    // backward ties -> max rid, forward ties -> MIN rid (doc'd single-
+    // sort convention)
+    val expectNearest: Map[Long, Option[Long]] =
+      left.map { case (oid, u, lt) =>
+        val cands = right.filter(_._1 == u)
+        val best =
+          if (cands.isEmpty) None
+          else {
+            val back = cands.filter(_._2 <= lt)
+            val fwd = cands.filter(_._2 >= lt)
+            val b = if (back.isEmpty) None else Some(back.maxBy(c => (c._2, c._3)))
+            val f = if (fwd.isEmpty) None else Some(fwd.minBy(c => (c._2, c._3)))
+            (b, f) match {
+              case (None, None) => None
+              case (Some(bb), None) => Some(bb._3)
+              case (None, Some(ff)) => Some(ff._3)
+              case (Some(bb), Some(ff)) =>
+                if (lt - bb._2 <= ff._2 - lt) Some(bb._3) else Some(ff._3)
+            }
+          }
+        oid -> best
+      }.toMap
+    val gotNearest = AsOfJoin.asOfNearest(lDf, rDf, Seq("user"),
+      "lt", "rt", Seq("rid"), "rid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(gotNearest == expectNearest)
+  }
+
+  test("asOfNearest plan: ONE shuffle + one sort computes both frames") {
+    import spark.implicits._
+    val lDf = Seq((1L, 1L, 5L)).toDF("order_id", "user", "lt")
+    val rDf = Seq((1L, 3L, 100L)).toDF("user", "rt", "rid")
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p =
+      try AsOfJoin.asOfNearest(lDf, rDf, Seq("user"), "lt", "rt",
+        Seq("rid"), "rid").queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    assert(p.collect { case e: ShuffleExchangeExec => e }.size == 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(p.collect { case w: WindowExec => w }.size == 1,
+      s"both frames should share one WindowExec:\n$p")
+    assert(p.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"nearest must not plan a join:\n$p")
   }
 }
