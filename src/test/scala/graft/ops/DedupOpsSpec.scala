@@ -93,6 +93,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(lines.size < java.nio.file.Files.readAllLines(logFile).size)
   }
 
+  test("declared cluster path labels a diameter-6 chain the fixed-4 propagation splits") {
+    // The r5 latent hazard, made concrete: a chain of partial overlaps
+    // 1-2-3-4-5-6-7 has diameter 6. The OLD declared path (fixed
+    // CcIters=4 min-label propagation) under-merges it — node 7 only
+    // reaches 4 hops back — while the NOW-declared clusterComponents
+    // (star contraction to fixpoint) is exact. This test pins the
+    // declared path to the exact variant: it FAILS if q_dedup_clusters
+    // ever regresses to a fixed-round propagation.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L)).toDF("src", "dst")
+    val old = DedupQueries.connectedComponents(chain, DedupQueries.CcIters)
+      .as[(Long, Long)].collect().toMap
+    assert(old(7L) != 1L, "fixed-4 propagation unexpectedly converged; " +
+      "the differential no longer demonstrates the hazard")
+    val declared = DedupQueries.clusterComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(declared == (1L to 7L).map(_ -> 1L).toMap)
+  }
+
   test("star-contraction CC matches min-label propagation on the shared edge shape") {
     val edges = Seq((5L, 1L), (6L, 5L), (7L, 6L), (30L, 31L))
     val prop = DedupQueries.connectedComponents(edges.toDF("src", "dst"), 6)
