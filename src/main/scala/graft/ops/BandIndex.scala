@@ -50,6 +50,22 @@ object BandIndex {
     ("graft_" + dir + "_" + role).toLowerCase
       .replaceAll("[^a-z0-9]+", "_").replaceAll("^_+", "")
 
+  /** The default (in-memory) catalog forgets tables across JVMs while
+    * their files persist in the warehouse dir; CTAS then refuses the
+    * occupied location. Drop stale locations so every fresh session
+    * rebuilds from current inputs. Shared by every stored-artifact
+    * builder (band index, span set).
+    */
+  private[ops] def dropStaleLocations(spark: SparkSession,
+                                      tables: Seq[String]): Unit =
+    for (t <- tables) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   /** Materialize (or reuse, if already cataloged this session) the band
     * index for `standingDocs` (must carry doc_id + text). Returns
     * (shingleStore, bandIndex) as reads of the stored bucketed tables.
@@ -61,17 +77,7 @@ object BandIndex {
     val shT = s"${tag}_shingles"
     val bdT = s"${tag}_bands"
     if (!spark.catalog.tableExists(bdT)) {
-      // The default (in-memory) catalog forgets tables across JVMs while
-      // their files persist in the warehouse dir; CTAS then refuses the
-      // occupied location. Drop stale locations so every fresh session
-      // rebuilds from current inputs.
-      for (t <- Seq(shT, bdT)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.defaultTablePath(
-            org.apache.spark.sql.catalyst.TableIdentifier(t)))
-        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      dropStaleLocations(spark, Seq(shT, bdT))
       DedupQueries.shingleRows(standingDocs)
         .write.mode(SaveMode.Overwrite)
         .bucketBy(NumBuckets, "doc_id").sortBy("doc_id")

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored duplicated-span artifact — the materialized table pair that
+  * `q_dedup_spans`, `q_source_overlap` and the streaming boilerplate
+  * probe ([[graft.streaming.CorpusStream.boilerplateHits]]) read,
+  * instead of re-deriving the span-fingerprint relation from raw text
+  * per run ([[SpanDedup.duplicatedSpanSet]]'s own Scaladoc promised
+  * exactly this shape; same prose-vs-plan gap the band index closed in
+  * r5 — same fix pattern, reused here).
+  *
+  * Two bucketed tables per corpus snapshot:
+  *
+  *   - `<tag>_spanrows` (doc_id, source, n_spans, sh)  bucketed by sh
+  *   - `<tag>_spanset`  (sh, nd)                       bucketed by sh
+  *
+  * `sh` is the 32-hex md5 span fingerprint; `nd` its distinct-document
+  * count, PRECOMPUTED at build time — the duplicated-span threshold
+  * (`nd >= MinDocs`) is a pushed parquet predicate on the stored
+  * column, exactly like the band index's `bsz` cap.
+  *
+  * Both tables bucket on `sh`, so every fingerprint-keyed step that
+  * previously shuffled the exploded corpus — the dup-set aggregation,
+  * the rows-vs-set join, the overlap matrix's per-span source sets —
+  * satisfies its required distribution straight off the scan: the only
+  * shuffle left on the profile query's read path is the final per-doc
+  * aggregation at doc grain (asserted by PlanShapeSpec). At 100 TB the
+  * exploded span relation is the corpus's token stream — paying its
+  * shuffle once at build, never per query, is the whole point of the
+  * artifact.
+  *
+  * Maintenance mirrors [[BandIndex]]: daily `append` of new docs' span
+  * rows (the set gets within-batch counts — a LOWER bound, so a span
+  * whose occurrences straddle the standing corpus and the batch is
+  * surfaced only at the next [[refreshSpanCounts]]; staleness bounded
+  * by the refresh cadence), periodic exact rebuild of the count table
+  * from the stored rows. Builds run once per (session, corpus snapshot)
+  * keyed by catalog presence, same as the band index.
+  */
+object SpanSet {
+
+  /** Buckets for both tables — local test scale; at 100 TB size so one
+    * bucket's span rows fit a shuffle-partition budget.
+    */
+  private val NumBuckets = 8
+
+  def tag(dir: String): String = BandIndex.tag(dir, "spans")
+
+  private def rowsT(tag: String) = s"${tag}_spanrows"
+  private def setT(tag: String) = s"${tag}_spanset"
+
+  /** Materialize (or reuse, if already cataloged this session) the span
+    * artifact for `docs` (must carry doc_id + source + text). Returns
+    * (spanRows, spanCounts) as reads of the stored bucketed tables.
+    */
+  def buildOrLoad(spark: SparkSession, docs: DataFrame, tag: String,
+                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent
+                 ): (DataFrame, DataFrame) = {
+    val (rT, sT) = (rowsT(tag), setT(tag))
+    if (!spark.catalog.tableExists(sT)) {
+      BandIndex.dropStaleLocations(spark, Seq(rT, sT))
+      SpanDedup.spanRows(docs, Seq("source"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(NumBuckets, "sh").sortBy("sh")
+        .saveAsTable(rT)
+      // Counts derive from the stored rows (one explode pass total); the
+      // rows table is already sh-bucketed, so this aggregation is
+      // bucket-local — no shuffle even at build time.
+      spark.table(rT).groupBy("sh")
+        .agg(count(lit(1)).as("nd"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(NumBuckets, "sh").sortBy("sh")
+        .saveAsTable(sT)
+      // Build-time audit (the band index's hot-bucket convention): how
+      // much of the span space the MinDocs threshold marks as
+      // duplicated — a corpus where most spans are shared is boilerplate
+      // soup and worth a loud line.
+      val r = spark.table(sT)
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= SpanDedup.MinDocs, 1L).otherwise(0L))
+            .as("n_dup"))
+        .collect()(0)
+      val msg = s"min_docs=${SpanDedup.MinDocs} " +
+        s"distinct_spans=${r.getLong(0)} duplicated_spans=${r.getLong(1)}"
+      if (r.getLong(0) > 0 && r.getLong(1) * 2 > r.getLong(0))
+        log.warn(sT, "span_set_build", msg)
+      else log.info(sT, "span_set_build", msg)
+    }
+    (spark.table(rT), spark.table(sT))
+  }
+
+  /** The duplicated-span set read off the stored artifact: threshold as
+    * a pushed scan predicate + bucket-local distinct (appends can leave
+    * several per-batch count rows per fingerprint; distinct on the
+    * bucketing key needs no exchange).
+    */
+  def duplicatedSpans(spark: SparkSession, tag: String): DataFrame =
+    spark.table(setT(tag))
+      .filter(col("nd") >= SpanDedup.MinDocs)
+      .select("sh").distinct()
+
+  /** Daily-ingest maintenance: append `newDocs`' span rows; the count
+    * table gets within-batch counts (lower bound — see class doc).
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, tag: String): Unit = {
+    val (rT, sT) = (rowsT(tag), setT(tag))
+    require(spark.catalog.tableExists(rT) && spark.catalog.tableExists(sT),
+      s"append target $tag does not exist — buildOrLoad first")
+    val rows = SpanDedup.spanRows(newDocs, Seq("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      rows.write.insertInto(rT)
+      rows.groupBy("sh").agg(count(lit(1)).as("nd")).write.insertInto(sT)
+    } finally rows.unpersist()
+  }
+
+  /** Periodic compaction: rebuild the count table exactly from the
+    * stored rows (appends leave per-batch lower bounds and duplicate
+    * fingerprint rows). Bucket-local — no shuffle.
+    */
+  def refreshSpanCounts(spark: SparkSession, tag: String): Unit =
+    spark.table(rowsT(tag)).groupBy("sh")
+      .agg(count(lit(1)).as("nd"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(NumBuckets, "sh").sortBy("sh")
+      .saveAsTable(setT(tag))
+}

@@ -83,11 +83,24 @@ object CorpusStream {
       .dropDuplicatesWithinWatermark("doc_id", "match_id")
       .select("eventTime", "doc_id", "match_id")
 
+  /** Batch-side build of the duplicated-span set — materializes the
+    * SAME stored artifact the batch span queries read
+    * ([[graft.ops.SpanSet]]: rows + counts bucketed on `sh`, nd
+    * precomputed) and returns the duplicated set for
+    * [[boilerplateHits]] to probe. Same expressions as the batch
+    * pipeline, so batch and ingest-time checks cannot drift.
+    */
+  def buildSpanSet(spark: org.apache.spark.sql.SparkSession,
+                   docs: DataFrame, tag: String): DataFrame = {
+    graft.ops.SpanSet.buildOrLoad(spark, docs, tag)
+    graft.ops.SpanSet.duplicatedSpans(spark, tag)
+  }
+
   /** Ingest-time boilerplate check — the streaming twin of
     * `q_dedup_spans`: each arriving doc's word-8-gram span fingerprints
-    * probe the STATIC duplicated-span set
-    * ([[graft.ops.SpanDedup.duplicatedSpanSet]], at scale a stored
-    * table bucketed on `sh`). Fully stateless: a stream-static inner
+    * probe the STATIC duplicated-span set (the stored
+    * [[graft.ops.SpanSet]] artifact via [[buildSpanSet]] — bucketed on
+    * `sh`, threshold pushed to the scan). Fully stateless: a stream-static inner
     * join per span row (spans are already distinct per doc, so no
     * within-stream dedup is needed). Emits one
     * (eventTime, doc_id, n_spans, sh) row per duplicated-span hit;

@@ -114,4 +114,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 8,
       s"IVF should shuffle only for windows/aggs (got $shuffles):\n$p")
   }
+
+  test("q_dedup_spans: stored span artifact is scan-only — sh-join and " +
+    "dup-set distinct run without shuffling either bucketed table") {
+    val p = plan(Registry.queryMap("q_dedup_spans")(spark, dir),
+      noBroadcast = true)
+    assert(contains(p, "spanrows"), s"expected span-rows scan:\n$p")
+    assert(contains(p, "spanset"), s"expected span-set scan:\n$p")
+    for (tbl <- Seq("spanrows", "spanset"); scan <- scansOf(p, tbl)) {
+      val path = pathTo(p, scan).getOrElse(fail(s"no path to $tbl scan"))
+      val belowJoin = path.reverse.takeWhile(n => !isJoin(n))
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"stored $tbl must reach the sh-join without a shuffle:\n$p")
+    }
+    // the MinDocs threshold is a pushed parquet predicate on stored nd
+    assert(scansOf(p, "spanset")
+      .exists(_.metadata("PushedFilters").contains("nd")),
+      s"nd threshold must reach the span-set scan as a pushed filter:\n$p")
+    // all that may shuffle is the reduced output: doc-grain agg + sort
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }.length
+    assert(shuffles <= 2,
+      s"read path should shuffle only doc-agg + sort (got $shuffles):\n$p")
+  }
+
+  test("q_source_overlap: per-span source-set agg is exchange-free off " +
+    "the sh-bucketed span rows") {
+    val p = plan(Registry.queryMap("q_source_overlap")(spark, dir),
+      noBroadcast = true)
+    assert(contains(p, "spanrows"), s"expected span-rows scan:\n$p")
+    for (scan <- scansOf(p, "spanrows")) {
+      val path = pathTo(p, scan).getOrElse(fail("no path to spanrows scan"))
+      val belowAgg = path.reverse.takeWhile {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        case _ => true
+      }
+      assert(!belowAgg.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"sh-grain agg must read the bucketed scan without a shuffle:\n$p")
+    }
+    // remaining shuffles move source pairs (tiny): pair agg + sort
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }.length
+    assert(shuffles <= 2,
+      s"only the pair agg + sort may shuffle (got $shuffles):\n$p")
+  }
 }

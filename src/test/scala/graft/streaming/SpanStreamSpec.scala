@@ -13,12 +13,21 @@ class SpanStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     // batch corpus: docs 10/11 share their first 9 tokens -> 2 duplicated
-    // 8-gram spans; doc 12 is disjoint.
-    val dupSpans = SpanDedup.duplicatedSpanSet(Seq(
+    // 8-gram spans; doc 12 is disjoint. The stream probes the STORED
+    // SpanSet artifact (bucketed tables), not an in-memory derivation —
+    // the same read path the batch queries use.
+    val corpus = Seq(
       (10L, "one two three four five six seven eight nine ten"),
       (11L, "one two three four five six seven eight nine zzz"),
       (12L, "aa bb cc dd ee ff gg hh ii jj"))
-      .toDF("doc_id", "text"))
+      .toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+    val dupSpans = CorpusStream.buildSpanSet(spark, corpus,
+      "graft_test_spanstream_" + System.nanoTime())
+    // the in-memory derivation and the stored artifact agree
+    assert(dupSpans.collect().map(_.getString(0)).sorted.toSeq ==
+      SpanDedup.duplicatedSpanSet(corpus)
+        .collect().map(_.getString(0)).sorted.toSeq)
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
     val q = CorpusStream.boilerplateHits(
       input.toDF().toDF("eventTime", "doc_id", "text"), dupSpans)
