@@ -74,12 +74,18 @@ object Layout {
     val (lo1, hi1, lo2, hi2) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val gmax = (1L << bits) - 1
-    // decimal division keeps the grid coordinate exact for any long
-    // range (Column./ would detour through double)
+    // The offset is cast to Decimal(38,0) BEFORE the gmax multiply:
+    // (c - lo) * gmax in LONG arithmetic silently wraps once the column
+    // range exceeds Long.MaxValue / gmax (~2.25e15 at 12 bits — e.g.
+    // nanosecond timestamps spanning more than ~26 days), garbling the
+    // z-values and destroying the clustering this function exists to
+    // provide. Decimal all the way keeps the grid coordinate exact for
+    // any long range (Column./ on longs would detour through double).
     def scale(c: Column, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else floor(((c.cast("long") - lit(lo)) * lit(gmax))
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / lit(hi - lo))
+      else floor((c.cast("long") - lit(lo))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * lit(gmax) / lit(hi - lo))
         .cast("long")
     val z = zValue(scale(col(c1), lo1, hi1), scale(col(c2), lo2, hi2), bits)
     df.withColumn("__z", z)

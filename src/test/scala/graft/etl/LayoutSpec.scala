@@ -57,6 +57,30 @@ class LayoutSpec extends SparkSpec {
     assert(rows == Seq(0L, 2L, 1L, 3L, 8L, 13L, 15L))
   }
 
+  test("z-ordered layout survives nanosecond-timestamp-scale ranges " +
+    "(no long overflow in the grid scaling)") {
+    // Column ranges wider than Long.MaxValue / gmax (~2.25e15 at
+    // 12 bits): a long-arithmetic (c - lo) * gmax wraps and garbles the
+    // z-values. 100 days of nanosecond timestamps x a wide id space,
+    // correlated so pruning is possible when (and only when) the
+    // scaling is exact.
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val base = 1700000000L * 1000 * 1000 * 1000
+    val wide = (0 until 10000).map { i =>
+      (base + (i / 100).toLong * dayNs, (i % 100).toLong * 1000000L)
+    }.toDF("ts", "k")
+    val path = Files.createTempDirectory("layout-zwide").toString + "/t"
+    Layout.writeZOrdered(wide, "ts", "k", path, numFiles = 16)
+    val all = Layout.filesRead(spark, path, "true").length
+    // a ~10% slice on EACH dimension prunes: with the overflow, the
+    // z-order degenerates to noise and every file spans every range
+    val zt = Layout.filesRead(spark, path,
+      s"ts < ${base + 10 * dayNs}").length
+    val zk = Layout.filesRead(spark, path, "k < 10000000").length
+    assert(zt <= all / 2, s"ts-slice touched $zt of $all files")
+    assert(zk <= all / 2, s"k-slice touched $zk of $all files")
+  }
+
   test("z-ordered layout: selective filters on EITHER dimension touch " +
     "few files; single-column sort only prunes its own dimension") {
     // 100x100 grid, both dims uniform and independent
