@@ -38,17 +38,22 @@ object CorpusQueries {
     (0 until ContamN).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
       .mkString("||' '||")
 
-  /** Bloom pre-filter size (bits) for `q_contamination_bloom`: the
-    * membership pre-pass is a broadcast semi-join against at most this
-    * many distinct bucket ids, so the broadcast side is FIXED-SIZE no
-    * matter how large the eval set grows (the scale path
-    * `q_contamination`'s own doc promises). k=1 hash keeps the filter a
-    * plain integer-key semi-join — codegen'd, no UDF, no sketch object;
-    * false positives cost only extra rows into the exact verify join,
-    * never wrong output. At 100 TB size this ~10x the eval-set n-gram
-    * count for a ~10% false-positive rate.
+  /** Bloom pre-filter FLOOR size (bits) for `q_contamination_bloom`.
+    * The filter is sized at runtime to the next power of two >=
+    * [[BloomBitsPerGram]] x the eval set's distinct n-gram count (never
+    * below this floor): an undersized filter saturates — every bucket
+    * occupied, filtering nothing — which silently voids the pre-pass's
+    * purpose. k=1 hash keeps the filter a plain integer-key semi-join —
+    * codegen'd, no UDF, no sketch object; false positives cost only
+    * extra rows into the exact verify join, never wrong output.
     */
   private val BloomBits = 4096
+
+  /** Bits per distinct eval n-gram: 8 gives a ~12% k=1 false-positive
+    * rate, and makes the pre-filter broadcast ~an order of magnitude
+    * smaller than broadcasting the n-gram strings themselves.
+    */
+  private val BloomBitsPerGram = 8L
 
   /** Domain mixing: per-source budget = ceil(MixC * sqrt(n_source)) docs
     * — alpha=0.5 temperature resampling (rare sources up-weighted
@@ -175,35 +180,51 @@ object CorpusQueries {
       "q_contamination_bloom",
       s"Decontamination with a Bloom-filter pre-pass — the eval-sets-" +
         "beyond-broadcast-size path q_contamination documents. The " +
-        s"benchmark n-grams hash into a $BloomBits-bit membership set " +
-        "(k=1, expressed as a broadcast semi-join on the bucket id — a " +
-        "FIXED-SIZE broadcast regardless of eval-set scale); only " +
-        "corpus n-grams whose bucket is occupied reach the exact " +
-        "verify join, and the per-doc hit count joins back to one row " +
-        "per doc (a doc-grain shuffle, not the n-gram-grain shuffle of " +
-        "the plain variant). False positives only add verify rows; " +
-        "output is exact — the oracle is the plain contamination SQL.",
+        "benchmark n-grams hash into a bit set sized at runtime to " +
+        s"$BloomBitsPerGram bits per distinct eval n-gram (k=1, " +
+        "expressed as a broadcast semi-join on the bucket id — an " +
+        "order of magnitude smaller than broadcasting the n-gram " +
+        "strings, and never saturated however large the eval set " +
+        "grows); only corpus n-grams whose bucket is occupied reach " +
+        "the exact verify join, which carries NO broadcast hint — the " +
+        "planner broadcasts a small eval set and shuffle-joins a large " +
+        "one, and either way only pre-filter SURVIVORS shuffle, never " +
+        "the n-gram-grain corpus. The per-doc hit count joins back at " +
+        "doc grain. False positives only add verify rows; output is " +
+        "exact — the oracle is the plain contamination SQL.",
       (s, dir) => {
         val g = Tables.t(s, dir, "documents")
           .withColumn("toks", tokens(col("text")))
           .filter(size(col("toks")) >= ContamN)
           .select(col("doc_id"), col("source"),
             wordNgrams(col("toks"), ContamN).as("ng"))
+        // Persisted: sized (count), hashed into the filter, and verify-
+        // joined — three readers of the small side.
         val bench = g.filter(col("source") === "src0")
           .select(explode(col("ng")).as("ngram")).distinct()
-        // The Bloom filter: the set of occupied hash buckets. <= BloomBits
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Size the filter to the eval set (count runs on the SMALL side
+        // only): next power of two >= BloomBitsPerGram per n-gram, with
+        // the BloomBits floor. A fixed size would saturate on a large
+        // eval set — every bucket occupied, filtering nothing.
+        val nb = math.max(1L, bench.count()) * BloomBitsPerGram
+        val bloomBits = math.max(BloomBits.toLong,
+          java.lang.Long.highestOneBit(nb - 1) << 1)
+        // The Bloom filter: the set of occupied hash buckets. <= bloomBits
         // rows however large the eval set is.
         val bits = bench
-          .select(pmod(xxhash64(col("ngram")), lit(BloomBits)).as("bit"))
+          .select(pmod(xxhash64(col("ngram")), lit(bloomBits)).as("bit"))
           .distinct()
         val corpus = g.filter(col("source") =!= "src0")
         // Pre-filter (map-only: broadcast integer semi-join), then exact
-        // verify only on survivors; count exact hits per doc.
+        // verify only on survivors (no hint: the planner picks broadcast
+        // vs shuffle by the eval set's actual size); count exact hits
+        // per doc.
         val hits = corpus
           .select(col("doc_id"), explode(col("ng")).as("ngram"))
-          .withColumn("bit", pmod(xxhash64(col("ngram")), lit(BloomBits)))
+          .withColumn("bit", pmod(xxhash64(col("ngram")), lit(bloomBits)))
           .join(broadcast(bits), Seq("bit"), "left_semi")
-          .join(broadcast(bench), Seq("ngram"), "left_semi")
+          .join(bench, Seq("ngram"), "left_semi")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_hits"))
         // Zero-hit docs never enter the verify join; they re-appear via

@@ -86,18 +86,48 @@ class HeavyHitterSpec extends SparkSpec {
     assert(bloom.toSeq == plain.toSeq)
   }
 
-  test("q_contamination_bloom plan: pre-filter and verify are broadcast " +
-    "semi-joins; the corpus side never shuffles before the doc-grain agg") {
+  test("q_contamination_bloom plan: pre-filter stays a broadcast " +
+    "semi-join even when the eval set cannot broadcast; the verify " +
+    "join degrades to a shuffle of pre-filter survivors only") {
     // AQE off for a stable, traversable plan tree (as PlanShapeSpec).
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val p =
-      try Registry.queryMap("q_contamination_bloom")(spark, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", saved)
-    val semis = p.collect {
-      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
-    }
-    assert(semis.size >= 2, s"expected bit + ngram broadcast semi-joins:\n$p")
+    val mk = () => Registry
+      .queryMap("q_contamination_bloom")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    try {
+      // Small eval set (the normal case): both semi-joins broadcast.
+      val p = mk()
+      val semis = p.collect {
+        case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      }
+      assert(semis.size >= 2, s"expected bit + ngram broadcast semi-joins:\n$p")
+      // Eval-set-beyond-broadcast-size case (the variant's reason to
+      // exist), simulated by disabling auto-broadcast: the bit
+      // pre-filter MUST stay broadcast (it carries the explicit hint —
+      // integer buckets sized to the eval set, always broadcastable),
+      // while the unhinted exact-verify join falls back to a shuffled
+      // semi-join whose corpus side is pre-filter SURVIVORS, not the
+      // n-gram-grain corpus.
+      val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = try mk()
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      val bcSemis = p2.collect {
+        case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      }
+      assert(bcSemis.size == 1,
+        s"only the hinted bit pre-filter may broadcast:\n$p2")
+      val shuffledVerify = p2.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType.sql == "LEFT SEMI" => j
+      }
+      assert(shuffledVerify.nonEmpty,
+        s"verify must degrade to a shuffled semi-join, not a broadcast:\n$p2")
+      // and the pre-filter sits BELOW the verify join: survivors, not
+      // the raw exploded corpus, feed the shuffle
+      assert(shuffledVerify.exists(_.exists(_ eq bcSemis.head)),
+        s"pre-filter must feed the verify join's corpus side:\n$p2")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 }
