@@ -38,7 +38,7 @@ object AsOfJoin {
       payload: Seq[String], rightTiebreak: String,
       caller: String): (DataFrame, Seq[String]) = {
     val leftCols = left.columns.toSeq
-    val reserved = Seq("_t", "_side", "_tb")
+    val reserved = Seq("_t", "_side", "_tb", "_pay", "_pick", "_b", "_f")
     require((leftCols ++ right.columns).intersect(reserved).isEmpty,
       s"column names ${reserved.mkString("/")} are reserved by $caller")
     require(leftCols.intersect(payload).isEmpty,
@@ -63,6 +63,18 @@ object AsOfJoin {
     (lPadded.select(cols: _*).unionByName(rPadded.select(cols: _*)), leftCols)
   }
 
+  /** The payload as ONE nullable struct: non-null exactly on right rows
+    * (so `last/first(ignoreNulls)` windows skip left rows), carrying all
+    * payload fields — including any that are genuinely NULL on the
+    * matched right row. Taking last/first of the STRUCT makes the pick
+    * atomic: one right row wins and every `asof_*` column comes from it.
+    * Per-column windows would let a NULL field in the nearest right row
+    * fall back to a FARTHER row for that column only — emitted columns
+    * mixing values from different right rows.
+    */
+  private def payloadStruct(payload: Seq[String]): Column =
+    when(col("_side") === 1, struct(payload.map(col): _*))
+
   def asOfBackward(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
@@ -74,10 +86,11 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").desc, col("_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withPayload = payload.foldLeft(unioned)((df, p) =>
-      df.withColumn(s"asof_$p", last(col(p), ignoreNulls = true).over(w)))
-    withPayload.filter(col("_side") === 0)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
+    val withPick = unioned.withColumn("_pick",
+      last(payloadStruct(payload), ignoreNulls = true).over(w))
+    withPick.filter(col("_side") === 0)
+      .select((leftCols.map(col) ++
+        payload.map(p => col("_pick").getField(p).as(s"asof_$p"))): _*)
   }
 
   /** Forward as-of join: for each left row, the FIRST right row with the
@@ -101,10 +114,11 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").desc, col("_side").desc, col("_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withPayload = payload.foldLeft(unioned)((df, p) =>
-      df.withColumn(s"asof_$p", last(col(p), ignoreNulls = true).over(w)))
-    withPayload.filter(col("_side") === 0)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
+    val withPick = unioned.withColumn("_pick",
+      last(payloadStruct(payload), ignoreNulls = true).over(w))
+    withPick.filter(col("_side") === 0)
+      .select((leftCols.map(col) ++
+        payload.map(p => col("_pick").getField(p).as(s"asof_$p"))): _*)
   }
 
   /** Nearest as-of join (pandas merge_asof direction='nearest'): for
@@ -139,18 +153,25 @@ object AsOfJoin {
       .orderBy(col("_t").asc, col("_side").desc, col("_tb").asc_nulls_first)
     val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val both = pay.foldLeft(unioned)((df, p) =>
-      df.withColumn(s"_b_$p", last(col(p), ignoreNulls = true).over(wb))
-        .withColumn(s"_f_$p", first(col(p), ignoreNulls = true).over(wf)))
-    val bT = col(s"_b_$rightTs")
-    val fT = col(s"_f_$rightTs")
+    // One struct per direction: each candidate is an ATOMIC right row
+    // (see payloadStruct) — rightTs rides inside, so the distance
+    // compared is the distance of the row the payload came from. The
+    // struct is materialized ONCE as `_pay` and both frames reference
+    // that attribute: windowing two fresh copies of the expression makes
+    // ExtractWindowExpressions project each copy separately, splitting
+    // the plan into two WindowExec nodes (one partition sort each).
+    val both = unioned
+      .withColumn("_pay", payloadStruct(pay))
+      .withColumn("_b", last(col("_pay"), ignoreNulls = true).over(wb))
+      .withColumn("_f", first(col("_pay"), ignoreNulls = true).over(wf))
+    val bT = col("_b").getField(rightTs)
+    val fT = col("_f").getField(rightTs)
     val useB = bT.isNotNull &&
       (fT.isNull || (col("_t") - bT) <= (fT - col("_t")))
-    val picked = payload.foldLeft(both)((df, p) =>
-      df.withColumn(s"asof_$p",
-        when(useB, col(s"_b_$p")).otherwise(col(s"_f_$p"))))
+    val picked = both.withColumn("_pick", when(useB, col("_b")).otherwise(col("_f")))
     picked.filter(col("_side") === 0)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
+      .select((leftCols.map(col) ++
+        payload.map(p => col("_pick").getField(p).as(s"asof_$p"))): _*)
   }
 
   // ------------------------------------------------------------------

@@ -134,6 +134,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(gotNearest == expectNearest)
   }
 
+  test("null payload fields never mix right rows: the matched row wins atomically") {
+    import spark.implicits._
+    // The matched (nearest-in-direction) right row carries a NULL aux.
+    // Per-column ignoreNulls windows would fill aux from a FARTHER row
+    // — emitting columns from two different right rows. The struct pick
+    // must emit the matched row's NULL instead.
+    val left = Seq((100L, 1L, 50L)).toDF("order_id", "user", "lt")
+    val right = Seq((1L, 20L, 7L, Option("x")), (1L, 40L, 8L, Option.empty[String]))
+      .toDF("user", "rt", "rid", "aux")
+    val out = AsOfJoin.asOfBackward(left, right, Seq("user"),
+      "lt", "rt", Seq("rid", "aux"), "rid").collect()(0)
+    assert(out.getLong(3) == 8L)
+    assert(out.isNullAt(4),
+      "asof_aux must be the matched row's NULL, not a farther row's value")
+
+    val left2 = Seq((200L, 1L, 10L)).toDF("order_id", "user", "lt")
+    val right2 = Seq((1L, 20L, 7L, Option.empty[String]), (1L, 40L, 8L, Option("y")))
+      .toDF("user", "rt", "rid", "aux")
+    val outF = AsOfJoin.asOfForward(left2, right2, Seq("user"),
+      "lt", "rt", Seq("rid", "aux"), "rid").collect()(0)
+    assert(outF.getLong(3) == 7L && outF.isNullAt(4))
+
+    val left3 = Seq((300L, 1L, 41L)).toDF("order_id", "user", "lt")
+    val right3 = Seq((1L, 40L, 8L, Option.empty[String]), (1L, 100L, 9L, Option("z")))
+      .toDF("user", "rt", "rid", "aux")
+    val outN = AsOfJoin.asOfNearest(left3, right3, Seq("user"),
+      "lt", "rt", Seq("rid", "aux"), "rid").collect()(0)
+    assert(outN.getLong(3) == 8L && outN.isNullAt(4))
+  }
+
   test("asOfNearest plan: ONE shuffle + one sort computes both frames") {
     import spark.implicits._
     val lDf = Seq((1L, 1L, 5L)).toDF("order_id", "user", "lt")
