@@ -464,13 +464,21 @@ object DedupQueries {
         val m3 = candJ.agg(count(lit(1)).as("n_candidates"),
           sum(when(col("j") >= MinhashVerifyJ, 1).otherwise(0))
             .cast("long").as("n_hits"))
+        // Zero-denominator guards: an empty candidate or truth set would
+        // otherwise emit NULL and silently void the falsifiability
+        // metric this query exists to provide. Convention: no candidates
+        // -> no false positives -> precision 1.0; no true pairs -> none
+        // missed -> recall 1.0 (the vacuous-truth convention, mirrored
+        // in the oracle).
         m1.crossJoin(m2).crossJoin(m3)
           .select(col("n_panel_docs"), col("n_true_pairs"),
             col("n_candidates"), col("n_hits"),
-            round(col("n_hits").cast("double") / col("n_candidates"), 6)
-              .as("precision"),
-            round(col("n_hits").cast("double") / col("n_true_pairs"), 6)
-              .as("recall"))
+            when(col("n_candidates") > 0,
+              round(col("n_hits").cast("double") / col("n_candidates"), 6))
+              .otherwise(1.0).as("precision"),
+            when(col("n_true_pairs") > 0,
+              round(col("n_hits").cast("double") / col("n_true_pairs"), 6))
+              .otherwise(1.0).as("recall"))
       },
       Some(s"""WITH $candSqlCtes,
               |scand AS (SELECT * FROM cand
@@ -488,8 +496,12 @@ object DedupQueries {
               |    (SELECT count(*) FILTER (j >= $MinhashVerifyJ) FROM scand)
               |      AS n_hits)
               |SELECT n_panel_docs, n_true_pairs, n_candidates, n_hits,
-              |  round(CAST(n_hits AS DOUBLE)/n_candidates, 6) AS precision,
-              |  round(CAST(n_hits AS DOUBLE)/n_true_pairs, 6) AS recall
+              |  CASE WHEN n_candidates > 0
+              |    THEN round(CAST(n_hits AS DOUBLE)/n_candidates, 6)
+              |    ELSE 1.0 END AS precision,
+              |  CASE WHEN n_true_pairs > 0
+              |    THEN round(CAST(n_hits AS DOUBLE)/n_true_pairs, 6)
+              |    ELSE 1.0 END AS recall
               |FROM m""".stripMargin)
     ),
 

@@ -71,6 +71,27 @@ class DedupOpsSpec extends SparkSpec {
     checkStar(random)
   }
 
+  test("q_dedup_recall emits 1.0/1.0 (not NULL) on a corpus with no " +
+    "near-dups — the falsifiability metric never silently voids") {
+    // All docs disjoint -> zero LSH candidates AND zero true pairs:
+    // both ratio denominators are 0. The vacuous-truth guards must emit
+    // explicit 1.0s, not NULLs.
+    val d = java.nio.file.Files.createTempDirectory("recallguard").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src1"),
+      (2L, "one two three four five six seven eight nine ten", "en", "src1"),
+      (3L, "red orange yellow green blue indigo violet pink brown black", "en", "src2"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val row = graft.Registry.queryMap("q_dedup_recall")(spark, d).collect()(0)
+    assert(row.getAs[Long]("n_candidates") == 0L &&
+      row.getAs[Long]("n_true_pairs") == 0L,
+      s"corpus unexpectedly produced pairs: $row")
+    assert(row.getAs[Double]("precision") == 1.0 &&
+      row.getAs[Double]("recall") == 1.0, s"guards must fire: $row")
+  }
+
   test("logHotBucketAudit surfaces what the cap skips (synthetic hot bucket)") {
     import scala.jdk.CollectionConverters._
     val boiler = "this is the same boilerplate license header text " +
