@@ -19,9 +19,30 @@ object SimilarityQueries {
   private val NumPlanes = 8
   private val Dim = 64
   private val planes = makePlanes(NumPlanes, Dim)
-  /** IVF coarse quantizer: number of inverted-list cells / probed cells. */
+  /** IVF coarse quantizer FLOORS: minimum inverted-list cells / probed
+    * cells. The declared queries derive the actual counts from corpus
+    * cardinality ([[derivedCells]]/[[derivedProbe]]); these floors keep
+    * a meaningful quantizer on tiny corpora.
+    */
   private val NCells = 16
   private val NProbe = 4
+
+  /** IVF cells derived from corpus cardinality — SURVEY H2'b's "cells
+    * ≫ 16 at scale": cells ≈ √n keeps inverted lists and the centroid
+    * relation both ~√n rows, so lists stay balanced and the broadcast
+    * centroid side stays small at any corpus scale (10^10 vectors →
+    * 10^5 centroids — MBs). Floored at [[NCells]].
+    */
+  private[ops] def derivedCells(n: Long): Int =
+    math.max(NCells, math.floor(math.sqrt(n.toDouble)).toInt)
+
+  /** Probed cells scale WITH the cell count (a fixed ~12.5% searched
+    * fraction), floored at [[NProbe]]: fixed probes over growing cells
+    * would silently shrink the searched fraction and decay recall as
+    * the corpus scales.
+    */
+  private[ops] def derivedProbe(cells: Int): Int =
+    math.max(NProbe, math.ceil(cells / 8.0).toInt)
 
   /** every 25th vector is a "query" — scale-independent choice. */
   private val QueryPred = "vec_id % 25 = 0"
@@ -287,7 +308,9 @@ object SimilarityQueries {
     */
   private val ivfCtes =
     s"""seeds AS (SELECT vec_id AS cell0, v AS cv0 FROM n
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCells),
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT (SELECT GREATEST($NCells,
+       |    CAST(floor(sqrt(count(*))) AS BIGINT)) FROM n)),
        |a1 AS (SELECT vec_id, v, cell FROM (
        |  SELECT n.vec_id, n.v, s.cell0 AS cell,
        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -311,7 +334,9 @@ object SimilarityQueries {
        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
        |      ORDER BY list_dot_product(q.qv, c.cv)/(q.qn*c.cn) DESC,
        |      c.cell ASC) AS pr
-       |  FROM q, centn c) WHERE pr <= $NProbe),
+       |  FROM q, centn c) WHERE pr <= (SELECT GREATEST($NProbe,
+       |    CAST(ceil(GREATEST($NCells, floor(sqrt(count(*)))) / 8.0)
+       |      AS BIGINT)) FROM n)),
        |ivf_scored AS (SELECT query_id, vec_id, cell,
        |    list_dot_product(qv, v)/(qn*nrm) AS cos,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -400,16 +425,22 @@ object SimilarityQueries {
 
     QueryDef(
       "q_ann_ivf",
-      s"IVF approximate NN: $NCells-cell coarse quantizer (deterministic " +
-        "hash-ordered seeds + one Lloyd refinement with decimal-exact " +
-        s"means), corpus assigned to nearest cell, queries probe $NProbe " +
-        "cells, exact cosine re-rank in the probed inverted lists. The " +
-        "centroid relation broadcasts, so the corpus is scored without " +
-        "shuffling; same skeleton as H2' with learned buckets.",
-      (s, dir) => ivfTopK(s, dir)
-        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-          round(col("cos"), 6).as("cosine"), col("cell"))
-        .orderBy("query_id", "rank"),
+      "IVF approximate NN: coarse quantizer with cells DERIVED from " +
+        s"corpus cardinality (~sqrt(n), floor $NCells; probes scale as " +
+        s"cells/8, floor $NProbe — a fixed searched fraction at any " +
+        "scale), deterministic hash-ordered seeds + one Lloyd " +
+        "refinement with decimal-exact means, corpus assigned to " +
+        "nearest cell, exact cosine re-rank in the probed inverted " +
+        "lists. The centroid relation broadcasts, so the corpus is " +
+        "scored without shuffling; same skeleton as H2' with learned " +
+        "buckets.",
+      (s, dir) => {
+        val cells = derivedCells(corpus(s, dir).count())
+        ivfTopK(s, dir, cells, derivedProbe(cells))
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            round(col("cos"), 6).as("cosine"), col("cell"))
+          .orderBy("query_id", "rank")
+      },
       Some(s"""WITH $baseCte,
               |$ivfCtes
               |SELECT query_id, rank, vec_id AS neighbor_id, round(cos,6) AS cosine, cell
@@ -478,9 +509,11 @@ object SimilarityQueries {
             .select(lit(variant).as("variant"), col("n_queries"),
               col("n_exact"), col("n_hit"),
               round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"))
+        val cells = derivedCells(corpus(s, dir).count())
         recallRow(annTopK(s, dir), "single_probe")
           .union(recallRow(annMultiProbeTopK(s, dir), "multiprobe_h2"))
-          .union(recallRow(ivfTopK(s, dir), s"ivf_nprobe$NProbe"))
+          .union(recallRow(ivfTopK(s, dir, cells, derivedProbe(cells)),
+            "ivf_sqrtn"))
           .orderBy("variant")
       },
       Some {
@@ -506,7 +539,7 @@ object SimilarityQueries {
            |UNION ALL
            |${recallSelect("mp_scored", "multiprobe_h2")}
            |UNION ALL
-           |${recallSelect("ivf_scored", s"ivf_nprobe$NProbe")}
+           |${recallSelect("ivf_scored", "ivf_sqrtn")}
            |) ORDER BY variant""".stripMargin
       }
     )

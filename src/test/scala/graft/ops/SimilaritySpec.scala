@@ -45,11 +45,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"recall collapsed at scale cell count: $recall%.3f")
   }
 
+  test("derived IVF sizing: cells ~ sqrt(n) with floors, probes ~ cells/8") {
+    assert(SimilarityQueries.derivedCells(50L) == 16)    // floor wins
+    assert(SimilarityQueries.derivedCells(500L) == 22)   // sf0.01 corpus
+    assert(SimilarityQueries.derivedCells(5000L) == 70)  // sf0.1 corpus
+    assert(SimilarityQueries.derivedCells(10000000000L) == 100000)
+    assert(SimilarityQueries.derivedProbe(16) == 4)      // floor wins
+    assert(SimilarityQueries.derivedProbe(70) == 9)
+    assert(SimilarityQueries.derivedProbe(100000) == 12500) // 12.5% held
+  }
+
   test("q_ann_recall: one measured row per variant, recall within [0,1], ivf present") {
     val rows = Registry.queryMap("q_ann_recall")(spark, dir).collect()
     val variants = rows.map(_.getString(0)).toSeq
     assert(variants.sorted == variants, "output must be ordered by variant")
-    assert(variants.toSet == Set("single_probe", "multiprobe_h2", "ivf_nprobe4"))
+    assert(variants.toSet == Set("single_probe", "multiprobe_h2", "ivf_sqrtn"))
     rows.foreach { r =>
       val recall = r.getDouble(4)
       assert(recall >= 0.0 && recall <= 1.0)
