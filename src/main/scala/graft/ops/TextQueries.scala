@@ -290,26 +290,30 @@ object TextQueries {
       "q_heavy_hitters",
       s"Frequent-terms detection with BOUNDED task memory: every word " +
         s"bigram above 1/$HeavyK of all bigram occurrences, found by a " +
-        s"per-partition SpaceSaving sketch ($HeavyK counters per task — " +
-        "O(k) memory however large the per-task vocabulary) whose " +
-        "candidate union provably contains every global heavy hitter; " +
-        "an exact recount over candidates only (broadcast semi-join) " +
-        "makes the output exact, so the oracle is the plain exact SQL. " +
-        "Shape: sketch scan (no shuffle beyond the tiny candidate " +
+        "mergeable SpaceSaving AGGREGATE (graft.functions.SpaceSavingAgg " +
+        "— a TypedImperativeAggregate running the same eviction step as " +
+        "the streaming sketch, map-side partial buffers, Misra-Gries " +
+        "merge, 2k counters for a proven merged-superset guarantee) " +
+        "whose candidate set provably contains every global heavy " +
+        "hitter; an exact recount over candidates only (broadcast " +
+        "semi-join) makes the output exact, so the oracle is the plain " +
+        "exact SQL. Shape: one ordinary partial/final agg over the " +
+        "term scan (what crosses the wire is one <= 2k-entry buffer " +
+        "per map task — no Dataset object boundary, no separate " +
         "distinct) -> recount scan whose agg shuffle carries only " +
         "candidate keys — the full-vocabulary shuffle of a naive " +
         "groupBy never happens.",
       (s, dir) => {
-        import s.implicits._
         // toks MUST be a materialized attribute before entering the
         // higher-order seqBigrams transform (interpreted per element —
         // a composed tokens(text) argument re-tokenizes per position)
         val terms = Tables.par(s, dir, "documents")
           .withColumn("toks", tokens(col("text")))
           .select(explode(seqBigrams(col("toks"))).as("term"))
-        val candidates = terms.as[String]
-          .mapPartitions(spaceSavingKeys(_, HeavyK))
-          .toDF("term").distinct()
+        val candidates = terms
+          .agg(graft.functions.SpaceSavingAgg
+            .candidates(col("term"), HeavyK).as("cand"))
+          .select(explode(col("cand")).as("term"))
         // Exact denominator without a third exploded pass: bigrams per
         // doc = max(n_tok - 1, 0), one map-only agg over documents.
         val totals = Tables.t(s, dir, "documents")

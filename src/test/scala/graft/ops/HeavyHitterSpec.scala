@@ -44,6 +44,30 @@ class HeavyHitterSpec extends SparkSpec {
     assert(lost.isEmpty, s"heavy hitters evicted from the sketch: $lost")
   }
 
+  test("SpaceSavingAgg: merged candidates keep the superset guarantee " +
+    "across many partial buffers (vocab >> counters, eviction + merge)") {
+    val rnd = new Random(7)
+    val k = 100
+    val stream = Seq.fill(30000) {
+      val r = rnd.nextInt(100)
+      if (r < 30) s"hot${rnd.nextInt(3)}"
+      else if (r < 45) s"warm${rnd.nextInt(20)}"
+      else s"cold${rnd.nextInt(8000)}"
+    }
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    // 13 partitions -> 13 partial SS buffers merged through the final
+    // Misra-Gries reductions; the 2k margin must absorb the merge error.
+    val cands = stream.toDF("term").repartition(13)
+      .agg(graft.functions.SpaceSavingAgg.candidates(col("term"), k).as("c"))
+      .select(explode(col("c")).as("t")).as[String].collect().toSet
+    assert(cands.size <= 2 * k, s"buffer exceeded 2k: ${cands.size}")
+    val mustSurvive = exact.collect { case (t, c) if c * k > n => t }
+    assert(mustSurvive.nonEmpty && mustSurvive.size < k / 2)
+    val lost = mustSurvive.filterNot(cands.contains)
+    assert(lost.isEmpty, s"heavy hitters lost in the merged aggregate: $lost")
+  }
+
   test("q_heavy_hitters is exact under active eviction (vocab >> k)") {
     val d = Files.createTempDirectory("hhspec").toString
     // 1500 docs, ~4500 distinct bigrams (>> HeavyK=1024, so per-partition
