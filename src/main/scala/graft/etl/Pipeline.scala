@@ -39,6 +39,35 @@ object Pipeline {
       childTable: String, childCol: String,
       parentTable: String, parentCol: String)
 
+  /** Post-load artifact phase — the reference's add_indexes slot
+    * (`ETLAlchemySource.py::add_indexes` ~L1150): after all tables are
+    * written, build the stored query artifacts and read-optimized
+    * layouts FROM the written tables, and surface every silent cap /
+    * threshold as a report row.
+    *
+    *   - `bandIndexTables`: MinHash band index ([[graft.ops.BandIndex]]
+    *     table pair; table must carry doc_id + text); report row carries
+    *     the hot-bucket-cap audit (what the cap will skip).
+    *   - `spanSetTables`: duplicated-span artifact
+    *     ([[graft.ops.SpanSet]]; doc_id + source + text); report row
+    *     carries the distinct/duplicated span counts.
+    *   - `zOrder`: table -> (c1, c2) two-dimensional Z-order layout
+    *     written alongside the row table ([[Layout.writeZOrdered]]).
+    *   - `compact`: table -> sort key small-files compaction
+    *     ([[Compaction.compact]]).
+    */
+  final case class ArtifactConfig(
+      bandIndexTables: Seq[String] = Nil,
+      spanSetTables: Seq[String] = Nil,
+      zOrder: Map[String, (String, String)] = Map.empty,
+      compact: Map[String, String] = Map.empty,
+      compactTargetBytes: Long = 128L * 1024 * 1024,
+      hotBucketCap: Int = graft.ops.DedupQueries.HotBucketCap) {
+    def isEmpty: Boolean =
+      bandIndexTables.isEmpty && spanSetTables.isEmpty &&
+        zOrder.isEmpty && compact.isEmpty
+  }
+
   final case class TableResult(
       table: String,
       outputName: String,
@@ -106,8 +135,70 @@ object Pipeline {
       allNull, conv, skipped = false, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Build the configured artifacts from the WRITTEN tables (call after
+    * all loads — the E3 ordering the reference applies to its index
+    * phase). One report row per artifact; silent caps become metrics.
+    */
+  def artifactPhase(
+      spark: SparkSession,
+      outDir: String,
+      a: ArtifactConfig,
+      log: MigrationLog = MigrationLog.silent): Seq[Report.ArtifactResult] = {
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val band = a.bandIndexTables.map { t =>
+      val tag = graft.ops.BandIndex.tag(s"$outDir/$t", "idx")
+      val ((skB, skR), secs) = timed {
+        graft.ops.BandIndex.buildOrLoad(spark,
+          spark.read.parquet(s"$outDir/$t.parquet"), tag, log)
+        graft.ops.BandIndex.hotBucketAudit(spark, tag, a.hotBucketCap)
+      }
+      val msg = s"tag=$tag cap=${a.hotBucketCap} " +
+        s"skipped_buckets=$skB skipped_rows=$skR"
+      if (skB > 0) log.warn(t, "artifact band_index", msg)
+      else log.info(t, "artifact band_index", msg)
+      Report.ArtifactResult(t, "band_index", msg, skB, skR, secs)
+    }
+    val spans = a.spanSetTables.map { t =>
+      val tag = graft.ops.SpanSet.tag(s"$outDir/$t")
+      val ((nSpans, nDup), secs) = timed {
+        graft.ops.SpanSet.buildOrLoad(spark,
+          spark.read.parquet(s"$outDir/$t.parquet"), tag, log)
+        graft.ops.SpanSet.spanAudit(spark, tag)
+      }
+      val msg = s"tag=$tag distinct_spans=$nSpans duplicated_spans=$nDup"
+      log.info(t, "artifact span_set", msg)
+      Report.ArtifactResult(t, "span_set", msg, 0L, 0L, secs)
+    }
+    val zs = a.zOrder.toSeq.sortBy(_._1).map { case (t, (c1, c2)) =>
+      val path = s"$outDir/${t}_zorder.parquet"
+      val (_, secs) = timed {
+        Layout.writeZOrdered(spark.read.parquet(s"$outDir/$t.parquet"),
+          c1, c2, path)
+      }
+      val msg = s"cols=($c1,$c2) path=$path"
+      log.info(t, "artifact zorder", msg)
+      Report.ArtifactResult(t, "zorder", msg, 0L, 0L, secs)
+    }
+    val cps = a.compact.toSeq.sortBy(_._1).map { case (t, sortKey) =>
+      val (r, secs) = timed {
+        Compaction.compact(spark, s"$outDir/$t.parquet",
+          s"$outDir/${t}_compacted.parquet", sortKey, a.compactTargetBytes)
+      }
+      val msg = s"files ${r.filesBefore} -> ${r.filesAfter} " +
+        s"(${r.inputBytes} bytes, sort=$sortKey)"
+      log.info(t, "artifact compaction", msg)
+      Report.ArtifactResult(t, "compaction", msg, 0L, 0L, secs)
+    }
+    band ++ spans ++ zs ++ cps
+  }
+
   /** Full migration: all tables concurrently, then deferred FK validation
-    * (E2/E3). Returns the report (F1).
+    * (E2/E3), then the artifact phase (E1's slot). Returns the report
+    * (F1).
     */
   def migrate(
       spark: SparkSession,
@@ -115,7 +206,8 @@ object Pipeline {
       outDir: String,
       foreignKeys: Seq[ForeignKey] = Nil,
       parallelism: Int = 4,
-      log: MigrationLog = MigrationLog.silent): Report = {
+      log: MigrationLog = MigrationLog.silent,
+      artifacts: ArtifactConfig = ArtifactConfig()): Report = {
     val t0 = System.nanoTime()
     val tables = reflectTables(cfg.dir)
       .filter(t => cfg.includedTables.isEmpty || cfg.includedTables.contains(t))
@@ -142,7 +234,11 @@ object Pipeline {
       }
       Report.FkResult(label, orphans)
     }
+    // E1's slot: artifacts build strictly after loads + validation.
+    val artifactResults =
+      if (artifacts.isEmpty) Nil
+      else artifactPhase(spark, outDir, artifacts, log)
     log.info("*", "migrate", f"all done in ${(System.nanoTime() - t0) / 1e9}%.3fs")
-    Report(results, fkResults, (System.nanoTime() - t0) / 1e9)
+    Report(results, fkResults, (System.nanoTime() - t0) / 1e9, artifactResults)
   }
 }

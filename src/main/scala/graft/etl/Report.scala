@@ -8,11 +8,18 @@ package graft.etl
 final case class Report(
     tables: Seq[Pipeline.TableResult],
     fks: Seq[Report.FkResult],
-    totalSeconds: Double) {
+    totalSeconds: Double,
+    artifacts: Seq[Report.ArtifactResult] = Nil) {
 
   def rowsMigrated: Long = tables.filterNot(_.skipped).map(_.rowsOut).sum
   def skippedTables: Seq[String] = tables.filter(_.skipped).map(_.table)
   def violatedFks: Seq[Report.FkResult] = fks.filter(_.orphanCount > 0)
+
+  /** Artifact rows where a cap silently dropped data — the pipeline's
+    * "no silent caps" contract: anything skipped must be visible here.
+    */
+  def cappedArtifacts: Seq[Report.ArtifactResult] =
+    artifacts.filter(_.skippedBuckets > 0)
 
   def render: String = {
     val sb = new StringBuilder
@@ -32,10 +39,26 @@ final case class Report(
       fks.foreach(fk =>
         sb.append(s"  ${fk.edge}: ${if (fk.orphanCount == 0) "OK" else s"${fk.orphanCount} ORPHANS"}\n"))
     }
+    if (artifacts.nonEmpty) {
+      sb.append("-- artifacts --\n")
+      artifacts.foreach { a =>
+        val cap = if (a.skippedBuckets > 0)
+          s"  CAPPED(${a.skippedBuckets} buckets/${a.skippedRows} rows)"
+        else ""
+        sb.append(f"  ${a.table}%-12s ${a.kind}%-10s ${a.wallSeconds}%.2fs  ${a.detail}%s$cap%s\n")
+      }
+    }
     sb.result()
   }
 }
 
 object Report {
   final case class FkResult(edge: String, orphanCount: Long)
+
+  /** One post-load artifact build: what was built, how long, and what
+    * any cap silently skipped (0/0 = nothing capped).
+    */
+  final case class ArtifactResult(table: String, kind: String,
+                                  detail: String, skippedBuckets: Long,
+                                  skippedRows: Long, wallSeconds: Double)
 }

@@ -94,17 +94,28 @@ object BandIndex {
       // Readers cap hot buckets with `bsz <= HotBucketCap`; surface what
       // that cap will silently skip, once, at build time (the stored bsz
       // makes this a cheap scan-side aggregate).
-      val r = spark.table(bdT)
-        .filter(col("bsz") > DedupQueries.HotBucketCap)
-        .agg(count_distinct(struct(col("band"), col("bh"))).as("n_buckets"),
-          count(lit(1)).as("n_rows"))
-        .collect()(0)
+      val (nBuckets, nRows) = hotBucketAudit(spark, tag)
       val msg = s"hot_bucket_cap=${DedupQueries.HotBucketCap} " +
-        s"skipped_buckets=${r.getLong(0)} skipped_rows=${r.getLong(1)}"
-      if (r.getLong(0) > 0) log.warn(bdT, "band_index_build", msg)
+        s"skipped_buckets=$nBuckets skipped_rows=$nRows"
+      if (nBuckets > 0) log.warn(bdT, "band_index_build", msg)
       else log.info(bdT, "band_index_build", msg)
     }
     (spark.table(shT), spark.table(bdT))
+  }
+
+  /** What the hot-bucket cap will silently skip on the stored index:
+    * (over-cap buckets, rows inside them). Scan-only — `bsz` is a
+    * stored column — so the pipeline can surface every silent cap as a
+    * report line without a window over the index.
+    */
+  def hotBucketAudit(spark: SparkSession, tag: String,
+                     cap: Int = DedupQueries.HotBucketCap): (Long, Long) = {
+    val r = spark.table(s"${tag}_bands")
+      .filter(col("bsz") > cap)
+      .agg(count_distinct(struct(col("band"), col("bh"))).as("n_buckets"),
+        count(lit(1)).as("n_rows"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Daily-ingest maintenance: append `newDocs`' shingles and bands to

@@ -77,15 +77,10 @@ object SpanSet {
       // much of the span space the MinDocs threshold marks as
       // duplicated — a corpus where most spans are shared is boilerplate
       // soup and worth a loud line.
-      val r = spark.table(sT)
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("nd") >= SpanDedup.MinDocs, 1L).otherwise(0L))
-            .as("n_dup"))
-        .collect()(0)
+      val (nSpans, nDup) = spanAudit(spark, tag)
       val msg = s"min_docs=${SpanDedup.MinDocs} " +
-        s"distinct_spans=${r.getLong(0)} duplicated_spans=${r.getLong(1)}"
-      if (r.getLong(0) > 0 && r.getLong(1) * 2 > r.getLong(0))
-        log.warn(sT, "span_set_build", msg)
+        s"distinct_spans=$nSpans duplicated_spans=$nDup"
+      if (nSpans > 0 && nDup * 2 > nSpans) log.warn(sT, "span_set_build", msg)
       else log.info(sT, "span_set_build", msg)
     }
     (spark.table(rT), spark.table(sT))
@@ -100,6 +95,18 @@ object SpanSet {
     spark.table(setT(tag))
       .filter(col("nd") >= SpanDedup.MinDocs)
       .select("sh").distinct()
+
+  /** (distinct spans, duplicated spans) on the stored count table —
+    * scan-only, for build-time logging and pipeline report rows.
+    */
+  def spanAudit(spark: SparkSession, tag: String): (Long, Long) = {
+    val r = spark.table(setT(tag))
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(when(col("nd") >= SpanDedup.MinDocs, 1L).otherwise(0L)),
+          lit(0L)).as("n_dup"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Daily-ingest maintenance: append `newDocs`' span rows; the count
     * table gets within-batch counts (lower bound — see class doc).

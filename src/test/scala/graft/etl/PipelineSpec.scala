@@ -45,6 +45,55 @@ class PipelineSpec extends SparkSpec {
     assert(report.render.contains("ORPHANS"))
   }
 
+  test("artifact phase builds stored index + span set + layouts from the " +
+    "written tables, and the report surfaces what the cap skips") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-art-src").toString
+    val dst = Files.createTempDirectory("graft-art-dst").toString
+    // 6 identical boilerplate docs -> identical shingle sets -> 3 hot
+    // (band, bh) buckets of size 6 (over a test cap of 4) AND 9 shared
+    // 8-gram spans (16 tokens); one unique doc stays under every
+    // threshold.
+    val boiler = "this is the same boilerplate license header text " +
+      "repeated verbatim across many documents in the corpus"
+    ((1L to 6L).map(i => (i, boiler)) :+
+      (100L, "one unique document with entirely different content here today"))
+      .toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .write.parquet(s"$src/docs.parquet")
+    (1L to 200L).map(i => (i, i % 7)).toDF("event_id", "k")
+      .repartition(20) // small-files input for compaction
+      .write.parquet(s"$src/evts.parquet")
+
+    val report = Pipeline.migrate(
+      spark, Pipeline.SourceConfig(dir = src), outDir = dst,
+      artifacts = Pipeline.ArtifactConfig(
+        bandIndexTables = Seq("docs"),
+        spanSetTables = Seq("docs"),
+        zOrder = Map("evts" -> ("event_id", "k")),
+        compact = Map("evts" -> "event_id"),
+        hotBucketCap = 4))
+
+    // every artifact produced a report row...
+    assert(report.artifacts.map(_.kind).sorted ==
+      Seq("band_index", "compaction", "span_set", "zorder"))
+    // ...the stored tables exist and carry the expected content...
+    val bandTag = graft.ops.BandIndex.tag(s"$dst/docs", "idx")
+    val spanTag = graft.ops.SpanSet.tag(s"$dst/docs")
+    assert(spark.table(s"${bandTag}_bands").count() > 0)
+    assert(graft.ops.SpanSet.duplicatedSpans(spark, spanTag).count() == 9)
+    assert(spark.read.parquet(s"$dst/evts_zorder.parquet").count() == 200)
+    assert(spark.read.parquet(s"$dst/evts_compacted.parquet").count() == 200)
+    // ...and the silent hot-bucket cap became a visible report metric
+    val capped = report.cappedArtifacts
+    assert(capped.map(_.kind) == Seq("band_index"))
+    assert(capped.head.skippedBuckets == 3 && capped.head.skippedRows == 18,
+      s"unexpected cap audit: ${capped.head}")
+    assert(report.render.contains("CAPPED(3 buckets/18 rows)"))
+    val span = report.artifacts.find(_.kind == "span_set").get
+    assert(span.detail.contains("duplicated_spans=9"), span.detail)
+  }
+
   test("reflectTables discovers parquet tables (A2)") {
     val d = Files.createTempDirectory("graft-reflect").toString
     import spark.implicits._
