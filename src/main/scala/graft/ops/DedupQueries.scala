@@ -689,6 +689,68 @@ object DedupQueries {
       }
     ),
 
+    // ------------------------------------------------------------ H2'''
+    QueryDef(
+      "q_dedup_semantic",
+      "SemDeDup-style semantic dedup (Abbas et al. 2023, 'SemDeDup: " +
+        "Data-efficient learning at web-scale through semantic " +
+        "deduplication'): cluster the embedding corpus with the " +
+        "derived-IVF coarse quantizer (~sqrt(n) cells, the stored " +
+        "index q_ann_ivf already builds), compare vectors EXACTLY only " +
+        s"within their cell, consolidate pairs with cosine >= " +
+        s"$CosineTau via star-contraction connected components, and " +
+        "keep the min-id representative per semantic cluster. Differs " +
+        "from q_dedup_embedding in blocking (the LEARNED quantizer vs " +
+        "random hyperplanes — SemDeDup's defining choice) and in " +
+        "emitting consolidated per-doc verdicts, not pairs. Cost is " +
+        "sum |cell|^2; at 100 TB derive cells from a TARGET cluster " +
+        "size instead of sqrt(n) and the shape holds — cross-cell " +
+        "near-dups are missed by design (the published trade).",
+      (s, dir) => {
+        val cells = SimilarityQueries.derivedCells(
+          Tables.par(s, dir, "embeddings").count())
+        // The SAME persisted cell assignment q_ann_ivf scores against —
+        // one stored quantizer serves search and dedup.
+        val (a2, _) = SimilarityQueries.ivfParts(s, dir, cells)
+        val l = a2.select(col("cell"), col("vec_id").as("vec_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val r = a2.select(col("cell"), col("vec_id").as("vec_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        val pairs = l.join(r, "cell")
+          .filter(col("vec_a") < col("vec_b"))
+          .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+            >= CosineTau)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        val cc = clusterComponents(pairs)
+          .select(col("id").as("vec_id"), col("component").as("keeper"))
+        a2.select(col("vec_id"), col("cell"))
+          .join(cc, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("keeper"), col("vec_id")).as("keeper_id"))
+          .withColumn("is_dup",
+            when(col("keeper_id") =!= col("vec_id"), 1).otherwise(0))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${SimilarityQueries.baseCte},
+              |${SimilarityQueries.ivfCtes},
+              |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
+              |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= $CosineTau),
+              |sedges AS (SELECT src, dst FROM p
+              |  UNION ALL SELECT dst, src FROM p),
+              |swalk(id, reach) AS (
+              |  SELECT DISTINCT src, src FROM sedges
+              |  UNION
+              |  SELECT w.id, e.dst FROM swalk w JOIN sedges e ON e.src = w.reach),
+              |scc AS (SELECT id, min(reach) AS keeper FROM swalk GROUP BY id)
+              |SELECT a2.vec_id, a2.cell,
+              |  coalesce(scc.keeper, a2.vec_id) AS keeper_id,
+              |  CASE WHEN coalesce(scc.keeper, a2.vec_id) <> a2.vec_id
+              |    THEN 1 ELSE 0 END AS is_dup
+              |FROM a2 LEFT JOIN scc ON scc.id = a2.vec_id
+              |ORDER BY vec_id""".stripMargin)
+    ),
+
     // ------------------------------------------------------------- H3++
     QueryDef(
       "q_dedup_incremental",

@@ -260,7 +260,7 @@ object SimilarityQueries {
   // ---------------------------------------------------------------- SQL
   // Shared CTE bodies for the DuckDB twins, composed the same way.
 
-  private val baseCte =
+  private[ops] val baseCte =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm,
        |  $bucketSql AS bucket FROM e),
@@ -306,7 +306,7 @@ object SimilarityQueries {
     * same hash-ordered seeds, same decimal-exact Lloyd means, same
     * probe/re-rank tiebreaks, so results are bit-comparable.
     */
-  private val ivfCtes =
+  private[ops] val ivfCtes =
     s"""seeds AS (SELECT vec_id AS cell0, v AS cv0 FROM n
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT (SELECT GREATEST($NCells,

@@ -92,6 +92,22 @@ class DedupOpsSpec extends SparkSpec {
       row.getAs[Double]("recall") == 1.0, s"guards must fire: $row")
   }
 
+  test("q_dedup_semantic invariants: keeper is the cluster min, keepers " +
+    "are never dups, every keeper row exists") {
+    val rows = graft.Registry.queryMap("q_dedup_semantic")(
+      spark, "/root/testdata/sf0.001")
+      .select("vec_id", "keeper_id", "is_dup")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (vec, keeper, isDup) =>
+      assert(keeper <= vec, s"keeper must be the component min: $vec -> $keeper")
+      assert((isDup == 1) == (keeper != vec), s"is_dup inconsistent for $vec")
+      // the representative a dup points to is itself kept, not a dup
+      assert(byId(keeper)._3 == 0, s"keeper $keeper of $vec is itself a dup")
+    }
+  }
+
   test("logHotBucketAudit surfaces what the cap skips (synthetic hot bucket)") {
     import scala.jdk.CollectionConverters._
     val boiler = "this is the same boilerplate license header text " +
