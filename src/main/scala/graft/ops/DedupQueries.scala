@@ -373,9 +373,10 @@ object DedupQueries {
         .select(col("v").as("u"), col("m").as("v"))
         .union(smins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-      converged = next.count() == eCount && next.except(e).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
       e = next
-      eCount = next.count()
+      eCount = nextCount
     }
     // At fixpoint e is a star forest: one (node, component-min) edge per
     // non-root node. groupBy-min also yields a defined (if approximate)
@@ -431,6 +432,44 @@ object DedupQueries {
       Some(s"""WITH $pairsSqlCtes
               |SELECT doc_a, doc_b, round(j,6) AS jaccard FROM pairs
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------ H3r
+    QueryDef(
+      "q_doc_similar",
+      "Most-similar-document retrieval: for every doc with at least one " +
+        "LSH candidate, its single closest neighbor by exact Jaccard " +
+        "(the related-documents lookup a curation UI runs, and the " +
+        "text-side analogue of q_embedding_topk at k=1). Reuses the " +
+        "production MinHash bucket pipeline — candidates come from the " +
+        "banded equi-join, never all-pairs — symmetrized, then a " +
+        "per-doc top-1 window that WindowGroupLimit prunes to one row " +
+        "per doc BEFORE the exchange; ties resolve (j desc, id asc).",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = shinglesPersisted(s, dir)
+        val cand = candidateJaccard(sh, bandsPersisted(sh))
+        val sym = cand.select(col("doc_a").as("doc_id"),
+            col("doc_b").as("other_id"), col("j"))
+          .union(cand.select(col("doc_b").as("doc_id"),
+            col("doc_a").as("other_id"), col("j")))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("j").desc, col("other_id").asc)
+        sym.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("other_id").as("similar_id"),
+            round(col("j"), 6).as("similarity"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $candSqlCtes,
+              |sym AS (SELECT doc_a AS doc_id, doc_b AS other_id, j FROM cand
+              |  UNION ALL SELECT doc_b, doc_a, j FROM cand),
+              |r AS (SELECT doc_id, other_id, j,
+              |    ROW_NUMBER() OVER (PARTITION BY doc_id
+              |      ORDER BY j DESC, other_id ASC) AS rn
+              |  FROM sym)
+              |SELECT doc_id, other_id AS similar_id, round(j,6) AS similarity
+              |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)
     ),
 
     // ------------------------------------------------------------ H3m

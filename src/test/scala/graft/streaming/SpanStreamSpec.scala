@@ -52,4 +52,51 @@ class SpanStreamSpec extends SparkSpec {
       assert(out.forall(_.getAs[Int]("n_spans") == 2))
     } finally q.stop()
   }
+
+  test("streaming ingest maintains the stored span artifact via foreachBatch append") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // standing corpus: one doc; the stream delivers a near-copy whose
+    // spans straddle standing + batch, then maintenance runs. This is
+    // the artifact's documented ingest lifecycle (append = lower-bound
+    // counts, refresh = exact) driven from Structured Streaming —
+    // foreachBatch is the sanctioned sink for maintaining bucketed
+    // tables a stream cannot write directly.
+    val tag = "graft_test_spanstream_maint_" + System.nanoTime()
+    val standing = Seq(
+      (10L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text").withColumn("source", lit("s0"))
+    graft.ops.SpanSet.buildOrLoad(spark, standing, tag)
+    assert(graft.ops.SpanSet.duplicatedSpans(spark, tag).count() == 0)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .withColumn("source", lit("stream"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-spanmaint").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.SpanSet.append(batch.sparkSession, batch, tag)
+      }
+      .start()
+    try {
+      input.addData((11L, "one two three four five six seven eight nine zzz"))
+      q.processAllAvailable()
+      // foreachBatch wrote through a CLONED session; this session's
+      // cached file listing for the tables is stale until refreshed
+      // (same rule as any cross-session writer of a catalog table).
+      Seq(s"${tag}_spanrows", s"${tag}_spanset")
+        .foreach(spark.catalog.refreshTable)
+      // appended rows landed; straddling spans await the exact refresh
+      assert(spark.table(s"${tag}_spanrows").count() == 6)
+      assert(graft.ops.SpanSet.duplicatedSpans(spark, tag).count() == 0)
+      graft.ops.SpanSet.refreshSpanCounts(spark, tag)
+      assert(graft.ops.SpanSet.duplicatedSpans(spark, tag).count() == 2)
+    } finally {
+      q.stop()
+      Seq(s"${tag}_spanrows", s"${tag}_spanset").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
