@@ -193,6 +193,56 @@ object EventQueries {
              |  count(*) AS n_active_users
              |FROM e JOIN c USING(user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_event_anomaly",
+      "Event-rate anomaly detection: per-(type, minute) counts scored " +
+        "against a trailing 30-minute baseline via a RANGE window frame " +
+        "(value-based bounds — a gap in minutes shrinks the baseline " +
+        "set instead of silently reaching further back, which a ROWS " +
+        "frame would do on sparse series); a minute is anomalous at " +
+        ">= 3x lift. Shape: one minute-grain agg shuffle + one " +
+        "event_type window partition — time-ordered state bounded by " +
+        "the frame, the monitoring-query shape a streaming deployment " +
+        "runs with watermarked windows. Baseline averages PRESENT " +
+        "minutes only (sparse semantics, identical in the oracle); " +
+        "exact integer sums under the one IEEE division keep it " +
+        "deterministic at any parallelism.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = Tables.t(s, dir, "events")
+          .withColumn("sec", epochSec)
+          .withColumn("minute",
+            col("sec") - ((col("sec") % 60 + 60) % 60))
+          .groupBy("event_type", "minute")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy("minute")
+          .rangeBetween(-1800, -60)
+        m.withColumn("baseline", avg(col("cnt")).over(w))
+          .select(col("event_type"), col("minute"), col("cnt"),
+            round(col("baseline"), 6).as("baseline"),
+            when(col("baseline") > 0,
+              round(col("cnt") / col("baseline"), 6)).as("lift"),
+            when(col("baseline") > 0 && col("cnt") / col("baseline") >= 3.0,
+              1).otherwise(0).as("anomalous"))
+          .orderBy("event_type", "minute")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute
+             |  FROM events),
+             |m AS (SELECT event_type, minute, count(*) AS cnt
+             |  FROM e GROUP BY 1, 2),
+             |w AS (SELECT *, avg(cnt) OVER (PARTITION BY event_type
+             |    ORDER BY minute
+             |    RANGE BETWEEN 1800 PRECEDING AND 60 PRECEDING) AS baseline
+             |  FROM m)
+             |SELECT event_type, minute, cnt,
+             |  round(baseline, 6) AS baseline,
+             |  CASE WHEN baseline > 0 THEN round(cnt/baseline, 6) END AS lift,
+             |  CASE WHEN baseline > 0 AND cnt/baseline >= 3 THEN 1 ELSE 0 END
+             |    AS anomalous
+             |FROM w ORDER BY event_type, minute""".stripMargin)
     )
   )
 }
