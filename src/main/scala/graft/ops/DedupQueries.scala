@@ -206,18 +206,28 @@ object DedupQueries {
         jaccard(col("sha"), col("shb")).as("j"))
   }
 
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
-                           dir: String): DataFrame = {
+  /** Pre-threshold LSH candidates with exact Jaccard, PERSISTED — the
+    * shared materialization point of the pair family: the verified-pair
+    * consumers (q_doc_dedup / q_dedup_clusters via [[minhashPairs]]'s
+    * filter) and q_doc_similar (which needs candidates BELOW the dedup
+    * threshold too) all read this one cache, so the bucket join +
+    * Jaccard verify runs once per session however many consumers.
+    * (Persisting only the post-threshold pairs — the r5 shape — made
+    * q_doc_similar re-run the whole verify pipeline: measured 4.5 s vs
+    * ~0.3 s for the other cached consumers at sf0.1.) Candidates are
+    * edges ≪ corpus at any scale; same cache-vs-recompute knob as the
+    * shingle relation.
+    */
+  private def candidatesPersisted(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): DataFrame = {
     val sh = shinglesPersisted(s, dir)
-    val bands = bandsPersisted(sh)
-    // The verified pair set is edges ≪ corpus at any scale and is the
-    // shared output of q_doc_dedup and q_dedup_clusters — persist it so
-    // the second consumer starts from the materialized pairs instead of
-    // re-running bucket join + Jaccard verify.
-    candidateJaccard(sh, bands)
-      .filter(col("j") >= MinhashVerifyJ)
+    candidateJaccard(sh, bandsPersisted(sh))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame =
+    candidatesPersisted(s, dir).filter(col("j") >= MinhashVerifyJ)
 
   /** DuckDB CTE chain ending in `cand(doc_a, doc_b, j)` — the oracle twin
     * of [[candidateJaccard]] (pre-threshold LSH candidates with exact
@@ -447,8 +457,7 @@ object DedupQueries {
         "per doc BEFORE the exchange; ties resolve (j desc, id asc).",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val sh = shinglesPersisted(s, dir)
-        val cand = candidateJaccard(sh, bandsPersisted(sh))
+        val cand = candidatesPersisted(s, dir)
         val sym = cand.select(col("doc_a").as("doc_id"),
             col("doc_b").as("other_id"), col("j"))
           .union(cand.select(col("doc_b").as("doc_id"),
@@ -555,8 +564,8 @@ object DedupQueries {
         "scale), log2(diameter) rounds of the same equi-join + min-agg " +
         "primitives; the keeper per cluster is its min doc_id.",
       (s, dir) => {
-        // minhashPairs persists the verified pair set, so the star
-        // rounds' repeated references hit one materialized 256-row cache
+        // minhashPairs filters the persisted candidate relation, so the
+        // star rounds' repeated references scan one materialized cache
         // instead of re-running the LSH+verify pipeline (measured 3x the
         // pair cost without it). The star rounds eagerly localCheckpoint
         // per round (lineage truncation — see connectedComponentsStar),
