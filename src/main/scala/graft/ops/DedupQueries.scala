@@ -362,6 +362,15 @@ object DedupQueries {
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var eCount = e.count()
+    // Iteration parallelism follows the MEASURED edge count (known free
+    // from the convergence check): near-dup pair graphs are orders of
+    // magnitude smaller than the corpus, and full shuffle-width rounds
+    // on a few hundred edges pay ~32 near-empty tasks per job, several
+    // jobs per round — pure dispatch latency. Billions of edges keep
+    // full width; the clamp only ever shrinks.
+    val fullWidth = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def parts(n: Long): Int =
+      math.max(1L, math.min(fullWidth.toLong, n / 100000L + 1L)).toInt
     var converged = false
     var round = 0
     while (!converged && round < maxIters) {
@@ -382,7 +391,8 @@ object DedupQueries {
       val next = afterLarge.join(smins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(smins.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+        .filter(col("u") =!= col("v")).distinct()
+        .repartition(parts(eCount)).localCheckpoint(true)
       val nextCount = next.count()
       converged = nextCount == eCount && next.except(e).isEmpty
       e = next
