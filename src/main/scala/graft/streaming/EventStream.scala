@@ -192,6 +192,69 @@ object EventStream {
       }
   }
 
+  /** Trailing per-minute counts for one event type — the streaming
+    * anomaly detector's whole state: at most horizon/60 + 1 entries.
+    */
+  final case class RateState(counts: Map[Long, Long])
+  final case class RateOut(eventType: String, minute: Long, cnt: Long,
+                           baseline: Option[Double], anomalous: Int)
+
+  /** Streaming twin of q_event_anomaly: per-(type, minute) counts
+    * scored against the trailing 30-minute baseline, with BOUNDED state
+    * — one map of at most 31 (minute, count) entries per event type,
+    * kept via flatMapGroupsWithState (the RANGE-frame window of the
+    * batch query becomes explicit trailing state, the same
+    * batch-to-stream translation as the funnel state machine). Same
+    * semantics as the batch query: the baseline averages PRESENT
+    * minutes only, zero/absent baselines never flag. Emits a row per
+    * (type, minute) touched by a batch with the count seen SO FAR —
+    * a minute straddling micro-batches re-emits with its updated
+    * count (append-mode caveat; the funnel's documented advance-only
+    * divergence applies). Minutes older than the horizon below the
+    * max seen are evicted; a late event older than that re-enters as
+    * a fresh minute with a shrunken baseline set — watermark-bounded
+    * lateness is the deployment's job.
+    *
+    * Input rows: (event_type, epochSec).
+    */
+  def anomalyStream(events: Dataset[(String, Long)],
+                    horizonSec: Long = 1800L,
+                    liftTau: Double = 3.0)
+      (implicit spark: SparkSession): Dataset[RateOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, RateOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (tpe, rows, state: GroupState[RateState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+          // bucket this batch's rows to minutes, oldest first so the
+          // emitted baselines reflect arrival order within the batch
+          val batchMinutes = rows.map { case (_, sec) =>
+            sec - ((sec % 60 + 60) % 60)
+          }.toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+            .toSeq.sortBy(_._1)
+          val out = batchMinutes.map { case (m, n) =>
+            val cnt = counts.getOrElse(m, 0L) + n
+            counts = counts.updated(m, cnt)
+            val window = counts.collect {
+              case (mm, c) if mm >= m - horizonSec && mm <= m - 60 => c
+            }
+            val baseline =
+              if (window.isEmpty) None
+              else Some(window.sum.toDouble / window.size)
+            val anomalous = baseline match {
+              case Some(b) if b > 0 && cnt / b >= liftTau => 1
+              case _ => 0
+            }
+            RateOut(tpe, m, cnt, baseline, anomalous)
+          }
+          val maxM = counts.keysIterator.max
+          state.update(RateState(counts.filter(_._1 >= maxM - horizonSec)))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the streaming form of q_dedup_exact (H1):
     * keep the first arrival of each normalized-text fingerprint. State
     * holds one 128-bit fingerprint per distinct document seen inside the

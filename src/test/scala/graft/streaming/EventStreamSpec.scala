@@ -171,6 +171,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream flags a burst against the trailing baseline with bounded state") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)]
+    val q = EventStream.anomalyStream(input.toDS())
+      .writeStream.queryName("anomaly_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-anom").toString)
+      .format("memory")
+      .start()
+    try {
+      // batch 1: steady clicks — 1/minute for minutes 0..9
+      input.addData((0L to 9L).map(m => ("click", m * 60 + 5)): _*)
+      q.processAllAvailable()
+      // batch 2: a 5-event burst in minute 10 (baseline = 1.0 -> lift 5)
+      // and a steady "view" minute that must NOT inherit click state
+      input.addData(Seq.fill(5)(("click", 10L * 60 + 1)) :+ (("view", 600L)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("anomaly_test")
+        .as[(String, Long, Long, Option[Double], Int)].collect().toSeq
+      val clicks = rows.filter(_._1 == "click").sortBy(_._2)
+      // minute 0 has no trailing baseline -> never anomalous
+      assert(clicks.head == (("click", 0L, 1L, None, 0)))
+      // steady minutes: baseline 1.0, not anomalous
+      assert(clicks.filter(r => r._2 >= 60 && r._2 <= 540)
+        .forall(r => r._4.contains(1.0) && r._5 == 0))
+      // the burst minute flags at 5x lift
+      assert(clicks.last == (("click", 600L, 5L, Some(1.0), 1)))
+      // the other type's first minute starts from its OWN empty state
+      assert(rows.filter(_._1 == "view") == Seq(("view", 600L, 1L, None, 0)))
+    } finally q.stop()
+  }
+
   test("funnelStages batch execution matches the within-batch ordered semantics") {
     implicit val s = spark
     import spark.implicits._
