@@ -50,6 +50,36 @@ object SampleQueries {
     ),
 
     QueryDef(
+      "q_stratified_exact_k",
+      "Exact-k stratified sample: exactly min(5, |stratum|) docs per " +
+        "(lang, source) stratum, selected by md5(doc_id) rank — the " +
+        "balanced eval-set construction a rate-based sample cannot " +
+        "give (rates yield binomial counts; quotas need a rank). " +
+        "Deterministic: the hash order is engine- and layout-" +
+        "independent, ties impossible (doc_id is unique inside its " +
+        "md5). One stratum-keyed window shuffle; WindowGroupLimit " +
+        "prunes to k rows per stratum BEFORE the exchange, so the " +
+        "shuffle carries ~k x strata rows however large the corpus.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 5
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, rk FROM (
+             |  SELECT doc_id, lang, source,
+             |    ROW_NUMBER() OVER (PARTITION BY lang, source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 5 ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
       "q_data_split",
       "Deterministic train/val/test split (90/5/5): bucket = the first " +
         "24 md5 bits of doc_id mod 100 — stable under re-partitioning, " +

@@ -45,6 +45,30 @@ class SpanSetSpec extends SparkSpec {
     dropAll(tag)
   }
 
+  test("randomized differential: stored duplicated set equals the " +
+    "in-memory derivation on a seeded random corpus") {
+    val rnd = new scala.util.Random(13)
+    // binary vocabulary: only 2^8 = 256 possible 8-gram spans, so 60
+    // random docs collide densely — genuine random collisions, not a
+    // handcrafted fixture
+    val vocab = Vector("aa", "bb")
+    val corpus = (1L to 60L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val tag = "graft_test_ss_rand"
+    dropAll(tag)
+    SpanSet.buildOrLoad(spark, docs(corpus: _*), tag)
+    val stored = SpanSet.duplicatedSpans(spark, tag)
+      .as[String].collect().sorted.toSeq
+    val mem = SpanDedup.duplicatedSpanSet(docs(corpus: _*))
+      .as[String].collect().sorted.toSeq
+    assert(stored.nonEmpty, "random corpus produced no duplicated spans — " +
+      "differential has no teeth")
+    assert(stored == mem)
+    dropAll(tag)
+  }
+
   test("append is a batch-local lower bound; refresh merges counts exactly") {
     val tagA = "graft_test_ss_maint"
     val tagB = "graft_test_ss_rebuilt"
