@@ -22,6 +22,13 @@ object PackingQueries {
   /** Fixed sequence token budget (a typical 2k-context packing target). */
   private val Budget = 2048
 
+  /** Chunking window: `ChunkW`-token chunks every `ChunkStride` tokens
+    * (overlap = W - stride). Small against the synthetic docs so the
+    * multi-chunk path is exercised; at real doc lengths use e.g. 512/384.
+    */
+  private val ChunkW = 32
+  private val ChunkStride = 24
+
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
   private val toksSql = s"string_split($normSql,' ')"
@@ -54,6 +61,53 @@ object PackingQueries {
               |  CAST(floor((cum - n_tokens) / $Budget) AS BIGINT) AS seq_id,
               |  CAST((cum - n_tokens) % $Budget AS BIGINT) AS seq_offset
               |FROM c ORDER BY source, doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_doc_chunk",
+      s"Document chunking for embedding/retrieval pipelines: sliding " +
+        s"$ChunkW-token windows every $ChunkStride tokens " +
+        s"(${ChunkW - ChunkStride}-token overlap) with FULL TAIL " +
+        "coverage — a start is kept iff it is 0 or begins past the " +
+        "previous chunk's coverage, so the last tokens of a doc are " +
+        "never silently dropped (the off-by-one most chunkers get " +
+        "wrong). Emits one row per chunk with its token span and a " +
+        "chunk-text fingerprint (the id an embedding/RAG index stores). " +
+        "Stateless per-row explode — map-only, zero shuffles before " +
+        "the output sort; fan-out ~n_tokens/stride rows per doc.",
+      (s, dir) => {
+        val over = ChunkW - ChunkStride
+        val t = Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") > 0)
+        t.select(col("doc_id"), col("toks"), col("n"),
+            posexplode(filter(
+              sequence(lit(0), col("n") - 1, lit(ChunkStride)),
+              st => st === 0 || st < col("n") - over))
+              .as(Seq("chunk_idx", "start")))
+          .select(col("doc_id"), col("chunk_idx"),
+            (col("start") + 1).as("start_tok"),
+            least(lit(ChunkW), col("n") - col("start")).as("n_chunk_tok"),
+            md5(array_join(slice(col("toks"), col("start") + 1, lit(ChunkW)),
+              " ")).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some {
+        val over = ChunkW - ChunkStride
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+           |s AS (SELECT doc_id, toks, n, unnest(list_filter(
+           |    range(0, n, $ChunkStride),
+           |    st -> st = 0 OR st < n - $over)) AS start,
+           |  generate_subscripts(list_filter(range(0, n, $ChunkStride),
+           |    st -> st = 0 OR st < n - $over), 1) - 1 AS chunk_idx
+           |  FROM n)
+           |SELECT doc_id, chunk_idx, start + 1 AS start_tok,
+           |  least($ChunkW, n - start) AS n_chunk_tok,
+           |  md5(array_to_string(toks[start+1:start+$ChunkW], ' ')) AS chunk_fp
+           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+      }
     )
   )
 }
