@@ -68,6 +68,25 @@ class HeavyHitterSpec extends SparkSpec {
     assert(lost.isEmpty, s"heavy hitters lost in the merged aggregate: $lost")
   }
 
+  test("SpaceSavingAgg buffer serde round-trips arbitrary contents") {
+    val rnd = new Random(3)
+    val agg = graft.functions.SpaceSavingAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 16)
+    for (_ <- 1 to 20) {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      (0 until rnd.nextInt(40)).foreach { _ =>
+        // non-ASCII + empty keys exercise the UTF-8 length-prefix path
+        val key = rnd.nextInt(4) match {
+          case 0 => ""
+          case 1 => "日本語" + rnd.nextInt(10)
+          case _ => "term" + rnd.nextInt(1000)
+        }
+        m.update(key, rnd.nextLong().abs)
+      }
+      assert(agg.deserialize(agg.serialize(m)) == m)
+    }
+  }
+
   test("q_heavy_hitters is exact under active eviction (vocab >> k)") {
     val d = Files.createTempDirectory("hhspec").toString
     // 1500 docs, ~4500 distinct bigrams (>> HeavyK=1024, so per-partition
