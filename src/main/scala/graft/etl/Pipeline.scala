@@ -59,12 +59,13 @@ object Pipeline {
   final case class ArtifactConfig(
       bandIndexTables: Seq[String] = Nil,
       spanSetTables: Seq[String] = Nil,
+      buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
       compact: Map[String, String] = Map.empty,
       compactTargetBytes: Long = 128L * 1024 * 1024,
       hotBucketCap: Int = graft.ops.DedupQueries.HotBucketCap) {
     def isEmpty: Boolean =
-      bandIndexTables.isEmpty && spanSetTables.isEmpty &&
+      bandIndexTables.isEmpty && spanSetTables.isEmpty && !buildIvfIndex &&
         zOrder.isEmpty && compact.isEmpty
   }
 
@@ -173,6 +174,19 @@ object Pipeline {
       log.info(t, "artifact span_set", msg)
       Report.ArtifactResult(t, "span_set", msg, 0L, 0L, secs)
     }
+    val ivf = if (!a.buildIvfIndex) Nil else {
+      val n = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+      val cells = graft.ops.SimilarityQueries.derivedCells(n)
+      val t = graft.ops.IvfIndex.tag(outDir, cells)
+      val (_, secs) = timed {
+        graft.ops.IvfIndex.buildOrLoad(spark, outDir, cells, log)
+      }
+      val (nVec, nUsed, maxCell) = graft.ops.IvfIndex.cellStats(spark, t)
+      val msg = s"tag=$t cells=$cells used=$nUsed vectors=$nVec " +
+        s"max_cell=$maxCell"
+      log.info("embeddings", "artifact ivf_index", msg)
+      Seq(Report.ArtifactResult("embeddings", "ivf_index", msg, 0L, 0L, secs))
+    }
     val zs = a.zOrder.toSeq.sortBy(_._1).map { case (t, (c1, c2)) =>
       val path = s"$outDir/${t}_zorder.parquet"
       val (_, secs) = timed {
@@ -193,7 +207,7 @@ object Pipeline {
       log.info(t, "artifact compaction", msg)
       Report.ArtifactResult(t, "compaction", msg, 0L, 0L, secs)
     }
-    band ++ spans ++ zs ++ cps
+    band ++ spans ++ ivf ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

@@ -767,9 +767,11 @@ object DedupQueries {
       (s, dir) => {
         val cells = SimilarityQueries.derivedCells(
           Tables.par(s, dir, "embeddings").count())
-        // The SAME persisted cell assignment q_ann_ivf scores against —
-        // one stored quantizer serves search and dedup.
-        val (a2, _) = SimilarityQueries.ivfParts(s, dir, cells)
+        // The SAME stored cell assignment q_ann_ivf scores against —
+        // one stored quantizer serves search and dedup, and bucketing
+        // on cell co-locates each cell's vectors for the within-cell
+        // pass below.
+        val (a2, _) = IvfIndex.buildOrLoad(s, dir, cells)
         val l = a2.select(col("cell"), col("vec_id").as("vec_a"),
           col("v").as("va"), col("nrm").as("na"))
         val r = a2.select(col("cell"), col("vec_id").as("vec_b"),

@@ -33,7 +33,7 @@ object SimilarityQueries {
     * centroid side stays small at any corpus scale (10^10 vectors →
     * 10^5 centroids — MBs). Floored at [[NCells]].
     */
-  private[ops] def derivedCells(n: Long): Int =
+  private[graft] def derivedCells(n: Long): Int =
     math.max(NCells, math.floor(math.sqrt(n.toDouble)).toInt)
 
   /** Probed cells scale WITH the cell count (a fixed ~12.5% searched
@@ -183,11 +183,10 @@ object SimilarityQueries {
     * contract), so the refined centroids are bit-identical to the
     * oracle's regardless of partitioning.
     */
-  private[ops] def ivfParts(s: SparkSession, dir: String,
-                            nCells: Int = NCells): (DataFrame, DataFrame) = {
+  private[ops] def buildIvf(n: DataFrame,
+                            nCells: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val n = corpus(s, dir).drop("bucket")
     // Explicit broadcast() hints on every centroid-side relation: seeds
     // comes from orderBy+limit and centn from an aggregation, so the
     // planner has no usable size estimate for either and was picking
@@ -220,13 +219,25 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wA2))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    // The built index (cell assignment + refined centroids) is the
-    // artifact an IVF system stores — persist both so q_ann_ivf and
-    // q_ann_recall score against one materialized index instead of
-    // re-running seed/Lloyd/assign per consumer.
+    (a2, centn)
+  }
+
+  /** Session-cached IVF parts (the in-memory face; the STORED face is
+    * [[IvfIndex]], which materializes the same build as bucketed
+    * tables): persist both sides so every same-session consumer scores
+    * against one materialization instead of re-running
+    * seed/Lloyd/assign.
+    */
+  private[ops] def ivfParts(s: SparkSession, dir: String,
+                            nCells: Int = NCells): (DataFrame, DataFrame) = {
+    val (a2, centn) = buildIvf(corpus(s, dir).drop("bucket"), nCells)
     (a2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       centn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
+
+  /** The normalized corpus for index builders ([[IvfIndex]]). */
+  private[ops] def normalizedCorpus(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).drop("bucket")
 
   /** IVF top-k: each query probes its NProbe nearest refined cells; the
     * candidate set is the union of those inverted lists; exact cosine
@@ -236,8 +247,17 @@ object SimilarityQueries {
   private[ops] def ivfTopK(s: SparkSession, dir: String,
                            nCells: Int = NCells,
                            nProbe: Int = NProbe): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (a2, centn) = ivfParts(s, dir, nCells)
+    ivfTopKFrom(s, dir, a2, centn, nProbe)
+  }
+
+  /** IVF top-k against a provided index (session-cached [[ivfParts]] or
+    * the stored [[IvfIndex]] tables — same relations either way).
+    */
+  private[ops] def ivfTopKFrom(s: SparkSession, dir: String,
+                               a2: DataFrame, centn: DataFrame,
+                               nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = corpus(s, dir).filter(expr(QueryPred))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("cosc").desc, col("cell").asc)
@@ -431,12 +451,15 @@ object SimilarityQueries {
         "scale), deterministic hash-ordered seeds + one Lloyd " +
         "refinement with decimal-exact means, corpus assigned to " +
         "nearest cell, exact cosine re-rank in the probed inverted " +
-        "lists. The centroid relation broadcasts, so the corpus is " +
-        "scored without shuffling; same skeleton as H2' with learned " +
-        "buckets.",
+        "lists. The index is a STORED artifact (IvfIndex: cell rows " +
+        "bucketed on cell + a centroid table, with append/refresh " +
+        "maintenance) — the inverted-list side is read scan-only; the " +
+        "centroid relation broadcasts, so the corpus is scored without " +
+        "shuffling; same skeleton as H2' with learned buckets.",
       (s, dir) => {
         val cells = derivedCells(corpus(s, dir).count())
-        ivfTopK(s, dir, cells, derivedProbe(cells))
+        val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
+        ivfTopKFrom(s, dir, a2, centn, derivedProbe(cells))
           .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
             round(col("cos"), 6).as("cosine"), col("cell"))
           .orderBy("query_id", "rank")
@@ -510,9 +533,11 @@ object SimilarityQueries {
               col("n_exact"), col("n_hit"),
               round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"))
         val cells = derivedCells(corpus(s, dir).count())
+        val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
         recallRow(annTopK(s, dir), "single_probe")
           .union(recallRow(annMultiProbeTopK(s, dir), "multiprobe_h2"))
-          .union(recallRow(ivfTopK(s, dir, cells, derivedProbe(cells)),
+          .union(recallRow(
+            ivfTopKFrom(s, dir, a2, centn, derivedProbe(cells)),
             "ivf_sqrtn"))
           .orderBy("variant")
       },

@@ -64,19 +64,27 @@ class PipelineSpec extends SparkSpec {
     (1L to 200L).map(i => (i, i % 7)).toDF("event_id", "k")
       .repartition(20) // small-files input for compaction
       .write.parquet(s"$src/evts.parquet")
+    // a small vector corpus so the stored IVF artifact builds too
+    val rnd = new scala.util.Random(5)
+    (1L to 40L).map(i => (i, Seq.fill(4)(rnd.nextFloat()), "en"))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$src/embeddings.parquet")
 
     val report = Pipeline.migrate(
       spark, Pipeline.SourceConfig(dir = src), outDir = dst,
       artifacts = Pipeline.ArtifactConfig(
         bandIndexTables = Seq("docs"),
         spanSetTables = Seq("docs"),
+        buildIvfIndex = true,
         zOrder = Map("evts" -> ("event_id", "k")),
         compact = Map("evts" -> "event_id"),
         hotBucketCap = 4))
 
     // every artifact produced a report row...
     assert(report.artifacts.map(_.kind).sorted ==
-      Seq("band_index", "compaction", "span_set", "zorder"))
+      Seq("band_index", "compaction", "ivf_index", "span_set", "zorder"))
+    val ivfRow = report.artifacts.find(_.kind == "ivf_index").get
+    assert(ivfRow.detail.contains("vectors=40"), ivfRow.detail)
     // ...the stored tables exist and carry the expected content...
     val bandTag = graft.ops.BandIndex.tag(s"$dst/docs", "idx")
     val spanTag = graft.ops.SpanSet.tag(s"$dst/docs")

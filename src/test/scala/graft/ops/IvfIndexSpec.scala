@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The stored IVF index's lifecycle: build (bucketed cells + centroid
+  * table, identical to the session-cached build), daily append (assign
+  * against EXISTING centroids — documented staleness), periodic
+  * centroid refresh (exact Lloyd means from the stored cells).
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def dropAll(tag: String): Unit =
+    Seq(s"${tag}_ivfcells", s"${tag}_ivfcentroids").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("stored index equals the session-cached build row for row") {
+    val tag = IvfIndex.tag(dir, 16)
+    dropAll(tag)
+    val (cells, cents) = IvfIndex.buildOrLoad(spark, dir, 16)
+    val (a2, centn) = SimilarityQueries.ivfParts(spark, dir, 16)
+    assert(cells.select("vec_id", "cell").except(
+      a2.select("vec_id", "cell")).isEmpty &&
+      a2.select("vec_id", "cell").except(
+        cells.select("vec_id", "cell")).isEmpty,
+      "stored cell assignment must equal the cached build")
+    assert(cents.count() == centn.count())
+    val (nVec, nUsed, maxCell) = IvfIndex.cellStats(spark, tag)
+    assert(nVec == cells.count() && nUsed <= 16 && maxCell >= nVec / 16)
+    dropAll(tag)
+  }
+
+  test("append assigns against existing centroids; refresh recomputes exact means") {
+    val tag = IvfIndex.tag(dir, 16) + "_maint"
+    dropAll(tag)
+    // build from the real corpus under a maintenance-test tag
+    val (a2, centn) = SimilarityQueries.buildIvf(
+      SimilarityQueries.normalizedCorpus(spark, dir), 16)
+    a2.write.bucketBy(8, "cell").sortBy("cell").saveAsTable(s"${tag}_ivfcells")
+    centn.write.saveAsTable(s"${tag}_ivfcentroids")
+    val before = spark.table(s"${tag}_ivfcells").count()
+    // a batch of two new vectors: one exactly equal to an existing
+    // centroid (must land in THAT cell), one arbitrary
+    val c0 = spark.table(s"${tag}_ivfcentroids")
+      .orderBy("cell").limit(1)
+      .select(col("cell").as[Long], col("cv").as[Seq[Double]]).collect()(0)
+    val dim = c0._2.length
+    val arb = Seq.fill(dim)(0.25)
+    val batch = Seq((900001L, c0._2), (900002L, arb))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+    IvfIndex.append(spark, batch, tag)
+    spark.catalog.refreshTable(s"${tag}_ivfcells")
+    val after = spark.table(s"${tag}_ivfcells")
+    assert(after.count() == before + 2)
+    assert(after.filter(col("vec_id") === 900001L)
+      .select("cell").as[Long].collect()(0) == c0._1,
+      "a vector equal to a centroid must be assigned to that centroid's cell")
+    // refresh: centroids become the exact means of the stored cells —
+    // differential vs a direct recomputation over the same rows
+    IvfIndex.refreshCentroids(spark, tag)
+    val refreshed = spark.table(s"${tag}_ivfcentroids")
+    import org.apache.spark.sql.types.DecimalType
+    val expect = spark.table(s"${tag}_ivfcells")
+      .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("cell", "p")
+      .agg((sum(col("x").cast(DecimalType(30, 15))).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        t => t.getField("m")).as("cv"))
+    val joined = refreshed.alias("r").join(expect.alias("e"), "cell")
+      .filter(expr("r.cv <> e.cv"))
+    assert(joined.isEmpty, "refreshed centroids must equal exact means")
+    dropAll(tag)
+  }
+}

@@ -104,12 +104,21 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_ann_ivf: centroid passes broadcast; inverted-list probe is a " +
-    "broadcast-hash join; corpus is never cartesian-shuffled") {
+    "broadcast-hash join; stored cells are scan-only into the probe") {
     val p = plan(Registry.queryMap("q_ann_ivf")(spark, dir))
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
       s"inverted-list probe must be a broadcast-hash join:\n$p")
     assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
       s"no cartesian product anywhere in IVF:\n$p")
+    // the index is the STORED IvfIndex artifact, and its cell rows
+    // reach the probe join without a shuffle (scan-only claim)
+    assert(contains(p, "ivfcells"), s"expected stored ivf-cells scan:\n$p")
+    for (scan <- scansOf(p, "ivfcells")) {
+      val path = pathTo(p, scan).getOrElse(fail("no path to ivfcells scan"))
+      val belowJoin = path.reverse.takeWhile(n => !isJoin(n))
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"stored cells must reach the probe join without a shuffle:\n$p")
+    }
     val shuffles = p.collect { case e: ShuffleExchangeExec => e }.length
     assert(shuffles <= 8,
       s"IVF should shuffle only for windows/aggs (got $shuffles):\n$p")
