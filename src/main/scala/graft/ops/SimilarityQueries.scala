@@ -256,10 +256,23 @@ object SimilarityQueries {
     */
   private[ops] def ivfTopKFrom(s: SparkSession, dir: String,
                                a2: DataFrame, centn: DataFrame,
-                               nProbe: Int): DataFrame = {
+                               nProbe: Int): DataFrame =
+    ivfTopKFor(
+      corpus(s, dir).filter(expr(QueryPred))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")),
+      a2, centn, nProbe)
+
+  /** IVF top-k for an ARBITRARY query relation (query_id, qv, qn) —
+    * the one probe definition shared by the declared batch queries and
+    * the micro-batch streaming probe
+    * ([[graft.streaming.VectorStream.annProbeBatch]]), so batch and
+    * ingest-time search cannot drift.
+    */
+  private[graft] def ivfTopKFor(q: DataFrame, a2: DataFrame,
+                                centn: DataFrame,
+                                nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = corpus(s, dir).filter(expr(QueryPred))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("cosc").desc, col("cell").asc)
     val qp = q.crossJoin(broadcast(centn))
       .withColumn("cosc", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

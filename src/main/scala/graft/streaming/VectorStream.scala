@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming face of the similarity-search suite: ingest-time ANN
+  * probes of the STORED IVF index ([[graft.ops.IvfIndex]] — the same
+  * bucketed artifact the batch queries score against).
+  *
+  * The probe ranking needs window functions, which append-mode
+  * streaming disallows, so the probe runs from `foreachBatch` — full
+  * batch semantics per micro-batch, the same sanctioned pattern as the
+  * span-artifact maintenance sink. Per micro-batch: only the arriving
+  * vectors are scored (centroids broadcast; the cell table streams in
+  * place, scan-only), exactly the batch plan shape at batch size
+  * |micro-batch|.
+  */
+object VectorStream {
+
+  /** ANN top-k candidates for one micro-batch of vectors (vec_id, v)
+    * against the stored index `tag` — the SAME probe definition as the
+    * declared batch query ([[graft.ops.SimilarityQueries.ivfTopKFor]];
+    * one definition, no drift). Returns (query_id, rank, neighbor_id,
+    * cosine). Call inside `.writeStream.foreachBatch { (b, _) =>
+    * sink(annProbeBatch(b.sparkSession, b, tag, nProbe)) }`.
+    */
+  def annProbeBatch(spark: SparkSession, batch: DataFrame, tag: String,
+                    nProbe: Int = 4): DataFrame = {
+    val cells = spark.table(s"${tag}_ivfcells")
+    val cents = spark.table(s"${tag}_ivfcentroids")
+    val q = batch
+      .withColumn("qn",
+        sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"))
+    graft.ops.SimilarityQueries.ivfTopKFor(q, cells, cents, nProbe)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+}

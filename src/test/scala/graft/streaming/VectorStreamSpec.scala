@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class VectorStreamSpec extends SparkSpec {
+
+  test("streaming ANN probe against the stored IVF index matches the " +
+    "batch probe for the same vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // stored index built once, batch-side (16 cells at tiny scale)
+    val tag = graft.ops.IvfIndex.tag(dir, 16)
+    graft.ops.IvfIndex.buildOrLoad(spark, dir, 16)
+    // two query vectors taken from the corpus itself (so neighbors exist)
+    val probes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id").isin(25L, 50L))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("vec_id", "v")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-vec").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = VectorStream.annProbeBatch(b.sparkSession, b, tag)
+          .select("query_id", "rank", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      input.addData(probes: _*)
+      q.processAllAvailable()
+      val streamed = sink.synchronized(sink.toSeq).sorted
+      assert(streamed.nonEmpty, "probe produced no candidates")
+      // differential: identical to the batch probe over the same vectors
+      val batchQ = spark.createDataset(probes).toDF("vec_id", "v")
+      val expect = VectorStream.annProbeBatch(spark, batchQ, tag)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(streamed == expect)
+      // self-exclusion: a probe vector present in the corpus never
+      // returns itself
+      assert(streamed.forall { case (qid, _, n) => qid != n })
+    } finally q.stop()
+  }
+}
