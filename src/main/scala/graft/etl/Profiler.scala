@@ -89,4 +89,37 @@ object Profiler {
     */
   def nearestPowerOfTwo(n: Int): Int =
     if (n <= 1) 1 else Integer.highestOneBit(n - 1) << 1
+
+  /** Merge two table profiles — the incremental-ingest form of the
+    * profiling pass: every statistic the profile carries (count, min,
+    * max, max length) is a semilattice, so `profile(standing ∪ batch) ==
+    * merge(profile(standing), profile(batch))` EXACTLY and the daily
+    * profile maintenance scans only the batch, never the 100 TB
+    * standing table. (The reference rescans everything per run —
+    * `standardize_column_type` over the full fetchall; this is the
+    * operation that makes type-narrowing decisions maintainable at
+    * scale. A non-mergeable statistic — e.g. exact distinct — must NOT
+    * be added here without a sketch.) Columns must match by name and
+    * type; PROFILE drift (a batch adding columns) is the caller's
+    * schema-evolution problem, surfaced as an error not a silent drop.
+    */
+  def merge(a: TableProfile, b: TableProfile): TableProfile = {
+    require(a.columns.map(c => (c.name, c.dataType)) ==
+      b.columns.map(c => (c.name, c.dataType)),
+      "profiles cover different schemas — align columns before merging")
+    def m[T](x: Option[T], y: Option[T], pick: (T, T) => T): Option[T] =
+      (x, y) match {
+        case (Some(p), Some(q)) => Some(pick(p, q))
+        case _                  => x.orElse(y)
+      }
+    TableProfile(
+      a.rowCount + b.rowCount,
+      a.columns.zip(b.columns).map { case (ca, cb) =>
+        ca.copy(
+          nonNullCount = ca.nonNullCount + cb.nonNullCount,
+          minNumeric = m[Double](ca.minNumeric, cb.minNumeric, math.min),
+          maxNumeric = m[Double](ca.maxNumeric, cb.maxNumeric, math.max),
+          maxLength = m[Int](ca.maxLength, cb.maxLength, math.max))
+      })
+  }
 }

@@ -40,6 +40,34 @@ class ProfilerSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(!p("ghost").isAllNull(p.rowCount)) // zero rows != all-null column
   }
 
+  test("merge(profile(a), profile(b)) == profile(a union b) — incremental " +
+    "profiling scans only the batch") {
+    // random split of a random table: the semilattice merge must equal a
+    // full rescan exactly, for every statistic
+    val rnd = new scala.util.Random(11)
+    val schema = StructType(Seq(
+      StructField("n", LongType),
+      StructField("s", StringType)))
+    def rows(k: Int) = (1 to k).map { _ =>
+      Row(
+        if (rnd.nextInt(5) == 0) null else rnd.nextLong() % 1000000L,
+        if (rnd.nextInt(5) == 0) null else "x" * (1 + rnd.nextInt(30)))
+    }
+    val a = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows(40)), schema)
+    val b = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows(25)), schema)
+    val merged = Profiler.merge(Profiler.profile(a), Profiler.profile(b))
+    val full = Profiler.profile(a.union(b))
+    assert(merged == full)
+    // an empty batch is the merge identity
+    assert(Profiler.merge(full, Profiler.profile(a.union(b).limit(0))) == full)
+    // mismatched schemas must fail loudly, not silently drop columns
+    intercept[IllegalArgumentException] {
+      Profiler.merge(full, Profiler.profile(a.drop("s")))
+    }
+  }
+
   test("nearestPowerOfTwo bounds (B10)") {
     val cases = Table(("n", "pow2"), (0, 1), (1, 1), (2, 2), (3, 4), (4, 4),
       (5, 8), (255, 256), (256, 256), (257, 512), (1000, 1024))
