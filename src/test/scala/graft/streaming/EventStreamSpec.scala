@@ -206,6 +206,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream on one batch equals the declared batch query on real data") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // With the whole log in ONE micro-batch, every minute's trailing
+    // baseline sees exactly the same present-minute set as the batch
+    // query's RANGE frame (minutes process in ascending order and all
+    // counts are final), so the twins must agree row for row.
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.t(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        graft.Tables.nanosToEpochSec(
+          org.apache.spark.sql.functions.col("ts")).as("sec"))
+      .as[(String, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long)]
+    val q = EventStream.anomalyStream(input.toDS())
+      .writeStream.queryName("anomaly_diff")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-anomdiff").toString)
+      .format("memory")
+      .start()
+    try {
+      input.addData(ev: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("anomaly_diff")
+        .as[(String, Long, Long, Option[Double], Int)].collect()
+        .map { case (t, m, c, b, a) =>
+          (t, m, c, b.map(x => BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), a)
+        }.sortBy(r => (r._1, r._2)).toSeq
+      val batch = graft.Registry.queryMap("q_event_anomaly")(spark, dir)
+        .select("event_type", "minute", "cnt", "baseline", "anomalous")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getInt(4)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("funnelStages batch execution matches the within-batch ordered semantics") {
     implicit val s = spark
     import spark.implicits._
