@@ -33,6 +33,25 @@ object PackingQueries {
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
   private val toksSql = s"string_split($normSql,' ')"
 
+  /** CTE chain ending in `chunks(doc_id, chunk_idx, start_tok,
+    * n_chunk_tok, chunk_fp)` — the oracle twin of [[chunkRows]].
+    */
+  private val chunkSqlCtes: String = {
+    val over = ChunkW - ChunkStride
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |st AS (SELECT doc_id, toks, n, unnest(list_filter(
+       |    range(0, n, $ChunkStride),
+       |    st -> st = 0 OR st < n - $over)) AS start,
+       |  generate_subscripts(list_filter(range(0, n, $ChunkStride),
+       |    st -> st = 0 OR st < n - $over), 1) - 1 AS chunk_idx
+       |  FROM nn),
+       |chunks AS (SELECT doc_id, chunk_idx, start + 1 AS start_tok,
+       |  least($ChunkW, n - start) AS n_chunk_tok,
+       |  md5(array_to_string(toks[start+1:start+$ChunkW], ' ')) AS chunk_fp
+       |FROM st)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_seq_packing",
@@ -75,39 +94,68 @@ object PackingQueries {
         "chunk-text fingerprint (the id an embedding/RAG index stores). " +
         "Stateless per-row explode — map-only, zero shuffles before " +
         "the output sort; fan-out ~n_tokens/stride rows per doc.",
+      (s, dir) => chunkRows(s, dir).orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH $chunkSqlCtes
+              |SELECT doc_id, chunk_idx, start_tok, n_chunk_tok, chunk_fp
+              |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_chunk_dedup",
+      "Chunk-store dedup — the maintenance pass a RAG/embedding store " +
+        "runs over its chunk table: one row per chunk FINGERPRINT " +
+        "embedded more than once (across docs via shared boilerplate, " +
+        "or within one doc via internal repetition), with its " +
+        "occurrence count and the keeper chunk (min (doc, idx)) — the " +
+        "one whose embedding is kept while the rest are dropped " +
+        "before paying the embedding model. Composes the chunker with " +
+        "the exact-dedup skeleton: the shuffle key is the 32-hex " +
+        "fingerprint, never chunk text; map-side partials collapse " +
+        "per-task duplicates first.",
       (s, dir) => {
-        val over = ChunkW - ChunkStride
-        val t = Tables.t(s, dir, "documents")
-          .withColumn("toks", tokens(col("text")))
-          .withColumn("n", size(col("toks")))
-          .filter(col("n") > 0)
-        t.select(col("doc_id"), col("toks"), col("n"),
-            posexplode(filter(
-              sequence(lit(0), col("n") - 1, lit(ChunkStride)),
-              st => st === 0 || st < col("n") - over))
-              .as(Seq("chunk_idx", "start")))
-          .select(col("doc_id"), col("chunk_idx"),
-            (col("start") + 1).as("start_tok"),
-            least(lit(ChunkW), col("n") - col("start")).as("n_chunk_tok"),
-            md5(array_join(slice(col("toks"), col("start") + 1, lit(ChunkW)),
-              " ")).as("chunk_fp"))
-          .orderBy("doc_id", "chunk_idx")
+        chunkRows(s, dir)
+          .groupBy("chunk_fp")
+          .agg(count(lit(1)).as("n_copies"),
+            min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+          .filter(col("n_copies") >= 2)
+          .select(col("chunk_fp"), col("n_copies"),
+            col("k.doc_id").as("keeper_doc"),
+            col("k.chunk_idx").as("keeper_idx"))
+          .orderBy("chunk_fp")
       },
-      Some {
-        val over = ChunkW - ChunkStride
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
-           |s AS (SELECT doc_id, toks, n, unnest(list_filter(
-           |    range(0, n, $ChunkStride),
-           |    st -> st = 0 OR st < n - $over)) AS start,
-           |  generate_subscripts(list_filter(range(0, n, $ChunkStride),
-           |    st -> st = 0 OR st < n - $over), 1) - 1 AS chunk_idx
-           |  FROM n)
-           |SELECT doc_id, chunk_idx, start + 1 AS start_tok,
-           |  least($ChunkW, n - start) AS n_chunk_tok,
-           |  md5(array_to_string(toks[start+1:start+$ChunkW], ' ')) AS chunk_fp
-           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
-      }
+      Some(s"""WITH $chunkSqlCtes,
+              |d AS (SELECT chunk_fp, doc_id, chunk_idx,
+              |    count(*) OVER (PARTITION BY chunk_fp) AS n_copies,
+              |    ROW_NUMBER() OVER (PARTITION BY chunk_fp
+              |      ORDER BY doc_id, chunk_idx) AS rn
+              |  FROM chunks)
+              |SELECT chunk_fp, n_copies, doc_id AS keeper_doc,
+              |  chunk_idx AS keeper_idx
+              |FROM d WHERE rn = 1 AND n_copies >= 2
+              |ORDER BY chunk_fp""".stripMargin)
     )
   )
+
+  /** One row per (doc, chunk) with token span + chunk-text fingerprint —
+    * shared by the chunking query and the chunk-store dedup.
+    */
+  private def chunkRows(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val over = ChunkW - ChunkStride
+    Tables.t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(filter(
+          sequence(lit(0), col("n") - 1, lit(ChunkStride)),
+          st => st === 0 || st < col("n") - over))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("start") + 1).as("start_tok"),
+        least(lit(ChunkW), col("n") - col("start")).as("n_chunk_tok"),
+        md5(array_join(slice(col("toks"), col("start") + 1, lit(ChunkW)),
+          " ")).as("chunk_fp"))
+  }
+
 }
