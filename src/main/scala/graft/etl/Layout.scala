@@ -74,18 +74,24 @@ object Layout {
     val (lo1, hi1, lo2, hi2) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val gmax = (1L << bits) - 1
-    // The offset is cast to Decimal(38,0) BEFORE the gmax multiply:
-    // (c - lo) * gmax in LONG arithmetic silently wraps once the column
-    // range exceeds Long.MaxValue / gmax (~2.25e15 at 12 bits — e.g.
-    // nanosecond timestamps spanning more than ~26 days), garbling the
-    // z-values and destroying the clustering this function exists to
-    // provide. Decimal all the way keeps the grid coordinate exact for
-    // any long range (Column./ on longs would detour through double).
+    // The VALUE is cast to Decimal(38,0) before anything else touches
+    // it: (c - lo) in long arithmetic wraps whenever the column range
+    // itself exceeds Long.MaxValue (min near Long.MinValue, positive
+    // max — the full-range surrogate-key case), and (c - lo) * gmax
+    // wraps once the range exceeds Long.MaxValue / gmax (~2.25e15 at
+    // 12 bits — e.g. nanosecond timestamps spanning more than ~26
+    // days); either way the z-values garble and the clustering this
+    // function exists to provide is destroyed. The divisor is built in
+    // BigDecimal on the driver for the same reason (hi - lo overflows
+    // driver Long math first). Decimal all the way keeps the grid
+    // coordinate exact for any long range (Column./ on longs would
+    // detour through double).
     def scale(c: Column, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else floor((c.cast("long") - lit(lo))
+      else floor((c.cast("long")
         .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-        * lit(gmax) / lit(hi - lo))
+        - lit(BigDecimal(lo)))
+        * lit(gmax) / lit(BigDecimal(hi) - BigDecimal(lo)))
         .cast("long")
     val z = zValue(scale(col(c1), lo1, hi1), scale(col(c2), lo2, hi2), bits)
     df.withColumn("__z", z)

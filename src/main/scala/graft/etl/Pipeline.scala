@@ -139,19 +139,36 @@ object Pipeline {
   /** Build the configured artifacts from the WRITTEN tables (call after
     * all loads — the E3 ordering the reference applies to its index
     * phase). One report row per artifact; silent caps become metrics.
+    *
+    * Tag contract: artifacts are tagged EXACTLY as their consumers
+    * derive them for a corpus directory — `BandIndex.tag(outDir,
+    * "standing")` (the incremental-dedup probe's standing index) and
+    * `SpanSet.tag(outDir)` (the span queries' artifact) — so the phase
+    * pre-pays the build that queries and streaming probes against
+    * `outDir` then reuse via `tableExists`, instead of writing a
+    * private copy nothing reads (the IVF branch always shared its query
+    * tag; band/span now match it). One tag per corpus dir is the
+    * consumers' contract, hence at most one table per family. The band
+    * index covers the FULL written table: post-migration, the whole
+    * migrated corpus IS the standing corpus that future arriving
+    * batches (and the ingest-time stream probe) dedup against.
     */
   def artifactPhase(
       spark: SparkSession,
       outDir: String,
       a: ArtifactConfig,
       log: MigrationLog = MigrationLog.silent): Seq[Report.ArtifactResult] = {
+    require(a.bandIndexTables.size <= 1 && a.spanSetTables.size <= 1,
+      "one band/span artifact per corpus dir — consumers derive the tag " +
+        "from the dir alone, so a second table would silently reuse the " +
+        "first table's artifact")
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
     val band = a.bandIndexTables.map { t =>
-      val tag = graft.ops.BandIndex.tag(s"$outDir/$t", "idx")
+      val tag = graft.ops.BandIndex.tag(outDir, "standing")
       val ((skB, skR), secs) = timed {
         graft.ops.BandIndex.buildOrLoad(spark,
           spark.read.parquet(s"$outDir/$t.parquet"), tag, log)
@@ -164,7 +181,7 @@ object Pipeline {
       Report.ArtifactResult(t, "band_index", msg, skB, skR, secs)
     }
     val spans = a.spanSetTables.map { t =>
-      val tag = graft.ops.SpanSet.tag(s"$outDir/$t")
+      val tag = graft.ops.SpanSet.tag(outDir)
       val ((nSpans, nDup), secs) = timed {
         graft.ops.SpanSet.buildOrLoad(spark,
           spark.read.parquet(s"$outDir/$t.parquet"), tag, log)

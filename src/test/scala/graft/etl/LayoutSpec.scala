@@ -81,6 +81,27 @@ class LayoutSpec extends SparkSpec {
     assert(zk <= all / 2, s"k-slice touched $zk of $all files")
   }
 
+  test("z-ordered layout survives FULL-range long columns (range wider " +
+    "than Long.MaxValue: offset and divisor both exceed long math)") {
+    // min near Long.MinValue with positive max: (c - lo) wraps in long
+    // arithmetic and (hi - lo) wraps in driver Long math — the r6
+    // ADVICE finding. Values must flow through Decimal/BigDecimal end
+    // to end for the grid scaling to stay monotone.
+    val span = BigInt(Long.MaxValue) - BigInt(Long.MinValue)
+    def at(frac: Int, of: Int): Long =
+      (BigInt(Long.MinValue) + span * frac / of).toLong
+    val full = (0 until 10000)
+      .map(i => (at(i / 100, 100), at(i % 100, 100)))
+      .toDF("x", "y")
+    val path = Files.createTempDirectory("layout-zfull").toString + "/t"
+    Layout.writeZOrdered(full, "x", "y", path, numFiles = 16)
+    val all = Layout.filesRead(spark, path, "true").length
+    val zx = Layout.filesRead(spark, path, s"x < ${at(10, 100)}").length
+    val zy = Layout.filesRead(spark, path, s"y < ${at(10, 100)}").length
+    assert(zx <= all / 2, s"x-slice touched $zx of $all files")
+    assert(zy <= all / 2, s"y-slice touched $zy of $all files")
+  }
+
   test("z-ordered layout: selective filters on EITHER dimension touch " +
     "few files; single-column sort only prunes its own dimension") {
     // 100x100 grid, both dims uniform and independent

@@ -85,9 +85,11 @@ class PipelineSpec extends SparkSpec {
       Seq("band_index", "compaction", "ivf_index", "span_set", "zorder"))
     val ivfRow = report.artifacts.find(_.kind == "ivf_index").get
     assert(ivfRow.detail.contains("vectors=40"), ivfRow.detail)
-    // ...the stored tables exist and carry the expected content...
-    val bandTag = graft.ops.BandIndex.tag(s"$dst/docs", "idx")
-    val spanTag = graft.ops.SpanSet.tag(s"$dst/docs")
+    // ...the stored tables exist under the tags the query paths and
+    // streaming probes derive for the corpus dir (a privately-tagged
+    // copy would never be read — the r6 ADVICE finding)...
+    val bandTag = graft.ops.BandIndex.tag(dst, "standing")
+    val spanTag = graft.ops.SpanSet.tag(dst)
     assert(spark.table(s"${bandTag}_bands").count() > 0)
     assert(graft.ops.SpanSet.duplicatedSpans(spark, spanTag).count() == 9)
     assert(spark.read.parquet(s"$dst/evts_zorder.parquet").count() == 200)
