@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *   - `<tag>_spanset`  (sh, nd)                       bucketed by sh
   *
   * `sh` is the 32-hex md5 span fingerprint; `nd` its distinct-document
-  * count, PRECOMPUTED at build time — the duplicated-span threshold
-  * (`nd >= MinDocs`) is a pushed parquet predicate on the stored
-  * column, exactly like the band index's `bsz` cap.
+  * count, PRECOMPUTED at build time. Readers apply the duplicated-span
+  * threshold (`nd >= MinDocs`) after a bucket-local sum-merge per
+  * fingerprint — appends insert per-batch count DELTAS (see below), so
+  * the per-row `nd` is a summand, not the total.
   *
   * Both tables bucket on `sh`, so every fingerprint-keyed step that
   * previously shuffled the exploded corpus — the dup-set aggregation,
@@ -31,13 +32,23 @@ import org.apache.spark.sql.functions._
   * shuffle once at build, never per query, is the whole point of the
   * artifact.
   *
-  * Maintenance mirrors [[BandIndex]]: daily `append` of new docs' span
-  * rows (the set gets within-batch counts — a LOWER bound, so a span
-  * whose occurrences straddle the standing corpus and the batch is
-  * surfaced only at the next [[refreshSpanCounts]]; staleness bounded
-  * by the refresh cadence), periodic exact rebuild of the count table
-  * from the stored rows. Builds run once per (session, corpus snapshot)
-  * keyed by catalog presence, same as the band index.
+  * Maintenance is the LSM shape: daily `append` inserts new docs' span
+  * rows plus the batch's per-fingerprint counts as DELTA rows, and
+  * reads merge deltas on the fly — counts form a sum-semilattice (the
+  * [[graft.etl.Profiler.merge]] argument applied to a stored table), so
+  * `sum(nd) group by sh` over any set of delta rows equals the
+  * from-scratch count and a span straddling standing corpus and batch
+  * surfaces IMMEDIATELY, not at the next refresh. The merge runs
+  * bucket-local off the sh-bucketed scan (no exchange — PlanShapeSpec),
+  * so its cost is a per-bucket streaming agg over (sh, nd) pairs, not a
+  * shuffle. [[refreshSpanCounts]] is the compaction that folds deltas
+  * back to one row per fingerprint, keeping the merged scan small. The
+  * write-side alternative (merge batch counts INTO standing counts at
+  * append) was rejected: with plain bucketed parquet it rewrites the
+  * whole count table — corpus-token-order rows at 100 TB — per daily
+  * batch, to save readers a bucket-local agg. Builds run once per
+  * (session, corpus snapshot) keyed by catalog presence, same as the
+  * band index.
   */
 object SpanSet {
 
@@ -86,21 +97,34 @@ object SpanSet {
     (spark.table(rT), spark.table(sT))
   }
 
-  /** The duplicated-span set read off the stored artifact: threshold as
-    * a pushed scan predicate + bucket-local distinct (appends can leave
-    * several per-batch count rows per fingerprint; distinct on the
-    * bucketing key needs no exchange).
+  /** Total count per fingerprint off the stored table: the delta-merge
+    * read (see class doc). `sum` over however many delta rows each `sh`
+    * carries equals the from-scratch count at ANY append state, and the
+    * agg key is the bucketing key, so the merge is bucket-local — no
+    * exchange. Post-[[refreshSpanCounts]] this is a streaming agg over
+    * one row per fingerprint.
+    */
+  private def mergedCounts(spark: SparkSession, tag: String): DataFrame =
+    spark.table(setT(tag)).groupBy("sh").agg(sum(col("nd")).as("nd"))
+
+  /** The duplicated-span set read off the stored artifact: delta rows
+    * sum-merged per fingerprint (bucket-local), then the MinDocs
+    * threshold. Exact at any append state — a span straddling standing
+    * corpus and the latest batch qualifies immediately.
     */
   def duplicatedSpans(spark: SparkSession, tag: String): DataFrame =
-    spark.table(setT(tag))
+    mergedCounts(spark, tag)
       .filter(col("nd") >= SpanDedup.MinDocs)
-      .select("sh").distinct()
+      .select("sh")
 
   /** (distinct spans, duplicated spans) on the stored count table —
-    * scan-only, for build-time logging and pipeline report rows.
+    * delta rows merged per fingerprint first, so both numbers are exact
+    * at any append state (a raw `count(*)` would count delta rows as
+    * spans and under-threshold straddling spans as unique). For
+    * build-time logging and pipeline report rows.
     */
   def spanAudit(spark: SparkSession, tag: String): (Long, Long) = {
-    val r = spark.table(setT(tag))
+    val r = mergedCounts(spark, tag)
       .agg(count(lit(1)).as("n_spans"),
         coalesce(sum(when(col("nd") >= SpanDedup.MinDocs, 1L).otherwise(0L)),
           lit(0L)).as("n_dup"))
@@ -108,8 +132,9 @@ object SpanSet {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Daily-ingest maintenance: append `newDocs`' span rows; the count
-    * table gets within-batch counts (lower bound — see class doc).
+  /** Daily-ingest maintenance: append `newDocs`' span rows and the
+    * batch's per-fingerprint counts as sum-lattice DELTA rows (reads
+    * merge them exactly — see class doc).
     */
   def append(spark: SparkSession, newDocs: DataFrame, tag: String): Unit = {
     val (rT, sT) = (rowsT(tag), setT(tag))
@@ -123,9 +148,11 @@ object SpanSet {
     } finally rows.unpersist()
   }
 
-  /** Periodic compaction: rebuild the count table exactly from the
-    * stored rows (appends leave per-batch lower bounds and duplicate
-    * fingerprint rows). Bucket-local — no shuffle.
+  /** Periodic compaction: fold the accumulated delta rows back to one
+    * exact row per fingerprint, rebuilt from the stored span rows.
+    * Reads stay exact without it (the merge is in the read path); this
+    * keeps the merged scan at one row per fingerprint. Bucket-local —
+    * no shuffle.
     */
   def refreshSpanCounts(spark: SparkSession, tag: String): Unit =
     spark.table(rowsT(tag)).groupBy("sh")

@@ -100,7 +100,8 @@ object CorpusStream {
     * `q_dedup_spans`: each arriving doc's word-8-gram span fingerprints
     * probe the STATIC duplicated-span set (the stored
     * [[graft.ops.SpanSet]] artifact via [[buildSpanSet]] — bucketed on
-    * `sh`, threshold pushed to the scan). Fully stateless: a stream-static inner
+    * `sh`, delta counts sum-merged bucket-locally at read, so the set
+    * is exact even mid-append). Fully stateless: a stream-static inner
     * join per span row (spans are already distinct per doc, so no
     * within-stream dedup is needed). Emits one
     * (eventTime, doc_id, n_spans, sh) row per duplicated-span hit;

@@ -136,10 +136,12 @@ class PlanShapeSpec extends SparkSpec {
       assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
         s"stored $tbl must reach the sh-join without a shuffle:\n$p")
     }
-    // the MinDocs threshold is a pushed parquet predicate on stored nd
-    assert(scansOf(p, "spanset")
-      .exists(_.metadata("PushedFilters").contains("nd")),
-      s"nd threshold must reach the span-set scan as a pushed filter:\n$p")
+    // the delta-merge agg (sum nd per sh, then the MinDocs threshold)
+    // is bucket-local: the spanset leg reaches the sh-join through its
+    // agg with no exchange — covered by the loop above, which walks
+    // THROUGH the agg node to the join. A pushed nd filter is
+    // deliberately absent: per-row nd is a delta summand since the r7
+    // exact-append change, so the threshold can only apply post-merge.
     // all that may shuffle is the reduced output: doc-grain agg + sort
     val shuffles = p.collect { case e: ShuffleExchangeExec => e }.length
     assert(shuffles <= 2,

@@ -4,9 +4,10 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** The stored span artifact's lifecycle: build (bucketed rows + counts,
-  * nd precomputed), daily append (batch-local nd lower bound — a span
-  * straddling standing corpus and batch surfaces only after refresh),
-  * periodic refresh (exact counts, equal to a from-scratch rebuild).
+  * nd precomputed), daily append (per-batch count DELTAS that reads
+  * sum-merge per fingerprint — exact immediately, including spans
+  * straddling standing corpus and batch), periodic refresh (compaction
+  * back to one row per fingerprint, equal to a from-scratch rebuild).
   */
 class SpanSetSpec extends SparkSpec {
   import spark.implicits._
@@ -69,28 +70,68 @@ class SpanSetSpec extends SparkSpec {
     dropAll(tag)
   }
 
-  test("append is a batch-local lower bound; refresh merges counts exactly") {
+  test("append surfaces straddling spans immediately (exact delta " +
+    "merge); refresh compacts to the from-scratch table") {
     val tagA = "graft_test_ss_maint"
     val tagB = "graft_test_ss_rebuilt"
     dropAll(tagA); dropAll(tagB)
     SpanSet.buildOrLoad(spark, docs(1L -> sharedA, 3L -> lonely), tagA)
     // standing corpus has no duplicated span yet
     assert(SpanSet.duplicatedSpans(spark, tagA).count() == 0)
-    // batch doc 10 shares doc 1's spans — but the appended counts are
-    // batch-local (nd=1), so the straddling span is NOT yet surfaced
+    assert(SpanSet.spanAudit(spark, tagA) == (6L, 0L))
+    // batch doc 10 shares 2 of doc 1's spans: its delta rows (nd=1)
+    // sum with the standing rows (nd=1) past the threshold — the
+    // straddling spans surface IMMEDIATELY, the r6 staleness gap
     SpanSet.append(spark, docs(10L -> sharedB), tagA)
     assert(spark.table(s"${tagA}_spanrows").count() == 9)
-    assert(SpanSet.duplicatedSpans(spark, tagA).count() == 0,
-      "append must not claim exactness — straddling spans wait for refresh")
-    // refresh recomputes exact counts from the stored rows: now equal to
-    // a from-scratch rebuild over the merged corpus, row for row
+    assert(SpanSet.duplicatedSpans(spark, tagA).count() == 2,
+      "straddling spans must surface at append, not at the next refresh")
+    // ...and the audit merges deltas too: 7 distinct spans (doc 10
+    // shares 2 of doc 1's 3 and adds 1 new), 2 duplicated — not the 9
+    // delta rows a raw count(*) would report
+    assert(SpanSet.spanAudit(spark, tagA) == (7L, 2L))
+    // refresh folds the deltas away: table now equals a from-scratch
+    // rebuild over the merged corpus row for row, and reads agree
     SpanSet.refreshSpanCounts(spark, tagA)
     assert(SpanSet.duplicatedSpans(spark, tagA).count() == 2)
+    assert(SpanSet.spanAudit(spark, tagA) == (7L, 2L))
     val rebuilt = SpanSet.buildOrLoad(spark,
       docs(1L -> sharedA, 3L -> lonely, 10L -> sharedB), tagB)._2
     val refreshed = spark.table(s"${tagA}_spanset")
     assert(refreshed.except(rebuilt).isEmpty && rebuilt.except(refreshed).isEmpty,
       "refreshed span set must equal a from-scratch rebuild")
     dropAll(tagA); dropAll(tagB)
+  }
+
+  test("differential: append-then-read equals rebuild-from-scratch on a " +
+    "seeded random corpus split across batches") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("aa", "bb")
+    val corpus = (1L to 90L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val tagInc = "graft_test_ss_inc"
+    val tagFull = "graft_test_ss_full"
+    dropAll(tagInc); dropAll(tagFull)
+    // standing corpus = first third; two daily batches follow
+    val (standing, rest) = corpus.splitAt(30)
+    val (batch1, batch2) = rest.splitAt(30)
+    SpanSet.buildOrLoad(spark, docs(standing: _*), tagInc)
+    SpanSet.append(spark, docs(batch1: _*), tagInc)
+    SpanSet.append(spark, docs(batch2: _*), tagInc)
+    SpanSet.buildOrLoad(spark, docs(corpus: _*), tagFull)
+    val inc = SpanSet.duplicatedSpans(spark, tagInc)
+      .as[String].collect().sorted.toSeq
+    val full = SpanSet.duplicatedSpans(spark, tagFull)
+      .as[String].collect().sorted.toSeq
+    assert(inc.nonEmpty, "random corpus produced no duplicated spans — " +
+      "differential has no teeth")
+    assert(inc == full,
+      "append-then-read must equal rebuild-from-scratch")
+    assert(SpanSet.spanAudit(spark, tagInc) ==
+      SpanSet.spanAudit(spark, tagFull),
+      "audit must merge deltas to the from-scratch numbers")
+    dropAll(tagInc); dropAll(tagFull)
   }
 }

@@ -59,10 +59,11 @@ class SpanStreamSpec extends SparkSpec {
     import org.apache.spark.sql.functions.lit
     // standing corpus: one doc; the stream delivers a near-copy whose
     // spans straddle standing + batch, then maintenance runs. This is
-    // the artifact's documented ingest lifecycle (append = lower-bound
-    // counts, refresh = exact) driven from Structured Streaming —
-    // foreachBatch is the sanctioned sink for maintaining bucketed
-    // tables a stream cannot write directly.
+    // the artifact's documented ingest lifecycle (append = sum-lattice
+    // count deltas that reads merge exactly, refresh = compaction)
+    // driven from Structured Streaming — foreachBatch is the sanctioned
+    // sink for maintaining bucketed tables a stream cannot write
+    // directly.
     val tag = "graft_test_spanstream_maint_" + System.nanoTime()
     val standing = Seq(
       (10L, "one two three four five six seven eight nine ten"))
@@ -88,9 +89,12 @@ class SpanStreamSpec extends SparkSpec {
       // (same rule as any cross-session writer of a catalog table).
       Seq(s"${tag}_spanrows", s"${tag}_spanset")
         .foreach(spark.catalog.refreshTable)
-      // appended rows landed; straddling spans await the exact refresh
+      // appended rows landed, and the straddling spans surface
+      // IMMEDIATELY: the batch's delta counts sum with the standing
+      // rows past the threshold at read (the r7 exact-append change)
       assert(spark.table(s"${tag}_spanrows").count() == 6)
-      assert(graft.ops.SpanSet.duplicatedSpans(spark, tag).count() == 0)
+      assert(graft.ops.SpanSet.duplicatedSpans(spark, tag).count() == 2)
+      // compaction folds the deltas away without changing any answer
       graft.ops.SpanSet.refreshSpanCounts(spark, tag)
       assert(graft.ops.SpanSet.duplicatedSpans(spark, tag).count() == 2)
     } finally {
