@@ -43,6 +43,24 @@ object DedupQueries {
   private val RecallMod = 10
   private val RecallPrefix = 200
 
+  /** q_dedup_semantic_recall panel (same bounded-exact-truth pattern,
+    * over the embedding corpus): id ≡ 0 (mod 2) plus id < 200 — denser
+    * than the text panel because the embedding corpus is ~4x smaller
+    * than the document corpus at every shipped scale factor, and the
+    * cross-cell miss count needs enough true pairs to have teeth.
+    */
+  private val EmbPanelMod = 2
+  private val EmbPanelPrefix = 200
+
+  /** Target mean cluster size for the SemDeDup target-cluster cell
+    * derivation ([[SimilarityQueries.derivedCellsForTarget]]): small
+    * against the test corpora so the two derivations measurably
+    * diverge (500 vecs → 63 cells vs √n's 22). At 100 TB the knob is
+    * set in the thousands — see derivedCellsForTarget's Scaladoc for
+    * the cost argument.
+    */
+  private val SemTargetCluster = 8
+
   /** LSH bucket-size cap (SURVEY §2 H3 "cap boilerplate buckets"): buckets
     * larger than this are boilerplate (headers, licenses, near-empty docs)
     * and are skipped rather than expanded into O(bucket²) pairs. Testdata
@@ -763,7 +781,8 @@ object DedupQueries {
         "emitting consolidated per-doc verdicts, not pairs. Cost is " +
         "sum |cell|^2; at 100 TB derive cells from a TARGET cluster " +
         "size instead of sqrt(n) and the shape holds — cross-cell " +
-        "near-dups are missed by design (the published trade).",
+        "near-dups are missed by design (the published trade, MEASURED " +
+        "per derivation by q_dedup_semantic_recall).",
       (s, dir) => {
         val cells = SimilarityQueries.derivedCells(
           Tables.par(s, dir, "embeddings").count())
@@ -809,6 +828,97 @@ object DedupQueries {
               |    THEN 1 ELSE 0 END AS is_dup
               |FROM a2 LEFT JOIN scc ON scc.id = a2.vec_id
               |ORDER BY vec_id""".stripMargin)
+    ),
+
+    // --------------------------------------------------------- H2'''m
+    QueryDef(
+      "q_dedup_semantic_recall",
+      "Measured cross-cell miss rate of SemDeDup's within-cell-only " +
+        "compare — the q_dedup_recall pattern applied to the one " +
+        "approximate op whose defining trade was still asserted, not " +
+        "measured: exact all-pairs cosine >= tau ground truth on a " +
+        s"bounded vector panel (id % $EmbPanelMod == 0 or id < " +
+        s"$EmbPanelPrefix), against the pairs the cell blocking CAN " +
+        "surface (within-cell verification is exact cosine at the same " +
+        "tau, so a true pair is found iff both ends share a cell — the " +
+        "miss set IS the cross-cell truth). One row per cell " +
+        "derivation: the ~sqrt(n) cells q_dedup_semantic runs at, and " +
+        s"the target-cluster-size alternative (target $SemTargetCluster " +
+        "here; thousands at 100 TB) whose within-cell cost stays " +
+        "linear in n — more cells, cheaper pairs, more cross-cell " +
+        "misses. Both read the STORED IvfIndex cell assignment.",
+      (s, dir) => {
+        def inPanel(c: org.apache.spark.sql.Column) =
+          c % EmbPanelMod === 0 || c < EmbPanelPrefix
+        def variantRow(variant: String, cells: Int): DataFrame = {
+          val (a2, _) = IvfIndex.buildOrLoad(s, dir, cells)
+          val panel = a2.filter(inPanel(col("vec_id")))
+          val l = panel.select(col("vec_id").as("vec_a"), col("v").as("va"),
+            col("nrm").as("na"), col("cell").as("cell_a"))
+          val r = panel.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+            col("nrm").as("nb"), col("cell").as("cell_b"))
+          // Deliberate panel-bounded exact baseline (broadcast nested
+          // loop on the panel only), same as q_dedup_recall's truth leg.
+          val truth = l.join(broadcast(r), col("vec_a") < col("vec_b"))
+            .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+              >= CosineTau)
+            .select(when(col("cell_a") === col("cell_b"), 1L)
+              .otherwise(0L).as("sc"))
+          val m1 = panel.agg(count(lit(1)).as("n_panel_vecs"))
+          val m2 = truth.agg(count(lit(1)).as("n_true_pairs"),
+            coalesce(sum(col("sc")), lit(0L)).as("n_found_pairs"),
+            coalesce(sum(lit(1L) - col("sc")), lit(0L))
+              .as("n_missed_cross_cell"))
+          m1.crossJoin(m2).select(
+            lit(variant).as("variant"), lit(cells.toLong).as("n_cells"),
+            col("n_panel_vecs"), col("n_true_pairs"), col("n_found_pairs"),
+            col("n_missed_cross_cell"),
+            // vacuous-truth guard, same convention as q_dedup_recall
+            when(col("n_true_pairs") > 0,
+              round(col("n_found_pairs") / col("n_true_pairs"), 6))
+              .otherwise(1.0).as("recall"))
+        }
+        val n = Tables.par(s, dir, "embeddings").count()
+        variantRow("cells_sqrt_n", SimilarityQueries.derivedCells(n))
+          .union(variantRow(s"cells_target$SemTargetCluster",
+            SimilarityQueries.derivedCellsForTarget(n, SemTargetCluster)))
+          .orderBy("variant")
+      },
+      Some {
+        def variantSelect(p: String, variant: String, cellsSql: String) =
+          s"""SELECT '$variant' AS variant,
+             |  $cellsSql AS n_cells,
+             |  (SELECT count(*) FROM ${p}panel) AS n_panel_vecs,
+             |  (SELECT count(*) FROM ${p}tr) AS n_true_pairs,
+             |  (SELECT CAST(coalesce(sum(sc), 0) AS BIGINT) FROM ${p}tr)
+             |    AS n_found_pairs,
+             |  (SELECT CAST(coalesce(sum(1 - sc), 0) AS BIGINT) FROM ${p}tr)
+             |    AS n_missed_cross_cell""".stripMargin
+        def panelTruthCtes(p: String) =
+          s"""${p}panel AS (SELECT * FROM ${p}a2
+             |  WHERE vec_id % $EmbPanelMod = 0 OR vec_id < $EmbPanelPrefix),
+             |${p}tr AS (SELECT CASE WHEN a.cell = b.cell THEN 1 ELSE 0 END AS sc
+             |  FROM ${p}panel a JOIN ${p}panel b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= $CosineTau)"""
+            .stripMargin
+        s"""WITH ${SimilarityQueries.baseCte},
+           |${SimilarityQueries.ivfAssignCtes("", SimilarityQueries.sqrtCellsSql)},
+           |${SimilarityQueries.ivfAssignCtes("t_",
+              SimilarityQueries.targetCellsSql(SemTargetCluster))},
+           |${panelTruthCtes("")},
+           |${panelTruthCtes("t_")},
+           |m AS (${variantSelect("", "cells_sqrt_n",
+              SimilarityQueries.sqrtCellsSql)}
+           |UNION ALL
+           |${variantSelect("t_", s"cells_target$SemTargetCluster",
+              SimilarityQueries.targetCellsSql(SemTargetCluster))})
+           |SELECT variant, n_cells, n_panel_vecs, n_true_pairs,
+           |  n_found_pairs, n_missed_cross_cell,
+           |  CASE WHEN n_true_pairs > 0
+           |    THEN round(CAST(n_found_pairs AS DOUBLE)/n_true_pairs, 6)
+           |    ELSE 1.0 END AS recall
+           |FROM m ORDER BY variant""".stripMargin
+      }
     ),
 
     // ------------------------------------------------------------- H3++

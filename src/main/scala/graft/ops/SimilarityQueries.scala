@@ -36,6 +36,21 @@ object SimilarityQueries {
   private[graft] def derivedCells(n: Long): Int =
     math.max(NCells, math.floor(math.sqrt(n.toDouble)).toInt)
 
+  /** Cells from a TARGET mean cluster size — the parameterized
+    * alternative to [[derivedCells]]' ~√n for the SemDeDup-style
+    * consumers, where the knob that matters is within-cell pair cost:
+    * cells = ⌈n / target⌉ makes E|cell| = target, so Σ|cell|² ≈
+    * n · target stays LINEAR in n at fixed target (√n cells gives
+    * Σ|cell|² ≈ n^1.5 — fine for search probes, quadratic-ish for
+    * all-pairs within cells). At 10^10 vectors pick target ~10^3–10^4:
+    * ~10^6–10^7 cells, centroid table still broadcastable (GBs → use
+    * a two-level quantizer past that). Smaller target = cheaper pairs
+    * but more cross-cell misses — q_dedup_semantic_recall MEASURES
+    * that trade per derivation. Floored at [[NCells]].
+    */
+  private[graft] def derivedCellsForTarget(n: Long, target: Int): Int =
+    math.max(NCells, math.ceil(n.toDouble / target).toInt)
+
   /** Probed cells scale WITH the cell count (a fixed ~12.5% searched
     * fraction), floored at [[NProbe]]: fixed probes over growing cells
     * would silently shrink the searched fraction and decay recall as
@@ -335,33 +350,52 @@ object SimilarityQueries {
        |      ORDER BY list_dot_product(qv, v)/(qn*nrm) DESC, vec_id ASC) AS rank
        |  FROM probes JOIN n USING (bucket) WHERE query_id <> vec_id)""".stripMargin
 
-  /** CTE chain ending in `ivf_scored` — the oracle twin of [[ivfTopK]]:
-    * same hash-ordered seeds, same decimal-exact Lloyd means, same
-    * probe/re-rank tiebreaks, so results are bit-comparable.
+  /** Scalar-subquery SQL for the two cell-count derivations — the
+    * oracle-side twins of [[derivedCells]] / [[derivedCellsForTarget]].
     */
-  private[ops] val ivfCtes =
-    s"""seeds AS (SELECT vec_id AS cell0, v AS cv0 FROM n
+  private[ops] val sqrtCellsSql: String =
+    s"""(SELECT GREATEST($NCells,
+       |    CAST(floor(sqrt(count(*))) AS BIGINT)) FROM n)""".stripMargin
+
+  private[ops] def targetCellsSql(target: Int): String =
+    s"""(SELECT GREATEST($NCells,
+       |    CAST(ceil(count(*) / $target.0) AS BIGINT)) FROM n)""".stripMargin
+
+  /** The seed → assign → Lloyd-refine → reassign CTE chain ending in
+    * `<p>a2 (vec_id, v, nrm, cell)` — the oracle twin of [[buildIvf]]
+    * at a parameterized cell count, name-prefixed so one statement can
+    * quantize at two settings (the semantic-recall oracle compares the
+    * ~√n and target-cluster derivations side by side).
+    */
+  private[ops] def ivfAssignCtes(p: String, cellsSql: String): String =
+    s"""${p}seeds AS (SELECT vec_id AS cell0, v AS cv0 FROM n
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-       |  LIMIT (SELECT GREATEST($NCells,
-       |    CAST(floor(sqrt(count(*))) AS BIGINT)) FROM n)),
-       |a1 AS (SELECT vec_id, v, cell FROM (
+       |  LIMIT $cellsSql),
+       |${p}a1 AS (SELECT vec_id, v, cell FROM (
        |  SELECT n.vec_id, n.v, s.cell0 AS cell,
        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |      ORDER BY list_dot_product(n.v, s.cv0)
        |        /(n.nrm*sqrt(list_dot_product(s.cv0, s.cv0))) DESC,
        |      s.cell0 ASC) AS rn
-       |  FROM n, seeds s) WHERE rn = 1),
-       |cm AS (SELECT cell, i AS pos,
+       |  FROM n, ${p}seeds s) WHERE rn = 1),
+       |${p}cm AS (SELECT cell, i AS pos,
        |    CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
-       |  FROM a1, (SELECT unnest(range(1, ${Dim + 1})) AS i) GROUP BY cell, i),
-       |centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM
-       |  (SELECT cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY cell)),
-       |a2 AS (SELECT vec_id, v, nrm, cell FROM (
+       |  FROM ${p}a1, (SELECT unnest(range(1, ${Dim + 1})) AS i) GROUP BY cell, i),
+       |${p}centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM
+       |  (SELECT cell, list(m ORDER BY pos) AS cv FROM ${p}cm GROUP BY cell)),
+       |${p}a2 AS (SELECT vec_id, v, nrm, cell FROM (
        |  SELECT n.vec_id, n.v, n.nrm, c.cell,
        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |      ORDER BY list_dot_product(n.v, c.cv)/(n.nrm*c.cn) DESC,
        |      c.cell ASC) AS rn
-       |  FROM n, centn c) WHERE rn = 1),
+       |  FROM n, ${p}centn c) WHERE rn = 1)""".stripMargin
+
+  /** CTE chain ending in `ivf_scored` — the oracle twin of [[ivfTopK]]:
+    * same hash-ordered seeds, same decimal-exact Lloyd means, same
+    * probe/re-rank tiebreaks, so results are bit-comparable.
+    */
+  private[ops] val ivfCtes =
+    s"""${ivfAssignCtes("", sqrtCellsSql)},
        |qp AS (SELECT query_id, qv, qn, cell FROM (
        |  SELECT q.query_id, q.qv, q.qn, c.cell,
        |    ROW_NUMBER() OVER (PARTITION BY q.query_id

@@ -55,6 +55,18 @@ class SimilaritySpec extends SparkSpec {
     assert(SimilarityQueries.derivedProbe(100000) == 12500) // 12.5% held
   }
 
+  test("target-cluster IVF sizing: cells = ceil(n/target) with the same " +
+    "floor — within-cell pair cost stays linear in n at fixed target") {
+    assert(SimilarityQueries.derivedCellsForTarget(50L, 8) == 16) // floor
+    assert(SimilarityQueries.derivedCellsForTarget(500L, 8) == 63)
+    assert(SimilarityQueries.derivedCellsForTarget(2000L, 8) == 250)
+    // 10^10 vectors at target 4096: ~2.4M cells; E|cell| holds at target
+    val n = 10000000000L
+    val cells = SimilarityQueries.derivedCellsForTarget(n, 4096)
+    assert(cells == 2441407)
+    assert(math.abs(n.toDouble / cells - 4096.0) < 1.0)
+  }
+
   test("q_ann_recall: one measured row per variant, recall within [0,1], ivf present") {
     val rows = Registry.queryMap("q_ann_recall")(spark, dir).collect()
     val variants = rows.map(_.getString(0)).toSeq
