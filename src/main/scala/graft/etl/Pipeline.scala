@@ -174,8 +174,8 @@ object Pipeline {
           spark.read.parquet(s"$outDir/$t.parquet"), tag, log)
         graft.ops.BandIndex.hotBucketAudit(spark, tag, a.hotBucketCap)
       }
-      val msg = s"tag=$tag cap=${a.hotBucketCap} " +
-        s"skipped_buckets=$skB skipped_rows=$skR"
+      val msg = s"tag=$tag buckets=${graft.ops.BandIndex.buckets(spark, tag)} " +
+        s"cap=${a.hotBucketCap} skipped_buckets=$skB skipped_rows=$skR"
       if (skB > 0) log.warn(t, "artifact band_index", msg)
       else log.info(t, "artifact band_index", msg)
       Report.ArtifactResult(t, "band_index", msg, skB, skR, secs)
@@ -187,7 +187,8 @@ object Pipeline {
           spark.read.parquet(s"$outDir/$t.parquet"), tag, log)
         graft.ops.SpanSet.spanAudit(spark, tag)
       }
-      val msg = s"tag=$tag distinct_spans=$nSpans duplicated_spans=$nDup"
+      val msg = s"tag=$tag buckets=${graft.ops.SpanSet.buckets(spark, tag)} " +
+        s"distinct_spans=$nSpans duplicated_spans=$nDup"
       log.info(t, "artifact span_set", msg)
       Report.ArtifactResult(t, "span_set", msg, 0L, 0L, secs)
     }
@@ -199,8 +200,8 @@ object Pipeline {
         graft.ops.IvfIndex.buildOrLoad(spark, outDir, cells, log)
       }
       val (nVec, nUsed, maxCell) = graft.ops.IvfIndex.cellStats(spark, t)
-      val msg = s"tag=$t cells=$cells used=$nUsed vectors=$nVec " +
-        s"max_cell=$maxCell"
+      val msg = s"tag=$t buckets=${graft.ops.IvfIndex.buckets(spark, t)} " +
+        s"cells=$cells used=$nUsed vectors=$nVec max_cell=$maxCell"
       log.info("embeddings", "artifact ivf_index", msg)
       Seq(Report.ArtifactResult("embeddings", "ivf_index", msg, 0L, 0L, secs))
     }

@@ -37,11 +37,47 @@ import org.apache.spark.sql.functions._
   */
 object BandIndex {
 
-  /** Buckets for both tables. Sized for local[32] test scale; at 100 TB
-    * pick buckets so one bucket's bands fit an executor's shuffle
-    * partition budget (thousands).
+  /** Bucket-count floor for every stored-artifact family. */
+  private[ops] val MinBuckets = 8
+
+  /** Default sizing target: rows one bucket should hold. Artifact rows
+    * are narrow (a fingerprint + a couple of longs ≈ 50–100 B), so 4M
+    * rows/bucket ≈ low hundreds of MB — inside an executor's
+    * shuffle-partition budget. Local test corpora stay at the
+    * [[MinBuckets]] floor; a 100 TB corpus's ~10^12 span rows derive
+    * ~2^18 buckets from the same rule. Every builder takes this as a
+    * parameter so tests exercise non-floor derivations.
     */
-  private val NumBuckets = 8
+  private[graft] val TargetRowsPerBucket = 4L * 1024 * 1024
+
+  /** Buckets for a stored relation, derived from its cardinality at
+    * build time (the derived-cells pattern applied to layout):
+    * ceil(rows / target) rounded UP to a power of two — re-derivations
+    * on grown data then yield multiples of the old count, keeping
+    * bucket pruning/alignment behavior predictable — floored at
+    * [[MinBuckets]]. Each artifact family derives ONCE from its primary
+    * relation and applies the count to both of its tables: co-equal
+    * bucket counts on the shared key are what keep the family's
+    * internal joins (span rows ⋈ span counts) co-partitioned.
+    */
+  private[graft] def derivedBuckets(nRows: Long,
+                                    targetRows: Long = TargetRowsPerBucket): Int = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val want = math.max(MinBuckets.toLong,
+      (math.max(nRows, 1L) + targetRows - 1) / targetRows)
+    var b = MinBuckets
+    while (b < want && b < (1 << 22)) b <<= 1
+    b
+  }
+
+  /** The bucket count a stored table was actually written with — for
+    * report rows and refresh paths (which must preserve, not silently
+    * re-spec, the family's bucketing).
+    */
+  private[graft] def bucketsOf(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(0)
 
   /** A catalog-safe table-name prefix for a corpus snapshot: sf dir +
     * role, lowercased, non-alphanumerics folded to `_`.
@@ -72,25 +108,34 @@ object BandIndex {
     */
   def buildOrLoad(spark: SparkSession, standingDocs: DataFrame,
                   tag: String,
-                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent
+                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
+                  targetRowsPerBucket: Long = TargetRowsPerBucket
                  ): (DataFrame, DataFrame) = {
     val shT = s"${tag}_shingles"
     val bdT = s"${tag}_bands"
     if (!spark.catalog.tableExists(bdT)) {
       dropStaleLocations(spark, Seq(shT, bdT))
-      DedupQueries.shingleRows(standingDocs)
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(NumBuckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(shT)
-      // Bands derive from the stored shingles (one shingling pass total);
-      // the bucket-size window runs ONCE here, at build time — never
-      // again on the read path.
-      val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-      DedupQueries.bandsFromShingles(spark.table(shT))
-        .withColumn("bsz", count(lit(1)).over(wb))
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(NumBuckets, "band", "bh").sortBy("band", "bh")
-        .saveAsTable(bdT)
+      // Persist so the sizing count and the write share one shingling
+      // pass; buckets derive from the family's primary relation (the
+      // shingle rows — the band relation is strictly smaller at
+      // bands ≪ shingles/doc).
+      val sh = DedupQueries.shingleRows(standingDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val buckets = derivedBuckets(sh.count(), targetRowsPerBucket)
+        sh.write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(shT)
+        // Bands derive from the stored shingles (one shingling pass
+        // total); the bucket-size window runs ONCE here, at build time
+        // — never again on the read path.
+        val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+        DedupQueries.bandsFromShingles(spark.table(shT))
+          .withColumn("bsz", count(lit(1)).over(wb))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
+          .saveAsTable(bdT)
+      } finally sh.unpersist()
       // Readers cap hot buckets with `bsz <= HotBucketCap`; surface what
       // that cap will silently skip, once, at build time (the stored bsz
       // makes this a cheap scan-side aggregate).
@@ -102,6 +147,13 @@ object BandIndex {
     }
     (spark.table(shT), spark.table(bdT))
   }
+
+  /** Derived bucket count this tag's band table was built with — a
+    * report-row metric (the sizing choice must be visible, not a
+    * constant buried in the layout).
+    */
+  def buckets(spark: SparkSession, tag: String): Int =
+    bucketsOf(spark, s"${tag}_bands")
 
   /** What the hot-bucket cap will silently skip on the stored index:
     * (over-cap buckets, rows inside them). Scan-only — `bsz` is a
@@ -154,11 +206,14 @@ object BandIndex {
   def refreshBucketSizes(spark: SparkSession, tag: String): Unit = {
     val shT = s"${tag}_shingles"
     val bdT = s"${tag}_bands"
+    // Preserve the family's bucket spec (derived at build): a refresh
+    // compacts content, it must not silently re-spec the layout.
+    val buckets = bucketsOf(spark, bdT)
     val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
     DedupQueries.bandsFromShingles(spark.table(shT))
       .withColumn("bsz", count(lit(1)).over(wb))
       .write.mode(SaveMode.Overwrite)
-      .bucketBy(NumBuckets, "band", "bh").sortBy("band", "bh")
+      .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
       .saveAsTable(bdT)
   }
 }

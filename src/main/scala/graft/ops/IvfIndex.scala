@@ -31,8 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private val NumBuckets = 8
-
   /** Tag embeds the cell count: a derived-cells change must build a new
     * artifact, not silently read one quantized differently.
     */
@@ -42,21 +40,31 @@ object IvfIndex {
   private def cellsT(tag: String) = s"${tag}_ivfcells"
   private def centT(tag: String) = s"${tag}_ivfcentroids"
 
+  /** Derived bucket count this tag was built with (report-row metric). */
+  def buckets(spark: SparkSession, tag: String): Int =
+    BandIndex.bucketsOf(spark, cellsT(tag))
+
   /** Materialize (or reuse, if already cataloged this session) the IVF
     * index for the corpus at `dir`. Returns (cells, centroids) as reads
     * of the stored tables.
     */
   def buildOrLoad(spark: SparkSession, dir: String, nCells: Int,
-                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent
+                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
+                  targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
                  ): (DataFrame, DataFrame) = {
     val t = tag(dir, nCells)
     val (cT, mT) = (cellsT(t), centT(t))
     if (!spark.catalog.tableExists(cT)) {
       BandIndex.dropStaleLocations(spark, Seq(cT, mT))
+      // Cell-row cardinality == corpus cardinality (one row per vector),
+      // so the bucket derivation reads the parquet count — metadata-only,
+      // no extra corpus pass.
+      val buckets = BandIndex.derivedBuckets(
+        graft.Tables.t(spark, dir, "embeddings").count(), targetRowsPerBucket)
       val (a2, centn) = SimilarityQueries.buildIvf(
         SimilarityQueries.normalizedCorpus(spark, dir), nCells)
       a2.write.mode(SaveMode.Overwrite)
-        .bucketBy(NumBuckets, "cell").sortBy("cell")
+        .bucketBy(buckets, "cell").sortBy("cell")
         .saveAsTable(cT)
       centn.write.mode(SaveMode.Overwrite).saveAsTable(mT)
       // Build-time audit: list balance decides probe cost — a corpus

@@ -52,38 +52,46 @@ import org.apache.spark.sql.functions._
   */
 object SpanSet {
 
-  /** Buckets for both tables — local test scale; at 100 TB size so one
-    * bucket's span rows fit a shuffle-partition budget.
-    */
-  private val NumBuckets = 8
-
   def tag(dir: String): String = BandIndex.tag(dir, "spans")
 
   private def rowsT(tag: String) = s"${tag}_spanrows"
   private def setT(tag: String) = s"${tag}_spanset"
+
+  /** Derived bucket count this tag was built with (report-row metric). */
+  def buckets(spark: SparkSession, tag: String): Int =
+    BandIndex.bucketsOf(spark, rowsT(tag))
 
   /** Materialize (or reuse, if already cataloged this session) the span
     * artifact for `docs` (must carry doc_id + source + text). Returns
     * (spanRows, spanCounts) as reads of the stored bucketed tables.
     */
   def buildOrLoad(spark: SparkSession, docs: DataFrame, tag: String,
-                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent
+                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
+                  targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
                  ): (DataFrame, DataFrame) = {
     val (rT, sT) = (rowsT(tag), setT(tag))
     if (!spark.catalog.tableExists(sT)) {
       BandIndex.dropStaleLocations(spark, Seq(rT, sT))
-      SpanDedup.spanRows(docs, Seq("source"))
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(NumBuckets, "sh").sortBy("sh")
-        .saveAsTable(rT)
-      // Counts derive from the stored rows (one explode pass total); the
-      // rows table is already sh-bucketed, so this aggregation is
-      // bucket-local — no shuffle even at build time.
-      spark.table(rT).groupBy("sh")
-        .agg(count(lit(1)).as("nd"))
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(NumBuckets, "sh").sortBy("sh")
-        .saveAsTable(sT)
+      // Persist so the sizing count and the write share one explode
+      // pass; BOTH tables take the count derived from the span rows —
+      // equal bucket counts on sh keep the rows ⋈ counts join
+      // co-partitioned (the family invariant).
+      val rows = SpanDedup.spanRows(docs, Seq("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val buckets = BandIndex.derivedBuckets(rows.count(), targetRowsPerBucket)
+        rows.write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "sh").sortBy("sh")
+          .saveAsTable(rT)
+        // Counts derive from the stored rows (one explode pass total);
+        // the rows table is already sh-bucketed, so this aggregation is
+        // bucket-local — no shuffle even at build time.
+        spark.table(rT).groupBy("sh")
+          .agg(count(lit(1)).as("nd"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "sh").sortBy("sh")
+          .saveAsTable(sT)
+      } finally rows.unpersist()
       // Build-time audit (the band index's hot-bucket convention): how
       // much of the span space the MinDocs threshold marks as
       // duplicated — a corpus where most spans are shared is boilerplate
@@ -158,6 +166,8 @@ object SpanSet {
     spark.table(rowsT(tag)).groupBy("sh")
       .agg(count(lit(1)).as("nd"))
       .write.mode(SaveMode.Overwrite)
-      .bucketBy(NumBuckets, "sh").sortBy("sh")
+      // rows-table spec, NOT a fresh derivation: the family invariant
+      // is equal sh bucketing across both tables
+      .bucketBy(BandIndex.bucketsOf(spark, rowsT(tag)), "sh").sortBy("sh")
       .saveAsTable(setT(tag))
 }

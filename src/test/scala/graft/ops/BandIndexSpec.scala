@@ -39,6 +39,45 @@ class BandIndexSpec extends SparkSpec {
     dropAll(tag)
   }
 
+  test("bucket derivation: ceil(rows/target) to a power of two, floored " +
+    "at 8 — local corpora stay at the floor, 100 TB row counts do not") {
+    assert(BandIndex.derivedBuckets(0L) == 8)
+    assert(BandIndex.derivedBuckets(1000L) == 8) // local scale -> floor
+    assert(BandIndex.derivedBuckets(33L * 1024 * 1024) == 16)
+    assert(BandIndex.derivedBuckets(100L, targetRows = 10L) == 16)
+    assert(BandIndex.derivedBuckets(100L, targetRows = 1L) == 128)
+    // ~10^12 span rows (a 100 TB corpus's token stream) at the default
+    // target: 2^18 buckets, each holding ~4M rows
+    assert(BandIndex.derivedBuckets(1000000000000L) == 262144)
+  }
+
+  test("build derives bucket counts from the rows relation: a non-floor " +
+    "target re-buckets BOTH tables and answers are unchanged") {
+    val tagD = "graft_test_bi_derived"
+    val tagF = "graft_test_bi_floor"
+    dropAll(tagD); dropAll(tagF)
+    // the shingle store is one row per doc (sh is the shingle-SET
+    // column), so the derivation counts docs here
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) copyText else otherText + s" doc $i"))
+      .toDF("doc_id", "text")
+    BandIndex.buildOrLoad(spark, docs, tagD, targetRowsPerBucket = 2L)
+    BandIndex.buildOrLoad(spark, docs, tagF)
+    // 40 rows at 2/bucket -> want 20 -> 32; floor build stays at 8
+    assert(BandIndex.buckets(spark, tagD) == 32,
+      s"got ${BandIndex.buckets(spark, tagD)}")
+    assert(BandIndex.bucketsOf(spark, s"${tagD}_shingles") == 32)
+    assert(BandIndex.buckets(spark, tagF) == 8)
+    // bucketing is layout, not semantics: both builds hold identical rows
+    val d = spark.table(s"${tagD}_bands").orderBy("doc_id", "band").collect()
+    val f = spark.table(s"${tagF}_bands").orderBy("doc_id", "band").collect()
+    assert(d.toSeq == f.toSeq)
+    // refresh preserves the derived spec instead of re-speccing to 8
+    BandIndex.refreshBucketSizes(spark, tagD)
+    assert(BandIndex.buckets(spark, tagD) == 32)
+    dropAll(tagD); dropAll(tagF)
+  }
+
   test("append adds a batch in place; refresh restores exact bucket sizes") {
     val tagA = "graft_test_bi_maint"
     val tagB = "graft_test_bi_rebuilt"

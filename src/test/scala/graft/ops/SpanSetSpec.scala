@@ -103,6 +103,25 @@ class SpanSetSpec extends SparkSpec {
     dropAll(tagA); dropAll(tagB)
   }
 
+  test("build derives the family bucket count from the span-row " +
+    "cardinality; both tables share it and refresh preserves it") {
+    val tag = "graft_test_ss_buckets"
+    dropAll(tag)
+    // 3 docs x 3 spans = 9 rows at 1/bucket -> 16 buckets
+    SpanSet.buildOrLoad(spark,
+      docs(1L -> sharedA, 2L -> sharedB, 3L -> lonely), tag,
+      targetRowsPerBucket = 1L)
+    assert(SpanSet.buckets(spark, tag) == 16)
+    assert(graft.ops.BandIndex.bucketsOf(spark, s"${tag}_spanset") == 16,
+      "family invariant: both tables bucket sh identically")
+    // answers match the floor-bucketed build semantics
+    assert(SpanSet.duplicatedSpans(spark, tag).count() == 2)
+    SpanSet.refreshSpanCounts(spark, tag)
+    assert(graft.ops.BandIndex.bucketsOf(spark, s"${tag}_spanset") == 16)
+    assert(SpanSet.duplicatedSpans(spark, tag).count() == 2)
+    dropAll(tag)
+  }
+
   test("differential: append-then-read equals rebuild-from-scratch on a " +
     "seeded random corpus split across batches") {
     val rnd = new scala.util.Random(29)
