@@ -51,6 +51,9 @@ object Pipeline {
     *   - `spanSetTables`: duplicated-span artifact
     *     ([[graft.ops.SpanSet]]; doc_id + source + text); report row
     *     carries the distinct/duplicated span counts.
+    *   - `chunkStoreTables`: stored chunk table
+    *     ([[graft.ops.ChunkStore]]; doc_id + text); report row carries
+    *     chunk count + derived buckets.
     *   - `zOrder`: table -> (c1, c2) two-dimensional Z-order layout
     *     written alongside the row table ([[Layout.writeZOrdered]]).
     *   - `compact`: table -> sort key small-files compaction
@@ -59,13 +62,15 @@ object Pipeline {
   final case class ArtifactConfig(
       bandIndexTables: Seq[String] = Nil,
       spanSetTables: Seq[String] = Nil,
+      chunkStoreTables: Seq[String] = Nil, // stored chunk table (RAG keys)
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
       compact: Map[String, String] = Map.empty,
       compactTargetBytes: Long = 128L * 1024 * 1024,
       hotBucketCap: Int = graft.ops.DedupQueries.HotBucketCap) {
     def isEmpty: Boolean =
-      bandIndexTables.isEmpty && spanSetTables.isEmpty && !buildIvfIndex &&
+      bandIndexTables.isEmpty && spanSetTables.isEmpty &&
+        chunkStoreTables.isEmpty && !buildIvfIndex &&
         zOrder.isEmpty && compact.isEmpty
   }
 
@@ -158,10 +163,11 @@ object Pipeline {
       outDir: String,
       a: ArtifactConfig,
       log: MigrationLog = MigrationLog.silent): Seq[Report.ArtifactResult] = {
-    require(a.bandIndexTables.size <= 1 && a.spanSetTables.size <= 1,
-      "one band/span artifact per corpus dir — consumers derive the tag " +
-        "from the dir alone, so a second table would silently reuse the " +
-        "first table's artifact")
+    require(a.bandIndexTables.size <= 1 && a.spanSetTables.size <= 1 &&
+      a.chunkStoreTables.size <= 1,
+      "one band/span/chunk artifact per corpus dir — consumers derive " +
+        "the tag from the dir alone, so a second table would silently " +
+        "reuse the first table's artifact")
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
@@ -191,6 +197,18 @@ object Pipeline {
         s"distinct_spans=$nSpans duplicated_spans=$nDup"
       log.info(t, "artifact span_set", msg)
       Report.ArtifactResult(t, "span_set", msg, 0L, 0L, secs)
+    }
+    val chunks = a.chunkStoreTables.map { t =>
+      val tag = graft.ops.ChunkStore.tag(outDir)
+      val (n, secs) = timed {
+        graft.ops.ChunkStore.buildOrLoad(spark,
+          spark.read.parquet(s"$outDir/$t.parquet"), tag, log)
+        spark.table(s"${tag}_chunks").count()
+      }
+      val msg = s"tag=$tag buckets=${graft.ops.ChunkStore.buckets(spark, tag)} " +
+        s"chunks=$n"
+      log.info(t, "artifact chunk_store", msg)
+      Report.ArtifactResult(t, "chunk_store", msg, 0L, 0L, secs)
     }
     val ivf = if (!a.buildIvfIndex) Nil else {
       val n = spark.read.parquet(s"$outDir/embeddings.parquet").count()
@@ -225,7 +243,7 @@ object Pipeline {
       log.info(t, "artifact compaction", msg)
       Report.ArtifactResult(t, "compaction", msg, 0L, 0L, secs)
     }
-    band ++ spans ++ ivf ++ zs ++ cps
+    band ++ spans ++ chunks ++ ivf ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

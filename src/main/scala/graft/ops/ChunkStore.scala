@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored chunk table — the fourth stored-artifact family (after
+  * [[BandIndex]], [[SpanSet]], [[IvfIndex]]): the chunk relation a
+  * RAG/embedding store maintains, materialized as a bucketed table
+  * instead of re-chunking the corpus per query (the r6 verdict's
+  * standing gap: `q_doc_chunk` and `q_chunk_dedup` each re-ran the
+  * chunker; an embedding pipeline runs it ONCE per doc, at ingest).
+  *
+  * One table per corpus snapshot:
+  *
+  *   - `<tag>_chunks` (doc_id, chunk_idx, start_tok, n_chunk_tok,
+  *     chunk_fp)  bucketed by chunk_fp
+  *
+  * Bucketing on the fingerprint makes every fingerprint-keyed consumer
+  * exchange-free off the scan: the chunk-store dedup's `groupBy
+  * (chunk_fp)` (the pre-embedding maintenance pass), the [[keepers]]
+  * relation, and the ingest-time probe join
+  * ([[graft.streaming.CorpusStream.embeddedChunkHits]] — only the
+  * arriving batch shuffles). At 100 TB the chunk relation is
+  * ~n_tokens/stride rows — the table IS the embedding store's key
+  * space, and paying its shuffle once at build is the same argument as
+  * the span set's.
+  *
+  * Maintenance mirrors the other families: [[append]] inserts an
+  * arriving batch's chunk rows (insertInto preserves the bucket spec;
+  * chunk rows are pure per-doc facts, so appends need no count
+  * reconciliation — the one family with NO staleness bound), and the
+  * bucket count derives from the chunk-row cardinality at build
+  * ([[BandIndex.derivedBuckets]]). Builds run once per (session,
+  * corpus snapshot) keyed by catalog presence.
+  */
+object ChunkStore {
+
+  def tag(dir: String): String = BandIndex.tag(dir, "chunks")
+
+  private def chunksT(tag: String) = s"${tag}_chunks"
+
+  /** Derived bucket count this tag was built with (report-row metric). */
+  def buckets(spark: SparkSession, tag: String): Int =
+    BandIndex.bucketsOf(spark, chunksT(tag))
+
+  /** Materialize (or reuse, if already cataloged this session) the
+    * chunk table for `docs` (must carry doc_id + text). Returns the
+    * stored relation.
+    */
+  def buildOrLoad(spark: SparkSession, docs: DataFrame, tag: String,
+                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
+                  targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
+                 ): DataFrame = {
+    val cT = chunksT(tag)
+    if (!spark.catalog.tableExists(cT)) {
+      BandIndex.dropStaleLocations(spark, Seq(cT))
+      // Persist so the sizing count and the write share one chunking
+      // pass (the build's only corpus scan).
+      val rows = PackingQueries.chunkRowsOf(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = rows.count()
+        val bk = BandIndex.derivedBuckets(n, targetRowsPerBucket)
+        rows.write.mode(SaveMode.Overwrite)
+          .bucketBy(bk, "chunk_fp").sortBy("chunk_fp")
+          .saveAsTable(cT)
+        // Build-time audit (the families' convention): how much of the
+        // chunk space is already duplicated — the fraction of embedding
+        // spend dedup will save.
+        val dup = spark.table(cT).groupBy("chunk_fp")
+          .agg(count(lit(1)).as("nc"))
+          .agg(count(lit(1)).as("n_fp"),
+            coalesce(sum(when(col("nc") >= 2, col("nc")).otherwise(0L)),
+              lit(0L)).as("n_dup_rows"))
+          .collect()(0)
+        val msg = s"chunks=$n buckets=$bk distinct_fps=${dup.getLong(0)} " +
+          s"rows_in_dup_fps=${dup.getLong(1)}"
+        if (dup.getLong(0) > 0 && dup.getLong(1) * 2 > n)
+          log.warn(cT, "chunk_store_build", msg)
+        else log.info(cT, "chunk_store_build", msg)
+      } finally rows.unpersist()
+    }
+    spark.table(cT)
+  }
+
+  /** One row per DISTINCT stored fingerprint with its keeper chunk
+    * (min (doc, idx)) — the relation the ingest probe joins so an
+    * arriving chunk learns which existing embedding to reuse.
+    * Bucket-local agg off the stored scan.
+    */
+  def keepers(spark: SparkSession, tag: String): DataFrame =
+    spark.table(chunksT(tag))
+      .groupBy("chunk_fp")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      .select(col("chunk_fp"), col("k.doc_id").as("keeper_doc"),
+        col("k.chunk_idx").as("keeper_idx"))
+
+  /** Daily-ingest maintenance: append `newDocs`' chunk rows (insertInto
+    * preserves the bucket spec). Chunk rows are per-doc facts — no
+    * cross-batch counts to reconcile, so append-then-read equals a
+    * from-scratch rebuild with no refresh step needed.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, tag: String): Unit = {
+    val cT = chunksT(tag)
+    require(spark.catalog.tableExists(cT),
+      s"append target $tag does not exist — buildOrLoad first")
+    PackingQueries.chunkRowsOf(newDocs)
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tok", "chunk_fp")
+      .write.insertInto(cT)
+  }
+}

@@ -92,8 +92,10 @@ object PackingQueries {
         "never silently dropped (the off-by-one most chunkers get " +
         "wrong). Emits one row per chunk with its token span and a " +
         "chunk-text fingerprint (the id an embedding/RAG index stores). " +
-        "Stateless per-row explode — map-only, zero shuffles before " +
-        "the output sort; fan-out ~n_tokens/stride rows per doc.",
+        "Reads the STORED chunk table (ChunkStore: bucketed on " +
+        "chunk_fp, built once per corpus snapshot by the stateless " +
+        "map-only chunker) — scan + output sort, the corpus is not " +
+        "re-chunked per query.",
       (s, dir) => chunkRows(s, dir).orderBy("doc_id", "chunk_idx"),
       Some(s"""WITH $chunkSqlCtes
               |SELECT doc_id, chunk_idx, start_tok, n_chunk_tok, chunk_fp
@@ -109,9 +111,11 @@ object PackingQueries {
         "occurrence count and the keeper chunk (min (doc, idx)) — the " +
         "one whose embedding is kept while the rest are dropped " +
         "before paying the embedding model. Composes the chunker with " +
-        "the exact-dedup skeleton: the shuffle key is the 32-hex " +
-        "fingerprint, never chunk text; map-side partials collapse " +
-        "per-task duplicates first.",
+        "the exact-dedup skeleton over the STORED chunk table: the " +
+        "group key IS the bucket key, so the whole aggregation runs " +
+        "exchange-free off the chunk_fp-bucketed scan " +
+        "(plan-shape-tested) — only the reduced dup-fingerprint output " +
+        "moves for the final sort.",
       (s, dir) => {
         chunkRows(s, dir)
           .groupBy("chunk_fp")
@@ -136,26 +140,41 @@ object PackingQueries {
     )
   )
 
-  /** One row per (doc, chunk) with token span + chunk-text fingerprint —
-    * shared by the chunking query and the chunk-store dedup.
+  /** One row per (doc, chunk) with token span + chunk-text fingerprint
+    * for any relation carrying `doc_id` + `text` — the ONE chunker
+    * shared by the chunking query, the stored [[ChunkStore]] build, and
+    * the streaming ingest probe
+    * ([[graft.streaming.CorpusStream.embeddedChunkHits]]), so batch and
+    * ingest-time chunking cannot drift. Stateless per-row explode —
+    * usable on a streaming input.
     */
-  private def chunkRows(s: org.apache.spark.sql.SparkSession,
-                        dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def chunkRowsOf(docs: org.apache.spark.sql.DataFrame,
+                                 passthrough: Seq[String] = Nil
+                                ): org.apache.spark.sql.DataFrame = {
     val over = ChunkW - ChunkStride
-    Tables.t(s, dir, "documents")
+    val keep = passthrough.map(col)
+    docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
-      .select(col("doc_id"), col("toks"), col("n"),
+      .select(col("doc_id") +: keep :+ col("toks") :+ col("n") :+
         posexplode(filter(
           sequence(lit(0), col("n") - 1, lit(ChunkStride)),
           st => st === 0 || st < col("n") - over))
-          .as(Seq("chunk_idx", "start")))
-      .select(col("doc_id"), col("chunk_idx"),
-        (col("start") + 1).as("start_tok"),
-        least(lit(ChunkW), col("n") - col("start")).as("n_chunk_tok"),
+          .as(Seq("chunk_idx", "start")): _*)
+      .select(col("doc_id") +: keep :+ col("chunk_idx") :+
+        (col("start") + 1).as("start_tok") :+
+        least(lit(ChunkW), col("n") - col("start")).as("n_chunk_tok") :+
         md5(array_join(slice(col("toks"), col("start") + 1, lit(ChunkW)),
-          " ")).as("chunk_fp"))
+          " ")).as("chunk_fp"): _*)
   }
+
+  /** The chunk relation for a corpus dir, read from the STORED
+    * [[ChunkStore]] artifact (built on first touch in a session).
+    */
+  private def chunkRows(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    ChunkStore.buildOrLoad(s, Tables.par(s, dir, "documents"),
+      ChunkStore.tag(dir))
 
 }

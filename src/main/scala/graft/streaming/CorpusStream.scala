@@ -113,6 +113,35 @@ object CorpusStream {
       .join(dupSpans, "sh")
       .select("eventTime", "doc_id", "n_spans", "sh")
 
+  /** Batch-side build of the stored chunk table — materializes the
+    * SAME artifact the batch chunk queries read
+    * ([[graft.ops.ChunkStore]]: chunk rows bucketed on chunk_fp) and
+    * returns the keeper relation for [[embeddedChunkHits]] to probe.
+    * Same chunker expressions as the batch queries, so batch and
+    * ingest-time chunking cannot drift.
+    */
+  def buildChunkStore(spark: SparkSession, docs: DataFrame,
+                      tag: String): DataFrame = {
+    graft.ops.ChunkStore.buildOrLoad(spark, docs, tag)
+    graft.ops.ChunkStore.keepers(spark, tag)
+  }
+
+  /** Ingest-time chunk-dedup probe — the streaming face of
+    * `q_chunk_dedup`'s purpose: each arriving doc is chunked (the SAME
+    * stateless chunker as the batch queries) and its fingerprints probe
+    * the STATIC keeper relation of the stored [[graft.ops.ChunkStore]],
+    * emitting one row per chunk whose embedding ALREADY exists — the
+    * rows an embedding pipeline skips (reusing keeper_doc/keeper_idx's
+    * vector) before paying the model. Stream-static equi-join on the
+    * store's bucket key: the index side is scan-only, only the arriving
+    * batch moves. Fully stateless on the stream side.
+    */
+  def embeddedChunkHits(docs: DataFrame, keepers: DataFrame): DataFrame =
+    graft.ops.PackingQueries.chunkRowsOf(docs, Seq("eventTime"))
+      .join(keepers, "chunk_fp")
+      .select("eventTime", "doc_id", "chunk_idx", "chunk_fp",
+        "keeper_doc", "keeper_idx")
+
   /** One surviving sketch counter: `est` is a guaranteed UPPER BOUND on
     * `term`'s true occurrence count so far (SpaceSaving inherits the
     * evicted minimum), and every term above 1/k of its bucket's stream

@@ -75,6 +75,7 @@ class PipelineSpec extends SparkSpec {
       artifacts = Pipeline.ArtifactConfig(
         bandIndexTables = Seq("docs"),
         spanSetTables = Seq("docs"),
+        chunkStoreTables = Seq("docs"),
         buildIvfIndex = true,
         zOrder = Map("evts" -> ("event_id", "k")),
         compact = Map("evts" -> "event_id"),
@@ -82,7 +83,8 @@ class PipelineSpec extends SparkSpec {
 
     // every artifact produced a report row...
     assert(report.artifacts.map(_.kind).sorted ==
-      Seq("band_index", "compaction", "ivf_index", "span_set", "zorder"))
+      Seq("band_index", "chunk_store", "compaction", "ivf_index",
+        "span_set", "zorder"))
     val ivfRow = report.artifacts.find(_.kind == "ivf_index").get
     assert(ivfRow.detail.contains("vectors=40"), ivfRow.detail)
     // ...the stored tables exist under the tags the query paths and
@@ -92,6 +94,12 @@ class PipelineSpec extends SparkSpec {
     val spanTag = graft.ops.SpanSet.tag(dst)
     assert(spark.table(s"${bandTag}_bands").count() > 0)
     assert(graft.ops.SpanSet.duplicatedSpans(spark, spanTag).count() == 9)
+    // ...the chunk store materialized one chunk per (short) doc with its
+    // derived bucket count in the report row...
+    val chunkTag = graft.ops.ChunkStore.tag(dst)
+    assert(spark.table(s"${chunkTag}_chunks").count() == 7)
+    val chunkRow = report.artifacts.find(_.kind == "chunk_store").get
+    assert(chunkRow.detail.contains("buckets=8"), chunkRow.detail)
     assert(spark.read.parquet(s"$dst/evts_zorder.parquet").count() == 200)
     assert(spark.read.parquet(s"$dst/evts_compacted.parquet").count() == 200)
     // ...and the silent hot-bucket cap became a visible report metric

@@ -148,6 +148,26 @@ class PlanShapeSpec extends SparkSpec {
       s"read path should shuffle only doc-agg + sort (got $shuffles):\n$p")
   }
 
+  test("q_chunk_dedup: dedup agg is exchange-free off the " +
+    "chunk_fp-bucketed stored chunk table") {
+    val p = plan(Registry.queryMap("q_chunk_dedup")(spark, dir),
+      noBroadcast = true)
+    assert(contains(p, "_chunks"), s"expected stored chunk scan:\n$p")
+    for (scan <- scansOf(p, "_chunks")) {
+      val path = pathTo(p, scan).getOrElse(fail("no path to chunks scan"))
+      val belowAgg = path.reverse.takeWhile {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        case _ => true
+      }
+      assert(!belowAgg.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"fp-grain agg must read the bucketed scan without a shuffle:\n$p")
+    }
+    // only the reduced dup-fingerprint output moves for the final sort
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }.length
+    assert(shuffles <= 1,
+      s"only the output sort may shuffle (got $shuffles):\n$p")
+  }
+
   test("q_source_overlap: per-span source-set agg is exchange-free off " +
     "the sh-bucketed span rows") {
     val p = plan(Registry.queryMap("q_source_overlap")(spark, dir),
