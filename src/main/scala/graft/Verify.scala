@@ -24,14 +24,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // Sorted order + per-family cache release after the last consumer
+    // (same hygiene as Bench): the full 72-query dump otherwise holds
+    // every shared persisted family simultaneously.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => only.forall(_.contains(name)))
+    val releaseAfter = ops.SharedCaches.releasePoints(names)
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      releaseAfter.getOrElse(name, Nil).foreach(ops.SharedCaches.release)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

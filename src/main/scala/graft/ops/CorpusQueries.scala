@@ -200,9 +200,10 @@ object CorpusQueries {
             wordNgrams(col("toks"), ContamN).as("ng"))
         // Persisted: sized (count), hashed into the filter, and verify-
         // joined — three readers of the small side.
-        val bench = g.filter(col("source") === "src0")
-          .select(explode(col("ng")).as("ngram")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bench = SharedCaches.track(SharedCaches.BloomBench,
+          g.filter(col("source") === "src0")
+            .select(explode(col("ng")).as("ngram")).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // Size the filter to the eval set (count runs on the SMALL side
         // only): next power of two >= BloomBitsPerGram per n-gram, with
         // the BloomBits floor. A fixed size would saturate on a large

@@ -130,8 +130,9 @@ object DedupQueries {
     */
   private def shinglesPersisted(s: org.apache.spark.sql.SparkSession,
                                 dir: String): DataFrame =
-    shingleDf(Tables.par(s, dir, "documents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SharedCaches.track(SharedCaches.Minhash,
+      shingleDf(Tables.par(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The (doc_id, band, band_hash) LSH band index, persisted: it is the
     * dedup family's stored artifact — the relation an incremental ingest
@@ -140,8 +141,9 @@ object DedupQueries {
     * and both sides of the incremental query read one materialization.
     */
   private def bandsPersisted(sh: DataFrame): DataFrame =
-    bandsFromShingles(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SharedCaches.track(SharedCaches.Minhash,
+      bandsFromShingles(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** MinHash+LSH verified near-dup pairs (the q_doc_dedup pipeline),
     * shared with the cluster-consolidation query so both stay one code
@@ -239,8 +241,9 @@ object DedupQueries {
   private def candidatesPersisted(s: org.apache.spark.sql.SparkSession,
                                   dir: String): DataFrame = {
     val sh = shinglesPersisted(s, dir)
-    candidateJaccard(sh, bandsPersisted(sh))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SharedCaches.track(SharedCaches.Minhash,
+      candidateJaccard(sh, bandsPersisted(sh))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
@@ -953,8 +956,9 @@ object DedupQueries {
         // Arriving batch: shingled fresh (it is the only data not yet in
         // the index), persisted — both the band probe and the verify leg
         // read it.
-        val newSh = shingleRows(Tables.par(s, dir, "documents").filter(isNew))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val newSh = SharedCaches.track(SharedCaches.MinhashBatch,
+          shingleRows(Tables.par(s, dir, "documents").filter(isNew))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val cand = bandsFromShingles(newSh)
           .join(exB, Seq("band", "bh"))
           .select("doc_id", "match_id").distinct()

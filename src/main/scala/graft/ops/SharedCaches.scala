@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+
+/** Registry of the session-lifetime persisted relations the query
+  * families share, so a full-surface run (Bench / Verify) can release
+  * each family once its LAST consumer has executed instead of holding
+  * every family's working set simultaneously until teardown.
+  *
+  * Motivation (r6 verdict, "Performance" §): under the full 71-query
+  * bench working set, `q_dedup_recall`'s median ran ~2.2x its
+  * in-isolation time — the shared persisted relations (minhash
+  * shingles/bands/candidates + the ANN corpus + the bloom bench set)
+  * outgrew the executor-memory fraction together, evicting each other
+  * mid-pass. Families are independent: nothing after the last minhash
+  * consumer reads the minhash caches, so holding them is pure pressure.
+  *
+  * Mechanics: each `persist()` site registers its DataFrame under a
+  * family key at materialization-registration time ([[track]] — the
+  * returned reference is the caller's own). A harness calls
+  * [[release]] after the family's last consumer (the [[consumers]] map
+  * is the contract; names are validated against the registry by
+  * SharedCachesSpec). Released relations rebuild transparently on next
+  * touch — release affects residency, never correctness — so a stale
+  * consumer list degrades performance only.
+  *
+  * At 100 TB the same discipline applies across jobs rather than
+  * within one: a production pipeline materializes each family as a
+  * STORED artifact (BandIndex / SpanSet / IvfIndex / ChunkStore) and
+  * session caches are per-stage scratch — released when the stage
+  * ends, exactly what [[release]] models locally.
+  */
+object SharedCaches {
+
+  /** Minhash dedup pipeline: shingle relation + band index + verified
+    * candidate pairs (DedupQueries). */
+  val Minhash = "minhash"
+
+  /** q_dedup_incremental's arriving-batch shingles (probe side of the
+    * stored band index). */
+  val MinhashBatch = "minhash_batch"
+
+  /** ANN suite: normalized/bucketed embedding corpus + session-cached
+    * IVF parts (SimilarityQueries). */
+  val Embeddings = "embeddings"
+
+  /** q_contamination_bloom's eval-set n-gram relation (sized, hashed
+    * into the filter, and verify-joined — three readers). */
+  val BloomBench = "bloom_bench"
+
+  /** Declared-query consumers per family — the release point for a full
+    * run is the LAST of these present in the run (sorted execution
+    * order). Kept next to the family keys so a new consumer is added
+    * here in the same change that introduces it.
+    */
+  val consumers: Map[String, Set[String]] = Map(
+    Minhash -> Set("q_doc_dedup", "q_doc_similar", "q_dedup_recall",
+      "q_dedup_clusters"),
+    MinhashBatch -> Set("q_dedup_incremental"),
+    Embeddings -> Set("q_embedding_topk", "q_embedding_quantize",
+      "q_ann_hyperplane", "q_ann_multiprobe", "q_ann_filtered",
+      "q_ann_ivf", "q_ann_recall", "q_dedup_semantic",
+      "q_dedup_semantic_recall"),
+    BloomBench -> Set("q_contamination_bloom")
+  )
+
+  private val refs =
+    scala.collection.concurrent.TrieMap.empty[String, List[Dataset[_]]]
+
+  /** Register `df` (already marked for caching) under `family` and
+    * return it unchanged. Re-registration of an equivalent plan is fine:
+    * unpersist on a no-longer-cached plan is a no-op.
+    */
+  private[graft] def track[T <: Dataset[_]](family: String, df: T): T = {
+    refs.updateWith(family)(l => Some(df :: l.getOrElse(Nil)))
+    df
+  }
+
+  /** Unpersist every relation registered under `family` (non-blocking;
+    * storage is dropped asynchronously). Safe to call at any point —
+    * consumers rebuild the cache on next touch.
+    */
+  def release(family: String): Unit =
+    refs.remove(family).foreach(_.foreach(_.unpersist()))
+
+  /** For a run executing `names` in sorted order: query name -> families
+    * to release AFTER that query (i.e. it is the family's last present
+    * consumer). Families with no present consumer are omitted — nothing
+    * will have registered them.
+    */
+  def releasePoints(names: Seq[String]): Map[String, Seq[String]] = {
+    val present = names.toSet
+    consumers.toSeq
+      .flatMap { case (fam, cs) =>
+        (cs & present).toSeq.sorted.lastOption.map(_ -> fam)
+      }
+      .groupBy(_._1).map { case (q, fs) => q -> fs.map(_._2).sorted }
+  }
+}

@@ -83,11 +83,12 @@ object SimilarityQueries {
     * MEMORY_AND_DISK makes it a disk-backed artifact, not an OOM risk.
     */
   private def corpus(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "embeddings")
-      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SharedCaches.track(SharedCaches.Embeddings,
+      Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+        .withColumn("nrm", l2Norm(col("v")))
+        .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def rankW = org.apache.spark.sql.expressions.Window
     .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
@@ -246,8 +247,10 @@ object SimilarityQueries {
   private[ops] def ivfParts(s: SparkSession, dir: String,
                             nCells: Int = NCells): (DataFrame, DataFrame) = {
     val (a2, centn) = buildIvf(corpus(s, dir).drop("bucket"), nCells)
-    (a2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      centn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    (SharedCaches.track(SharedCaches.Embeddings,
+      a2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      SharedCaches.track(SharedCaches.Embeddings,
+        centn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
   }
 
   /** The normalized corpus for index builders ([[IvfIndex]]). */
