@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * codegen'd end to end, no UDFs — each with a DuckDB oracle twin.
   *
   * Determinism: ratios are single IEEE double divisions of exact integers
-  * (exactly-rounded in both engines); no transcendentals (the TF-IDF
-  * rarity weight is the log-free N/df ratio — same ranking on this
-  * corpus, bit-identical across libm implementations).
+  * (exactly-rounded in both engines); transcendentals are avoided where
+  * a log-free formulation ranks identically (the TF-IDF N/df weight),
+  * and where a log is the semantics itself (`q_lm_perplexity`'s
+  * cross-entropy) each per-term `ln` is rounded to 9 decimals BEFORE
+  * the exact decimal summation, so a last-ulp libm difference between
+  * engines cannot reach the sum.
   */
 object CorpusQueries {
 
@@ -71,6 +74,14 @@ object CorpusQueries {
     "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" +
       "|\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b" +
       "|\\b(?:customer|vector)\\b"
+
+  /** ln(2) as ONE double literal shared by `q_lm_perplexity`'s Spark
+    * plan and its DuckDB oracle text (Double.toString round-trips the
+    * exact value), so the bits-conversion divisor cannot differ
+    * between engines even in the last ulp. Declared BEFORE [[defs]]:
+    * the oracle string interpolates it at object initialization.
+    */
+  private val Ln2: Double = math.log(2.0)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -398,6 +409,130 @@ object CorpusQueries {
            |    THEN 1 ELSE 0 END AS had_pii
            |FROM documents ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    // ------------------------------------------------------------- H4h
+    QueryDef(
+      "q_lm_perplexity",
+      "CCNet-style LM quality scoring (Wenzek et al. 2020, 'CCNet: " +
+        "Extracting High Quality Monolingual Datasets from Web Crawl " +
+        "Data'): train a bigram LM with Laplace smoothing on the " +
+        "reference slice (source='src0' — the same held-in slice the " +
+        "decontamination queries treat as the benchmark side), score " +
+        "every other doc by per-bigram cross-entropy in bits, and " +
+        "bucket docs into head/middle/tail by entropy tertiles — " +
+        "CCNet's filtering signal (head = closest to the reference " +
+        "distribution). P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V); contexts " +
+        "derive from the bigram counts themselves and V = distinct " +
+        "train tokens + 1 (unseen mass). Each per-bigram -ln(p)/ln2 " +
+        "is rounded to 9 decimals then summed as DECIMAL (order-" +
+        "independent; a last-ulp libm ln() difference between engines " +
+        "cannot reach the sum), and ln2 is embedded as one shared " +
+        "double literal. Shape: count tables are vocab-grain (tiny vs " +
+        "corpus) so the planner broadcasts them into the token-grain " +
+        "probe; one doc-grain agg; the tertile ntile runs on the " +
+        "REDUCED per-doc relation (at 100 TB: replace with " +
+        "approx-quantile cutoffs — two numbers broadcast — same " +
+        "buckets up to quantile error). Docs with <2 tokens have no " +
+        "bigrams and are absent by construction.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val (c2, c1, v) = lmTrainCounts(docs.filter(col("source") === "src0"))
+        lmScore(docs.filter(col("source") =!= "src0"), c2, c1, v)
+          .withColumn("t",
+            ntile(3).over(Window.orderBy(col("xent"), col("doc_id"))))
+          .select(col("doc_id"), col("n_bigrams"), col("xent"),
+            when(col("t") === 1, "head").when(col("t") === 2, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+              |b AS (SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 2
+              |    THEN list_transform(range(1, len(toks)), i -> toks[i]||' '||toks[i+1])
+              |    ELSE []::VARCHAR[] END) AS ngram FROM t),
+              |c2 AS (SELECT ngram, COUNT(*) AS c2 FROM b WHERE source='src0' GROUP BY 1),
+              |c1 AS (SELECT split_part(ngram,' ',1) AS w1,
+              |    CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+              |v AS (SELECT COUNT(DISTINCT tok) + 1 AS v FROM
+              |  (SELECT unnest(toks) AS tok FROM t WHERE source='src0')),
+              |x AS (SELECT doc_id, ngram, split_part(ngram,' ',1) AS w1
+              |  FROM b WHERE source <> 'src0'),
+              |pr AS (SELECT doc_id,
+              |    round(-ln((COALESCE(c2.c2,0)+1)::DOUBLE /
+              |      (COALESCE(c1.c1,0)+v.v)::DOUBLE) / $Ln2, 9) AS nll
+              |  FROM x LEFT JOIN c2 USING (ngram)
+              |    LEFT JOIN c1 ON x.w1 = c1.w1 CROSS JOIN v),
+              |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+              |    round(CAST(SUM(CAST(nll AS DECIMAL(28,9))) AS DOUBLE)
+              |      / COUNT(*), 6) AS xent
+              |  FROM pr GROUP BY doc_id)
+              |SELECT doc_id, n_bigrams, xent,
+              |  CASE ntile(3) OVER (ORDER BY xent, doc_id)
+              |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              |    ELSE 'tail' END AS bucket
+              |FROM d ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** Bigram-LM count tables from a reference (train) relation carrying
+    * `text`: c2 = (ngram, c2) bigram occurrences; c1 = (w1, c1) context
+    * occurrences, derived FROM c2 (sum over the context's bigrams) so
+    * the two cannot disagree on doc-final tokens; v = 1 row with
+    * distinct train tokens + 1 (unseen mass). Shared by
+    * `q_lm_perplexity` and the ingest-time face
+    * ([[graft.streaming.CorpusStream.lmScoreBatch]]) — one definition,
+    * no drift.
+    */
+  private[graft] def lmTrainCounts(train: org.apache.spark.sql.DataFrame)
+  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val toks = train.select(tokens(col("text")).as("toks"))
+    val c2 = toks
+      .select(explode(TextQueries.seqBigrams(col("toks"))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("c2"))
+    val c1 = c2
+      .groupBy(substring_index(col("ngram"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val v = toks.select(explode(col("toks")).as("tok"))
+      .agg((countDistinct(col("tok")) + lit(1L)).as("v"))
+    (c2, c1, v)
+  }
+
+  /** Per-doc bigram cross-entropy (bits) of `docs` (doc_id + text
+    * [+ passthrough]) against the LM count tables: each scored bigram
+    * left-joins its count and its context's count (unseen -> 0), p =
+    * Laplace-smoothed conditional as a division of EXACT integer-valued
+    * doubles (bit-identical across engines); the ln is the one
+    * engine-dependent step, neutralized by round(., 9) before the exact
+    * DECIMAL summation. Docs with <2 tokens have no bigrams and are
+    * absent from the output.
+    */
+  private[graft] def lmScore(docs: org.apache.spark.sql.DataFrame,
+                             c2: org.apache.spark.sql.DataFrame,
+                             c1: org.apache.spark.sql.DataFrame,
+                             v: org.apache.spark.sql.DataFrame,
+                             passthrough: Seq[String] = Nil)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val keep = passthrough.map(col)
+    val scored = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id") +: keep :+
+        explode(TextQueries.seqBigrams(col("toks"))).as("ngram"): _*)
+      .withColumn("w1", substring_index(col("ngram"), " ", 1))
+    val p = (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
+    val nll = round(-log(p) / lit(Ln2), 9)
+    scored
+      .join(c2, Seq("ngram"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id") +: keep :+ nll.as("nll"): _*)
+      .groupBy(col("doc_id") +: keep: _*)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll").cast(DecimalType(28, 9))).as("xs"))
+      .select(col("doc_id") +: keep :+ col("n_bigrams") :+
+        round(col("xs").cast("double") / col("n_bigrams"), 6)
+          .as("xent"): _*)
+  }
 }

@@ -142,6 +142,25 @@ object CorpusStream {
       .select("eventTime", "doc_id", "chunk_idx", "chunk_fp",
         "keeper_doc", "keeper_idx")
 
+  /** Ingest-time LM quality scoring — the streaming face of
+    * `q_lm_perplexity`'s purpose: each arriving doc in `batch` is
+    * scored (per-bigram cross-entropy in bits, the SAME
+    * [[graft.ops.CorpusQueries.lmScore]] definition as the batch
+    * query, so batch and ingest-time scoring cannot drift) against the
+    * count tables of a FIXED reference LM ([[graft.ops.CorpusQueries
+    * .lmTrainCounts]] over the held-in slice). For `foreachBatch`:
+    * the count tables are static batch relations the planner
+    * broadcasts into the arriving batch's token-grain probe — only
+    * the batch moves, the LM is read-only (a CCNet-style pipeline
+    * scores every crawl snapshot against one frozen reference LM).
+    * Emits (eventTime, doc_id, n_bigrams, xent); arriving docs with
+    * <2 tokens are absent, as in the batch query.
+    */
+  def lmScoreBatch(batch: DataFrame, c2: DataFrame, c1: DataFrame,
+                   v: DataFrame): DataFrame =
+    graft.ops.CorpusQueries.lmScore(batch, c2, c1, v, Seq("eventTime"))
+      .select("eventTime", "doc_id", "n_bigrams", "xent")
+
   /** One surviving sketch counter: `est` is a guaranteed UPPER BOUND on
     * `term`'s true occurrence count so far (SpaceSaving inherits the
     * evicted minimum), and every term above 1/k of its bucket's stream

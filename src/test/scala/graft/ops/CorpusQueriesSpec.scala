@@ -102,4 +102,28 @@ class CorpusQueriesSpec extends SparkSpec {
     }
     assert(rows.size == 5)
   }
+
+  test("q_lm_perplexity: the train-copy doc scores lowest (head); " +
+    "all-unseen docs score exactly log2(V)") {
+    val rows = Registry.queryMap("q_lm_perplexity")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent"),
+          r.getAs[String]("bucket")))).toMap
+    // scored slice = non-src0 docs 1,2,3,5 (doc 4 is the train slice)
+    assert(rows.keySet == Set(1L, 2L, 3L, 5L))
+    // doc 3 is an exact copy of train doc 4: every bigram seen, xent
+    // strictly below the unseen floor, lowest overall -> head bucket
+    assert(rows(3L)._2 == rows.values.map(_._2).min)
+    assert(rows(3L)._3 == "head")
+    // docs 1/2/5 share NO tokens with the train slice: every bigram has
+    // unseen context, p = 1/V with V = 9 distinct train tokens + 1, so
+    // xent == round(round(log2(10), 9), 6) exactly — the Laplace
+    // unseen-mass floor, engine-independent by the round-9-then-sum rule
+    val unseen = BigDecimal(math.log(10.0) / math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (d <- Seq(1L, 2L, 5L)) assert(rows(d)._2 == unseen, s"doc $d")
+    // n_bigrams = tokens - 1 per doc
+    assert(rows(1L)._1 == 9 && rows(2L)._1 == 9 && rows(5L)._1 == 11)
+  }
 }

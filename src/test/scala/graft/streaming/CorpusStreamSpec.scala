@@ -139,4 +139,48 @@ class CorpusStreamSpec extends SparkSpec {
         s"hot-term estimate ${hotEsts.max} outside [30, 70)")
     } finally q.stop()
   }
+
+  test("lmScoreBatch scores arriving docs against the frozen reference " +
+    "LM and matches the batch scorer on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val train = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val (c2, c1, v) = graft.ops.CorpusQueries.lmTrainCounts(train)
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = input.toDF().toDF("eventTime", "doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-lm").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        results ++= CorpusStream.lmScoreBatch(batch, c2, c1, v)
+          .collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent")))
+        ()
+      }
+      .start()
+    try {
+      val arriving = Seq(
+        (ts("2024-01-01 10:00:00"), 1L,
+          "the quick brown fox jumps over the lazy dog"), // = train
+        (ts("2024-01-01 10:00:05"), 2L, "zz yy xx ww vv"), // all unseen
+        (ts("2024-01-01 10:00:09"), 3L, "one"))            // no bigrams
+      input.addData(arriving: _*)
+      q.processAllAvailable()
+      val got = results.sortBy(_._1).toList
+      // doc 3 has <2 tokens -> absent; train copy scores below unseen
+      assert(got.map(_._1) == List(1L, 2L))
+      assert(got(0)._3 < got(1)._3)
+      // stream == batch differential (one lmScore definition)
+      val batchGot = graft.ops.CorpusQueries.lmScore(
+        arriving.toDF("eventTime", "doc_id", "text"), c2, c1, v)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent")))
+        .sortBy(_._1).toList
+      assert(got == batchGot)
+    } finally q.stop()
+  }
 }
