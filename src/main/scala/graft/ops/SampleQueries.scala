@@ -80,6 +80,41 @@ object SampleQueries {
     ),
 
     QueryDef(
+      "q_stratified_mink",
+      "The SAME exact-k stratified sample as q_stratified_exact_k, " +
+        "computed as a deterministic hash-ordered RESERVOIR: a " +
+        "mergeable bounded min-k Catalyst aggregate " +
+        "(functions/MinKAgg) keeps each stratum's k smallest " +
+        "md5(doc_id)-prefixed keys in an O(k) heap per task buffer. " +
+        "min-k is exactly distributive, so the result is identical at " +
+        "any partitioning — no window, no per-stratum sort of the " +
+        "full input; map-side partials collapse every task to <= k " +
+        "entries BEFORE the stratum shuffle (~k x strata rows on the " +
+        "wire however large the corpus). The at-scale alternative the " +
+        "window formulation is measured against; same oracle.",
+      (s, dir) => {
+        val k = 5
+        val key = concat(md5(col("doc_id").cast("string")), lit("|"),
+          col("doc_id").cast("string"))
+        Tables.t(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(graft.functions.MinKAgg.minK(key, k).as("ks"))
+          .select(col("lang"), col("source"),
+            posexplode(col("ks")).as(Seq("i", "key")))
+          .select(
+            split(col("key"), "\\|").getItem(1).cast("long").as("doc_id"),
+            col("lang"), col("source"), (col("i") + 1).as("rk"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, rk FROM (
+             |  SELECT doc_id, lang, source,
+             |    ROW_NUMBER() OVER (PARTITION BY lang, source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 5 ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
       "q_data_split",
       "Deterministic train/val/test split (90/5/5): bucket = the first " +
         "24 md5 bits of doc_id mod 100 — stable under re-partitioning, " +

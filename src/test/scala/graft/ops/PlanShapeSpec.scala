@@ -168,6 +168,22 @@ class PlanShapeSpec extends SparkSpec {
       s"only the output sort may shuffle (got $shuffles):\n$p")
   }
 
+  test("q_stratified_mink: the reservoir sample is window-free — one " +
+    "partial/final aggregate, no per-stratum sort of the input") {
+    val p = plan(Registry.queryMap("q_stratified_mink")(spark, dir))
+    assert(!p.exists(_.isInstanceOf[WindowExec]),
+      s"min-k reservoir must not plan a window:\n$p")
+    // partial agg below the stratum exchange + final above + output sort
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }.length
+    assert(shuffles <= 2,
+      s"only the stratum agg + output sort may shuffle (got $shuffles):\n$p")
+    val aggs = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.nonEmpty, s"expected an imperative aggregate pair:\n$p")
+  }
+
   test("q_source_overlap: per-span source-set agg is exchange-free off " +
     "the sh-bucketed span rows") {
     val p = plan(Registry.queryMap("q_source_overlap")(spark, dir),
