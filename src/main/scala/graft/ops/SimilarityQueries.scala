@@ -27,6 +27,9 @@ object SimilarityQueries {
   private val NCells = 16
   private val NProbe = 4
 
+  /** Per-cell quota for the cluster-balanced diversity sample. */
+  private val DiverseK = 4
+
   /** IVF cells derived from corpus cardinality — SURVEY H2'b's "cells
     * ≫ 16 at scale": cells ≈ √n keeps inverted lists and the centroid
     * relation both ~√n rows, so lists stay balanced and the broadcast
@@ -617,6 +620,43 @@ object SimilarityQueries {
            |${recallSelect("ivf_scored", "ivf_sqrtn")}
            |) ORDER BY variant""".stripMargin
       }
+    ),
+
+    QueryDef(
+      "q_diverse_sample",
+      s"Cluster-balanced diversity sample (the D4 recipe, Tirumala et " +
+        s"al. 2023: cluster the embedding space, then sample per " +
+        s"cluster so no dense region dominates): exactly min($DiverseK, " +
+        "|cell|) vectors per stored-IVF cell, chosen by md5(vec_id) " +
+        "rank — the selection a uniform sample cannot give (uniform " +
+        "follows density; per-cell quotas flatten it). Composes two " +
+        "existing pieces: the STORED IvfIndex cell assignment (the one " +
+        "quantizer shared with search and semantic dedup) and the " +
+        "mergeable min-k aggregate (functions/MinKAgg) — per-cell " +
+        "quotas with O(k) task memory, no window, map-side partials " +
+        "collapse before the cell shuffle; the cell table's bucketing " +
+        "on cell makes the agg exchange-free off the stored scan.",
+      (s, dir) => {
+        val cells = derivedCells(corpus(s, dir).count())
+        val (a2, _) = IvfIndex.buildOrLoad(s, dir, cells)
+        val key = concat(md5(col("vec_id").cast("string")), lit("|"),
+          col("vec_id").cast("string"))
+        a2.groupBy("cell")
+          .agg(graft.functions.MinKAgg.minK(key, DiverseK).as("ks"))
+          .select(col("cell"), posexplode(col("ks")).as(Seq("i", "key")))
+          .select(
+            split(col("key"), "\\|").getItem(1).cast("long").as("vec_id"),
+            col("cell"), (col("i") + 1).as("rk"))
+          .orderBy("cell", "rk")
+      },
+      Some(s"""WITH $baseCte,
+              |${ivfAssignCtes("", sqrtCellsSql)}
+              |SELECT vec_id, cell, rk FROM (
+              |  SELECT vec_id, cell,
+              |    ROW_NUMBER() OVER (PARTITION BY cell
+              |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+              |  FROM a2)
+              |WHERE rk <= $DiverseK ORDER BY cell, rk""".stripMargin)
     )
   )
 }

@@ -184,6 +184,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs.nonEmpty, s"expected an imperative aggregate pair:\n$p")
   }
 
+  test("q_diverse_sample: per-cell min-k agg is exchange-free off the " +
+    "cell-bucketed stored IVF scan, window-free") {
+    val p = plan(Registry.queryMap("q_diverse_sample")(spark, dir))
+    assert(!p.exists(_.isInstanceOf[WindowExec]),
+      s"min-k reservoir must not plan a window:\n$p")
+    assert(contains(p, "_ivfcells"), s"expected stored IVF cell scan:\n$p")
+    for (scan <- scansOf(p, "_ivfcells")) {
+      val path = pathTo(p, scan).getOrElse(fail("no path to cell scan"))
+      val belowAgg = path.reverse.takeWhile {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        case _ => true
+      }
+      assert(!belowAgg.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"cell-grain agg must read the bucketed scan without a shuffle:\n$p")
+    }
+    // only the reduced <= k x cells output moves for the final sort
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }.length
+    assert(shuffles <= 1,
+      s"only the output sort may shuffle (got $shuffles):\n$p")
+  }
+
   test("q_source_overlap: per-span source-set agg is exchange-free off " +
     "the sh-bucketed span rows") {
     val p = plan(Registry.queryMap("q_source_overlap")(spark, dir),
