@@ -625,6 +625,66 @@ object DedupQueries {
               |FROM cc ORDER BY doc_id""".stripMargin)
     ),
 
+    QueryDef(
+      "q_dedup_keep_best",
+      "Quality-aware keeper election: per near-dup cluster (the same " +
+        "star-contraction components as q_dedup_clusters), keep the " +
+        "HIGHEST-quality member (q_quality_score's 0-3 gate, doc_id " +
+        "tiebreak) instead of the min id — what production dedup " +
+        "actually ships (Lee et al. 2022 keep one representative; " +
+        "choosing the best copy, not an arbitrary one, is the point " +
+        "of having a quality score). One argmax struct-max agg per " +
+        "cluster over the CC labels joined doc-grain to the quality " +
+        "gate — integer quality, no float ordering anywhere.",
+      (s, dir) => {
+        val edges = minhashPairs(s, dir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val cc = clusterComponents(edges)
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        val toks = tokens(col("text"))
+        val quality = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextQueries.qualityPoints(length(col("text")), size(toks),
+              TextQueries.nStop(toks)).as("qp"))
+        cc.join(quality, "doc_id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"),
+            max(struct(col("qp"), (-col("doc_id")).as("nd"))).as("best"))
+          .select(col("cluster_id"), col("cluster_size"),
+            (-col("best.nd")).as("keeper_doc"),
+            col("best.qp").as("keeper_quality"))
+          .orderBy("cluster_id")
+      },
+      Some {
+        val stop = TextQueries.stopwords.map(x => s"'$x'")
+          .mkString("[", ",", "]")
+        s"""WITH RECURSIVE $pairsSqlCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |walk(doc_id, reach) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+           |cc AS (SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id),
+           |kb_t AS (SELECT doc_id, ${graft.functions.TextFunctions.toksSql} AS toks,
+           |    length(text) AS n_chars FROM documents),
+           |kb_qp AS (SELECT doc_id,
+           |    (CASE WHEN len(toks) >= 10 THEN 1 ELSE 0 END
+           |     + CASE WHEN len(list_filter(toks, x -> list_contains($stop, x))) > 0
+           |       THEN 1 ELSE 0 END
+           |     + CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS qp
+           |  FROM kb_t),
+           |kb_r AS (SELECT cluster_id, cc.doc_id, kb_qp.qp,
+           |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |      ORDER BY kb_qp.qp DESC, cc.doc_id ASC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+           |  FROM cc JOIN kb_qp ON cc.doc_id = kb_qp.doc_id)
+           |SELECT cluster_id, cluster_size, doc_id AS keeper_doc,
+           |  qp AS keeper_quality
+           |FROM kb_r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+      }
+    ),
+
     // ------------------------------------------------------------- H3'
     QueryDef(
       "q_dedup_simhash",

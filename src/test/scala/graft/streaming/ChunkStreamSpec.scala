@@ -50,4 +50,43 @@ class ChunkStreamSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${tag}_chunks")
     }
   }
+
+  test("streaming ingest maintains the stored chunk table via " +
+    "foreachBatch append — no refresh step, no staleness") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tag = "graft_test_chunkstream_maint_" + System.nanoTime()
+    val standing = Seq((10L, a)).toDF("doc_id", "text")
+    graft.ops.ChunkStore.buildOrLoad(spark, standing, tag)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-chunkmaint").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.ChunkStore.append(batch.sparkSession, batch, tag)
+      }
+      .start()
+    try {
+      input.addData((11L, a), (12L, b)) // 11 duplicates doc 10's chunks
+      q.processAllAvailable()
+      // foreachBatch wrote through a CLONED session; refresh this
+      // session's cached file listing (same rule as SpanSet maintenance)
+      spark.catalog.refreshTable(s"${tag}_chunks")
+      // chunk rows are per-doc facts: append-then-read == rebuild — the
+      // keepers relation sees the new duplicates immediately
+      val keepers = graft.ops.ChunkStore.keepers(spark, tag)
+      val dupFps = spark.table(s"${tag}_chunks")
+        .groupBy("chunk_fp").count().filter($"count" >= 2)
+      // doc 11's chunks all duplicate doc 10's; keeper = doc 10
+      assert(dupFps.count() == 2) // both of doc 10's chunks re-ingested
+      val k = keepers.join(dupFps, "chunk_fp").select("keeper_doc")
+        .as[Long].collect().toSet
+      assert(k == Set(10L))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS ${tag}_chunks")
+    }
+  }
 }
