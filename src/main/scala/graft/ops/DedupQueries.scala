@@ -310,6 +310,32 @@ object DedupQueries {
   def clusterComponents(edges: DataFrame): DataFrame =
     connectedComponentsStar(edges, CcStarMaxIters)
 
+  /** CC labels (doc_id, cluster_id) over the verified minhash pair
+    * graph, shared by q_dedup_clusters and q_dedup_keep_best. The
+    * star-contraction fixpoint runs its rounds at CONSTRUCTION time
+    * (driver-side loop over checkpointed edge sets), so plan-level
+    * caching cannot dedup it — the constructed, persisted label
+    * relation is memoized per (session, dir) and evicted with the
+    * minhash family's release (measured before sharing: keep_best
+    * re-paid the full fixpoint, 1.97 s at sf0.1 for labels the
+    * clusters query had already computed).
+    */
+  private val ccMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private[ops] def minhashComponents(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    ccMemo.getOrElseUpdate((s, dir), {
+      SharedCaches.onRelease(SharedCaches.Minhash) { () =>
+        ccMemo.remove((s, dir)); ()
+      }
+      SharedCaches.track(SharedCaches.Minhash,
+        clusterComponents(minhashPairs(s, dir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
   /** Connected components over an undirected edge list (`src`, `dst`) by
     * `iters` rounds of min-label propagation: label(x) := min(label(x),
     * min over neighbors' labels). Exact for any component whose diameter
@@ -603,12 +629,9 @@ object DedupQueries {
         // so the returned plan is the label relation over checkpointed
         // edges; the LSH pipeline cost is billed at checkpoint time,
         // inside the bench's timed region.
-        val edges = minhashPairs(s, dir)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         import org.apache.spark.sql.expressions.Window
         val wc = Window.partitionBy("cluster_id")
-        clusterComponents(edges)
-          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        minhashComponents(s, dir)
           .withColumn("cluster_size", count(lit(1)).over(wc))
           .orderBy("doc_id")
       },
@@ -637,10 +660,7 @@ object DedupQueries {
         "cluster over the CC labels joined doc-grain to the quality " +
         "gate — integer quality, no float ordering anywhere.",
       (s, dir) => {
-        val edges = minhashPairs(s, dir)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val cc = clusterComponents(edges)
-          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        val cc = minhashComponents(s, dir)
         val toks = tokens(col("text"))
         val quality = Tables.t(s, dir, "documents")
           .select(col("doc_id"),

@@ -66,6 +66,17 @@ object SharedCaches {
 
   private val refs =
     scala.collection.concurrent.TrieMap.empty[String, List[Dataset[_]]]
+  private val hooks =
+    scala.collection.concurrent.TrieMap.empty[String, List[() => Unit]]
+
+  /** Run `f` when `family` is released — for driver-side memos tied to
+    * the family's lifetime (e.g. the CC label relation, whose fixpoint
+    * loop runs at CONSTRUCTION time: a plan-level cache cannot dedup
+    * it, so the constructed DataFrame itself is memoized and must be
+    * evicted with its cache entries).
+    */
+  private[graft] def onRelease(family: String)(f: () => Unit): Unit =
+    hooks.updateWith(family)(l => Some(f :: l.getOrElse(Nil)))
 
   /** Register `df` (already marked for caching) under `family` and
     * return it unchanged. Re-registration of an equivalent plan is fine:
@@ -80,8 +91,10 @@ object SharedCaches {
     * storage is dropped asynchronously). Safe to call at any point —
     * consumers rebuild the cache on next touch.
     */
-  def release(family: String): Unit =
+  def release(family: String): Unit = {
     refs.remove(family).foreach(_.foreach(_.unpersist()))
+    hooks.remove(family).foreach(_.foreach(_.apply()))
+  }
 
   /** For a run executing `names` in sorted order: query name -> families
     * to release AFTER that query (i.e. it is the family's last present

@@ -21,6 +21,22 @@ class SharedCachesSpec extends SparkSpec {
     assert(pts == Map("q_doc_dedup" -> Seq(SharedCaches.Minhash)))
   }
 
+  test("the CC label memo is shared within a family lifetime and " +
+    "evicted on release (the fixpoint runs at construction time, so " +
+    "only a memo can dedup it)") {
+    val first = DedupQueries.minhashComponents(spark, dir)
+    assert(DedupQueries.minhashComponents(spark, dir) eq first,
+      "second consumer must reuse the constructed label relation")
+    SharedCaches.release(SharedCaches.Minhash)
+    val rebuilt = DedupQueries.minhashComponents(spark, dir)
+    assert(!(rebuilt eq first),
+      "release must evict the memo so the next pass rebuilds")
+    // and the rebuilt labels are the same rows
+    assert(rebuilt.orderBy("doc_id").collect().toSeq ==
+      first.orderBy("doc_id").collect().toSeq)
+    SharedCaches.release(SharedCaches.Minhash)
+  }
+
   test("release after the last consumer does not change results — the " +
     "family rebuilds transparently on next touch") {
     val q = Registry.queryMap("q_doc_dedup")
