@@ -411,6 +411,101 @@ object CorpusQueries {
       }
     ),
 
+    // ------------------------------------------------------------- H4i
+    QueryDef(
+      "q_data_card",
+      "Corpus datasheet in one pass (Gebru et al. 2021, 'Datasheets " +
+        "for Datasets'): the release-documentation metrics a dataset " +
+        "card publishes — size (docs/tokens/chars), provenance breadth " +
+        "(distinct sources/langs, max source share), exact-duplication " +
+        "rate (128-bit normalized-text fingerprints), and quality " +
+        "profile (mean 0-3 gate points, fraction >= 2, fraction " +
+        "short) — as (metric, value) rows. Shape: ONE corpus scan " +
+        "feeds a single wide aggregate (the three count-distincts " +
+        "expand-group over the same shuffled relation) plus a " +
+        "source-grain max-share agg, cross-joined 1-row x 1-row and " +
+        "unpivoted via stack; ratios are single IEEE divisions of " +
+        "exact integers, rounded at 6dp.",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val docs = Tables.t(s, dir, "documents")
+          .withColumn("n_tok", size(toks))
+          .withColumn("qp", TextQueries.qualityPoints(
+            length(col("text")), col("n_tok"), TextQueries.nStop(toks)))
+          .withColumn("fp", md5(normText(col("text"))))
+        val wide = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(length(col("text"))).as("n_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("fp")).as("n_fps"),
+          sum(col("qp")).as("sum_qp"),
+          sum(when(col("qp") >= 2, 1L).otherwise(0L)).as("n_q2"),
+          sum(when(col("n_tok") < 10, 1L).otherwise(0L)).as("n_short"))
+        val srcMax = docs.groupBy("source")
+          .agg(count(lit(1)).as("sn")).agg(max(col("sn")).as("max_sn"))
+        wide.crossJoin(srcMax).selectExpr(
+          s"""stack(12,
+             |'n_docs', CAST(n_docs AS DOUBLE),
+             |'n_tokens', CAST(n_tokens AS DOUBLE),
+             |'n_chars', CAST(n_chars AS DOUBLE),
+             |'n_sources', CAST(n_sources AS DOUBLE),
+             |'n_langs', CAST(n_langs AS DOUBLE),
+             |'distinct_fingerprints', CAST(n_fps AS DOUBLE),
+             |'exact_dup_rate', round(1.0D - CAST(n_fps AS DOUBLE)/n_docs, 6),
+             |'mean_tokens_per_doc', round(CAST(n_tokens AS DOUBLE)/n_docs, 6),
+             |'mean_quality_points', round(CAST(sum_qp AS DOUBLE)/n_docs, 6),
+             |'pct_quality_ge2', round(CAST(n_q2 AS DOUBLE)/n_docs, 6),
+             |'pct_short_docs', round(CAST(n_short AS DOUBLE)/n_docs, 6),
+             |'max_source_share', round(CAST(max_sn AS DOUBLE)/n_docs, 6)
+             |) AS (metric, value)""".stripMargin)
+          .orderBy("metric")
+      },
+      Some {
+        val stop = TextQueries.stopwords.map(x => s"'$x'")
+          .mkString("[", ",", "]")
+        s"""WITH t AS (SELECT doc_id, lang, source, text, $toksSql AS toks,
+           |    md5($normSql) AS fp FROM documents),
+           |m AS (SELECT doc_id, lang, source, fp, len(toks) AS n_tok,
+           |    length(text) AS n_chars,
+           |    (CASE WHEN len(toks) >= 10 THEN 1 ELSE 0 END
+           |     + CASE WHEN len(list_filter(toks, x -> list_contains($stop, x))) > 0
+           |       THEN 1 ELSE 0 END
+           |     + CASE WHEN length(text) >= 64 THEN 1 ELSE 0 END) AS qp
+           |  FROM t),
+           |w AS (SELECT count(*) AS n_docs, sum(n_tok) AS n_tokens,
+           |    sum(n_chars) AS n_chars, count(DISTINCT source) AS n_sources,
+           |    count(DISTINCT lang) AS n_langs, count(DISTINCT fp) AS n_fps,
+           |    sum(qp) AS sum_qp,
+           |    sum(CASE WHEN qp >= 2 THEN 1 ELSE 0 END) AS n_q2,
+           |    sum(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) AS n_short
+           |  FROM m),
+           |sm AS (SELECT max(sn) AS max_sn FROM
+           |  (SELECT count(*) AS sn FROM documents GROUP BY source))
+           |SELECT metric, value FROM (
+           |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM w
+           |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM w
+           |  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM w
+           |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM w
+           |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM w
+           |  UNION ALL SELECT 'distinct_fingerprints', CAST(n_fps AS DOUBLE) FROM w
+           |  UNION ALL SELECT 'exact_dup_rate',
+           |    round(1.0 - CAST(n_fps AS DOUBLE)/n_docs, 6) FROM w
+           |  UNION ALL SELECT 'mean_tokens_per_doc',
+           |    round(CAST(n_tokens AS DOUBLE)/n_docs, 6) FROM w
+           |  UNION ALL SELECT 'mean_quality_points',
+           |    round(CAST(sum_qp AS DOUBLE)/n_docs, 6) FROM w
+           |  UNION ALL SELECT 'pct_quality_ge2',
+           |    round(CAST(n_q2 AS DOUBLE)/n_docs, 6) FROM w
+           |  UNION ALL SELECT 'pct_short_docs',
+           |    round(CAST(n_short AS DOUBLE)/n_docs, 6) FROM w
+           |  UNION ALL SELECT 'max_source_share',
+           |    round(CAST(max_sn AS DOUBLE)/n_docs, 6) FROM w, sm)
+           |ORDER BY metric""".stripMargin
+      }
+    ),
+
     // ------------------------------------------------------------- H4h
     QueryDef(
       "q_lm_perplexity",
