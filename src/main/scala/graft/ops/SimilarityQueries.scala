@@ -30,6 +30,15 @@ object SimilarityQueries {
   /** Per-cell quota for the cluster-balanced diversity sample. */
   private val DiverseK = 4
 
+  /** Target dimensionality of the JL random projection — 16 so the
+    * normalizer 1/sqrt(16) = 0.25 is EXACT (no libm sqrt in the
+    * projection itself; the only sqrts are the pair norms, an exactly-
+    * rounded IEEE op). Planes seeded differently from the LSH planes.
+    */
+  private val ProjDim = 16
+  private val projPlanes = graft.functions.VectorFunctions
+    .makePlanes(ProjDim, Dim, seed = 7L)
+
   /** IVF cells derived from corpus cardinality — SURVEY H2'b's "cells
     * ≫ 16 at scale": cells ≈ √n keeps inverted lists and the centroid
     * relation both ~√n rows, so lists stay balanced and the broadcast
@@ -657,6 +666,70 @@ object SimilarityQueries {
               |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
               |  FROM a2)
               |WHERE rk <= $DiverseK ORDER BY cell, rk""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_embedding_project",
+      s"Johnson-Lindenstrauss random projection $Dim -> $ProjDim dims " +
+        "(±1 sign matrix / sqrt(k) — Achlioptas 2003, the " +
+        "database-friendly JL construction) WITH its measured " +
+        "distortion: pairwise cosine before vs after projection on " +
+        "the bounded query panel, one summary row (mean + max " +
+        "absolute error) — a dimensionality reduction without a " +
+        "distortion number is unfalsifiable, same principle as " +
+        "q_ann_recall. Both engines fold the dot products " +
+        "left-to-right and 1/sqrt(16) is exact, so every per-pair " +
+        "error is bit-identical; the mean uses the round-9-then-" +
+        "DECIMAL-sum rule for order independence. At 100 TB the " +
+        "projection is a stateless map (k dot products per vector) " +
+        "that shrinks every downstream ANN shuffle 4x; the panel " +
+        "distortion check rides the same broadcast pattern as the " +
+        "exact top-k baseline.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val proj = array(projPlanes.map(p =>
+          dot(col("v"), lit(p.toArray)) / lit(4.0)): _*)
+        val panel = corpus(s, dir).filter(expr(QueryPred))
+          .withColumn("p", proj)
+          .withColumn("pn", l2Norm(col("p")))
+          .select(col("vec_id"), col("v"), col("nrm"), col("p"), col("pn"))
+        val a = panel.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nrm").as("na"), col("p").as("pa"), col("pn").as("pna"))
+        val b = panel.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb"), col("p").as("pb"), col("pn").as("pnb"))
+        broadcast(a).crossJoin(b)
+          .filter(col("vec_a") < col("vec_b"))
+          .select(round(abs(
+            dot(col("pa"), col("pb")) / (col("pna") * col("pnb")) -
+              dot(col("va"), col("vb")) / (col("na") * col("nb"))), 9)
+            .as("err"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum(col("err").cast(DecimalType(28, 9))).cast("double") /
+              count(lit(1)), 6).as("mean_abs_err"),
+            round(max(col("err")), 6).as("max_abs_err"))
+          .select(lit(ProjDim).as("k_dims"), col("n_pairs"),
+            col("mean_abs_err"), col("max_abs_err"))
+      },
+      Some {
+        val projSql = projPlanes.map { p =>
+          val lits = p.map(v => if (v > 0) "1.0" else "-1.0")
+            .mkString("[", ",", "]")
+          s"list_dot_product(qv, $lits::DOUBLE[])/4.0"
+        }.mkString("[", ",\n", "]")
+        s"""WITH $baseCte,
+           |pr AS (SELECT query_id AS vid, qv, qn, $projSql AS p FROM q),
+           |pn2 AS (SELECT vid, qv, qn, p,
+           |    sqrt(list_dot_product(p, p)) AS pnrm FROM pr),
+           |e2 AS (SELECT round(abs(
+           |    list_dot_product(a.p, b.p)/(a.pnrm*b.pnrm)
+           |    - list_dot_product(a.qv, b.qv)/(a.qn*b.qn)), 9) AS err
+           |  FROM pn2 a JOIN pn2 b ON a.vid < b.vid)
+           |SELECT $ProjDim AS k_dims, count(*) AS n_pairs,
+           |  round(CAST(sum(CAST(err AS DECIMAL(28,9))) AS DOUBLE)
+           |    / count(*), 6) AS mean_abs_err,
+           |  round(max(err), 6) AS max_abs_err
+           |FROM e2""".stripMargin
+      }
     )
   )
 }
