@@ -190,6 +190,79 @@ object ProfileQueries {
           .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
             "\n) ORDER BY table_name")
       }
+    ),
+
+    // ----------------------------------------------------------- C5
+    QueryDef(
+      "q_profile_merge",
+      "Incremental profile maintenance, oracle-proven: profile the " +
+        "standing corpus and the arriving batch (doc_id % 10 = 0, the " +
+        "incremental-ingest convention) SEPARATELY, then merge the two " +
+        "partial profiles with the semilattice ops (counts sum, mins " +
+        "min, maxes max) — the declared twin of Profiler.merge, as one " +
+        "lazy plan: groupBy(snapshot) partial agg, then the merge agg " +
+        "over TWO rows. The oracle profiles the full table in one " +
+        "pass, so the driver's gate verifies merge(profile(standing), " +
+        "profile(batch)) == profile(union) EXACTLY — the algebra that " +
+        "lets daily profile maintenance scan only the batch at 100 TB.",
+      (s, dir) => {
+        val isNew = col("doc_id") % 10 === 0
+        val per = Tables.t(s, dir, "documents")
+          .groupBy(when(isNew, "batch").otherwise("standing").as("snap"))
+          .agg(count(lit(1)).as("rows"),
+            count(col("doc_id")).as("did_nn"),
+            min(col("doc_id")).cast("double").as("did_min"),
+            max(col("doc_id")).cast("double").as("did_max"),
+            count(col("n_chars")).as("nch_nn"),
+            min(col("n_chars")).cast("double").as("nch_min"),
+            max(col("n_chars")).cast("double").as("nch_max"),
+            count(col("text")).as("txt_nn"),
+            max(length(col("text"))).cast("long").as("txt_maxlen"),
+            count(col("lang")).as("lng_nn"),
+            max(length(col("lang"))).cast("long").as("lng_maxlen"),
+            count(col("source")).as("src_nn"),
+            max(length(col("source"))).cast("long").as("src_maxlen"))
+        // the merge: every statistic is a semilattice, so re-aggregating
+        // the two partial rows IS Profiler.merge
+        per.agg(sum(col("rows")).as("n_rows"),
+            sum(col("did_nn")).as("did_nn"),
+            min(col("did_min")).as("did_min"),
+            max(col("did_max")).as("did_max"),
+            sum(col("nch_nn")).as("nch_nn"),
+            min(col("nch_min")).as("nch_min"),
+            max(col("nch_max")).as("nch_max"),
+            sum(col("txt_nn")).as("txt_nn"),
+            max(col("txt_maxlen")).as("txt_maxlen"),
+            sum(col("lng_nn")).as("lng_nn"),
+            max(col("lng_maxlen")).as("lng_maxlen"),
+            sum(col("src_nn")).as("src_nn"),
+            max(col("src_maxlen")).as("src_maxlen"))
+          .selectExpr(
+            """stack(5,
+              |'doc_id', 'bigint', did_nn, did_min, did_max, CAST(NULL AS BIGINT),
+              |'n_chars', 'bigint', nch_nn, nch_min, nch_max, CAST(NULL AS BIGINT),
+              |'text', 'string', txt_nn, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), txt_maxlen,
+              |'lang', 'string', lng_nn, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), lng_maxlen,
+              |'source', 'string', src_nn, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), src_maxlen
+              |) AS (column, dtype, non_null, min_num, max_num, max_len)""".stripMargin,
+            "n_rows")
+          .orderBy("column")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+             |    count(doc_id) AS non_null, CAST(min(doc_id) AS DOUBLE) AS min_num,
+             |    CAST(max(doc_id) AS DOUBLE) AS max_num, NULL::BIGINT AS max_len,
+             |    count(*) AS n_rows FROM documents
+             |  UNION ALL SELECT 'n_chars', 'bigint', count(n_chars),
+             |    CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+             |    NULL::BIGINT, count(*) FROM documents
+             |  UNION ALL SELECT 'text', 'string', count(text), NULL::DOUBLE,
+             |    NULL::DOUBLE, max(length(text)), count(*) FROM documents
+             |  UNION ALL SELECT 'lang', 'string', count(lang), NULL::DOUBLE,
+             |    NULL::DOUBLE, max(length(lang)), count(*) FROM documents
+             |  UNION ALL SELECT 'source', 'string', count(source), NULL::DOUBLE,
+             |    NULL::DOUBLE, max(length(source)), count(*) FROM documents
+             |) ORDER BY "column"""".stripMargin)
     )
   )
 }
