@@ -243,6 +243,57 @@ object EventQueries {
              |  CASE WHEN baseline > 0 AND cnt/baseline >= 3 THEN 1 ELSE 0 END
              |    AS anomalous
              |FROM w ORDER BY event_type, minute""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_event_attribution",
+      "Marketing attribution, the batch twin of the BOUNDED " +
+        "stream-stream join (EventStream.attributionJoin): every click " +
+        "matched to the same user's views in the 30 minutes before it " +
+        "(inclusive), with the seconds of lag and a last-touch flag " +
+        "(most recent view wins; view_id tiebreak). The flag makes one " +
+        "query serve both attribution models — all-touch rows AND the " +
+        "last-touch subset (is_last_touch = 1, the as-of-backward " +
+        "semantics of H7). Shape: user-keyed equi-join (both sides " +
+        "shuffle on user_id, the time bound filters pairs), then one " +
+        "click-keyed window over the already-bounded pair set — " +
+        "per-user fan-out is view-rate x 30 min at any scale, the same " +
+        "bound the streaming state store relies on.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events").withColumn("sec", epochSec)
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("sec").as("vsec"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("sec").as("csec"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("click_id")
+          .orderBy(col("vsec").desc, col("view_id").asc)
+        c.join(v, Seq("user_id"))
+          .filter(col("vsec") <= col("csec") &&
+            col("vsec") >= col("csec") - 1800)
+          .withColumn("rn", row_number().over(w))
+          .select(col("user_id"), col("click_id"), col("view_id"),
+            (col("csec") - col("vsec")).as("lag_sec"),
+            when(col("rn") === 1, 1).otherwise(0).as("is_last_touch"))
+          .orderBy("click_id", "view_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |v AS (SELECT user_id, event_id AS view_id, sec AS vsec
+             |  FROM e WHERE event_type = 'view'),
+             |c AS (SELECT user_id, event_id AS click_id, sec AS csec
+             |  FROM e WHERE event_type = 'click'),
+             |j AS (SELECT c.user_id, c.click_id, v.view_id,
+             |    c.csec - v.vsec AS lag_sec,
+             |    ROW_NUMBER() OVER (PARTITION BY c.click_id
+             |      ORDER BY v.vsec DESC, v.view_id ASC) AS rn
+             |  FROM c JOIN v ON c.user_id = v.user_id
+             |    AND v.vsec <= c.csec AND v.vsec >= c.csec - 1800)
+             |SELECT user_id, click_id, view_id, lag_sec,
+             |  CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_last_touch
+             |FROM j ORDER BY click_id, view_id""".stripMargin)
     )
   )
 }

@@ -246,6 +246,43 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin on one batch equals the declared batch query's " +
+    "all-touch rows on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val dir = "/root/testdata/sf0.001"
+    def side(kind: String) = graft.Tables.t(spark, dir, "events")
+      .filter(col("event_type") === kind)
+      .select(timestamp_seconds(
+          graft.Tables.nanosToEpochSec(col("ts"))).as("t"),
+        col("user_id"), col("event_id"))
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    val vIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val cIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = EventStream.attributionJoin(
+      vIn.toDF().toDF("viewTime", "user_id", "view_id"),
+      cIn.toDF().toDF("clickTime", "user_id", "click_id"))
+      .writeStream.queryName("attr_diff")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-attrdiff").toString)
+      .format("memory")
+      .start()
+    try {
+      vIn.addData(side("view"): _*)
+      cIn.addData(side("click"): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_diff")
+        .select("user_id", "click_id", "view_id", "lag_sec")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val batch = graft.Registry.queryMap("q_event_attribution")(spark, dir)
+        .select("user_id", "click_id", "view_id", "lag_sec")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("funnelStages batch execution matches the within-batch ordered semantics") {
     implicit val s = spark
     import spark.implicits._
