@@ -55,6 +55,17 @@ object TextQueries {
     */
   private[graft] val HeavyK = 1024
 
+  /** PMI collocation floor: bigrams below this count are too noisy to
+    * rank (PMI of a hapax pair is maximal by construction). */
+  private val PmiMinCount = 5
+
+  /** ln(2) as ONE double literal shared by the Spark plan and the
+    * DuckDB oracle text (Double.toString round-trips the exact value) —
+    * the q_lm_perplexity convention. Declared before [[defs]]: the
+    * oracle string interpolates it at object initialization.
+    */
+  private val Ln2: Double = math.log(2.0)
+
   /** SpaceSaving frequent-items sketch over one partition: at most `k`
     * counters; an untracked arrival evicts the min-count entry and
     * inherits its count + 1. Guarantee used here: any item with true
@@ -284,6 +295,67 @@ object TextQueries {
               |    ELSE []::VARCHAR[] END) AS ngram FROM t)
               |SELECT ngram, COUNT(*) AS n_occurrences FROM b
               |GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_pmi_bigrams",
+      s"Collocation extraction: top-25 word bigrams by pointwise " +
+        s"mutual information, min count $PmiMinCount (Church & Hanks " +
+        "1990 — the phrase-induction signal a tokenizer/vocab build " +
+        "uses to promote multi-word units; raw frequency surfaces " +
+        "stopword pairs, PMI surfaces bound phrases). " +
+        "PMI = log2(P(w1w2) / (P(w1)P(w2))) with bigram and unigram " +
+        "probabilities over their own occurrence totals. Shape: one " +
+        "bigram count + one unigram count (vocab-grain), the bigram " +
+        "relation joins its two member counts (broadcast at any " +
+        "realistic vocab) + two 1-row totals; ranking uses the ROUNDED " +
+        "pmi with ngram tiebreak so both engines order identically; " +
+        "the staged divisions are written in the same order in both " +
+        "engines and ln2 is one shared double literal.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+        val uni = docs.select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c1"))
+        val n1df = docs.select(explode(col("toks")).as("tok"))
+          .agg(count(lit(1)).as("n1"))
+        val bi = docs.select(explode(seqBigrams(col("toks"))).as("ngram"))
+          .groupBy("ngram").agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= PmiMinCount)
+        val n2df = docs.select(explode(seqBigrams(col("toks"))).as("b"))
+          .agg(count(lit(1)).as("n2"))
+        val ratio = (col("c12").cast("double") / col("n2")) /
+          ((col("c1a").cast("double") / col("n1")) *
+            (col("c1b").cast("double") / col("n1")))
+        bi.withColumn("w1", substring_index(col("ngram"), " ", 1))
+          .withColumn("w2", substring_index(col("ngram"), " ", -1))
+          .join(uni.select(col("tok").as("w1"), col("c1").as("c1a")), "w1")
+          .join(uni.select(col("tok").as("w2"), col("c1").as("c1b")), "w2")
+          .crossJoin(broadcast(n1df)).crossJoin(broadcast(n2df))
+          .select(col("ngram"), col("c12"),
+            round(log(ratio) / lit(Ln2), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("ngram").asc)
+          .limit(25)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |u AS (SELECT unnest(toks) AS tok FROM t),
+              |uni AS (SELECT tok, COUNT(*) AS c1 FROM u GROUP BY tok),
+              |n1t AS (SELECT COUNT(*) AS n1 FROM u),
+              |b AS (SELECT unnest(CASE WHEN len(toks) >= 2
+              |    THEN list_transform(range(1, len(toks)), i -> toks[i]||' '||toks[i+1])
+              |    ELSE []::VARCHAR[] END) AS ngram FROM t),
+              |bi AS (SELECT ngram, COUNT(*) AS c12 FROM b GROUP BY ngram
+              |  HAVING COUNT(*) >= $PmiMinCount),
+              |n2t AS (SELECT COUNT(*) AS n2 FROM b)
+              |SELECT ngram, c12,
+              |  round(ln((c12::DOUBLE / n2) /
+              |    ((a.c1::DOUBLE / n1) * (z.c1::DOUBLE / n1))) / $Ln2, 6)
+              |    AS pmi
+              |FROM bi
+              |JOIN uni a ON a.tok = split_part(ngram, ' ', 1)
+              |JOIN uni z ON z.tok = split_part(ngram, ' ', 2)
+              |CROSS JOIN n1t CROSS JOIN n2t
+              |ORDER BY pmi DESC, ngram LIMIT 25""".stripMargin)
     ),
 
     QueryDef(

@@ -263,6 +263,69 @@ object ProfileQueries {
              |  UNION ALL SELECT 'source', 'string', count(source), NULL::DOUBLE,
              |    NULL::DOUBLE, max(length(source)), count(*) FROM documents
              |) ORDER BY "column"""".stripMargin)
+    ),
+
+    // ----------------------------------------------------- C6 (extension)
+    QueryDef(
+      "q_corr_profile",
+      "Pairwise Pearson correlation over lineitem's numeric measures " +
+        "(quantity, extendedprice, discount, tax) — the dependence " +
+        "profile a schema-migration or feature-selection pass reads " +
+        "before dropping or compressing columns. ONE fused aggregation " +
+        "pass computes every Sx/Sxx/Sxy moment (15 aggregate " +
+        "expressions, one scan, one partial/final exchange — the C1-C4 " +
+        "fusion argument at pair grain); r derives from the moments in " +
+        "closed form. Cross-engine float determinism: each moment term " +
+        "is round(., 9) then summed as DECIMAL(38,9) (exact, " +
+        "order-independent), and the closed-form combination is a " +
+        "fixed sequence of exactly-rounded IEEE ops on identical " +
+        "inputs, so r is bit-stable before its final 6dp rounding.",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        def dsum(e: org.apache.spark.sql.Column, name: String) =
+          sum(round(e, 9).cast(DecimalType(38, 9))).cast(DoubleType).as(name)
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        val aggs = Seq(count(lit(1)).cast(DoubleType).as("n")) ++
+          cols.flatMap(c => Seq(
+            dsum(col(c), s"s_$c"),
+            dsum(col(c) * col(c), s"ss_$c"))) ++
+          pairs.map { case (a, b) => dsum(col(a) * col(b), s"sp_${a}_$b") }
+        val rows = pairs.map { case (a, b) =>
+          val num = col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+          val da = sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+          val db = sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+          struct(lit(a).as("col_a"), lit(b).as("col_b"),
+            col("n").cast("long").as("n_rows"),
+            round(num / (da * db), 6).as("pearson_r"))
+        }
+        Tables.t(s, dir, "lineitem")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rows: _*)).as("r"))
+          .select(col("r.*"))
+          .orderBy("col_a", "col_b")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val sels = for {
+          i <- cols.indices; j <- cols.indices if i < j
+          (a, b) = (cols(i), cols(j))
+        } yield {
+          def ds(e: String) =
+            s"CAST(sum(CAST(round($e, 9) AS DECIMAL(38,9))) AS DOUBLE)"
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, count(*) AS n_rows,
+             |  round((count(*)::DOUBLE * ${ds(s"$a*$b")}
+             |      - ${ds(a)} * ${ds(b)})
+             |    / (sqrt(count(*)::DOUBLE * ${ds(s"$a*$a")}
+             |        - ${ds(a)} * ${ds(a)})
+             |      * sqrt(count(*)::DOUBLE * ${ds(s"$b*$b")}
+             |        - ${ds(b)} * ${ds(b)})), 6) AS pearson_r
+             |FROM lineitem""".stripMargin
+        }
+        sels.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY col_a, col_b")
+      }
     )
   )
 }
