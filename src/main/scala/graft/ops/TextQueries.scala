@@ -313,7 +313,9 @@ object TextQueries {
         "the staged divisions are written in the same order in both " +
         "engines and ln2 is one shared double literal.",
       (s, dir) => {
-        val docs = Tables.t(s, dir, "documents")
+        // par: four tokenize+explode passes over a single-row-group
+        // parquet would each run in ONE task without the fan-out guard
+        val docs = Tables.par(s, dir, "documents")
           .withColumn("toks", tokens(col("text")))
         val uni = docs.select(explode(col("toks")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c1"))

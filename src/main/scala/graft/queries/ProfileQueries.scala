@@ -300,7 +300,11 @@ object ProfileQueries {
             col("n").cast("long").as("n_rows"),
             round(num / (da * db), 6).as("pearson_r"))
         }
-        Tables.t(s, dir, "lineitem")
+        // par: the bench parquet is single-row-group, and 15 decimal
+        // moment aggregations in ONE scan task serialize — the fan-out
+        // guard turns this into 32-way map-side partials (measured
+        // 5.8 s -> sub-second); at 100 TB the guard no-ops.
+        Tables.par(s, dir, "lineitem")
           .agg(aggs.head, aggs.tail: _*)
           .select(explode(array(rows: _*)).as("r"))
           .select(col("r.*"))
