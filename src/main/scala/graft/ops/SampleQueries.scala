@@ -143,6 +143,62 @@ object SampleQueries {
              |  count(*) AS n_docs, count(DISTINCT source) AS n_sources,
              |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_importance_sample",
+      "Quality-proportional importance sampling: each doc is kept with " +
+        "probability quality_points/3 (the 0-3 gate as a sampling " +
+        "weight) — the weighted mix-building step that up-samples " +
+        "high-quality text instead of hard-filtering (a soft version " +
+        "of the corpus-filter gate). Deterministic and EXACT in " +
+        "integers: the 24-bit md5 hash of doc_id is kept iff " +
+        "3*hash < qp*2^24 — no float acceptance threshold, so the " +
+        "same doc is kept on every engine, layout, and rerun, and " +
+        "incremental ingest cannot flip earlier decisions. Output is " +
+        "the measured sampler: per quality level, docs seen/kept and " +
+        "actual vs target rate. Stateless per-row decision + one tiny " +
+        "agg — map-only at any scale.",
+      (s, dir) => {
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        val qp = graft.ops.TextQueries.qualityPoints(
+          length(col("text")), size(toks),
+          graft.ops.TextQueries.nStop(toks))
+        val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+          16, 10).cast("long")
+        Tables.t(s, dir, "documents")
+          .withColumn("qp", qp)
+          .withColumn("kept",
+            when(bkt * 3 < col("qp").cast("long") * (1L << 24), 1L)
+              .otherwise(0L))
+          .groupBy("qp")
+          .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+            round(sum(col("kept")).cast("double") / count(lit(1)), 6)
+              .as("actual_rate"),
+            round(col("qp").cast("double") / 3, 6).as("target_rate"))
+          .orderBy("qp")
+      },
+      Some {
+        val stop = graft.ops.TextQueries.stopwords.map(x => s"'$x'")
+          .mkString("[", ",", "]")
+        s"""WITH t AS (SELECT doc_id, ${graft.functions.TextFunctions.toksSql} AS toks,
+           |    length(text) AS n_chars,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS bkt
+           |  FROM documents),
+           |m AS (SELECT doc_id, bkt,
+           |    (CASE WHEN len(toks) >= 10 THEN 1 ELSE 0 END
+           |     + CASE WHEN len(list_filter(toks, x -> list_contains($stop, x))) > 0
+           |       THEN 1 ELSE 0 END
+           |     + CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS qp
+           |  FROM t)
+           |SELECT qp, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN 3*bkt < qp*16777216 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  round(CAST(sum(CASE WHEN 3*bkt < qp*16777216 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+           |    / count(*), 6) AS actual_rate,
+           |  round(qp::DOUBLE / 3, 6) AS target_rate
+           |FROM m GROUP BY qp ORDER BY qp""".stripMargin
+      }
     )
   )
 }
