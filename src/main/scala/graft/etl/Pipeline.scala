@@ -147,16 +147,20 @@ object Pipeline {
     *
     * Tag contract: artifacts are tagged EXACTLY as their consumers
     * derive them for a corpus directory — `BandIndex.tag(outDir,
-    * "standing")` (the incremental-dedup probe's standing index) and
+    * "full")` (the ingest-time stream probe's whole-corpus index) and
     * `SpanSet.tag(outDir)` (the span queries' artifact) — so the phase
     * pre-pays the build that queries and streaming probes against
     * `outDir` then reuse via `tableExists`, instead of writing a
     * private copy nothing reads (the IVF branch always shared its query
-    * tag; band/span now match it). One tag per corpus dir is the
-    * consumers' contract, hence at most one table per family. The band
-    * index covers the FULL written table: post-migration, the whole
-    * migrated corpus IS the standing corpus that future arriving
-    * batches (and the ingest-time stream probe) dedup against.
+    * tag; band/span now match it). One tag per corpus dir AND BUILD
+    * POPULATION is the consumers' contract, hence at most one table per
+    * family. The role names the population, because `buildOrLoad`
+    * short-circuits on `tableExists` and would otherwise silently serve
+    * whichever population built first: this index covers the FULL
+    * written table (post-migration, the whole migrated corpus IS what
+    * future arrivals dedup against), while `q_dedup_incremental`'s
+    * probe target is the doc_id%10!=0 SUBSET and keeps its own role
+    * "standing" — the r7 ADVICE cross-poisoning finding.
     */
   def artifactPhase(
       spark: SparkSession,
@@ -174,7 +178,7 @@ object Pipeline {
       (r, (System.nanoTime() - t0) / 1e9)
     }
     val band = a.bandIndexTables.map { t =>
-      val tag = graft.ops.BandIndex.tag(outDir, "standing")
+      val tag = graft.ops.BandIndex.tag(outDir, "full")
       val ((skB, skR), secs) = timed {
         graft.ops.BandIndex.buildOrLoad(spark,
           spark.read.parquet(s"$outDir/$t.parquet"), tag, log)

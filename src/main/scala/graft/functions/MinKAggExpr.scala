@@ -35,38 +35,48 @@ import scala.collection.mutable
   * the full input (each buffer is a <= k-entry heap) — the classic
   * trade the two declared queries make measurable against each other.
   *
-  * Comparison order is UTF8String/UTF-8-byte lexicographic == DuckDB's
-  * binary VARCHAR collation (keys here are ASCII hex + '|' + digits),
-  * so the Spark result and the SQL oracle rank identically.
+  * Comparison order is UTF8String's own binary (unsigned-byte)
+  * comparator — the buffer holds `UTF8String` end to end, so the order
+  * is UTF-8-byte lexicographic == DuckDB's binary VARCHAR collation by
+  * CONSTRUCTION, for any input (not just the ASCII hex keys the
+  * declared queries feed it; Java `String` comparison would diverge on
+  * strings mixing supplementary-plane code points with U+E000..U+FFFF).
   */
 case class MinKAgg(
     child: Expression,
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[String]]
+  extends TypedImperativeAggregate[mutable.PriorityQueue[UTF8String]]
   with UnaryLike[Expression] {
 
   require(k > 0, "k must be positive")
 
+  import MinKAgg.byteOrder
+
   // max-heap: head/dequeue is the LARGEST retained key — the one a
   // smaller arrival evicts.
-  override def createAggregationBuffer(): mutable.PriorityQueue[String] =
-    mutable.PriorityQueue.empty[String]
+  override def createAggregationBuffer(): mutable.PriorityQueue[UTF8String] =
+    mutable.PriorityQueue.empty[UTF8String]
 
-  private def add(buffer: mutable.PriorityQueue[String], v: String): Unit =
+  private def add(buffer: mutable.PriorityQueue[UTF8String], v: UTF8String): Unit =
     if (buffer.size < k) buffer.enqueue(v)
-    else if (v < buffer.head) { buffer.dequeue(); buffer.enqueue(v) }
+    else if (v.compareTo(buffer.head) < 0) { buffer.dequeue(); buffer.enqueue(v) }
 
-  override def update(buffer: mutable.PriorityQueue[String],
-                      input: InternalRow): mutable.PriorityQueue[String] = {
-    val v = child.eval(input)
-    if (v != null) add(buffer, v.toString)
+  override def update(buffer: mutable.PriorityQueue[UTF8String],
+                      input: InternalRow): mutable.PriorityQueue[UTF8String] = {
+    child.eval(input) match {
+      case null =>
+      // clone(): eval's UTF8String may be backed by a reused row buffer;
+      // retained values must own their bytes.
+      case s: UTF8String => add(buffer, s.clone())
+      case other => add(buffer, UTF8String.fromString(other.toString))
+    }
     buffer
   }
 
-  override def merge(buffer: mutable.PriorityQueue[String],
-                     other: mutable.PriorityQueue[String]): mutable.PriorityQueue[String] = {
+  override def merge(buffer: mutable.PriorityQueue[UTF8String],
+                     other: mutable.PriorityQueue[UTF8String]): mutable.PriorityQueue[UTF8String] = {
     other.foreach(add(buffer, _))
     buffer
   }
@@ -74,16 +84,15 @@ case class MinKAgg(
   /** Ascending key array — rank i (1-based) of the stratum's hash order
     * is element i-1; `posexplode` recovers it downstream.
     */
-  override def eval(buffer: mutable.PriorityQueue[String]): Any =
-    new GenericArrayData(
-      buffer.toArray.sorted.map(UTF8String.fromString(_)))
+  override def eval(buffer: mutable.PriorityQueue[UTF8String]): Any =
+    new GenericArrayData(buffer.toArray.sorted[UTF8String])
 
-  override def serialize(buffer: mutable.PriorityQueue[String]): Array[Byte] = {
+  override def serialize(buffer: mutable.PriorityQueue[UTF8String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.size)
     buffer.foreach { s =>
-      val b = s.getBytes("UTF-8")
+      val b = s.getBytes
       out.writeInt(b.length)
       out.write(b)
     }
@@ -91,16 +100,16 @@ case class MinKAgg(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[String] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[UTF8String] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val q = mutable.PriorityQueue.empty[String]
+    val q = mutable.PriorityQueue.empty[UTF8String]
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      q.enqueue(new String(b, "UTF-8"))
+      q.enqueue(UTF8String.fromBytes(b))
       i += 1
     }
     q
@@ -119,6 +128,10 @@ case class MinKAgg(
 }
 
 object MinKAgg {
+  /** UTF8String's Comparable IS the binary unsigned-byte order. */
+  private[functions] implicit val byteOrder: Ordering[UTF8String] =
+    Ordering.comparatorToOrdering(java.util.Comparator.naturalOrder[UTF8String]())
+
   /** Column builder: ascending array of the k smallest values of `c`. */
   def minK(c: Column, k: Int): Column =
     GraftSqlBridge.toColumn(

@@ -1023,7 +1023,11 @@ object DedupQueries {
         val isNew = col("doc_id") % 10 === 0
         // The stored index covers the standing corpus only, so its
         // precomputed bsz counts standing docs — same population as the
-        // oracle's QUALIFY over the non-new partition.
+        // oracle's QUALIFY over the non-new partition. Role "standing"
+        // names THIS subset population exclusively; the pipeline/stream
+        // whole-corpus artifact uses role "full" (buildOrLoad
+        // short-circuits on tableExists, so a shared tag across the two
+        // populations would silently poison whichever built second).
         val (idxSh, idxBands) = BandIndex.buildOrLoad(s,
           Tables.par(s, dir, "documents").filter(!isNew),
           BandIndex.tag(dir, "standing"))

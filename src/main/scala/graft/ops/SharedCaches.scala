@@ -60,7 +60,7 @@ object SharedCaches {
     Embeddings -> Set("q_embedding_topk", "q_embedding_quantize",
       "q_embedding_project", "q_ann_hyperplane", "q_ann_multiprobe",
       "q_ann_filtered", "q_ann_ivf", "q_ann_recall", "q_dedup_semantic",
-      "q_dedup_semantic_recall"),
+      "q_dedup_semantic_recall", "q_diverse_sample"),
     BloomBench -> Set("q_contamination_bloom")
   )
 

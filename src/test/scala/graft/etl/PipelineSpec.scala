@@ -90,7 +90,7 @@ class PipelineSpec extends SparkSpec {
     // ...the stored tables exist under the tags the query paths and
     // streaming probes derive for the corpus dir (a privately-tagged
     // copy would never be read — the r6 ADVICE finding)...
-    val bandTag = graft.ops.BandIndex.tag(dst, "standing")
+    val bandTag = graft.ops.BandIndex.tag(dst, "full")
     val spanTag = graft.ops.SpanSet.tag(dst)
     assert(spark.table(s"${bandTag}_bands").count() > 0)
     assert(graft.ops.SpanSet.duplicatedSpans(spark, spanTag).count() == 9)

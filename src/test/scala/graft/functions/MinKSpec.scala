@@ -11,6 +11,16 @@ import org.scalacheck.Prop.forAll
   * (repartition invariance, [[MinKSpec]]).
   */
 object MinKProperties extends Properties("graft.mink") {
+  import org.apache.spark.unsafe.types.UTF8String
+  import MinKAgg.byteOrder
+
+  /** The aggregate's documented order, lifted to String for oracles:
+    * UTF-8-byte lexicographic (== DuckDB binary VARCHAR collation).
+    * Differs from Java String order for strings mixing
+    * supplementary-plane code points with U+E000..U+FFFF.
+    */
+  private val byteOrdStr: Ordering[String] = (a: String, b: String) =>
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
 
   private def agg(k: Int) = MinKAgg(
     org.apache.spark.sql.catalyst.expressions.Literal("x"), k)
@@ -20,33 +30,49 @@ object MinKProperties extends Properties("graft.mink") {
     val b = a.createAggregationBuffer()
     xs.foreach { s =>
       // drive the add path through merge with a 1-element buffer
-      val one = a.createAggregationBuffer(); one.enqueue(s)
+      val one = a.createAggregationBuffer()
+      one.enqueue(UTF8String.fromString(s))
       a.merge(b, one)
     }
     b
   }
 
+  private def evalOf(b: scala.collection.mutable.PriorityQueue[UTF8String]) =
+    b.toArray.sorted[UTF8String].map(_.toString).toSeq
+
   private val strGen = Gen.listOf(Gen.alphaNumStr)
   private val kGen = Gen.choose(1, 8)
 
   property("minKEqualsSortTake") = forAll(strGen, kGen) { (xs, k) =>
-    bufferOf(k, xs).toArray.sorted.toSeq ==
-      xs.sorted.take(math.min(k, xs.size))
+    evalOf(bufferOf(k, xs)) ==
+      xs.sorted(byteOrdStr).take(math.min(k, xs.size))
   }
 
   property("mergeOverAnySplitEqualsUnsplit") =
     forAll(strGen, kGen, Gen.choose(0, 100)) { (xs, k, cut) =>
       val a = agg(k)
       val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else cut % (xs.size + 1))
-      a.merge(bufferOf(k, l), bufferOf(k, r)).toArray.sorted.toSeq ==
-        xs.sorted.take(math.min(k, xs.size))
+      evalOf(a.merge(bufferOf(k, l), bufferOf(k, r))) ==
+        xs.sorted(byteOrdStr).take(math.min(k, xs.size))
     }
 
   property("serdeRoundTrips") = forAll(strGen, kGen) { (xs, k) =>
     val a = agg(k)
     val b = bufferOf(k, xs)
-    a.deserialize(a.serialize(b)).toArray.sorted.toSeq ==
-      b.toArray.sorted.toSeq
+    evalOf(a.deserialize(a.serialize(b))) == evalOf(b)
+  }
+
+  // The r7 ADVICE case: U+E000..U+FFFF sorts AFTER supplementary-plane
+  // code points in UTF-8 bytes but BEFORE them in UTF-16 code units.
+  // The buffer must rank by bytes (DuckDB's binary collation), and the
+  // generator guarantees the two orders actually diverge on some inputs.
+  private val weirdGen = Gen.listOf(
+    Gen.listOf(Gen.oneOf("a", "Z", "\uE000", "\uFFFD", "\uD83D\uDE00"))
+      .map(_.mkString))
+
+  property("utf8ByteOrderBeyondBMP") = forAll(weirdGen, kGen) { (xs, k) =>
+    evalOf(bufferOf(k, xs)) ==
+      xs.sorted(byteOrdStr).take(math.min(k, xs.size))
   }
 }
 
