@@ -306,26 +306,34 @@ object TextQueries {
         "stopword pairs, PMI surfaces bound phrases). " +
         "PMI = log2(P(w1w2) / (P(w1)P(w2))) with bigram and unigram " +
         "probabilities over their own occurrence totals. Shape: one " +
-        "bigram count + one unigram count (vocab-grain), the bigram " +
-        "relation joins its two member counts (broadcast at any " +
-        "realistic vocab) + two 1-row totals; ranking uses the ROUNDED " +
-        "pmi with ngram tiebreak so both engines order identically; " +
-        "the staged divisions are written in the same order in both " +
-        "engines and ln2 is one shared double literal.",
+        "bigram count + one unigram count (vocab-grain) — the TOTALS " +
+        "n1/n2 derive from those count relations (n1 = Σc1, n2 = Σc12 " +
+        "pre-filter), never from a corpus re-scan, so the corpus is " +
+        "tokenized exactly TWICE (the r7 verdict's 4→2 item; at 100 TB " +
+        "the redundant tokenize passes were the operator's dominant " +
+        "cost, and the repeated vocab-grain subtrees collapse to one " +
+        "execution each via exchange reuse — plan-shape-asserted in " +
+        "PlanShapeSpec). The bigram relation joins its two member counts " +
+        "(broadcast at any realistic vocab) + two 1-row totals; the " +
+        "engine-dependent ln() is pre-rounded at 9dp BEFORE the 6dp " +
+        "presentation rounding (the q_lm_perplexity convention — a " +
+        "last-ulp libm difference must not flip a .5e-6 boundary); " +
+        "ranking uses the rounded pmi with ngram tiebreak so both " +
+        "engines order identically; the staged divisions are written " +
+        "in the same order in both engines and ln2 is one shared " +
+        "double literal.",
       (s, dir) => {
-        // par: four tokenize+explode passes over a single-row-group
+        // par: two tokenize+explode passes over a single-row-group
         // parquet would each run in ONE task without the fan-out guard
         val docs = Tables.par(s, dir, "documents")
           .withColumn("toks", tokens(col("text")))
         val uni = docs.select(explode(col("toks")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c1"))
-        val n1df = docs.select(explode(col("toks")).as("tok"))
-          .agg(count(lit(1)).as("n1"))
-        val bi = docs.select(explode(seqBigrams(col("toks"))).as("ngram"))
+        val biAll = docs.select(explode(seqBigrams(col("toks"))).as("ngram"))
           .groupBy("ngram").agg(count(lit(1)).as("c12"))
-          .filter(col("c12") >= PmiMinCount)
-        val n2df = docs.select(explode(seqBigrams(col("toks"))).as("b"))
-          .agg(count(lit(1)).as("n2"))
+        val n1df = uni.agg(sum(col("c1")).as("n1"))
+        val n2df = biAll.agg(sum(col("c12")).as("n2"))
+        val bi = biAll.filter(col("c12") >= PmiMinCount)
         val ratio = (col("c12").cast("double") / col("n2")) /
           ((col("c1a").cast("double") / col("n1")) *
             (col("c1b").cast("double") / col("n1")))
@@ -335,23 +343,23 @@ object TextQueries {
           .join(uni.select(col("tok").as("w2"), col("c1").as("c1b")), "w2")
           .crossJoin(broadcast(n1df)).crossJoin(broadcast(n2df))
           .select(col("ngram"), col("c12"),
-            round(log(ratio) / lit(Ln2), 6).as("pmi"))
+            round(round(log(ratio) / lit(Ln2), 9), 6).as("pmi"))
           .orderBy(col("pmi").desc, col("ngram").asc)
           .limit(25)
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
               |u AS (SELECT unnest(toks) AS tok FROM t),
               |uni AS (SELECT tok, COUNT(*) AS c1 FROM u GROUP BY tok),
-              |n1t AS (SELECT COUNT(*) AS n1 FROM u),
+              |n1t AS (SELECT sum(c1) AS n1 FROM uni),
               |b AS (SELECT unnest(CASE WHEN len(toks) >= 2
               |    THEN list_transform(range(1, len(toks)), i -> toks[i]||' '||toks[i+1])
               |    ELSE []::VARCHAR[] END) AS ngram FROM t),
-              |bi AS (SELECT ngram, COUNT(*) AS c12 FROM b GROUP BY ngram
-              |  HAVING COUNT(*) >= $PmiMinCount),
-              |n2t AS (SELECT COUNT(*) AS n2 FROM b)
+              |biall AS (SELECT ngram, COUNT(*) AS c12 FROM b GROUP BY ngram),
+              |bi AS (SELECT ngram, c12 FROM biall WHERE c12 >= $PmiMinCount),
+              |n2t AS (SELECT sum(c12) AS n2 FROM biall)
               |SELECT ngram, c12,
-              |  round(ln((c12::DOUBLE / n2) /
-              |    ((a.c1::DOUBLE / n1) * (z.c1::DOUBLE / n1))) / $Ln2, 6)
+              |  round(round(ln((c12::DOUBLE / n2) /
+              |    ((a.c1::DOUBLE / n1) * (z.c1::DOUBLE / n1))) / $Ln2, 9), 6)
               |    AS pmi
               |FROM bi
               |JOIN uni a ON a.tok = split_part(ngram, ' ', 1)

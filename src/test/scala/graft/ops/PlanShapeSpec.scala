@@ -205,6 +205,24 @@ class PlanShapeSpec extends SparkSpec {
       s"only the output sort may shuffle (got $shuffles):\n$p")
   }
 
+  test("q_pmi_bigrams: the corpus is tokenized exactly twice — the " +
+    "n1/n2 totals derive from the vocab-grain count relations, and the " +
+    "repeated uni/biAll subtrees collapse to one execution each via " +
+    "exchange reuse (r7 verdict: the 4-pass shape re-scanned the corpus " +
+    "for each total)") {
+    val p = plan(Registry.queryMap("q_pmi_bigrams")(spark, dir))
+    // Executed scan count: ReusedExchangeExec is a leaf reference, so
+    // collect sees only the subtrees that actually execute.
+    val docScans = scansOf(p, "documents.parquet").length
+    assert(docScans == 2,
+      s"expected exactly 2 executed documents scans (uni + bigram), got $docScans:\n$p")
+    val reused = p.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty,
+      s"expected the repeated count-relation subtrees to plan as ReusedExchange:\n$p")
+  }
+
   test("q_source_overlap: per-span source-set agg is exchange-free off " +
     "the sh-bucketed span rows") {
     val p = plan(Registry.queryMap("q_source_overlap")(spark, dir),
