@@ -861,30 +861,41 @@ object DedupQueries {
         "keep the min-id representative per semantic cluster. Differs " +
         "from q_dedup_embedding in blocking (the LEARNED quantizer vs " +
         "random hyperplanes — SemDeDup's defining choice) and in " +
-        "emitting consolidated per-doc verdicts, not pairs. Cost is " +
-        "sum |cell|^2; at 100 TB derive cells from a TARGET cluster " +
-        "size instead of sqrt(n) and the shape holds — cross-cell " +
-        "near-dups are missed by design (the published trade, MEASURED " +
-        "per derivation by q_dedup_semantic_recall).",
+        "emitting consolidated per-doc verdicts, not pairs. The " +
+        "DECLARED derivation (r8, acting on the r7-measured miss " +
+        s"rates): cells from TARGET cluster size $SemTargetCluster " +
+        "(sum |cell|^2 ~ n x target stays LINEAR in n, vs sqrt(n) " +
+        "cells' n^1.5) plus bounded 2-NEAREST-CELL soft assignment — " +
+        "a boundary pair split between two home cells still meets in " +
+        "a shared 2nd-nearest cell, so pairs compare where their soft " +
+        "cell sets intersect (<= 4x the hard within-cell compares, " +
+        "same bound). Cross-cell pairs sharing NO soft cell are still " +
+        "missed by design — the residual trade stays MEASURED per " +
+        "derivation by q_dedup_semantic_recall (hard sqrt-n 0.185, " +
+        "hard target-8 0.241, soft-2 strictly above, sf0.1 tau=0.4).",
       (s, dir) => {
-        val cells = SimilarityQueries.derivedCells(
-          Tables.par(s, dir, "embeddings").count())
-        // The SAME stored cell assignment q_ann_ivf scores against —
-        // one stored quantizer serves search and dedup, and bucketing
-        // on cell co-locates each cell's vectors for the within-cell
-        // pass below.
-        val (a2, _) = IvfIndex.buildOrLoad(s, dir, cells)
-        val l = a2.select(col("cell"), col("vec_id").as("vec_a"),
+        val cells = SimilarityQueries.derivedCellsForTarget(
+          Tables.par(s, dir, "embeddings").count(), SemTargetCluster)
+        // The stored quantizer family q_ann_ivf uses (tag embeds the
+        // cell count); bucketing on cell co-locates each cell's vectors
+        // for the within-cell pass below. Soft rank-2 rows derive at
+        // read time from the stored cells + centroids.
+        val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
+        val soft = SimilarityQueries.softAssign(a2, centn)
+        val l = soft.select(col("cell"), col("vec_id").as("vec_a"),
           col("v").as("va"), col("nrm").as("na"))
-        val r = a2.select(col("cell"), col("vec_id").as("vec_b"),
+        val r = soft.select(col("cell"), col("vec_id").as("vec_b"),
           col("v").as("vb"), col("nrm").as("nb"))
+        // distinct: a pair sharing BOTH soft cells matches twice
         val pairs = l.join(r, "cell")
           .filter(col("vec_a") < col("vec_b"))
           .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
             >= CosineTau)
           .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+          .distinct()
         val cc = clusterComponents(pairs)
           .select(col("id").as("vec_id"), col("component").as("keeper"))
+        // `cell` of record stays the stored rank-1 assignment
         a2.select(col("vec_id"), col("cell"))
           .join(cc, Seq("vec_id"), "left")
           .select(col("vec_id"), col("cell"),
@@ -894,9 +905,11 @@ object DedupQueries {
           .orderBy("vec_id")
       },
       Some(s"""WITH RECURSIVE ${SimilarityQueries.baseCte},
-              |${SimilarityQueries.ivfCtes},
-              |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
-              |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |${SimilarityQueries.ivfAssignCtes("",
+                  SimilarityQueries.targetCellsSql(SemTargetCluster))},
+              |${SimilarityQueries.ivfSoftCte("")},
+              |p AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+              |  FROM soft a JOIN soft b ON a.cell = b.cell AND a.vec_id < b.vec_id
               |  WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= $CosineTau),
               |sedges AS (SELECT src, dst FROM p
               |  UNION ALL SELECT dst, src FROM p),
@@ -925,11 +938,14 @@ object DedupQueries {
         "surface (within-cell verification is exact cosine at the same " +
         "tau, so a true pair is found iff both ends share a cell — the " +
         "miss set IS the cross-cell truth). One row per cell " +
-        "derivation: the ~sqrt(n) cells q_dedup_semantic runs at, and " +
-        s"the target-cluster-size alternative (target $SemTargetCluster " +
-        "here; thousands at 100 TB) whose within-cell cost stays " +
-        "linear in n — more cells, cheaper pairs, more cross-cell " +
-        "misses. Both read the STORED IvfIndex cell assignment.",
+        "derivation: the ~sqrt(n) cells (q_dedup_semantic's pre-r8 " +
+        "derivation), the hard target-cluster-size alternative " +
+        s"(target $SemTargetCluster here; thousands at 100 TB) whose " +
+        "within-cell cost stays linear in n, and the DECLARED soft-2 " +
+        "derivation q_dedup_semantic now runs at — target cells with " +
+        "2-nearest-cell soft assignment, where a true pair is found " +
+        "iff its soft cell sets intersect. All read the STORED " +
+        "IvfIndex cell assignment.",
       (s, dir) => {
         def inPanel(c: org.apache.spark.sql.Column) =
           c % EmbPanelMod === 0 || c < EmbPanelPrefix
@@ -961,21 +977,59 @@ object DedupQueries {
               round(col("n_found_pairs") / col("n_true_pairs"), 6))
               .otherwise(1.0).as("recall"))
         }
+        // The declared derivation's variant: found iff the two soft
+        // cell sets intersect (rank-1 == the stored hard cell, so this
+        // strictly dominates the hard variant at the same cell count).
+        def softVariantRow(variant: String, cells: Int): DataFrame = {
+          val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
+          val panel = a2.filter(inPanel(col("vec_id")))
+          // soft cells depend only on the vector + centroids, so the
+          // panel-bounded truth leg scores only panel rows
+          val cellSets = SimilarityQueries.softAssign(panel, centn)
+            .groupBy("vec_id")
+            .agg(sort_array(collect_list(col("cell"))).as("cells"))
+          val pl = panel.join(cellSets, "vec_id")
+          val l = pl.select(col("vec_id").as("vec_a"), col("v").as("va"),
+            col("nrm").as("na"), col("cells").as("cells_a"))
+          val r = pl.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+            col("nrm").as("nb"), col("cells").as("cells_b"))
+          val truth = l.join(broadcast(r), col("vec_a") < col("vec_b"))
+            .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+              >= CosineTau)
+            .select(when(arrays_overlap(col("cells_a"), col("cells_b")), 1L)
+              .otherwise(0L).as("sc"))
+          val m1 = panel.agg(count(lit(1)).as("n_panel_vecs"))
+          val m2 = truth.agg(count(lit(1)).as("n_true_pairs"),
+            coalesce(sum(col("sc")), lit(0L)).as("n_found_pairs"),
+            coalesce(sum(lit(1L) - col("sc")), lit(0L))
+              .as("n_missed_cross_cell"))
+          m1.crossJoin(m2).select(
+            lit(variant).as("variant"), lit(cells.toLong).as("n_cells"),
+            col("n_panel_vecs"), col("n_true_pairs"), col("n_found_pairs"),
+            col("n_missed_cross_cell"),
+            when(col("n_true_pairs") > 0,
+              round(col("n_found_pairs") / col("n_true_pairs"), 6))
+              .otherwise(1.0).as("recall"))
+        }
         val n = Tables.par(s, dir, "embeddings").count()
+        val targetCells =
+          SimilarityQueries.derivedCellsForTarget(n, SemTargetCluster)
         variantRow("cells_sqrt_n", SimilarityQueries.derivedCells(n))
-          .union(variantRow(s"cells_target$SemTargetCluster",
-            SimilarityQueries.derivedCellsForTarget(n, SemTargetCluster)))
+          .union(variantRow(s"cells_target$SemTargetCluster", targetCells))
+          .union(softVariantRow(
+            s"cells_target${SemTargetCluster}_soft2", targetCells))
           .orderBy("variant")
       },
       Some {
-        def variantSelect(p: String, variant: String, cellsSql: String) =
+        def variantSelect(p: String, variant: String, cellsSql: String,
+                          tr: String = "tr") =
           s"""SELECT '$variant' AS variant,
              |  $cellsSql AS n_cells,
              |  (SELECT count(*) FROM ${p}panel) AS n_panel_vecs,
-             |  (SELECT count(*) FROM ${p}tr) AS n_true_pairs,
-             |  (SELECT CAST(coalesce(sum(sc), 0) AS BIGINT) FROM ${p}tr)
+             |  (SELECT count(*) FROM ${p}$tr) AS n_true_pairs,
+             |  (SELECT CAST(coalesce(sum(sc), 0) AS BIGINT) FROM ${p}$tr)
              |    AS n_found_pairs,
-             |  (SELECT CAST(coalesce(sum(1 - sc), 0) AS BIGINT) FROM ${p}tr)
+             |  (SELECT CAST(coalesce(sum(1 - sc), 0) AS BIGINT) FROM ${p}$tr)
              |    AS n_missed_cross_cell""".stripMargin
         def panelTruthCtes(p: String) =
           s"""${p}panel AS (SELECT * FROM ${p}a2
@@ -984,17 +1038,34 @@ object DedupQueries {
              |  FROM ${p}panel a JOIN ${p}panel b ON a.vec_id < b.vec_id
              |  WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= $CosineTau)"""
             .stripMargin
+        // soft truth: found iff the two panel vectors' rank<=2 cell
+        // sets intersect (the Spark side's arrays_overlap)
+        val softCtes =
+          s"""${SimilarityQueries.ivfSoftCte("t_", src = "t_panel")},
+             |t_cellsets AS (SELECT vec_id, list(cell ORDER BY cell) AS cells
+             |  FROM t_soft GROUP BY vec_id),
+             |t_str AS (SELECT CASE WHEN len(list_intersect(ca.cells, cb.cells)) > 0
+             |    THEN 1 ELSE 0 END AS sc
+             |  FROM t_panel a JOIN t_panel b ON a.vec_id < b.vec_id
+             |  JOIN t_cellsets ca ON ca.vec_id = a.vec_id
+             |  JOIN t_cellsets cb ON cb.vec_id = b.vec_id
+             |  WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= $CosineTau)"""
+            .stripMargin
         s"""WITH ${SimilarityQueries.baseCte},
            |${SimilarityQueries.ivfAssignCtes("", SimilarityQueries.sqrtCellsSql)},
            |${SimilarityQueries.ivfAssignCtes("t_",
               SimilarityQueries.targetCellsSql(SemTargetCluster))},
            |${panelTruthCtes("")},
            |${panelTruthCtes("t_")},
+           |$softCtes,
            |m AS (${variantSelect("", "cells_sqrt_n",
               SimilarityQueries.sqrtCellsSql)}
            |UNION ALL
            |${variantSelect("t_", s"cells_target$SemTargetCluster",
-              SimilarityQueries.targetCellsSql(SemTargetCluster))})
+              SimilarityQueries.targetCellsSql(SemTargetCluster))}
+           |UNION ALL
+           |${variantSelect("t_", s"cells_target${SemTargetCluster}_soft2",
+              SimilarityQueries.targetCellsSql(SemTargetCluster), tr = "str")})
            |SELECT variant, n_cells, n_panel_vecs, n_true_pairs,
            |  n_found_pairs, n_missed_cross_cell,
            |  CASE WHEN n_true_pairs > 0

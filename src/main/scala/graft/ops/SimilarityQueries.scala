@@ -269,6 +269,31 @@ object SimilarityQueries {
   private[ops] def normalizedCorpus(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir).drop("bucket")
 
+  /** Bounded SOFT assignment: each vector's `k` nearest cells (rank
+    * column `rn`, rank 1 == the stored hard assignment — same score,
+    * same cell-asc tiebreak), derived at read time from a stored cell
+    * relation + its centroid table. One broadcast scoring pass over the
+    * rows of `vecs` — the same shape as the build's own reassignment
+    * pass, so a production pipeline can materialize it next to the hard
+    * assignment at no new plan shape; the rank<=k window is
+    * WindowGroupLimit-pruned before its exchange. SemDeDup's cross-cell
+    * miss trade is bought down with this: a boundary pair split between
+    * two home cells still meets in a shared 2nd-nearest cell
+    * (q_dedup_semantic_recall MEASURES the gain per derivation).
+    */
+  private[ops] def softAssign(vecs: DataFrame, centn: DataFrame,
+                              k: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosc").desc, col("cell").asc)
+    vecs.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(centn))
+      .withColumn("cosc", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("rn"))
+  }
+
   /** IVF top-k: each query probes its NProbe nearest refined cells; the
     * candidate set is the union of those inverted lists; exact cosine
     * re-rank keeps k. A corpus vector lives in exactly one cell and a
@@ -404,6 +429,21 @@ object SimilarityQueries {
        |      ORDER BY list_dot_product(n.v, c.cv)/(n.nrm*c.cn) DESC,
        |      c.cell ASC) AS rn
        |  FROM n, ${p}centn c) WHERE rn = 1)""".stripMargin
+
+  /** Oracle twin of [[softAssign]]: `<p>soft (vec_id, v, nrm, cell, rn)`
+    * with rank <= `k` cells per vector, scored against `<p>centn` with
+    * the same cosc-desc/cell-asc tiebreak — rank 1 reproduces `<p>a2`.
+    * `src` parameterizes the scored relation so a panel-bounded caller
+    * scores only its panel (the recall oracle).
+    */
+  private[ops] def ivfSoftCte(p: String, k: Int = 2,
+                              src: String = "n"): String =
+    s"""${p}soft AS (SELECT vec_id, v, nrm, cell, rn FROM (
+       |  SELECT s.vec_id, s.v, s.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |      ORDER BY list_dot_product(s.v, c.cv)/(s.nrm*c.cn) DESC,
+       |      c.cell ASC) AS rn
+       |  FROM $src s, ${p}centn c) WHERE rn <= $k)""".stripMargin
 
   /** CTE chain ending in `ivf_scored` — the oracle twin of [[ivfTopK]]:
     * same hash-ordered seeds, same decimal-exact Lloyd means, same
