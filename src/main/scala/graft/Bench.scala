@@ -24,9 +24,58 @@ import org.apache.spark.sql.SparkSession
   * once per corpus snapshot, exactly as they would be in production;
   * pass 1 pays the build, so the median reflects the steady-state
   * read path.
+  *
+  * Host-load self-defense (r7 verdict #3 — the committed round record
+  * was the second consecutive one taken under background load): each
+  * pass measures the EXTERNAL CPU consumed while it ran — from
+  * /proc/stat (whole-host busy ticks) minus /proc/self/stat (this
+  * process's own ticks), divided by wall time — i.e. the average
+  * number of cores other processes burned during the pass. A pass
+  * whose external load exceeds [[LoadThresholdCores]] is discarded and
+  * re-run (at most [[MaxRetries]] extra passes total, so a permanently
+  * loaded host still terminates and is ANNOTATED rather than silently
+  * averaged in). The 1-minute loadavg at pass start is also recorded,
+  * but only as a telemetry figure: after the first pass it mostly
+  * reflects this bench's own 32 threads, while the stat-delta
+  * measurement subtracts self by construction. The JSON line carries
+  * per-accepted-pass external-core figures ("pass_ext_load_cores"),
+  * start loadavgs, the threshold, and how many contended passes were
+  * discarded — a contended record now annotates itself.
   */
 object Bench {
   private val Passes = 3
+  /** Discard-and-retry above this many cores of external work. */
+  private val LoadThresholdCores = 4.0
+  /** Extra passes allowed to replace contended ones. */
+  private val MaxRetries = 3
+  /** Linux USER_HZ; 100 on every mainstream kernel/distro build. */
+  private val Hz = 100.0
+
+  private def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Whole-host non-idle ticks (all cpus, user+nice+system+irq+...;
+    * idle and iowait excluded). */
+  private def hostBusyTicks(): Long =
+    try {
+      val cols = java.nio.file.Files.lines(
+        java.nio.file.Paths.get("/proc/stat")).findFirst().get()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      cols.zipWithIndex.collect {
+        case (v, i) if i != 3 && i != 4 => v
+      }.sum
+    } catch { case _: Throwable => -1L }
+
+  /** This process's own utime+stime ticks (all threads, GC included). */
+  private def selfTicks(): Long =
+    try {
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/self/stat"))
+      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      rest(11).toLong + rest(12).toLong
+    } catch { case _: Throwable => -1L }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,7 +113,7 @@ object Bench {
     // The release is outside the timed region — residency bookkeeping,
     // not query work.
     val releaseAfter = ops.SharedCaches.releasePoints(names)
-    val passes: Seq[Map[String, Double]] = (1 to Passes).map { _ =>
+    def onePass(): Map[String, Double] = {
       // Warmup/previous-pass caches are dead weight for this pass
       // (warmup dir -> different plans; prior pass -> pre-built working
       // set). Clear so every pass builds exactly its own.
@@ -78,7 +127,35 @@ object Bench {
         name -> sec
       }.toMap
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val passes = scala.collection.mutable.Buffer.empty[Map[String, Double]]
+    val extLoads = scala.collection.mutable.Buffer.empty[Double]
+    val startLoadAvgs = scala.collection.mutable.Buffer.empty[Double]
+    var discarded = 0
+    while (passes.size < Passes) {
+      val la = loadAvg1m()
+      val (h0, s0) = (hostBusyTicks(), selfTicks())
+      val w0 = System.nanoTime()
+      val p = onePass()
+      val wallSec = (System.nanoTime() - w0) / 1e9
+      val ext =
+        if (h0 < 0 || s0 < 0 || wallSec <= 0) -1.0
+        else math.max(0L,
+          (hostBusyTicks() - h0) - (selfTicks() - s0)) / (wallSec * Hz)
+      if (ext > LoadThresholdCores && discarded < MaxRetries) {
+        discarded += 1
+        System.err.println(f"[bench] pass discarded: external load $ext%.1f" +
+          f" cores > $LoadThresholdCores%.1f (retry ${discarded}/$MaxRetries)")
+      } else {
+        passes += p
+        extLoads += ext
+        startLoadAvgs += la
+        if (ext > LoadThresholdCores)
+          System.err.println(f"[bench] WARNING: accepting contended pass " +
+            f"(external load $ext%.1f cores), retries exhausted")
+      }
+    }
+    def median(xs: collection.Seq[Double]): Double =
+      xs.sorted.apply(xs.length / 2)
     val med = names.map(n => n -> median(passes.map(_(n))))
     val total = med.map(_._2).sum
     val passTotals = passes.map(_.values.sum)
@@ -91,12 +168,17 @@ object Bench {
     val pt = passTotals.mkString("[", ",", "]")
     // Locale-pinned format: a comma decimal separator would break the
     // driver's JSON parse.
-    val disp = String.format(java.util.Locale.ROOT, "%.1f",
-      Double.box(dispersionPct))
+    def f1(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+    val disp = f1(dispersionPct)
+    val extJ = extLoads.map(f1).mkString("[", ",", "]")
+    val laJ = startLoadAvgs.map(f1).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""passes":$Passes,"agg":"median_per_query","pass_totals":$pt,""" +
-        s""""dispersion_pct":$disp}"""
+        s""""dispersion_pct":$disp,"pass_ext_load_cores":$extJ,""" +
+        s""""pass_start_loadavg":$laJ,"load_threshold_cores":$LoadThresholdCores,""" +
+        s""""contended_discarded":$discarded}"""
     println(line)
     spark.stop()
     // Re-print AFTER spark.stop() so the JSON is the last stdout line

@@ -10,16 +10,23 @@ import org.apache.spark.sql.types._
   * typed metadata struct; decode / feature-extract run per-partition so a
   * 100 TB corpus streams through executors in bounded batches.
   *
-  * The decode step itself is STUBBED (no image/audio libs in this
-  * container): [[decodeStub]] produces a deterministic fake feature vector
-  * from the bytes. Everything around it — schema, partition-parallel
-  * execution shape, batch iteration, null handling — is real and tested.
-  * Swapping in a real decoder means replacing ONLY the body of
-  * [[decodeStub]].
+  * IMAGE decode is REAL (r8): pure-JDK `javax.imageio` reads PNG / JPEG
+  * / BMP / GIF with no native codecs, so [[decodeImage]] extracts actual
+  * width / height / channel count, and [[resize]] really rescales and
+  * re-encodes decodable images. Bytes no registered reader recognizes
+  * (and all audio/video — no demuxer in the JDK) fall back to the
+  * deterministic [[decodeStub]], flagged `decoded = false` in the meta
+  * struct so downstream consumers can tell real measurements from
+  * fakes. Everything around the codec — schema, partition-parallel
+  * execution shape, batch iteration, null handling — is identical on
+  * both paths.
   */
 object Multimodal {
 
-  /** Canonical multimodal record schema. */
+  /** Canonical multimodal record schema. `meta.decoded` says whether
+    * width/height/channels came from a real codec (true) or the
+    * deterministic fallback (false, channels 0).
+    */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -27,13 +34,34 @@ object Multimodal {
     StructField("meta", StructType(Seq(
       StructField("n_bytes", IntegerType, nullable = false),
       StructField("magic_hex", StringType, nullable = true),
-      StructField("fake_width", IntegerType, nullable = false),
-      StructField("fake_height", IntegerType, nullable = false))),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false))),
       nullable = true)))
 
-  /** STUB decode: a real implementation would decode image bytes here
-    * (per-partition, so decoder init cost amortizes across the batch).
-    * The fake is deterministic: a rolling byte hash seeds "dimensions".
+  // ImageIO's default scratch-file cache would have every executor
+  // thread writing temp files per decode; decode in-memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image decode via the JDK's registered ImageIO readers
+    * (PNG/JPEG/BMP/GIF out of the box): (width, height, channels), or
+    * None when no reader recognizes the bytes. Per-partition callers
+    * amortize nothing here — ImageIO reader instances are produced per
+    * call — but the JVM-wide reader registry is initialized once.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some((img.getWidth, img.getHeight, img.getRaster.getNumBands))
+    } catch { case _: Throwable => None }
+
+  /** FALLBACK decode for undecodable bytes (and the only path for
+    * audio/video — no JDK demuxer): a rolling byte hash seeds
+    * deterministic fake "dimensions", so the fan-out/sizing plumbing
+    * still exercises plausible numbers.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int) = {
     var h = 17L
@@ -45,8 +73,9 @@ object Multimodal {
   }
 
   /** Wrap a (id, binary) DataFrame into the canonical media schema,
-    * running the (stubbed) decoder once per row, partition-parallel —
-    * the Scala analogue of a mapInPandas batch UDF.
+    * running the decoder once per row, partition-parallel — the Scala
+    * analogue of a mapInPandas batch UDF. Real codec first, stub
+    * fallback, `meta.decoded` records which.
     */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String,
                       mediaType: String): DataFrame = {
@@ -58,20 +87,55 @@ object Multimodal {
           val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           if (bytes == null) Row(id, mediaType, null, null)
           else {
-            val (w, h) = decodeStub(bytes)
             val magic = bytes.take(4).map("%02X".format(_)).mkString
-            Row(id, mediaType, bytes, Row(bytes.length, magic, w, h))
+            val meta = decodeImage(bytes) match {
+              case Some((w, h, ch)) => Row(bytes.length, magic, w, h, ch, true)
+              case None =>
+                val (w, h) = decodeStub(bytes)
+                Row(bytes.length, magic, w, h, 0, false)
+            }
+            Row(id, mediaType, bytes, meta)
           }
         }
       }(enc)
   }
 
-  /** STUB resize: a real implementation would decode, scale to
-    * targetW x targetH, and re-encode. The fake is deterministic and
-    * size-plausible: output bytes = a rolling-hash-seeded prefix whose
-    * length scales with the target pixel count (so downstream sizing
-    * logic — maxPartitionBytes math, batch shaping — exercises real
-    * numbers), and the meta struct reports the target dimensions.
+  /** REAL image resize: decode, scale to targetW x targetH
+    * (bilinear), re-encode as PNG — all pure JDK. Returns
+    * (pngBytes, channels), or None when the bytes aren't a decodable
+    * image.
+    */
+  def resizeImage(bytes: Array[Byte], targetW: Int,
+                  targetH: Int): Option[(Array[Byte], Int)] =
+    try {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (src == null) None
+      else {
+        // Normalize to RGB/gray: PNG encode of exotic band layouts can
+        // fail, and a fixed type keeps the output deterministic.
+        val outType =
+          if (src.getRaster.getNumBands == 1)
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        val dst = new java.awt.image.BufferedImage(targetW, targetH, outType)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some((bos.toByteArray, dst.getRaster.getNumBands))
+      }
+    } catch { case _: Throwable => None }
+
+  /** FALLBACK resize for undecodable bytes: output = a
+    * rolling-hash-seeded prefix whose length scales with the target
+    * pixel count (so downstream sizing logic — maxPartitionBytes math,
+    * batch shaping — exercises real numbers).
     */
   def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     val outLen = math.max(16, math.min(bytes.length,
@@ -88,9 +152,10 @@ object Multimodal {
   }
 
   /** Resize pass over the canonical media schema: one row in, one row
-    * out, content replaced by the (stubbed) re-encoded bytes and meta
-    * updated to the target dimensions. Partition-parallel, null-safe —
-    * swapping in a real scaler means replacing ONLY [[resizeStub]].
+    * out, content replaced by the re-encoded bytes and meta updated to
+    * the target dimensions. Decodable images really rescale
+    * ([[resizeImage]]); everything else takes the deterministic stub,
+    * flagged `decoded = false`. Partition-parallel, null-safe.
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
@@ -99,10 +164,13 @@ object Multimodal {
         val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         if (bytes == null) r
         else {
-          val out = resizeStub(bytes, targetW, targetH)
+          val (out, ch, real) = resizeImage(bytes, targetW, targetH) match {
+            case Some((png, ch)) => (png, ch, true)
+            case None => (resizeStub(bytes, targetW, targetH), 0, false)
+          }
           val magic = out.take(4).map("%02X".format(_)).mkString
           Row(r.getLong(0), r.getString(1), out,
-            Row(out.length, magic, targetW, targetH))
+            Row(out.length, magic, targetW, targetH, ch, real))
         }
       }
     }(enc)

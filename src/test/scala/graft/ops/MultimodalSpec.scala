@@ -5,6 +5,57 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
+  /** Deterministic in-test image bytes — no fixtures, pure JDK. */
+  private def pngBytes(w: Int, h: Int, gray: Boolean = false): Array[Byte] = {
+    val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(w, h, t)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage: real javax.imageio dimensions/channels for PNG, " +
+    "None for non-image bytes (r7 verdict #4)") {
+    assert(Multimodal.decodeImage(pngBytes(37, 21)) == Some((37, 21, 3)))
+    assert(Multimodal.decodeImage(pngBytes(5, 9, gray = true)) == Some((5, 9, 1)))
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractFeatures decodes real PNG bytes: width/height/channels " +
+    "from the codec, decoded=true; text bytes fall back to the stub, " +
+    "decoded=false") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, pngBytes(37, 21)),
+      (2L, "just text bytes".getBytes("UTF-8")))
+      .toDF("id", "blob")
+    val rows = Multimodal.extractFeatures(df, "id", "blob", "image/png")
+      .orderBy("media_id").collect()
+    val real = rows(0).getStruct(3)
+    assert(real.getInt(2) == 37 && real.getInt(3) == 21)
+    assert(real.getInt(4) == 3 && real.getBoolean(5))
+    assert(real.getString(1) == "89504E47") // PNG magic
+    val fake = rows(1).getStruct(3)
+    assert(!fake.getBoolean(5) && fake.getInt(4) == 0)
+    assert(fake.getInt(2) >= 64 && fake.getInt(2) < 1024)
+  }
+
+  test("resize really rescales decodable images: output bytes re-decode " +
+    "at the target dimensions") {
+    import spark.implicits._
+    val df = Seq((1L, pngBytes(64, 48))).toDF("id", "blob")
+    val media = Multimodal.extractFeatures(df, "id", "blob", "image/png")
+    val out = Multimodal.resize(media, 16, 12).collect()(0)
+    val meta = out.getStruct(3)
+    assert(meta.getInt(2) == 16 && meta.getInt(3) == 12 && meta.getBoolean(5))
+    // the content column holds a real PNG of the target size
+    assert(Multimodal.decodeImage(out.getAs[Array[Byte]](2))
+      == Some((16, 12, 3)))
+  }
+
   test("extractFeatures: schema, determinism, null propagation (H5)") {
     import spark.implicits._
     val df = Seq(
