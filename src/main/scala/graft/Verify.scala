@@ -4,12 +4,11 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query names (local fast iteration;
-    // the driver always calls with 2 args = full set).
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+
+  /** The session every correctness main shares ([[Verify]],
+    * [[DriftSweep]]): warehouse pinned off-cwd, UTC, quiet UI.
+    */
+  private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       // Stored artifacts (BandIndex bucketed tables) land in the SQL
@@ -23,6 +22,26 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names (local fast iteration;
+    // the driver always calls with 2 args = full set).
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val spark = session()
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** Dump every (selected) declared query's result at `sfDir` under
+    * `outDir`, plus oracle_sql.json — callable per scale so
+    * [[DriftSweep]] sweeps three scales in one JVM.
+    */
+  private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
+                         only: Option[Set[String]] = None): Unit = {
     new java.io.File(outDir).mkdirs()
     // Sorted order + per-family cache release after the last consumer
     // (same hygiene as Bench): the full 72-query dump otherwise holds
@@ -54,6 +73,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -84,6 +84,17 @@ object GraftExtensions {
         MinHashBands(args(0),
           intLit(args(1), "graft_minhash_bands", "bands"),
           intLit(args(2), "graft_minhash_bands", "rows"))
+      }),
+
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "graft_winnow(text, gram, window) - distinct winnowed char-gram " +
+          "md5 fingerprints (Schleimer et al. 2003)"),
+      (args: Seq[Expression]) => {
+        arity("graft_winnow", args, 3)
+        WinnowFingerprints(args(0),
+          intLit(args(1), "graft_winnow", "gram"),
+          intLit(args(2), "graft_winnow", "window"))
       }))
 
   /** Register every function on an already-running session (idempotent —

@@ -38,6 +38,20 @@ object SpanDedup {
   /** A span is "duplicated" when it occurs in at least this many docs. */
   private[ops] val MinDocs = 2
 
+  /** Char-gram width for the character-level substring profile
+    * (q_dedup_substrings): 16 chars ≈ 2–3 words — small enough that the
+    * winnow guarantee threshold stays near the published 50-token
+    * analogue, large enough that random 16-char collisions are
+    * ~impossible.
+    */
+  private val SubstrGram = 16
+
+  /** Winnow window: guarantee = any cross-doc exact repeat of
+    * >= SubstrWindow + SubstrGram - 1 chars (47 here) shares a selected
+    * fingerprint; expected selected density ~2/(SubstrWindow+1).
+    */
+  private val SubstrWindow = 32
+
   /** SQL twin of the span fingerprint pipeline: doc_id, source, number of
     * distinct spans in the doc, and one row per distinct span md5.
     */
@@ -156,6 +170,80 @@ object SpanDedup {
               |  count(*) AS n_shared_spans
               |FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
               |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_dedup_substrings",
+      "CHARACTER-level exact-substring duplication profile (r7 verdict " +
+        "#6 — the genuine Lee et al. 2022 granularity the word-8-gram " +
+        "span profile approximates), alignment-free via winnowing " +
+        s"(Schleimer et al. 2003, MOSS): every char $SubstrGram-gram is " +
+        s"md5-fingerprinted, each sliding window of $SubstrWindow " +
+        "consecutive gram hashes SELECTS its minimum value, and the " +
+        "per-doc distinct selected set is counted against the corpus. " +
+        "Content-defined selection means two copies of a substring " +
+        "select the SAME fingerprints whatever their byte offsets — " +
+        "GUARANTEED detection of any cross-doc exact repeat >= " +
+        s"${SubstrWindow + SubstrGram - 1} chars (a window of " +
+        s"$SubstrWindow gram positions fits inside the shared run), at " +
+        s"~2/(W+1) ≈ ${200 / (SubstrWindow + 1)}% the density of " +
+        "all-positions fingerprinting. Emits per-doc selected/duplicated " +
+        "counts + ratio — same shape as the word-span profile, so the " +
+        "two operating points are directly comparable (SCALE.md §3). " +
+        "Scale: the winnow is the native O(L) monotonic-deque Expression " +
+        "(functions/WinnowExpr.scala) — one md5 per gram position, " +
+        "amortized O(1) per window — and the shuffle carries " +
+        "only ~2L/(W+1) fingerprints per doc, never text; docs shorter than " +
+        "the guarantee threshold are excluded (their whole-doc dups are " +
+        "H1's exact-hash job). Within-doc repeats are intentionally NOT " +
+        "counted (distinct-per-doc fingerprints; H4a owns intra-doc " +
+        "repetition).",
+      (s, dir) => {
+        // The winnow runs as the native O(L) monotonic-deque expression
+        // (functions/WinnowExpr.scala) — the built-in-HOF formulation
+        // (hs projection + per-window array_min(slice(hs,..))) is
+        // re-collapsed by CollapseProject, inlining the full md5 subtree
+        // into every window reference (O(L·W) md5s/doc; measured ~2 min
+        // at sf0.01 vs sub-second here). The expression is TOTAL (empty
+        // array below the guarantee threshold), so the filter reordering
+        // that InferFiltersFromGenerate causes is harmless by design.
+        val sel = Tables.par(s, dir, "documents")
+          .filter(length(col("text")) - (SubstrGram - 1) >= SubstrWindow)
+          .select(col("doc_id"),
+            explode(graft.functions.WinnowFingerprints(
+              col("text"), SubstrGram, SubstrWindow)).as("fp"))
+        // fps are distinct per doc, so the count per fingerprint IS its
+        // distinct-document count (the span profile's convention)
+        val cnt = sel.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+        sel.join(cnt, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sel"),
+            sum(when(col("n_docs") >= MinDocs, 1L).otherwise(0L))
+              .cast("long").as("n_dup"))
+          .select(col("doc_id"), col("n_sel"), col("n_dup"),
+            round(col("n_dup").cast("double") / col("n_sel"), 6)
+              .as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val w1 = SubstrWindow - 1
+        s"""WITH kd AS (SELECT doc_id, text,
+           |    length(text) - ${SubstrGram - 1} AS le FROM documents
+           |  WHERE length(text) - ${SubstrGram - 1} >= $SubstrWindow),
+           |kg AS (SELECT doc_id, list_transform(range(1, le + 1),
+           |    i -> md5(substr(text, i, $SubstrGram))) AS hs, le FROM kd),
+           |ks AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range($SubstrWindow, le + 1),
+           |    j -> list_min(hs[j - $w1:j])))) AS fp FROM kg),
+           |kc AS (SELECT fp, count(*) AS n_docs FROM ks GROUP BY fp)
+           |SELECT ks.doc_id, count(*) AS n_sel,
+           |  CAST(sum(CASE WHEN kc.n_docs >= $MinDocs THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dup,
+           |  round(CAST(sum(CASE WHEN kc.n_docs >= $MinDocs THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / count(*), 6) AS dup_ratio
+           |FROM ks JOIN kc USING (fp)
+           |GROUP BY ks.doc_id ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

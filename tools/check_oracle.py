@@ -30,14 +30,17 @@ def norm(v):
     return repr(v)
 
 
-def main(out_dir, sf_dir, only=None):
+def check(out_dir, sf_dir, only=None):
+    """Per-query status dict: name -> "ok (N rows)" | "FAIL ..." | "ERR ...".
+    Importable (tools/drift_sweep.py merges three scales into DRIFT_r{N}.json);
+    main() wraps it for the CLI."""
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
-    ok, bad = 0, 0
     for name, sql in sorted(oracle.items()):
         try:
             exp = con.sql(sql).df()
@@ -62,13 +65,11 @@ def main(out_dir, sf_dir, only=None):
             got = _pd.DataFrame(got)
             exp, got = canon(exp), canon(got)
             if list(exp.columns) != list(got.columns):
-                print(f"FAIL {name}: columns exp={list(exp.columns)} "
-                      f"got={list(got.columns)}")
-                bad += 1
+                results[name] = (f"FAIL columns exp={list(exp.columns)} "
+                                 f"got={list(got.columns)}")
                 continue
             if len(exp) != len(got):
-                print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
-                bad += 1
+                results[name] = f"FAIL rows exp={len(exp)} got={len(got)}"
                 continue
             mism = None
             for c in exp.columns:
@@ -81,14 +82,24 @@ def main(out_dir, sf_dir, only=None):
                     break
             if mism:
                 c, i, a, b = mism
-                print(f"FAIL {name}: value col={c} row={i} exp={a!r} got={b!r}")
-                bad += 1
+                results[name] = (f"FAIL value col={c} row={i} "
+                                 f"exp={a!r} got={b!r}")
             else:
-                print(f"ok   {name} ({len(exp)} rows)")
-                ok += 1
+                results[name] = f"ok ({len(exp)} rows)"
         except Exception as e:
-            print(f"ERR  {name}: {str(e)[:300]}")
-            bad += 1
+            results[name] = f"ERR {str(e)[:300]}"
+    return results
+
+
+def main(out_dir, sf_dir, only=None):
+    results = check(out_dir, sf_dir, only)
+    ok = sum(1 for v in results.values() if v.startswith("ok"))
+    bad = len(results) - ok
+    for name, status in sorted(results.items()):
+        if status.startswith("ok"):
+            print(f"ok   {name} {status[3:]}")
+        else:
+            print(f"{status.split()[0]:4} {name}: {status.split(' ', 1)[1]}")
     print(f"== {ok} ok / {bad} failing ==")
     return 1 if bad else 0
 
