@@ -213,9 +213,15 @@ object SpanDedup {
             explode(graft.functions.WinnowFingerprints(
               col("text"), SubstrGram, SubstrWindow)).as("fp"))
         // fps are distinct per doc, so the count per fingerprint IS its
-        // distinct-document count (the span profile's convention)
-        val cnt = sel.groupBy("fp").agg(count(lit(1)).as("n_docs"))
-        sel.join(cnt, "fp")
+        // distinct-document count (the span profile's convention). The
+        // count attaches via an unordered whole-partition window, NOT
+        // groupBy+self-join: referencing `sel` twice re-runs the winnow
+        // scan (RoundRobin exchanges are never ReusedExchange-d), so the
+        // window form halves the corpus passes — one winnow, one fp
+        // shuffle. A boilerplate fp hot enough to skew the fp partition
+        // would be equally hot as a join key; AQE owns both.
+        sel.withColumn("n_docs", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fp")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_sel"),
             sum(when(col("n_docs") >= MinDocs, 1L).otherwise(0L))
