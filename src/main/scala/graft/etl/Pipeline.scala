@@ -51,6 +51,9 @@ object Pipeline {
     *   - `spanSetTables`: duplicated-span artifact
     *     ([[graft.ops.SpanSet]]; doc_id + source + text); report row
     *     carries the distinct/duplicated span counts.
+    *   - `charSpanTables`: CHARACTER-winnow duplicated-substring
+    *     artifact (the [[graft.ops.SpanSet]] skeleton, charspans role;
+    *     doc_id + source + text); same report shape as `spanSetTables`.
     *   - `chunkStoreTables`: stored chunk table
     *     ([[graft.ops.ChunkStore]]; doc_id + text); report row carries
     *     chunk count + derived buckets.
@@ -62,6 +65,7 @@ object Pipeline {
   final case class ArtifactConfig(
       bandIndexTables: Seq[String] = Nil,
       spanSetTables: Seq[String] = Nil,
+      charSpanTables: Seq[String] = Nil, // char-winnow substring artifact
       chunkStoreTables: Seq[String] = Nil, // stored chunk table (RAG keys)
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
@@ -70,8 +74,8 @@ object Pipeline {
       hotBucketCap: Int = graft.ops.DedupQueries.HotBucketCap) {
     def isEmpty: Boolean =
       bandIndexTables.isEmpty && spanSetTables.isEmpty &&
-        chunkStoreTables.isEmpty && !buildIvfIndex &&
-        zOrder.isEmpty && compact.isEmpty
+        charSpanTables.isEmpty && chunkStoreTables.isEmpty &&
+        !buildIvfIndex && zOrder.isEmpty && compact.isEmpty
   }
 
   final case class TableResult(
@@ -168,10 +172,10 @@ object Pipeline {
       a: ArtifactConfig,
       log: MigrationLog = MigrationLog.silent): Seq[Report.ArtifactResult] = {
     require(a.bandIndexTables.size <= 1 && a.spanSetTables.size <= 1 &&
-      a.chunkStoreTables.size <= 1,
-      "one band/span/chunk artifact per corpus dir — consumers derive " +
-        "the tag from the dir alone, so a second table would silently " +
-        "reuse the first table's artifact")
+      a.charSpanTables.size <= 1 && a.chunkStoreTables.size <= 1,
+      "one band/span/charspan/chunk artifact per corpus dir — consumers " +
+        "derive the tag from the dir alone, so a second table would " +
+        "silently reuse the first table's artifact")
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
@@ -201,6 +205,18 @@ object Pipeline {
         s"distinct_spans=$nSpans duplicated_spans=$nDup"
       log.info(t, "artifact span_set", msg)
       Report.ArtifactResult(t, "span_set", msg, 0L, 0L, secs)
+    }
+    val charSpans = a.charSpanTables.map { t =>
+      val tag = graft.ops.SpanSet.charTag(outDir)
+      val ((nSpans, nDup), secs) = timed {
+        graft.ops.SpanSet.buildOrLoadChar(spark,
+          spark.read.parquet(s"$outDir/$t.parquet"), tag, log)
+        graft.ops.SpanSet.spanAudit(spark, tag)
+      }
+      val msg = s"tag=$tag buckets=${graft.ops.SpanSet.buckets(spark, tag)} " +
+        s"distinct_fps=$nSpans duplicated_fps=$nDup"
+      log.info(t, "artifact char_span_set", msg)
+      Report.ArtifactResult(t, "char_span_set", msg, 0L, 0L, secs)
     }
     val chunks = a.chunkStoreTables.map { t =>
       val tag = graft.ops.ChunkStore.tag(outDir)
@@ -247,7 +263,7 @@ object Pipeline {
       log.info(t, "artifact compaction", msg)
       Report.ArtifactResult(t, "compaction", msg, 0L, 0L, secs)
     }
-    band ++ spans ++ chunks ++ ivf ++ zs ++ cps
+    band ++ spans ++ charSpans ++ chunks ++ ivf ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

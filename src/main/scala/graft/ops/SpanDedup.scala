@@ -88,6 +88,31 @@ object SpanDedup {
         md5(col("span")).as("sh"): _*)
   }
 
+  /** Char-winnow twin of [[spanRows]] — one row per (doc, distinct
+    * SELECTED char-gram fingerprint): doc_id [, passthrough...], n_spans
+    * (the doc's distinct selected count), sh (32-hex winnowed md5 of a
+    * char [[SubstrGram]]-gram). The winnow ([[graft.functions
+    * .WinnowFingerprints]], O(L) monotonic deque) emits a distinct
+    * per-doc set, so a plain count over `sh` is a distinct-document
+    * count — the same convention as the word family, which is what lets
+    * [[SpanSet]] store BOTH families through one skeleton. The
+    * sub-threshold-length filter lives HERE, not at call sites, so every
+    * consumer (declared query, pipeline artifact phase, streaming
+    * probe) builds/probes the identical population — the r7 band-index
+    * tag-population lesson applied structurally.
+    */
+  private[graft] def winnowRows(docs: DataFrame,
+                                passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = passthrough.map(col)
+    docs
+      .filter(length(col("text")) - (SubstrGram - 1) >= SubstrWindow)
+      .select(col("doc_id") +: keep :+
+        graft.functions.WinnowFingerprints(
+          col("text"), SubstrGram, SubstrWindow).as("fps"): _*)
+      .select(col("doc_id") +: keep :+ size(col("fps")).as("n_spans") :+
+        explode(col("fps")).as("sh"): _*)
+  }
+
   /** In-memory duplicated-span set of an UNSTORED corpus: one `sh` per
     * span fingerprint occurring in >= [[MinDocs]] docs. The production
     * path is the STORED artifact ([[SpanSet]] — the bucketed table pair
@@ -107,6 +132,14 @@ object SpanDedup {
     */
   private def stored(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     SpanSet.buildOrLoad(s, Tables.par(s, dir, "documents"), SpanSet.tag(dir))
+
+  /** The stored CHAR-winnow artifact for a corpus snapshot dir — the
+    * [[SpanSet]] skeleton at character granularity (distinct tag role,
+    * so the two families never share a table).
+    */
+  private def storedChar(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    SpanSet.buildOrLoadChar(s, Tables.par(s, dir, "documents"),
+      SpanSet.charTag(dir))
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -192,40 +225,30 @@ object SpanDedup {
         "two operating points are directly comparable (SCALE.md §3). " +
         "Scale: the winnow is the native O(L) monotonic-deque Expression " +
         "(functions/WinnowExpr.scala) — one md5 per gram position, " +
-        "amortized O(1) per window — and the shuffle carries " +
-        "only ~2L/(W+1) fingerprints per doc, never text; docs shorter than " +
+        "amortized O(1) per window — run ONCE at artifact build: the " +
+        "selected relation is a STORED SpanSet family (charspans role, " +
+        "sh-bucketed rows + counts, delta-exact appends), so the read " +
+        "path is an exchange-free co-bucketed join and the only build " +
+        "shuffle carries ~2L/(W+1) 32-hex keys per doc, never text; " +
+        "docs shorter than " +
         "the guarantee threshold are excluded (their whole-doc dups are " +
         "H1's exact-hash job). Within-doc repeats are intentionally NOT " +
         "counted (distinct-per-doc fingerprints; H4a owns intra-doc " +
         "repetition).",
       (s, dir) => {
-        // The winnow runs as the native O(L) monotonic-deque expression
-        // (functions/WinnowExpr.scala) — the built-in-HOF formulation
-        // (hs projection + per-window array_min(slice(hs,..))) is
-        // re-collapsed by CollapseProject, inlining the full md5 subtree
-        // into every window reference (O(L·W) md5s/doc; measured ~2 min
-        // at sf0.01 vs sub-second here). The expression is TOTAL (empty
-        // array below the guarantee threshold), so the filter reordering
-        // that InferFiltersFromGenerate causes is harmless by design.
-        val sel = Tables.par(s, dir, "documents")
-          .filter(length(col("text")) - (SubstrGram - 1) >= SubstrWindow)
-          .select(col("doc_id"),
-            explode(graft.functions.WinnowFingerprints(
-              col("text"), SubstrGram, SubstrWindow)).as("fp"))
-        // fps are distinct per doc, so the count per fingerprint IS its
-        // distinct-document count (the span profile's convention). The
-        // count attaches via an unordered whole-partition window, NOT
-        // groupBy+self-join: referencing `sel` twice re-runs the winnow
-        // scan (RoundRobin exchanges are never ReusedExchange-d), so the
-        // window form halves the corpus passes — one winnow, one fp
-        // shuffle. A boilerplate fp hot enough to skew the fp partition
-        // would be equally hot as a join key; AQE owns both.
-        sel.withColumn("n_docs", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        // Reads the STORED char-winnow artifact exactly as q_dedup_spans
+        // reads the word one: rows ⋈ duplicated-set is an exchange-free
+        // sort-merge of two sh-co-bucketed scans; the winnow itself (the
+        // native O(L) deque expression — the HOF formulation is O(L·W)
+        // after CollapseProject inlining, measured ~100× at sf0.01) runs
+        // ONCE at build, never per query.
+        val (e, _) = storedChar(s, dir)
+        val dup = SpanSet.duplicatedSpans(s, SpanSet.charTag(dir))
+          .select(col("sh"), lit(1).as("isdup"))
+        e.join(dup, Seq("sh"), "left")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_sel"),
-            sum(when(col("n_docs") >= MinDocs, 1L).otherwise(0L))
-              .cast("long").as("n_dup"))
+          .agg(max(col("n_spans")).cast("long").as("n_sel"),
+            count(col("isdup")).as("n_dup"))
           .select(col("doc_id"), col("n_sel"), col("n_dup"),
             round(col("n_dup").cast("double") / col("n_sel"), 6)
               .as("dup_ratio"))

@@ -54,6 +54,16 @@ object SpanSet {
 
   def tag(dir: String): String = BandIndex.tag(dir, "spans")
 
+  /** Tag of the CHARACTER-winnow family ([[SpanDedup.winnowRows]]) for a
+    * corpus dir. A distinct role, so a word-gram artifact can never be
+    * silently served to a char-granularity consumer (or vice versa) by
+    * `buildOrLoad`'s tableExists short-circuit — the two families share
+    * the storage skeleton but never a table. The extractor is bound to
+    * the tag STRUCTURALLY: `buildOrLoadChar`/`appendChar` are the only
+    * public writers for this role.
+    */
+  def charTag(dir: String): String = BandIndex.tag(dir, "charspans")
+
   private def rowsT(tag: String) = s"${tag}_spanrows"
   private def setT(tag: String) = s"${tag}_spanset"
 
@@ -68,7 +78,27 @@ object SpanSet {
   def buildOrLoad(spark: SparkSession, docs: DataFrame, tag: String,
                   log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
                   targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
-                 ): (DataFrame, DataFrame) = {
+                 ): (DataFrame, DataFrame) =
+    buildWith(spark, docs, tag, log, targetRowsPerBucket,
+      SpanDedup.spanRows(_, Seq("source")))
+
+  /** [[buildOrLoad]] for the CHARACTER-winnow family — same storage
+    * skeleton, lifecycle and read paths (the count-delta semilattice and
+    * every reader are extractor-independent), rows extracted by
+    * [[SpanDedup.winnowRows]]. Pair with [[charTag]].
+    */
+  def buildOrLoadChar(spark: SparkSession, docs: DataFrame, tag: String,
+                      log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
+                      targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
+                     ): (DataFrame, DataFrame) =
+    buildWith(spark, docs, tag, log, targetRowsPerBucket,
+      SpanDedup.winnowRows(_, Seq("source")))
+
+  private def buildWith(spark: SparkSession, docs: DataFrame, tag: String,
+                        log: graft.etl.MigrationLog,
+                        targetRowsPerBucket: Long,
+                        extractor: DataFrame => DataFrame
+                       ): (DataFrame, DataFrame) = {
     val (rT, sT) = (rowsT(tag), setT(tag))
     if (!spark.catalog.tableExists(sT)) {
       BandIndex.dropStaleLocations(spark, Seq(rT, sT))
@@ -76,7 +106,7 @@ object SpanSet {
       // pass; BOTH tables take the count derived from the span rows —
       // equal bucket counts on sh keep the rows ⋈ counts join
       // co-partitioned (the family invariant).
-      val rows = SpanDedup.spanRows(docs, Seq("source"))
+      val rows = extractor(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val buckets = BandIndex.derivedBuckets(rows.count(), targetRowsPerBucket)
@@ -144,11 +174,19 @@ object SpanSet {
     * batch's per-fingerprint counts as sum-lattice DELTA rows (reads
     * merge them exactly — see class doc).
     */
-  def append(spark: SparkSession, newDocs: DataFrame, tag: String): Unit = {
+  def append(spark: SparkSession, newDocs: DataFrame, tag: String): Unit =
+    appendWith(spark, newDocs, tag, SpanDedup.spanRows(_, Seq("source")))
+
+  /** [[append]] for the CHARACTER-winnow family. Pair with [[charTag]]. */
+  def appendChar(spark: SparkSession, newDocs: DataFrame, tag: String): Unit =
+    appendWith(spark, newDocs, tag, SpanDedup.winnowRows(_, Seq("source")))
+
+  private def appendWith(spark: SparkSession, newDocs: DataFrame, tag: String,
+                         extractor: DataFrame => DataFrame): Unit = {
     val (rT, sT) = (rowsT(tag), setT(tag))
     require(spark.catalog.tableExists(rT) && spark.catalog.tableExists(sT),
       s"append target $tag does not exist — buildOrLoad first")
-    val rows = SpanDedup.spanRows(newDocs, Seq("source"))
+    val rows = extractor(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       rows.write.insertInto(rT)

@@ -113,6 +113,33 @@ object CorpusStream {
       .join(dupSpans, "sh")
       .select("eventTime", "doc_id", "n_spans", "sh")
 
+  /** Batch-side build of the stored CHAR-winnow span artifact (the
+    * [[graft.ops.SpanSet]] skeleton at character granularity, charspans
+    * role) — returns the duplicated-fingerprint set for
+    * [[charBoilerplateHits]] to probe. Same winnow expression as
+    * `q_dedup_substrings`, so batch and ingest-time checks cannot drift.
+    */
+  def buildCharSpanSet(spark: SparkSession, docs: DataFrame,
+                       tag: String): DataFrame = {
+    graft.ops.SpanSet.buildOrLoadChar(spark, docs, tag)
+    graft.ops.SpanSet.duplicatedSpans(spark, tag)
+  }
+
+  /** Ingest-time CHARACTER-level boilerplate check — the streaming twin
+    * of `q_dedup_substrings`: each arriving doc's winnowed char-gram
+    * fingerprints (the same O(L) deque expression, selection is
+    * content-defined so stream and standing docs select identical
+    * fingerprints for identical runs) probe the STATIC duplicated set of
+    * the stored charspans artifact. Stateless stream-static inner join,
+    * exactly [[boilerplateHits]]'s shape: one
+    * (eventTime, doc_id, n_spans, sh) row per guaranteed-verbatim-run
+    * hit.
+    */
+  def charBoilerplateHits(docs: DataFrame, dupFps: DataFrame): DataFrame =
+    graft.ops.SpanDedup.winnowRows(docs, Seq("eventTime"))
+      .join(dupFps, "sh")
+      .select("eventTime", "doc_id", "n_spans", "sh")
+
   /** Batch-side build of the stored chunk table — materializes the
     * SAME artifact the batch chunk queries read
     * ([[graft.ops.ChunkStore]]: chunk rows bucketed on chunk_fp) and

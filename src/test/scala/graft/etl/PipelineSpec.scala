@@ -75,6 +75,7 @@ class PipelineSpec extends SparkSpec {
       artifacts = Pipeline.ArtifactConfig(
         bandIndexTables = Seq("docs"),
         spanSetTables = Seq("docs"),
+        charSpanTables = Seq("docs"),
         chunkStoreTables = Seq("docs"),
         buildIvfIndex = true,
         zOrder = Map("evts" -> ("event_id", "k")),
@@ -83,8 +84,8 @@ class PipelineSpec extends SparkSpec {
 
     // every artifact produced a report row...
     assert(report.artifacts.map(_.kind).sorted ==
-      Seq("band_index", "chunk_store", "compaction", "ivf_index",
-        "span_set", "zorder"))
+      Seq("band_index", "char_span_set", "chunk_store", "compaction",
+        "ivf_index", "span_set", "zorder"))
     val ivfRow = report.artifacts.find(_.kind == "ivf_index").get
     assert(ivfRow.detail.contains("vectors=40"), ivfRow.detail)
     // ...the stored tables exist under the tags the query paths and
@@ -94,6 +95,11 @@ class PipelineSpec extends SparkSpec {
     val spanTag = graft.ops.SpanSet.tag(dst)
     assert(spark.table(s"${bandTag}_bands").count() > 0)
     assert(graft.ops.SpanSet.duplicatedSpans(spark, spanTag).count() == 9)
+    // ...the char-winnow family built under ITS distinct role: 6
+    // identical boilerplate docs share every selected fingerprint
+    val charTag = graft.ops.SpanSet.charTag(dst)
+    assert(charTag != spanTag)
+    assert(graft.ops.SpanSet.duplicatedSpans(spark, charTag).count() > 0)
     // ...the chunk store materialized one chunk per (short) doc with its
     // derived bucket count in the report row...
     val chunkTag = graft.ops.ChunkStore.tag(dst)

@@ -148,6 +148,22 @@ class PlanShapeSpec extends SparkSpec {
       s"read path should shuffle only doc-agg + sort (got $shuffles):\n$p")
   }
 
+  test("q_dedup_substrings: stored charspans artifact is scan-only — the " +
+    "same exchange-free read shape as the word family") {
+    val p = plan(Registry.queryMap("q_dedup_substrings")(spark, dir),
+      noBroadcast = true)
+    assert(contains(p, "charspans"), s"expected charspans scan:\n$p")
+    for (scan <- scansOf(p, "charspans")) {
+      val path = pathTo(p, scan).getOrElse(fail("no path to charspans scan"))
+      val belowJoin = path.reverse.takeWhile(n => !isJoin(n))
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"stored charspans tables must reach the sh-join unshuffled:\n$p")
+    }
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }.length
+    assert(shuffles <= 2,
+      s"read path should shuffle only doc-agg + sort (got $shuffles):\n$p")
+  }
+
   test("q_chunk_dedup: dedup agg is exchange-free off the " +
     "chunk_fp-bucketed stored chunk table") {
     val p = plan(Registry.queryMap("q_chunk_dedup")(spark, dir),

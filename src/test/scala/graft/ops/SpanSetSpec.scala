@@ -153,4 +153,42 @@ class SpanSetSpec extends SparkSpec {
       "audit must merge deltas to the from-scratch numbers")
     dropAll(tagInc); dropAll(tagFull)
   }
+
+  test("char-winnow family: same skeleton, distinct role — stored set " +
+    "equals the inline winnow derivation, appends stay exact") {
+    val rnd = new scala.util.Random(47)
+    // 2-char alphabet at 60-120 chars/doc: winnowed 16-gram fingerprints
+    // collide densely across docs — random collisions, not a fixture
+    def randText() =
+      Array.fill(60 + rnd.nextInt(61))("ab"(rnd.nextInt(2))).mkString
+    val corpus = (1L to 60L).map(i => (i, randText()))
+    // plus one doc below the guarantee threshold: must contribute 0 rows
+    val short = Seq(990L -> "too short to winnow")
+    val tagInc = "graft_test_css_inc"
+    val tagFull = "graft_test_css_full"
+    dropAll(tagInc); dropAll(tagFull)
+    val (standing, rest) = corpus.splitAt(20)
+    val (batch1, batch2) = rest.splitAt(20)
+    SpanSet.buildOrLoadChar(spark, docs(standing ++ short: _*), tagInc)
+    SpanSet.appendChar(spark, docs(batch1: _*), tagInc)
+    SpanSet.appendChar(spark, docs(batch2: _*), tagInc)
+    SpanSet.buildOrLoadChar(spark, docs(corpus ++ short: _*), tagFull)
+    val inc = SpanSet.duplicatedSpans(spark, tagInc)
+      .as[String].collect().sorted.toSeq
+    val full = SpanSet.duplicatedSpans(spark, tagFull)
+      .as[String].collect().sorted.toSeq
+    assert(inc.nonEmpty, "random char corpus produced no duplicated " +
+      "fingerprints — differential has no teeth")
+    assert(inc == full, "char append-then-read must equal rebuild")
+    // stored rows == the inline winnowRows relation, row for row
+    val stored = spark.table(s"${tagFull}_spanrows")
+      .select("doc_id", "n_spans", "sh")
+    val inline = SpanDedup.winnowRows(docs(corpus ++ short: _*))
+      .select("doc_id", "n_spans", "sh")
+    assert(stored.except(inline).isEmpty && inline.except(stored).isEmpty,
+      "stored char rows must equal the inline winnow derivation")
+    // the two families never share a table (distinct roles)
+    assert(SpanSet.charTag("/x/y") != SpanSet.tag("/x/y"))
+    dropAll(tagInc); dropAll(tagFull)
+  }
 }

@@ -53,6 +53,48 @@ class SpanStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("charBoilerplateHits flags arriving docs carrying corpus-duplicated " +
+    "character runs via the stored charspans artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 59-char verbatim run shared by corpus docs 10/11 (>= the 47-char
+    // winnow guarantee, so both docs select >= 1 common fingerprint ->
+    // duplicated); doc 12 disjoint. Alphabet/content chosen fully ASCII.
+    val run = "the same boilerplate disclaimer sentence repeated verbatim!"
+    assert(run.length >= 47, "fixture must clear the winnow guarantee")
+    val corpus = Seq(
+      (10L, s"intro text alpha $run trailing alpha words"),
+      (11L, s"different beginning $run other ending entirely"),
+      (12L, "a fully unrelated document with no shared character runs at all"))
+      .toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+    val dupFps = CorpusStream.buildCharSpanSet(spark, corpus,
+      "graft_test_charspanstream_" + System.nanoTime())
+    assert(dupFps.count() >= 1,
+      "shared 60-char run must yield >= 1 duplicated winnow fingerprint")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = CorpusStream.charBoilerplateHits(
+      input.toDF().toDF("eventTime", "doc_id", "text"), dupFps)
+      .writeStream.queryName("charspan_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-charspan").toString)
+      .format("memory")
+      .start()
+    try {
+      input.addData(
+        // carries the boilerplate run -> the guarantee promises >= 1 hit
+        (ts("2024-01-01 10:00:00"), 1L, s"stream prefix $run stream suffix"),
+        // fresh text, long enough to winnow -> no hits
+        (ts("2024-01-01 10:00:10"), 2L,
+          "completely different words entirely unrelated content here today"))
+      q.processAllAvailable()
+      val out = spark.table("charspan_test").collect()
+      assert(out.nonEmpty && out.forall(_.getAs[Long]("doc_id") == 1L),
+        "only the boilerplate-carrying doc may hit")
+    } finally q.stop()
+  }
+
   test("streaming ingest maintains the stored span artifact via foreachBatch append") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
