@@ -39,6 +39,17 @@ object SimilarityQueries {
   private val projPlanes = graft.functions.VectorFunctions
     .makePlanes(ProjDim, Dim, seed = 7L)
 
+  /** Product-quantization geometry: [[PqM]] subspaces of [[PqDsub]]
+    * dims, [[PqK]] codes per sub-codebook — codes cost
+    * M·log2(k)/8 = 4 bytes/vector (+4 for the stored norm) against
+    * 256 bytes of float32: 32×. 16 codes keeps the seed pass and the
+    * oracle replay small; production PQ uses k=256 (1 byte/code), same
+    * plan shape.
+    */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqDsub = Dim / PqM
+
   /** IVF cells derived from corpus cardinality — SURVEY H2'b's "cells
     * ≫ 16 at scale": cells ≈ √n keeps inverted lists and the centroid
     * relation both ~√n rows, so lists stay balanced and the broadcast
@@ -613,6 +624,168 @@ object SimilarityQueries {
               |  round(list_aggregate(list_transform(range(1, ${Dim + 1}),
               |    i -> abs(v[i] - d[i])), 'max'), 6) AS max_abs_err
               |FROM dq ORDER BY vec_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_embedding_pq",
+      s"Product quantization (Jégou et al. 2011, the IVF-PQ memory " +
+        s"path): $Dim dims split into $PqM subspaces of $PqDsub, a " +
+        s"$PqK-entry codebook per subspace (hash-ordered seeds + one " +
+        "decimal-exact Lloyd step — the IVF derivation convention " +
+        "applied per subspace), every vector encoded as " +
+        s"$PqM codes = ${PqM * 4 / 8} bytes (+4B stored norm) vs " +
+        s"${Dim * 4}B float32 — ${Dim * 4 * 8 / (PqM * 4 + 32)}× " +
+        "compression. Queries rank by ASYMMETRIC distance (ADC): one " +
+        s"${PqM}×$PqK lookup table of query-subvector·centroid dots " +
+        "per query, each corpus vector scored by summing M table hits " +
+        "— bytes and table lookups, never corpus floats. Emits ONE " +
+        s"measured row: recall@$K vs the exact top-k plus the mean " +
+        "absolute cosine error ON the true top-k pairs — the PQ trade " +
+        "(compression vs ranking fidelity) as numbers, the " +
+        "q_ann_recall honesty convention. Scale: codebooks are " +
+        s"${PqM}×$PqK rows (broadcast anywhere); the ADC scan is " +
+        "linear in codes with per-(query,vec) sums decimal-exact (sum " +
+        "order must not flip cross-engine ranks); at 100 TB the codes " +
+        "relation IS the resident index — 32× less memory than raw, " +
+        "re-rank against full vectors only for the final K.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val n = corpus(s, dir).drop("bucket")
+        val subs = broadcast(
+          s.range(0, PqM).toDF("sub").withColumn("sub", col("sub").cast("int")))
+        // hash-ordered seed rows — the IVF seeding convention, sliced
+        // per subspace (16-row window: the single-partition WindowExec
+        // is on a LIMIT-16 relation, not the corpus)
+        val seeds = n.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(PqK)
+          .withColumn("code", row_number().over(Window.orderBy(
+            md5(col("vec_id").cast("string")), col("vec_id"))))
+          .select(col("code"), col("v"))
+        def sliceSub(v: String) =
+          expr(s"slice($v, sub * $PqDsub + 1, $PqDsub)")
+        val seedSub = seeds.crossJoin(subs)
+          .select(col("sub"), col("code"), sliceSub("v").as("cv"))
+        val sv = n.crossJoin(subs)
+          .select(col("vec_id"), col("sub"), sliceSub("v").as("sv"))
+        // squared L2 via three in-order dots: bit-identical cross-engine
+        def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+        val wAsg = Window.partitionBy("vec_id", "sub")
+          .orderBy(col("d").asc, col("code").asc)
+        val a0 = sv.join(broadcast(seedSub), "sub")
+          .withColumn("d", d2(col("sv"), col("cv")))
+          .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("code"), col("sv"))
+        // one Lloyd step: decimal-exact positional means per (sub, code)
+        val cbm = a0
+          .select(col("sub"), col("code"),
+            posexplode(col("sv")).as(Seq("pos0", "val")))
+          .groupBy(col("sub"), col("code"), (col("pos0") + 1).as("pos"))
+          .agg((sum(col("val").cast(DecimalType(30, 15))).cast("double") /
+            count(lit(1))).as("m"))
+        val cb = cbm.groupBy("sub", "code")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cv"))
+        val enc = sv.join(broadcast(cb), "sub")
+          .withColumn("d", d2(col("sv"), col("cv")))
+          .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("code"))
+        // ADC: per-query lookup table (PqM x PqK rows), summed per
+        // (query, vec) as DECIMAL of 9dp-rounded partials — float sums
+        // over an unordered group differ at the last ulp between
+        // engines; decimal addition is exact and order-free
+        val q = n.filter(expr(QueryPred))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val lt = q.select(col("query_id"), col("qv")).crossJoin(broadcast(cb))
+          .select(col("query_id"), col("sub"), col("code"),
+            dot(sliceSub("qv"), col("cv")).as("pd"))
+        val scored = enc.join(broadcast(lt), Seq("sub", "code"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum(round(col("pd"), 9).cast(DecimalType(30, 15)))
+            .cast("double").as("ad"))
+          .join(n.select(col("vec_id"), col("nrm")), "vec_id")
+          .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
+          .filter(col("query_id") =!= col("vec_id"))
+          .withColumn("score", col("ad") / (col("qn") * col("nrm")))
+          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("score").desc, col("vec_id").asc)))
+        val exact = exactTopK(s, dir)
+          .select(col("query_id"), col("vec_id"), col("cos"))
+        exact.join(scored.select(col("query_id"), col("vec_id"),
+            col("score"), col("rank")), Seq("query_id", "vec_id"))
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("n_exact"),
+            sum(when(col("rank") <= K, 1L).otherwise(0L)).cast("long")
+              .as("n_hit"),
+            (sum(round(abs(col("cos") - col("score")), 9)
+              .cast(DecimalType(30, 15))).cast("double") / count(lit(1)))
+              .as("err"))
+          .select(lit(s"pq_adc_m${PqM}_k$PqK").as("variant"),
+            col("n_queries"), col("n_exact"), col("n_hit"),
+            round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"),
+            round(col("err"), 6).as("mean_abs_err"),
+            lit(Dim * 4.0 * 8 / (PqM * 4 + 32)).as("compression_x"))
+      },
+      Some {
+        val ds = PqDsub
+        s"""WITH $baseCte,
+           |subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+           |pseeds AS (SELECT v, ROW_NUMBER() OVER (
+           |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code
+           |  FROM (SELECT vec_id, v FROM n
+           |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
+           |pseedsub AS (SELECT sub, code,
+           |    v[sub*$ds+1 : sub*$ds+$ds] AS cv FROM pseeds, subs),
+           |psv AS (SELECT vec_id, sub, v[sub*$ds+1 : sub*$ds+$ds] AS sv
+           |  FROM n, subs),
+           |pa0 AS (SELECT vec_id, sub, code, sv FROM (
+           |  SELECT psv.vec_id, psv.sub, c.code, psv.sv,
+           |    ROW_NUMBER() OVER (PARTITION BY psv.vec_id, psv.sub
+           |      ORDER BY list_dot_product(psv.sv, psv.sv)
+           |        - 2.0*list_dot_product(psv.sv, c.cv)
+           |        + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+           |  FROM psv JOIN pseedsub c USING (sub)) WHERE rn = 1),
+           |pcm AS (SELECT sub, code, i AS pos,
+           |    CAST(sum(CAST(sv[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
+           |  FROM pa0, (SELECT unnest(range(1, ${ds + 1})) AS i)
+           |  GROUP BY sub, code, i),
+           |pcb AS (SELECT sub, code, list(m ORDER BY pos) AS cv
+           |  FROM pcm GROUP BY sub, code),
+           |penc AS (SELECT vec_id, sub, code FROM (
+           |  SELECT psv.vec_id, psv.sub, c.code,
+           |    ROW_NUMBER() OVER (PARTITION BY psv.vec_id, psv.sub
+           |      ORDER BY list_dot_product(psv.sv, psv.sv)
+           |        - 2.0*list_dot_product(psv.sv, c.cv)
+           |        + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+           |  FROM psv JOIN pcb c USING (sub)) WHERE rn = 1),
+           |plt AS (SELECT query_id, sub, code,
+           |    list_dot_product(qv[sub*$ds+1 : sub*$ds+$ds], cv) AS pd
+           |  FROM q, pcb),
+           |pad AS (SELECT query_id, vec_id,
+           |    CAST(sum(CAST(round(pd, 9) AS DECIMAL(30,15))) AS DOUBLE) AS ad
+           |  FROM penc JOIN plt USING (sub, code) GROUP BY query_id, vec_id),
+           |pscored AS (SELECT query_id, vec_id, ad/(qn*nrm) AS score,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY ad/(qn*nrm) DESC, vec_id ASC) AS rank
+           |  FROM pad JOIN n USING (vec_id) JOIN q USING (query_id)
+           |  WHERE query_id <> vec_id),
+           |$exactScoredCte,
+           |ex AS (SELECT query_id, vec_id, cos FROM exact_scored
+           |  WHERE rank <= $K)
+           |SELECT 'pq_adc_m${PqM}_k$PqK' AS variant,
+           |  count(DISTINCT ex.query_id) AS n_queries,
+           |  count(*) AS n_exact,
+           |  CAST(sum(CASE WHEN p.rank <= $K THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hit,
+           |  round(CAST(sum(CASE WHEN p.rank <= $K THEN 1 ELSE 0 END)
+           |    AS BIGINT) / count(*), 4) AS recall_at_$K,
+           |  round(CAST(sum(CAST(round(abs(ex.cos - p.score), 9)
+           |    AS DECIMAL(30,15))) AS DOUBLE)/count(*), 6) AS mean_abs_err,
+           |  ${Dim * 4.0 * 8 / (PqM * 4 + 32)} AS compression_x
+           |FROM ex JOIN pscored p USING (query_id, vec_id)""".stripMargin
+      }
     ),
 
     QueryDef(
