@@ -68,6 +68,7 @@ object Pipeline {
       charSpanTables: Seq[String] = Nil, // char-winnow substring artifact
       chunkStoreTables: Seq[String] = Nil, // stored chunk table (RAG keys)
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
+      buildPqStore: Boolean = false, // stored PQ codes over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
       compact: Map[String, String] = Map.empty,
       compactTargetBytes: Long = 128L * 1024 * 1024,
@@ -75,7 +76,8 @@ object Pipeline {
     def isEmpty: Boolean =
       bandIndexTables.isEmpty && spanSetTables.isEmpty &&
         charSpanTables.isEmpty && chunkStoreTables.isEmpty &&
-        !buildIvfIndex && zOrder.isEmpty && compact.isEmpty
+        !buildIvfIndex && !buildPqStore &&
+        zOrder.isEmpty && compact.isEmpty
   }
 
   final case class TableResult(
@@ -243,6 +245,17 @@ object Pipeline {
       log.info("embeddings", "artifact ivf_index", msg)
       Seq(Report.ArtifactResult("embeddings", "ivf_index", msg, 0L, 0L, secs))
     }
+    val pq = if (!a.buildPqStore) Nil else {
+      val t = graft.ops.PqStore.tag(outDir)
+      val (_, secs) = timed {
+        graft.ops.PqStore.buildOrLoad(spark, outDir, log)
+      }
+      val (nVec, worstUsed) = graft.ops.PqStore.codeStats(spark, t)
+      val msg = s"tag=$t buckets=${graft.ops.PqStore.buckets(spark, t)} " +
+        s"vectors=$nVec worst_subspace_codes_used=$worstUsed"
+      log.info("embeddings", "artifact pq_store", msg)
+      Seq(Report.ArtifactResult("embeddings", "pq_store", msg, 0L, 0L, secs))
+    }
     val zs = a.zOrder.toSeq.sortBy(_._1).map { case (t, (c1, c2)) =>
       val path = s"$outDir/${t}_zorder.parquet"
       val (_, secs) = timed {
@@ -263,7 +276,7 @@ object Pipeline {
       log.info(t, "artifact compaction", msg)
       Report.ArtifactResult(t, "compaction", msg, 0L, 0L, secs)
     }
-    band ++ spans ++ charSpans ++ chunks ++ ivf ++ zs ++ cps
+    band ++ spans ++ charSpans ++ chunks ++ ivf ++ pq ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored product-quantization artifact — the fifth stored family
+  * (band index, span sets, chunk store, IVF index, now PQ): the
+  * sub-codebooks and the encoded corpus that `q_embedding_pq` scores
+  * by asymmetric distance, materialized as tables instead of re-derived
+  * per run. At 100 TB the codes table IS the point: 32× smaller than
+  * the raw vectors, it is what stays resident for the ADC scan while
+  * full-precision vectors are touched only by the final re-rank.
+  *
+  * Two tables per corpus snapshot:
+  *
+  *   - `<tag>_pqcodebook` (sub, code, cv)       PqM×PqK rows, plain
+  *   - `<tag>_pqcodes`    (vec_id, nrm, codes)  bucketed by vec_id
+  *
+  * The tag embeds the geometry (M×K), so a geometry change builds a
+  * new artifact rather than silently reading one quantized differently
+  * (the IvfIndex nCells convention). Build runs the SAME derivation as
+  * the declared query's oracle replay ([[SimilarityQueries
+  * .buildPqCodebook]]/[[SimilarityQueries.encodePq]] — one definition,
+  * no drift), once per (session, snapshot) keyed by catalog presence.
+  *
+  * Maintenance mirrors IvfIndex: [[append]] encodes a new batch
+  * against the EXISTING codebook and inserts its code rows — the
+  * codebook goes stale as appended data drifts, the family's documented
+  * staleness bound. Unlike IVF centroids, a PQ codebook CANNOT be
+  * refreshed from the stored artifact alone: codes are lossy, the
+  * original vectors are gone. Retraining is a rebuild from the corpus
+  * ([[rebuild]]) followed by re-encoding everything — which is exactly
+  * how production PQ systems schedule it (retrain offline, swap the
+  * index) — so this family deliberately has no `refresh*` that
+  * pretends otherwise.
+  */
+object PqStore {
+
+  /** Geometry-embedding tag (the IvfIndex convention). */
+  def tag(dir: String): String =
+    BandIndex.tag(dir,
+      s"pq${SimilarityQueries.PqM}x${SimilarityQueries.PqK}")
+
+  private def cbT(tag: String) = s"${tag}_pqcodebook"
+  private def codesT(tag: String) = s"${tag}_pqcodes"
+
+  /** Derived bucket count this tag was built with (report-row metric). */
+  def buckets(spark: SparkSession, tag: String): Int =
+    BandIndex.bucketsOf(spark, codesT(tag))
+
+  /** Materialize (or reuse, if already cataloged this session) the PQ
+    * artifact for the corpus at `dir`. Returns (codebook, codes) as
+    * reads of the stored tables.
+    */
+  def buildOrLoad(spark: SparkSession, dir: String,
+                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
+                  targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
+                 ): (DataFrame, DataFrame) = {
+    val t = tag(dir)
+    val (bT, cT) = (cbT(t), codesT(t))
+    if (!spark.catalog.tableExists(cT)) {
+      BandIndex.dropStaleLocations(spark, Seq(bT, cT))
+      // One code row per vector: bucket derivation is the parquet
+      // count — metadata-only, no extra corpus pass.
+      val buckets = BandIndex.derivedBuckets(
+        graft.Tables.t(spark, dir, "embeddings").count(), targetRowsPerBucket)
+      val n = SimilarityQueries.normalizedCorpus(spark, dir)
+      val cb = SimilarityQueries.buildPqCodebook(n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cb.write.mode(SaveMode.Overwrite).saveAsTable(bT)
+        SimilarityQueries.encodePq(n, cb)
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "vec_id").sortBy("vec_id")
+          .saveAsTable(cT)
+      } finally cb.unpersist()
+      // Build-time audit: code utilization decides quantization error —
+      // a subspace collapsing onto few codes wastes its bits and
+      // deserves a loud line (the hot-bucket convention inverted).
+      val (nVec, worstUsed) = codeStats(spark, t)
+      val msg = s"m=${SimilarityQueries.PqM} k=${SimilarityQueries.PqK} " +
+        s"vectors=$nVec worst_subspace_codes_used=$worstUsed"
+      if (worstUsed * 2 < SimilarityQueries.PqK)
+        log.warn(cT, "pq_store_build", msg)
+      else log.info(cT, "pq_store_build", msg)
+    }
+    (spark.table(bT), spark.table(cT))
+  }
+
+  /** (total vectors, codes used by the WORST-utilized subspace) off the
+    * stored codes — the quantizer-health audit for logs/report rows.
+    */
+  def codeStats(spark: SparkSession, tag: String): (Long, Long) = {
+    val enc = spark.table(codesT(tag))
+      .select(posexplode(col("codes")).as(Seq("sub", "code")))
+      .groupBy("sub").agg(countDistinct(col("code")).as("u"))
+      .agg(coalesce(min(col("u")), lit(0L)).as("worst"))
+      .collect()(0).getLong(0)
+    (spark.table(codesT(tag)).count(), enc)
+  }
+
+  /** Daily-ingest maintenance: encode `newVectors` (vec_id, v, nrm)
+    * against the EXISTING stored codebook and append their code rows
+    * (insertInto preserves the bucket spec). The codebook is not
+    * retrained — see the class doc for why PQ refresh is [[rebuild]].
+    */
+  def append(spark: SparkSession, newVectors: DataFrame, tag: String): Unit = {
+    val (bT, cT) = (cbT(tag), codesT(tag))
+    require(spark.catalog.tableExists(bT) && spark.catalog.tableExists(cT),
+      s"append target $tag does not exist — buildOrLoad first")
+    SimilarityQueries.encodePq(newVectors, spark.table(bT))
+      .write.insertInto(cT)
+  }
+
+  /** Offline retrain: drop both tables and rebuild from the corpus —
+    * the only honest PQ "refresh" (codes are lossy; see class doc).
+    */
+  def rebuild(spark: SparkSession, dir: String,
+              log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent
+             ): (DataFrame, DataFrame) = {
+    val t = tag(dir)
+    Seq(cbT(t), codesT(t)).foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS $x"))
+    buildOrLoad(spark, dir, log)
+  }
+}

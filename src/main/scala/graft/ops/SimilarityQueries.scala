@@ -46,9 +46,78 @@ object SimilarityQueries {
     * oracle replay small; production PQ uses k=256 (1 byte/code), same
     * plan shape.
     */
-  private val PqM = 8
-  private val PqK = 16
+  private[ops] val PqM = 8
+  private[ops] val PqK = 16
   private val PqDsub = Dim / PqM
+
+  /** slice of column `v` for the subspace in column `sub` (0-based). */
+  private[ops] def pqSliceSub(v: String): org.apache.spark.sql.Column =
+    expr(s"slice($v, sub * $PqDsub + 1, $PqDsub)")
+
+  /** Squared L2 via three in-order dots — bit-identical cross-engine. */
+  private def pqD2(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  private def pqSubs(s: SparkSession) = broadcast(
+    s.range(0, PqM).toDF("sub").withColumn("sub", col("sub").cast("int")))
+
+  /** PQ codebook (sub, code, cv) for a normalized corpus `n` (vec_id,
+    * v, nrm): hash-ordered seed rows sliced per subspace, one
+    * decimal-exact Lloyd step — the IVF derivation convention applied
+    * per subspace, so the DuckDB twin replays it bit-comparably.
+    * One definition shared by the declared query, the stored artifact
+    * ([[PqStore]]) and its maintenance — no drift.
+    */
+  private[ops] def buildPqCodebook(n: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val s = n.sparkSession
+    // 16-row window: the single-partition WindowExec is on a LIMIT-16
+    // relation, not the corpus
+    val seeds = n.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(PqK)
+      .withColumn("code", row_number().over(Window.orderBy(
+        md5(col("vec_id").cast("string")), col("vec_id"))))
+      .select(col("code"), col("v"))
+    val seedSub = seeds.crossJoin(pqSubs(s))
+      .select(col("sub"), col("code"), pqSliceSub("v").as("cv"))
+    val sv = n.crossJoin(pqSubs(s))
+      .select(col("vec_id"), col("sub"), pqSliceSub("v").as("sv"))
+    val wAsg = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d").asc, col("code").asc)
+    val a0 = sv.join(broadcast(seedSub), "sub")
+      .withColumn("d", pqD2(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("sv"))
+    val cbm = a0
+      .select(col("sub"), col("code"),
+        posexplode(col("sv")).as(Seq("pos0", "val")))
+      .groupBy(col("sub"), col("code"), (col("pos0") + 1).as("pos"))
+      .agg((sum(col("val").cast(DecimalType(30, 15))).cast("double") /
+        count(lit(1))).as("m"))
+    cbm.groupBy("sub", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+  }
+
+  /** Encode a normalized corpus against codebook `cb`: one row per
+    * vector — (vec_id, nrm, codes), codes ordered by subspace (the
+    * stored 4-byte representation plus its norm).
+    */
+  private[graft] def encodePq(n: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAsg = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d").asc, col("code").asc)
+    n.crossJoin(pqSubs(n.sparkSession))
+      .select(col("vec_id"), col("nrm"), col("sub"), pqSliceSub("v").as("sv"))
+      .join(broadcast(cb), "sub")
+      .withColumn("d", pqD2(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .groupBy("vec_id", "nrm")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
 
   /** IVF cells derived from corpus cardinality — SURVEY H2'b's "cells
     * ≫ 16 at scale": cells ≈ √n keeps inverted lists and the centroid
@@ -651,61 +720,29 @@ object SimilarityQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.types.DecimalType
-        val n = corpus(s, dir).drop("bucket")
-        val subs = broadcast(
-          s.range(0, PqM).toDF("sub").withColumn("sub", col("sub").cast("int")))
-        // hash-ordered seed rows — the IVF seeding convention, sliced
-        // per subspace (16-row window: the single-partition WindowExec
-        // is on a LIMIT-16 relation, not the corpus)
-        val seeds = n.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-          .limit(PqK)
-          .withColumn("code", row_number().over(Window.orderBy(
-            md5(col("vec_id").cast("string")), col("vec_id"))))
-          .select(col("code"), col("v"))
-        def sliceSub(v: String) =
-          expr(s"slice($v, sub * $PqDsub + 1, $PqDsub)")
-        val seedSub = seeds.crossJoin(subs)
-          .select(col("sub"), col("code"), sliceSub("v").as("cv"))
-        val sv = n.crossJoin(subs)
-          .select(col("vec_id"), col("sub"), sliceSub("v").as("sv"))
-        // squared L2 via three in-order dots: bit-identical cross-engine
-        def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
-        val wAsg = Window.partitionBy("vec_id", "sub")
-          .orderBy(col("d").asc, col("code").asc)
-        val a0 = sv.join(broadcast(seedSub), "sub")
-          .withColumn("d", d2(col("sv"), col("cv")))
-          .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("sub"), col("code"), col("sv"))
-        // one Lloyd step: decimal-exact positional means per (sub, code)
-        val cbm = a0
-          .select(col("sub"), col("code"),
-            posexplode(col("sv")).as(Seq("pos0", "val")))
-          .groupBy(col("sub"), col("code"), (col("pos0") + 1).as("pos"))
-          .agg((sum(col("val").cast(DecimalType(30, 15))).cast("double") /
-            count(lit(1))).as("m"))
-        val cb = cbm.groupBy("sub", "code")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => x.getField("m")).as("cv"))
-        val enc = sv.join(broadcast(cb), "sub")
-          .withColumn("d", d2(col("sv"), col("cv")))
-          .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("sub"), col("code"))
+        // codebook + codes come from the STORED artifact (PqStore — the
+        // same derivation materialized once; q_ann_ivf's convention)
+        val (cb, codes) = PqStore.buildOrLoad(s, dir)
+        // the ADC side touches ONLY the codes relation: nrm rides the
+        // codes table (the "stored 4B codes + 4B norm" design), full
+        // vectors appear nowhere in the scoring join
+        val enc = codes.select(col("vec_id"), col("nrm"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
         // ADC: per-query lookup table (PqM x PqK rows), summed per
         // (query, vec) as DECIMAL of 9dp-rounded partials — float sums
         // over an unordered group differ at the last ulp between
         // engines; decimal addition is exact and order-free
+        val n = corpus(s, dir).drop("bucket")
         val q = n.filter(expr(QueryPred))
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qn"))
         val lt = q.select(col("query_id"), col("qv")).crossJoin(broadcast(cb))
           .select(col("query_id"), col("sub"), col("code"),
-            dot(sliceSub("qv"), col("cv")).as("pd"))
+            dot(pqSliceSub("qv"), col("cv")).as("pd"))
         val scored = enc.join(broadcast(lt), Seq("sub", "code"))
-          .groupBy("query_id", "vec_id")
+          .groupBy("query_id", "vec_id", "nrm")
           .agg(sum(round(col("pd"), 9).cast(DecimalType(30, 15)))
             .cast("double").as("ad"))
-          .join(n.select(col("vec_id"), col("nrm")), "vec_id")
           .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
           .filter(col("query_id") =!= col("vec_id"))
           .withColumn("score", col("ad") / (col("qn") * col("nrm")))

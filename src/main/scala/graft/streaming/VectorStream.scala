@@ -36,4 +36,23 @@ object VectorStream {
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Ingest-time PQ encoding of one micro-batch of vectors (vec_id, v)
+    * against the STORED codebook of the [[graft.ops.PqStore]] artifact
+    * `tag` — the compression step an embedding pipeline applies as
+    * vectors arrive, with the SAME encoder definition as the batch
+    * build ([[graft.ops.SimilarityQueries.encodePq]]; no drift). The
+    * caller's foreachBatch sink decides whether the rows feed
+    * [[graft.ops.PqStore.append]] (artifact maintenance) or go to a
+    * downstream store. Returns (vec_id, nrm, codes).
+    */
+  def pqEncodeBatch(spark: SparkSession, batch: DataFrame,
+                    tag: String): DataFrame = {
+    val n = batch
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    graft.ops.SimilarityQueries.encodePq(
+      n, spark.table(s"${tag}_pqcodebook"))
+  }
 }

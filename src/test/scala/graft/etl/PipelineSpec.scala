@@ -78,6 +78,7 @@ class PipelineSpec extends SparkSpec {
         charSpanTables = Seq("docs"),
         chunkStoreTables = Seq("docs"),
         buildIvfIndex = true,
+        buildPqStore = true,
         zOrder = Map("evts" -> ("event_id", "k")),
         compact = Map("evts" -> "event_id"),
         hotBucketCap = 4))
@@ -85,7 +86,7 @@ class PipelineSpec extends SparkSpec {
     // every artifact produced a report row...
     assert(report.artifacts.map(_.kind).sorted ==
       Seq("band_index", "char_span_set", "chunk_store", "compaction",
-        "ivf_index", "span_set", "zorder"))
+        "ivf_index", "pq_store", "span_set", "zorder"))
     val ivfRow = report.artifacts.find(_.kind == "ivf_index").get
     assert(ivfRow.detail.contains("vectors=40"), ivfRow.detail)
     // ...the stored tables exist under the tags the query paths and

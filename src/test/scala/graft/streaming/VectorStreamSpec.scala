@@ -53,4 +53,47 @@ class VectorStreamSpec extends SparkSpec {
       assert(streamed.forall { case (qid, _, n) => qid != n })
     } finally q.stop()
   }
+
+  test("streaming PQ encode against the stored codebook matches the " +
+    "batch encoder and the stored codes for the same vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val tag = graft.ops.PqStore.tag(dir)
+    graft.ops.PqStore.buildOrLoad(spark, dir)
+    val probes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id").isin(3L, 77L))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int])]
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("vec_id", "v")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-pq").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = VectorStream.pqEncodeBatch(b.sparkSession, b, tag)
+          .select("vec_id", "codes")
+          .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      input.addData(probes: _*)
+      q.processAllAvailable()
+      val streamed = sink.synchronized(sink.toSeq).sortBy(_._1)
+      assert(streamed.size == 2)
+      // a corpus vector encoded at ingest time must reproduce its
+      // STORED codes exactly (same codebook, same encoder definition)
+      val stored = spark.table(s"${tag}_pqcodes")
+        .filter(col("vec_id").isin(3L, 77L))
+        .select("vec_id", "codes")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+        .toSeq.sortBy(_._1)
+      assert(streamed == stored)
+    } finally q.stop()
+  }
 }
