@@ -58,7 +58,8 @@ object SharedCaches {
       "q_dedup_clusters", "q_dedup_keep_best"),
     MinhashBatch -> Set("q_dedup_incremental"),
     Embeddings -> Set("q_embedding_topk", "q_embedding_quantize",
-      "q_embedding_project", "q_embedding_pq", "q_ann_hyperplane",
+      "q_embedding_project", "q_embedding_pq", "q_pq_rerank",
+      "q_ann_hyperplane",
       "q_ann_multiprobe", "q_ann_filtered", "q_ann_ivf", "q_ann_recall",
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
     BloomBench -> Set("q_contamination_bloom")

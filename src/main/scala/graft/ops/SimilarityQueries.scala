@@ -119,6 +119,99 @@ object SimilarityQueries {
         x => x.getField("code")).as("codes"))
   }
 
+  /** PQ query panel (query_id, qv, qn) off the normalized corpus. */
+  private def pqQueries(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).drop("bucket").filter(expr(QueryPred))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+
+  /** ADC scoring off the STORED PqStore artifact: every (query, corpus
+    * vector) pair scored by summed lookup-table hits — (query_id,
+    * vec_id, nrm, score, rank). The scoring join touches ONLY the codes
+    * relation (nrm rides the codes table — the "stored 4B codes + 4B
+    * norm" design; full vectors appear nowhere). Per-pair sums are
+    * DECIMALs of 9dp-rounded partials: float sums over an unordered
+    * group differ at the last ulp between engines, and a last-ulp flip
+    * reorders ranks. Shared by q_embedding_pq and q_pq_rerank — one
+    * definition, and its oracle twin is [[pqCtes]]' `pscored`.
+    */
+  private def pqAdcScored(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val (cb, codes) = PqStore.buildOrLoad(s, dir)
+    val enc = codes.select(col("vec_id"), col("nrm"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val q = pqQueries(s, dir)
+    val lt = q.select(col("query_id"), col("qv")).crossJoin(broadcast(cb))
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(pqSliceSub("qv"), col("cv")).as("pd"))
+    enc.join(broadcast(lt), Seq("sub", "code"))
+      .groupBy("query_id", "vec_id", "nrm")
+      .agg(sum(round(col("pd"), 9).cast(DecimalType(30, 15)))
+        .cast("double").as("ad"))
+      .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", col("ad") / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id").asc)))
+  }
+
+  /** ADC shortlist size for the exact re-rank (q_pq_rerank): 5K keeps
+    * the re-ranked fraction ~R/n while bounding the full-vector fetch
+    * at R rows per query.
+    */
+  private val PqRerankR = 5 * K
+
+  /** CTE chain ending in `pscored` (query_id, vec_id, score, rank) —
+    * the oracle twin of the PQ build + ADC scoring: same hash-ordered
+    * seeds, same decimal-exact Lloyd means per subspace, same argmin
+    * encode, same decimal-summed lookup-table scores. Shared by
+    * q_embedding_pq and q_pq_rerank so the two oracles cannot drift.
+    */
+  private lazy val pqCtes: String = {
+    val ds = PqDsub
+    s"""subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+       |pseeds AS (SELECT v, ROW_NUMBER() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code
+       |  FROM (SELECT vec_id, v FROM n
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
+       |pseedsub AS (SELECT sub, code,
+       |    v[sub*$ds+1 : sub*$ds+$ds] AS cv FROM pseeds, subs),
+       |psv AS (SELECT vec_id, sub, v[sub*$ds+1 : sub*$ds+$ds] AS sv
+       |  FROM n, subs),
+       |pa0 AS (SELECT vec_id, sub, code, sv FROM (
+       |  SELECT psv.vec_id, psv.sub, c.code, psv.sv,
+       |    ROW_NUMBER() OVER (PARTITION BY psv.vec_id, psv.sub
+       |      ORDER BY list_dot_product(psv.sv, psv.sv)
+       |        - 2.0*list_dot_product(psv.sv, c.cv)
+       |        + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+       |  FROM psv JOIN pseedsub c USING (sub)) WHERE rn = 1),
+       |pcm AS (SELECT sub, code, i AS pos,
+       |    CAST(sum(CAST(sv[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
+       |  FROM pa0, (SELECT unnest(range(1, ${ds + 1})) AS i)
+       |  GROUP BY sub, code, i),
+       |pcb AS (SELECT sub, code, list(m ORDER BY pos) AS cv
+       |  FROM pcm GROUP BY sub, code),
+       |penc AS (SELECT vec_id, sub, code FROM (
+       |  SELECT psv.vec_id, psv.sub, c.code,
+       |    ROW_NUMBER() OVER (PARTITION BY psv.vec_id, psv.sub
+       |      ORDER BY list_dot_product(psv.sv, psv.sv)
+       |        - 2.0*list_dot_product(psv.sv, c.cv)
+       |        + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+       |  FROM psv JOIN pcb c USING (sub)) WHERE rn = 1),
+       |plt AS (SELECT query_id, sub, code,
+       |    list_dot_product(qv[sub*$ds+1 : sub*$ds+$ds], cv) AS pd
+       |  FROM q, pcb),
+       |pad AS (SELECT query_id, vec_id,
+       |    CAST(sum(CAST(round(pd, 9) AS DECIMAL(30,15))) AS DOUBLE) AS ad
+       |  FROM penc JOIN plt USING (sub, code) GROUP BY query_id, vec_id),
+       |pscored AS (SELECT query_id, vec_id, ad/(qn*nrm) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ad/(qn*nrm) DESC, vec_id ASC) AS rank
+       |  FROM pad JOIN n USING (vec_id) JOIN q USING (query_id)
+       |  WHERE query_id <> vec_id)""".stripMargin
+  }
+
   /** IVF cells derived from corpus cardinality — SURVEY H2'b's "cells
     * ≫ 16 at scale": cells ≈ √n keeps inverted lists and the centroid
     * relation both ~√n rows, so lists stay balanced and the broadcast
@@ -718,36 +811,8 @@ object SimilarityQueries {
         "relation IS the resident index — 32× less memory than raw, " +
         "re-rank against full vectors only for the final K.",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.types.DecimalType
-        // codebook + codes come from the STORED artifact (PqStore — the
-        // same derivation materialized once; q_ann_ivf's convention)
-        val (cb, codes) = PqStore.buildOrLoad(s, dir)
-        // the ADC side touches ONLY the codes relation: nrm rides the
-        // codes table (the "stored 4B codes + 4B norm" design), full
-        // vectors appear nowhere in the scoring join
-        val enc = codes.select(col("vec_id"), col("nrm"),
-          posexplode(col("codes")).as(Seq("sub", "code")))
-        // ADC: per-query lookup table (PqM x PqK rows), summed per
-        // (query, vec) as DECIMAL of 9dp-rounded partials — float sums
-        // over an unordered group differ at the last ulp between
-        // engines; decimal addition is exact and order-free
-        val n = corpus(s, dir).drop("bucket")
-        val q = n.filter(expr(QueryPred))
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qn"))
-        val lt = q.select(col("query_id"), col("qv")).crossJoin(broadcast(cb))
-          .select(col("query_id"), col("sub"), col("code"),
-            dot(pqSliceSub("qv"), col("cv")).as("pd"))
-        val scored = enc.join(broadcast(lt), Seq("sub", "code"))
-          .groupBy("query_id", "vec_id", "nrm")
-          .agg(sum(round(col("pd"), 9).cast(DecimalType(30, 15)))
-            .cast("double").as("ad"))
-          .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
-          .filter(col("query_id") =!= col("vec_id"))
-          .withColumn("score", col("ad") / (col("qn") * col("nrm")))
-          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-            .orderBy(col("score").desc, col("vec_id").asc)))
+        val scored = pqAdcScored(s, dir)
         val exact = exactTopK(s, dir)
           .select(col("query_id"), col("vec_id"), col("cos"))
         exact.join(scored.select(col("query_id"), col("vec_id"),
@@ -766,48 +831,8 @@ object SimilarityQueries {
             lit(Dim * 4.0 * 8 / (PqM * 4 + 32)).as("compression_x"))
       },
       Some {
-        val ds = PqDsub
         s"""WITH $baseCte,
-           |subs AS (SELECT unnest(range(0, $PqM)) AS sub),
-           |pseeds AS (SELECT v, ROW_NUMBER() OVER (
-           |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code
-           |  FROM (SELECT vec_id, v FROM n
-           |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
-           |pseedsub AS (SELECT sub, code,
-           |    v[sub*$ds+1 : sub*$ds+$ds] AS cv FROM pseeds, subs),
-           |psv AS (SELECT vec_id, sub, v[sub*$ds+1 : sub*$ds+$ds] AS sv
-           |  FROM n, subs),
-           |pa0 AS (SELECT vec_id, sub, code, sv FROM (
-           |  SELECT psv.vec_id, psv.sub, c.code, psv.sv,
-           |    ROW_NUMBER() OVER (PARTITION BY psv.vec_id, psv.sub
-           |      ORDER BY list_dot_product(psv.sv, psv.sv)
-           |        - 2.0*list_dot_product(psv.sv, c.cv)
-           |        + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
-           |  FROM psv JOIN pseedsub c USING (sub)) WHERE rn = 1),
-           |pcm AS (SELECT sub, code, i AS pos,
-           |    CAST(sum(CAST(sv[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
-           |  FROM pa0, (SELECT unnest(range(1, ${ds + 1})) AS i)
-           |  GROUP BY sub, code, i),
-           |pcb AS (SELECT sub, code, list(m ORDER BY pos) AS cv
-           |  FROM pcm GROUP BY sub, code),
-           |penc AS (SELECT vec_id, sub, code FROM (
-           |  SELECT psv.vec_id, psv.sub, c.code,
-           |    ROW_NUMBER() OVER (PARTITION BY psv.vec_id, psv.sub
-           |      ORDER BY list_dot_product(psv.sv, psv.sv)
-           |        - 2.0*list_dot_product(psv.sv, c.cv)
-           |        + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
-           |  FROM psv JOIN pcb c USING (sub)) WHERE rn = 1),
-           |plt AS (SELECT query_id, sub, code,
-           |    list_dot_product(qv[sub*$ds+1 : sub*$ds+$ds], cv) AS pd
-           |  FROM q, pcb),
-           |pad AS (SELECT query_id, vec_id,
-           |    CAST(sum(CAST(round(pd, 9) AS DECIMAL(30,15))) AS DOUBLE) AS ad
-           |  FROM penc JOIN plt USING (sub, code) GROUP BY query_id, vec_id),
-           |pscored AS (SELECT query_id, vec_id, ad/(qn*nrm) AS score,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY ad/(qn*nrm) DESC, vec_id ASC) AS rank
-           |  FROM pad JOIN n USING (vec_id) JOIN q USING (query_id)
-           |  WHERE query_id <> vec_id),
+           |$pqCtes,
            |$exactScoredCte,
            |ex AS (SELECT query_id, vec_id, cos FROM exact_scored
            |  WHERE rank <= $K)
@@ -822,6 +847,86 @@ object SimilarityQueries {
            |    AS DECIMAL(30,15))) AS DOUBLE)/count(*), 6) AS mean_abs_err,
            |  ${Dim * 4.0 * 8 / (PqM * 4 + 32)} AS compression_x
            |FROM ex JOIN pscored p USING (query_id, vec_id)""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_pq_rerank",
+      s"Two-stage PQ retrieval — the production IVF-PQ shape: the ADC " +
+        s"scan shortlists the top $PqRerankR candidates per query from " +
+        "CODES ONLY, then the shortlist (and only it) fetches full " +
+        s"vectors for an exact cosine re-rank to the final top $K. " +
+        "Emits TWO measured rows — recall@5 of the raw ADC ranking vs " +
+        "the re-ranked retrieval — so the uplift the re-rank buys (and " +
+        "therefore what the 32× compression actually costs end-to-end) " +
+        "is a number, not a belief. Re-rank recall == the probability " +
+        s"the true top-$K survive into an ADC top-$PqRerankR shortlist, " +
+        "the quantity a production system tunes R against. Scale: " +
+        "stage 1 reads only the stored codes (the resident index); " +
+        s"stage 2 fetches R=$PqRerankR full vectors per query — at any " +
+        "corpus size the full-precision traffic is R rows per query, " +
+        "not corpus rows.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = pqAdcScored(s, dir)
+        val n = corpus(s, dir).drop("bucket")
+        val q = pqQueries(s, dir)
+        val rer = scored.filter(col("rank") <= PqRerankR)
+          .join(n.select(col("vec_id"), col("v")), "vec_id")
+          // scored already carries qn (ADC divides by it); add qv only
+          .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+          .withColumn("cos2",
+            dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .withColumn("rrank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("cos2").desc, col("vec_id").asc)))
+          .filter(col("rrank") <= K)
+        val exact = exactTopK(s, dir).select(col("query_id"), col("vec_id"))
+        def row(ann: DataFrame, variant: String): DataFrame =
+          exact.join(ann.select(col("query_id"), col("vec_id"))
+              .withColumn("hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+            .agg(countDistinct(col("query_id")).as("n_queries"),
+              count(lit(1)).as("n_exact"),
+              sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+            .select(lit(variant).as("variant"), col("n_queries"),
+              col("n_exact"), col("n_hit"),
+              round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"))
+        row(scored.filter(col("rank") <= K), "pq_adc")
+          .union(row(rer, s"pq_rerank$PqRerankR"))
+          .orderBy("variant")
+      },
+      Some {
+        def recallSelect(cte: String, variant: String) =
+          s"""SELECT '$variant' AS variant,
+             |  count(DISTINCT ex.query_id) AS n_queries,
+             |  count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS n_hit,
+             |  round(CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) / count(*), 4) AS recall_at_$K
+             |FROM ex LEFT JOIN $cte a
+             |  ON ex.query_id = a.query_id AND ex.vec_id = a.vec_id""".stripMargin
+        s"""WITH $baseCte,
+           |$pqCtes,
+           |$exactScoredCte,
+           |ex AS (SELECT query_id, vec_id FROM exact_scored
+           |  WHERE rank <= $K),
+           |padc AS (SELECT query_id, vec_id FROM pscored WHERE rank <= $K),
+           |prr AS (SELECT query_id, vec_id FROM (
+           |  SELECT p.query_id, p.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+           |      ORDER BY list_dot_product(q.qv, n.v)/(q.qn*n.nrm) DESC,
+           |        p.vec_id ASC) AS rrank
+           |  FROM (SELECT query_id, vec_id FROM pscored
+           |        WHERE rank <= $PqRerankR) p
+           |  JOIN n USING (vec_id) JOIN q USING (query_id))
+           |  WHERE rrank <= $K)
+           |SELECT * FROM (
+           |${recallSelect("padc", "pq_adc")}
+           |UNION ALL
+           |${recallSelect("prr", s"pq_rerank$PqRerankR")}
+           |) ORDER BY variant""".stripMargin
       }
     ),
 
