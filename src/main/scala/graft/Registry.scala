@@ -33,7 +33,8 @@ object Registry {
       ops.SampleQueries.defs ++
       ops.PackingQueries.defs ++
       ops.MultimodalQueries.defs ++
-      ops.CorpusQueries.defs
+      ops.CorpusQueries.defs ++
+      ops.BpeQueries.defs
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

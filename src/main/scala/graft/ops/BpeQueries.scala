@@ -1,0 +1,205 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al. 2016, the
+  * subword-vocabulary construction every modern LM tokenizer descends
+  * from) — SURVEY.md §2 H4+': learn the first
+  * [[BpeQueries.NumMerges]] merges of a character-level BPE over the
+  * corpus, emitting the merge table (rank, lhs, rhs, weighted pair
+  * count) that a tokenizer would apply at encode time.
+  *
+  * Scale shape (100 TB): classic BPE is learned on the WORD-FREQUENCY
+  * table, not the raw corpus — one corpus-scale tokenize+count pass,
+  * then every merge round runs at VOCABULARY grain (distinct words ×
+  * avg word length symbol rows; 10^6–10^8 rows for real corpora — MBs
+  * to low GBs, trivially partitioned, while the corpus is 100 TB). The
+  * driver loop is [[DedupQueries]]' star-contraction pattern: one
+  * 1-row argmax fetch per round (the sanctioned scalar-fetch shape),
+  * state persisted per round with the previous round released.
+  *
+  * Greedy NON-OVERLAPPING merge application (the subtle part — "aaaa"
+  * under merge (a,a) must become (aa)(aa), not three overlapping
+  * pairs) is done positionally and engine-portably: mark matching
+  * positions, group CONSECUTIVE matches into runs (i − row_number over
+  * matches), merge at odd run-offsets only — the exact left-to-right
+  * greedy semantics, expressed in window functions both engines share
+  * (no sequential UDF, no recursion). Determinism: integer counts,
+  * lexicographic (lhs, rhs) tiebreak on the argmax, strings only —
+  * nothing float-valued anywhere.
+  *
+  * Deviation from Sennrich: no end-of-word marker symbol (</w>); at
+  * word grain the marker only distinguishes suffix merges from infix
+  * ones, and dropping it keeps the oracle replay byte-identical with
+  * no special-cased symbol. Documented, deliberate.
+  */
+object BpeQueries {
+
+  /** Merge rounds learned. 10 keeps the unrolled oracle tractable;
+    * production vocabularies run the same loop 30k–50k times at the
+    * same per-round cost.
+    */
+  private val NumMerges = 10
+
+  /** (word, cnt, syms) initial state: normalized-token frequencies,
+    * each word split into single-character symbols. The explicit
+    * substring formulation (not split-on-empty) is mirrored verbatim
+    * by the oracle.
+    */
+  private def vocab0(s: SparkSession, dir: String): DataFrame =
+    Tables.par(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** One merge round: (best pair via 1-row fetch, next vocab state) —
+    * None when no adjacent pair remains (every word fully merged; the
+    * oracle's empty-b{r} stage contributes no output row either, so
+    * stopping here keeps the two sides identical).
+    */
+  private def mergeRound(v: DataFrame)
+      : Option[((String, String, Long), DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    val e = v.select(col("word"), col("cnt"), col("syms"),
+        posexplode(col("syms")).as(Seq("i0", "s")))
+      .withColumn("i", (col("i0") + 1).cast("int"))
+    val bestRows = e.filter(col("i") < size(col("syms")))
+      .select(col("s").as("lhs"),
+        element_at(col("syms"), col("i") + 1).as("rhs"), col("cnt"))
+      .groupBy("lhs", "rhs").agg(sum(col("cnt")).as("total"))
+      .orderBy(col("total").desc, col("lhs").asc, col("rhs").asc)
+      .limit(1).collect()
+    if (bestRows.isEmpty) return None
+    val best = bestRows(0)
+    val (l, r, tot) = (best.getString(0), best.getString(1), best.getLong(2))
+    // positional greedy-non-overlap: runs of consecutive matches, merge
+    // at odd run offsets; position i+1 after a merge is consumed
+    val m = e.withColumn("mt",
+      (col("i") < size(col("syms"))) && col("s") === lit(l) &&
+        (element_at(col("syms"), col("i") + 1) === lit(r)))
+    val wRun = Window.partitionBy("word").orderBy("i")
+    val runs = m.filter(col("mt"))
+      .withColumn("grp", col("i") - row_number().over(wRun))
+    val mergeAt = runs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("word", "grp").orderBy("i")))
+      .filter(col("rn") % 2 === 1)
+      .select(col("word"), col("i").as("mi"))
+    val maA = mergeAt.select(col("word").as("aw"), col("mi").as("ai"))
+    val maP = mergeAt.select(col("word").as("pw"), col("mi").as("pi"))
+    val next = m
+      .join(maA, col("word") === col("aw") && col("i") === col("ai"), "left")
+      .join(maP, col("word") === col("pw") && col("i") === col("pi") + 1,
+        "left")
+      .filter(col("pi").isNull) // consumed by the merge starting at i-1
+      .withColumn("ns",
+        when(col("ai").isNotNull, lit(l + r)).otherwise(col("s")))
+      .groupBy("word", "cnt")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("ns")))),
+        x => x.getField("ns")).as("syms"))
+    Some(((l, r, tot), next))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_bpe_merges",
+      s"BPE merge-table learning (Sennrich et al. 2016): the first " +
+        s"$NumMerges character-level merges over the corpus vocabulary " +
+        "— (merge_rank, lhs, rhs, weighted pair count), the table a " +
+        "subword tokenizer applies at encode time. Learned at " +
+        "VOCABULARY grain (one corpus tokenize+count pass, then every " +
+        "round touches only distinct-word symbol rows — the classic " +
+        "scale trick that makes BPE tractable on any corpus); greedy " +
+        "non-overlapping application via the run-parity window " +
+        "formulation (see BpeQueries Scaladoc); argmax tiebreak " +
+        "(count desc, lhs asc, rhs asc) and integer-only arithmetic " +
+        "make the oracle replay exact. The oracle unrolls the " +
+        s"$NumMerges rounds as generated CTE stages — same windows, " +
+        "same parity rule, same tiebreaks.",
+      (s, dir) => {
+        val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+        var v = vocab0(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var prev = v
+        try {
+          var rank = 1
+          var done = false
+          while (rank <= NumMerges && !done) {
+            mergeRound(v) match {
+              case None => done = true // vocabulary fully merged
+              case Some(((l, r, tot), next)) =>
+                merges += ((rank, l, r, tot))
+                if (rank < NumMerges) {
+                  // linear lineage: localCheckpoint truncates the plan
+                  // so round N+1 does not re-execute rounds 1..N (the
+                  // q_dedup_clusters fixpoint rule)
+                  val nv = next
+                    .persist(
+                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                    .localCheckpoint()
+                  prev.unpersist()
+                  prev = nv
+                  v = nv
+                }
+                rank += 1
+            }
+          }
+        } finally prev.unpersist()
+        import s.implicits._
+        merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+          .orderBy("merge_rank")
+      },
+      Some {
+        // Unrolled oracle: v0 then NumMerges generated stages. Stage r
+        // reads v{r-1} and produces b{r} (the argmax) and v{r} (the
+        // merged vocabulary) with the same run-parity windows.
+        val stages = (1 to NumMerges).map { r =>
+          val p = r - 1
+          s"""e$r AS MATERIALIZED (SELECT word, cnt, syms,
+             |    unnest(range(1, len(syms) + 1)) AS i FROM v$p),
+             |b$r AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+             |    CAST(sum(cnt) AS BIGINT) AS total
+             |  FROM e$r WHERE i < len(syms) GROUP BY 1, 2
+             |  ORDER BY total DESC, lhs ASC, rhs ASC LIMIT 1),
+             |mt$r AS MATERIALIZED (SELECT word, i FROM e$r
+             |  WHERE i < len(syms) AND syms[i] = (SELECT lhs FROM b$r)
+             |    AND syms[i+1] = (SELECT rhs FROM b$r)),
+             |mr$r AS MATERIALIZED (SELECT word, i,
+             |    i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+             |  FROM mt$r),
+             |ma$r AS MATERIALIZED (SELECT word, i FROM (
+             |  SELECT word, i, ROW_NUMBER() OVER (
+             |      PARTITION BY word, grp ORDER BY i) AS rn FROM mr$r)
+             |  WHERE rn % 2 = 1),
+             |v$r AS MATERIALIZED (SELECT word, cnt, list(ns ORDER BY i) AS syms FROM (
+             |  SELECT e.word, e.cnt, e.i,
+             |    CASE WHEN a.i IS NOT NULL
+             |      THEN (SELECT lhs FROM b$r) || (SELECT rhs FROM b$r)
+             |      ELSE e.syms[e.i] END AS ns
+             |  FROM e$r e
+             |  LEFT JOIN ma$r a ON e.word = a.word AND e.i = a.i
+             |  LEFT JOIN ma$r c ON e.word = c.word AND e.i = c.i + 1
+             |  WHERE c.i IS NULL)
+             |  GROUP BY word, cnt)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to NumMerges).map(r =>
+          s"SELECT $r AS merge_rank, lhs, rhs, total AS pair_count FROM b$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH t AS MATERIALIZED (SELECT ${TextFunctions.toksSql} AS toks FROM documents),
+           |wf AS MATERIALIZED (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM
+           |    (SELECT unnest(toks) AS w FROM t) WHERE w <> '' GROUP BY w),
+           |v0 AS MATERIALIZED (SELECT word, cnt, list_transform(range(1, length(word) + 1),
+           |    i -> substr(word, i, 1)) AS syms FROM wf),
+           |$stages
+           |SELECT * FROM (
+           |$out
+           |) ORDER BY merge_rank""".stripMargin
+      }
+    )
+  )
+}

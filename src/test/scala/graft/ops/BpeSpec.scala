@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.{Registry, SparkSpec}
+import java.nio.file.Files
+
+/** q_bpe_merges — the semantics that must hold regardless of corpus:
+  * frequency-weighted pair counting at vocabulary grain, lexicographic
+  * argmax tiebreak, and GREEDY NON-OVERLAPPING merge application (the
+  * run-parity rule: "aaaa" under (a,a) becomes (aa)(aa), "aaa" becomes
+  * (aa)(a)).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a doc-per-string corpus and run the declared query. */
+  private def merges(docs: String*): Seq[(Int, String, String, Long)] = {
+    val dir = Files.createTempDirectory("graft-bpe").toString
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t, "s0") }
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    Registry.queryMap("q_bpe_merges")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("weighted counts + lexicographic tiebreak pick the first merge") {
+    // "ab" x3 docs, "cd" x1: pair (a,b) weight 3 beats (c,d) weight 1
+    val m = merges("ab", "ab", "ab", "cd")
+    assert(m.head == ((1, "a", "b", 3L)), m.head)
+  }
+
+  test("greedy non-overlap: aaaa counts 3 pre-merge pairs but merges " +
+    "to (aa)(aa); aaa merges to (aa)(a)") {
+    // single doc "aaaa aaa": vocab {aaaa:1, aaa:1}; (a,a) weight 3+2=5
+    val m = merges("aaaa aaa")
+    assert(m.head == ((1, "a", "a", 5L)), m.head)
+    // round 2 state: aaaa->[aa,aa], aaa->[aa,a]; pairs (aa,aa):1, (aa,a):1
+    // -> lexicographic tiebreak picks (aa,a)
+    assert(m(1) == ((2, "aa", "a", 1L)), m(1))
+    // round 3: aaaa->[aa,aa] still; aaa->[aaa]; only (aa,aa):1 remains
+    assert(m(2) == ((3, "aa", "aa", 1L)), m(2))
+  }
+
+  test("merges chain into longer subwords in frequency order") {
+    // the/them/they, each x3: (h,e) and (t,h) tie at weight 9 -> the
+    // lexicographic lhs tiebreak picks (h,e); round 2 then finds the
+    // chained (t,he) at weight 9 over (he,m)/(he,y) at 3
+    val m = merges("the them they the them they the them they")
+    assert(m.take(2).map(x => (x._2, x._3)) == Seq(("h", "e"), ("t", "he")))
+    // every emitted rank is consecutive from 1 and counts are positive
+    assert(m.map(_._1) == (1 to m.size).toSeq)
+    assert(m.forall(_._4 > 0))
+  }
+}
