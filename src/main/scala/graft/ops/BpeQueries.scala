@@ -105,6 +105,76 @@ object BpeQueries {
     Some(((l, r, tot), next))
   }
 
+  /** Run the merge loop to `NumMerges` rounds, returning the learned
+    * table and the FINAL vocabulary state (word, cnt, syms) with every
+    * merge applied — the state a tokenizer's encode pass reproduces.
+    * Caller owns unpersisting the returned state.
+    */
+  private def learnAndApply(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    var v = vocab0(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rank = 1
+    var done = false
+    while (rank <= NumMerges && !done) {
+      mergeRound(v) match {
+        case None => done = true
+        case Some(((l, r, tot), next)) =>
+          merges += ((rank, l, r, tot))
+          val nv = next
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
+          v.unpersist()
+          v = nv
+          rank += 1
+      }
+    }
+    (merges.toSeq, v)
+  }
+
+  /** Oracle stage chain `v0 .. v{NumMerges}` (+ per-round argmax
+    * relations `b{r}`) — shared by the learn and encode oracles so the
+    * two replays cannot drift.
+    */
+  private val oracleStages: String = {
+    val stages = (1 to NumMerges).map { r =>
+      val p = r - 1
+      s"""e$r AS MATERIALIZED (SELECT word, cnt, syms,
+         |    unnest(range(1, len(syms) + 1)) AS i FROM v$p),
+         |b$r AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+         |    CAST(sum(cnt) AS BIGINT) AS total
+         |  FROM e$r WHERE i < len(syms) GROUP BY 1, 2
+         |  ORDER BY total DESC, lhs ASC, rhs ASC LIMIT 1),
+         |mt$r AS MATERIALIZED (SELECT word, i FROM e$r
+         |  WHERE i < len(syms) AND syms[i] = (SELECT lhs FROM b$r)
+         |    AND syms[i+1] = (SELECT rhs FROM b$r)),
+         |mr$r AS MATERIALIZED (SELECT word, i,
+         |    i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+         |  FROM mt$r),
+         |ma$r AS MATERIALIZED (SELECT word, i FROM (
+         |  SELECT word, i, ROW_NUMBER() OVER (
+         |      PARTITION BY word, grp ORDER BY i) AS rn FROM mr$r)
+         |  WHERE rn % 2 = 1),
+         |v$r AS MATERIALIZED (SELECT word, cnt, list(ns ORDER BY i) AS syms FROM (
+         |  SELECT e.word, e.cnt, e.i,
+         |    CASE WHEN a.i IS NOT NULL
+         |      THEN (SELECT lhs FROM b$r) || (SELECT rhs FROM b$r)
+         |      ELSE e.syms[e.i] END AS ns
+         |  FROM e$r e
+         |  LEFT JOIN ma$r a ON e.word = a.word AND e.i = a.i
+         |  LEFT JOIN ma$r c ON e.word = c.word AND e.i = c.i + 1
+         |  WHERE c.i IS NULL)
+         |  GROUP BY word, cnt)""".stripMargin
+    }.mkString(",\n")
+    s"""t AS MATERIALIZED (SELECT ${TextFunctions.toksSql} AS toks FROM documents),
+       |wf AS MATERIALIZED (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM
+       |    (SELECT unnest(toks) AS w FROM t) WHERE w <> '' GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT word, cnt, list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, i, 1)) AS syms FROM wf),
+       |$stages""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_bpe_merges",
@@ -155,50 +225,72 @@ object BpeQueries {
           .orderBy("merge_rank")
       },
       Some {
-        // Unrolled oracle: v0 then NumMerges generated stages. Stage r
-        // reads v{r-1} and produces b{r} (the argmax) and v{r} (the
-        // merged vocabulary) with the same run-parity windows.
-        val stages = (1 to NumMerges).map { r =>
-          val p = r - 1
-          s"""e$r AS MATERIALIZED (SELECT word, cnt, syms,
-             |    unnest(range(1, len(syms) + 1)) AS i FROM v$p),
-             |b$r AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
-             |    CAST(sum(cnt) AS BIGINT) AS total
-             |  FROM e$r WHERE i < len(syms) GROUP BY 1, 2
-             |  ORDER BY total DESC, lhs ASC, rhs ASC LIMIT 1),
-             |mt$r AS MATERIALIZED (SELECT word, i FROM e$r
-             |  WHERE i < len(syms) AND syms[i] = (SELECT lhs FROM b$r)
-             |    AND syms[i+1] = (SELECT rhs FROM b$r)),
-             |mr$r AS MATERIALIZED (SELECT word, i,
-             |    i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
-             |  FROM mt$r),
-             |ma$r AS MATERIALIZED (SELECT word, i FROM (
-             |  SELECT word, i, ROW_NUMBER() OVER (
-             |      PARTITION BY word, grp ORDER BY i) AS rn FROM mr$r)
-             |  WHERE rn % 2 = 1),
-             |v$r AS MATERIALIZED (SELECT word, cnt, list(ns ORDER BY i) AS syms FROM (
-             |  SELECT e.word, e.cnt, e.i,
-             |    CASE WHEN a.i IS NOT NULL
-             |      THEN (SELECT lhs FROM b$r) || (SELECT rhs FROM b$r)
-             |      ELSE e.syms[e.i] END AS ns
-             |  FROM e$r e
-             |  LEFT JOIN ma$r a ON e.word = a.word AND e.i = a.i
-             |  LEFT JOIN ma$r c ON e.word = c.word AND e.i = c.i + 1
-             |  WHERE c.i IS NULL)
-             |  GROUP BY word, cnt)""".stripMargin
-        }.mkString(",\n")
+        // Unrolled oracle: v0 then NumMerges generated stages (shared
+        // with the encode oracle via oracleStages). Stage r reads
+        // v{r-1} and produces b{r} (the argmax) and v{r} (the merged
+        // vocabulary) with the same run-parity windows.
         val out = (1 to NumMerges).map(r =>
           s"SELECT $r AS merge_rank, lhs, rhs, total AS pair_count FROM b$r")
           .mkString("\nUNION ALL\n")
-        s"""WITH t AS MATERIALIZED (SELECT ${TextFunctions.toksSql} AS toks FROM documents),
-           |wf AS MATERIALIZED (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM
-           |    (SELECT unnest(toks) AS w FROM t) WHERE w <> '' GROUP BY w),
-           |v0 AS MATERIALIZED (SELECT word, cnt, list_transform(range(1, length(word) + 1),
-           |    i -> substr(word, i, 1)) AS syms FROM wf),
-           |$stages
+        s"""WITH $oracleStages
            |SELECT * FROM (
            |$out
            |) ORDER BY merge_rank""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_bpe_encode",
+      s"BPE encode measurement: the corpus vocabulary with all " +
+        s"$NumMerges learned merges APPLIED (the tokenizer's encode " +
+        "pass over its training corpus), reduced to the numbers that " +
+        "decide whether a merge table is worth shipping — corpus-" +
+        "weighted symbols before/after (chars vs BPE tokens), the " +
+        "compression ratio, and the emergent subword vocabulary size " +
+        "(distinct symbols in use after merging). Encode runs at " +
+        "VOCABULARY grain like learning: applying a merge table to " +
+        "100 TB of text is a broadcast-join of the (distinct word -> " +
+        "segmentation) map against the token stream, so the expensive " +
+        "part is exactly this vocabulary-grain replay. Integer counts " +
+        "only; the one ratio is a single IEEE division rounded 6dp.",
+      (s, dir) => {
+        val (_, vFinal) = learnAndApply(s, dir)
+        try {
+          val stats = vFinal.agg(
+            count(lit(1)).as("n_words"),
+            sum(col("cnt") * length(col("word"))).as("chars_total"),
+            sum(col("cnt") * size(col("syms"))).as("syms_total"))
+          val vs = vFinal.select(explode(col("syms")).as("sym"))
+            .agg(countDistinct(col("sym")).as("vocab_syms"))
+          stats.crossJoin(vs).selectExpr(
+            """stack(5,
+              |'n_words', CAST(n_words AS DOUBLE),
+              |'chars_total', CAST(chars_total AS DOUBLE),
+              |'syms_total', CAST(syms_total AS DOUBLE),
+              |'subword_vocab', CAST(vocab_syms AS DOUBLE),
+              |'compression_x', round(CAST(chars_total AS DOUBLE)/syms_total, 6)
+              |) AS (metric, value)""".stripMargin)
+            .orderBy("metric")
+            // the stack source is two 1-row aggregates — materialize
+            // before the final state is dropped
+            .localCheckpoint()
+        } finally vFinal.unpersist()
+      },
+      Some {
+        s"""WITH $oracleStages,
+           |st AS (SELECT count(*) AS n_words,
+           |    sum(cnt * length(word)) AS chars_total,
+           |    sum(cnt * len(syms)) AS syms_total FROM v$NumMerges),
+           |vs AS (SELECT count(DISTINCT sym) AS vocab_syms FROM
+           |  (SELECT unnest(syms) AS sym FROM v$NumMerges))
+           |SELECT metric, value FROM (
+           |  SELECT 'n_words' AS metric, CAST(n_words AS DOUBLE) AS value FROM st
+           |  UNION ALL SELECT 'chars_total', CAST(chars_total AS DOUBLE) FROM st
+           |  UNION ALL SELECT 'syms_total', CAST(syms_total AS DOUBLE) FROM st
+           |  UNION ALL SELECT 'subword_vocab', CAST(vocab_syms AS DOUBLE) FROM vs
+           |  UNION ALL SELECT 'compression_x',
+           |    round(CAST(chars_total AS DOUBLE)/syms_total, 6) FROM st)
+           |ORDER BY metric""".stripMargin
       }
     )
   )

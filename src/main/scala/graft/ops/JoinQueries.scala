@@ -96,6 +96,85 @@ object JoinQueries {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY l_suppkey, s_name
              |ORDER BY l_suppkey""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_skew_profile",
+      "Shuffle-key skew diagnostic — the measurement you run BEFORE " +
+        "choosing a salt factor (q_skew_join) or trusting AQE: per-key " +
+        "row counts over the join key reduced to the numbers that decide " +
+        "the mitigation — key cardinality, max key weight, rank-exact " +
+        "p50/p90/p99 of the count distribution, skew factor " +
+        "(max/mean), and the hottest key. Scale shape: the only " +
+        "corpus-scale shuffle is the per-key count agg (map-side " +
+        "partial); percentiles are then taken over the COUNT-VALUE " +
+        "frequency relation (distinct count values — a few hundred rows " +
+        "under any Zipfian real-world distribution, vs billions of " +
+        "keys), so the rank selection never needs a global sort of the " +
+        "key relation. Rank = ceil(q*n_keys) in pure integer arithmetic " +
+        "((n*q+99) div 100) so both engines pick the identical row; the " +
+        "skew ratio is one IEEE division of exact integers, rounded 6dp.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
+        val tot = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"))
+        val top1 = c.orderBy(col("cnt").desc, col("k").asc).limit(1)
+          .select(col("k").as("top1_key"), col("cnt").as("top1_cnt"))
+        // count-value frequency relation: tiny at any scale (Zipf)
+        val f = c.groupBy("cnt").agg(count(lit(1)).as("freq"))
+          .withColumn("cum", sum(col("freq")).over(
+            Window.orderBy("cnt")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val p = f.crossJoin(broadcast(tot)).agg(
+          min(when(col("cum") >= expr("(n_keys*50+99) div 100"),
+            col("cnt"))).as("p50_cnt"),
+          min(when(col("cum") >= expr("(n_keys*90+99) div 100"),
+            col("cnt"))).as("p90_cnt"),
+          min(when(col("cum") >= expr("(n_keys*99+99) div 100"),
+            col("cnt"))).as("p99_cnt"))
+        tot.crossJoin(p).crossJoin(top1).selectExpr(
+          s"""stack(9,
+             |'n_rows', CAST(n_rows AS DOUBLE),
+             |'n_keys', CAST(n_keys AS DOUBLE),
+             |'max_cnt', CAST(max_cnt AS DOUBLE),
+             |'p50_cnt', CAST(p50_cnt AS DOUBLE),
+             |'p90_cnt', CAST(p90_cnt AS DOUBLE),
+             |'p99_cnt', CAST(p99_cnt AS DOUBLE),
+             |'skew_factor', round(CAST(max_cnt * n_keys AS DOUBLE)/n_rows, 6),
+             |'top1_key', CAST(top1_key AS DOUBLE),
+             |'top1_cnt', CAST(top1_cnt AS DOUBLE)
+             |) AS (metric, value)""".stripMargin)
+          .orderBy("metric")
+      },
+      Some("""WITH c AS (SELECT l_partkey AS k, COUNT(*) AS cnt
+             |    FROM lineitem GROUP BY 1),
+             |t AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows,
+             |    MAX(cnt) AS max_cnt FROM c),
+             |top1 AS (SELECT k AS top1_key, cnt AS top1_cnt FROM c
+             |    ORDER BY cnt DESC, k ASC LIMIT 1),
+             |f AS (SELECT cnt, COUNT(*) AS freq FROM c GROUP BY 1),
+             |fc AS (SELECT cnt, SUM(freq) OVER (ORDER BY cnt
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM f),
+             |p AS (SELECT
+             |    MIN(CASE WHEN cum >= (n_keys*50+99)//100 THEN cnt END) AS p50_cnt,
+             |    MIN(CASE WHEN cum >= (n_keys*90+99)//100 THEN cnt END) AS p90_cnt,
+             |    MIN(CASE WHEN cum >= (n_keys*99+99)//100 THEN cnt END) AS p99_cnt
+             |  FROM fc, t)
+             |SELECT metric, value FROM (
+             |  SELECT 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value FROM t
+             |  UNION ALL SELECT 'n_keys', CAST(n_keys AS DOUBLE) FROM t
+             |  UNION ALL SELECT 'max_cnt', CAST(max_cnt AS DOUBLE) FROM t
+             |  UNION ALL SELECT 'p50_cnt', CAST(p50_cnt AS DOUBLE) FROM p
+             |  UNION ALL SELECT 'p90_cnt', CAST(p90_cnt AS DOUBLE) FROM p
+             |  UNION ALL SELECT 'p99_cnt', CAST(p99_cnt AS DOUBLE) FROM p
+             |  UNION ALL SELECT 'skew_factor',
+             |    round(CAST(max_cnt * n_keys AS DOUBLE)/n_rows, 6) FROM t
+             |  UNION ALL SELECT 'top1_key', CAST(top1_key AS DOUBLE) FROM top1
+             |  UNION ALL SELECT 'top1_cnt', CAST(top1_cnt AS DOUBLE) FROM top1)
+             |ORDER BY metric""".stripMargin)
     )
   )
 }

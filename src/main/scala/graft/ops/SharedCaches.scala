@@ -61,6 +61,7 @@ object SharedCaches {
       "q_embedding_project", "q_embedding_pq", "q_pq_rerank",
       "q_ann_hyperplane",
       "q_ann_multiprobe", "q_ann_filtered", "q_ann_ivf", "q_ann_recall",
+      "q_ann_mrr", "q_kmeans_refine",
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
     BloomBench -> Set("q_contamination_bloom")
   )

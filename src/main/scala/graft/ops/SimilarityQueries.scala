@@ -30,6 +30,12 @@ object SimilarityQueries {
   /** Per-cell quota for the cluster-balanced diversity sample. */
   private val DiverseK = 4
 
+  /** Lloyd rounds for the measured k-means refinement query — enough
+    * to show the convergence curve while keeping the unrolled oracle
+    * tractable.
+    */
+  private val KmRounds = 3
+
   /** Target dimensionality of the JL random projection — 16 so the
     * normalizer 1/sqrt(16) = 0.25 is EXACT (no libm sqrt in the
     * projection itself; the only sqrts are the pair norms, an exactly-
@@ -987,6 +993,79 @@ object SimilarityQueries {
     ),
 
     QueryDef(
+      "q_ann_mrr",
+      "Mean reciprocal rank of the TRUE nearest neighbor under each ANN " +
+        "variant (single-probe LSH, multi-probe LSH, IVF, PQ/ADC): " +
+        s"recall@$K asks how many of the true top-$K survive; MRR asks " +
+        "where the single true top-1 LANDS in the approximate ranking " +
+        "(rr = 1/rank of the exact top-1 inside the ANN list, 0 when " +
+        "missed), one measured row per variant. For the candidate-" +
+        "restricting variants (LSH/IVF) the re-rank is exact cosine, " +
+        "so a found top-1 always ranks 1 and MRR degenerates to top-1 " +
+        "recall — reported anyway, labeled by construction; the " +
+        "pq_adc row is where rank-awareness is REAL: ADC scores are " +
+        "approximate, so the true top-1 can surface at rank 2..5 and " +
+        "fractional reciprocals appear. Determinism: each reciprocal " +
+        "rounded 9dp and DECIMAL-summed (order-independent), one " +
+        "final division rounded 6dp. Scale: rides the same cached " +
+        "corpus/index relations as q_ann_recall and the stored PQ " +
+        "codes; the exact-top-1 side is one row per panel query.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ex1 = exactTopK(s, dir).filter(col("rank") === 1)
+          .select(col("query_id"), col("vec_id"))
+        def mrrRow(ann: DataFrame, variant: String): DataFrame =
+          ex1.join(ann.select(col("query_id"), col("vec_id"), col("rank")),
+              Seq("query_id", "vec_id"), "left")
+            .agg(count(lit(1)).as("n_queries"),
+              sum(when(col("rank").isNotNull, 1L).otherwise(0L)).cast("long")
+                .as("n_found"),
+              (sum(round(coalesce(lit(1.0) / col("rank"), lit(0.0)), 9)
+                .cast(DecimalType(20, 10))).cast("double") / count(lit(1)))
+                .as("mrr"))
+            .select(lit(variant).as("variant"), col("n_queries"),
+              col("n_found"), round(col("mrr"), 6).as(s"mrr_at_$K"))
+        val cells = derivedCells(corpus(s, dir).count())
+        val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
+        mrrRow(annTopK(s, dir), "single_probe")
+          .union(mrrRow(annMultiProbeTopK(s, dir), "multiprobe_h2"))
+          .union(mrrRow(ivfTopKFrom(s, dir, a2, centn, derivedProbe(cells)),
+            "ivf_sqrtn"))
+          .union(mrrRow(pqAdcScored(s, dir).filter(col("rank") <= K),
+            "pq_adc"))
+          .orderBy("variant")
+      },
+      Some {
+        def mrrSelect(annCte: String, variant: String) =
+          s"""SELECT '$variant' AS variant,
+             |  count(*) AS n_queries,
+             |  CAST(sum(CASE WHEN an.rank IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_found,
+             |  round(CAST(sum(CAST(round(COALESCE(1.0/an.rank, 0), 9)
+             |      AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS mrr_at_$K
+             |FROM ex1 LEFT JOIN
+             |  (SELECT query_id, vec_id, rank FROM $annCte WHERE rank <= $K) an
+             |  ON ex1.query_id = an.query_id AND ex1.vec_id = an.vec_id""".stripMargin
+        s"""WITH $baseCte,
+           |$probesCte,
+           |$ivfCtes,
+           |$pqCtes,
+           |$exactScoredCte,
+           |$annScoredCte,
+           |$mpScoredCte,
+           |ex1 AS (SELECT query_id, vec_id FROM exact_scored WHERE rank = 1)
+           |SELECT * FROM (
+           |${mrrSelect("ann_scored", "single_probe")}
+           |UNION ALL
+           |${mrrSelect("mp_scored", "multiprobe_h2")}
+           |UNION ALL
+           |${mrrSelect("ivf_scored", "ivf_sqrtn")}
+           |UNION ALL
+           |${mrrSelect("pscored", "pq_adc")}
+           |) ORDER BY variant""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_diverse_sample",
       s"Cluster-balanced diversity sample (the D4 recipe, Tirumala et " +
         s"al. 2023: cluster the embedding space, then sample per " +
@@ -1084,6 +1163,115 @@ object SimilarityQueries {
            |    / count(*), 6) AS mean_abs_err,
            |  round(max(err), 6) AS max_abs_err
            |FROM e2""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_kmeans_refine",
+      s"Full spherical k-means refinement ($KmRounds Lloyd rounds, " +
+        s"$NCells cells) with the convergence MEASURED per round: one " +
+        "(iter, cells_used, mean_cos) row per state, mean assigned " +
+        "cosine monotonically non-decreasing — the multi-round " +
+        "generalization of the IVF build's single refinement, and the " +
+        "proof the one-round operating point is a choice, not a " +
+        "limitation. Same derivation conventions as the quantizer " +
+        "(hash-ordered seeds, decimal-exact per-dim means, cosc-desc/" +
+        "cell-asc assignment tiebreak) so the oracle replays every " +
+        "round bit-comparably; per-vector cosines rounded 9dp and " +
+        "DECIMAL-summed for the order-independent mean. Scale shape " +
+        "per round: centroids broadcast (the corpus is scored without " +
+        "shuffling, argmax window WindowGroupLimit-pruned), means are " +
+        "one posexplode agg -> cells x dim groups; rounds are driver-" +
+        "sequenced with localCheckpoint linear lineage (the " +
+        "star-contraction pattern), so cost is rounds x one-pass — at " +
+        "100 TB you run exactly as many rounds as the measured " +
+        "mean_cos gain justifies.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val n = normalizedCorpus(s, dir)
+        val seeds = n.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(NCells)
+          .select(col("vec_id").as("cell"), col("v").as("cv"))
+          .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+        val wA = Window.partitionBy("vec_id")
+          .orderBy(col("cosc").desc, col("cell").asc)
+        def assign(cents: DataFrame): DataFrame =
+          n.crossJoin(broadcast(cents))
+            .withColumn("cosc",
+              dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+            .withColumn("rn", row_number().over(wA))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("v"), col("cell"), col("cosc"))
+        def means(a: DataFrame): DataFrame =
+          a.select(col("cell"), posexplode(col("v")).as(Seq("pos0", "val")))
+            .groupBy(col("cell"), (col("pos0") + lit(1)).as("pos"))
+            .agg((sum(col("val").cast(DecimalType(30, 15))).cast("double") /
+              count(lit(1))).as("m"))
+            .groupBy("cell")
+            .agg(transform(
+              array_sort(collect_list(struct(col("pos"), col("m")))),
+              x => x.getField("m")).as("cv"))
+            .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+        def metricRow(a: DataFrame, r: Int): DataFrame =
+          a.agg(countDistinct(col("cell")).as("cells_used"),
+            (sum(round(col("cosc"), 9).cast(DecimalType(28, 10)))
+              .cast("double") / count(lit(1))).as("mc"))
+            .select(lit(r).as("iter"), col("cells_used"),
+              round(col("mc"), 6).as("mean_cos"))
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val states = scala.collection.mutable.Buffer.empty[DataFrame]
+        var a = assign(seeds).persist(lvl).localCheckpoint()
+        states += a
+        var rows = metricRow(a, 0)
+        for (r <- 1 to KmRounds) {
+          val nx = assign(means(a)).persist(lvl).localCheckpoint()
+          states += nx
+          rows = rows.union(metricRow(nx, r))
+          a = nx
+        }
+        // materialize the (KmRounds+1)-row result before dropping the
+        // checkpointed states it reads
+        val out = rows.orderBy("iter").localCheckpoint()
+        states.foreach(_.unpersist())
+        out
+      },
+      Some {
+        def assignSql(r: Int, cents: String) =
+          s"""a$r AS MATERIALIZED (SELECT vec_id, v, cell, cosc FROM (
+             |  SELECT n.vec_id, n.v, c.cell,
+             |    list_dot_product(n.v, c.cv)/(n.nrm*c.cn) AS cosc,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             |      ORDER BY list_dot_product(n.v, c.cv)/(n.nrm*c.cn) DESC,
+             |      c.cell ASC) AS rn
+             |  FROM n, $cents c) WHERE rn = 1)""".stripMargin
+        val rounds = (1 to KmRounds).map { r =>
+          val p = r - 1
+          s"""cm$r AS (SELECT cell, i AS pos,
+             |    CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
+             |  FROM a$p, (SELECT unnest(range(1, ${Dim + 1})) AS i)
+             |  GROUP BY cell, i),
+             |cent$r AS (SELECT cell, cv,
+             |    sqrt(list_dot_product(cv, cv)) AS cn FROM
+             |  (SELECT cell, list(m ORDER BY pos) AS cv FROM cm$r
+             |   GROUP BY cell)),
+             |${assignSql(r, s"cent$r")}""".stripMargin
+        }.mkString(",\n")
+        val out = (0 to KmRounds).map { r =>
+          s"""SELECT $r AS iter, count(DISTINCT cell) AS cells_used,
+             |  round(CAST(sum(CAST(round(cosc, 9) AS DECIMAL(28,10)))
+             |    AS DOUBLE)/count(*), 6) AS mean_cos FROM a$r""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $baseCte,
+           |kseeds AS (SELECT vec_id AS cell, v AS cv,
+           |    sqrt(list_dot_product(v, v)) AS cn FROM n
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           |  LIMIT $NCells),
+           |${assignSql(0, "kseeds")},
+           |$rounds
+           |SELECT * FROM (
+           |$out
+           |) ORDER BY iter""".stripMargin
       }
     )
   )

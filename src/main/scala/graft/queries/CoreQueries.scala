@@ -328,6 +328,47 @@ object CoreQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // ------------------------------------------ C-extension: histogram
+    QueryDef(
+      "q_histogram",
+      "Equal-width 10-bin histogram of l_extendedprice (profiling-scan " +
+        "extension of C1: the distribution shape min/max/quantiles " +
+        "summarize away). Two passes: a min/max agg broadcast as a " +
+        "1-row relation, then a stateless bin-assignment scan + one " +
+        "bin-grain agg — at 100 TB the first pass rides the same " +
+        "profile scan as C1's ranges and the second is map-side " +
+        "partial over <=10 groups. Bin id and edges are computed from " +
+        "the IDENTICAL IEEE expression text in both engines " +
+        "(floor(((x-mn)*10)/(mx-mn)), capped at 9; edge = mn + bin*w " +
+        "with w=(mx-mn)/10), so placement can never diverge.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_extendedprice").as("x"))
+        val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        li.crossJoin(broadcast(mm))
+          .withColumn("bin",
+            least(lit(9L), floor((col("x") - col("mn")) * lit(10.0)
+              / (col("mx") - col("mn")))).cast("int"))
+          .withColumn("w", (col("mx") - col("mn")) / lit(10.0))
+          .groupBy("bin", "mn", "w")
+          .agg(count(lit(1)).as("n"))
+          .select(col("bin"),
+            round(col("mn") + col("bin") * col("w"), 4).as("lo"),
+            round(col("mn") + (col("bin") + 1) * col("w"), 4).as("hi"),
+            col("n"))
+          .orderBy("bin")
+      },
+      Some("""WITH mm AS (SELECT MIN(l_extendedprice) AS mn,
+             |    MAX(l_extendedprice) AS mx FROM lineitem),
+             |b AS (SELECT CAST(LEAST(9, FLOOR(((l_extendedprice - mn) * 10.0)
+             |      / (mx - mn))) AS INT) AS bin,
+             |    mn, (mx - mn) / 10.0 AS w
+             |  FROM lineitem, mm)
+             |SELECT bin, round(mn + bin * w, 4) AS lo,
+             |  round(mn + (bin + 1) * w, 4) AS hi, COUNT(*) AS n
+             |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin)
+    ),
+
     // --------------------------------------------------------- G pivot
     QueryDef(
       "q_pivot",

@@ -52,4 +52,22 @@ class BpeSpec extends SparkSpec {
     assert(m.map(_._1) == (1 to m.size).toSeq)
     assert(m.forall(_._4 > 0))
   }
+
+  test("q_bpe_encode: fully-mergeable corpus compresses each word to " +
+    "one symbol; metrics are mutually consistent") {
+    val dir = Files.createTempDirectory("graft-bpe-enc").toString
+    // vocab {ab:2, abab:1}: merges (a,b) then (ab,ab); after both,
+    // every word is a single symbol, so the corpus-weighted symbol
+    // count equals the 3 word occurrences; subword vocab = {ab, abab}
+    Seq((0L, "ab abab ab", "s0")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Registry.queryMap("q_bpe_encode")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_words") == 2.0)
+    assert(m("chars_total") == 2 * 2 + 4.0) // ab x2 + abab
+    assert(m("syms_total") == 3.0) // three occurrences, one symbol each
+    assert(m("subword_vocab") == 2.0) // {ab, abab}
+    assert(m("compression_x") ==
+      math.rint(8.0 / 3.0 * 1e6) / 1e6)
+  }
 }

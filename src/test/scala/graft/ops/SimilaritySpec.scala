@@ -78,4 +78,35 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(2) >= r.getLong(3), "hits cannot exceed exact neighbors")
     }
   }
+
+  test("q_ann_mrr: one row per variant; exact-rerank variants degenerate " +
+    "to top-1 recall (mrr == n_found/n); pq_adc may be fractional") {
+    val rows = Registry.queryMap("q_ann_mrr")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet ==
+      Set("single_probe", "multiprobe_h2", "ivf_sqrtn", "pq_adc"))
+    rows.foreach { case (variant, n, found, mrr) =>
+      assert(mrr >= 0.0 && mrr <= 1.0, s"$variant mrr out of range: $mrr")
+      assert(found <= n)
+      // mrr can never exceed the found fraction (rr <= 1 per query)
+      assert(mrr <= found.toDouble / n + 1e-9, s"$variant mrr $mrr > $found/$n")
+      // LSH/IVF re-rank by exact cosine, so the true top-1 ranks first
+      // whenever it is a candidate: mrr == found/n exactly
+      if (variant != "pq_adc")
+        assert(mrr == math.rint(found.toDouble / n * 1e6) / 1e6,
+          s"$variant should degenerate to top-1 recall")
+    }
+  }
+
+  test("q_kmeans_refine: mean assigned cosine is monotonically " +
+    "non-decreasing across Lloyd rounds") {
+    val rows = Registry.queryMap("q_kmeans_refine")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    rows.foreach { case (_, used, _) => assert(used >= 1 && used <= 16) }
+    val mc = rows.map(_._3).toSeq
+    // tiny rounding slack: each round's mean is rounded at 6dp
+    assert(mc.zip(mc.tail).forall { case (a, b) => b >= a - 1e-6 },
+      s"mean_cos not monotone: $mc")
+  }
 }
