@@ -34,7 +34,8 @@ object Registry {
       ops.PackingQueries.defs ++
       ops.MultimodalQueries.defs ++
       ops.CorpusQueries.defs ++
-      ops.BpeQueries.defs
+      ops.BpeQueries.defs ++
+      ops.GraphQueries.defs
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -336,6 +336,84 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_bm25",
+      "BM25 document ranking (Robertson-Sparck Jones; k1=1.2, b=0.75) " +
+        "for a fixed 3-term query — the retrieval scorer a RAG corpus " +
+        "is indexed for, and the lexical complement of the ANN family. " +
+        "Shape: per-term tf comes from size(filter(toks, ...)) — pure " +
+        "array functions, NO explode, so the scoring pass is map-only; " +
+        "the corpus statistics (N, sum dl, per-term df) are ONE 1-row " +
+        "agg over the same tokenized scan broadcast back (the " +
+        "histogram/min-max two-pass shape). At 100 TB both passes are " +
+        "full scans but shuffle nothing except the 1-row stats and the " +
+        "final top-k (TakeOrdered, never a global sort). Determinism: " +
+        "idf's ln() is rounded 9dp (libm convention); each per-term " +
+        "score is rounded 9dp before the fixed-order 3-term sum; ranks " +
+        "break ties by doc_id.",
+      (s, dir) => {
+        val qTerms = Seq("spark", "join", "query")
+        val docs = Tables.t(s, dir, "documents")
+        val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")))
+        val withTf = qTerms.zipWithIndex.foldLeft(t) { case (d, (term, i)) =>
+          d.withColumn(s"tf_$i",
+            size(filter(col("toks"), x => x === lit(term))))
+        }.drop("toks")
+        val aggExprs =
+          count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+            qTerms.indices.map(i =>
+              sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+        val stats = withTf.agg(aggExprs.head, aggExprs.tail: _*)
+        val avgdl = col("sum_dl").cast("double") / col("n_docs")
+        val perTerm = qTerms.indices.map { i =>
+          val tf = col(s"tf_$i").cast("double")
+          val idf = round(log((col("n_docs") - col(s"df_$i") + lit(0.5))
+            / (col(s"df_$i") + lit(0.5)) + lit(1.0)), 9)
+          round(idf * tf * lit(2.2)
+            / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 9)
+        }
+        val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+        withTf.crossJoin(broadcast(stats))
+          .withColumn("score", perTerm.reduce(_ + _))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("doc_id"), col("dl"),
+            round(col("score"), 6).as("score"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |d AS (SELECT doc_id, len(toks) AS dl,
+              |    len(list_filter(toks, x -> x = 'spark')) AS tf_0,
+              |    len(list_filter(toks, x -> x = 'join')) AS tf_1,
+              |    len(list_filter(toks, x -> x = 'query')) AS tf_2
+              |  FROM t),
+              |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+              |    SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+              |    SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+              |    SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+              |  FROM d),
+              |sc AS (SELECT doc_id, dl,
+              |    round(round(ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0), 9)
+              |      * CAST(tf_0 AS DOUBLE) * 2.2
+              |      / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+              |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+              |    + round(round(ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0), 9)
+              |      * CAST(tf_1 AS DOUBLE) * 2.2
+              |      / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+              |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+              |    + round(round(ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0), 9)
+              |      * CAST(tf_2 AS DOUBLE) * 2.2
+              |      / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+              |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9) AS score
+              |  FROM d, st),
+              |r AS (SELECT doc_id, dl, score,
+              |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              |  FROM sc)
+              |SELECT rank, doc_id, dl, round(score, 6) AS score
+              |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)
+    ),
+
+    QueryDef(
       "q_domain_mix",
       s"Domain-mixture resampling: per-source doc budget = ceil($MixC * " +
         "sqrt(n_source)) — alpha=0.5 temperature reweighting (rare " +

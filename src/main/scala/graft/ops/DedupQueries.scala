@@ -246,7 +246,7 @@ object DedupQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+  private[ops] def minhashPairs(s: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame =
     candidatesPersisted(s, dir).filter(col("j") >= MinhashVerifyJ)
 
@@ -275,7 +275,7 @@ object DedupQueries {
   /** CTE chain ending in `pairs(doc_a, doc_b, j)` — the oracle twin of
     * [[minhashPairs]], shared by q_doc_dedup and q_dedup_clusters.
     */
-  private val pairsSqlCtes: String =
+  private[ops] val pairsSqlCtes: String =
     s"""$candSqlCtes,
        |pairs AS (SELECT * FROM cand WHERE j >= $MinhashVerifyJ)""".stripMargin
 

@@ -175,6 +175,57 @@ object JoinQueries {
              |  UNION ALL SELECT 'top1_key', CAST(top1_key AS DOUBLE) FROM top1
              |  UNION ALL SELECT 'top1_cnt', CAST(top1_cnt AS DOUBLE) FROM top1)
              |ORDER BY metric""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_fuzzy_join",
+      "Entity resolution by fuzzy string match (token blocking + edit-" +
+        "distance verify): near-identical part names with the part " +
+        "counts they cover. Runs at DISTINCT-NAME grain — the name " +
+        "relation is the entity vocabulary (64 names for 2000 parts " +
+        "here; the same orders-of-magnitude reduction holds for real " +
+        "catalogs), so the quadratic-ish candidate step never touches " +
+        "row grain and the resolved pairs broadcast back if row-grain " +
+        "repair is needed. Blocking: names sharing >=1 token become " +
+        "candidates via a token equi-join (never a cartesian); verify " +
+        "is codegen'd levenshtein <= 3, integer-exact in both engines. " +
+        "At 100 TB the only corpus-scale work is the distinct-name agg " +
+        "(map-side partial); blocking+verify run on the vocabulary.",
+      (s, dir) => {
+        val names = Tables.t(s, dir, "part")
+          .groupBy(col("p_name").as("name"))
+          .agg(count(lit(1)).as("n_parts"))
+        val toks = names.select(col("name"),
+          explode(split(col("name"), " ")).as("tok"))
+        val cand = toks.as("a")
+          .join(toks.as("b"),
+            col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+          .distinct()
+        cand
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 3)
+          .join(names.select(col("name").as("name_a"),
+            col("n_parts").as("parts_a")), "name_a")
+          .join(names.select(col("name").as("name_b"),
+            col("n_parts").as("parts_b")), "name_b")
+          .select("name_a", "name_b", "dist", "parts_a", "parts_b")
+          .orderBy("name_a", "name_b")
+      },
+      Some("""WITH names AS (SELECT p_name AS name, COUNT(*) AS n_parts
+             |    FROM part GROUP BY 1),
+             |t AS (SELECT name, unnest(string_split(name, ' ')) AS tok
+             |  FROM names),
+             |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+             |  FROM t a JOIN t b ON a.tok = b.tok AND a.name < b.name),
+             |v AS (SELECT name_a, name_b,
+             |    levenshtein(name_a, name_b) AS dist FROM cand)
+             |SELECT name_a, name_b, dist,
+             |  na.n_parts AS parts_a, nb.n_parts AS parts_b
+             |FROM v JOIN names na ON v.name_a = na.name
+             |  JOIN names nb ON v.name_b = nb.name
+             |WHERE dist <= 3
+             |ORDER BY name_a, name_b""".stripMargin)
     )
   )
 }

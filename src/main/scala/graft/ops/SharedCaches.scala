@@ -55,7 +55,7 @@ object SharedCaches {
     */
   val consumers: Map[String, Set[String]] = Map(
     Minhash -> Set("q_doc_dedup", "q_doc_similar", "q_dedup_recall",
-      "q_dedup_clusters", "q_dedup_keep_best"),
+      "q_dedup_clusters", "q_dedup_keep_best", "q_pagerank"),
     MinhashBatch -> Set("q_dedup_incremental"),
     Embeddings -> Set("q_embedding_topk", "q_embedding_quantize",
       "q_embedding_project", "q_embedding_pq", "q_pq_rerank",

@@ -330,6 +330,77 @@ object ProfileQueries {
         sels.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_a, col_b")
       }
+    ),
+
+    // ------------------------------------- C9: cardinality sketch
+    QueryDef(
+      "q_cardinality_sketch",
+      "Linear-counting distinct-cardinality sketch (Whang et al. 1990), " +
+        "measured against the exact count it replaces: per key column " +
+        "of lineitem, hash each value into m buckets (first 24 md5 " +
+        "bits mod m — the repo's portable-hash convention, so both " +
+        "engines fill identical buckets), estimate n ~= m*ln(m/empty), " +
+        "and emit exact vs estimate vs relative error. m is DERIVED " +
+        "from table cardinality (smallest power of two >= row count, " +
+        "floor 4096 — the artifact-bucket convention), so load factor " +
+        "stays < 1 and the sketch can never saturate at any scale; a " +
+        "power of two divides 2^24 exactly, so the mod is bias-free " +
+        "(beyond 2^24 buckets, widen the hash substring). The " +
+        "profile-at-scale story: the bucket-occupancy relation is m " +
+        "bools per column INDEPENDENT of row count — mergeable by OR " +
+        "across partitions, batches, and days (the semilattice the " +
+        "incremental Profiler already exploits), where exact count-" +
+        "distinct shuffles every distinct value; the exact branch here " +
+        "exists only to measure the estimate. The ln() is rounded 9dp " +
+        "before the m* multiply (libm-drift convention); everything " +
+        "else is integer-exact.",
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+        val df = Tables.t(s, dir, "lineitem")
+        // 1-row scalar fetch for bucket-count derivation (artifact
+        // convention; see IvfIndex cell derivation).
+        val nRows = df.count()
+        var m = 4096L
+        while (m < nRows) m <<= 1
+        val per = cols.map { c =>
+          val bkt = conv(substring(md5(col(c).cast("string")), 1, 6), 16, 10)
+            .cast("long") % m
+          df.select(bkt.as("bkt"), col(c).as("v"))
+            .agg(countDistinct(col("v")).as("exact"),
+              countDistinct(col("bkt")).as("occupied"))
+            .select(lit(c).as("key_col"), lit(m).as("m"), col("exact"),
+              round(lit(m.toDouble) *
+                round(log(lit(m.toDouble) / (lit(m) - col("occupied"))), 9), 4)
+                .as("estimate"))
+        }
+        per.reduce(_ unionAll _)
+          .withColumn("rel_err",
+            round((col("estimate") - col("exact")) / col("exact"), 6))
+          .orderBy("key_col")
+      },
+      Some(s"""WITH mm AS (SELECT MIN(CAST(POW(2, g) AS BIGINT)) AS m
+              |  FROM generate_series(12, 40) t(g),
+              |    (SELECT COUNT(*) AS n FROM lineitem)
+              |  WHERE CAST(POW(2, g) AS BIGINT) >= n),
+              |src AS (
+              |  SELECT 'l_orderkey' AS key_col,
+              |    CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+              |  UNION ALL SELECT 'l_partkey',
+              |    CAST(l_partkey AS VARCHAR) FROM lineitem
+              |  UNION ALL SELECT 'l_suppkey',
+              |    CAST(l_suppkey AS VARCHAR) FROM lineitem),
+              |agg AS (SELECT key_col, m, COUNT(DISTINCT v) AS exact,
+              |    COUNT(DISTINCT CAST(('0x' || substr(md5(v), 1, 6)) AS BIGINT)
+              |      % m) AS occupied
+              |  FROM src, mm GROUP BY 1, 2),
+              |est AS (SELECT key_col, m, exact,
+              |    round(CAST(m AS DOUBLE) *
+              |      round(ln(CAST(m AS DOUBLE) / (m - occupied)), 9), 4)
+              |      AS estimate
+              |  FROM agg)
+              |SELECT key_col, m, exact, estimate,
+              |  round((estimate - exact) / exact, 6) AS rel_err
+              |FROM est ORDER BY key_col""".stripMargin)
     )
   )
 }
