@@ -117,19 +117,27 @@ object BpeQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rank = 1
     var done = false
-    while (rank <= NumMerges && !done) {
-      mergeRound(v) match {
-        case None => done = true
-        case Some(((l, r, tot), next)) =>
-          merges += ((rank, l, r, tot))
-          val nv = next
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            .localCheckpoint()
-          v.unpersist()
-          v = nv
-          rank += 1
+    // On success the caller owns unpersisting the returned state; on
+    // failure mid-loop nobody else can, so release the in-flight
+    // persist here (r8 advice: this leak guard existed only in
+    // q_bpe_merges's since-removed private copy of the loop).
+    var ok = false
+    try {
+      while (rank <= NumMerges && !done) {
+        mergeRound(v) match {
+          case None => done = true
+          case Some(((l, r, tot), next)) =>
+            merges += ((rank, l, r, tot))
+            val nv = next
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              .localCheckpoint()
+            v.unpersist()
+            v = nv
+            rank += 1
+        }
       }
-    }
+      ok = true
+    } finally if (!ok) v.unpersist()
     (merges.toSeq, v)
   }
 
@@ -192,36 +200,13 @@ object BpeQueries {
         s"$NumMerges rounds as generated CTE stages — same windows, " +
         "same parity rule, same tiebreaks.",
       (s, dir) => {
-        val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
-        var v = vocab0(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var prev = v
-        try {
-          var rank = 1
-          var done = false
-          while (rank <= NumMerges && !done) {
-            mergeRound(v) match {
-              case None => done = true // vocabulary fully merged
-              case Some(((l, r, tot), next)) =>
-                merges += ((rank, l, r, tot))
-                if (rank < NumMerges) {
-                  // linear lineage: localCheckpoint truncates the plan
-                  // so round N+1 does not re-execute rounds 1..N (the
-                  // q_dedup_clusters fixpoint rule)
-                  val nv = next
-                    .persist(
-                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                    .localCheckpoint()
-                  prev.unpersist()
-                  prev = nv
-                  v = nv
-                }
-                rank += 1
-            }
-          }
-        } finally prev.unpersist()
+        // Single merge driver shared with q_bpe_encode (r8 advice: two
+        // slightly-different copies of the loop could drift). The final
+        // vocabulary state is not needed here — release it immediately.
+        val (merges, vFinal) = learnAndApply(s, dir)
+        vFinal.unpersist()
         import s.implicits._
-        merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+        merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
           .orderBy("merge_rank")
       },
       Some {

@@ -58,6 +58,12 @@ object CorpusQueries {
     */
   private val BloomBitsPerGram = 8L
 
+  /** BM25 query terms — the SINGLE source for both the Spark tf/df
+    * columns and the generated oracle SQL (r8 advice: the terms were
+    * previously hardcoded as literals on both sides and could drift).
+    */
+  private val Bm25Terms = Seq("spark", "join", "query")
+
   /** Domain mixing: per-source budget = ceil(MixC * sqrt(n_source)) docs
     * — alpha=0.5 temperature resampling (rare sources up-weighted
     * relative to their share, as in multilingual LLM data mixes).
@@ -351,7 +357,7 @@ object CorpusQueries {
         "score is rounded 9dp before the fixed-order 3-term sum; ranks " +
         "break ties by doc_id.",
       (s, dir) => {
-        val qTerms = Seq("spark", "join", "query")
+        val qTerms = Bm25Terms
         val docs = Tables.t(s, dir, "documents")
         val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
           .withColumn("dl", size(col("toks")))
@@ -381,36 +387,38 @@ object CorpusQueries {
             round(col("score"), 6).as("score"))
           .orderBy("rank")
       },
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |d AS (SELECT doc_id, len(toks) AS dl,
-              |    len(list_filter(toks, x -> x = 'spark')) AS tf_0,
-              |    len(list_filter(toks, x -> x = 'join')) AS tf_1,
-              |    len(list_filter(toks, x -> x = 'query')) AS tf_2
-              |  FROM t),
-              |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
-              |    SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
-              |    SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
-              |    SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
-              |  FROM d),
-              |sc AS (SELECT doc_id, dl,
-              |    round(round(ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0), 9)
-              |      * CAST(tf_0 AS DOUBLE) * 2.2
-              |      / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
-              |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
-              |    + round(round(ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0), 9)
-              |      * CAST(tf_1 AS DOUBLE) * 2.2
-              |      / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
-              |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
-              |    + round(round(ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0), 9)
-              |      * CAST(tf_2 AS DOUBLE) * 2.2
-              |      / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
-              |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9) AS score
-              |  FROM d, st),
-              |r AS (SELECT doc_id, dl, score,
-              |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-              |  FROM sc)
-              |SELECT rank, doc_id, dl, round(score, 6) AS score
-              |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)
+      Some {
+        // Generated from Bm25Terms (r8 advice): tf_i / df_i / score
+        // expressions unroll from the same Seq the Spark side reads, so
+        // editing the term list cannot desynchronize the two engines.
+        val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"    len(list_filter(toks, x -> x = '$t')) AS tf_$i"
+        }.mkString(",\n")
+        val dfCols = Bm25Terms.indices.map(i =>
+          s"    SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+          .mkString(",\n")
+        val scoreSum = Bm25Terms.indices.map(i =>
+          s"""round(round(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0), 9)
+             |      * CAST(tf_$i AS DOUBLE) * 2.2
+             |      / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+             |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)""".stripMargin)
+          .mkString("\n    + ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |d AS (SELECT doc_id, len(toks) AS dl,
+           |$tfCols
+           |  FROM t),
+           |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+           |$dfCols
+           |  FROM d),
+           |sc AS (SELECT doc_id, dl,
+           |    $scoreSum AS score
+           |  FROM d, st),
+           |r AS (SELECT doc_id, dl, score,
+           |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           |  FROM sc)
+           |SELECT rank, doc_id, dl, round(score, 6) AS score
+           |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+      }
     ),
 
     QueryDef(

@@ -337,15 +337,17 @@ object ProfileQueries {
       "q_cardinality_sketch",
       "Linear-counting distinct-cardinality sketch (Whang et al. 1990), " +
         "measured against the exact count it replaces: per key column " +
-        "of lineitem, hash each value into m buckets (first 24 md5 " +
+        "of lineitem, hash each value into m buckets (first 48 md5 " +
         "bits mod m — the repo's portable-hash convention, so both " +
         "engines fill identical buckets), estimate n ~= m*ln(m/empty), " +
         "and emit exact vs estimate vs relative error. m is DERIVED " +
         "from table cardinality (smallest power of two >= row count, " +
-        "floor 4096 — the artifact-bucket convention), so load factor " +
-        "stays < 1 and the sketch can never saturate at any scale; a " +
-        "power of two divides 2^24 exactly, so the mod is bias-free " +
-        "(beyond 2^24 buckets, widen the hash substring). The " +
+        "floor 4096, CAP 2^48 — the derivation asserts below the cap), " +
+        "so load factor stays < 1 and the sketch can never saturate at " +
+        "any reachable scale; a power of two divides 2^48 exactly, so " +
+        "the mod is bias-free, and 48 hash bits keep every bucket " +
+        "reachable up to the cap (r8 advice: 24 bits silently " +
+        "undercounted above 2^24 rows). The " +
         "profile-at-scale story: the bucket-occupancy relation is m " +
         "bools per column INDEPENDENT of row count — mergeable by OR " +
         "across partitions, batches, and days (the semilattice the " +
@@ -361,9 +363,14 @@ object ProfileQueries {
         // convention; see IvfIndex cell derivation).
         val nRows = df.count()
         var m = 4096L
-        while (m < nRows) m <<= 1
+        while (m < nRows && m < (1L << 48)) m <<= 1
+        // 48 hash bits (12 md5 hex chars) cover every bucket up to the
+        // 2^48 cap; beyond that the derivation would need a wider
+        // substring, so fail loudly rather than undercount silently.
+        require(m >= nRows || nRows <= (1L << 48),
+          s"cardinality sketch bucket derivation capped at 2^48 < $nRows rows")
         val per = cols.map { c =>
-          val bkt = conv(substring(md5(col(c).cast("string")), 1, 6), 16, 10)
+          val bkt = conv(substring(md5(col(c).cast("string")), 1, 12), 16, 10)
             .cast("long") % m
           df.select(bkt.as("bkt"), col(c).as("v"))
             .agg(countDistinct(col("v")).as("exact"),
@@ -379,7 +386,7 @@ object ProfileQueries {
           .orderBy("key_col")
       },
       Some(s"""WITH mm AS (SELECT MIN(CAST(POW(2, g) AS BIGINT)) AS m
-              |  FROM generate_series(12, 40) t(g),
+              |  FROM generate_series(12, 48) t(g),
               |    (SELECT COUNT(*) AS n FROM lineitem)
               |  WHERE CAST(POW(2, g) AS BIGINT) >= n),
               |src AS (
@@ -390,7 +397,7 @@ object ProfileQueries {
               |  UNION ALL SELECT 'l_suppkey',
               |    CAST(l_suppkey AS VARCHAR) FROM lineitem),
               |agg AS (SELECT key_col, m, COUNT(DISTINCT v) AS exact,
-              |    COUNT(DISTINCT CAST(('0x' || substr(md5(v), 1, 6)) AS BIGINT)
+              |    COUNT(DISTINCT CAST(('0x' || substr(md5(v), 1, 12)) AS BIGINT)
               |      % m) AS occupied
               |  FROM src, mm GROUP BY 1, 2),
               |est AS (SELECT key_col, m, exact,
