@@ -39,8 +39,21 @@ import org.apache.spark.sql.SparkSession
   * reflects this bench's own 32 threads, while the stat-delta
   * measurement subtracts self by construction. The JSON line carries
   * per-accepted-pass external-core figures ("pass_ext_load_cores"),
-  * start loadavgs, the threshold, and how many contended passes were
-  * discarded — a contended record now annotates itself.
+  * start AND end loadavgs, the threshold, and how many contended passes
+  * were discarded — a contended record now annotates itself.
+  *
+  * r9 hardening (the r8 driver record was the third contended one in a
+  * row, and its full-precision stdout line truncated unparseably in the
+  * driver's ~4 KB tail capture):
+  *   - steady-pass dispersion defense: if passes 2..N (pass 1 pays the
+  *     stored-artifact build) disagree by > 30%, up to 2 extra passes
+  *     run so per-query medians have quiet passes to outvote a
+  *     mid-pass-contended one that the CPU-counter guard
+  *     underattributed (memory bandwidth / IO / VM steal);
+  *   - stdout carries 0.1 ms per-query precision (whole line ~3 KB);
+  *     full precision plus per-pass per-query detail go to
+  *     BENCH_LAST.json / BENCH_FULL_LAST.json, which a tail capture
+  *     cannot damage.
   */
 object Bench {
   private val Passes = 3
@@ -48,6 +61,15 @@ object Bench {
   private val LoadThresholdCores = 4.0
   /** Extra passes allowed to replace contended ones. */
   private val MaxRetries = 3
+  /** r8 verdict #3: the stat-delta guard is whole-pass, but a pass can
+    * still be slowed by contention the CPU counters underattribute
+    * (memory bandwidth, IO, VM steal granularity). Second line of
+    * defense: if the accepted STEADY passes (2..N — pass 1 legitimately
+    * pays the stored-artifact build) disagree by more than this, the
+    * record is suspect — run extra passes so the per-query median has
+    * quiet passes to outvote the contended one. */
+  private val SteadyDispersionTargetPct = 30.0
+  private val MaxExtraPasses = 2
   /** Linux USER_HZ; 100 on every mainstream kernel/distro build. */
   private val Hz = 100.0
 
@@ -130,62 +152,102 @@ object Bench {
     val passes = scala.collection.mutable.Buffer.empty[Map[String, Double]]
     val extLoads = scala.collection.mutable.Buffer.empty[Double]
     val startLoadAvgs = scala.collection.mutable.Buffer.empty[Double]
+    val endLoadAvgs = scala.collection.mutable.Buffer.empty[Double]
     var discarded = 0
-    while (passes.size < Passes) {
-      val la = loadAvg1m()
-      val (h0, s0) = (hostBusyTicks(), selfTicks())
-      val w0 = System.nanoTime()
-      val p = onePass()
-      val wallSec = (System.nanoTime() - w0) / 1e9
-      val ext =
-        if (h0 < 0 || s0 < 0 || wallSec <= 0) -1.0
-        else math.max(0L,
-          (hostBusyTicks() - h0) - (selfTicks() - s0)) / (wallSec * Hz)
-      if (ext > LoadThresholdCores && discarded < MaxRetries) {
-        discarded += 1
-        System.err.println(f"[bench] pass discarded: external load $ext%.1f" +
-          f" cores > $LoadThresholdCores%.1f (retry ${discarded}/$MaxRetries)")
-      } else {
-        passes += p
-        extLoads += ext
-        startLoadAvgs += la
-        if (ext > LoadThresholdCores)
-          System.err.println(f"[bench] WARNING: accepting contended pass " +
-            f"(external load $ext%.1f cores), retries exhausted")
+    def runAccepted(): Unit = {
+      var accepted = false
+      while (!accepted) {
+        val la = loadAvg1m()
+        val (h0, s0) = (hostBusyTicks(), selfTicks())
+        val w0 = System.nanoTime()
+        val p = onePass()
+        val wallSec = (System.nanoTime() - w0) / 1e9
+        val laEnd = loadAvg1m()
+        val ext =
+          if (h0 < 0 || s0 < 0 || wallSec <= 0) -1.0
+          else math.max(0L,
+            (hostBusyTicks() - h0) - (selfTicks() - s0)) / (wallSec * Hz)
+        if (ext > LoadThresholdCores && discarded < MaxRetries) {
+          discarded += 1
+          System.err.println(f"[bench] pass discarded: external load $ext%.1f" +
+            f" cores > $LoadThresholdCores%.1f (retry ${discarded}/$MaxRetries)")
+        } else {
+          accepted = true
+          passes += p
+          extLoads += ext
+          startLoadAvgs += la
+          endLoadAvgs += laEnd
+          if (ext > LoadThresholdCores)
+            System.err.println(f"[bench] WARNING: accepting contended pass " +
+              f"(external load $ext%.1f cores), retries exhausted")
+        }
       }
     }
+    (1 to Passes).foreach(_ => runAccepted())
     def median(xs: collection.Seq[Double]): Double =
       xs.sorted.apply(xs.length / 2)
+    def dispOf(ts: collection.Seq[Double]): Double =
+      if (ts.nonEmpty && median(ts) > 0)
+        100.0 * (ts.max - ts.min) / median(ts)
+      else 0.0
+    // Mid-pass contention the CPU counters underattribute shows up as
+    // steady-pass (2..N) disagreement; add quiet passes to outvote it.
+    var extras = 0
+    while (dispOf(passes.drop(1).map(_.values.sum)) >
+        SteadyDispersionTargetPct && extras < MaxExtraPasses) {
+      extras += 1
+      System.err.println(f"[bench] steady-pass dispersion " +
+        f"${dispOf(passes.drop(1).map(_.values.sum))}%.1f%% > " +
+        f"$SteadyDispersionTargetPct%.1f%% — extra pass $extras/$MaxExtraPasses")
+      runAccepted()
+    }
     val med = names.map(n => n -> median(passes.map(_(n))))
     val total = med.map(_._2).sum
     val passTotals = passes.map(_.values.sum)
-    val dispersionPct =
-      if (passTotals.nonEmpty && median(passTotals) > 0)
-        100.0 * (passTotals.max - passTotals.min) / median(passTotals)
-      else 0.0
-    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val pt = passTotals.mkString("[", ",", "]")
+    val dispersionPct = dispOf(passTotals)
+    val steadyDispersionPct = dispOf(passTotals.drop(1))
     // Locale-pinned format: a comma decimal separator would break the
     // driver's JSON parse.
     def f1(d: Double) =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
-    val disp = f1(dispersionPct)
+    def f4(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    // stdout carries 0.1 ms per-query precision so the WHOLE line stays
+    // well under the driver's ~4 KB tail capture (r8's full-precision
+    // line was truncated to unparseable); full precision + per-pass
+    // detail go to the files below.
+    def qsJson(fmt: Double => String) = med
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val pt = passTotals.map(f4).mkString("[", ",", "]")
     val extJ = extLoads.map(f1).mkString("[", ",", "]")
     val laJ = startLoadAvgs.map(f1).mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""passes":$Passes,"agg":"median_per_query","pass_totals":$pt,""" +
-        s""""dispersion_pct":$disp,"pass_ext_load_cores":$extJ,""" +
-        s""""pass_start_loadavg":$laJ,"load_threshold_cores":$LoadThresholdCores,""" +
-        s""""contended_discarded":$discarded}"""
-    println(line)
+    val laEndJ = endLoadAvgs.map(f1).mkString("[", ",", "]")
+    def line(fmt: Double => String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(fmt)},"sf":"$sfDir",""" +
+        s""""passes":${passes.size},"agg":"median_per_query","pass_totals":$pt,""" +
+        s""""dispersion_pct":${f1(dispersionPct)},"steady_dispersion_pct":${f1(steadyDispersionPct)},""" +
+        s""""pass_ext_load_cores":$extJ,""" +
+        s""""pass_start_loadavg":$laJ,"pass_end_loadavg":$laEndJ,""" +
+        s""""load_threshold_cores":$LoadThresholdCores,""" +
+        s""""contended_discarded":$discarded,"extra_passes":$extras}"""
+    val stdoutLine = line(f4)
+    println(stdoutLine)
+    // Full-precision record + per-pass per-query detail — the committed
+    // artifact a truncating tail capture can never damage.
+    val perPass = passes.map(p =>
+      names.map(n => "\"" + n + "\":" + p(n)).mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
+    val fullLine = line(d => d.toString).dropRight(1) +
+      s""","per_pass_queries":$perPass}"""
     spark.stop()
     // Re-print AFTER spark.stop() so the JSON is the last stdout line
     // (shutdown logs go to stderr), and drop a file copy — belt and
     // braces for any harness that greps the tail of mixed output.
-    println(line)
+    println(stdoutLine)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_LAST.json"), stdoutLine + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL_LAST.json"), fullLine + "\n")
   }
 }
