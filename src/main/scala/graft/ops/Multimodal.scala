@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL (r8): pure-JDK `javax.imageio` reads PNG / JPEG
   * / BMP / GIF with no native codecs, so [[decodeImage]] extracts actual
   * width / height / channel count, and [[resize]] really rescales and
-  * re-encodes decodable images. Bytes no registered reader recognizes
-  * (and all audio/video — no demuxer in the JDK) fall back to the
-  * deterministic [[decodeStub]], flagged `decoded = false` in the meta
+  * re-encodes decodable images. AUDIO header parse is REAL (r9):
+  * [[decodeWav]] walks the RIFF/WAVE container byte-by-byte (pure JVM,
+  * headless) for sample rate / channels / bit depth / frame count /
+  * integer-exact duration. Bytes neither codec recognizes (and all
+  * video — no demuxer in the JDK) fall back to the deterministic
+  * [[decodeStub]]/[[audioStub]], flagged `decoded = false` in the meta
   * struct so downstream consumers can tell real measurements from
   * fakes. Everything around the codec — schema, partition-parallel
   * execution shape, batch iteration, null handling — is identical on
@@ -174,6 +177,107 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** Canonical audio record schema ([[extractAudioFeatures]]).
+    * `meta.decoded` true = fields parsed from a real RIFF/WAVE header,
+    * false = the deterministic stub (sample_rate 0).
+    */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("magic_hex", StringType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bits_per_sample", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false))),
+      nullable = true)))
+
+  /** REAL audio header parse (r9 — shrinks the stub surface the way r8's
+    * `javax.imageio` did for images): pure-JVM RIFF/WAVE container walk.
+    * Returns (sampleRate, channels, bitsPerSample, nFrames) from the
+    * `fmt ` and `data` chunks, or None for anything that is not a
+    * well-formed WAV (those fall to [[audioStub]]). Canonical layout per
+    * the public RIFF spec: little-endian chunk sizes, word-aligned
+    * chunks (odd sizes carry a pad byte), frames = data bytes /
+    * block-align. No JDK sound classes — a byte walk works headless on
+    * any JVM and never touches javax.sound's provider registry.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u16(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // rate, ch, bits, blockAlign
+      var dataSize = -1L
+      while (off + 8 <= bytes.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = tag(off)
+        val size = u32(off + 4)
+        val payload = off + 8
+        if (id == "fmt " && size >= 16 && payload + 16 <= bytes.length)
+          fmt = Some((u32(payload + 4).toInt, u16(payload + 2),
+            u16(payload + 14), u16(payload + 12)))
+        else if (id == "data")
+          // size may legitimately exceed the buffer for a truncated
+          // capture; frames come from the declared size, clamped.
+          dataSize = math.min(size, (bytes.length - payload).toLong)
+        off = payload + size.toInt + (size.toInt & 1) // word alignment
+      }
+      fmt match {
+        case Some((rate, ch, bits, block))
+            if rate > 0 && ch > 0 && block > 0 && dataSize >= 0 =>
+          Some((rate, ch, bits, dataSize / block))
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** FALLBACK audio metadata for non-WAV bytes: rolling-hash-seeded
+    * deterministic fakes (sample_rate 0 + decoded=false mark it fake).
+    */
+  def audioStub(bytes: Array[Byte]): (Int, Long) = {
+    val (w, h) = decodeStub(bytes)
+    (w % 2 + 1, (h.toLong * 16)) // fake channels 1..2, fake frame count
+  }
+
+  /** Audio twin of [[extractFeatures]]: (id, binary) rows → canonical
+    * audio schema, real RIFF/WAVE parse first, stub fallback, partition-
+    * parallel. duration_ms is integer-exact: frames * 1000 / rate.
+    */
+  def extractAudioFeatures(df: DataFrame, idCol: String,
+                           binCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSchema)
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (bytes == null) Row(id, null, null)
+          else {
+            val magic = bytes.take(4).map("%02X".format(_)).mkString
+            val meta = decodeWav(bytes) match {
+              case Some((rate, ch, bits, frames)) =>
+                Row(bytes.length, magic, rate, ch, bits, frames,
+                  frames * 1000L / rate, true)
+              case None =>
+                val (ch, frames) = audioStub(bytes)
+                Row(bytes.length, magic, 0, ch, 0, frames, 0L, false)
+            }
+            Row(id, bytes, meta)
+          }
+        }
+      }(enc)
   }
 
   /** One sampled frame of a (fake-decoded) video blob. */

@@ -17,6 +17,69 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** Deterministic in-test WAV bytes — canonical RIFF/WAVE layout built
+    * byte-by-byte (no javax.sound), optionally with an extra chunk
+    * before `data` to exercise the chunk walk, and odd-sized chunks to
+    * exercise word-alignment padding.
+    */
+  private def wavBytes(rate: Int, channels: Int, bits: Int, frames: Int,
+                       extraChunk: Boolean = false): Array[Byte] = {
+    val block = channels * bits / 8
+    val dataSize = frames * block
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = (0 until 4).foreach(i =>
+      bos.write(((v >> (8 * i)) & 0xff).toInt))
+    val extra = if (extraChunk) 8 + 7 + 1 else 0 // odd chunk + pad byte
+    ascii("RIFF"); u32(4 + 24 + extra + 8 + dataSize); ascii("WAVE")
+    ascii("fmt "); u32(16)
+    u16(1); u16(channels); u32(rate)
+    u32(rate.toLong * block); u16(block); u16(bits)
+    if (extraChunk) { ascii("LIST"); u32(7); (0 until 7).foreach(bos.write); bos.write(0) }
+    ascii("data"); u32(dataSize)
+    (0 until dataSize).foreach(i => bos.write((i * 7) & 0xff))
+    bos.toByteArray
+  }
+
+  test("decodeWav: real RIFF/WAVE header parse — sample rate, channels, " +
+    "bits, frame count; chunk-walk skips odd-sized chunks with pad; " +
+    "None for non-WAV bytes (r8 verdict #6)") {
+    assert(Multimodal.decodeWav(wavBytes(8000, 1, 16, 2000)) ==
+      Some((8000, 1, 16, 2000L)))
+    assert(Multimodal.decodeWav(wavBytes(44100, 2, 16, 441)) ==
+      Some((44100, 2, 16, 441L)))
+    // fmt after an odd-sized LIST chunk: alignment walk must land on data
+    assert(Multimodal.decodeWav(wavBytes(16000, 1, 8, 123, extraChunk = true)) ==
+      Some((16000, 1, 8, 123L)))
+    assert(Multimodal.decodeWav("RIFFnotawave".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeWav(pngBytes(8, 8)).isEmpty)
+    assert(Multimodal.decodeWav(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractAudioFeatures: WAV rows parse real metadata " +
+    "(decoded=true, integer-exact duration); non-WAV bytes fall to the " +
+    "stub (decoded=false, sample_rate 0); nulls pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, wavBytes(8000, 1, 16, 2000)), // 250 ms mono
+      (2L, wavBytes(44100, 2, 16, 44100)), // 1 s stereo
+      (3L, "just text".getBytes("UTF-8")),
+      (4L, null)
+    ).toDF("id", "blob")
+    val rows = Multimodal.extractAudioFeatures(df, "id", "blob")
+      .orderBy("media_id").collect()
+    val m1 = rows(0).getStruct(2)
+    assert(m1.getInt(2) == 8000 && m1.getInt(3) == 1 && m1.getInt(4) == 16)
+    assert(m1.getLong(5) == 2000L && m1.getLong(6) == 250L && m1.getBoolean(7))
+    val m2 = rows(1).getStruct(2)
+    assert(m2.getInt(2) == 44100 && m2.getInt(3) == 2 &&
+      m2.getLong(6) == 1000L && m2.getBoolean(7))
+    val m3 = rows(2).getStruct(2)
+    assert(!m3.getBoolean(7) && m3.getInt(2) == 0)
+    assert(rows(3).isNullAt(2))
+  }
+
   test("decodeImage: real javax.imageio dimensions/channels for PNG, " +
     "None for non-image bytes (r7 verdict #4)") {
     assert(Multimodal.decodeImage(pngBytes(37, 21)) == Some((37, 21, 3)))
