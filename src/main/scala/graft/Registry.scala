@@ -50,7 +50,24 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
     // for; read it as Long nanos and convert explicitly where needed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The round-9 testdata regeneration writes events.ts as parquet
+    // timestamp[us] (read as TIMESTAMP_NTZ) where earlier vintages wrote
+    // TIMESTAMP(NANOS) (read as Long via nanosAsLong). Normalize to the
+    // Long-nanos internal convention AT THE SCAN so every downstream
+    // consumer — nanosToEpochSec, the as-of ns keys, the streaming
+    // twins — and the epoch_ns()-based DuckDB oracles see one type
+    // across data vintages. Session tz is pinned UTC, so the NTZ wall
+    // time is the UTC instant.
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+          f.dataType == org.apache.spark.sql.types.TimestampType =>
+        import org.apache.spark.sql.functions.{col, unix_micros, lit}
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            * lit(1000L))
+      case _ => df
+    }
   }
 
   /** Fan-out guard for compute-heavy narrow transforms (minhash scans, dot

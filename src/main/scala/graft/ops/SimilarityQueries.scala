@@ -503,16 +503,25 @@ object SimilarityQueries {
     * ([[graft.streaming.VectorStream.annProbeBatch]]), so batch and
     * ingest-time search cannot drift.
     */
-  private[graft] def ivfTopKFor(q: DataFrame, a2: DataFrame,
-                                centn: DataFrame,
-                                nProbe: Int): DataFrame = {
+  /** The probe leg alone: each query's `nProbe` nearest cells —
+    * (query_id, qv, qn, cell). Factored so the IVF search and the
+    * IVF-PQ composition (q_ann_ivfpq) probe with the SAME definition.
+    */
+  private[ops] def probeCells(q: DataFrame, centn: DataFrame,
+                              nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wProbe = Window.partitionBy("query_id").orderBy(col("cosc").desc, col("cell").asc)
-    val qp = q.crossJoin(broadcast(centn))
+    q.crossJoin(broadcast(centn))
       .withColumn("cosc", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+  }
+
+  private[graft] def ivfTopKFor(q: DataFrame, a2: DataFrame,
+                                centn: DataFrame,
+                                nProbe: Int): DataFrame = {
+    val qp = probeCells(q, centn, nProbe)
     // The probed (query, cell) relation is a query batch ≪ the corpus
     // (same assumption as the exact baseline's broadcast query side), so
     // the inverted-list lookup is a broadcast-HASH join on cell: the
@@ -628,16 +637,23 @@ object SimilarityQueries {
     * same hash-ordered seeds, same decimal-exact Lloyd means, same
     * probe/re-rank tiebreaks, so results are bit-comparable.
     */
-  private[ops] val ivfCtes =
-    s"""${ivfAssignCtes("", sqrtCellsSql)},
-       |qp AS (SELECT query_id, qv, qn, cell FROM (
+  /** `qp (query_id, qv, qn, cell)` — oracle twin of [[probeCells]] at
+    * the ~√n derivation's probe count; shared by [[ivfCtes]] and the
+    * IVF-PQ composition oracle so the probe definition cannot drift.
+    */
+  private val ivfQpCte =
+    s"""qp AS (SELECT query_id, qv, qn, cell FROM (
        |  SELECT q.query_id, q.qv, q.qn, c.cell,
        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
        |      ORDER BY list_dot_product(q.qv, c.cv)/(q.qn*c.cn) DESC,
        |      c.cell ASC) AS pr
        |  FROM q, centn c) WHERE pr <= (SELECT GREATEST($NProbe,
        |    CAST(ceil(GREATEST($NCells, floor(sqrt(count(*)))) / 8.0)
-       |      AS BIGINT)) FROM n)),
+       |      AS BIGINT)) FROM n))""".stripMargin
+
+  private[ops] val ivfCtes =
+    s"""${ivfAssignCtes("", sqrtCellsSql)},
+       |$ivfQpCte,
        |ivf_scored AS (SELECT query_id, vec_id, cell,
        |    list_dot_product(qv, v)/(qn*nrm) AS cos,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
