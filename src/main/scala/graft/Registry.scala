@@ -50,6 +50,11 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
     // for; read it as Long nanos and convert explicitly where needed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The ts normalization below casts TIMESTAMP_NTZ through TimestampType,
+    // which interprets wall time in the SESSION timezone — pin it UTC here,
+    // at the scan, so every entry point (Bench included) shares the
+    // invariant regardless of host tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // The round-9 testdata regeneration writes events.ts as parquet
     // timestamp[us] (read as TIMESTAMP_NTZ) where earlier vintages wrote

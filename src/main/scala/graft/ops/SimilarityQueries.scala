@@ -142,17 +142,31 @@ object SimilarityQueries {
     * definition, and its oracle twin is [[pqCtes]]' `pscored`.
     */
   private def pqAdcScored(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     val (cb, codes) = PqStore.buildOrLoad(s, dir)
     val enc = codes.select(col("vec_id"), col("nrm"),
       posexplode(col("codes")).as(Seq("sub", "code")))
     val q = pqQueries(s, dir)
-    val lt = q.select(col("query_id"), col("qv")).crossJoin(broadcast(cb))
+    pqAdcFinish(q, enc.join(broadcast(pqLookupTable(q, cb)), Seq("sub", "code")))
+  }
+
+  /** Per-query ADC lookup table (query_id, sub, code, pd): the M×K
+    * query-subvector·centroid dots — KBs per query, broadcast at the
+    * hit join. One definition shared by the flat and the IVF-probed
+    * ADC scans so their per-pair partials are bit-identical.
+    */
+  private def pqLookupTable(q: DataFrame, cb: DataFrame): DataFrame =
+    q.select(col("query_id"), col("qv")).crossJoin(broadcast(cb))
       .select(col("query_id"), col("sub"), col("code"),
         dot(pqSliceSub("qv"), col("cv")).as("pd"))
-    enc.join(broadcast(lt), Seq("sub", "code"))
-      .groupBy("query_id", "vec_id", "nrm")
+
+  /** Fold lookup-table hits (query_id, vec_id, nrm, pd) into the
+    * decimal-exact ADC score and per-query rank — the scoring tail
+    * shared by the flat scan and the IVF-probed scan.
+    */
+  private def pqAdcFinish(q: DataFrame, hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    hits.groupBy("query_id", "vec_id", "nrm")
       .agg(sum(round(col("pd"), 9).cast(DecimalType(30, 15)))
         .cast("double").as("ad"))
       .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
@@ -160,6 +174,25 @@ object SimilarityQueries {
       .withColumn("score", col("ad") / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("score").desc, col("vec_id").asc)))
+  }
+
+  /** ADC scoring RESTRICTED to an explicit candidate-pair relation
+    * (query_id, vec_id) — the IVF×PQ composition's scan: candidate
+    * pairs fetch codes from the stored vec_id-bucketed codes table
+    * (scan-only on the codes side; only the narrow 2-long pair rows
+    * shuffle), so the ADC work is proportional to the PROBED fraction
+    * of the corpus, not the corpus. Same lookup table and decimal
+    * scoring tail as the flat scan.
+    */
+  private def pqAdcScoredWithin(s: SparkSession, dir: String,
+                                cand: DataFrame): DataFrame = {
+    val (cb, codes) = PqStore.buildOrLoad(s, dir)
+    val q = pqQueries(s, dir)
+    val encC = cand.join(codes, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("nrm"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    pqAdcFinish(q,
+      encC.join(broadcast(pqLookupTable(q, cb)), Seq("query_id", "sub", "code")))
   }
 
   /** ADC shortlist size for the exact re-rank (q_pq_rerank): 5K keeps
@@ -497,12 +530,6 @@ object SimilarityQueries {
           col("nrm").as("qn")),
       a2, centn, nProbe)
 
-  /** IVF top-k for an ARBITRARY query relation (query_id, qv, qn) —
-    * the one probe definition shared by the declared batch queries and
-    * the micro-batch streaming probe
-    * ([[graft.streaming.VectorStream.annProbeBatch]]), so batch and
-    * ingest-time search cannot drift.
-    */
   /** The probe leg alone: each query's `nProbe` nearest cells —
     * (query_id, qv, qn, cell). Factored so the IVF search and the
     * IVF-PQ composition (q_ann_ivfpq) probe with the SAME definition.
@@ -518,6 +545,12 @@ object SimilarityQueries {
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
   }
 
+  /** IVF top-k for an ARBITRARY query relation (query_id, qv, qn) —
+    * the one probe definition shared by the declared batch queries and
+    * the micro-batch streaming probe
+    * ([[graft.streaming.VectorStream.annProbeBatch]]), so batch and
+    * ingest-time search cannot drift.
+    */
   private[graft] def ivfTopKFor(q: DataFrame, a2: DataFrame,
                                 centn: DataFrame,
                                 nProbe: Int): DataFrame = {
@@ -948,6 +981,151 @@ object SimilarityQueries {
            |${recallSelect("padc", "pq_adc")}
            |UNION ALL
            |${recallSelect("prr", s"pq_rerank$PqRerankR")}
+           |) ORDER BY variant""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_ann_ivfpq",
+      "IVF×PQ composed retrieval (Jégou et al. 2011 IVFADC — the " +
+        "production memory-bounded ANN shape, SURVEY §2 H2'g''): the " +
+        "coarse quantizer restricts WHICH codes are ADC-scanned — each " +
+        "query probes its nearest cells ([[probeCells]], the same probe " +
+        "definition as q_ann_ivf), candidate pairs = probed cells ⋈ the " +
+        "stored cell assignment (column-pruned to (vec_id, cell) — no " +
+        "vectors read), and only those candidates fetch codes from the " +
+        "stored vec_id-bucketed codes table for the decimal-exact ADC " +
+        "sum. Two-stage tail: the probed ADC shortlist re-ranks against " +
+        "full vectors (IVFADC-R). Emits THREE measured rows — probed " +
+        "ADC, probed+re-rank, and the flat-ADC baseline — each with " +
+        "recall@5, MRR@5 AND the probed fraction, so the composition's " +
+        "trade (scan ~probe/cells of the index instead of all of it, " +
+        "at what recall cost) is numbers, not belief. Scale: at 100 TB " +
+        "the flat scan is a full pass over the resident codes per query " +
+        "batch; the composition touches ~cells/8 of it — the one " +
+        "standing scale-killer this query retires. Probe join is " +
+        "broadcast (queries ≪ corpus); codes side is scan-only " +
+        "(bucketed by vec_id); only narrow (query_id, vec_id) pair " +
+        "rows shuffle.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val nRows = corpus(s, dir).count()
+        val cells = derivedCells(nRows)
+        val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
+        val q = pqQueries(s, dir)
+        val qp = probeCells(q, centn, derivedProbe(cells))
+        // Column-pruned scan of the stored cell assignment: the probe
+        // join needs only (vec_id, cell) — full vectors stay unread.
+        val member = a2.select(col("vec_id"), col("cell"))
+        val cand = broadcast(qp.select(col("query_id"), col("cell")))
+          .join(member, "cell")
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id"))
+        val scoredP = pqAdcScoredWithin(s, dir, cand)
+        val n = corpus(s, dir).drop("bucket")
+        val rer = scoredP.filter(col("rank") <= PqRerankR)
+          .join(n.select(col("vec_id"), col("v")), "vec_id")
+          .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+          .withColumn("cos2",
+            dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .withColumn("rank2", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("cos2").desc, col("vec_id").asc)))
+          .filter(col("rank2") <= K)
+          .select(col("query_id"), col("vec_id"), col("rank2").as("rank"))
+        val exact = exactTopK(s, dir)
+        val ex = exact.select(col("query_id"), col("vec_id"))
+        val ex1 = exact.filter(col("rank") === 1)
+          .select(col("query_id"), col("vec_id"))
+        // Probed fraction: candidate pairs / (queries × (corpus-1)) —
+        // one double division of exact integer counts.
+        val pfProbed = cand.agg(count(lit(1)).as("ncand"))
+          .crossJoin(q.agg(count(lit(1)).as("nq")))
+          .select(round(col("ncand") /
+            (col("nq") * lit((nRows - 1).toDouble)), 6).as("pfrac"))
+        val pfFlat = s.range(1).select(lit(1.0).as("pfrac"))
+        def row(ann: DataFrame, variant: String, pf: DataFrame): DataFrame = {
+          val rec = ex.join(ann.select(col("query_id"), col("vec_id"))
+              .withColumn("hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+            .agg(countDistinct(col("query_id")).as("n_queries"),
+              count(lit(1)).as("n_exact"),
+              sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+          val mrr = ex1.join(
+              ann.select(col("query_id"), col("vec_id"), col("rank")),
+              Seq("query_id", "vec_id"), "left")
+            .agg((sum(round(coalesce(lit(1.0) / col("rank"), lit(0.0)), 9)
+              .cast(DecimalType(20, 10))).cast("double") / count(lit(1)))
+              .as("mrr"))
+          rec.crossJoin(mrr).crossJoin(pf)
+            .select(lit(variant).as("variant"), col("n_queries"),
+              col("n_exact"), col("n_hit"),
+              round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"),
+              round(col("mrr"), 6).as(s"mrr_at_$K"),
+              col("pfrac").as("probed_fraction"))
+        }
+        row(scoredP.filter(col("rank") <= K), "ivfpq_adc", pfProbed)
+          .union(row(rer, s"ivfpq_rerank$PqRerankR", pfProbed))
+          .union(row(pqAdcScored(s, dir).filter(col("rank") <= K),
+            "pq_adc_flat", pfFlat))
+          .orderBy("variant")
+      },
+      Some {
+        def measured(cteName: String, variant: String, pfSql: String) =
+          s"""SELECT '$variant' AS variant,
+             |  count(DISTINCT ex.query_id) AS n_queries,
+             |  count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN an.vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS n_hit,
+             |  round(CAST(sum(CASE WHEN an.vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) / count(*), 4) AS recall_at_$K,
+             |  (SELECT round(CAST(sum(CAST(round(COALESCE(1.0/m.rank, 0), 9)
+             |      AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
+             |   FROM ex1 LEFT JOIN $cteName m
+             |     ON ex1.query_id = m.query_id AND ex1.vec_id = m.vec_id)
+             |    AS mrr_at_$K,
+             |  $pfSql AS probed_fraction
+             |FROM ex LEFT JOIN $cteName an
+             |  ON ex.query_id = an.query_id AND ex.vec_id = an.vec_id""".stripMargin
+        s"""WITH $baseCte,
+           |$pqCtes,
+           |${ivfAssignCtes("", sqrtCellsSql)},
+           |$ivfQpCte,
+           |$exactScoredCte,
+           |ex AS (SELECT query_id, vec_id FROM exact_scored WHERE rank <= $K),
+           |ex1 AS (SELECT query_id, vec_id FROM exact_scored WHERE rank = 1),
+           |cand AS (SELECT qp.query_id, a2.vec_id, a2.nrm FROM qp
+           |  JOIN a2 USING (cell) WHERE qp.query_id <> a2.vec_id),
+           |ppscored AS (SELECT query_id, vec_id, score,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, vec_id ASC) AS rank
+           |  FROM (SELECT c.query_id, c.vec_id, p.ad/(q.qn*c.nrm) AS score
+           |    FROM cand c JOIN pad p USING (query_id, vec_id)
+           |    JOIN q USING (query_id))),
+           |v_adc AS (SELECT query_id, vec_id, rank FROM ppscored
+           |  WHERE rank <= $K),
+           |v_rer AS (SELECT query_id, vec_id, rrank AS rank FROM (
+           |  SELECT p.query_id, p.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+           |      ORDER BY list_dot_product(q.qv, n.v)/(q.qn*n.nrm) DESC,
+           |        p.vec_id ASC) AS rrank
+           |  FROM (SELECT query_id, vec_id FROM ppscored
+           |        WHERE rank <= $PqRerankR) p
+           |  JOIN n USING (vec_id) JOIN q USING (query_id))
+           |  WHERE rrank <= $K),
+           |v_flat AS (SELECT query_id, vec_id, rank FROM pscored
+           |  WHERE rank <= $K),
+           |pf AS (SELECT round(CAST((SELECT count(*) FROM cand) AS DOUBLE)
+           |    / ((SELECT count(*) FROM q)
+           |       * ((SELECT count(*) FROM n) - 1)), 6) AS pfrac)
+           |SELECT * FROM (
+           |${measured("v_adc", "ivfpq_adc", "(SELECT pfrac FROM pf)")}
+           |UNION ALL
+           |${measured("v_rer", s"ivfpq_rerank$PqRerankR",
+                       "(SELECT pfrac FROM pf)")}
+           |UNION ALL
+           |${measured("v_flat", "pq_adc_flat", "1.0")}
            |) ORDER BY variant""".stripMargin
       }
     ),
