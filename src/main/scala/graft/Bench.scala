@@ -192,17 +192,37 @@ object Bench {
       else 0.0
     // Mid-pass contention the CPU counters underattribute shows up as
     // steady-pass (2..N) disagreement; add quiet passes to outvote it.
+    // r9 blind spot (verdict #3): in the r9 record pass 1 was the QUIET
+    // pass (109 s) and passes 2-3 were both contended yet mutually
+    // agreeing (193/176 s), so the steady-only check passed and the
+    // medians selected contended values. Under the build-asymmetry model
+    // pass 1 can only be SLOWER than steady passes (it pays the stored-
+    // artifact builds) — a pass 1 materially faster than the steady
+    // median is itself a contention signature, so it too triggers extras.
     var extras = 0
-    while (dispOf(passes.drop(1).map(_.values.sum)) >
-        SteadyDispersionTargetPct && extras < MaxExtraPasses) {
+    def steadyDisp(): Double = dispOf(passes.drop(1).map(_.values.sum))
+    def pass1FastPct(): Double = {
+      val steady = passes.drop(1).map(_.values.sum)
+      if (steady.isEmpty || median(steady) <= 0) 0.0
+      else 100.0 * (median(steady) - passes.head.values.sum) / median(steady)
+    }
+    while ((steadyDisp() > SteadyDispersionTargetPct ||
+        pass1FastPct() > SteadyDispersionTargetPct) && extras < MaxExtraPasses) {
       extras += 1
-      System.err.println(f"[bench] steady-pass dispersion " +
-        f"${dispOf(passes.drop(1).map(_.values.sum))}%.1f%% > " +
-        f"$SteadyDispersionTargetPct%.1f%% — extra pass $extras/$MaxExtraPasses")
+      System.err.println(f"[bench] suspect record: steady-pass dispersion " +
+        f"${steadyDisp()}%.1f%%, pass-1 faster than steady median by " +
+        f"${pass1FastPct()}%.1f%% (threshold $SteadyDispersionTargetPct%.1f%%)" +
+        f" — extra pass $extras/$MaxExtraPasses")
       runAccepted()
     }
     val med = names.map(n => n -> median(passes.map(_(n))))
     val total = med.map(_._2).sum
+    // Secondary aggregate (r9 verdict #2): per-query MINIMUM across
+    // passes — robust to pass-level contention (a quiet pass's value
+    // survives any number of contended ones), optimistic by at most the
+    // steady-state noise band. A contended record still carries a
+    // defensible number.
+    val totalMin = names.map(n => passes.map(_(n)).min).sum
     val passTotals = passes.map(_.values.sum)
     val dispersionPct = dispOf(passTotals)
     val steadyDispersionPct = dispOf(passTotals.drop(1))
@@ -212,10 +232,13 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
     def f4(d: Double) =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    // stdout carries 0.1 ms per-query precision so the WHOLE line stays
-    // well under the driver's ~4 KB tail capture (r8's full-precision
-    // line was truncated to unparseable); full precision + per-pass
-    // detail go to the files below.
+    def f2(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    // stdout carries 10 ms per-query precision (r9's 0.1 ms line STILL
+    // truncated at the front of the driver's ~4 KB tail capture once
+    // sbt's trailing log lines were appended — shrink further and keep
+    // the whole line ~2 KB); full precision + per-pass detail go to the
+    // files below, which BASELINE.md declares the canonical record.
     def qsJson(fmt: Double => String) = med
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -225,13 +248,14 @@ object Bench {
     val laEndJ = endLoadAvgs.map(f1).mkString("[", ",", "]")
     def line(fmt: Double => String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(fmt)},"sf":"$sfDir",""" +
-        s""""passes":${passes.size},"agg":"median_per_query","pass_totals":$pt,""" +
+        s""""passes":${passes.size},"agg":"median_per_query","total_min":${f4(totalMin)},""" +
+        s""""agg_min":"min_per_query","pass_totals":$pt,""" +
         s""""dispersion_pct":${f1(dispersionPct)},"steady_dispersion_pct":${f1(steadyDispersionPct)},""" +
         s""""pass_ext_load_cores":$extJ,""" +
         s""""pass_start_loadavg":$laJ,"pass_end_loadavg":$laEndJ,""" +
         s""""load_threshold_cores":$LoadThresholdCores,""" +
         s""""contended_discarded":$discarded,"extra_passes":$extras}"""
-    val stdoutLine = line(f4)
+    val stdoutLine = line(f2)
     println(stdoutLine)
     // Full-precision record + per-pass per-query detail — the committed
     // artifact a truncating tail capture can never damage.

@@ -117,9 +117,9 @@ object BpeQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rank = 1
     var done = false
-    // On success the caller owns unpersisting the returned state; on
+    // On success the caller owns releasing the returned state; on
     // failure mid-loop nobody else can, so release the in-flight
-    // persist here (r8 advice: this leak guard existed only in
+    // state here (r8 advice: this leak guard existed only in
     // q_bpe_merges's since-removed private copy of the loop).
     var ok = false
     try {
@@ -128,16 +128,23 @@ object BpeQueries {
           case None => done = true
           case Some(((l, r, tot), next)) =>
             merges += ((rank, l, r, tot))
-            val nv = next
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              .localCheckpoint()
+            // Eager checkpoint IS the round's storage (truncated lineage
+            // + block-resident rows); a Dataset-level persist on top
+            // would store the same rows a second time as a columnar
+            // cache entry nothing ever unpersisted (r9 verdict: 10
+            // rounds x 2 queries of exactly that debris evicted the
+            // minhash family mid-bench). Once nv is materialized the
+            // previous round is dead — free its blocks NOW, not at the
+            // ContextCleaner's leisure.
+            val nv = next.localCheckpoint()
             v.unpersist()
+            Checkpoints.free(v)
             v = nv
             rank += 1
         }
       }
       ok = true
-    } finally if (!ok) v.unpersist()
+    } finally if (!ok) { v.unpersist(); Checkpoints.free(v) }
     (merges.toSeq, v)
   }
 
@@ -205,6 +212,7 @@ object BpeQueries {
         // vocabulary state is not needed here — release it immediately.
         val (merges, vFinal) = learnAndApply(s, dir)
         vFinal.unpersist()
+        Checkpoints.free(vFinal)
         import s.implicits._
         merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
           .orderBy("merge_rank")
@@ -259,7 +267,7 @@ object BpeQueries {
             // the stack source is two 1-row aggregates — materialize
             // before the final state is dropped
             .localCheckpoint()
-        } finally vFinal.unpersist()
+        } finally { vFinal.unpersist(); Checkpoints.free(vFinal) }
       },
       Some {
         s"""WITH $oracleStages,

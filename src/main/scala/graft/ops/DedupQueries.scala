@@ -339,14 +339,19 @@ object DedupQueries {
   private[ops] def minhashComponents(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     ccMemo.getOrElseUpdate((s, dir), {
-      SharedCaches.onRelease(SharedCaches.Minhash) { () =>
-        ccMemo.remove((s, dir)); ()
-      }
-      SharedCaches.track(SharedCaches.Minhash,
+      val labels = SharedCaches.track(SharedCaches.Minhash,
         clusterComponents(minhashPairs(s, dir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))
           .select(col("id").as("doc_id"), col("component").as("cluster_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      SharedCaches.onRelease(SharedCaches.Minhash) { () =>
+        ccMemo.remove((s, dir))
+        // the label plan reads the star fixpoint's FINAL checkpointed
+        // edge set (a LogicalRDD leaf) — free those blocks with the
+        // family; nothing reads the labels after their release point
+        Checkpoints.free(labels)
+      }
+      labels
     })
 
   /** Connected components over an undirected edge list (`src`, `dst`) by
@@ -455,6 +460,10 @@ object DedupQueries {
         .repartition(parts(eCount)).localCheckpoint(true)
       val nextCount = next.count()
       converged = nextCount == eCount && next.except(e).isEmpty
+      // next is materialized (eager checkpoint) and the except above was
+      // the last read of the previous round — free its blocks now
+      // instead of waiting for the GC-driven ContextCleaner.
+      Checkpoints.free(e)
       e = next
       eCount = nextCount
     }

@@ -63,6 +63,7 @@ object GraphQueries {
         val n = docs.count()
         var r = docs.withColumn("pr", lit(1.0) / lit(n.toDouble))
         for (_ <- 1 to PrRounds) {
+          val prev = r
           val contrib = sym
             .join(r, sym("src") === r("doc_id"))
             .join(outdeg, "src")
@@ -80,10 +81,14 @@ object GraphQueries {
                 (coalesce(col("in_sum"), lit(0.0))
                   + col("dmass") / lit(n.toDouble)), 9).as("pr"))
             .localCheckpoint()
+          // eager checkpoint above: prev's blocks are dead the moment
+          // the new iterate is materialized (round 0 has none — no-op)
+          Checkpoints.free(prev)
         }
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("pr").desc, col("doc_id").asc)
-        r.join(outdeg.select(col("src").as("doc_id"), col("outdeg")),
+        val out = r
+          .join(outdeg.select(col("src").as("doc_id"), col("outdeg")),
             Seq("doc_id"), "left")
           .withColumn("outdeg", coalesce(col("outdeg"), lit(0L)))
           .withColumn("rank", row_number().over(w))
@@ -91,6 +96,12 @@ object GraphQueries {
           .select(col("rank"), col("doc_id"), col("outdeg"),
             round(col("pr"), 6).as("pr"))
           .orderBy("rank")
+        // The final iterate's checkpoint backs the returned (lazy) plan,
+        // so it must survive until the consumer runs — free it with the
+        // minhash family (q_pagerank is that family's last declared
+        // consumer, so the bench releases right after this query).
+        SharedCaches.onRelease(SharedCaches.Minhash)(() => Checkpoints.free(out))
+        out
       },
       Some {
         val teleport = s"${1.0 - Damping} / n.n"

@@ -1413,13 +1413,17 @@ object SimilarityQueries {
               .cast("double") / count(lit(1))).as("mc"))
             .select(lit(r).as("iter"), col("cells_used"),
               round(col("mc"), 6).as("mean_cos"))
-        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // Every state feeds the final metric union, so all KmRounds+1
+        // checkpoints must live until `out` materializes — no per-round
+        // free here (unlike the BPE loop). The eager checkpoint is the
+        // state's only storage: a persist() on top would double-store
+        // the rows as a cache entry nothing unpersists (r9 verdict).
         val states = scala.collection.mutable.Buffer.empty[DataFrame]
-        var a = assign(seeds).persist(lvl).localCheckpoint()
+        var a = assign(seeds).localCheckpoint()
         states += a
         var rows = metricRow(a, 0)
         for (r <- 1 to KmRounds) {
-          val nx = assign(means(a)).persist(lvl).localCheckpoint()
+          val nx = assign(means(a)).localCheckpoint()
           states += nx
           rows = rows.union(metricRow(nx, r))
           a = nx
@@ -1427,7 +1431,7 @@ object SimilarityQueries {
         // materialize the (KmRounds+1)-row result before dropping the
         // checkpointed states it reads
         val out = rows.orderBy("iter").localCheckpoint()
-        states.foreach(_.unpersist())
+        states.foreach(Checkpoints.free)
         out
       },
       Some {
