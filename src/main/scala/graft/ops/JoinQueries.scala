@@ -19,6 +19,51 @@ object JoinQueries {
   /** range-join window (seconds) — also the bucket width. */
   private val WindowSec = 300L
 
+  /** Skew diagnostic summary over a per-key count relation `c` with
+    * columns (`k` numeric, `cnt` long) — the shared reduction behind
+    * `q_skew_profile` (batch: counts from one groupBy) and
+    * [[graft.streaming.SkewStream]] (streaming: counts from keyed
+    * state), so the two faces cannot drift. Percentiles are taken over
+    * the COUNT-VALUE frequency relation (distinct count values — a few
+    * hundred rows under any Zipfian real-world distribution, vs
+    * billions of keys), so the rank selection never needs a global sort
+    * of the key relation; rank = ceil(q*n_keys) in pure integer
+    * arithmetic so every engine picks the identical row.
+    */
+  private[graft] def skewSummary(
+      c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val top1 = c.orderBy(col("cnt").desc, col("k").asc).limit(1)
+      .select(col("k").as("top1_key"), col("cnt").as("top1_cnt"))
+    // count-value frequency relation: tiny at any scale (Zipf)
+    val f = c.groupBy("cnt").agg(count(lit(1)).as("freq"))
+      .withColumn("cum", sum(col("freq")).over(
+        Window.orderBy("cnt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val p = f.crossJoin(broadcast(tot)).agg(
+      min(when(col("cum") >= expr("(n_keys*50+99) div 100"),
+        col("cnt"))).as("p50_cnt"),
+      min(when(col("cum") >= expr("(n_keys*90+99) div 100"),
+        col("cnt"))).as("p90_cnt"),
+      min(when(col("cum") >= expr("(n_keys*99+99) div 100"),
+        col("cnt"))).as("p99_cnt"))
+    tot.crossJoin(p).crossJoin(top1).selectExpr(
+      s"""stack(9,
+         |'n_rows', CAST(n_rows AS DOUBLE),
+         |'n_keys', CAST(n_keys AS DOUBLE),
+         |'max_cnt', CAST(max_cnt AS DOUBLE),
+         |'p50_cnt', CAST(p50_cnt AS DOUBLE),
+         |'p90_cnt', CAST(p90_cnt AS DOUBLE),
+         |'p99_cnt', CAST(p99_cnt AS DOUBLE),
+         |'skew_factor', round(CAST(max_cnt * n_keys AS DOUBLE)/n_rows, 6),
+         |'top1_key', CAST(top1_key AS DOUBLE),
+         |'top1_cnt', CAST(top1_cnt AS DOUBLE)
+         |) AS (metric, value)""".stripMargin)
+      .orderBy("metric")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_semi_join",
@@ -114,40 +159,9 @@ object JoinQueries {
         "key relation. Rank = ceil(q*n_keys) in pure integer arithmetic " +
         "((n*q+99) div 100) so both engines pick the identical row; the " +
         "skew ratio is one IEEE division of exact integers, rounded 6dp.",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val c = Tables.t(s, dir, "lineitem")
-          .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
-        val tot = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
-          max(col("cnt")).as("max_cnt"))
-        val top1 = c.orderBy(col("cnt").desc, col("k").asc).limit(1)
-          .select(col("k").as("top1_key"), col("cnt").as("top1_cnt"))
-        // count-value frequency relation: tiny at any scale (Zipf)
-        val f = c.groupBy("cnt").agg(count(lit(1)).as("freq"))
-          .withColumn("cum", sum(col("freq")).over(
-            Window.orderBy("cnt")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val p = f.crossJoin(broadcast(tot)).agg(
-          min(when(col("cum") >= expr("(n_keys*50+99) div 100"),
-            col("cnt"))).as("p50_cnt"),
-          min(when(col("cum") >= expr("(n_keys*90+99) div 100"),
-            col("cnt"))).as("p90_cnt"),
-          min(when(col("cum") >= expr("(n_keys*99+99) div 100"),
-            col("cnt"))).as("p99_cnt"))
-        tot.crossJoin(p).crossJoin(top1).selectExpr(
-          s"""stack(9,
-             |'n_rows', CAST(n_rows AS DOUBLE),
-             |'n_keys', CAST(n_keys AS DOUBLE),
-             |'max_cnt', CAST(max_cnt AS DOUBLE),
-             |'p50_cnt', CAST(p50_cnt AS DOUBLE),
-             |'p90_cnt', CAST(p90_cnt AS DOUBLE),
-             |'p99_cnt', CAST(p99_cnt AS DOUBLE),
-             |'skew_factor', round(CAST(max_cnt * n_keys AS DOUBLE)/n_rows, 6),
-             |'top1_key', CAST(top1_key AS DOUBLE),
-             |'top1_cnt', CAST(top1_cnt AS DOUBLE)
-             |) AS (metric, value)""".stripMargin)
-          .orderBy("metric")
-      },
+      (s, dir) =>
+        skewSummary(Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))),
       Some("""WITH c AS (SELECT l_partkey AS k, COUNT(*) AS cnt
              |    FROM lineitem GROUP BY 1),
              |t AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows,
