@@ -113,7 +113,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional isolation subset (r9 verdict #1a: "re-time in isolation
+    // to confirm" needs the same harness, fewer queries): a
+    // comma-separated SPARK_GRAFT_ONLY restricts the timed set — each
+    // named query still pays its own shared-family builds, release
+    // points are computed on the subset. Unset = full declared surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // JVM warmup (JMH-style): run every query once at the smallest scale
     // factor first. Identical plan shapes generate byte-identical codegen
     // sources, so Janino's class cache + the JIT absorb compile costs that

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge learning (Sennrich et al. 2016, the
@@ -105,12 +105,19 @@ object BpeQueries {
     Some(((l, r, tot), next))
   }
 
-  /** Run the merge loop to `NumMerges` rounds, returning the learned
+  /** Run the merge loop to `numMerges` rounds, returning the learned
     * table and the FINAL vocabulary state (word, cnt, syms) with every
     * merge applied — the state a tokenizer's encode pass reproduces.
-    * Caller owns unpersisting the returned state.
+    * Caller owns unpersisting the returned state. `onRound`, when set,
+    * observes (rank, wallSeconds, materialized post-merge state) after
+    * each round — the hook [[graft.tools.BpeScale]] uses to record the
+    * per-round wall-time curve and compression checkpoints at
+    * production merge counts (the state is checkpointed, so a
+    * checkpoint agg over it is vocabulary-grain cheap).
     */
-  private def learnAndApply(s: SparkSession, dir: String)
+  private[graft] def learnAndApply(s: SparkSession, dir: String,
+      numMerges: Int = NumMerges,
+      onRound: (Int, Double, DataFrame) => Unit = null)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
     var v = vocab0(s, dir)
@@ -123,7 +130,8 @@ object BpeQueries {
     // q_bpe_merges's since-removed private copy of the loop).
     var ok = false
     try {
-      while (rank <= NumMerges && !done) {
+      while (rank <= numMerges && !done) {
+        val t0 = System.nanoTime()
         mergeRound(v) match {
           case None => done = true
           case Some(((l, r, tot), next)) =>
@@ -136,10 +144,12 @@ object BpeQueries {
             // minhash family mid-bench). Once nv is materialized the
             // previous round is dead — free its blocks NOW, not at the
             // ContextCleaner's leisure.
-            val nv = next.localCheckpoint()
+            val nv = GraftSqlBridge.freshLocalCheckpoint(next)
             v.unpersist()
             Checkpoints.free(v)
             v = nv
+            if (onRound != null)
+              onRound(rank, (System.nanoTime() - t0) / 1e9, v)
             rank += 1
         }
       }

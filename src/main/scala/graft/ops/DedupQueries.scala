@@ -3,7 +3,7 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -422,10 +422,10 @@ object DedupQueries {
     // iterative fixpoint algorithms (GraphFrames CC does exactly this);
     // superseded checkpoints are dropped by the ContextCleaner when
     // dereferenced.
-    var e = edges
+    var e = GraftSqlBridge.freshLocalCheckpoint(edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct())
     var eCount = e.count()
     // Iteration parallelism follows the MEASURED edge count (known free
     // from the convergence check): near-dup pair graphs are orders of
@@ -453,11 +453,12 @@ object DedupQueries {
       // small-star: on the now-canonical edges (v < u), hang u and all
       // its smaller neighbors onto m(u) = min(Γ≤(u) ∪ {u}) = min(Γ≤(u)).
       val smins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
-      val next = afterLarge.join(smins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(smins.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-        .repartition(parts(eCount)).localCheckpoint(true)
+      val next = GraftSqlBridge.freshLocalCheckpoint(
+        afterLarge.join(smins, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(smins.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v")).distinct()
+          .repartition(parts(eCount)))
       val nextCount = next.count()
       converged = nextCount == eCount && next.except(e).isEmpty
       // next is materialized (eager checkpoint) and the except above was

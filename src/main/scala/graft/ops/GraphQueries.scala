@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -80,7 +80,7 @@ object GraphQueries {
               round(lit(1.0 - Damping) / lit(n.toDouble) + lit(Damping) *
                 (coalesce(col("in_sum"), lit(0.0))
                   + col("dmass") / lit(n.toDouble)), 9).as("pr"))
-            .localCheckpoint()
+          r = GraftSqlBridge.freshLocalCheckpoint(r)
           // eager checkpoint above: prev's blocks are dead the moment
           // the new iterate is materialized (round 0 has none — no-op)
           Checkpoints.free(prev)

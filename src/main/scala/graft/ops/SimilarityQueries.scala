@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (SURVEY.md §2 H2):
@@ -1419,11 +1419,11 @@ object SimilarityQueries {
         // state's only storage: a persist() on top would double-store
         // the rows as a cache entry nothing unpersists (r9 verdict).
         val states = scala.collection.mutable.Buffer.empty[DataFrame]
-        var a = assign(seeds).localCheckpoint()
+        var a = GraftSqlBridge.freshLocalCheckpoint(assign(seeds))
         states += a
         var rows = metricRow(a, 0)
         for (r <- 1 to KmRounds) {
-          val nx = assign(means(a)).localCheckpoint()
+          val nx = GraftSqlBridge.freshLocalCheckpoint(assign(means(a)))
           states += nx
           rows = rows.union(metricRow(nx, r))
           a = nx

@@ -70,4 +70,42 @@ class BpeSpec extends SparkSpec {
     assert(m("compression_x") ==
       math.rint(8.0 / 3.0 * 1e6) / 1e6)
   }
+
+  test("invariants hold at production-shaped merge counts: argmax pair " +
+    "counts monotone non-increasing, total symbols strictly decreasing " +
+    "(BpeScale runs the same loop to 500+; this keeps the invariant " +
+    "check in the always-green suite at a fast round count)") {
+    val dir = Files.createTempDirectory("graft-bpe-scale").toString
+    // Deterministic Zipf-ish corpus with enough merge capacity to
+    // sustain >100 rounds: 60 distinct 8-char words over a 5-letter
+    // alphabet, word w repeated (61-w) times.
+    val abc = "abcde"
+    val words = (0 until 60).map { w =>
+      val sb = new StringBuilder
+      var x = w * 2654435761L & 0x7fffffffL
+      (0 until 8).foreach { _ =>
+        sb.append(abc((x % 5).toInt)); x = (x * 48271) % 2147483647L
+      }
+      sb.toString
+    }
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(60 - i)(w) }.mkString(" ")
+    Seq((0L, text, "s0")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val counts = scala.collection.mutable.Buffer.empty[Long]
+    val syms = scala.collection.mutable.Buffer.empty[Long]
+    val (ms, vFinal) = BpeQueries.learnAndApply(spark, dir, 120,
+      (rank, _, v) =>
+        if (rank % 30 == 0)
+          syms += v.selectExpr("sum(cnt * size(syms))").head().getLong(0))
+    try {
+      ms.foreach(m => counts += m._4)
+      assert(ms.length >= 100, s"expected >=100 merges, got ${ms.length}")
+      assert(counts.sliding(2).forall(p => p.head >= p.last),
+        s"pair counts not monotone: $counts")
+      assert(syms.length >= 3 &&
+        syms.sliding(2).forall(p => p.last < p.head),
+        s"syms_total not strictly decreasing: $syms")
+    } finally { vFinal.unpersist(); Checkpoints.free(vFinal) }
+  }
 }

@@ -27,13 +27,17 @@ class SharedCachesSpec extends SparkSpec {
     val first = DedupQueries.minhashComponents(spark, dir)
     assert(DedupQueries.minhashComponents(spark, dir) eq first,
       "second consumer must reuse the constructed label relation")
+    // Snapshot rows BEFORE release: release deterministically frees the
+    // memo's checkpoint blocks (r9 verdict #1 — Checkpoints.free), so
+    // the old handle is unreadable afterwards BY CONTRACT ("nothing
+    // reads the labels after their release point").
+    val firstRows = first.orderBy("doc_id").collect().toSeq
     SharedCaches.release(SharedCaches.Minhash)
     val rebuilt = DedupQueries.minhashComponents(spark, dir)
     assert(!(rebuilt eq first),
       "release must evict the memo so the next pass rebuilds")
     // and the rebuilt labels are the same rows
-    assert(rebuilt.orderBy("doc_id").collect().toSeq ==
-      first.orderBy("doc_id").collect().toSeq)
+    assert(rebuilt.orderBy("doc_id").collect().toSeq == firstRows)
     SharedCaches.release(SharedCaches.Minhash)
   }
 
