@@ -25,13 +25,51 @@ import graft.ops.BpeQueries
   *    apply (every applied merge removes at least one symbol), so
   *    encode compression chars/syms strictly improves.
   *
-  * Usage: runMain graft.tools.BpeScale [sfDir] [numMerges] [outFile]
+  * Usage: runMain graft.tools.BpeScale [sfDir|synth:N] [numMerges] [outFile]
   * Writes the curve as JSON (committed as BPE_SCALE.json; summarized in
-  * SCALE.md §3).
+  * SCALE.md).
+  *
+  * The driver testdata cannot host the 500-merge measurement: its
+  * `documents` table has 31 distinct words (merge capacity 89 rules —
+  * measured; the loop reaches its fixpoint and stops). `synth:N`
+  * generates a deterministic Zipf word-frequency corpus with N distinct
+  * words (hash-derived spellings, count ∝ 1/rank) purely for this
+  * measurement — real vocabularies are 10^6–10^8 words, so a richer
+  * word table is exactly what "vocabulary grain" means; the declared
+  * oracle-checked queries still run only on the driver testdata.
   */
 object BpeScale {
+
+  /** Write a documents.parquet of `n` distinct deterministic words with
+    * Zipf counts under a temp dir; returns the dir. */
+  private def synthCorpus(s: SparkSession, n: Int): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-synth").toString
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val words = (0 until n).map { w =>
+      var x = (w * 2654435761L + 987654321L) & 0x7fffffffL
+      val len = 5 + (x % 6).toInt
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        x = (x * 48271) % 2147483647L
+        sb.append(letters((x % 26).toInt))
+      }
+      sb.toString
+    }
+    // count ∝ n/rank, floor 1; each word's occurrences stay adjacent —
+    // BPE learning is frequency-weighted, order-independent
+    import s.implicits._
+    val docs = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(math.max(1, n / (i + 1)))(w) }
+      .grouped(200).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "synth") }
+      .toSeq.toDF("doc_id", "text", "source")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val sfArg = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val numMerges = if (args.length > 1) args(1).toInt else 500
     val outFile = if (args.length > 2) args(2) else "BPE_SCALE.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,6 +81,10 @@ object BpeScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sfDir =
+      if (sfArg.startsWith("synth:"))
+        synthCorpus(spark, sfArg.stripPrefix("synth:").toInt)
+      else sfArg
 
     val CheckEvery = 50
     val roundSecs = scala.collection.mutable.Buffer.empty[Double]
@@ -107,7 +149,7 @@ object BpeScale {
         b.length}","mean_sec":${f3(b.sum / b.length)}}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"sf":"$sfDir","merges_requested":$numMerges,""" +
+      s"""{"corpus":"$sfArg","merges_requested":$numMerges,""" +
         s""""merges_learned":${merges.length},"wall_sec":${f3(wall)},""" +
         s""""chars_total":$chars,""" +
         s""""first_pair_count":${merges.head._4},""" +
