@@ -158,6 +158,31 @@ object BpeQueries {
     (merges.toSeq, v)
   }
 
+  /** Learned state memo — [[DedupQueries.minhashComponents]]' pattern
+    * at the BPE family: the 10-round driver loop runs at CONSTRUCTION
+    * time, so a plan-level cache cannot dedup it between the two
+    * declared consumers (q_bpe_merges / q_bpe_encode each replayed the
+    * full loop before r10). Memoized per (session, dir); the final
+    * vocabulary state's checkpoint blocks are freed with the family's
+    * [[SharedCaches]] release — nothing reads the state after its
+    * release point, by the same contract as the CC label memo.
+    */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (Seq[(Int, String, String, Long)], DataFrame)]
+
+  private def learnedState(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeMemo.getOrElseUpdate((s, dir), {
+      val res = learnAndApply(s, dir)
+      SharedCaches.onRelease(SharedCaches.Bpe) { () =>
+        bpeMemo.remove((s, dir))
+        res._2.unpersist()
+        Checkpoints.free(res._2)
+      }
+      res
+    })
+
   /** Oracle stage chain `v0 .. v{NumMerges}` (+ per-round argmax
     * relations `b{r}`) — shared by the learn and encode oracles so the
     * two replays cannot drift.
@@ -217,12 +242,11 @@ object BpeQueries {
         s"$NumMerges rounds as generated CTE stages — same windows, " +
         "same parity rule, same tiebreaks.",
       (s, dir) => {
-        // Single merge driver shared with q_bpe_encode (r8 advice: two
-        // slightly-different copies of the loop could drift). The final
-        // vocabulary state is not needed here — release it immediately.
-        val (merges, vFinal) = learnAndApply(s, dir)
-        vFinal.unpersist()
-        Checkpoints.free(vFinal)
+        // Single memoized merge driver shared with q_bpe_encode (r8
+        // advice: two copies of the loop could drift; r10: even one
+        // loop ran TWICE per pass — the memo runs it once, released
+        // with the Bpe family after the last consumer).
+        val (merges, _) = learnedState(s, dir)
         import s.implicits._
         merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
           .orderBy("merge_rank")
@@ -257,8 +281,8 @@ object BpeQueries {
         "part is exactly this vocabulary-grain replay. Integer counts " +
         "only; the one ratio is a single IEEE division rounded 6dp.",
       (s, dir) => {
-        val (_, vFinal) = learnAndApply(s, dir)
-        try {
+        val (_, vFinal) = learnedState(s, dir)
+        locally {
           val stats = vFinal.agg(
             count(lit(1)).as("n_words"),
             sum(col("cnt") * length(col("word"))).as("chars_total"),
@@ -275,9 +299,10 @@ object BpeQueries {
               |) AS (metric, value)""".stripMargin)
             .orderBy("metric")
             // the stack source is two 1-row aggregates — materialize
-            // before the final state is dropped
+            // so the result survives the memoized state's family
+            // release (which frees vFinal's checkpoint blocks)
             .localCheckpoint()
-        } finally { vFinal.unpersist(); Checkpoints.free(vFinal) }
+        }
       },
       Some {
         s"""WITH $oracleStages,

@@ -48,6 +48,11 @@ object SharedCaches {
     * into the filter, and verify-joined — three readers). */
   val BloomBench = "bloom_bench"
 
+  /** BPE learned state: the merge table + final vocabulary from the
+    * shared driver loop, memoized so the two declared consumers run the
+    * 10-round loop once per session (BpeQueries.learnedState). */
+  val Bpe = "bpe"
+
   /** Declared-query consumers per family — the release point for a full
     * run is the LAST of these present in the run (sorted execution
     * order). Kept next to the family keys so a new consumer is added
@@ -60,10 +65,12 @@ object SharedCaches {
     Embeddings -> Set("q_embedding_topk", "q_embedding_quantize",
       "q_embedding_project", "q_embedding_pq", "q_pq_rerank",
       "q_ann_hyperplane",
-      "q_ann_multiprobe", "q_ann_filtered", "q_ann_ivf", "q_ann_recall",
+      "q_ann_multiprobe", "q_ann_filtered", "q_ann_ivf", "q_ann_ivfpq",
+      "q_ann_recall",
       "q_ann_mrr", "q_kmeans_refine",
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
-    BloomBench -> Set("q_contamination_bloom")
+    BloomBench -> Set("q_contamination_bloom"),
+    Bpe -> Set("q_bpe_encode", "q_bpe_merges")
   )
 
   private val refs =

@@ -124,6 +124,30 @@ class PlanShapeSpec extends SparkSpec {
       s"IVF should shuffle only for windows/aggs (got $shuffles):\n$p")
   }
 
+  test("q_ann_ivfpq: probe side broadcasts into the cell-membership " +
+    "join; stored codes are scan-only; no cartesian") {
+    val p = plan(Registry.queryMap("q_ann_ivfpq")(spark, dir))
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"probed-candidate join must be broadcast-hash:\n$p")
+    // BroadcastNestedLoopJoin appears only as the 1-row metric-assembly
+    // crossJoins (rec × mrr × probed-fraction) — sanctioned; what must
+    // not appear is a partition-explosive CartesianProduct anywhere in
+    // the candidate/scoring path.
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"no cartesian product in the composition:\n$p")
+    // the ADC leg reads the STORED vec_id-bucketed codes table, and the
+    // codes rows reach their join without shuffling (scan-only claim —
+    // the composition restricts WHICH codes are read, it never
+    // re-shuffles the resident index)
+    assert(contains(p, "pqcodes"), s"expected stored pq-codes scan:\n$p")
+    for (scan <- scansOf(p, "pqcodes")) {
+      val path = pathTo(p, scan).getOrElse(fail("no path to pqcodes scan"))
+      val belowJoin = path.reverse.takeWhile(n => !isJoin(n))
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"stored codes must reach their join without a shuffle:\n$p")
+    }
+  }
+
   test("q_dedup_spans: stored span artifact is scan-only — sh-join and " +
     "dup-set distinct run without shuffling either bucketed table") {
     val p = plan(Registry.queryMap("q_dedup_spans")(spark, dir),
