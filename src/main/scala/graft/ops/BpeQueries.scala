@@ -320,6 +320,59 @@ object BpeQueries {
            |    round(CAST(chars_total AS DOUBLE)/syms_total, 6) FROM st)
            |ORDER BY metric""".stripMargin
       }
+    ),
+
+    QueryDef(
+      "q_bpe_tokenize",
+      "Corpus-grain BPE tokenization — the MATERIALIZATION step the " +
+        "encode measurement argues about: every document's token " +
+        "count under the learned merge table, produced by broadcasting " +
+        "the (distinct word -> segmentation length) map against the " +
+        "corpus token stream. This is the 100 TB shape of 'tokenize " +
+        "the corpus': the expensive merge replay ran once at " +
+        "VOCABULARY grain (the shared memoized state), and the " +
+        "corpus-scale pass is a map-side broadcast-hash join + " +
+        "per-doc sum — no shuffle of text, no per-document merge " +
+        "loop. Emits per doc: words, chars, BPE tokens, and the " +
+        "doc-level compression ratio (chars/token, the per-document " +
+        "token-budget planning number). Integer counts; one IEEE " +
+        "division rounded 6dp.",
+      (s, dir) => {
+        val (_, vFinal) = learnedState(s, dir)
+        val seg = vFinal.select(col("word"), size(col("syms")).as("n_sub"))
+        Tables.par(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .join(broadcast(seg), col("w") === col("word"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("w"))).as("n_chars"),
+            sum(col("n_sub").cast("long")).as("n_bpe"))
+          .withColumn("compression",
+            round(col("n_chars").cast("double") / col("n_bpe"), 6))
+          .orderBy("doc_id")
+          // self-contained result (same contract as q_bpe_encode): the
+          // memoized vocabulary state's checkpoint blocks are freed at
+          // the Bpe family's release point, so a later re-execution
+          // must not reach back through this plan into them
+          .localCheckpoint()
+      },
+      Some {
+        s"""WITH $oracleStages,
+           |dt AS (SELECT doc_id, w FROM (
+           |  SELECT doc_id, unnest(toks) AS w FROM
+           |    (SELECT doc_id, ${TextFunctions.toksSql} AS toks
+           |     FROM documents)) WHERE w <> ''),
+           |j AS (SELECT dt.doc_id, dt.w, len(v.syms) AS n_sub
+           |  FROM dt JOIN v$NumMerges v ON dt.w = v.word)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           |  CAST(sum(n_sub) AS BIGINT) AS n_bpe,
+           |  round(CAST(sum(length(w)) AS DOUBLE) / sum(n_sub), 6)
+           |    AS compression
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

@@ -32,6 +32,14 @@ object DedupQueries {
   private val NgramJ = 0.5
   private val CosineTau = 0.4
 
+  /** q_dedup_containment: report threshold on |A∩B|/min(|A|,|B|), and
+    * the document-frequency cap above which an n-gram is too common to
+    * generate candidate pairs (bounds every posting list — the
+    * candidate join's per-key fan-out is <= cap² at any corpus size).
+    */
+  private val ContainTau = 0.8
+  private val ContainDfCap = 16
+
   /** Published-SemDeDup operating point (Abbas et al. use τ near 0.99 on
     * near-identical pairs). The shipped corpora have NO natural pairs
     * above cosine ~0.51 (measured: max panel cosine 0.470/0.513 at
@@ -816,6 +824,80 @@ object DedupQueries {
               |FROM k a JOIN k b ON a.block=b.block AND a.doc_id < b.doc_id
               |WHERE CAST(len(list_intersect(a.ng,b.ng)) AS DOUBLE) /
               |  len(list_distinct(list_concat(a.ng,b.ng))) >= $NgramJ
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ----------------------------------------------------------- H3''c
+    QueryDef(
+      "q_dedup_containment",
+      s"ASYMMETRIC containment detection (Broder's containment, not " +
+        "resemblance): |A∩B| / min(|A|,|B|) over word-3-gram sets " +
+        "finds subset relations — quotes, partial copies, a doc " +
+        "embedded in a larger one — that symmetric Jaccard " +
+        "structurally misses (a small doc fully contained in a 10x " +
+        s"larger one has containment 1.0 but Jaccard ~0.1). " +
+        "Candidates come from a DOCUMENT-FREQUENCY-CAPPED inverted " +
+        s"n-gram index: only n-grams appearing in <= $ContainDfCap " +
+        "docs generate pairs, so each posting list is bounded and the " +
+        "candidate join is equi-keyed with per-key fan-out <= " +
+        s"$ContainDfCap² — no all-pairs anywhere, at any corpus " +
+        "size. Recall < 1 by design (a pair sharing ONLY stop-phrase " +
+        "n-grams is invisible — those n-grams carry no copy evidence); " +
+        "verification is exact set intersection on the candidate " +
+        s"pair. Emits pairs with containment >= $ContainTau plus " +
+        "their Jaccard, making the asymmetry visible.",
+      (s, dir) => {
+        // same staged projection discipline as q_dedup_ngram (the
+        // emptiness guard runs on the cheap token stage; see there).
+        val g = Tables.par(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ng"))
+        val inv = g.select(col("doc_id"), explode(col("ng")).as("g1"))
+        // df-cap: n-grams are distinct per doc (wordNgrams dedups), so
+        // count(*) per n-gram IS document frequency.
+        val rare = inv.groupBy("g1").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= ContainDfCap)
+          .select("g1")
+        val r = inv.join(rare, "g1")
+        val cand = r.select(col("g1"), col("doc_id").as("doc_a"))
+          .join(r.select(col("g1"), col("doc_id").as("doc_b")), "g1")
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val ga = g.select(col("doc_id").as("doc_a"), col("ng").as("nga"),
+          size(col("ng")).as("na"))
+        val gb = g.select(col("doc_id").as("doc_b"), col("ng").as("ngb"),
+          size(col("ng")).as("nb"))
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+          .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
+          .withColumn("cont",
+            col("inter").cast("double") / least(col("na"), col("nb")))
+          .filter(col("cont") >= ContainTau)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("cont"), 6).as("containment"),
+            round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split($normSql,' ') AS w FROM documents),
+              |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+              |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS ng
+              |  FROM t WHERE len(w) >= 3),
+              |inv AS (SELECT doc_id, unnest(ng) AS g1 FROM g),
+              |rare AS (SELECT g1 FROM inv GROUP BY g1
+              |  HAVING count(*) <= $ContainDfCap),
+              |r AS (SELECT i.doc_id, i.g1 FROM inv i JOIN rare USING (g1)),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM r a JOIN r b ON a.g1 = b.g1 AND a.doc_id < b.doc_id),
+              |p AS (SELECT c.doc_a, c.doc_b,
+              |    len(list_intersect(ga.ng, gb.ng)) AS inter,
+              |    len(ga.ng) AS na, len(gb.ng) AS nb
+              |  FROM cand c JOIN g ga ON ga.doc_id = c.doc_a
+              |  JOIN g gb ON gb.doc_id = c.doc_b)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(inter AS DOUBLE)/least(na, nb), 6) AS containment,
+              |  round(CAST(inter AS DOUBLE)/(na + nb - inter), 6) AS jaccard
+              |FROM p WHERE CAST(inter AS DOUBLE)/least(na, nb) >= $ContainTau
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 

@@ -199,6 +199,59 @@ object SampleQueries {
            |  round(qp::DOUBLE / 3, 6) AS target_rate
            |FROM m GROUP BY qp ORDER BY qp""".stripMargin
       }
+    ),
+
+    QueryDef(
+      "q_shuffle_shard",
+      "Deterministic global training-order shuffle + sharding: the " +
+        "reproducible corpus permutation a training run reads (epoch " +
+        "order must be engine-, layout-, and rerun-independent; " +
+        "rand()/repartition orders are none of those). Position key = " +
+        "md5(doc_id); shard = the key's leading hex digit, so shards " +
+        "are RANGES of the key space and reading shards 0..15 " +
+        "shard-major replays the exact global md5 permutation. The " +
+        "global position is assembled WITHOUT a global sort: per-shard " +
+        "rank (a 16-way partitioned window) + the shard's cumulative " +
+        "offset (a 16-row broadcast). At 100 TB each shard is an " +
+        "independent partition family written as its own file group — " +
+        "the key is uniform by construction, so range boundaries need " +
+        "no sampling pass and shard sizes are balanced to ~n/16. The " +
+        "oracle computes the SAME permutation the naive way (one " +
+        "global ROW_NUMBER), proving the sharded assembly exact.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.t(s, dir, "documents")
+          .withColumn("key", md5(col("doc_id").cast("string")))
+          .withColumn("shard",
+            conv(substring(col("key"), 1, 1), 16, 10).cast("int"))
+        val pos = d.withColumn("pos",
+          row_number().over(
+            Window.partitionBy("shard").orderBy(col("key"), col("doc_id")))
+            .cast("long"))
+        // 16-row offset relation: the only cross-shard coordination is
+        // this prefix sum over shard COUNTS — constant-size at any
+        // corpus scale, then broadcast back.
+        val offsets = pos.groupBy("shard")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy("shard")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("shard"), col("off"))
+        pos.join(broadcast(offsets), "shard")
+          .select(col("doc_id"), col("shard"), col("pos"),
+            (col("off") + col("pos")).as("gpos"))
+          .orderBy("gpos")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |    md5(CAST(doc_id AS VARCHAR)) AS key FROM documents)
+             |SELECT doc_id,
+             |  CAST(('0x' || substr(key, 1, 1)) AS INT) AS shard,
+             |  ROW_NUMBER() OVER (
+             |    PARTITION BY substr(key, 1, 1)
+             |    ORDER BY key, doc_id) AS pos,
+             |  ROW_NUMBER() OVER (ORDER BY key, doc_id) AS gpos
+             |FROM k ORDER BY gpos""".stripMargin)
     )
   )
 }

@@ -1471,6 +1471,69 @@ object SimilarityQueries {
            |$out
            |) ORDER BY iter""".stripMargin
       }
+    ),
+
+    QueryDef(
+      "q_embedding_drift",
+      "Embedding distribution drift across labels (the dataset-" +
+        "monitoring face of the similarity family): per-label centroid " +
+        "via decimal-exact per-dimension means, then the full pairwise " +
+        "centroid-cosine matrix — the number that says whether two " +
+        "slices of a corpus (sources, snapshots, pipeline versions) " +
+        "occupy the same region of embedding space or have drifted " +
+        "apart. Scale shape: ONE map-side-partial aggregation over the " +
+        "corpus (label x dim cells — thousands of rows however large " +
+        "the corpus), then an L x L comparison of L tiny centroid " +
+        "rows; the corpus itself is never joined or shuffled beyond " +
+        "the one agg exchange. The L² comparison is a sanctioned " +
+        "small-relation nested-loop — L is the label-vocabulary size, " +
+        "not a data-scale quantity.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("label"), toDoubleVec(col("embedding")).as("v"))
+        // decimal-exact per-dim mean: order-independent under any
+        // partitioning (the oracle's sum(CAST(.. DECIMAL(30,15))) twin)
+        val cm = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("label", "i")
+          .agg((sum(col("x").cast(DecimalType(30, 15))).cast("double") /
+            count(lit(1))).as("m"))
+        val c = cm.groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+            x => x.getField("m")).as("cv"))
+        val n = e.groupBy("label").agg(count(lit(1)).as("n"))
+        val cn = c.join(n, "label")
+        val a = cn.select(col("label").as("label_a"), col("cv").as("cva"),
+          col("n").as("n_a"))
+        val b = cn.select(col("label").as("label_b"), col("cv").as("cvb"),
+          col("n").as("n_b"))
+        a.join(b, col("label_a") < col("label_b"))
+          .withColumn("cosine", round(dot(col("cva"), col("cvb")) /
+            (sqrt(dot(col("cva"), col("cva"))) *
+              sqrt(dot(col("cvb"), col("cvb")))), 6))
+          .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+            col("cosine"))
+          .orderBy("label_a", "label_b")
+      },
+      Some(s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+              |    FROM embeddings),
+              |cm AS (SELECT label, i AS pos,
+              |    CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
+              |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS i)
+              |  GROUP BY label, i),
+              |c AS (SELECT label, list(m ORDER BY pos) AS cv FROM cm
+              |  GROUP BY label),
+              |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e
+              |  GROUP BY label)
+              |SELECT a.label AS label_a, b.label AS label_b,
+              |  na.n AS n_a, nb.n AS n_b,
+              |  round(list_dot_product(a.cv, b.cv) /
+              |    (sqrt(list_dot_product(a.cv, a.cv)) *
+              |     sqrt(list_dot_product(b.cv, b.cv))), 6) AS cosine
+              |FROM c a JOIN c b ON a.label < b.label
+              |JOIN cnt na ON na.label = a.label
+              |JOIN cnt nb ON nb.label = b.label
+              |ORDER BY label_a, label_b""".stripMargin)
     )
   )
 }

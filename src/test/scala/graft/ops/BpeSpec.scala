@@ -108,4 +108,25 @@ class BpeSpec extends SparkSpec {
         s"syms_total not strictly decreasing: $syms")
     } finally { vFinal.unpersist(); Checkpoints.free(vFinal) }
   }
+
+  test("q_bpe_tokenize: per-doc token counts match the hand-derived " +
+    "segmentation and sum to q_bpe_encode's corpus totals") {
+    val dir = Files.createTempDirectory("graft-bpe-tok").toString
+    // vocab {ab:3, cd:1}: merges (a,b,3) then (c,d,1) -> both words
+    // become single tokens. doc 0 = "ab ab", doc 1 = "ab cd".
+    Seq((0L, "ab ab", "s0"), (1L, "ab cd", "s0"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queryMap("q_bpe_tokenize")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(rows(0L) == ((2L, 4L, 2L, 2.0)), rows(0L))
+    assert(rows(1L) == ((2L, 4L, 2L, 2.0)), rows(1L))
+    // corpus totals tie the two consumers of the shared learned state
+    val enc = Registry.queryMap("q_bpe_encode")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.values.map(_._2).sum.toDouble == enc("chars_total"))
+    assert(rows.values.map(_._3).sum.toDouble == enc("syms_total"))
+  }
 }

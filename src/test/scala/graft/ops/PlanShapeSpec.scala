@@ -282,4 +282,62 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 2,
       s"only the pair agg + sort may shuffle (got $shuffles):\n$p")
   }
+
+  test("q_shuffle_shard: the corpus-scale window is PARTITIONED (by " +
+    "shard); the only single-partition window sits above the 16-row " +
+    "offset agg; offsets join back by broadcast") {
+    val p = plan(Registry.queryMap("q_shuffle_shard")(spark, dir))
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"offset join must be broadcast-hash:\n$p")
+    // every window on the raw documents path must be partitioned —
+    // a global ROW_NUMBER over the corpus is exactly what this query
+    // exists to avoid. The empty-partition window (offset prefix sum)
+    // must sit above an aggregate (the 16-row shard-count relation).
+    p.collect { case w: WindowExec => w }.foreach { w =>
+      if (w.partitionSpec.isEmpty) {
+        val below = pathTo(p, w).getOrElse(fail("no path to window"))
+        assert(w.exists {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case _ => false
+        }, s"global window must read the shard-count agg, not the corpus:\n$below")
+      }
+    }
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty &&
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"no non-equi join anywhere:\n$p")
+  }
+
+  test("q_dedup_containment: candidate generation is equi-keyed off the " +
+    "df-capped inverted index — no cartesian, no nested-loop join") {
+    val p = plan(Registry.queryMap("q_dedup_containment")(spark, dir),
+      noBroadcast = true)
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty &&
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"containment must bucket on rare n-grams, not all-pairs:\n$p")
+    // the df-cap is an aggregate-then-filter on the inverted index —
+    // a HAVING, not a post-join filter on the pair stream
+    assert(p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty, s"expected the df-cap aggregate:\n$p")
+  }
+
+  test("q_embedding_drift: the corpus feeds ONE aggregation; the LxL " +
+    "comparison joins only post-agg centroid rows") {
+    val p = plan(Registry.queryMap("q_embedding_drift")(spark, dir))
+    // the only nested-loop join is the label-matrix comparison, and
+    // every join input must contain an aggregate between itself and
+    // any embeddings scan — the corpus is never joined raw
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, s"expected the LxL centroid join:\n$p")
+    joins.foreach { j =>
+      j.children.foreach { side =>
+        if (scansOf(side, "embeddings.parquet").nonEmpty)
+          assert(side.exists {
+            case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+            case _ => false
+          }, s"join side reads the corpus without aggregating first:\n$j")
+      }
+    }
+  }
 }

@@ -109,4 +109,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mc.zip(mc.tail).forall { case (a, b) => b >= a - 1e-6 },
       s"mean_cos not monotone: $mc")
   }
+
+  test("q_embedding_drift: centroid cosines match hand-computed values " +
+    "on a controlled corpus") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-drift").toString
+    // label 0 centroid (.5,.5,0,0); label 1 centroid (0,0,.5,.5)
+    // (orthogonal to label 0); label 2 centroid (1,1,0,0) (parallel
+    // to label 0)
+    Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(0f, 0f, 1f, 0f), 1),
+      (4L, Seq(0f, 0f, 0f, 1f), 1),
+      (5L, Seq(1f, 1f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val rows = Registry.queryMap("q_embedding_drift")(spark, d)
+      .select("label_a", "label_b", "n_a", "n_b", "cosine")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(rows((0, 1)) == ((2L, 2L, 0.0)))   // orthogonal slices
+    assert(rows((0, 2)) == ((2L, 1L, 1.0)))   // same direction -> 1.0
+    assert(rows((1, 2)) == ((2L, 1L, 0.0)))
+  }
 }
