@@ -618,6 +618,28 @@ object SimilarityQueries {
     s"""(SELECT GREATEST($NCells,
        |    CAST(floor(sqrt(count(*))) AS BIGINT)) FROM n)""".stripMargin
 
+  /** (label, cv, n) centroid rows -> the pairwise centroid-cosine
+    * matrix (label_a, label_b, n_a, n_b, cosine) for label_a <
+    * label_b. ONE definition shared by the declared drift query and
+    * the streaming twin ([[graft.streaming.DriftStream.summarize]]) so
+    * the two faces cannot drift. The L x L comparison is a sanctioned
+    * small-relation nested-loop: L is the label-vocabulary size, not a
+    * data-scale quantity.
+    */
+  private[graft] def driftMatrix(cn: DataFrame): DataFrame = {
+    val a = cn.select(col("label").as("label_a"), col("cv").as("cva"),
+      col("n").as("n_a"))
+    val b = cn.select(col("label").as("label_b"), col("cv").as("cvb"),
+      col("n").as("n_b"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("cosine", round(dot(col("cva"), col("cvb")) /
+        (sqrt(dot(col("cva"), col("cva"))) *
+          sqrt(dot(col("cvb"), col("cvb")))), 6))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   private[ops] def targetCellsSql(target: Int): String =
     s"""(SELECT GREATEST($NCells,
        |    CAST(ceil(count(*) / $target.0) AS BIGINT)) FROM n)""".stripMargin
@@ -1502,18 +1524,7 @@ object SimilarityQueries {
           .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
             x => x.getField("m")).as("cv"))
         val n = e.groupBy("label").agg(count(lit(1)).as("n"))
-        val cn = c.join(n, "label")
-        val a = cn.select(col("label").as("label_a"), col("cv").as("cva"),
-          col("n").as("n_a"))
-        val b = cn.select(col("label").as("label_b"), col("cv").as("cvb"),
-          col("n").as("n_b"))
-        a.join(b, col("label_a") < col("label_b"))
-          .withColumn("cosine", round(dot(col("cva"), col("cvb")) /
-            (sqrt(dot(col("cva"), col("cva"))) *
-              sqrt(dot(col("cvb"), col("cvb")))), 6))
-          .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
-            col("cosine"))
-          .orderBy("label_a", "label_b")
+        driftMatrix(c.join(n, "label"))
       },
       Some(s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
               |    FROM embeddings),
