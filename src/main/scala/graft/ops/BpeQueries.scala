@@ -373,6 +373,58 @@ object BpeQueries {
            |    AS compression
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    QueryDef(
+      "q_bpe_fertility",
+      "Tokenizer fertility by language (Rust et al. 2021: tokens per " +
+        "word — the metric that exposes a tokenizer systematically " +
+        "over-segmenting some languages, inflating their compute cost " +
+        "and shrinking their effective context): per-lang docs, words, " +
+        "chars, BPE tokens under the learned merge table, fertility " +
+        "(tokens/word) and chars/token. Same corpus-scale shape as " +
+        "the per-doc tokenize pass (broadcast segmentation map, one " +
+        "agg) at language grain — the fairness report a multilingual " +
+        "training run reads before fixing the merge budget.",
+      (s, dir) => {
+        val (_, vFinal) = learnedState(s, dir)
+        val seg = vFinal.select(col("word"), size(col("syms")).as("n_sub"))
+        Tables.par(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .join(broadcast(seg), col("w") === col("word"))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_words"),
+            sum(length(col("w"))).as("n_chars"),
+            sum(col("n_sub").cast("long")).as("n_bpe"))
+          .withColumn("fertility",
+            round(col("n_bpe").cast("double") / col("n_words"), 6))
+          .withColumn("chars_per_token",
+            round(col("n_chars").cast("double") / col("n_bpe"), 6))
+          .orderBy("lang")
+          // self-contained result past the Bpe family release (same
+          // contract as q_bpe_encode/q_bpe_tokenize)
+          .localCheckpoint()
+      },
+      Some {
+        s"""WITH $oracleStages,
+           |dt AS (SELECT doc_id, lang, w FROM (
+           |  SELECT doc_id, lang, unnest(toks) AS w FROM
+           |    (SELECT doc_id, lang, ${TextFunctions.toksSql} AS toks
+           |     FROM documents)) WHERE w <> ''),
+           |j AS (SELECT dt.doc_id, dt.lang, dt.w, len(v.syms) AS n_sub
+           |  FROM dt JOIN v$NumMerges v ON dt.w = v.word)
+           |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           |  CAST(sum(n_sub) AS BIGINT) AS n_bpe,
+           |  round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility,
+           |  round(CAST(sum(length(w)) AS DOUBLE) / sum(n_sub), 6)
+           |    AS chars_per_token
+           |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+      }
     )
   )
 }

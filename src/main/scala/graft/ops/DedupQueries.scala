@@ -853,17 +853,46 @@ object DedupQueries {
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ng"))
-        val inv = g.select(col("doc_id"), explode(col("ng")).as("g1"))
+        val inv = g.select(col("doc_id"), size(col("ng")).as("na"),
+          explode(col("ng")).as("g1"))
         // df-cap: n-grams are distinct per doc (wordNgrams dedups), so
         // count(*) per n-gram IS document frequency.
         val rare = inv.groupBy("g1").agg(count(lit(1)).as("df"))
           .filter(col("df") <= ContainDfCap)
           .select("g1")
         val r = inv.join(rare, "g1")
-        val cand = r.select(col("g1"), col("doc_id").as("doc_a"))
-          .join(r.select(col("g1"), col("doc_id").as("doc_b")), "g1")
+        // Support prefilter (SOUND — the emitted set is unchanged, so
+        // the oracle keeps the simple >=1-shared-rare form): a pair
+        // with containment >= tau shares >= ceil(tau*min(na,nb))
+        // n-grams total, of which at most min(oc_a, oc_b) can be
+        // over-cap (a shared over-cap n-gram is over-cap in BOTH
+        // sets), so its shared-RARE count — the pair-agg support —
+        // is >= ceil(tau*min) - min(oc_a, oc_b), floored at the
+        // original >=1-candidate requirement. All integer arithmetic
+        // (tau = 4/5: ceil(4x/5) = (4x+4) div 5). Without this, a
+        // low-entropy corpus whose n-grams are all under the df cap
+        // candidates ~n_docs² pairs into the exact verify (measured
+        // sf0.1: 1.04M pairs -> the true handful).
+        val rcnt = r.groupBy("doc_id").agg(count(lit(1)).as("rc"))
+        val oc = g.select(col("doc_id"), size(col("ng")).as("nax"))
+          .join(rcnt, "doc_id")
+          .select(col("doc_id"), (col("nax") - col("rc")).as("oc"))
+        val pairs = r
+          .select(col("g1"), col("doc_id").as("doc_a"), col("na").as("naa"))
+          .join(r.select(col("g1"), col("doc_id").as("doc_b"),
+            col("na").as("nab")), "g1")
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+          .groupBy("doc_a", "doc_b", "naa", "nab")
+          .agg(count(lit(1)).as("support"))
+        val cand = pairs
+          .join(broadcast(oc.select(col("doc_id").as("doc_a"),
+            col("oc").as("oca"))), "doc_a")
+          .join(broadcast(oc.select(col("doc_id").as("doc_b"),
+            col("oc").as("ocb"))), "doc_b")
+          .filter(col("support") >= greatest(lit(1),
+            expr("(4 * least(naa, nab) + 4) div 5") -
+              least(col("oca"), col("ocb"))))
+          .select("doc_a", "doc_b")
         val ga = g.select(col("doc_id").as("doc_a"), col("ng").as("nga"),
           size(col("ng")).as("na"))
         val gb = g.select(col("doc_id").as("doc_b"), col("ng").as("ngb"),

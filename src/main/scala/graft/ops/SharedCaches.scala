@@ -70,7 +70,8 @@ object SharedCaches {
       "q_ann_mrr", "q_kmeans_refine",
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
     BloomBench -> Set("q_contamination_bloom"),
-    Bpe -> Set("q_bpe_encode", "q_bpe_merges", "q_bpe_tokenize")
+    Bpe -> Set("q_bpe_encode", "q_bpe_fertility", "q_bpe_merges",
+      "q_bpe_tokenize")
   )
 
   private val refs =

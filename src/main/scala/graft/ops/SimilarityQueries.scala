@@ -618,6 +618,42 @@ object SimilarityQueries {
     s"""(SELECT GREATEST($NCells,
        |    CAST(floor(sqrt(count(*))) AS BIGINT)) FROM n)""".stripMargin
 
+  /** (label, v) corpus -> (label, cv, n) centroid rows: decimal-exact
+    * per-dimension means (order-independent under any partitioning —
+    * the oracle's sum(CAST(.. DECIMAL(30,15))) twin) assembled into a
+    * per-label centroid vector plus the label count. ONE definition
+    * shared by the drift matrix and the prototypicality ranking so the
+    * two consumers' centroids cannot drift.
+    */
+  private[ops] def labelCentroids(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cm = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg((sum(col("x").cast(DecimalType(30, 15))).cast("double") /
+        count(lit(1))).as("m"))
+    val c = cm.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        x => x.getField("m")).as("cv"))
+    val n = e.groupBy("label").agg(count(lit(1)).as("n"))
+    c.join(n, "label")
+  }
+
+  /** Oracle twin of [[labelCentroids]]: CTEs `e` (label, v), `cm`
+    * (per-dim decimal-exact means), `c` (label, cv), `cnt` (label, n)
+    * — embedded by both label-centroid consumers' oracles.
+    */
+  private val labelCentroidCtes: String =
+    s"""e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |cm AS (SELECT label, i AS pos,
+       |    CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
+       |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS i)
+       |  GROUP BY label, i),
+       |c AS (SELECT label, list(m ORDER BY pos) AS cv FROM cm
+       |  GROUP BY label),
+       |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e
+       |  GROUP BY label)""".stripMargin
+
   /** (label, cv, n) centroid rows -> the pairwise centroid-cosine
     * matrix (label_a, label_b, n_a, n_b, cosine) for label_a <
     * label_b. ONE definition shared by the declared drift query and
@@ -1511,31 +1547,11 @@ object SimilarityQueries {
         "small-relation nested-loop — L is the label-vocabulary size, " +
         "not a data-scale quantity.",
       (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
         val e = Tables.t(s, dir, "embeddings")
           .select(col("label"), toDoubleVec(col("embedding")).as("v"))
-        // decimal-exact per-dim mean: order-independent under any
-        // partitioning (the oracle's sum(CAST(.. DECIMAL(30,15))) twin)
-        val cm = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-          .groupBy("label", "i")
-          .agg((sum(col("x").cast(DecimalType(30, 15))).cast("double") /
-            count(lit(1))).as("m"))
-        val c = cm.groupBy("label")
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-            x => x.getField("m")).as("cv"))
-        val n = e.groupBy("label").agg(count(lit(1)).as("n"))
-        driftMatrix(c.join(n, "label"))
+        driftMatrix(labelCentroids(e))
       },
-      Some(s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
-              |    FROM embeddings),
-              |cm AS (SELECT label, i AS pos,
-              |    CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
-              |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS i)
-              |  GROUP BY label, i),
-              |c AS (SELECT label, list(m ORDER BY pos) AS cv FROM cm
-              |  GROUP BY label),
-              |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e
-              |  GROUP BY label)
+      Some(s"""WITH $labelCentroidCtes
               |SELECT a.label AS label_a, b.label AS label_b,
               |  na.n AS n_a, nb.n AS n_b,
               |  round(list_dot_product(a.cv, b.cv) /
@@ -1545,6 +1561,56 @@ object SimilarityQueries {
               |JOIN cnt na ON na.label = a.label
               |JOIN cnt nb ON nb.label = b.label
               |ORDER BY label_a, label_b""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_embedding_prototypicality",
+      "Prototype-distance data pruning (Sorscher et al. 2022: rank " +
+        "examples by cosine to their cluster prototype; the LEAST " +
+        "prototypical fifth of each label is the prune candidate set " +
+        "in the abundant-data regime): per-vector cosine to its own " +
+        "label centroid (the SAME decimal-exact centroid derivation " +
+        "as the drift matrix — one definition), per-label ascending " +
+        "rank (vec_id tiebreak), prune flag from the INTEGER-EXACT " +
+        "quota test (rank-1)*5 < n — no float threshold, so the same " +
+        "vector is flagged on every engine and layout. Scale shape: " +
+        "centroids are L tiny rows broadcast into one corpus pass; " +
+        "the per-label rank window partitions by label.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e2 = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            toDoubleVec(col("embedding")).as("v"))
+        val cc = labelCentroids(
+            e2.select(col("label"), col("v")))
+          .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+        val w = Window.partitionBy("label")
+          .orderBy(col("cos").asc, col("vec_id").asc)
+        e2.join(broadcast(cc), "label")
+          .withColumn("cos", dot(col("v"), col("cv")) /
+            (sqrt(dot(col("v"), col("v"))) * col("cn")))
+          .withColumn("rk", row_number().over(w))
+          .select(col("vec_id"), col("label"),
+            round(col("cos"), 6).as("proto_cos"), col("rk"),
+            when((col("rk") - 1) * 5 < col("n"), 1).otherwise(0).as("prune"))
+          .orderBy("label", "rk")
+      },
+      Some(s"""WITH $labelCentroidCtes,
+              |e2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              |    FROM embeddings),
+              |cc AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn
+              |  FROM c),
+              |sc AS (SELECT e2.vec_id, e2.label,
+              |    list_dot_product(e2.v, cc.cv) /
+              |      (sqrt(list_dot_product(e2.v, e2.v)) * cc.cn) AS cos
+              |  FROM e2 JOIN cc ON e2.label = cc.label),
+              |r AS (SELECT vec_id, label, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY label
+              |      ORDER BY cos ASC, vec_id ASC) AS rk FROM sc)
+              |SELECT vec_id, r.label, round(cos, 6) AS proto_cos, rk,
+              |  CASE WHEN (rk - 1) * 5 < n THEN 1 ELSE 0 END AS prune
+              |FROM r JOIN cnt ON r.label = cnt.label
+              |ORDER BY r.label, rk""".stripMargin)
     )
   )
 }

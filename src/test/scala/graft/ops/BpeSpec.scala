@@ -129,4 +129,32 @@ class BpeSpec extends SparkSpec {
     assert(rows.values.map(_._2).sum.toDouble == enc("chars_total"))
     assert(rows.values.map(_._3).sum.toDouble == enc("syms_total"))
   }
+
+  test("q_bpe_fertility: a language whose words exhaust the merge " +
+    "budget shows fertility > 1 while a fully-merged language sits at " +
+    "exactly 1.0; per-lang totals sum to the corpus totals") {
+    val dir = Files.createTempDirectory("graft-bpe-fert").toString
+    // en: "aa" x3 merges to one symbol in round 1 -> fertility 1.0.
+    // de: two 8-char all-distinct words need 7 merges EACH; after the
+    // en merge only 9 rounds remain < 14 needed -> at least one de
+    // word stays multi-symbol -> fertility > 1.
+    Seq((0L, "aa aa aa", "en", "s0"),
+      (1L, "zyxwvuts ponmlkji", "de", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.queryMap("q_bpe_fertility")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val en = rows("en")
+    assert(en == ((1L, 3L, 6L, 3L, 1.0, 2.0)), en)
+    val de = rows("de")
+    assert(de._1 == 1L && de._2 == 2L && de._3 == 16L, de)
+    assert(de._5 > 1.0, s"de words cannot fully merge in 10 rounds: $de")
+    // cross-face consistency with the encode totals
+    val enc = Registry.queryMap("q_bpe_encode")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert((en._3 + de._3).toDouble == enc("chars_total"))
+    assert((en._4 + de._4).toDouble == enc("syms_total"))
+  }
 }

@@ -321,6 +321,30 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, s"expected the df-cap aggregate:\n$p")
   }
 
+  test("q_embedding_prototypicality: centroids aggregate before the " +
+    "broadcast join; the rank window is label-partitioned") {
+    val p = plan(Registry.queryMap("q_embedding_prototypicality")(spark, dir))
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"centroid join must be broadcast-hash:\n$p")
+    // the broadcast (centroid) side must contain the label aggregate —
+    // the corpus is scored against L reduced rows, not joined raw
+    bhj.foreach { j =>
+      val bcSide = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }
+      assert(bcSide.exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }, s"broadcast side must be the aggregated centroid relation:\n$j")
+    }
+    // every window is label-partitioned (no single-partition rank)
+    p.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"rank window must partition by label:\n$p")
+    }
+  }
+
   test("q_embedding_drift: the corpus feeds ONE aggregation; the LxL " +
     "comparison joins only post-agg centroid rows") {
     val p = plan(Registry.queryMap("q_embedding_drift")(spark, dir))

@@ -136,4 +136,43 @@ class SimilaritySpec extends SparkSpec {
     assert(rows((0, 2)) == ((2L, 1L, 1.0)))   // same direction -> 1.0
     assert(rows((1, 2)) == ((2L, 1L, 0.0)))
   }
+
+  test("q_embedding_prototypicality: the planted outlier ranks first " +
+    "and is the only pruned vector in its 5-member label; quotas are " +
+    "integer-exact per label") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-proto").toString
+    // label 0: four vectors near +x, one at -x (the outlier); label 1:
+    // three identical vectors (no outlier; quota still flags rank 1)
+    Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(1f, 0.1f, 0f, 0f), 0),
+      (4L, Seq(0.8f, 0f, 0.1f, 0f), 0),
+      (5L, Seq(-1f, 0f, 0f, 0f), 0),
+      (6L, Seq(0f, 1f, 0f, 0f), 1),
+      (7L, Seq(0f, 1f, 0f, 0f), 1),
+      (8L, Seq(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val rows = Registry.queryMap("q_embedding_prototypicality")(spark, d)
+      .select("vec_id", "label", "proto_cos", "rk", "prune")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
+        r.getInt(4)))
+    assert(rows.length == 8)
+    val l0 = rows.filter(_._2 == 0).sortBy(_._4)
+    // the -x outlier is least prototypical: rank 1, negative cosine
+    assert(l0.head._1 == 5L && l0.head._3 < 0 && l0.head._5 == 1, l0.head)
+    // quota (rk-1)*5 < n with n=5 flags rank 1 only
+    assert(l0.count(_._5 == 1) == 1)
+    // proto_cos is non-decreasing in rank
+    assert(l0.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    // label 1: identical vectors -> cosine 1.0 each, vec_id tiebreak
+    // ranks them 6,7,8; quota n=3 flags rank 1 only
+    val l1 = rows.filter(_._2 == 1).sortBy(_._4)
+    assert(l1.map(_._1).toSeq == Seq(6L, 7L, 8L))
+    assert(l1.forall(_._3 == 1.0) && l1.count(_._5 == 1) == 1)
+  }
 }
