@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 local task slots at the production ~1 GB/core ratio: the 8g
+  // default left ~4.4 GB of unified memory for 32 threads, so one
+  // shuffle-heavy query's execution demand evicted the session-cached
+  // families mid-bench (q_dedup_recall's minhash inputs rebuilt every
+  // pass — measured +2s floor). The host has 128 GiB; a real cluster
+  // gives each executor its own heap at a far higher per-core ratio.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

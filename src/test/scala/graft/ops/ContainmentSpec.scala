@@ -56,4 +56,12 @@ class ContainmentSpec extends SparkSpec {
   test("unrelated doc pairs with nothing") {
     assert(!rows.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("containment dominates jaccard on every emitted pair (the " +
+    "asymmetry is one-sided by construction)") {
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (cont, jac) =>
+      assert(cont >= jac && cont >= 0.8 && cont <= 1.0 && jac >= 0.0)
+    }
+  }
 }
