@@ -37,8 +37,21 @@ object DedupQueries {
     * generate candidate pairs (bounds every posting list — the
     * candidate join's per-key fan-out is <= cap² at any corpus size).
     */
-  private val ContainTau = 0.8
-  private val ContainDfCap = 16
+  private[ops] val ContainTau = 0.8
+  private[ops] val ContainDfCap = 16
+
+  /** (doc_id, ng) word-3-gram sets for any relation carrying doc_id +
+    * text — the containment family's shared projection (same staged
+    * discipline as q_dedup_ngram: the emptiness guard runs on the
+    * cheap token stage; see there). Stateless per row — usable on a
+    * STREAMING input ([[graft.streaming.CorpusStream]] probes the
+    * stored [[ContainIndex]] with this).
+    */
+  private[graft] def ngramDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ng"))
 
   /** Published-SemDeDup operating point (Abbas et al. use τ near 0.99 on
     * near-identical pairs). The shipped corpora have NO natural pairs
@@ -847,12 +860,7 @@ object DedupQueries {
         s"pair. Emits pairs with containment >= $ContainTau plus " +
         "their Jaccard, making the asymmetry visible.",
       (s, dir) => {
-        // same staged projection discipline as q_dedup_ngram (the
-        // emptiness guard runs on the cheap token stage; see there).
-        val g = Tables.par(s, dir, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ng"))
+        val g = ngramDocs(Tables.par(s, dir, "documents"))
         val inv = g.select(col("doc_id"), size(col("ng")).as("na"),
           explode(col("ng")).as("g1"))
         // df-cap: n-grams are distinct per doc (wordNgrams dedups), so
@@ -928,6 +936,62 @@ object DedupQueries {
               |  round(CAST(inter AS DOUBLE)/(na + nb - inter), 6) AS jaccard
               |FROM p WHERE CAST(inter AS DOUBLE)/least(na, nb) >= $ContainTau
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- H3''c+
+    QueryDef(
+      "q_containment_incremental",
+      "Incremental-ingest containment: an arriving batch (doc_id % 10 " +
+        "= 0) is checked for subset relations AGAINST the standing " +
+        "corpus — is this new doc a quote/partial copy of something " +
+        "already ingested? The standing side is the STORED ContainIndex " +
+        "(sixth artifact family): g1-bucketed postings with the " +
+        "document frequency PRECOMPUTED (the df-cap candidate " +
+        "restriction is a pushed parquet predicate) and doc_id-bucketed " +
+        "n-gram arrays with the over-cap count precomputed (the sound " +
+        "support-prefilter bound reads a stored column). Index sides " +
+        "scan-only; ONLY the arriving batch shuffles. Emits each new " +
+        "doc's best standing match at containment >= 4/5 " +
+        "(containment desc, match_id asc). One probe definition " +
+        "(ContainIndex.probe) shared with the streaming ingest face.",
+      (s, dir) => {
+        val isNew = col("doc_id") % 10 === 0
+        val (postings, docArrays) = ContainIndex.buildOrLoad(s,
+          Tables.par(s, dir, "documents").filter(!isNew),
+          ContainIndex.tag(dir, "cstanding"))
+        val newG = SharedCaches.track(SharedCaches.ContainBatch,
+          ngramDocs(Tables.par(s, dir, "documents").filter(isNew))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        ContainIndex.probe(newG, postings, docArrays)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split($normSql,' ') AS w FROM documents),
+              |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+              |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS ng
+              |  FROM t WHERE len(w) >= 3),
+              |std AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 <> 0),
+              |nw AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 = 0),
+              |inv AS (SELECT doc_id, unnest(ng) AS g1 FROM std),
+              |dfs AS (SELECT g1 FROM inv GROUP BY g1
+              |  HAVING count(*) <= $ContainDfCap),
+              |ninv AS (SELECT doc_id, unnest(ng) AS g1 FROM nw),
+              |cand AS (SELECT DISTINCT n.doc_id, i.doc_id AS match_id
+              |  FROM ninv n JOIN dfs USING (g1) JOIN inv i USING (g1)),
+              |p AS (SELECT c.doc_id, c.match_id,
+              |    len(list_intersect(a.ng, b.ng)) AS inter,
+              |    len(a.ng) AS na, len(b.ng) AS nb
+              |  FROM cand c JOIN nw a ON a.doc_id = c.doc_id
+              |  JOIN std b ON b.doc_id = c.match_id),
+              |q AS (SELECT doc_id, match_id,
+              |    CAST(inter AS DOUBLE)/least(na, nb) AS cont,
+              |    CAST(inter AS DOUBLE)/(na + nb - inter) AS jac
+              |  FROM p WHERE CAST(inter AS DOUBLE)/least(na, nb)
+              |    >= $ContainTau),
+              |best AS (SELECT doc_id, match_id, cont, jac,
+              |    ROW_NUMBER() OVER (PARTITION BY doc_id
+              |      ORDER BY cont DESC, match_id ASC) AS rn FROM q)
+              |SELECT doc_id, match_id, round(cont, 6) AS containment,
+              |  round(jac, 6) AS jaccard
+              |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)
     ),
 
     // ------------------------------------------------------------- H2'

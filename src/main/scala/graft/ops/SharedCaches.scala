@@ -40,6 +40,10 @@ object SharedCaches {
     * stored band index). */
   val MinhashBatch = "minhash_batch"
 
+  /** q_containment_incremental's arriving-batch n-gram arrays (probe
+    * side of the stored containment index). */
+  val ContainBatch = "containment_batch"
+
   /** ANN suite: normalized/bucketed embedding corpus + session-cached
     * IVF parts (SimilarityQueries). */
   val Embeddings = "embeddings"
@@ -62,6 +66,7 @@ object SharedCaches {
     Minhash -> Set("q_doc_dedup", "q_doc_similar", "q_dedup_recall",
       "q_dedup_clusters", "q_dedup_keep_best", "q_pagerank"),
     MinhashBatch -> Set("q_dedup_incremental"),
+    ContainBatch -> Set("q_containment_incremental"),
     Embeddings -> Set("q_embedding_topk", "q_embedding_quantize",
       "q_embedding_project", "q_embedding_pq", "q_pq_rerank",
       "q_ann_hyperplane",

@@ -188,6 +188,25 @@ object CorpusStream {
     graft.ops.CorpusQueries.lmScore(batch, c2, c1, v, Seq("eventTime"))
       .select("eventTime", "doc_id", "n_bigrams", "xent")
 
+  /** Ingest-time containment check — the streaming twin of
+    * `q_containment_incremental`: each arriving doc is probed for
+    * subset relations (is this a quote/partial copy of something
+    * already ingested?) against the STORED [[graft.ops.ContainIndex]]
+    * artifact `tag` — the SAME [[graft.ops.ContainIndex.probe]]
+    * definition as the declared batch query, so batch and ingest-time
+    * checks cannot drift. Best-match ranking needs a window, which
+    * append-mode streaming disallows, so the probe runs from
+    * `foreachBatch` (the ANN-probe / LM-score pattern) — full batch
+    * semantics per micro-batch, index sides scan-only, only the
+    * arriving micro-batch moves. Returns (doc_id, match_id,
+    * containment, jaccard).
+    */
+  def containmentProbe(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, tag: String): DataFrame =
+    graft.ops.ContainIndex.probe(
+      graft.ops.DedupQueries.ngramDocs(batch),
+      spark.table(s"${tag}_cngrams"), spark.table(s"${tag}_cdocs"))
+
   /** One surviving sketch counter: `est` is a guaranteed UPPER BOUND on
     * `term`'s true occurrence count so far (SpaceSaving inherits the
     * evicted minimum), and every term above 1/k of its bucket's stream

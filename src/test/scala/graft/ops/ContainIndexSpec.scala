@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The stored containment index's lifecycle (sixth artifact family):
+  * build (g1/doc_id-bucketed tables, df + over-cap counts precomputed),
+  * probe (== an independently computed reference), daily append
+  * (batch-local df lower bound — recall-safe), refresh (exact counts,
+  * equal to a from-scratch rebuild).
+  */
+class ContainIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 30-word "book", plus standing filler; probes include a verbatim
+  // quote (containment 1.0) and an unrelated doc (no match)
+  private val words = (1 to 30).map(i => s"w$i")
+  private val book = words.mkString(" ")
+  private val filler = "completely different standing content lives here okay fine"
+
+  private def dropAll(tag: String): Unit =
+    Seq(s"${tag}_cngrams", s"${tag}_cdocs").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** Pure-Scala reference: best standing match by containment (>= 0.8,
+    * match asc tiebreak) for each probe doc, over word-3-gram sets —
+    * candidate restriction mirrored (>=1 shared n-gram with standing
+    * df <= cap).
+    */
+  private def reference(standing: Seq[(Long, String)],
+                        probes: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    def ngrams(t: String): Set[String] = {
+      val w = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").toSeq
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val std = standing.map { case (id, t) => id -> ngrams(t) }
+    val df = std.flatMap(_._2).groupBy(identity).map { case (g, l) => g -> l.size }
+    probes.flatMap { case (pid, t) =>
+      val png = ngrams(t)
+      val best = std.flatMap { case (sid, sng) =>
+        val shared = png & sng
+        if (!shared.exists(g => df(g) <= DedupQueries.ContainDfCap)) None
+        else {
+          val cont = shared.size.toDouble / math.min(png.size, sng.size)
+          if (cont >= DedupQueries.ContainTau) Some((sid, cont)) else None
+        }
+      }
+      if (best.isEmpty) None
+      else {
+        val (sid, cont) = best.minBy { case (id, c) => (-c, id) }
+        Some(pid -> ((sid, math.rint(cont * 1e6) / 1e6)))
+      }
+    }.toMap
+  }
+
+  test("probe against the stored index equals the pure-Scala reference: " +
+    "the quote matches its book at containment 1.0, unrelated docs are " +
+    "absent") {
+    val tag = "graft_test_ci_probe"
+    dropAll(tag)
+    val standing = Seq((1L, book), (3L, filler)) ++
+      (10L to 14L).map(i => (i, s"standing page $i " + words.take(6).mkString(" ")))
+    val probes = Seq(
+      (100L, words.slice(9, 17).mkString(" ")), // 8-word verbatim quote
+      (101L, "zz yy xx ww vv uu tt"))           // unrelated
+    val (post, arrs) = ContainIndex.buildOrLoad(spark,
+      standing.toDF("doc_id", "text"), tag)
+    val got = ContainIndex.probe(
+      DedupQueries.ngramDocs(probes.toDF("doc_id", "text")), post, arrs)
+      .select("doc_id", "match_id", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == reference(standing, probes), s"got $got")
+    assert(got(100L) == ((1L, 1.0)))
+    assert(!got.contains(101L))
+    dropAll(tag)
+  }
+
+  test("df and oc are precomputed stored columns and correct") {
+    val tag = "graft_test_ci_cols"
+    dropAll(tag)
+    // 20 copies of one boilerplate doc push its n-grams over the cap
+    val boiler = "all rights reserved by the original publisher entity"
+    val standing = Seq((1L, book)) ++ (50L to 69L).map(i => (i, boiler))
+    val (post, arrs) = ContainIndex.buildOrLoad(spark,
+      standing.toDF("doc_id", "text"), tag)
+    // boilerplate n-grams: df 20 (> cap); book n-grams: df 1
+    val dfs = post.select("g1", "df").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(dfs.values.toSet == Set(1L, 20L))
+    // every boilerplate doc's oc = its full n-gram count; book oc = 0
+    val ocs = arrs.select("doc_id", "na", "oc")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(ocs(1L)._2 == 0L)
+    (50L to 69L).foreach(i => assert(ocs(i)._2 == ocs(i)._1.toLong, s"doc $i"))
+    dropAll(tag)
+  }
+
+  test("append then refreshCounts equals a from-scratch rebuild; " +
+    "pre-refresh batch-local df is a lower bound (recall-safe)") {
+    val tagA = "graft_test_ci_append"
+    val tagB = "graft_test_ci_rebuild"
+    dropAll(tagA); dropAll(tagB)
+    val first = Seq((1L, book), (2L, filler))
+    val second = Seq((3L, book + " extra tail"), (4L, "more standing text arrives"))
+    ContainIndex.buildOrLoad(spark, first.toDF("doc_id", "text"), tagA)
+    ContainIndex.append(spark, second.toDF("doc_id", "text"), tagA)
+    // pre-refresh: appended book n-grams carry df=1 (batch-local),
+    // standing copies carry df=1 — both lower bounds of the true 2
+    val preDf = spark.table(s"${tagA}_cngrams")
+      .groupBy("g1").agg(max("df").as("m")).select("m").as[Long].collect()
+    assert(preDf.forall(_ <= 2L))
+    ContainIndex.refreshCounts(spark, tagA)
+    ContainIndex.buildOrLoad(spark,
+      (first ++ second).toDF("doc_id", "text"), tagB)
+    def canon(t: String) = spark.table(t)
+      .select(col("g1"), col("doc_id"), col("na"), col("df"))
+      .orderBy("g1", "doc_id").collect().toSeq
+    assert(canon(s"${tagA}_cngrams") == canon(s"${tagB}_cngrams"))
+    def canonD(t: String) = spark.table(t)
+      .select(col("doc_id"), col("na"), col("oc"))
+      .orderBy("doc_id").collect().toSeq
+    assert(canonD(s"${tagA}_cdocs") == canonD(s"${tagB}_cdocs"))
+    dropAll(tagA); dropAll(tagB)
+  }
+}

@@ -321,6 +321,23 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, s"expected the df-cap aggregate:\n$p")
   }
 
+  test("q_containment_incremental: stored containment-index sides are " +
+    "scan-only (no shuffle above the bucketed cngrams/cdocs scans " +
+    "before their first join); no cartesian") {
+    val p = plan(Registry.queryMap("q_containment_incremental")(spark, dir),
+      noBroadcast = true)
+    assert(contains(p, "_cngrams"), s"expected stored posting scan:\n$p")
+    assert(contains(p, "_cdocs"), s"expected stored doc-array scan:\n$p")
+    for (tbl <- Seq("_cngrams", "_cdocs"); scan <- scansOf(p, tbl)) {
+      val path = pathTo(p, scan).getOrElse(fail(s"no path to $tbl scan"))
+      val belowJoin = path.reverse.takeWhile(n => !isJoin(n))
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"stored $tbl must reach its probe join without a shuffle:\n$p")
+    }
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"no cartesian anywhere in the incremental probe:\n$p")
+  }
+
   test("q_embedding_prototypicality: centroids aggregate before the " +
     "broadcast join; the rank window is label-partitioned") {
     val p = plan(Registry.queryMap("q_embedding_prototypicality")(spark, dir))

@@ -183,4 +183,55 @@ class CorpusStreamSpec extends SparkSpec {
       assert(got == batchGot)
     } finally q.stop()
   }
+
+  test("containmentProbe: arriving quote matches its standing book via " +
+    "the stored ContainIndex; stream == batch differential (one probe " +
+    "definition)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tag = "graft_test_ci_stream"
+    Seq(s"${tag}_cngrams", s"${tag}_cdocs").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val words = (1 to 30).map(i => s"w$i")
+    val standing = Seq((1L, words.mkString(" ")),
+      (2L, "completely different standing content lives here okay fine"))
+    graft.ops.ContainIndex.buildOrLoad(spark,
+      standing.toDF("doc_id", "text"), tag)
+    val arriving = Seq(
+      (100L, words.slice(4, 13).mkString(" ")), // 9-word verbatim quote
+      (101L, "zz yy xx ww vv uu tt"))           // unrelated
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-contain").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.CorpusStream
+          .containmentProbe(b.sparkSession, b, tag)
+          .select("doc_id", "match_id", "containment")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      input.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = sink.synchronized(sink.toSeq).sortBy(_._1)
+      assert(streamed == Seq((100L, 1L, 1.0)), streamed)
+      val batch = graft.streaming.CorpusStream.containmentProbe(spark,
+        arriving.toDF("doc_id", "text"), tag)
+        .select("doc_id", "match_id", "containment")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sortBy(_._1)
+      assert(streamed == batch)
+    } finally {
+      q.stop()
+      Seq(s"${tag}_cngrams", s"${tag}_cdocs").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
