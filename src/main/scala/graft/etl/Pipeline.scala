@@ -67,6 +67,7 @@ object Pipeline {
       spanSetTables: Seq[String] = Nil,
       charSpanTables: Seq[String] = Nil, // char-winnow substring artifact
       chunkStoreTables: Seq[String] = Nil, // stored chunk table (RAG keys)
+      containIndexTables: Seq[String] = Nil, // stored containment index
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       buildPqStore: Boolean = false, // stored PQ codes over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
@@ -76,6 +77,7 @@ object Pipeline {
     def isEmpty: Boolean =
       bandIndexTables.isEmpty && spanSetTables.isEmpty &&
         charSpanTables.isEmpty && chunkStoreTables.isEmpty &&
+        containIndexTables.isEmpty &&
         !buildIvfIndex && !buildPqStore &&
         zOrder.isEmpty && compact.isEmpty
   }
@@ -174,7 +176,8 @@ object Pipeline {
       a: ArtifactConfig,
       log: MigrationLog = MigrationLog.silent): Seq[Report.ArtifactResult] = {
     require(a.bandIndexTables.size <= 1 && a.spanSetTables.size <= 1 &&
-      a.charSpanTables.size <= 1 && a.chunkStoreTables.size <= 1,
+      a.charSpanTables.size <= 1 && a.chunkStoreTables.size <= 1 &&
+      a.containIndexTables.size <= 1,
       "one band/span/charspan/chunk artifact per corpus dir — consumers " +
         "derive the tag from the dir alone, so a second table would " +
         "silently reuse the first table's artifact")
@@ -232,6 +235,20 @@ object Pipeline {
       log.info(t, "artifact chunk_store", msg)
       Report.ArtifactResult(t, "chunk_store", msg, 0L, 0L, secs)
     }
+    val contain = a.containIndexTables.map { t =>
+      val tag = graft.ops.ContainIndex.tag(outDir, "cfull")
+      val ((nGrams, nRows), secs) = timed {
+        graft.ops.ContainIndex.buildOrLoad(spark,
+          spark.read.parquet(s"$outDir/$t.parquet"), tag)
+        graft.ops.ContainIndex.capAudit(spark, tag)
+      }
+      val msg = s"tag=$tag buckets=${graft.ops.ContainIndex.buckets(spark, tag)} " +
+        s"cap=${graft.ops.DedupQueries.ContainDfCap} " +
+        s"overcap_ngrams=$nGrams overcap_posting_rows=$nRows"
+      if (nGrams > 0) log.warn(t, "artifact contain_index", msg)
+      else log.info(t, "artifact contain_index", msg)
+      Report.ArtifactResult(t, "contain_index", msg, nGrams, nRows, secs)
+    }
     val ivf = if (!a.buildIvfIndex) Nil else {
       val n = spark.read.parquet(s"$outDir/embeddings.parquet").count()
       val cells = graft.ops.SimilarityQueries.derivedCells(n)
@@ -276,7 +293,7 @@ object Pipeline {
       log.info(t, "artifact compaction", msg)
       Report.ArtifactResult(t, "compaction", msg, 0L, 0L, secs)
     }
-    band ++ spans ++ charSpans ++ chunks ++ ivf ++ pq ++ zs ++ cps
+    band ++ spans ++ charSpans ++ chunks ++ contain ++ ivf ++ pq ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

@@ -143,6 +143,28 @@ object ContainIndex {
     } finally post.unpersist()
   }
 
+  /** What the df cap silently excludes from candidate generation on
+    * the stored index: (over-cap distinct n-grams, posting rows inside
+    * them). Scan-only — `df` is a stored column — so the pipeline can
+    * surface every silent cap as a report line (the hot-bucket-audit
+    * convention).
+    */
+  def capAudit(spark: SparkSession, tag: String,
+               cap: Int = DedupQueries.ContainDfCap): (Long, Long) = {
+    val r = spark.table(s"${tag}_cngrams")
+      .filter(col("df") > cap)
+      .agg(count_distinct(col("g1")).as("n_grams"),
+        count(lit(1)).as("n_rows"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Derived bucket count this tag was built with — a report-row
+    * metric (the sizing choice must be visible).
+    */
+  def buckets(spark: SparkSession, tag: String): Int =
+    BandIndex.bucketsOf(spark, s"${tag}_cngrams")
+
   /** The probe — ONE definition shared by the declared incremental
     * query and the streaming ingest face, so batch and stream cannot
     * drift. `newG` carries the arriving docs' (doc_id, ng); `postings`

@@ -37,8 +37,8 @@ object DedupQueries {
     * generate candidate pairs (bounds every posting list — the
     * candidate join's per-key fan-out is <= cap² at any corpus size).
     */
-  private[ops] val ContainTau = 0.8
-  private[ops] val ContainDfCap = 16
+  private[graft] val ContainTau = 0.8
+  private[graft] val ContainDfCap = 16
 
   /** (doc_id, ng) word-3-gram sets for any relation carrying doc_id +
     * text — the containment family's shared projection (same staged

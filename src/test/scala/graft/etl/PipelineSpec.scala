@@ -77,6 +77,7 @@ class PipelineSpec extends SparkSpec {
         spanSetTables = Seq("docs"),
         charSpanTables = Seq("docs"),
         chunkStoreTables = Seq("docs"),
+        containIndexTables = Seq("docs"),
         buildIvfIndex = true,
         buildPqStore = true,
         zOrder = Map("evts" -> ("event_id", "k")),
@@ -86,7 +87,13 @@ class PipelineSpec extends SparkSpec {
     // every artifact produced a report row...
     assert(report.artifacts.map(_.kind).sorted ==
       Seq("band_index", "char_span_set", "chunk_store", "compaction",
-        "ivf_index", "pq_store", "span_set", "zorder"))
+        "contain_index", "ivf_index", "pq_store", "span_set", "zorder"))
+    // the containment index built under the tag the streaming probe
+    // derives, with its cap audit in the report row
+    val containTag = graft.ops.ContainIndex.tag(dst, "cfull")
+    assert(spark.table(s"${containTag}_cngrams").count() > 0)
+    assert(report.artifacts.find(_.kind == "contain_index").get
+      .detail.contains("cap=16"))
     val ivfRow = report.artifacts.find(_.kind == "ivf_index").get
     assert(ivfRow.detail.contains("vectors=40"), ivfRow.detail)
     // ...the stored tables exist under the tags the query paths and
