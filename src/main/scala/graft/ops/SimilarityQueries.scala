@@ -317,8 +317,12 @@ object SimilarityQueries {
   private def rankW = org.apache.spark.sql.expressions.Window
     .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
 
-  /** Exact top-k: tiny query side broadcast against the full corpus. */
-  private[ops] def exactTopK(s: SparkSession, dir: String): DataFrame = {
+  /** Exact top-k: tiny query side broadcast against the full corpus.
+    * `k` parameterizes the rank budget (the hard-negative query keeps
+    * K+1 — positive + K negatives — off the same definition).
+    */
+  private[ops] def exactTopK(s: SparkSession, dir: String,
+                             k: Int = K): DataFrame = {
     val e = corpus(s, dir)
     val q = e.filter(expr(QueryPred))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -326,7 +330,7 @@ object SimilarityQueries {
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
   }
 
   /** ANN top-k: candidates restricted to the query's LSH bucket. */
@@ -765,6 +769,43 @@ object SimilarityQueries {
               |$exactScoredCte
               |SELECT query_id, rank, vec_id AS neighbor_id, round(cos,6) AS cosine
               |FROM exact_scored WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_hard_negatives",
+      s"Hard-negative mining for contrastive training (the DPR/retrieval " +
+        "fine-tuning data-prep step): for each query vector, the nearest " +
+        "neighbor is the assumed positive and the next " +
+        s"$K nearest are the HARD negatives — the examples that teach a " +
+        "bi-encoder the decision boundary, where random negatives are " +
+        "trivially separable. Emits each negative with its cosine and " +
+        "its MARGIN below the positive (the contrastive-loss gap; a " +
+        "margin distribution hugging 0 means the corpus region is " +
+        "ambiguous and the pair needs human review or a cross-encoder " +
+        "pass). Rides the exact-top-k definition at rank budget K+1 — " +
+        "same broadcast-query shape, corpus never shuffles.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = exactTopK(s, dir, K + 1)
+        val w = Window.partitionBy("query_id")
+        t.withColumn("poscos", max(col("cos")).over(w))
+          .filter(col("rank") >= 2)
+          .select(col("query_id"), (col("rank") - 1).as("neg_rank"),
+            col("vec_id").as("negative_id"),
+            round(col("cos"), 6).as("cosine"),
+            round(col("poscos") - col("cos"), 6).as("margin"))
+          .orderBy("query_id", "neg_rank")
+      },
+      Some(s"""WITH $baseCte,
+              |$exactScoredCte,
+              |pos AS (SELECT query_id, max(cos) AS poscos
+              |  FROM exact_scored WHERE rank <= ${K + 1} GROUP BY query_id)
+              |SELECT e.query_id, rank - 1 AS neg_rank,
+              |  vec_id AS negative_id, round(cos, 6) AS cosine,
+              |  round(p.poscos - cos, 6) AS margin
+              |FROM exact_scored e JOIN pos p ON e.query_id = p.query_id
+              |WHERE rank BETWEEN 2 AND ${K + 1}
+              |ORDER BY e.query_id, neg_rank""".stripMargin)
     ),
 
     QueryDef(

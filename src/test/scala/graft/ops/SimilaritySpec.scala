@@ -137,6 +137,35 @@ class SimilaritySpec extends SparkSpec {
     assert(rows((1, 2)) == ((2L, 1L, 0.0)))
   }
 
+  test("q_hard_negatives: K negatives per query with contiguous ranks, " +
+    "non-negative margins monotone in rank, consistent with the exact " +
+    "top-k at overlapping ranks") {
+    val negs = Registry.queryMap("q_hard_negatives")(spark, dir)
+      .select("query_id", "neg_rank", "negative_id", "cosine", "margin")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(negs.nonEmpty)
+    val topk = Registry.queryMap("q_embedding_topk")(spark, dir)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    negs.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"neg ranks not contiguous for $q")
+      // margins non-negative and non-decreasing as negatives get easier
+      assert(sorted.forall(_._5 >= 0.0))
+      assert(sorted.map(_._5).sliding(2).forall(p => p.head <= p.last))
+      // the positive (exact rank 1) is never emitted as a negative
+      assert(!sorted.exists(_._3 == topk((q, 1))))
+      // negative at neg_rank r is the exact neighbor at rank r+1
+      sorted.filter(_._2 <= 4).foreach { n =>
+        assert(topk((q, n._2 + 1)) == n._3,
+          s"negative ${n._2} of $q disagrees with exact top-k")
+      }
+    }
+  }
+
   test("q_embedding_prototypicality: the planted outlier ranks first " +
     "and is the only pruned vector in its 5-member label; quotas are " +
     "integer-exact per label") {
