@@ -938,6 +938,97 @@ object DedupQueries {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // ---------------------------------------------------------- H3''cm
+    QueryDef(
+      "q_containment_recall",
+      "Measured precision/recall of the df-capped containment CANDIDATE " +
+        "rule against exact all-pairs containment ground truth on the " +
+        s"fixed doc panel (id % $RecallMod == 0 or id < $RecallPrefix) " +
+        "— the number that makes the df cap falsifiable (the H3m/" +
+        "q_ann_recall pattern applied to the containment family): " +
+        "recall counts true containment pairs (cont >= 4/5) the " +
+        "shared-rare-n-gram rule surfaces, precision the fraction of " +
+        "candidates that verify. Ground truth is a deliberate " +
+        "exact-baseline cross join bounded to the panel; the candidate " +
+        "side is the production rule (df over the FULL corpus) with " +
+        "the panel filter pushed into both self-join legs.",
+      (s, dir) => {
+        def inPanel(c: org.apache.spark.sql.Column) =
+          c % RecallMod === 0 || c < RecallPrefix
+        val g = ngramDocs(Tables.par(s, dir, "documents"))
+        val inv = g.select(col("doc_id"), explode(col("ng")).as("g1"))
+        val rare = inv.groupBy("g1").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= ContainDfCap)
+          .select("g1")
+        val r = inv.join(rare, "g1").filter(inPanel(col("doc_id")))
+        val cand = r.select(col("g1"), col("doc_id").as("doc_a"))
+          .join(r.select(col("g1"), col("doc_id").as("doc_b")), "g1")
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val pg = g.filter(inPanel(col("doc_id")))
+        val ga = pg.select(col("doc_id").as("doc_a"), col("ng").as("nga"))
+        val gb = pg.select(col("doc_id").as("doc_b"), col("ng").as("ngb"))
+        def contOf = size(array_intersect(col("nga"), col("ngb")))
+          .cast("double") / least(size(col("nga")), size(col("ngb")))
+        val candC = cand.join(ga, "doc_a").join(gb, "doc_b")
+          .withColumn("cont", contOf)
+        val truth = ga.join(broadcast(gb), col("doc_a") < col("doc_b"))
+          .select(contOf.as("cont"))
+          .filter(col("cont") >= ContainTau)
+        val m1 = pg.agg(count(lit(1)).as("n_panel_docs"))
+        val m2 = truth.agg(count(lit(1)).as("n_true_pairs"))
+        val m3 = candC.agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("cont") >= ContainTau, 1).otherwise(0))
+            .cast("long").as("n_hits"))
+        // vacuous-truth convention as q_dedup_recall (mirrored oracle)
+        m1.crossJoin(m2).crossJoin(m3)
+          .select(col("n_panel_docs"), col("n_true_pairs"),
+            col("n_candidates"), col("n_hits"),
+            when(col("n_candidates") > 0,
+              round(col("n_hits").cast("double") / col("n_candidates"), 6))
+              .otherwise(1.0).as("precision"),
+            when(col("n_true_pairs") > 0,
+              round(col("n_hits").cast("double") / col("n_true_pairs"), 6))
+              .otherwise(1.0).as("recall"))
+      },
+      Some {
+        val cont = "CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) / " +
+          "least(len(a.ng), len(b.ng))"
+        s"""WITH t AS (SELECT doc_id, string_split($normSql,' ') AS w FROM documents),
+           |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+           |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS ng
+           |  FROM t WHERE len(w) >= 3),
+           |inv AS (SELECT doc_id, unnest(ng) AS g1 FROM g),
+           |rare AS (SELECT g1 FROM inv GROUP BY g1
+           |  HAVING count(*) <= $ContainDfCap),
+           |r AS (SELECT i.doc_id, i.g1 FROM inv i JOIN rare USING (g1)
+           |  WHERE i.doc_id % $RecallMod = 0 OR i.doc_id < $RecallPrefix),
+           |cd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM r a JOIN r b ON a.g1 = b.g1 AND a.doc_id < b.doc_id),
+           |pg AS (SELECT doc_id, ng FROM g
+           |  WHERE doc_id % $RecallMod = 0 OR doc_id < $RecallPrefix),
+           |cc AS (SELECT c.doc_a, c.doc_b, $cont AS cont
+           |  FROM cd c JOIN pg a ON a.doc_id = c.doc_a
+           |  JOIN pg b ON b.doc_id = c.doc_b),
+           |tr AS (SELECT count(*) AS n_true_pairs
+           |  FROM pg a JOIN pg b ON a.doc_id < b.doc_id
+           |  WHERE $cont >= $ContainTau),
+           |m AS (SELECT (SELECT count(*) FROM pg) AS n_panel_docs,
+           |    (SELECT n_true_pairs FROM tr) AS n_true_pairs,
+           |    (SELECT count(*) FROM cc) AS n_candidates,
+           |    (SELECT count(*) FILTER (cont >= $ContainTau) FROM cc)
+           |      AS n_hits)
+           |SELECT n_panel_docs, n_true_pairs, n_candidates, n_hits,
+           |  CASE WHEN n_candidates > 0
+           |    THEN round(CAST(n_hits AS DOUBLE)/n_candidates, 6)
+           |    ELSE 1.0 END AS precision,
+           |  CASE WHEN n_true_pairs > 0
+           |    THEN round(CAST(n_hits AS DOUBLE)/n_true_pairs, 6)
+           |    ELSE 1.0 END AS recall
+           |FROM m""".stripMargin
+      }
+    ),
+
     // ---------------------------------------------------------- H3''c+
     QueryDef(
       "q_containment_incremental",
