@@ -840,6 +840,60 @@ object DedupQueries {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // ----------------------------------------------------------- H3+l
+    QueryDef(
+      "q_split_leakage",
+      "Near-dup train/eval LEAKAGE audit: the deterministic 90/5/5 " +
+        "hash split (q_data_split's exact bucket rule — one " +
+        "definition) crossed with the verified near-dup pair graph " +
+        "(the production MinHash pipeline). A near-dup pair whose " +
+        "members land in DIFFERENT splits leaks eval content into " +
+        "training — the contamination a memorization-prone eval " +
+        "mistakes for generalization, and the reason dedup must run " +
+        "BEFORE splitting (cluster-aware splits). Emits per " +
+        "(split_lo, split_hi) class: verified-pair count, share of " +
+        "all verified pairs, leak flag. Rides the cached candidate " +
+        "family; the split label is a stateless per-row hash; the " +
+        "share window runs on the reduced <=6-row class relation.",
+      (s, dir) => {
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val bkt = conv(substring(md5(c.cast("string")), 1, 6), 16, 10)
+            .cast("long") % 100
+          when(bkt < 90, "train").when(bkt < 95, "val").otherwise("test")
+        }
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        minhashPairs(s, dir)
+          .withColumn("sa", splitOf(col("doc_a")))
+          .withColumn("sb", splitOf(col("doc_b")))
+          .select(least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"))
+          .groupBy("split_lo", "split_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("share", round(col("n_pairs").cast("double") /
+            sum(col("n_pairs")).over(w), 6))
+          .withColumn("leaks",
+            when(col("split_lo") =!= col("split_hi"), 1).otherwise(0))
+          .orderBy("split_lo", "split_hi")
+      },
+      Some {
+        def sq(c: String) =
+          s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 6)) AS BIGINT) % 100"
+        def cs(b: String) =
+          s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+        s"""WITH $pairsSqlCtes,
+           |sp AS (SELECT least(ca, cb) AS split_lo,
+           |    greatest(ca, cb) AS split_hi FROM (
+           |  SELECT ${cs("ba")} AS ca, ${cs("bb")} AS cb FROM (
+           |    SELECT ${sq("doc_a")} AS ba, ${sq("doc_b")} AS bb
+           |    FROM pairs)))
+           |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  round(CAST(count(*) AS DOUBLE) /
+           |    (SELECT count(*) FROM pairs), 6) AS share,
+           |  CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS leaks
+           |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }
+    ),
+
     // ----------------------------------------------------------- H3''c
     QueryDef(
       "q_dedup_containment",
