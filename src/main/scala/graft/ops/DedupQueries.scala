@@ -313,6 +313,21 @@ object DedupQueries {
     s"""$candSqlCtes,
        |pairs AS (SELECT * FROM cand WHERE j >= $MinhashVerifyJ)""".stripMargin
 
+  /** Recursive-CC chain over `pairs` ending in `cc(doc_id, cluster_id)`
+    * — the oracle twin of [[minhashComponents]], ONE definition for
+    * every cluster-consuming oracle (clusters, keep-best, cluster-aware
+    * split) so the replays cannot drift. Callers must open their WITH
+    * as `WITH RECURSIVE`.
+    */
+  private val ccSqlCtes: String =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |walk(doc_id, reach) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+      |cc AS (SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id)""".stripMargin
+
   /** Fixed iteration count for the min-label propagation VARIANT
     * ([[connectedComponents]]): covers any component of graph diameter
     * <= CcIters. Kept for tests and for graphs whose diameter is known
@@ -680,13 +695,7 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $pairsSqlCtes,
-              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |walk(doc_id, reach) AS (
-              |  SELECT DISTINCT src, src FROM edges
-              |  UNION
-              |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
-              |cc AS (SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id)
+              |$ccSqlCtes
               |SELECT doc_id, cluster_id,
               |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
               |FROM cc ORDER BY doc_id""".stripMargin)
@@ -723,13 +732,7 @@ object DedupQueries {
         val stop = TextQueries.stopwords.map(x => s"'$x'")
           .mkString("[", ",", "]")
         s"""WITH RECURSIVE $pairsSqlCtes,
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |walk(doc_id, reach) AS (
-           |  SELECT DISTINCT src, src FROM edges
-           |  UNION
-           |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
-           |cc AS (SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id),
+           |$ccSqlCtes,
            |kb_t AS (SELECT doc_id, ${graft.functions.TextFunctions.toksSql} AS toks,
            |    length(text) AS n_chars FROM documents),
            |kb_qp AS (SELECT doc_id,
@@ -891,6 +894,75 @@ object DedupQueries {
            |    (SELECT count(*) FROM pairs), 6) AS share,
            |  CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS leaks
            |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }
+    ),
+
+    // ---------------------------------------------------------- H3+l'
+    QueryDef(
+      "q_split_cluster_aware",
+      "Cluster-aware train/val/test split — the REMEDY the leakage " +
+        "audit points to: the same 90/5/5 hash rule applied to each " +
+        "doc's near-dup CLUSTER REPRESENTATIVE (the H3+ star-" +
+        "contraction label; singleton docs are their own " +
+        "representative), so every member of a near-dup cluster lands " +
+        "in the same split BY CONSTRUCTION. Emits per split: docs, " +
+        "distinct groups, and the leak check over the verified pair " +
+        "graph — n_leaking is structurally 0 (a verified pair IS an " +
+        "edge, so both ends share a cluster and therefore a split), " +
+        "and the oracle + spec prove it rather than assert it. " +
+        "Compare q_split_leakage's 28% crossing pairs under the " +
+        "dedup-oblivious split.",
+      (s, dir) => {
+        def bktOf(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c.cast("string")), 1, 6), 16, 10)
+            .cast("long") % 100
+        def splitCase(b: org.apache.spark.sql.Column) =
+          when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        val cc = minhashComponents(s, dir).select("doc_id", "cluster_id")
+        val lab = Tables.t(s, dir, "documents").select("doc_id")
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+          .withColumn("split", splitCase(bktOf(col("rep"))))
+        val splits = lab.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("rep")).as("n_groups"))
+        val leaks = minhashPairs(s, dir)
+          .join(lab.select(col("doc_id").as("doc_a"),
+            col("split").as("sa")), "doc_a")
+          .join(lab.select(col("doc_id").as("doc_b"),
+            col("split").as("sb")), "doc_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("sa") =!= col("sb"), 1).otherwise(0))
+              .cast("long").as("n_leaking"))
+        splits.crossJoin(leaks)
+          .select(col("split"), col("n_docs"), col("n_groups"),
+            col("n_pairs"), col("n_leaking"))
+          .orderBy("split")
+      },
+      Some {
+        def sq(c: String) =
+          s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 6)) AS BIGINT) % 100"
+        s"""WITH RECURSIVE $pairsSqlCtes,
+           |$ccSqlCtes,
+           |rep AS (SELECT dd.doc_id,
+           |    coalesce(cc.cluster_id, dd.doc_id) AS rep
+           |  FROM (SELECT doc_id FROM documents) dd
+           |  LEFT JOIN cc ON dd.doc_id = cc.doc_id),
+           |lab AS (SELECT doc_id, rep,
+           |    CASE WHEN ${sq("rep")} < 90 THEN 'train'
+           |         WHEN ${sq("rep")} < 95 THEN 'val'
+           |         ELSE 'test' END AS split FROM rep),
+           |sp AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(count(DISTINCT rep) AS BIGINT) AS n_groups
+           |  FROM lab GROUP BY split),
+           |lk AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(coalesce(sum(CASE WHEN la.split <> lb.split
+           |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaking
+           |  FROM pairs p JOIN lab la ON la.doc_id = p.doc_a
+           |  JOIN lab lb ON lb.doc_id = p.doc_b)
+           |SELECT split, n_docs, n_groups, n_pairs, n_leaking
+           |FROM sp, lk ORDER BY split""".stripMargin
       }
     ),
 
