@@ -87,7 +87,7 @@ object CorpusQueries {
     * between engines even in the last ulp. Declared BEFORE [[defs]]:
     * the oracle string interpolates it at object initialization.
     */
-  private val Ln2: Double = math.log(2.0)
+  private[ops] val Ln2: Double = math.log(2.0)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

@@ -202,6 +202,107 @@ object SampleQueries {
     ),
 
     QueryDef(
+      "q_split_divergence",
+      "Split-distribution parity audit: Laplace-smoothed unigram KL " +
+        "divergence (in bits) of each held-out split against train, " +
+        "plus the held-out token mass on words train never saw — the " +
+        "'is my eval set representative' check a release runs before " +
+        "trusting val/test numbers (a drifted split measures the " +
+        "wrong distribution). Smoothing is over the shared corpus " +
+        "vocabulary, so KL is finite by construction. Cross-engine " +
+        "float determinism is the LM-scorer's convention: each " +
+        "per-word KL term is rounded to 9 decimals BEFORE the exact " +
+        "DECIMAL summation (a last-ulp libm ln difference cannot " +
+        "reach the sum), ln2 one shared double literal. Scale shape: " +
+        "one token-grain agg to (split x word) counts — vocab-grain " +
+        "from there (the term grid is vocab x 2 rows, counts " +
+        "broadcast), nothing corpus-scale after the first agg.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ln2 = graft.ops.CorpusQueries.Ln2
+        val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+          16, 10).cast("long") % 100
+        val d = Tables.par(s, dir, "documents")
+          .withColumn("split",
+            when(bkt < 90, "train").when(bkt < 95, "val").otherwise("test"))
+          .select(col("split"),
+            explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("w"))
+          .filter(col("w") =!= "")
+        val cnt = d.groupBy("split", "w").agg(count(lit(1)).as("c"))
+        val vocab = cnt.select("w").distinct()
+        val vrow = vocab.agg(count(lit(1)).as("vsz"))
+        val tr = cnt.filter(col("split") === "train")
+          .select(col("w"), col("c").as("ct"))
+        val ntr = tr.agg(sum(col("ct")).as("nt"))
+        val sp = cnt.filter(col("split") =!= "train")
+        val nsp = sp.groupBy("split").agg(sum(col("c")).as("ns"))
+        val grid = vocab.crossJoin(broadcast(nsp.select("split")))
+          .join(sp.select(col("split"), col("w"), col("c").as("cs")),
+            Seq("split", "w"), "left")
+          .join(tr, Seq("w"), "left")
+          .select(col("split"), col("w"),
+            coalesce(col("cs"), lit(0L)).as("cs"),
+            coalesce(col("ct"), lit(0L)).as("ct"))
+          .join(broadcast(nsp), "split")
+          .crossJoin(broadcast(ntr)).crossJoin(broadcast(vrow))
+          .withColumn("p",
+            (col("cs") + 1).cast("double") / (col("ns") + col("vsz")))
+          .withColumn("q",
+            (col("ct") + 1).cast("double") / (col("nt") + col("vsz")))
+          .withColumn("bits",
+            round(col("p") * (log(col("p")) - log(col("q"))) / lit(ln2), 9))
+        grid.groupBy("split")
+          .agg(sum(col("bits").cast(DecimalType(38, 10))).cast("double")
+            .as("klraw"),
+            sum(when(col("ct") === 0, col("cs")).otherwise(0L)).as("oovc"))
+          .join(broadcast(nsp), "split")
+          .crossJoin(broadcast(vrow))
+          .select(col("split"), col("ns").as("n_tokens"),
+            col("vsz").as("vocab_size"),
+            round(col("oovc").cast("double") / col("ns"), 6).as("oov_mass"),
+            round(col("klraw"), 6).as("kl_bits"))
+          .orderBy("split")
+      },
+      Some {
+        val ln2 = graft.ops.CorpusQueries.Ln2
+        s"""WITH d AS (SELECT
+           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |         ELSE 'test' END AS split, w FROM (
+           |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+           |      AS BIGINT) % 100 AS b,
+           |    unnest(${graft.functions.TextFunctions.toksSql}) AS w
+           |  FROM documents) WHERE w <> ''),
+           |cnt AS (SELECT split, w, CAST(count(*) AS BIGINT) AS c
+           |  FROM d GROUP BY split, w),
+           |vocab AS (SELECT DISTINCT w FROM cnt),
+           |vrow AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM vocab),
+           |tr AS (SELECT w, c AS ct FROM cnt WHERE split = 'train'),
+           |ntr AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tr),
+           |nsp AS (SELECT split, CAST(sum(c) AS BIGINT) AS ns FROM cnt
+           |  WHERE split <> 'train' GROUP BY split),
+           |grid AS (SELECT g.split, g.w,
+           |    coalesce(sc.c, 0) AS cs, coalesce(tr.ct, 0) AS ct,
+           |    g.ns, ntr.nt, vrow.vsz
+           |  FROM (SELECT v.w, s.split, s.ns FROM vocab v, nsp s) g
+           |  LEFT JOIN cnt sc ON sc.split = g.split AND sc.w = g.w
+           |  LEFT JOIN tr ON tr.w = g.w, ntr, vrow),
+           |terms AS (SELECT split, cs, ct,
+           |    round(((cs + 1)::DOUBLE / (ns + vsz)) *
+           |      (ln((cs + 1)::DOUBLE / (ns + vsz)) -
+           |       ln((ct + 1)::DOUBLE / (nt + vsz))) / $ln2, 9) AS bits,
+           |    ns, vsz
+           |  FROM grid)
+           |SELECT split, ns AS n_tokens, vsz AS vocab_size,
+           |  round(CAST(sum(CASE WHEN ct = 0 THEN cs ELSE 0 END) AS DOUBLE)
+           |    / ns, 6) AS oov_mass,
+           |  round(CAST(sum(CAST(bits AS DECIMAL(38,10))) AS DOUBLE), 6)
+           |    AS kl_bits
+           |FROM terms GROUP BY split, ns, vsz ORDER BY split""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_shuffle_shard",
       "Deterministic global training-order shuffle + sharding: the " +
         "reproducible corpus permutation a training run reads (epoch " +
