@@ -98,6 +98,40 @@ class ContainIndexSpec extends SparkSpec {
     dropAll(tag)
   }
 
+  test("randomized corpora: stored-index probe equals the pure-Scala " +
+    "reference (build + probe + best-match under low-entropy text)") {
+    val rnd = new scala.util.Random(4321)
+    val vocab = (1 to 10).map(i => s"u$i")
+    for (trial <- 1 to 2) {
+      val tag = s"graft_test_ci_rnd$trial"
+      dropAll(tag)
+      val standing = (1L to 20L).map { id =>
+        val len = 4 + rnd.nextInt(10)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // probes: slices of standing docs (true containment) + fresh noise
+      val probes = (100L to 104L).map { id =>
+        if (id % 2 == 0) {
+          val (_, src) = standing(rnd.nextInt(standing.size))
+          val w = src.split(" ")
+          val n = math.max(3, w.length - rnd.nextInt(2))
+          (id, w.take(n).mkString(" "))
+        } else
+          (id, Seq.fill(5)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val (post, arrs) = ContainIndex.buildOrLoad(spark,
+        standing.toDF("doc_id", "text"), tag)
+      val got = ContainIndex.probe(
+        DedupQueries.ngramDocs(probes.toDF("doc_id", "text")), post, arrs)
+        .select("doc_id", "match_id", "containment")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == reference(standing, probes),
+        s"trial $trial: probe != reference\ngot $got\nref ${reference(standing, probes)}")
+      dropAll(tag)
+    }
+  }
+
   test("append then refreshCounts equals a from-scratch rebuild; " +
     "pre-refresh batch-local df is a lower bound (recall-safe)") {
     val tagA = "graft_test_ci_append"
