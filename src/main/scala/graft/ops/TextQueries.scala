@@ -160,6 +160,57 @@ object TextQueries {
     ),
 
     QueryDef(
+      "q_context_fit",
+      "Context-window planning curve: for each candidate window size L, " +
+        "the fraction of docs that FIT (ws tokens <= L) and the token " +
+        "coverage under truncation (sum(min(tokens, L)) / sum(tokens)) " +
+        "— the two numbers that decide a training run's sequence " +
+        "length: fit-rate prices padding waste at small L, truncation " +
+        "coverage prices data loss at small L, and the window is " +
+        "chosen where the coverage curve flattens. One corpus pass: " +
+        "all windows' conditional sums fuse into a single aggregate, " +
+        "then unpivot (the C1-C4 fusion argument); integer sums, two " +
+        "IEEE divisions rounded 6dp. Window candidates are scaled to " +
+        "the test corpus (docs ~40-60 words); production uses the " +
+        "same query at 2k-8k.",
+      (s, dir) => {
+        val windows = Seq(16, 32, 64, 128)
+        val n = size(tokens(col("text")))
+        val aggs = Seq(count(lit(1)).as("n_docs"),
+          sum(n.cast("long")).as("tok_total")) ++
+          windows.flatMap(l => Seq(
+            sum(when(n <= l, 1L).otherwise(0L)).as(s"fit_$l"),
+            sum(least(n.cast("long"), lit(l.toLong))).as(s"cov_$l")))
+        val rows = windows.map(l => struct(lit(l).as("win"),
+          col(s"fit_$l").as("n_fit"),
+          round(col(s"fit_$l").cast("double") / col("n_docs"), 6)
+            .as("fit_frac"),
+          round(col(s"cov_$l").cast("double") / col("tok_total"), 6)
+            .as("trunc_coverage")))
+        Tables.t(s, dir, "documents")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rows: _*)).as("r"))
+          .select(col("r.*"))
+          .orderBy("win")
+      },
+      Some {
+        val windows = Seq(16, 32, 64, 128)
+        val sels = windows.map { l =>
+          s"""SELECT $l AS win,
+             |  CAST(sum(CASE WHEN len($toksSql) <= $l THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_fit,
+             |  round(CAST(sum(CASE WHEN len($toksSql) <= $l THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*), 6) AS fit_frac,
+             |  round(CAST(sum(least(len($toksSql), $l)) AS DOUBLE) /
+             |    sum(len($toksSql)), 6) AS trunc_coverage
+             |FROM documents""".stripMargin
+        }
+        sels.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY win")
+      }
+    ),
+
+    QueryDef(
       "q_lang_id",
       "Language-ID heuristic: stopword-marker hit counts per language, " +
         "argmax with fixed tie order (greatest hit count, then language " +
