@@ -120,6 +120,117 @@ object WordNgrams {
     GraftSqlBridge.toColumn(WordNgrams(GraftSqlBridge.toExpression(toks), n))
 }
 
+/** PER-POSITION word n-grams (space-joined) over a token array — the
+  * NON-distinct sibling of [[WordNgrams]]: element i is the gram starting
+  * at token i, so the output has exactly `size - n + 1` elements (empty
+  * when size < n) and `posexplode` over it yields (position, gram) pairs.
+  * The span-scrub operator needs positions (WHERE a duplicated span sits,
+  * not just whether the doc has it), which the distinct set erases.
+  * Equals the HOF `transform(sequence(...), concat_ws(" ", element_at...))`
+  * without the interpreted per-element dispatch.
+  */
+case class WordNgramSeq(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngram_seq"
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](m - n + 1)
+    val gram = new Array[UTF8String](n)
+    i = 0
+    while (i <= m - n) {
+      System.arraycopy(toks, i, gram, 0, n)
+      out(i) = UTF8String.concatWs(space, gram: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramSeq =
+    copy(child = newChild)
+}
+
+object WordNgramSeq {
+  def apply(toks: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(WordNgramSeq(GraftSqlBridge.toExpression(toks), n))
+}
+
+/** Span-scrub rewrite kernel: given a token array and the SORTED (ascending)
+  * 0-based start positions of width-`n` spans to remove, return the tokens
+  * NOT covered by any [s, s+n-1] interval, in order. One pointer pass over
+  * (tokens ++ starts) — O(m + |starts|) whatever the coverage pattern, where
+  * the HOF formulation ([[TextFunctions.scrubTokensHof]], the differential
+  * reference) pays O(m·|starts|) in interpreted lambda dispatch. Sortedness
+  * is the caller's contract (`sort_array(collect_list(pos))` at the one call
+  * site); an unsorted starts array silently under-removes.
+  *
+  * An empty starts array returns the tokens unchanged (copied — emitted
+  * strings never alias the input buffer, the [[CharShingles]] aliasing
+  * lesson).
+  */
+case class ScrubTokens(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(n >= 1, s"span width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<int>), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "graft_scrub_tokens"
+
+  override def nullSafeEval(t: Any, s: Any): Any = {
+    val toks = t.asInstanceOf[ArrayData]
+    val starts = s.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val k = starts.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](m)
+    var idx = 0
+    var coverEnd = -1L
+    var p = 0
+    while (p < m) {
+      while (idx < k && starts.getInt(idx) <= p) {
+        val e = starts.getInt(idx).toLong + (n - 1)
+        if (e > coverEnd) coverEnd = e
+        idx += 1
+      }
+      if (p > coverEnd)
+        out += (if (toks.isNullAt(p)) null else toks.getUTF8String(p).clone())
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScrubTokens =
+    copy(left = newLeft, right = newRight)
+}
+
+object ScrubTokens {
+  def apply(toks: Column, starts: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(ScrubTokens(
+      GraftSqlBridge.toExpression(toks), GraftSqlBridge.toExpression(starts), n))
+}
+
 /** Exact Jaccard similarity |A∩B| / |A∪B| of two string arrays in one
   * hash-set pass — replaces `size(array_intersect(a,b)) /
   * size(array_distinct(concat(a,b)))`, which allocates the concatenated

@@ -96,6 +96,35 @@ object TextFunctions {
   def minhashSignature(material: Column, numHashes: Int): Column =
     array((0 until numHashes).map(minhashComponent(material, _)): _*)
 
+  /** Per-position word n-grams (non-distinct) — native ([[WordNgramSeq]]). */
+  def wordNgramSeq(toks: Column, n: Int): Column = WordNgramSeq(toks, n)
+
+  /** HOF reference for [[wordNgramSeq]]. */
+  def wordNgramSeqHof(toks: Column, n: Int): Column =
+    when(toks.isNull, lit(null).cast("array<string>")) // null in -> null out
+      .when(size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Remove width-`n` spans: tokens not covered by any [s, s+n-1] for s in
+    * `starts` (sorted, 0-based) — native one-pointer pass ([[ScrubTokens]]).
+    */
+  def scrubTokens(toks: Column, starts: Column, n: Int): Column =
+    ScrubTokens(toks, starts, n)
+
+  /** HOF reference for [[scrubTokens]] — O(m·|starts|) exists-scan, kept for
+    * the differential spec only.
+    */
+  def scrubTokensHof(toks: Column, starts: Column, n: Int): Column =
+    // sequence(0, -1) DESCENDS for empty input -> guard explicitly
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        filter(sequence(lit(0), size(toks) - 1),
+          p => !exists(starts, s => s <= p && p <= s + (n - 1))),
+        p => element_at(toks, p + 1)))
+
   /** Exact Jaccard similarity of two string arrays — native one-hash-set
     * pass ([[JaccardSim]]); set semantics, NULL on empty union.
     */

@@ -52,12 +52,18 @@ object SpanDedup {
     */
   private val SubstrWindow = 32
 
+  /** DuckDB gram-at-position-i builder shared by the span SQL and the
+    * scrub oracle (one definition so the two cannot drift).
+    */
+  private val gramSql: String =
+    (0 until SpanN).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+      .mkString("||' '||")
+
   /** SQL twin of the span fingerprint pipeline: doc_id, source, number of
     * distinct spans in the doc, and one row per distinct span md5.
     */
   private val spanSql: String = {
-    val gram = (0 until SpanN).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
-      .mkString("||' '||")
+    val gram = gramSql
     s"""t AS (SELECT doc_id, source, string_split($normSql,' ') AS w FROM documents),
        |g AS (SELECT doc_id, source, list_distinct(list_transform(
        |    range(1, len(w)-${SpanN - 2}), i -> $gram)) AS spans
@@ -141,6 +147,49 @@ object SpanDedup {
     SpanSet.buildOrLoadChar(s, Tables.par(s, dir, "documents"),
       SpanSet.charTag(dir))
 
+  /** The span-SCRUB rewrite (q_dedup_scrub's body): materialize the
+    * cleaned corpus by REMOVING every token covered by a duplicated
+    * word-[[SpanN]]-gram span — Lee et al. 2022's actual deduplication
+    * step, where the profile queries only measure it. `dupSet` is the
+    * duplicated-span fingerprint set to scrub against (the stored
+    * [[SpanSet]] for the declared query; any derivation for ad-hoc
+    * corpora / the re-profile invariant spec).
+    *
+    * Output: doc_id, n_tokens, n_removed, removed_frac, scrubbed_text
+    * (normalized-token join of the kept positions — token-grain, the
+    * same grain the fingerprints are defined at).
+    *
+    * Shape (100 TB): two corpus scans (positions leg + rewrite leg — a
+    * one-scan formulation would have to carry full token arrays through
+    * the sh-keyed shuffle, trading a cheap rescan for shuffling the
+    * corpus text), one sh-equi-join of the per-position fingerprints
+    * against the dup set (bucketed scan side exchange-free), one
+    * doc-grain agg that carries ONLY duplicated start positions (ints,
+    * not text), one doc_id join back, then a per-doc O(m + |starts|)
+    * native rewrite ([[graft.functions.ScrubTokens]]). Nothing
+    * all-pairs; no text on any shuffle.
+    */
+  private[graft] def scrubbed(docs: DataFrame, dupSet: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordNgramSeq(tokens(col("text")), SpanN)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("sh"))
+    val starts = pos.join(dupSet.select("sh"), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        graft.functions.ScrubTokens(col("w"),
+          coalesce(col("ss"), array().cast("array<int>")), SpanN).as("kept"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        round((size(col("w")) - size(col("kept"))).cast("double") /
+          size(col("w")), 6).as("removed_frac"),
+        array_join(col("kept"), " ").as("scrubbed_text"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_dedup_spans",
@@ -171,6 +220,49 @@ object SpanDedup {
               |  round(CAST(count(f.sh) AS DOUBLE)/max(e.n_spans),6) AS dup_frac
               |FROM e LEFT JOIN f USING(sh)
               |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_dedup_scrub",
+      "Span-SCRUB: materialize the CLEANED corpus — every token covered " +
+        "by a duplicated word-8-gram span is removed and the kept tokens " +
+        "re-joined per doc (Lee et al. 2022's actual dedup step; " +
+        "q_dedup_spans only PROFILES the duplication this query removes). " +
+        "Emits doc_id, token counts, removed fraction, and the scrubbed " +
+        "text itself. The dup-span verdict set is the STORED SpanSet; " +
+        "positions come from one per-position fingerprint pass " +
+        "(non-distinct native WordNgramSeq — the stored rows are " +
+        "distinct-per-doc and so cannot say WHERE a span sits); the " +
+        "rewrite is the one-pass native ScrubTokens over sorted dup " +
+        "starts. Only integers (doc_id, pos) ride the doc-grain " +
+        "shuffle — never text. Invariants (SpanScrubSpec): removed_frac " +
+        "== 0 exactly when q_dedup_spans' n_dup_spans == 0, and " +
+        "re-profiling the scrubbed corpus finds (near-)zero duplicated " +
+        "tokens.",
+      (s, dir) => {
+        stored(s, dir) // ensure the span artifact exists for this corpus
+        scrubbed(Tables.par(s, dir, "documents"),
+          SpanSet.duplicatedSpans(s, SpanSet.tag(dir)))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $spanSql,
+              |f AS (SELECT sh FROM e GROUP BY sh HAVING count(*) >= $MinDocs),
+              |ph AS (SELECT doc_id, unnest(range(1, len(w)-${SpanN - 2})) AS i,
+              |    w FROM t WHERE len(w) >= $SpanN),
+              |ph2 AS (SELECT doc_id, i, md5($gramSql) AS sh FROM ph),
+              |st AS (SELECT doc_id, list(i ORDER BY i) AS ss
+              |  FROM ph2 JOIN f USING(sh) GROUP BY doc_id),
+              |r AS (SELECT t.doc_id, t.w, coalesce(st.ss, CAST([] AS BIGINT[]))
+              |    AS ss FROM t LEFT JOIN st USING(doc_id)),
+              |k AS (SELECT doc_id, len(w) AS nt, list_transform(list_filter(
+              |    range(1, len(w)+1),
+              |    p -> len(list_filter(ss, s -> s >= p - ${SpanN - 1} AND s <= p)) = 0),
+              |    p -> w[p]) AS kept FROM r)
+              |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+              |  CAST(nt - len(kept) AS BIGINT) AS n_removed,
+              |  round(CAST(nt - len(kept) AS DOUBLE) / nt, 6) AS removed_frac,
+              |  coalesce(array_to_string(kept, ' '), '') AS scrubbed_text
+              |FROM k ORDER BY doc_id""".stripMargin)
     ),
 
     QueryDef(
