@@ -33,6 +33,7 @@ object Registry {
       ops.SampleQueries.defs ++
       ops.PackingQueries.defs ++
       ops.MultimodalQueries.defs ++
+      ops.ImageDedup.defs ++
       ops.CorpusQueries.defs ++
       ops.BpeQueries.defs ++
       ops.GraphQueries.defs
