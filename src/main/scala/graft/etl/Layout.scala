@@ -101,6 +101,35 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Shard-major training-order materialization: write a permutation
+    * relation (must carry `shard` int + `pos` long — the
+    * [[graft.ops.SampleQueries.shuffleShardPerm]] columns) as one
+    * directory per shard whose files, read in LEXICOGRAPHIC name order,
+    * replay the shard's rows in exact permutation order — so a training
+    * loader that walks shard dirs 0..15 and streams each dir's files in
+    * listing order reads the exact global permutation without any sort
+    * (ShardReplaySpec proves read-back == the oracle ROW_NUMBER order).
+    *
+    * Why the layout guarantees it: `repartitionByRange` on (shard, pos)
+    * produces partitions that are ORDERED, CONTIGUOUS ranges of the
+    * permutation, and Spark names output files part-NNNNN by partition
+    * id — so within any shard directory, file-name order == range order
+    * — while `sortWithinPartitions` orders rows inside each file. A
+    * range boundary landing mid-shard (the sampler is approximate)
+    * splits a dir into several files but cannot reorder them.
+    *
+    * `numFiles` is the TOTAL file budget across shards. At 100 TB pick
+    * it so each file is a loader-friendly 256 MB–1 GB (corpus bytes /
+    * target file size, rounded to a multiple of 16 so shard boundaries
+    * don't straddle more files than they must) — see SCALE.md; 16 (one
+    * file per shard) is right at test scale only.
+    */
+  def writeShardMajor(perm: DataFrame, path: String,
+                      numFiles: Int = 16): Unit =
+    perm.repartitionByRange(numFiles, col("shard"), col("pos"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+
   /** Files a filtered scan of `path` actually touches — the pruning
     * evidence. Note `df.inputFiles` would NOT show pruning (it lists
     * the relation's whole file index); executing the scan and

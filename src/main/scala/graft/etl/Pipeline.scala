@@ -57,6 +57,12 @@ object Pipeline {
     *   - `chunkStoreTables`: stored chunk table
     *     ([[graft.ops.ChunkStore]]; doc_id + text); report row carries
     *     chunk count + derived buckets.
+    *   - `shuffleShardTables`: shard-major training-order
+    *     materialization ([[Layout.writeShardMajor]] over
+    *     [[graft.ops.SampleQueries.shuffleShardPerm]]; table must carry
+    *     doc_id): `<t>_shards.parquet/shard=K/` file groups whose
+    *     listing-order read replays the exact global permutation
+    *     q_shuffle_shard declares (ShardReplaySpec).
     *   - `zOrder`: table -> (c1, c2) two-dimensional Z-order layout
     *     written alongside the row table ([[Layout.writeZOrdered]]).
     *   - `compact`: table -> sort key small-files compaction
@@ -68,16 +74,18 @@ object Pipeline {
       charSpanTables: Seq[String] = Nil, // char-winnow substring artifact
       chunkStoreTables: Seq[String] = Nil, // stored chunk table (RAG keys)
       containIndexTables: Seq[String] = Nil, // stored containment index
+      shuffleShardTables: Seq[String] = Nil, // shard-major training order
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       buildPqStore: Boolean = false, // stored PQ codes over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
       compact: Map[String, String] = Map.empty,
       compactTargetBytes: Long = 128L * 1024 * 1024,
+      shardFiles: Int = 16, // total file budget for shuffleShardTables
       hotBucketCap: Int = graft.ops.DedupQueries.HotBucketCap) {
     def isEmpty: Boolean =
       bandIndexTables.isEmpty && spanSetTables.isEmpty &&
         charSpanTables.isEmpty && chunkStoreTables.isEmpty &&
-        containIndexTables.isEmpty &&
+        containIndexTables.isEmpty && shuffleShardTables.isEmpty &&
         !buildIvfIndex && !buildPqStore &&
         zOrder.isEmpty && compact.isEmpty
   }
@@ -293,7 +301,20 @@ object Pipeline {
       log.info(t, "artifact compaction", msg)
       Report.ArtifactResult(t, "compaction", msg, 0L, 0L, secs)
     }
-    band ++ spans ++ charSpans ++ chunks ++ contain ++ ivf ++ pq ++ zs ++ cps
+    val shards = a.shuffleShardTables.map { t =>
+      val path = s"$outDir/${t}_shards.parquet"
+      val (n, secs) = timed {
+        val perm = graft.ops.SampleQueries.shuffleShardPerm(
+          spark.read.parquet(s"$outDir/$t.parquet"))
+        Layout.writeShardMajor(perm, path, a.shardFiles)
+        spark.read.parquet(path).count()
+      }
+      val msg = s"path=$path rows=$n files=${a.shardFiles} shards=16"
+      log.info(t, "artifact shuffle_shard", msg)
+      Report.ArtifactResult(t, "shuffle_shard", msg, 0L, 0L, secs)
+    }
+    band ++ spans ++ charSpans ++ chunks ++ contain ++ shards ++
+      ivf ++ pq ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

@@ -21,6 +21,41 @@ object SampleQueries {
   private val rates = Seq("en" -> "40") // 0x40/0x100 = 25%
   private val defaultRate = "80"        // 0x80/0x100 = 50%
 
+  /** The deterministic training-order permutation (q_shuffle_shard's
+    * body, factored out so the shard-major WRITER — Pipeline's artifact
+    * phase via [[graft.etl.Layout.writeShardMajor]] — materializes the
+    * exact relation the declared query proves correct): every column of
+    * `docs` plus key = md5(doc_id), shard = leading key hex digit, pos =
+    * rank within shard, gpos = global permutation position, assembled
+    * without a global sort (16-way partitioned window + a 16-row
+    * broadcast prefix sum over shard counts).
+    */
+  private[graft] def shuffleShardPerm(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .withColumn("key", md5(col("doc_id").cast("string")))
+      .withColumn("shard",
+        conv(substring(col("key"), 1, 1), 16, 10).cast("int"))
+    val pos = d.withColumn("pos",
+      row_number().over(
+        Window.partitionBy("shard").orderBy(col("key"), col("doc_id")))
+        .cast("long"))
+    // 16-row offset relation: the only cross-shard coordination is this
+    // prefix sum over shard COUNTS — constant-size at any corpus scale,
+    // then broadcast back.
+    val offsets = pos.groupBy("shard")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("off"))
+    pos.join(broadcast(offsets), "shard")
+      .withColumn("gpos", col("off") + col("pos"))
+      .drop("off")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_stratified_sample",
@@ -319,31 +354,10 @@ object SampleQueries {
         "no sampling pass and shard sizes are balanced to ~n/16. The " +
         "oracle computes the SAME permutation the naive way (one " +
         "global ROW_NUMBER), proving the sharded assembly exact.",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val d = Tables.t(s, dir, "documents")
-          .withColumn("key", md5(col("doc_id").cast("string")))
-          .withColumn("shard",
-            conv(substring(col("key"), 1, 1), 16, 10).cast("int"))
-        val pos = d.withColumn("pos",
-          row_number().over(
-            Window.partitionBy("shard").orderBy(col("key"), col("doc_id")))
-            .cast("long"))
-        // 16-row offset relation: the only cross-shard coordination is
-        // this prefix sum over shard COUNTS — constant-size at any
-        // corpus scale, then broadcast back.
-        val offsets = pos.groupBy("shard")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("off",
-            coalesce(sum(col("cnt")).over(
-              Window.orderBy("shard")
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("shard"), col("off"))
-        pos.join(broadcast(offsets), "shard")
-          .select(col("doc_id"), col("shard"), col("pos"),
-            (col("off") + col("pos")).as("gpos"))
-          .orderBy("gpos")
-      },
+      (s, dir) =>
+        shuffleShardPerm(Tables.t(s, dir, "documents"))
+          .select(col("doc_id"), col("shard"), col("pos"), col("gpos"))
+          .orderBy("gpos"),
       Some("""WITH k AS (SELECT doc_id,
              |    md5(CAST(doc_id AS VARCHAR)) AS key FROM documents)
              |SELECT doc_id,
