@@ -187,7 +187,41 @@ object SimilarityQueries {
   private def pqAdcScoredWithin(s: SparkSession, dir: String,
                                 cand: DataFrame): DataFrame = {
     val (cb, codes) = PqStore.buildOrLoad(s, dir)
-    val q = pqQueries(s, dir)
+    pqAdcScoredFor(pqQueries(s, dir), cand, cb, codes)
+  }
+
+  /** [[probeCells]] exposed for the streaming spec's gate assertion
+    * (probeCells itself stays ops-private).
+    */
+  private[graft] def probeCellsForTest(q: DataFrame, centn: DataFrame,
+                                       nProbe: Int): DataFrame =
+    probeCells(q, centn, nProbe)
+
+  /** Candidate pairs of the IVFADC composition for an ARBITRARY query
+    * relation (query_id, qv, qn): probed cells ([[probeCells]] — the
+    * q_ann_ivf definition) ⋈ the cell-membership relation (vec_id,
+    * cell). Shared by the declared q_ann_ivfpq and the micro-batch
+    * streaming probe ([[graft.streaming.VectorStream.ivfPqProbeBatch]])
+    * so batch and ingest-time retrieval cannot drift.
+    */
+  private[graft] def ivfPqCandidates(q: DataFrame, centn: DataFrame,
+                                     member: DataFrame,
+                                     nProbe: Int): DataFrame =
+    broadcast(probeCells(q, centn, nProbe)
+        .select(col("query_id"), col("cell")))
+      .join(member, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+
+  /** ADC scoring of an explicit candidate-pair relation against a
+    * provided codebook + codes relation (the stored [[PqStore]] tables
+    * or their session-cached equivalents) — the composition's scan leg
+    * for an ARBITRARY query relation, shared with the streaming face.
+    * Returns (query_id, vec_id, nrm, ad, score, rank).
+    */
+  private[graft] def pqAdcScoredFor(q: DataFrame, cand: DataFrame,
+                                    cb: DataFrame,
+                                    codes: DataFrame): DataFrame = {
     val encC = cand.join(codes, "vec_id")
       .select(col("query_id"), col("vec_id"), col("nrm"),
         posexplode(col("codes")).as(Seq("sub", "code")))
@@ -1113,14 +1147,12 @@ object SimilarityQueries {
         val cells = derivedCells(nRows)
         val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
         val q = pqQueries(s, dir)
-        val qp = probeCells(q, centn, derivedProbe(cells))
         // Column-pruned scan of the stored cell assignment: the probe
         // join needs only (vec_id, cell) — full vectors stay unread.
-        val member = a2.select(col("vec_id"), col("cell"))
-        val cand = broadcast(qp.select(col("query_id"), col("cell")))
-          .join(member, "cell")
-          .filter(col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("vec_id"))
+        // Probe + candidate legs are the SHARED ivfPqCandidates
+        // definition (also the streaming face's).
+        val cand = ivfPqCandidates(q, centn,
+          a2.select(col("vec_id"), col("cell")), derivedProbe(cells))
         val scoredP = pqAdcScoredWithin(s, dir, cand)
         val n = corpus(s, dir).drop("bucket")
         val rer = scoredP.filter(col("rank") <= PqRerankR)
@@ -1164,6 +1196,12 @@ object SimilarityQueries {
               round(col("mrr"), 6).as(s"mrr_at_$K"),
               col("pfrac").as("probed_fraction"))
         }
+        // MEASUREMENT-ONLY leg: the pq_adc_flat row exists to price the
+        // composition against the full scan it replaces — it is a full
+        // pass over the codes relation per run and is NOT the
+        // production plan. A deployment drops this row (or gates it
+        // behind a sampled panel); the production path is the two rows
+        // above it. See SCALE.md §4 "IVFADC".
         row(scoredP.filter(col("rank") <= K), "ivfpq_adc", pfProbed)
           .union(row(rer, s"ivfpq_rerank$PqRerankR", pfProbed))
           .union(row(pqAdcScored(s, dir).filter(col("rank") <= K),

@@ -37,6 +37,40 @@ object VectorStream {
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** IVFADC composed probe for one micro-batch of vectors (vec_id, v):
+    * the ingest-time face of q_ann_ivfpq — probed cells
+    * ([[graft.ops.SimilarityQueries.ivfPqCandidates]], the same probe +
+    * candidate definition as the declared query) against the STORED
+    * IvfIndex cell assignment gate which codes the STORED PqStore ADC
+    * scan touches; only the probed fraction of the codes relation is
+    * scored. Returns (query_id, rank, neighbor_id, adc_score) for the
+    * top-k. `ivfTag`/`pqTag` name the stored artifacts (both must
+    * exist — this is a probe, not a builder). Per micro-batch the
+    * centroids and the per-query lookup tables broadcast; the cells
+    * and codes tables stream in place, scan-only — exactly the batch
+    * plan shape at batch size |micro-batch|.
+    */
+  def ivfPqProbeBatch(spark: SparkSession, batch: DataFrame,
+                      ivfTag: String, pqTag: String, nProbe: Int = 4,
+                      k: Int = 5): DataFrame = {
+    val cents = spark.table(s"${ivfTag}_ivfcentroids")
+    val member = spark.table(s"${ivfTag}_ivfcells")
+      .select(col("vec_id"), col("cell"))
+    val cb = spark.table(s"${pqTag}_pqcodebook")
+    val codes = spark.table(s"${pqTag}_pqcodes")
+    val q = batch
+      .withColumn("qn",
+        sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"))
+    val cand = graft.ops.SimilarityQueries.ivfPqCandidates(
+      q, cents, member, nProbe)
+    graft.ops.SimilarityQueries.pqAdcScoredFor(q, cand, cb, codes)
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("adc_score"))
+  }
+
   /** Ingest-time PQ encoding of one micro-batch of vectors (vec_id, v)
     * against the STORED codebook of the [[graft.ops.PqStore]] artifact
     * `tag` — the compression step an embedding pipeline applies as
