@@ -75,6 +75,58 @@ object CharShingles {
     GraftSqlBridge.toColumn(CharShingles(GraftSqlBridge.toExpression(s), k))
 }
 
+/** PER-POSITION character k-grams (NON-distinct) — the multinomial
+  * sibling of [[CharShingles]]: element i is the gram at character
+  * position i, so the output has `numChars - k + 1` elements and
+  * aggregating counts over it yields the gram MULTISET a naive-Bayes
+  * language model needs (the distinct set erases term frequency).
+  * Same ASCII zero-copy fast path and clone-on-alias discipline.
+  */
+case class CharGramSeq(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_gram_seq"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val nChars = s.numChars()
+    if (nChars < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nChars - k + 1)
+    if (s.numBytes() == nChars) { // ASCII: bytes are chars
+      val raw = s.getBytes
+      val bytes =
+        if (raw.asInstanceOf[AnyRef] eq s.getBaseObject) raw.clone() else raw
+      var i = 0
+      while (i <= nChars - k) {
+        out(i) = UTF8String.fromBytes(bytes, i, k)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i <= nChars - k) {
+        out(i) = s.substringSQL(i + 1, k)
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramSeq =
+    copy(child = newChild)
+}
+
+object CharGramSeq {
+  def apply(s: Column, k: Int): Column =
+    GraftSqlBridge.toColumn(CharGramSeq(GraftSqlBridge.toExpression(s), k))
+}
+
 /** Distinct word n-grams (space-joined) over a token array, in
   * first-occurrence order; size < n → empty array. Equals the HOF
   * `array_distinct(transform(sequence(...), concat_ws(" ", element_at...)))`.

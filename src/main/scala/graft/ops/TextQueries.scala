@@ -253,6 +253,144 @@ object TextQueries {
     ),
 
     QueryDef(
+      "q_lang_id_measured",
+      "MEASURED language ID (the falsifiability upgrade of q_lang_id's " +
+        "marker heuristic, r10 verdict #5): a multinomial naive-Bayes " +
+        "char-trigram scorer TRAINED on the labeled half of the corpus " +
+        "(doc_id % 2 == 0) and scored on the held-out half, with " +
+        "held-out accuracy EMITTED per language and overall next to the " +
+        "always-predict-majority baseline. On this synthetic corpus the " +
+        "honest answer is ~chance — all languages draw from one shared " +
+        "vocabulary, so the label carries no lexical signal (the same " +
+        "no-signal truth SCALE.md documents for the embedding labels) — " +
+        "and the row PROVES it instead of asserting it; " +
+        "LangIdMeasuredSpec plants a corpus with real per-language " +
+        "character distributions and the same scorer measures ~1.0. " +
+        "Scale: the model is (lang, gram) counts — V×L rows, broadcast " +
+        "— trained in one agg; scoring is gram-join + per-(doc,lang) " +
+        "decimal-exact log-likelihood sums; no driver-side state. Grams " +
+        "via the native per-position CharGramSeq (the multiset sibling " +
+        "of CharShingles).",
+      (s, dir) => {
+        val G = 3
+        val docs = Tables.par(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), normText(col("text")).as("nt"),
+            (col("doc_id") % 2 === 0).as("tr"))
+        val grams = docs.select(col("doc_id"), col("lang"), col("tr"),
+          explode(graft.functions.CharGramSeq(col("nt"), G)).as("g"))
+        val tg = grams.filter(col("tr"))
+          .groupBy(col("lang").as("plang"), col("g"))
+          .agg(count(lit(1)).as("c"))
+        val tt = grams.filter(col("tr"))
+          .groupBy(col("lang").as("plang")).agg(count(lit(1)).as("t"))
+        val vv = tg.agg(countDistinct(col("g")).as("v"))
+        val pr = docs.filter(col("tr"))
+          .groupBy(col("lang").as("plang")).agg(count(lit(1)).as("nd"))
+        val ntr = docs.filter(col("tr")).agg(count(lit(1)).as("n"))
+        // model header: 5 rows (lang, total grams, vocab size, log prior)
+        val li = tt.join(pr, "plang").crossJoin(vv).crossJoin(ntr)
+          .select(col("plang"), col("t"), col("v"),
+            round(log(col("nd") / col("n")), 9).as("lp"))
+        val dec = DecimalType(38, 12)
+        val eg = grams.filter(!col("tr"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("m"))
+        val terms = eg.crossJoin(broadcast(li))
+          .join(broadcast(tg), Seq("plang", "g"), "left")
+          .select(col("doc_id"), col("plang"),
+            round(col("m") *
+              round(log((coalesce(col("c"), lit(0L)) + 1) /
+                (col("t") + col("v"))), 9), 9).cast(dec).as("term"))
+        val ts = terms.groupBy("doc_id", "plang").agg(sum(col("term")).as("ts"))
+        // base = every eval doc × every language at its log prior, so
+        // gram-free docs still get a (prior-only) prediction
+        val base = docs.filter(!col("tr")).select("doc_id")
+          .crossJoin(broadcast(li.select(col("plang"), col("lp"))))
+        val sc = base.join(ts, Seq("doc_id", "plang"), "left")
+          .select(col("doc_id"), col("plang"),
+            (coalesce(col("ts"), lit(0).cast(dec)) +
+              col("lp").cast(dec)).as("score"))
+        val pred = sc.withColumn("rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id")
+              .orderBy(col("score").desc, col("plang").asc)))
+          .filter(col("rn") === 1).select("doc_id", "plang")
+        val mj = broadcast(pr.orderBy(col("nd").desc, col("plang").asc)
+          .limit(1).select(col("plang").as("mlang")))
+        val j = docs.filter(!col("tr"))
+          .select(col("doc_id"), col("lang").as("lang0"))
+          .join(pred, "doc_id").crossJoin(mj)
+        def accCols(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+          count(lit(1)).as("n_eval"),
+          sum(when(col("plang") === col("lang0"), 1).otherwise(0))
+            .cast("long").as("n_correct"),
+          round(sum(when(col("plang") === col("lang0"), 1).otherwise(0))
+            .cast("double") / count(lit(1)), 6).as("accuracy"),
+          round(sum(when(col("lang0") === col("mlang"), 1).otherwise(0))
+            .cast("double") / count(lit(1)), 6).as("baseline_acc"))
+        accCols(j.groupBy(lit("*").as("lang")))
+          .union(accCols(j.groupBy(col("lang0").as("lang"))))
+          .orderBy("lang")
+      },
+      Some {
+        val acc = (grp: String) =>
+          s"""SELECT $grp AS lang, CAST(count(*) AS BIGINT) AS n_eval,
+             |  CAST(sum(CASE WHEN plang = lang0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  round(CAST(sum(CASE WHEN plang = lang0 THEN 1 ELSE 0 END)
+             |    AS DOUBLE)/count(*), 6) AS accuracy,
+             |  round(CAST(sum(CASE WHEN lang0 = mlang THEN 1 ELSE 0 END)
+             |    AS DOUBLE)/count(*), 6) AS baseline_acc
+             |FROM j""".stripMargin
+        s"""WITH d AS (SELECT doc_id, lang, $normSql AS nt,
+           |    doc_id % 2 = 0 AS tr FROM documents),
+           |g AS (SELECT doc_id, lang, tr,
+           |    unnest(list_transform(range(1, len(nt)-1),
+           |      i -> substr(nt, i, 3))) AS g
+           |  FROM d WHERE len(nt) >= 3),
+           |tg AS (SELECT lang AS plang, g, count(*) AS c FROM g
+           |  WHERE tr GROUP BY 1, 2),
+           |tt AS (SELECT lang AS plang, count(*) AS t FROM g
+           |  WHERE tr GROUP BY 1),
+           |vv AS (SELECT count(DISTINCT g) AS v FROM tg),
+           |pr AS (SELECT lang AS plang, count(*) AS nd FROM d
+           |  WHERE tr GROUP BY 1),
+           |ntr AS (SELECT count(*) AS n FROM d WHERE tr),
+           |li AS (SELECT tt.plang, tt.t, vv.v,
+           |    round(ln(CAST(pr.nd AS DOUBLE) / ntr.n), 9) AS lp
+           |  FROM tt JOIN pr USING (plang), vv, ntr),
+           |eg AS (SELECT doc_id, g, count(*) AS m FROM g
+           |  WHERE NOT tr GROUP BY 1, 2),
+           |terms AS (SELECT eg.doc_id, li.plang,
+           |    CAST(round(eg.m * round(ln(
+           |      CAST(coalesce(tg.c, 0) + 1 AS DOUBLE) / (li.t + li.v)), 9),
+           |      9) AS DECIMAL(38,12)) AS term
+           |  FROM eg CROSS JOIN li
+           |  LEFT JOIN tg ON tg.plang = li.plang AND tg.g = eg.g),
+           |ts AS (SELECT doc_id, plang, sum(term) AS ts FROM terms
+           |  GROUP BY 1, 2),
+           |base AS (SELECT d.doc_id, li.plang, li.lp FROM d, li
+           |  WHERE NOT d.tr),
+           |sc AS (SELECT base.doc_id, base.plang,
+           |    coalesce(ts.ts, CAST(0 AS DECIMAL(38,12)))
+           |      + CAST(base.lp AS DECIMAL(38,12)) AS score
+           |  FROM base LEFT JOIN ts USING (doc_id, plang)),
+           |pred AS (SELECT doc_id, plang FROM (SELECT doc_id, plang,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, plang ASC) AS rn FROM sc)
+           |  WHERE rn = 1),
+           |mj AS (SELECT plang AS mlang FROM pr
+           |  ORDER BY nd DESC, plang ASC LIMIT 1),
+           |j AS (SELECT d.lang AS lang0, p.plang, mj.mlang
+           |  FROM d JOIN pred p USING (doc_id), mj WHERE NOT d.tr)
+           |SELECT * FROM (
+           |${acc("'*'")}
+           |UNION ALL
+           |${acc("lang0")} GROUP BY lang0
+           |) ORDER BY lang""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_quality_score",
       "Document quality scoring: length, mean word length, stopword " +
         "ratio, alpha ratio -> composite score (exact int ratios, single " +

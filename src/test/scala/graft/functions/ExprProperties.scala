@@ -48,6 +48,35 @@ object ExprProperties extends Properties("graft.native-expressions") {
       firstIdx == firstIdx.sorted
     }
 
+  property("charGramSeq: exactly the gram at every position, in order") =
+    forAll(asciiText, Gen.chooseNum(1, 7)) { (s, k) =>
+      val got = strings(CharGramSeq(Literal(s), k).eval(null))
+      val exp = (0 to s.length - k).map(i => s.substring(i, i + k))
+      got == exp
+    }
+
+  property("scrubTokens: removes exactly the covered positions") =
+    forAll(tokenArray, Gen.chooseNum(1, 4)) { (toks, n) =>
+      val startGen =
+        if (toks.size < n) Gen.const(Seq.empty[Int])
+        else Gen.listOf(Gen.chooseNum(0, toks.size - n)).map(_.sorted)
+      forAll(startGen) { starts =>
+        val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          starts.toArray[Any])
+        val got = strings(ScrubTokens(
+          Literal(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+              .toArray[Any]),
+            ArrayType(StringType)),
+          Literal(arr, ArrayType(org.apache.spark.sql.types.IntegerType)),
+          n).eval(null))
+        val covered = starts.flatMap(s => s until s + n).toSet
+        got == toks.zipWithIndex.collect {
+          case (t, i) if !covered(i) => t
+        }
+      }
+    }
+
   property("wordNgrams: each gram = n consecutive tokens") =
     forAll(tokenArray, Gen.chooseNum(1, 4)) { (toks, n) =>
       val out = strings(WordNgrams(
