@@ -83,6 +83,93 @@ object PackingQueries {
     ),
 
     QueryDef(
+      "q_packing_waste",
+      "Packing-waste curve (r10 verdict #6 — the H9×H9c composition): " +
+        "for each candidate window L, the single table a training run " +
+        "reads to pick its sequence length — padding waste under the " +
+        "naive one-doc-per-sequence pad-to-L layout (1 - Σmin(n,L)/NL), " +
+        "padding waste under concat-and-chunk packing (1 - Σn/(L·seqs), " +
+        "seqs = Σ_shard ceil(Σn/L) — per-shard independent packing, the " +
+        "q_seq_packing layout), the packed sequence count, and the " +
+        "truncation coverage q_context_fit prices data loss with (same " +
+        "definition — PackingWasteSpec pins the two queries' columns " +
+        "equal). Shape: ONE corpus pass fused per shard (groupBy source " +
+        "computes every window's conditional sums map-side-partial), a " +
+        "shard-grain fold (#sources rows), then unpivot — the " +
+        "q_context_fit fusion argument with a per-shard ceil between " +
+        "the two aggs. Integer sums, IEEE divisions rounded 6dp; " +
+        "integer-exact ceil via (tok + L-1) div L in both engines.",
+      (s, dir) => {
+        val windows = Seq(16, 32, 64, 128)
+        val n = size(tokens(col("text"))).cast("long")
+        val sAggs = Seq(count(lit(1)).as("nd"), sum(n).as("tok")) ++
+          windows.map(l => sum(least(n, lit(l.toLong))).as(s"cov_$l"))
+        val perSrc = Tables.t(s, dir, "documents")
+          .groupBy("source")
+          .agg(sAggs.head, sAggs.tail: _*)
+        val gAggs = Seq(sum(col("nd")).as("n_docs"),
+          sum(col("tok")).as("tok_total")) ++
+          windows.flatMap(l => Seq(
+            sum(col(s"cov_$l")).as(s"cov_$l"),
+            sum(floor((col("tok") + lit(l - 1)) / lit(l)).cast("long"))
+              .as(s"seq_$l")))
+        val glob = perSrc.agg(gAggs.head, gAggs.tail: _*)
+        // The pad denominators (n_docs*L, seqs*L) have only 2s and 5s as
+        // factors, so the 6dp ratio routinely lands EXACTLY on a .5
+        // rounding boundary where double round() diverges between
+        // engines (hit at sf0.01: 0.2524375). Integer-exact HALF_UP
+        // instead: round(num/den, 6) = (2e6*num + den) div (2*den),
+        // computed in DECIMAL(38,0) so corpus-scale token counts cannot
+        // overflow. trunc_coverage stays the plain double round — it is
+        // BY DEFINITION q_context_fit's expression (spec-pinned equal).
+        def fracExact(num: String, den: String) =
+          expr(s"CAST((CAST($num AS DECIMAL(38,0)) * 2000000 + ($den)) DIV " +
+            s"(CAST($den AS DECIMAL(38,0)) * 2) AS DOUBLE) / 1000000")
+        val rows = windows.map(l => struct(lit(l).as("win"),
+          col(s"seq_$l").as("n_seq_packed"),
+          fracExact(s"n_docs * $l - cov_$l", s"n_docs * $l")
+            .as("pad_frac_padded"),
+          fracExact(s"seq_$l * $l - tok_total", s"seq_$l * $l")
+            .as("pad_frac_packed"),
+          round(col(s"cov_$l").cast("double") / col("tok_total"), 6)
+            .as("trunc_coverage")))
+        glob.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.*"))
+          .orderBy("win")
+      },
+      Some {
+        val windows = Seq(16, 32, 64, 128)
+        val covs = windows.map(l =>
+          s"sum(least(n, $l)) AS cov_$l").mkString(", ")
+        val globs = windows.map(l =>
+          s"CAST(sum(cov_$l) AS BIGINT) AS cov_$l, " +
+            s"CAST(sum((tok + ${l - 1}) // $l) AS BIGINT) AS seq_$l")
+          .mkString(", ")
+        def fracExact(num: String, den: String) =
+          s"CAST((CAST($num AS HUGEINT) * 2000000 + ($den)) // " +
+            s"(CAST($den AS HUGEINT) * 2) AS DOUBLE) / 1000000"
+        val sels = windows.map { l =>
+          s"""SELECT $l AS win, seq_$l AS n_seq_packed,
+             |  ${fracExact(s"n_docs*$l - cov_$l", s"n_docs*$l")}
+             |    AS pad_frac_padded,
+             |  ${fracExact(s"seq_$l*$l - tok_total", s"seq_$l*$l")}
+             |    AS pad_frac_packed,
+             |  round(CAST(cov_$l AS DOUBLE)/tok_total, 6) AS trunc_coverage
+             |FROM g""".stripMargin
+        }
+        s"""WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS n
+           |  FROM documents),
+           |s AS (SELECT source, count(*) AS nd, sum(n) AS tok, $covs
+           |  FROM t GROUP BY source),
+           |g AS (SELECT CAST(sum(nd) AS BIGINT) AS n_docs,
+           |    CAST(sum(tok) AS BIGINT) AS tok_total, $globs FROM s)
+           |SELECT * FROM (
+           |${sels.mkString("\nUNION ALL\n")}
+           |) ORDER BY win""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_doc_chunk",
       s"Document chunking for embedding/retrieval pipelines: sliding " +
         s"$ChunkW-token windows every $ChunkStride tokens " +
