@@ -26,11 +26,22 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 local task slots at the production ~1 GB/core ratio: the 8g
-  // default left ~4.4 GB of unified memory for 32 threads, so one
+  // Heap sizing (r10 ADVICE): default derives from HOST memory so
+  // `sbt test` starts on any machine — a fixed 32g default would fail
+  // to launch (or swap) on hosts under ~32 GiB. Rationale for the high
+  // ceiling: 32 local task slots at the production ~1 GB/core ratio —
+  // an 8g heap left ~4.4 GB of unified memory for 32 threads, so one
   // shuffle-heavy query's execution demand evicted the session-cached
   // families mid-bench (q_dedup_recall's minhash inputs rebuilt every
-  // pass — measured +2s floor). The host has 128 GiB; a real cluster
-  // gives each executor its own heap at a far higher per-core ratio.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // pass, measured +2s floor). Bench runs on the 128 GiB host get 32g
+  // (quarter of RAM, capped); small hosts get half their RAM, floor
+  // 2g. SPARK_DRIVER_MEM overrides everything.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val bytes = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getTotalMemorySize
+    val gb = bytes / (1L << 30)
+    val pick = math.max(2L, math.min(32L, math.max(gb / 4, math.min(gb / 2, 8L))))
+    s"${pick}g"
+  })}",
 )

@@ -48,7 +48,12 @@ object ContainIndex {
                  ): (DataFrame, DataFrame) = {
     val ngT = s"${tag}_cngrams"
     val dcT = s"${tag}_cdocs"
-    if (!spark.catalog.tableExists(ngT)) {
+    // Gate on BOTH tables (r10 ADVICE #3): a crash between the two
+    // saveAsTable calls would otherwise leave ngT cataloged with dcT
+    // missing, and every later call would short-circuit into a
+    // missing-table error until manual repair. Requiring both means a
+    // partial build self-heals by rebuilding.
+    if (!(spark.catalog.tableExists(ngT) && spark.catalog.tableExists(dcT))) {
       BandIndex.dropStaleLocations(spark, Seq(ngT, dcT))
       val g = DedupQueries.ngramDocs(standingDocs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -204,7 +209,7 @@ object ContainIndex {
         "left")
       .join(socs, "match_id")
       .filter(col("support") >= greatest(lit(1),
-        expr("(4 * least(naa, nab) + 4) div 5") -
+        expr(DedupQueries.containSupportBound("least(naa, nab)")) -
           least(coalesce(col("oca"), lit(0L)), col("ocb"))))
       .select("doc_id", "match_id")
     val a = newG.select(col("doc_id"), col("ng").as("nga"))

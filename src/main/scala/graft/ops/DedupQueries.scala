@@ -37,7 +37,24 @@ object DedupQueries {
     * generate candidate pairs (bounds every posting list — the
     * candidate join's per-key fan-out is <= cap² at any corpus size).
     */
-  private[graft] val ContainTau = 0.8
+  // The containment threshold is stored as a RATIONAL and every
+  // consumer derives from it (r10 ADVICE #1): the double threshold the
+  // verify stage and the oracles compare against, AND the integer
+  // support-prefilter bound — so changing the threshold can never
+  // silently desynchronize the prefilter from the verify and unsoundly
+  // drop true pairs.
+  private[graft] val ContainTauNum = 4
+  private[graft] val ContainTauDen = 5
+  private[graft] val ContainTau: Double =
+    ContainTauNum.toDouble / ContainTauDen
+  /** Integer-exact ceil(tau * m) for the sound support prefilter:
+    * support >= ceil(tau*min(na,nb)) - overcap is implied by
+    * containment >= tau (see the soundness note at the candidate
+    * stage). One definition for the batch query and the stored-index
+    * probe.
+    */
+  private[graft] def containSupportBound(m: String): String =
+    s"($ContainTauNum * ($m) + ${ContainTauDen - 1}) div $ContainTauDen"
   private[graft] val ContainDfCap = 16
 
   /** (doc_id, ng) word-3-gram sets for any relation carrying doc_id +
@@ -1024,7 +1041,7 @@ object DedupQueries {
           .join(broadcast(oc.select(col("doc_id").as("doc_b"),
             col("oc").as("ocb"))), "doc_b")
           .filter(col("support") >= greatest(lit(1),
-            expr("(4 * least(naa, nab) + 4) div 5") -
+            expr(containSupportBound("least(naa, nab)")) -
               least(col("oca"), col("ocb"))))
           .select("doc_a", "doc_b")
         val ga = g.select(col("doc_id").as("doc_a"), col("ng").as("nga"),

@@ -54,7 +54,12 @@ object IvfIndex {
                  ): (DataFrame, DataFrame) = {
     val t = tag(dir, nCells)
     val (cT, mT) = (cellsT(t), centT(t))
-    if (!spark.catalog.tableExists(cT)) {
+    // Gate on BOTH tables: cT is written first, so a crash before mT
+    // lands would otherwise leave a half-built index that short-circuits
+    // every later call into a missing-table error (the ContainIndex
+    // self-heal fix, applied to the one other family that writes its
+    // gate table first).
+    if (!(spark.catalog.tableExists(cT) && spark.catalog.tableExists(mT))) {
       BandIndex.dropStaleLocations(spark, Seq(cT, mT))
       // Cell-row cardinality == corpus cardinality (one row per vector),
       // so the bucket derivation reads the parquet count — metadata-only,
