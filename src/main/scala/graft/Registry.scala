@@ -34,6 +34,7 @@ object Registry {
       ops.PackingQueries.defs ++
       ops.MultimodalQueries.defs ++
       ops.ImageDedup.defs ++
+      ops.AudioDedup.defs ++
       ops.CorpusQueries.defs ++
       ops.BpeQueries.defs ++
       ops.GraphQueries.defs

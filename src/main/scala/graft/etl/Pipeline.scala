@@ -57,6 +57,12 @@ object Pipeline {
     *   - `chunkStoreTables`: stored chunk table
     *     ([[graft.ops.ChunkStore]]; doc_id + text); report row carries
     *     chunk count + derived buckets.
+    *   - `scrubTables`: span-scrubbed CLEANED corpus
+    *     ([[graft.ops.SpanDedup.scrubbed]] against the SpanSet
+    *     duplicated-span set; doc_id + source + text):
+    *     `<t>_scrubbed.parquet` with per-doc counts + scrubbed text —
+    *     the output a training pipeline consumes; report row carries
+    *     corpus-wide removed-token totals.
     *   - `shuffleShardTables`: shard-major training-order
     *     materialization ([[Layout.writeShardMajor]] over
     *     [[graft.ops.SampleQueries.shuffleShardPerm]]; table must carry
@@ -75,6 +81,7 @@ object Pipeline {
       chunkStoreTables: Seq[String] = Nil, // stored chunk table (RAG keys)
       containIndexTables: Seq[String] = Nil, // stored containment index
       shuffleShardTables: Seq[String] = Nil, // shard-major training order
+      scrubTables: Seq[String] = Nil, // span-scrubbed cleaned corpus
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       buildPqStore: Boolean = false, // stored PQ codes over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
@@ -86,6 +93,7 @@ object Pipeline {
       bandIndexTables.isEmpty && spanSetTables.isEmpty &&
         charSpanTables.isEmpty && chunkStoreTables.isEmpty &&
         containIndexTables.isEmpty && shuffleShardTables.isEmpty &&
+        scrubTables.isEmpty &&
         !buildIvfIndex && !buildPqStore &&
         zOrder.isEmpty && compact.isEmpty
   }
@@ -301,6 +309,29 @@ object Pipeline {
       log.info(t, "artifact compaction", msg)
       Report.ArtifactResult(t, "compaction", msg, 0L, 0L, secs)
     }
+    val scrubs = a.scrubTables.map { t =>
+      // The cleaned corpus — the output a training pipeline actually
+      // consumes (q_dedup_scrub is the declared proof of the same
+      // rewrite). Builds/reuses the SpanSet artifact for this corpus
+      // dir, then rewrites every doc against its duplicated-span set.
+      val tag = graft.ops.SpanSet.tag(outDir)
+      val path = s"$outDir/${t}_scrubbed.parquet"
+      val ((nTok, nRem), secs) = timed {
+        val docs = spark.read.parquet(s"$outDir/$t.parquet")
+        graft.ops.SpanSet.buildOrLoad(spark, docs, tag, log)
+        graft.ops.SpanDedup.scrubbed(docs,
+          graft.ops.SpanSet.duplicatedSpans(spark, tag), Seq("source"))
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        val r = spark.read.parquet(path)
+          .agg(org.apache.spark.sql.functions.sum("n_tokens"),
+            org.apache.spark.sql.functions.sum("n_removed")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val msg = s"path=$path tokens=$nTok removed=$nRem " +
+        f"removed_frac=${if (nTok > 0) nRem.toDouble / nTok else 0.0}%.4f"
+      log.info(t, "artifact span_scrub", msg)
+      Report.ArtifactResult(t, "span_scrub", msg, 0L, nRem, secs)
+    }
     val shards = a.shuffleShardTables.map { t =>
       val path = s"$outDir/${t}_shards.parquet"
       val (n, secs) = timed {
@@ -313,7 +344,7 @@ object Pipeline {
       log.info(t, "artifact shuffle_shard", msg)
       Report.ArtifactResult(t, "shuffle_shard", msg, 0L, 0L, secs)
     }
-    band ++ spans ++ charSpans ++ chunks ++ contain ++ shards ++
+    band ++ spans ++ charSpans ++ chunks ++ contain ++ scrubs ++ shards ++
       ivf ++ pq ++ zs ++ cps
   }
 

@@ -62,6 +62,10 @@ object SharedCaches {
     * its recall measurement. */
   val ImageSigs = "image_sigs"
 
+  /** Audio frame-level signature relation (AudioDedup.sigsPersisted):
+    * synthesize->parse->hash, consumed by q_dedup_audio. */
+  val AudioSigs = "audio_sigs"
+
   /** Declared-query consumers per family — the release point for a full
     * run is the LAST of these present in the run (sorted execution
     * order). Kept next to the family keys so a new consumer is added
@@ -84,7 +88,8 @@ object SharedCaches {
     BloomBench -> Set("q_contamination_bloom"),
     Bpe -> Set("q_bpe_encode", "q_bpe_fertility", "q_bpe_merges",
       "q_bpe_tokenize"),
-    ImageSigs -> Set("q_dedup_image", "q_image_recall")
+    ImageSigs -> Set("q_dedup_image", "q_image_recall"),
+    AudioSigs -> Set("q_dedup_audio")
   )
 
   private val refs =

@@ -169,8 +169,11 @@ object SpanDedup {
     * native rewrite ([[graft.functions.ScrubTokens]]). Nothing
     * all-pairs; no text on any shuffle.
     */
-  private[graft] def scrubbed(docs: DataFrame, dupSet: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+  private[graft] def scrubbed(docs: DataFrame, dupSet: DataFrame,
+                              passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = passthrough.map(col)
+    val toks = docs.select(col("doc_id") +: keep :+
+      tokens(col("text")).as("w"): _*)
     val pos = docs
       .select(col("doc_id"),
         posexplode(graft.functions.WordNgramSeq(tokens(col("text")), SpanN)))
@@ -179,15 +182,15 @@ object SpanDedup {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ss"))
     toks.join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("w"),
+      .select(col("doc_id") +: keep :+ col("w") :+
         graft.functions.ScrubTokens(col("w"),
-          coalesce(col("ss"), array().cast("array<int>")), SpanN).as("kept"))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+          coalesce(col("ss"), array().cast("array<int>")), SpanN).as("kept"): _*)
+      .select(col("doc_id") +: keep :+
+        size(col("w")).cast("long").as("n_tokens") :+
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed") :+
         round((size(col("w")) - size(col("kept"))).cast("double") /
-          size(col("w")), 6).as("removed_frac"),
-        array_join(col("kept"), " ").as("scrubbed_text"))
+          size(col("w")), 6).as("removed_frac") :+
+        array_join(col("kept"), " ").as("scrubbed_text"): _*)
   }
 
   val defs: Seq[QueryDef] = Seq(

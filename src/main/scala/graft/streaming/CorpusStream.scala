@@ -113,6 +113,23 @@ object CorpusStream {
       .join(dupSpans, "sh")
       .select("eventTime", "doc_id", "n_spans", "sh")
 
+  /** Ingest-time span SCRUB — the streaming face of `q_dedup_scrub`:
+    * rewrite one micro-batch of arriving docs against the STANDING
+    * duplicated-span set (the stored SpanSet — new docs are cleaned of
+    * boilerplate the corpus already knows). The SAME rewrite definition
+    * as the declared query ([[graft.ops.SpanDedup.scrubbed]]; one
+    * definition, no drift): per doc — token counts, removed fraction,
+    * scrubbed text. Window-free and stateless per micro-batch, so it
+    * runs in a plain `foreachBatch` sink (the ingest step that writes
+    * cleaned docs to the corpus store). Note the asymmetry vs batch:
+    * spans duplicated only WITHIN the arriving batch are not in the
+    * standing set and are kept — the same standing-vs-batch semantics
+    * as the band-index incremental probe; the nightly batch scrub
+    * catches them after the SpanSet append.
+    */
+  def scrubBatch(batch: DataFrame, dupSpans: DataFrame): DataFrame =
+    graft.ops.SpanDedup.scrubbed(batch, dupSpans)
+
   /** Batch-side build of the stored CHAR-winnow span artifact (the
     * [[graft.ops.SpanSet]] skeleton at character granularity, charspans
     * role) — returns the duplicated-fingerprint set for

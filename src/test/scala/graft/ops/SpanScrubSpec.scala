@@ -88,6 +88,23 @@ class SpanScrubSpec extends SparkSpec {
     }
   }
 
+  test("artifact phase materializes the cleaned corpus with a report row") {
+    val d = writeDocs(Seq(
+      (1L, "one two three four five six seven eight nine ten", "srcA"),
+      (2L, "one two three four five six seven eight nine zzz", "srcB"),
+      (3L, "aa bb cc dd ee ff gg hh ii jj", "srcA")))
+    val r = graft.etl.Pipeline.artifactPhase(spark, d,
+      graft.etl.Pipeline.ArtifactConfig(scrubTables = Seq("documents")))
+    assert(r.size == 1 && r.head.kind == "span_scrub")
+    assert(r.head.skippedRows == 18L) // 9 tokens removed from each twin
+    val cleaned = spark.read.parquet(s"$d/documents_scrubbed.parquet")
+      .as[(Long, String, Long, Long, Double, String)].collect()
+      .map(x => x._1 -> ((x._2, x._6))).toMap
+    assert(cleaned(1L) == (("srcA", "ten")))
+    assert(cleaned(2L) == (("srcB", "zzz")))
+    assert(cleaned(3L) == (("srcA", "aa bb cc dd ee ff gg hh ii jj")))
+  }
+
   test("invariants: removed_frac==0 iff n_dup_spans==0; re-profile clean") {
     // Random corpus with genuine 8-gram collisions: a TWO-token vocab makes
     // 8-gram space 2^8=256, so 30 docs of 5..14 tokens collide plentifully.

@@ -53,6 +53,57 @@ class SpanStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scrubBatch rewrites arriving docs against the standing dup-span " +
+    "set, identical to the batch scrub of the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "one two three four five six seven eight nine zzz"))
+      .toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+    val dupSpans = CorpusStream.buildSpanSet(spark, corpus,
+      "graft_test_scrubstream_" + System.nanoTime())
+    val arriving = Seq(
+      // carries the corpus's duplicated 9-token run + a unique tail
+      (1L, "one two three four five six seven eight nine fresh tail words"),
+      // fresh text: untouched
+      (2L, "completely different words entirely unrelated content here today"))
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-scrub").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = CorpusStream.scrubBatch(b, dupSpans)
+          .select("doc_id", "n_tokens", "n_removed", "scrubbed_text")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      input.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = sink.synchronized(sink.toSeq).sortBy(_._1)
+      // differential: identical to the batch rewrite of the same docs
+      val expect = SpanDedup.scrubbed(
+          arriving.toDF("doc_id", "text"), dupSpans)
+        .select("doc_id", "n_tokens", "n_removed", "scrubbed_text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq.sortBy(_._1)
+      assert(streamed == expect)
+      // the duplicated run (tokens 0..8) is removed, the fresh tail kept
+      assert(streamed.head == ((1L, 12L, 9L, "fresh tail words")))
+      assert(streamed(1)._3 == 0L) // fresh doc untouched
+    } finally q.stop()
+  }
+
   test("charBoilerplateHits flags arriving docs carrying corpus-duplicated " +
     "character runs via the stored charspans artifact") {
     implicit val sqlCtx = spark.sqlContext
