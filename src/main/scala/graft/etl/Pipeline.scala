@@ -63,6 +63,11 @@ object Pipeline {
     *     `<t>_scrubbed.parquet` with per-doc counts + scrubbed text —
     *     the output a training pipeline consumes; report row carries
     *     corpus-wide removed-token totals.
+    *   - `imageSigTables` / `audioSigTables`: stored media perceptual
+    *     signatures ([[graft.ops.MediaSigStore]], imgsig/audsig roles;
+    *     table must carry doc_id): the decode+hash pass paid once,
+    *     band postings bucketed on the single packed band key for
+    *     exchange-free candidate joins and ingest probes.
     *   - `shuffleShardTables`: shard-major training-order
     *     materialization ([[Layout.writeShardMajor]] over
     *     [[graft.ops.SampleQueries.shuffleShardPerm]]; table must carry
@@ -82,6 +87,8 @@ object Pipeline {
       containIndexTables: Seq[String] = Nil, // stored containment index
       shuffleShardTables: Seq[String] = Nil, // shard-major training order
       scrubTables: Seq[String] = Nil, // span-scrubbed cleaned corpus
+      imageSigTables: Seq[String] = Nil, // stored image dHash signatures
+      audioSigTables: Seq[String] = Nil, // stored audio level signatures
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       buildPqStore: Boolean = false, // stored PQ codes over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
@@ -93,7 +100,8 @@ object Pipeline {
       bandIndexTables.isEmpty && spanSetTables.isEmpty &&
         charSpanTables.isEmpty && chunkStoreTables.isEmpty &&
         containIndexTables.isEmpty && shuffleShardTables.isEmpty &&
-        scrubTables.isEmpty &&
+        scrubTables.isEmpty && imageSigTables.isEmpty &&
+        audioSigTables.isEmpty &&
         !buildIvfIndex && !buildPqStore &&
         zOrder.isEmpty && compact.isEmpty
   }
@@ -332,6 +340,25 @@ object Pipeline {
       log.info(t, "artifact span_scrub", msg)
       Report.ArtifactResult(t, "span_scrub", msg, 0L, nRem, secs)
     }
+    def mediaSig(tables: Seq[String], tagOf: String => String, kind: String,
+                 sigFn: org.apache.spark.sql.DataFrame =>
+                   org.apache.spark.sql.DataFrame) =
+      tables.map { t =>
+        val tag = tagOf(outDir)
+        val (n, secs) = timed {
+          val (sigs, _) = graft.ops.MediaSigStore.buildOrLoad(spark,
+            spark.read.parquet(s"$outDir/$t.parquet"), tag, sigFn)
+          sigs.count()
+        }
+        val msg = s"tag=$tag buckets=" +
+          s"${graft.ops.MediaSigStore.buckets(spark, tag)} signatures=$n"
+        log.info(t, s"artifact $kind", msg)
+        Report.ArtifactResult(t, kind, msg, 0L, 0L, secs)
+      }
+    val imgSigs = mediaSig(a.imageSigTables, graft.ops.MediaSigStore.imageTag,
+      "image_sig_store", graft.ops.ImageDedup.dhashSigs)
+    val audSigs = mediaSig(a.audioSigTables, graft.ops.MediaSigStore.audioTag,
+      "audio_sig_store", graft.ops.AudioDedup.levelSigs)
     val shards = a.shuffleShardTables.map { t =>
       val path = s"$outDir/${t}_shards.parquet"
       val (n, secs) = timed {
@@ -344,8 +371,8 @@ object Pipeline {
       log.info(t, "artifact shuffle_shard", msg)
       Report.ArtifactResult(t, "shuffle_shard", msg, 0L, 0L, secs)
     }
-    band ++ spans ++ charSpans ++ chunks ++ contain ++ scrubs ++ shards ++
-      ivf ++ pq ++ zs ++ cps
+    band ++ spans ++ charSpans ++ chunks ++ contain ++ scrubs ++
+      imgSigs ++ audSigs ++ shards ++ ivf ++ pq ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

@@ -39,7 +39,7 @@ object AudioDedup {
   private val SamplesPerFrame = 16
   private val Groups = 89
   private val PerturbMod = 5
-  private[ops] val HamT = 6
+  private[graft] val HamT = 6
 
   /** Frame-level contract shared by the renderer and the oracle: first
     * md5 byte of "g:f".
@@ -140,7 +140,7 @@ object AudioDedup {
     StructField("b2", IntegerType, nullable = false),
     StructField("b3", IntegerType, nullable = false)))
 
-  private[ops] def levelSigs(docs: DataFrame): DataFrame = {
+  private[graft] def levelSigs(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(sigSchema)
     docs.select(col("doc_id").cast(LongType))
       .mapPartitions { rows =>
@@ -153,39 +153,13 @@ object AudioDedup {
       }(enc)
   }
 
-  private val sigMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  private def sigsPersisted(s: SparkSession, dir: String): DataFrame =
-    sigMemo.getOrElseUpdate(dir, {
-      val df = levelSigs(Tables.par(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      SharedCaches.onRelease(SharedCaches.AudioSigs)(() => sigMemo.remove(dir))
-      SharedCaches.track(SharedCaches.AudioSigs, df)
-    })
-
-  /** Band candidates + exact Hamming — the ImageDedup pipeline shape. */
-  private def hammingPairs(sigs: DataFrame): DataFrame = {
-    val e = sigs.select(col("doc_id"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("bi", "bv")))
-    val cand = e.as("a")
-      .join(e.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    def bc(a: String, b: String) =
-      bit_count(col(a).bitwiseXOR(col(b)))
-    cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("b0").as("a0"),
-        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("id_a"))
-      .join(sigs.select(col("doc_id").as("id_b"), col("b0").as("c0"),
-        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (bc("a0", "c0") + bc("a1", "c1") + bc("a2", "c2") + bc("a3", "c3"))
-          .cast("long").as("hamming"))
-  }
+  /** The STORED signature artifact ([[MediaSigStore]], audsig role) —
+    * same lifecycle as the image family; the candidate/verify tail is
+    * [[ImageDedup.hammingPairs]] verbatim (shared skeleton).
+    */
+  private def stored(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    MediaSigStore.buildOrLoad(s, Tables.par(s, dir, "documents"),
+      MediaSigStore.audioTag(dir), levelSigs)
 
   // Oracle: the signature computed analytically from the level contract
   // (constant frames + lossless PCM u8: decoded mean == formula).
@@ -232,9 +206,12 @@ object AudioDedup {
         "let the oracle compute the same signature analytically — the " +
         "ImageDedup pattern on the audio column, completing the " +
         "text/embedding/image/audio dedup matrix.",
-      (s, dir) => hammingPairs(sigsPersisted(s, dir))
-        .filter(col("hamming") <= HamT)
-        .orderBy("id_a", "id_b"),
+      (s, dir) => {
+        val (sigs, bands) = stored(s, dir)
+        ImageDedup.hammingPairs(sigs, bands)
+          .filter(col("hamming") <= HamT)
+          .orderBy("id_a", "id_b")
+      },
       Some(s"""WITH $sigSqlCtes
               |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $HamT
               |ORDER BY id_a, id_b""".stripMargin)

@@ -61,7 +61,7 @@ object ImageDedup {
     * planted pairs sit well inside; random cross-group pairs sit at
     * ~32.
     */
-  private[ops] val HamT = 6
+  private[graft] val HamT = 6
 
   /** Exact-truth panel for q_image_recall (the q_dedup_recall bounded-
     * panel pattern): all-pairs ground truth on doc_id % 2 == 0.
@@ -146,7 +146,7 @@ object ImageDedup {
   /** (doc_id, b0..b3) dHash signatures for a doc relation: synthesize
     * PNG -> real decode -> bands, partition-parallel.
     */
-  private[ops] def dhashSigs(docs: DataFrame): DataFrame = {
+  private[graft] def dhashSigs(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(sigSchema)
     docs.select(col("doc_id").cast(LongType))
       .mapPartitions { rows =>
@@ -159,32 +159,26 @@ object ImageDedup {
       }(enc)
   }
 
-  /** Session memo of the persisted signature relation per corpus dir —
-    * mapPartitions plans don't plan-match in the CacheManager (closure
-    * identity), so the DataFrame itself is memoized (the BpeQueries
-    * pattern), registered under the ImageSigs cache family and evicted
-    * with it.
+  /** The STORED signature artifact for a corpus dir ([[MediaSigStore]],
+    * imgsig role): the decode+hash pass runs once per corpus snapshot;
+    * queries read the bucketed 4-int rows scan-only — the BandIndex
+    * convention applied to the media column (was a session cache until
+    * r11).
     */
-  private val sigMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def stored(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    MediaSigStore.buildOrLoad(s, Tables.par(s, dir, "documents"),
+      MediaSigStore.imageTag(dir), dhashSigs)
 
-  private def sigsPersisted(s: SparkSession, dir: String): DataFrame =
-    sigMemo.getOrElseUpdate(dir, {
-      val df = dhashSigs(Tables.par(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      SharedCaches.onRelease(SharedCaches.ImageSigs)(() => sigMemo.remove(dir))
-      SharedCaches.track(SharedCaches.ImageSigs, df)
-    })
-
-  /** Banded candidate pairs (id_a < id_b, distinct) + exact Hamming. */
-  private def hammingPairs(sigs: DataFrame): DataFrame = {
-    val e = sigs.select(col("doc_id"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("bi", "bv")))
-    val cand = e.as("a")
-      .join(e.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
+  /** Banded candidate pairs (id_a < id_b, distinct) + exact Hamming,
+    * off the stored tables: the candidate self-join's one key (bk) is
+    * the postings table's bucketing key, so both legs come off the
+    * scan exchange-free; the verify fetches signatures from the
+    * doc_id-bucketed table.
+    */
+  private[ops] def hammingPairs(sigs: DataFrame, bands: DataFrame): DataFrame = {
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
@@ -255,9 +249,12 @@ object ImageDedup {
         "is a planted one-pixel near-dup. The oracle computes the same " +
         "dHash analytically — PNG gray8 losslessness (spec-pinned) is " +
         "what lets the codec path be oracle-checked at all.",
-      (s, dir) => hammingPairs(sigsPersisted(s, dir))
-        .filter(col("hamming") <= HamT)
-        .orderBy("id_a", "id_b"),
+      (s, dir) => {
+        val (sigs, bands) = stored(s, dir)
+        hammingPairs(sigs, bands)
+          .filter(col("hamming") <= HamT)
+          .orderBy("id_a", "id_b")
+      },
       Some(s"""WITH $sigSqlCtes
               |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $HamT
               |ORDER BY id_a, id_b""".stripMargin)
@@ -274,7 +271,7 @@ object ImageDedup {
         "measure 1.0; random cross-group pairs sit at Hamming ~32 and " +
         "are rejected by the verify stage (precision's denominator).",
       (s, dir) => {
-        val sigs = sigsPersisted(s, dir)
+        val (sigs, bands) = stored(s, dir)
         val panel = sigs.filter(col("doc_id") % PanelMod === 0)
         val truth = panel.select(col("doc_id").as("id_a"), col("b0").as("a0"),
           col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
@@ -284,7 +281,7 @@ object ImageDedup {
           .filter((bitCnt(col("a0"), col("c0")) + bitCnt(col("a1"), col("c1")) +
             bitCnt(col("a2"), col("c2")) + bitCnt(col("a3"), col("c3")))
             <= HamT)
-        val candP = hammingPairs(sigs)
+        val candP = hammingPairs(sigs, bands)
           .filter(col("id_a") % PanelMod === 0 && col("id_b") % PanelMod === 0)
         val m1 = panel.agg(count(lit(1)).as("n_panel_imgs"))
         val m2 = truth.agg(count(lit(1)).as("n_true_pairs"))

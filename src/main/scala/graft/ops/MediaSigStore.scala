@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored media-signature artifact — the production home of the
+  * perceptual dedup signatures ([[ImageDedup]] dHash, [[AudioDedup]]
+  * frame levels), promoted from a session cache to the BandIndex
+  * lifecycle (build once per corpus snapshot, bucketed scan-only reads,
+  * delta appends, ingest-time probes). One skeleton, role-tagged per
+  * media kind, two bucketed tables per (corpus, role):
+  *
+  *   - `<tag>_msig`  (doc_id, b0..b3)  bucketed by doc_id — the
+  *     signatures, fetched by id at the exact-Hamming verify
+  *   - `<tag>_mband` (bk, doc_id)      bucketed by bk — band postings
+  *     with the SINGLE key bk = band_idx * 2^16 + band_value, so the
+  *     candidate self-join (and every ingest probe) satisfies its
+  *     required distribution straight off the scan: one join key ==
+  *     the one bucketing key, no Exchange above either side
+  *
+  * Why bk is one column: bucketing provides hash distribution on the
+  * bucket column only — a join on (band_idx, band_value) would need
+  * hash(bi, bv) and re-shuffle both bucketed scans; packing the pair
+  * into bk makes the bucket distribution exactly the join's
+  * requirement. 16-bit band values make the packing collision-free.
+  *
+  * The decode+hash pass (the only expensive step — PNG/WAV codec per
+  * item) runs ONCE at build; queries and probes read the 4-int rows.
+  * Appends insert new rows into both tables (signatures are per-item
+  * facts — no cross-row merge needed, unlike SpanSet's count lattice);
+  * a probe of a batch against the standing index is the band equi-join
+  * + verify, shared between the batch incremental path and the
+  * streaming face ([[graft.streaming.MediaStream]]).
+  */
+object MediaSigStore {
+
+  def imageTag(dir: String): String = BandIndex.tag(dir, "imgsig")
+  def audioTag(dir: String): String = BandIndex.tag(dir, "audsig")
+
+  private def sigT(tag: String) = s"${tag}_msig"
+  private def bandT(tag: String) = s"${tag}_mband"
+
+  def buckets(spark: SparkSession, tag: String): Int =
+    BandIndex.bucketsOf(spark, sigT(tag))
+
+  /** (bk, doc_id) postings of a signature relation. */
+  private[ops] def bandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("bi", "bv")))
+      .select((col("bi") * 65536 + col("bv")).as("bk"), col("doc_id"))
+
+  /** Materialize (or reuse, if cataloged) the signature artifact for
+    * `docs` under `tag`; `sigFn` is the media kind's decode+hash pass
+    * ([[ImageDedup.dhashSigs]] / [[AudioDedup.levelSigs]]). Returns
+    * (sigs, bands) as reads of the stored bucketed tables.
+    */
+  def buildOrLoad(spark: SparkSession, docs: DataFrame, tag: String,
+                  sigFn: DataFrame => DataFrame,
+                  targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
+                 ): (DataFrame, DataFrame) = {
+    val (sT, bT) = (sigT(tag), bandT(tag))
+    // gate on BOTH tables so a crash between the two writes self-heals
+    if (!(spark.catalog.tableExists(sT) && spark.catalog.tableExists(bT))) {
+      BandIndex.dropStaleLocations(spark, Seq(sT, bT))
+      val sigs = sigFn(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val buckets =
+          BandIndex.derivedBuckets(sigs.count(), targetRowsPerBucket)
+        sigs.write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(sT)
+        bandRows(spark.table(sT)).write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "bk").sortBy("bk")
+          .saveAsTable(bT)
+      } finally sigs.unpersist()
+    }
+    (spark.table(sT), spark.table(bT))
+  }
+
+  /** Daily-ingest maintenance: decode+hash `newDocs` and insert their
+    * rows into both tables. Per-item facts — append-only, no merge.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, tag: String,
+             sigFn: DataFrame => DataFrame): Unit = {
+    val (sT, bT) = (sigT(tag), bandT(tag))
+    require(spark.catalog.tableExists(sT) && spark.catalog.tableExists(bT),
+      s"append target $tag does not exist — buildOrLoad first")
+    val sigs = sigFn(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.write.insertInto(sT)
+      bandRows(sigs).write.insertInto(bT)
+    } finally sigs.unpersist()
+  }
+
+  /** Probe a batch's SIGNATURES against the standing index: banded
+    * candidates (batch doc_id × standing match_id, self-pairs dropped)
+    * + exact Hamming, filtered at `hamT`. The band join streams the
+    * bk-bucketed postings scan-only; the verify fetches standing
+    * signatures from the doc_id-bucketed table. Shared by the batch
+    * incremental path and [[graft.streaming.MediaStream]]'s faces.
+    */
+  def probe(spark: SparkSession, batchSigs: DataFrame, tag: String,
+            hamT: Int): DataFrame = {
+    val standing = spark.table(bandT(tag))
+    val cand = broadcast(bandRows(batchSigs)
+        .select(col("bk"), col("doc_id")))
+      .join(standing.select(col("bk"), col("doc_id").as("match_id")), "bk")
+      .filter(col("doc_id") =!= col("match_id"))
+      .select("doc_id", "match_id")
+      .distinct()
+    def bc(a: String, b: String) = bit_count(col(a).bitwiseXOR(col(b)))
+    cand
+      .join(batchSigs.select(col("doc_id"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")),
+        Seq("doc_id"))
+      .join(spark.table(sigT(tag)).select(col("doc_id").as("match_id"),
+        col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
+        col("b3").as("c3")), Seq("match_id"))
+      .select(col("doc_id"), col("match_id"),
+        (bc("a0", "c0") + bc("a1", "c1") + bc("a2", "c2") + bc("a3", "c3"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= hamT)
+  }
+}

@@ -57,14 +57,6 @@ object SharedCaches {
     * 10-round loop once per session (BpeQueries.learnedState). */
   val Bpe = "bpe"
 
-  /** Image dHash signature relation (ImageDedup.sigsPersisted): the
-    * synthesize->encode->decode->hash pass, shared by the pair query and
-    * its recall measurement. */
-  val ImageSigs = "image_sigs"
-
-  /** Audio frame-level signature relation (AudioDedup.sigsPersisted):
-    * synthesize->parse->hash, consumed by q_dedup_audio. */
-  val AudioSigs = "audio_sigs"
 
   /** Declared-query consumers per family — the release point for a full
     * run is the LAST of these present in the run (sorted execution
@@ -87,9 +79,7 @@ object SharedCaches {
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
     BloomBench -> Set("q_contamination_bloom"),
     Bpe -> Set("q_bpe_encode", "q_bpe_fertility", "q_bpe_merges",
-      "q_bpe_tokenize"),
-    ImageSigs -> Set("q_dedup_image", "q_image_recall"),
-    AudioSigs -> Set("q_dedup_audio")
+      "q_bpe_tokenize")
   )
 
   private val refs =

@@ -281,8 +281,10 @@ object TextQueries {
         val tg = grams.filter(col("tr"))
           .groupBy(col("lang").as("plang"), col("g"))
           .agg(count(lit(1)).as("c"))
-        val tt = grams.filter(col("tr"))
-          .groupBy(col("lang").as("plang")).agg(count(lit(1)).as("t"))
+        // totals + vocab derive from the (lang, gram) model relation —
+        // ONE train-corpus explode pass, not two; these derived aggs
+        // are model-sized (V×L rows), not corpus-sized
+        val tt = tg.groupBy("plang").agg(sum(col("c")).as("t"))
         val vv = tg.agg(countDistinct(col("g")).as("v"))
         val pr = docs.filter(col("tr"))
           .groupBy(col("lang").as("plang")).agg(count(lit(1)).as("nd"))

@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming faces of the media perceptual-dedup family: ingest-time
+  * near-dup checks of arriving media against the STORED signature
+  * artifact ([[graft.ops.MediaSigStore]] — the same bucketed tables the
+  * declared queries read). Per micro-batch: decode+hash only the
+  * arriving items (the same mapPartitions pass as the batch build),
+  * probe the standing band postings, exact-Hamming verify against the
+  * standing signatures — [[graft.ops.MediaSigStore.probe]], one
+  * definition with the batch incremental path. Run from `foreachBatch`
+  * (the band join + verify need full batch semantics); the sink decides
+  * whether flagged items are dropped, quarantined, or appended to the
+  * index ([[graft.ops.MediaSigStore.append]]).
+  */
+object MediaStream {
+
+  /** Image near-dup probe for one micro-batch of docs (doc_id):
+    * (doc_id, match_id, hamming <= hamT) vs the standing imgsig index.
+    */
+  def imageProbeBatch(spark: SparkSession, batch: DataFrame, tag: String,
+                      hamT: Int = graft.ops.ImageDedup.HamT): DataFrame =
+    graft.ops.MediaSigStore.probe(spark,
+      graft.ops.ImageDedup.dhashSigs(batch), tag, hamT)
+
+  /** Audio twin over the audsig index. */
+  def audioProbeBatch(spark: SparkSession, batch: DataFrame, tag: String,
+                      hamT: Int = graft.ops.AudioDedup.HamT): DataFrame =
+    graft.ops.MediaSigStore.probe(spark,
+      graft.ops.AudioDedup.levelSigs(batch), tag, hamT)
+}

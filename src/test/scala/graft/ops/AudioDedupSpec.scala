@@ -45,7 +45,6 @@ class AudioDedupSpec extends SparkSpec {
     val pairs = Registry.queryMap("q_dedup_audio")(spark, d)
       .as[(Long, Long, Long)].collect()
       .map(p => (p._1, p._2) -> p._3).toMap
-    SharedCaches.release(SharedCaches.AudioSigs)
     assert(pairs.keySet == Set((5L, 94L), (5L, 183L), (94L, 183L), (7L, 96L)))
     assert(pairs((94L, 183L)) == 0L) // both unperturbed: identical
     assert(pairs((7L, 96L)) == 0L)

@@ -52,7 +52,6 @@ class ImageDedupSpec extends SparkSpec {
     val pairs = Registry.queryMap("q_dedup_image")(spark, d)
       .as[(Long, Long, Long)].collect()
       .map(p => (p._1, p._2) -> p._3).toMap
-    SharedCaches.release(SharedCaches.ImageSigs)
     assert(pairs.keySet == Set((3L, 100L), (3L, 197L), (100L, 197L), (7L, 104L)))
     assert(pairs((3L, 197L)) == 0L)   // both unperturbed: identical
     assert(pairs((7L, 104L)) == 0L)
@@ -66,7 +65,6 @@ class ImageDedupSpec extends SparkSpec {
     // groups: 6,200 -> g=6; 10,204 -> g=10; 12 -> g=12 (singleton)
     val row = Registry.queryMap("q_image_recall")(spark, d)
       .as[(Long, Long, Long, Long, Double, Double)].collect().head
-    SharedCaches.release(SharedCaches.ImageSigs)
     val (nPanel, nTrue, nCand, nHits, precision, recall) = row
     assert(nPanel == 5L)
     assert(nTrue == 2L) // (6,200) and (10,204)

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Stored media-signature artifact lifecycle: build, append, and the
+  * shared probe — the BandIndex conventions on the media column.
+  */
+class MediaSigStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(ids: Seq[Long]) = ids.toDF("doc_id")
+
+  test("probe finds planted twins of a standing corpus; append extends it") {
+    val tag = "graft_test_msig_" + System.nanoTime()
+    // standing: group g=3 members 3, 197 (unperturbed) + disjoint 7
+    MediaSigStore.buildOrLoad(spark, docs(Seq(3L, 7L, 197L)), tag,
+      ImageDedup.dhashSigs)
+    // arriving: 100 is group-3's perturbed twin; 50 is a fresh group
+    val batch = ImageDedup.dhashSigs(docs(Seq(100L, 50L)))
+    val hits = MediaSigStore.probe(spark, batch, tag, ImageDedup.HamT)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(hits.map(h => (h._1, h._2)) == Seq((100L, 3L), (100L, 197L)))
+    assert(hits.forall(_._3 <= 2L))
+    // append the arrivals: a later twin of 50's group now matches it
+    MediaSigStore.append(spark, docs(Seq(100L, 50L)), tag, ImageDedup.dhashSigs)
+    val batch2 = ImageDedup.dhashSigs(docs(Seq(147L))) // 147 % 97 = 50
+    val hits2 = MediaSigStore.probe(spark, batch2, tag, ImageDedup.HamT)
+      .as[(Long, Long, Long)].collect().toSeq
+    // 147 % 97 = 50: matches only the (perturbed) appended doc 50
+    assert(hits2.map(h => (h._1, h._2)) == Seq((147L, 50L)))
+    assert(hits2.head._3 <= 2L)
+  }
+
+  test("streaming faces == the shared probe definition (image and audio)") {
+    val imgTag = "graft_test_msimg_" + System.nanoTime()
+    val audTag = "graft_test_msaud_" + System.nanoTime()
+    MediaSigStore.buildOrLoad(spark, docs(Seq(3L, 197L)), imgTag,
+      ImageDedup.dhashSigs)
+    MediaSigStore.buildOrLoad(spark, docs(Seq(5L, 94L)), audTag,
+      AudioDedup.levelSigs)
+    val img = graft.streaming.MediaStream
+      .imageProbeBatch(spark, docs(Seq(100L)), imgTag)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(img.map(_._1).distinct == Seq(100L) && img.size == 2)
+    val aud = graft.streaming.MediaStream
+      .audioProbeBatch(spark, docs(Seq(183L)), audTag) // 183 % 89 = 5
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(aud.map(_._1).distinct == Seq(183L) && aud.size == 2)
+    assert(aud.forall(_._3 <= 2L))
+  }
+}
