@@ -465,6 +465,46 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_mixture_schedule",
+      "Deterministic mixture SCHEDULE (the training-time complement of " +
+        "q_domain_mix's resampling): stride scheduling — the k-th doc " +
+        "of source s (deterministic md5-rank order within source) gets " +
+        "schedule key k * stride_s where stride_s = LCM(weights)/w_s, " +
+        "and the epoch reads docs by ascending (key, source, doc_id). " +
+        "Integer-exact: any key prefix contains floor-exact " +
+        "per-source counts in the target ratio (upweighted sources " +
+        "src0..src4 at 3x — MixtureScheduleSpec proves the prefix-mix " +
+        "bound at every cut), and the order is engine-, layout- and " +
+        "rerun-independent, which rand()-interleaving is not. Shape: " +
+        "one per-source rank window (source-partitioned, parallel) + " +
+        "one range-partitioned output sort; NO single-partition window " +
+        "— a global position column, if needed, assembles with the " +
+        "q_shuffle_shard prefix-sum trick over key-range buckets.",
+      (s, dir) => {
+        val wOrd = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+              lit(1L)).otherwise(lit(3L)).as("stride"))
+          .withColumn("src_rank", row_number().over(wOrd).cast("long"))
+          .select(col("doc_id"), col("source"), col("src_rank"),
+            (col("src_rank") * col("stride")).as("sched_key"))
+          .orderBy("sched_key", "source", "doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+             |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             |      THEN 1 ELSE 3 END AS stride FROM documents),
+             |r AS (SELECT doc_id, source, stride,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS src_rank
+             |  FROM w)
+             |SELECT doc_id, source, src_rank,
+             |  CAST(src_rank * stride AS BIGINT) AS sched_key
+             |FROM r ORDER BY sched_key, source, doc_id""".stripMargin)
+    ),
+
+    QueryDef(
       "q_pii_scrub",
       "PII / blocklist redaction: one regexp alternation (emails, " +
         "phone-shaped digit runs, blocklisted terms) counted and " +
