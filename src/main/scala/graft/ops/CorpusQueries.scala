@@ -505,6 +505,52 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_mixture_budget",
+      "Mixture budget table (the planning read-out of " +
+        "q_mixture_schedule): per source — docs, tokens, stride, the " +
+        "schedule key at which the source EXHAUSTS (n_docs * stride), " +
+        "and repeat_factor = max_exhaust/exhaust — how many passes over " +
+        "the source a full schedule (running until the slowest source " +
+        "exhausts) implies. The standard 'how many epochs over source " +
+        "X' number a pretraining run checks before committing to a mix " +
+        "(repeat_factor >> 1 on a small upweighted source is the " +
+        "memorization red flag). One per-source agg + a broadcast " +
+        "1-row max — integer-exact, unit-tested against the schedule " +
+        "itself (the last occurrence of source s in q_mixture_schedule " +
+        "sits exactly at exhaust_key).",
+      (s, dir) => {
+        val per = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"),
+            when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+              lit(1L)).otherwise(lit(3L)).as("stride"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            max(col("stride")).as("stride"))
+          .withColumn("exhaust_key", col("n_docs") * col("stride"))
+        val mx = per.agg(max(col("exhaust_key")).as("max_exhaust"))
+        per.crossJoin(broadcast(mx))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("stride"), col("exhaust_key"),
+            round(col("max_exhaust").cast("double") / col("exhaust_key"), 4)
+              .as("repeat_factor"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT source, len($toksSql) AS n_tok,
+              |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              |      THEN 1 ELSE 3 END AS stride FROM documents),
+              |p AS (SELECT source, count(*) AS n_docs,
+              |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              |    CAST(max(stride) AS BIGINT) AS stride FROM t GROUP BY source),
+              |e AS (SELECT *, n_docs * stride AS exhaust_key FROM p),
+              |m AS (SELECT max(exhaust_key) AS mx FROM e)
+              |SELECT source, n_docs, n_tokens, stride, exhaust_key,
+              |  round(CAST(m.mx AS DOUBLE) / exhaust_key, 4) AS repeat_factor
+              |FROM e, m ORDER BY source""".stripMargin)
+    ),
+
+    QueryDef(
       "q_pii_scrub",
       "PII / blocklist redaction: one regexp alternation (emails, " +
         "phone-shaped digit runs, blocklisted terms) counted and " +

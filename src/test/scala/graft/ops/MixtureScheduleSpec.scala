@@ -42,6 +42,21 @@ class MixtureScheduleSpec extends SparkSpec {
     assert(src0 == (1L to 30L))
   }
 
+  test("budget table ties to the schedule: last occurrence == exhaust_key") {
+    val sched = Registry.queryMap("q_mixture_schedule")(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+    val budget = Registry.queryMap("q_mixture_budget")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(b => b._1 -> b).toMap
+    // controlled corpus: src0 30 docs stride 1, src9 30 docs stride 3
+    assert(budget("src0")._5 == 30L && budget("src9")._5 == 90L)
+    assert(budget("src0")._6 == 3.0 && budget("src9")._6 == 1.0)
+    for (src <- Seq("src0", "src9")) {
+      val lastKey = sched.filter(_._2 == src).map(_._4).max
+      assert(lastKey == budget(src)._5, s"$src exhaust")
+    }
+  }
+
   test("schedule is layout-independent: same output at other parallelism") {
     val a = Registry.queryMap("q_mixture_schedule")(spark, dir)
       .collect().map(_.toString).toSeq
