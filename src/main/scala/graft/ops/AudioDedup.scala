@@ -40,6 +40,7 @@ object AudioDedup {
   private val Groups = 89
   private val PerturbMod = 5
   private[graft] val HamT = 6
+  private val PanelMod = 2
 
   /** Frame-level contract shared by the renderer and the oracle: first
     * md5 byte of "g:f".
@@ -215,6 +216,23 @@ object AudioDedup {
       Some(s"""WITH $sigSqlCtes
               |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $HamT
               |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_audio_recall",
+      "Measured precision/recall of the audio frame-signature candidate " +
+        s"stage against exact all-pairs Hamming truth on a fixed panel " +
+        s"(doc_id % $PanelMod == 0) — the falsifiability row for the " +
+        "audio banding, sharing the ImageDedup recallRow definition and " +
+        "oracle tail (one measurement shape across the media columns). " +
+        "A planted one-frame twin flips <= 2 bits in one band, so " +
+        "planted recall should measure 1.0.",
+      (s, dir) => {
+        val (sigs, bands) = stored(s, dir)
+        ImageDedup.recallRow(sigs, bands, PanelMod, HamT)
+      },
+      Some(s"""WITH $sigSqlCtes,
+              |${ImageDedup.recallSqlTail(PanelMod, HamT)}""".stripMargin)
     )
   )
 }

@@ -196,6 +196,69 @@ object ImageDedup {
                      b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
 
+  /** Measured precision/recall of the banded candidate stage against
+    * exact all-pairs Hamming truth on a bounded panel — the
+    * q_dedup_recall pattern generalized over any 4×16-bit signature
+    * artifact, shared by the image and audio recall queries (one
+    * definition, one shape). Vacuous-truth guards as everywhere: no
+    * candidates → precision 1.0, no true pairs → recall 1.0.
+    */
+  private[ops] def recallRow(sigs: DataFrame, bands: DataFrame,
+                             panelMod: Int, hamT: Int): DataFrame = {
+    val panel = sigs.filter(col("doc_id") % panelMod === 0)
+    val truth = panel.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      .join(broadcast(panel.select(col("doc_id").as("id_b"),
+        col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
+        col("b3").as("c3"))), col("id_a") < col("id_b"))
+      .filter((bitCnt(col("a0"), col("c0")) + bitCnt(col("a1"), col("c1")) +
+        bitCnt(col("a2"), col("c2")) + bitCnt(col("a3"), col("c3")))
+        <= hamT)
+    val candP = hammingPairs(sigs, bands)
+      .filter(col("id_a") % panelMod === 0 && col("id_b") % panelMod === 0)
+    val m1 = panel.agg(count(lit(1)).as("n_panel_imgs"))
+    val m2 = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val m3 = candP.agg(count(lit(1)).as("n_candidates"),
+      sum(when(col("hamming") <= hamT, 1).otherwise(0))
+        .cast("long").as("n_hits"))
+    m1.crossJoin(m2).crossJoin(m3)
+      .select(col("n_panel_imgs"), col("n_true_pairs"),
+        col("n_candidates"), col("n_hits"),
+        when(col("n_candidates") > 0,
+          round(col("n_hits").cast("double") / col("n_candidates"), 6))
+          .otherwise(1.0).as("precision"),
+        when(col("n_true_pairs") > 0,
+          round(col("n_hits").cast("double") / col("n_true_pairs"), 6))
+          .otherwise(1.0).as("recall"))
+  }
+
+  /** The recall oracle's panel/truth/measure tail over a CTE chain
+    * ending in `sig` + `ham` — shared text for the image and audio
+    * recall twins.
+    */
+  private[ops] def recallSqlTail(panelMod: Int, hamT: Int): String =
+    s"""panel AS (SELECT * FROM sig WHERE doc_id % $panelMod = 0),
+       |truth AS (SELECT count(*) AS n_true_pairs
+       |  FROM panel a JOIN panel b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    <= $hamT),
+       |cp AS (SELECT * FROM ham
+       |  WHERE id_a % $panelMod = 0 AND id_b % $panelMod = 0),
+       |m AS (SELECT (SELECT count(*) FROM panel) AS n_panel_imgs,
+       |    (SELECT n_true_pairs FROM truth) AS n_true_pairs,
+       |    (SELECT count(*) FROM cp) AS n_candidates,
+       |    (SELECT count(*) FILTER (hamming <= $hamT) FROM cp)
+       |      AS n_hits)
+       |SELECT n_panel_imgs, n_true_pairs, n_candidates, n_hits,
+       |  CASE WHEN n_candidates > 0
+       |    THEN round(CAST(n_hits AS DOUBLE)/n_candidates, 6)
+       |    ELSE 1.0 END AS precision,
+       |  CASE WHEN n_true_pairs > 0
+       |    THEN round(CAST(n_hits AS DOUBLE)/n_true_pairs, 6)
+       |    ELSE 1.0 END AS recall
+       |FROM m""".stripMargin
+
   // ---------------------------------------------------------------- SQL
   // Oracle twins: the dHash computed ANALYTICALLY from the luminance
   // contract (PNG gray8 roundtrip is lossless, so formula == decoded
@@ -272,57 +335,10 @@ object ImageDedup {
         "are rejected by the verify stage (precision's denominator).",
       (s, dir) => {
         val (sigs, bands) = stored(s, dir)
-        val panel = sigs.filter(col("doc_id") % PanelMod === 0)
-        val truth = panel.select(col("doc_id").as("id_a"), col("b0").as("a0"),
-          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-          .join(broadcast(panel.select(col("doc_id").as("id_b"),
-            col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
-            col("b3").as("c3"))), col("id_a") < col("id_b"))
-          .filter((bitCnt(col("a0"), col("c0")) + bitCnt(col("a1"), col("c1")) +
-            bitCnt(col("a2"), col("c2")) + bitCnt(col("a3"), col("c3")))
-            <= HamT)
-        val candP = hammingPairs(sigs, bands)
-          .filter(col("id_a") % PanelMod === 0 && col("id_b") % PanelMod === 0)
-        val m1 = panel.agg(count(lit(1)).as("n_panel_imgs"))
-        val m2 = truth.agg(count(lit(1)).as("n_true_pairs"))
-        val m3 = candP.agg(count(lit(1)).as("n_candidates"),
-          sum(when(col("hamming") <= HamT, 1).otherwise(0))
-            .cast("long").as("n_hits"))
-        // Vacuous-truth guards, mirrored in the oracle (q_dedup_recall's
-        // convention): no candidates -> precision 1.0, no true pairs ->
-        // recall 1.0.
-        m1.crossJoin(m2).crossJoin(m3)
-          .select(col("n_panel_imgs"), col("n_true_pairs"),
-            col("n_candidates"), col("n_hits"),
-            when(col("n_candidates") > 0,
-              round(col("n_hits").cast("double") / col("n_candidates"), 6))
-              .otherwise(1.0).as("precision"),
-            when(col("n_true_pairs") > 0,
-              round(col("n_hits").cast("double") / col("n_true_pairs"), 6))
-              .otherwise(1.0).as("recall"))
+        recallRow(sigs, bands, PanelMod, HamT)
       },
       Some(s"""WITH $sigSqlCtes,
-              |panel AS (SELECT * FROM sig WHERE doc_id % $PanelMod = 0),
-              |truth AS (SELECT count(*) AS n_true_pairs
-              |  FROM panel a JOIN panel b ON a.doc_id < b.doc_id
-              |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-              |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
-              |    <= $HamT),
-              |cp AS (SELECT * FROM ham
-              |  WHERE id_a % $PanelMod = 0 AND id_b % $PanelMod = 0),
-              |m AS (SELECT (SELECT count(*) FROM panel) AS n_panel_imgs,
-              |    (SELECT n_true_pairs FROM truth) AS n_true_pairs,
-              |    (SELECT count(*) FROM cp) AS n_candidates,
-              |    (SELECT count(*) FILTER (hamming <= $HamT) FROM cp)
-              |      AS n_hits)
-              |SELECT n_panel_imgs, n_true_pairs, n_candidates, n_hits,
-              |  CASE WHEN n_candidates > 0
-              |    THEN round(CAST(n_hits AS DOUBLE)/n_candidates, 6)
-              |    ELSE 1.0 END AS precision,
-              |  CASE WHEN n_true_pairs > 0
-              |    THEN round(CAST(n_hits AS DOUBLE)/n_true_pairs, 6)
-              |    ELSE 1.0 END AS recall
-              |FROM m""".stripMargin)
+              |${recallSqlTail(PanelMod, HamT)}""".stripMargin)
     )
   )
 }

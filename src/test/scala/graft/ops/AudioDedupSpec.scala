@@ -51,4 +51,20 @@ class AudioDedupSpec extends SparkSpec {
     assert(pairs((5L, 94L)) <= 2L)   // one flipped frame: <= 2 bits
     assert(pairs((5L, 183L)) <= 2L)
   }
+
+  test("q_audio_recall measures 1.0 on a planted all-even panel") {
+    val d = Files.createTempDirectory("audiorec").toString
+    // all ids even -> whole corpus is the panel; groups: (6,184) g=6,
+    // (10,188) g=10, 12 singleton (184%89=6, 188%89=10)
+    Seq(6L, 184L, 10L, 188L, 12L)
+      .map(id => (id, s"doc $id", "en", "s0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val (nPanel, nTrue, nCand, nHits, precision, recall) =
+      Registry.queryMap("q_audio_recall")(spark, d)
+        .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    assert(nPanel == 5L && nTrue == 2L && nHits == 2L && nCand >= 2L)
+    assert(recall == 1.0)
+    assert(precision == 1.0 || nCand > nHits)
+  }
 }
