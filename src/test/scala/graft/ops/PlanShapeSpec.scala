@@ -362,6 +362,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_image / q_dedup_audio: stored band postings reach the " +
+    "candidate self-join exchange-free (bk bucketing == the join key)") {
+    for (q <- Seq("q_dedup_image", "q_dedup_audio")) {
+      val p = plan(Registry.queryMap(q)(spark, dir), noBroadcast = true)
+      // both stored tables are read; the band postings feed the
+      // candidate self-join with no shuffle between scan and join —
+      // the single packed band key bk is the bucketing key, which is
+      // the whole point of packing (bi, bv) into one column
+      assert(contains(p, "_mband"), s"$q must read stored postings:\n$p")
+      assert(contains(p, "_msig"), s"$q must read stored signatures:\n$p")
+      for (scan <- scansOf(p, "_mband")) {
+        val path = pathTo(p, scan).getOrElse(fail("no path to _mband scan"))
+        val belowJoin = path.reverse.takeWhile(n => !isJoin(n))
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"$q: stored postings must reach the self-join " +
+            s"without a shuffle:\n$p")
+      }
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q must band, not all-pairs:\n$p")
+    }
+  }
+
+  test("q_mixture_schedule: no single-partition window (the rank is " +
+    "source-partitioned; the total order is a range-partitioned sort)") {
+    val p = plan(Registry.queryMap("q_mixture_schedule")(spark, dir))
+    p.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"rank window must partition by source:\n$p")
+    }
+  }
+
   test("q_embedding_drift: the corpus feeds ONE aggregation; the LxL " +
     "comparison joins only post-agg centroid rows") {
     val p = plan(Registry.queryMap("q_embedding_drift")(spark, dir))
