@@ -77,6 +77,17 @@ object ExprProperties extends Properties("graft.native-expressions") {
       }
     }
 
+  property("wordNgramSeq: gram i = tokens i..i+n-1, exact count, order") =
+    forAll(tokenArray, Gen.chooseNum(1, 4)) { (toks, n) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          .toArray[Any])
+      val got = strings(WordNgramSeq(
+        Literal(arr, ArrayType(StringType)), n).eval(null))
+      val exp = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      got == exp
+    }
+
   property("wordNgrams: each gram = n consecutive tokens") =
     forAll(tokenArray, Gen.chooseNum(1, 4)) { (toks, n) =>
       val out = strings(WordNgrams(

@@ -32,6 +32,34 @@ class MediaSigStoreSpec extends SparkSpec {
     assert(hits2.head._3 <= 2L)
   }
 
+  test("randomized differential: probe == brute-force banded Hamming") {
+    val rnd = new scala.util.Random(23)
+    val standingIds = Seq.fill(40)(rnd.nextInt(400).toLong).distinct
+    val batchIds = Seq.fill(15)(rnd.nextInt(400).toLong).distinct
+    val tag = "graft_test_msdiff_" + System.nanoTime()
+    MediaSigStore.buildOrLoad(spark, docs(standingIds), tag,
+      ImageDedup.dhashSigs)
+    val got = MediaSigStore.probe(spark,
+      ImageDedup.dhashSigs(docs(batchIds)), tag, ImageDedup.HamT)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the signature contract: a (batch, standing) pair
+    // is emitted iff some band matches exactly AND total Hamming <= T
+    def sig(id: Long) = ImageDedup.dhashBands(ImageDedup.renderPng(id)).get
+    val exp = (for {
+      b <- batchIds; s <- standingIds if b != s
+      sb = sig(b); ss = sig(s)
+      bandHit = Seq(sb._1 == ss._1, sb._2 == ss._2, sb._3 == ss._3,
+        sb._4 == ss._4).exists(identity)
+      ham = java.lang.Integer.bitCount(sb._1 ^ ss._1) +
+        java.lang.Integer.bitCount(sb._2 ^ ss._2) +
+        java.lang.Integer.bitCount(sb._3 ^ ss._3) +
+        java.lang.Integer.bitCount(sb._4 ^ ss._4)
+      if bandHit && ham <= ImageDedup.HamT
+    } yield (b, s, ham.toLong)).toSet
+    assert(got == exp)
+    assert(exp.nonEmpty, "differential should exercise real matches")
+  }
+
   test("streaming faces == the shared probe definition (image and audio)") {
     val imgTag = "graft_test_msimg_" + System.nanoTime()
     val audTag = "graft_test_msaud_" + System.nanoTime()
