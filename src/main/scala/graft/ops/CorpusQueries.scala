@@ -465,6 +465,105 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_corpus_funnel",
+      "Curation-funnel accounting: every doc assigned the FIRST " +
+        "pipeline stage that drops it — eval slice (src0 is the " +
+        "benchmark, never training data), quality gate (< 2 of the " +
+        "q_quality_score points), exact-dup non-keeper (fingerprint-" +
+        "group min rule), decontamination (word-3-gram overlap >= tau " +
+        "vs the benchmark) — or '4_kept'. One row per stage with doc/" +
+        "token counts and corpus fraction: the attrition report a " +
+        "curation run publishes next to its data card (WHERE the corpus " +
+        "went, with each stage's definition shared verbatim with its " +
+        "standalone operator — qualityPoints, the keeper window, the " +
+        "q_contamination join — so the funnel cannot drift from the " +
+        "stages it accounts for). Stage predicates are evaluated per " +
+        "doc with first-reason precedence; shape = the union of the " +
+        "component shapes (one fingerprint window, one broadcast " +
+        "bench join, one final stage agg).",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wFp = Window.partitionBy(md5(normText(col("text"))))
+        val base = Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("n_stop", TextQueries.nStop(col("toks")))
+          .withColumn("qp", TextQueries.qualityPoints(
+            length(col("text")), col("n_tok"), col("n_stop")))
+          .withColumn("keeper_id", min(col("doc_id")).over(wFp))
+        val g = base.filter(size(col("toks")) >= ContamN)
+          .select(col("doc_id"), col("source"),
+            wordNgrams(col("toks"), ContamN).as("ng"))
+        val bench = g.filter(col("source") === "src0")
+          .select(explode(col("ng")).as("ngram")).distinct()
+          .withColumn("hit", lit(1))
+        val contam = g.filter(col("source") =!= "src0")
+          .select(col("doc_id"), size(col("ng")).as("n_ngrams"),
+            explode(col("ng")).as("ngram"))
+          .join(broadcast(bench), Seq("ngram"), "left")
+          .groupBy("doc_id", "n_ngrams")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .filter(col("n_hits").cast("double") / col("n_ngrams") >= ContamTau)
+          .select(col("doc_id"), lit(1).as("contam"))
+        val staged = base.join(contam, Seq("doc_id"), "left")
+          .withColumn("stage",
+            when(col("source") === "src0", "0_eval_slice")
+              .when(col("qp") < 2, "1_quality")
+              .when(col("keeper_id") =!= col("doc_id"), "2_exact_dup")
+              .when(col("contam") === 1, "3_contaminated")
+              .otherwise("4_kept"))
+        staged.groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"))
+          .crossJoin(broadcast(staged.agg(count(lit(1)).as("n_total"))))
+          .select(col("stage"), col("n_docs"), col("n_tokens"),
+            round(col("n_docs").cast("double") / col("n_total"), 6)
+              .as("frac_docs"))
+          .orderBy("stage")
+      },
+      Some {
+        val stop = "[" + TextQueries.stopwords.map(x => s"'$x'")
+          .mkString(",") + "]"
+        s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks,
+           |    min(doc_id) OVER (PARTITION BY md5($normSql)) AS keeper_id
+           |  FROM documents),
+           |m AS (SELECT doc_id, source, keeper_id, toks,
+           |    len(toks) AS n_tok,
+           |    len(list_filter(toks, x -> list_contains($stop, x))) AS n_stop,
+           |    length(text) AS n_chars FROM t),
+           |q AS (SELECT *, (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END
+           |    + CASE WHEN n_stop > 0 THEN 1 ELSE 0 END
+           |    + CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS qp FROM m),
+           |g AS (SELECT doc_id, source,
+           |    list_distinct(list_transform(range(1, len(toks)-${ContamN - 2}),
+           |      i -> $contamGramSql)) AS ng
+           |  FROM t WHERE len(toks) >= $ContamN),
+           |bench AS (SELECT DISTINCT unnest(ng) AS ngram FROM g
+           |  WHERE source='src0'),
+           |x AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS ngram
+           |  FROM g WHERE source <> 'src0'),
+           |j AS (SELECT x.doc_id, x.n_ngrams,
+           |    CAST(sum(CASE WHEN b.ngram IS NULL THEN 0 ELSE 1 END)
+           |      AS BIGINT) AS n_hits
+           |  FROM x LEFT JOIN bench b ON x.ngram = b.ngram GROUP BY 1,2),
+           |c AS (SELECT doc_id FROM j
+           |  WHERE CAST(n_hits AS DOUBLE)/n_ngrams >= $ContamTau),
+           |staged AS (SELECT q.doc_id, q.n_tok,
+           |    CASE WHEN q.source = 'src0' THEN '0_eval_slice'
+           |         WHEN q.qp < 2 THEN '1_quality'
+           |         WHEN q.keeper_id <> q.doc_id THEN '2_exact_dup'
+           |         WHEN c.doc_id IS NOT NULL THEN '3_contaminated'
+           |         ELSE '4_kept' END AS stage
+           |  FROM q LEFT JOIN c USING (doc_id)),
+           |tot AS (SELECT count(*) AS n FROM staged)
+           |SELECT stage, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  round(CAST(count(*) AS DOUBLE)/tot.n, 6) AS frac_docs
+           |FROM staged, tot GROUP BY stage, tot.n ORDER BY stage""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_mixture_schedule",
       "Deterministic mixture SCHEDULE (the training-time complement of " +
         "q_domain_mix's resampling): stride scheduling — the k-th doc " +
