@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to stdout, unprefixed: sbt's default
+// LoggedOutput wraps every line in "[info] ..." which the driver's JSON
+// parser rejects (five rounds of BENCH_r*.json with parsed=null). With
+// StdoutOutput the Bench main's one JSON line is a bare line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -33,15 +38,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // an 8g heap left ~4.4 GB of unified memory for 32 threads, so one
   // shuffle-heavy query's execution demand evicted the session-cached
   // families mid-bench (q_dedup_recall's minhash inputs rebuilt every
-  // pass, measured +2s floor). Bench runs on the 128 GiB host get 32g
-  // (quarter of RAM, capped); small hosts get half their RAM, floor
-  // 2g. SPARK_DRIVER_MEM overrides everything.
+  // pass, measured +2s floor). Rule (r11 ADVICE #4 simplified it):
+  // clamp(hostRAM/2, 2g, 32g) — the 128 GiB bench host gets 32g, an
+  // 8 GiB laptop 4g, and the com.sun cast is guarded so a non-HotSpot
+  // JVM falls back to 4g instead of failing the build load.
+  // SPARK_DRIVER_MEM overrides everything.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
-    val bytes = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-      .getTotalMemorySize
-    val gb = bytes / (1L << 30)
-    val pick = math.max(2L, math.min(32L, math.max(gb / 4, math.min(gb / 2, 8L))))
-    s"${pick}g"
+    val gb = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getTotalMemorySize / (1L << 30)
+      case _ => 8L // non-HotSpot JVM: assume a small host
+    }
+    s"${math.max(2L, math.min(32L, gb / 2))}g"
   })}",
 )

@@ -21,7 +21,11 @@ import org.apache.spark.sql.types._
   * to an md5-derived level of the doc's GROUP (doc_id % [[Groups]]),
   * with every [[PerturbMod]]-th doc getting ONE frame level flipped (a
   * planted near-duplicate: one frame disturbs at most two comparison
-  * bits, both in one band). PCM u8 is lossless and frames are constant,
+  * bits across at most two bands — frames 16/32/48 sit on a band
+  * boundary, so the two straddling comparisons land one bit in each
+  * neighbor — leaving >= 2 of 4 bands intact either way; the image case
+  * genuinely stays in one band because its bands span whole rows). PCM
+  * u8 is lossless and frames are constant,
   * so the decoded per-frame MEAN equals the generating level exactly
   * (spec-pinned) — which is what lets the DuckDB oracle compute the
   * same signature analytically. A real deployment swaps the synthesis
@@ -225,8 +229,9 @@ object AudioDedup {
         s"(doc_id % $PanelMod == 0) — the falsifiability row for the " +
         "audio banding, sharing the ImageDedup recallRow definition and " +
         "oracle tail (one measurement shape across the media columns). " +
-        "A planted one-frame twin flips <= 2 bits in one band, so " +
-        "planted recall should measure 1.0.",
+        "A planted one-frame twin flips <= 2 bits across <= 2 bands " +
+        "(boundary frames 16/32/48 straddle two), leaving >= 2 of 4 " +
+        "bands intact, so planted recall should measure 1.0.",
       (s, dir) => {
         val (sigs, bands) = stored(s, dir)
         ImageDedup.recallRow(sigs, bands, PanelMod, HamT)

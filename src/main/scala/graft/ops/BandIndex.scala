@@ -113,7 +113,12 @@ object BandIndex {
                  ): (DataFrame, DataFrame) = {
     val shT = s"${tag}_shingles"
     val bdT = s"${tag}_bands"
-    if (!spark.catalog.tableExists(bdT)) {
+    // Gate on BOTH tables (the MediaSigStore convention, backported r12):
+    // bdT is written second so ordering alone heals a crash between the
+    // writes, but an externally dropped shT would otherwise leave a
+    // cataloged band table whose every verify join fails until manual
+    // repair. Requiring both makes any partial state rebuild.
+    if (!(spark.catalog.tableExists(shT) && spark.catalog.tableExists(bdT))) {
       dropStaleLocations(spark, Seq(shT, bdT))
       // Persist so the sizing count and the write share one shingling
       // pass; buckets derive from the family's primary relation (the

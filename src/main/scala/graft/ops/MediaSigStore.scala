@@ -104,8 +104,17 @@ object MediaSigStore {
     */
   def probe(spark: SparkSession, batchSigs: DataFrame, tag: String,
             hamT: Int): DataFrame = {
+    // The batch signature relation feeds BOTH legs (band candidates and
+    // the exact-Hamming verify); unshared, the expensive decode+hash
+    // mapPartitions pass would run twice per micro-batch on real media
+    // (r11 ADVICE #3). probe() is lazy so there is no post-consumption
+    // unpersist point — localCheckpoint (eager) computes the batch ONCE,
+    // both legs read the materialized blocks, and the ContextCleaner
+    // reclaims them when the plan is dropped. Micro-batches are bounded
+    // by the stream trigger, so the materialization is small by design.
+    val sigs = batchSigs.localCheckpoint()
     val standing = spark.table(bandT(tag))
-    val cand = broadcast(bandRows(batchSigs)
+    val cand = broadcast(bandRows(sigs)
         .select(col("bk"), col("doc_id")))
       .join(standing.select(col("bk"), col("doc_id").as("match_id")), "bk")
       .filter(col("doc_id") =!= col("match_id"))
@@ -113,7 +122,7 @@ object MediaSigStore {
       .distinct()
     def bc(a: String, b: String) = bit_count(col(a).bitwiseXOR(col(b)))
     cand
-      .join(batchSigs.select(col("doc_id"), col("b0").as("a0"),
+      .join(sigs.select(col("doc_id"), col("b0").as("a0"),
         col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")),
         Seq("doc_id"))
       .join(spark.table(sigT(tag)).select(col("doc_id").as("match_id"),

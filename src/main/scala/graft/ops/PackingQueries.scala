@@ -111,8 +111,10 @@ object PackingQueries {
           sum(col("tok")).as("tok_total")) ++
           windows.flatMap(l => Seq(
             sum(col(s"cov_$l")).as(s"cov_$l"),
-            sum(floor((col("tok") + lit(l - 1)) / lit(l)).cast("long"))
-              .as(s"seq_$l")))
+            // integer-exact ceil: long `/` long in Spark detours through
+            // double (floor(x/y) diverges from the oracle's HUGEINT //
+            // once per-source token sums pass 2^53); `div` stays integral.
+            sum(expr(s"(tok + ${l - 1}) div $l")).as(s"seq_$l")))
         val glob = perSrc.agg(gAggs.head, gAggs.tail: _*)
         // The pad denominators (n_docs*L, seqs*L) have only 2s and 5s as
         // factors, so the 6dp ratio routinely lands EXACTLY on a .5

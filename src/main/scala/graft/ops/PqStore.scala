@@ -58,7 +58,10 @@ object PqStore {
                  ): (DataFrame, DataFrame) = {
     val t = tag(dir)
     val (bT, cT) = (cbT(t), codesT(t))
-    if (!spark.catalog.tableExists(cT)) {
+    // both-tables gate (MediaSigStore convention, backported r12): any
+    // partial state — crash between writes or an external drop of either
+    // table — self-heals by rebuilding.
+    if (!(spark.catalog.tableExists(bT) && spark.catalog.tableExists(cT))) {
       BandIndex.dropStaleLocations(spark, Seq(bT, cT))
       // One code row per vector: bucket derivation is the parquet
       // count — metadata-only, no extra corpus pass.

@@ -100,7 +100,10 @@ object SpanSet {
                         extractor: DataFrame => DataFrame
                        ): (DataFrame, DataFrame) = {
     val (rT, sT) = (rowsT(tag), setT(tag))
-    if (!spark.catalog.tableExists(sT)) {
+    // both-tables gate (MediaSigStore convention, backported r12): any
+    // partial state — crash between writes or an external drop of either
+    // table — self-heals by rebuilding.
+    if (!(spark.catalog.tableExists(rT) && spark.catalog.tableExists(sT))) {
       BandIndex.dropStaleLocations(spark, Seq(rT, sT))
       // Persist so the sizing count and the write share one explode
       // pass; BOTH tables take the count derived from the span rows —

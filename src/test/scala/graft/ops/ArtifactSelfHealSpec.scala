@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Partial-build self-heal across EVERY stored-artifact family (r11
+  * verdict #2 / next-round #4): a crash between a family's two
+  * `saveAsTable` writes — simulated here by dropping one table after a
+  * successful build — must NOT leave a half-built index that later
+  * calls trip over. Every `buildOrLoad` gates on ALL of its tables
+  * (the MediaSigStore convention), so any partial state rebuilds
+  * transparently. Both drop directions are exercised for the two-table
+  * families: first-written table missing (the crash-before-second-write
+  * state is the SECOND table missing, but an external drop can lose
+  * either) and second-written table missing.
+  */
+class ArtifactSelfHealSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame =
+    (1L to 60L).map { id =>
+      (id,
+        s"alpha bravo charlie delta echo foxtrot golf hotel item$id " +
+          s"tail${id % 7} extra words for shingling stability",
+        "en", s"s${id % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+
+  /** Build → assert usable → drop `victim` → rebuild → assert usable,
+    * for each victim table in turn.
+    */
+  private def heals(tables: Seq[String], build: () => Seq[DataFrame]): Unit = {
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    assert(build().forall(_.count() > 0), "fresh build must be usable")
+    tables.foreach { victim =>
+      spark.sql(s"DROP TABLE $victim")
+      val rebuilt = build()
+      assert(tables.forall(spark.catalog.tableExists),
+        s"after losing $victim, buildOrLoad must restore every table")
+      assert(rebuilt.forall(_.count() > 0),
+        s"after losing $victim, the rebuilt artifact must be usable")
+    }
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("BandIndex self-heals from either table missing") {
+    val tag = BandIndex.tag("/tmp/selfheal", "minhash")
+    heals(Seq(s"${tag}_shingles", s"${tag}_bands"), () => {
+      val (sh, bd) = BandIndex.buildOrLoad(spark, docs, tag)
+      Seq(sh, bd)
+    })
+  }
+
+  test("SpanSet self-heals from either table missing") {
+    val tag = BandIndex.tag("/tmp/selfheal", "spans")
+    heals(Seq(s"${tag}_spanrows", s"${tag}_spanset"), () => {
+      val (r, s) = SpanSet.buildOrLoad(spark, docs, tag)
+      Seq(r, s)
+    })
+  }
+
+  test("ContainIndex self-heals from either table missing") {
+    val tag = BandIndex.tag("/tmp/selfheal", "contain")
+    heals(Seq(s"${tag}_cngrams", s"${tag}_cdocs"), () => {
+      val (p, d) = ContainIndex.buildOrLoad(spark, docs, tag)
+      Seq(p, d)
+    })
+  }
+
+  test("MediaSigStore self-heals from either table missing") {
+    val tag = BandIndex.tag("/tmp/selfheal", "imgsig")
+    heals(Seq(s"${tag}_msig", s"${tag}_mband"), () => {
+      val (s, b) = MediaSigStore.buildOrLoad(spark, docs, tag,
+        ImageDedup.dhashSigs)
+      Seq(s, b)
+    })
+  }
+
+  test("ChunkStore (single table) self-heals from an external drop") {
+    val tag = BandIndex.tag("/tmp/selfheal", "chunks")
+    heals(Seq(s"${tag}_chunks"),
+      () => Seq(ChunkStore.buildOrLoad(spark, docs, tag)))
+  }
+
+  test("IvfIndex self-heals from either table missing") {
+    val dir = "/root/testdata/sf0.001"
+    val tag = IvfIndex.tag(dir, 16)
+    heals(Seq(s"${tag}_ivfcells", s"${tag}_ivfcentroids"), () => {
+      val (c, m) = IvfIndex.buildOrLoad(spark, dir, 16)
+      Seq(c, m)
+    })
+  }
+
+  test("PqStore self-heals from either table missing") {
+    val dir = "/root/testdata/sf0.001"
+    val tag = PqStore.tag(dir)
+    heals(Seq(s"${tag}_pqcodebook", s"${tag}_pqcodes"), () => {
+      val (cb, codes) = PqStore.buildOrLoad(spark, dir)
+      Seq(cb, codes)
+    })
+  }
+}
