@@ -350,10 +350,16 @@ object Pipeline {
             spark.read.parquet(s"$outDir/$t.parquet"), tag, sigFn)
           sigs.count()
         }
+        // surface what the hot-bucket cap will silently skip (the
+        // BandIndex build-audit convention, on the media index)
+        val (capB, capR) = graft.ops.MediaSigStore.hotBucketAudit(spark, tag)
         val msg = s"tag=$tag buckets=" +
-          s"${graft.ops.MediaSigStore.buckets(spark, tag)} signatures=$n"
-        log.info(t, s"artifact $kind", msg)
-        Report.ArtifactResult(t, kind, msg, 0L, 0L, secs)
+          s"${graft.ops.MediaSigStore.buckets(spark, tag)} signatures=$n " +
+          s"hot_bucket_cap=${graft.ops.DedupQueries.HotBucketCap} " +
+          s"capped_buckets=$capB capped_rows=$capR"
+        if (capB > 0) log.warn(t, s"artifact $kind", msg)
+        else log.info(t, s"artifact $kind", msg)
+        Report.ArtifactResult(t, kind, msg, 0L, capR, secs)
       }
     val imgSigs = mediaSig(a.imageSigTables, graft.ops.MediaSigStore.imageTag,
       "image_sig_store", graft.ops.ImageDedup.dhashSigs)

@@ -188,8 +188,10 @@ object AudioDedup {
        |    ${bandSql(2)} AS b2, ${bandSql(3)} AS b3 FROM lv),
        |e AS (SELECT doc_id, unnest([b0,b1,b2,b3]) AS bv,
        |    unnest([0,1,2,3]) AS bi FROM sig),
+       |ec AS (SELECT * FROM e QUALIFY count(*)
+       |    OVER (PARTITION BY bi, bv) <= ${DedupQueries.HotBucketCap}),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM e a JOIN e b ON a.bi = b.bi AND a.bv = b.bv
+       |  FROM ec a JOIN ec b ON a.bi = b.bi AND a.bv = b.bv
        |    AND a.doc_id < b.doc_id),
        |ham AS (SELECT id_a, id_b, CAST(bit_count(xor(sa.b0, sb.b0))
        |    + bit_count(xor(sa.b1, sb.b1)) + bit_count(xor(sa.b2, sb.b2))

@@ -34,10 +34,11 @@ import org.apache.spark.sql.types._
   * right tool — no Catalyst expression decodes PNG); everything after
   * is relational on 4 ints per image — the band self-join is an
   * equi-join on (band_idx, band_value) so work is linear in bucket
-  * sizes, never corpus², and a production run caps boilerplate buckets
-  * exactly like the text LSH ([[DedupQueries.HotBucketCap]]); the
-  * signature relation would be a stored artifact (the BandIndex
-  * pattern) rather than a session cache.
+  * sizes, never corpus², and boilerplate buckets ARE capped exactly
+  * like the text LSH ([[DedupQueries.HotBucketCap]], enforced r12 via
+  * the stored `bsz` column — a pushed scan predicate, audited at
+  * build); the signature relation is a stored artifact
+  * ([[MediaSigStore]], the BandIndex pattern).
   */
 object ImageDedup {
 
@@ -173,11 +174,21 @@ object ImageDedup {
     * off the stored tables: the candidate self-join's one key (bk) is
     * the postings table's bucketing key, so both legs come off the
     * scan exchange-free; the verify fetches signatures from the
-    * doc_id-bucketed table.
+    * doc_id-bucketed table. Buckets over `cap` are SKIPPED via the
+    * stored-bsz pushed predicate before the self-join — a degenerate
+    * class (solid-color images, silent clips) otherwise expands into
+    * O(class²) pairs at corpus scale (the text family's HotBucketCap,
+    * enforced on the media joins as of r12; the build-time audit
+    * reports what the cap skips). Inert at the shipped test scales
+    * (max bucket ≈ group size ≪ cap) — the oracle carries the same
+    * QUALIFY predicate so both engines compute one definition.
     */
-  private[ops] def hammingPairs(sigs: DataFrame, bands: DataFrame): DataFrame = {
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+  private[ops] def hammingPairs(sigs: DataFrame, bands: DataFrame,
+                                cap: Int = DedupQueries.HotBucketCap
+                               ): DataFrame = {
+    val b = bands.filter(col("bsz") <= cap)
+    val cand = b.as("a")
+      .join(b.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
@@ -291,8 +302,10 @@ object ImageDedup {
        |    ${bandSql(2)} AS b2, ${bandSql(3)} AS b3 FROM lum),
        |e AS (SELECT doc_id, unnest([b0,b1,b2,b3]) AS bv,
        |    unnest([0,1,2,3]) AS bi FROM sig),
+       |ec AS (SELECT * FROM e QUALIFY count(*)
+       |    OVER (PARTITION BY bi, bv) <= ${DedupQueries.HotBucketCap}),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM e a JOIN e b ON a.bi = b.bi AND a.bv = b.bv
+       |  FROM ec a JOIN ec b ON a.bi = b.bi AND a.bv = b.bv
        |    AND a.doc_id < b.doc_id),
        |ham AS (SELECT id_a, id_b, CAST(bit_count(xor(sa.b0, sb.b0))
        |    + bit_count(xor(sa.b1, sb.b1)) + bit_count(xor(sa.b2, sb.b2))

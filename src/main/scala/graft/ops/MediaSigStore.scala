@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   *
   *   - `<tag>_msig`  (doc_id, b0..b3)  bucketed by doc_id — the
   *     signatures, fetched by id at the exact-Hamming verify
-  *   - `<tag>_mband` (bk, doc_id)      bucketed by bk — band postings
+  *   - `<tag>_mband` (bk, doc_id, bsz) bucketed by bk — band postings
   *     with the SINGLE key bk = band_idx * 2^16 + band_value, so the
   *     candidate self-join (and every ingest probe) satisfies its
   *     required distribution straight off the scan: one join key ==
-  *     the one bucketing key, no Exchange above either side
+  *     the one bucketing key, no Exchange above either side. `bsz` is
+  *     the bucket's population, PRECOMPUTED at build (the BandIndex
+  *     convention), so the hot-bucket cap — a solid-color image class
+  *     or a silence-filled audio class collapses into ONE bucket whose
+  *     self-join is O(class²) at corpus scale — is a pushed parquet
+  *     predicate on every read path, never a window over the index
   *
   * Why bk is one column: bucketing provides hash distribution on the
   * bucket column only — a join on (band_idx, band_value) would need
@@ -71,7 +76,12 @@ object MediaSigStore {
         sigs.write.mode(SaveMode.Overwrite)
           .bucketBy(buckets, "doc_id").sortBy("doc_id")
           .saveAsTable(sT)
-        bandRows(spark.table(sT)).write.mode(SaveMode.Overwrite)
+        // bucket-population column computed ONCE at build — the cap on
+        // the read paths is then a pushed scan predicate (BandIndex bsz)
+        val wb = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+        bandRows(spark.table(sT))
+          .withColumn("bsz", count(lit(1)).over(wb))
+          .write.mode(SaveMode.Overwrite)
           .bucketBy(buckets, "bk").sortBy("bk")
           .saveAsTable(bT)
       } finally sigs.unpersist()
@@ -91,8 +101,43 @@ object MediaSigStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sigs.write.insertInto(sT)
-      bandRows(sigs).write.insertInto(bT)
+      // bsz counted WITHIN the batch — a lower bound on the true bucket
+      // size, erring toward KEEPING buckets until [[refreshBucketSizes]]
+      // (the BandIndex append staleness contract, inequality safe-side).
+      val wb = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+      bandRows(sigs)
+        .withColumn("bsz", count(lit(1)).over(wb))
+        .write.insertInto(bT)
     } finally sigs.unpersist()
+  }
+
+  /** Periodic compaction: recompute exact bsz from the signature table
+    * (appends leave per-batch lower bounds), preserving the bucket spec.
+    */
+  def refreshBucketSizes(spark: SparkSession, tag: String): Unit = {
+    val bT = bandT(tag)
+    val buckets = BandIndex.bucketsOf(spark, bT)
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+    bandRows(spark.table(sigT(tag)))
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(bT)
+  }
+
+  /** What the hot-bucket cap silently skips on the stored index:
+    * (over-cap buckets, posting rows inside them). Scan-only — bsz is a
+    * stored column — so the pipeline surfaces every silent cap as a
+    * report metric (the BandIndex hotBucketAudit convention).
+    */
+  def hotBucketAudit(spark: SparkSession, tag: String,
+                     cap: Int = DedupQueries.HotBucketCap): (Long, Long) = {
+    val r = spark.table(bandT(tag))
+      .filter(col("bsz") > cap)
+      .agg(count_distinct(col("bk")).as("n_buckets"),
+        count(lit(1)).as("n_rows"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Probe a batch's SIGNATURES against the standing index: banded
@@ -101,9 +146,13 @@ object MediaSigStore {
     * bk-bucketed postings scan-only; the verify fetches standing
     * signatures from the doc_id-bucketed table. Shared by the batch
     * incremental path and [[graft.streaming.MediaStream]]'s faces.
+    * Standing buckets over `cap` are boilerplate (a degenerate media
+    * class — solid color, silence) and are SKIPPED via the stored-bsz
+    * pushed predicate rather than expanded (the text-LSH HotBucketCap
+    * governance; [[hotBucketAudit]] reports what the cap skips).
     */
   def probe(spark: SparkSession, batchSigs: DataFrame, tag: String,
-            hamT: Int): DataFrame = {
+            hamT: Int, cap: Int = DedupQueries.HotBucketCap): DataFrame = {
     // The batch signature relation feeds BOTH legs (band candidates and
     // the exact-Hamming verify); unshared, the expensive decode+hash
     // mapPartitions pass would run twice per micro-batch on real media
@@ -113,7 +162,7 @@ object MediaSigStore {
     // reclaims them when the plan is dropped. Micro-batches are bounded
     // by the stream trigger, so the materialization is small by design.
     val sigs = batchSigs.localCheckpoint()
-    val standing = spark.table(bandT(tag))
+    val standing = spark.table(bandT(tag)).filter(col("bsz") <= cap)
     val cand = broadcast(bandRows(sigs)
         .select(col("bk"), col("doc_id")))
       .join(standing.select(col("bk"), col("doc_id").as("match_id")), "bk")
