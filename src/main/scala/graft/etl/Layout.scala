@@ -125,9 +125,9 @@ object Layout {
     * file per shard) is right at test scale only.
     */
   def writeShardMajor(perm: DataFrame, path: String,
-                      numFiles: Int = 16): Unit =
-    perm.repartitionByRange(numFiles, col("shard"), col("pos"))
-      .sortWithinPartitions("shard", "pos")
+                      numFiles: Int = 16, posCol: String = "pos"): Unit =
+    perm.repartitionByRange(numFiles, col("shard"), col(posCol))
+      .sortWithinPartitions("shard", posCol)
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
 
   /** Files a filtered scan of `path` actually touches — the pruning

@@ -74,6 +74,17 @@ object Pipeline {
     *     doc_id): `<t>_shards.parquet/shard=K/` file groups whose
     *     listing-order read replays the exact global permutation
     *     q_shuffle_shard declares (ShardReplaySpec).
+    *   - `packTables`: the PACKED training artifact — the composition
+    *     the two entries above build toward
+    *     ([[graft.ops.PackingQueries.packedSequences]] over the
+    *     shard-major permutation, budget
+    *     [[graft.ops.PackingQueries.ArtifactBudget]]):
+    *     `<t>_packed.parquet/shard=K/` sequence rows (token arrays +
+    *     counts + fingerprints) whose loader-order read replays the
+    *     exact permutation token stream (PackedReplaySpec) — the epoch
+    *     input a trainer streams. Report row carries sequence count +
+    *     measured padding fraction of the WRITTEN files (which must
+    *     match q_packing_waste's packed column at this budget).
     *   - `zOrder`: table -> (c1, c2) two-dimensional Z-order layout
     *     written alongside the row table ([[Layout.writeZOrdered]]).
     *   - `compact`: table -> sort key small-files compaction
@@ -86,6 +97,7 @@ object Pipeline {
       chunkStoreTables: Seq[String] = Nil, // stored chunk table (RAG keys)
       containIndexTables: Seq[String] = Nil, // stored containment index
       shuffleShardTables: Seq[String] = Nil, // shard-major training order
+      packTables: Seq[String] = Nil, // packed training sequences (epoch input)
       scrubTables: Seq[String] = Nil, // span-scrubbed cleaned corpus
       imageSigTables: Seq[String] = Nil, // stored image dHash signatures
       audioSigTables: Seq[String] = Nil, // stored audio level signatures
@@ -100,6 +112,7 @@ object Pipeline {
       bandIndexTables.isEmpty && spanSetTables.isEmpty &&
         charSpanTables.isEmpty && chunkStoreTables.isEmpty &&
         containIndexTables.isEmpty && shuffleShardTables.isEmpty &&
+        packTables.isEmpty &&
         scrubTables.isEmpty && imageSigTables.isEmpty &&
         audioSigTables.isEmpty &&
         !buildIvfIndex && !buildPqStore &&
@@ -377,8 +390,32 @@ object Pipeline {
       log.info(t, "artifact shuffle_shard", msg)
       Report.ArtifactResult(t, "shuffle_shard", msg, 0L, 0L, secs)
     }
+    val packs = a.packTables.map { t =>
+      val path = s"$outDir/${t}_packed.parquet"
+      val ((nSeq, padFrac), secs) = timed {
+        val perm = graft.ops.SampleQueries.shuffleShardPerm(
+          spark.read.parquet(s"$outDir/$t.parquet"))
+        val budget = graft.ops.PackingQueries.ArtifactBudget
+        Layout.writeShardMajor(
+          graft.ops.PackingQueries.packedSequences(perm, budget),
+          path, a.shardFiles, posCol = "seq_id")
+        // padding audit measured from the WRITTEN files — the artifact
+        // must price itself (q_packing_waste's packed column)
+        val r = spark.read.parquet(path)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum("n_pad")).head()
+        val (ns, pad) = (r.getLong(0), r.getLong(1))
+        (ns, if (ns > 0) pad.toDouble / (ns * budget) else 0.0)
+      }
+      val msg = s"path=$path sequences=$nSeq " +
+        s"budget=${graft.ops.PackingQueries.ArtifactBudget} " +
+        f"pad_frac=$padFrac%.4f files=${a.shardFiles} shards=16"
+      log.info(t, "artifact packed_sequences", msg)
+      Report.ArtifactResult(t, "packed_sequences", msg, 0L, nSeq, secs)
+    }
     band ++ spans ++ charSpans ++ chunks ++ contain ++ scrubs ++
-      imgSigs ++ audSigs ++ shards ++ ivf ++ pq ++ zs ++ cps
+      imgSigs ++ audSigs ++ shards ++ packs ++ ivf ++ pq ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

@@ -22,6 +22,17 @@ object PackingQueries {
   /** Fixed sequence token budget (a typical 2k-context packing target). */
   private val Budget = 2048
 
+  /** Token budget of the WRITTEN packed artifact ([[packedSequences]] /
+    * the pipeline's packed_sequences phase). Chosen FROM q_packing_waste's
+    * table at the shipped corpus shapes: L=128 is the largest measured
+    * window, with packed padding ~3.8% vs 56% for pad-to-L — and unlike
+    * the naive layout packing never truncates, so coverage is 1.0 by
+    * construction. At production doc lengths the same table is recomputed
+    * and the knob moves to the model's real context (2048/4096); every
+    * shape downstream is budget-independent.
+    */
+  private[graft] val ArtifactBudget = 128
+
   /** Chunking window: `ChunkW`-token chunks every `ChunkStride` tokens
     * (overlap = W - stride). Small against the synthetic docs so the
     * multi-chunk path is exercised; at real doc lengths use e.g. 512/384.
@@ -172,6 +183,59 @@ object PackingQueries {
     ),
 
     QueryDef(
+      "q_packed_sequences",
+      s"The packed training artifact at the $ArtifactBudget-token budget " +
+        "(r11 verdict #1 — the composition of the proven shard-major " +
+        "permutation with the q_seq_packing layout): one row per packed " +
+        "sequence a trainer reads, with fill/pad counts, the first doc " +
+        "at its head, and an md5 fingerprint of the assembled token " +
+        "stream — the content-level check that the pieces landed in " +
+        "exact permutation order. Every sequence is full except each " +
+        "shard's last; the pipeline's artifact phase writes this same " +
+        "relation (plus the token arrays) as shard-major files whose " +
+        "loader-order replay is PackedReplaySpec's invariant. The " +
+        "oracle recomputes the permutation the naive way (global " +
+        "ROW_NUMBER) and reassembles every sequence's token stream " +
+        "independently, meeting the Spark result at the md5.",
+      (s, dir) => packedRows(s, dir).drop("toks")
+        .orderBy("shard", "seq_id"),
+      Some {
+        val l = ArtifactBudget
+        s"""WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+           |    $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, toks,
+           |    CAST(('0x' || substr(key, 1, 1)) AS INT) AS shard,
+           |    ROW_NUMBER() OVER (PARTITION BY substr(key, 1, 1)
+           |      ORDER BY key, doc_id) AS pos FROM k),
+           |c AS (SELECT shard, doc_id, toks,
+           |    CAST(len(toks) AS BIGINT) AS n,
+           |    CAST(SUM(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY shard
+           |      ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |      AS cum FROM sh),
+           |d AS (SELECT *, cum - n AS start FROM c),
+           |x AS (SELECT shard, doc_id, toks, n, start,
+           |    unnest(range(start // $l, (cum - 1) // $l + 1)) AS seq_id
+           |  FROM d),
+           |ab AS (SELECT shard, seq_id, doc_id, toks,
+           |    greatest(0, seq_id * $l - start) AS a,
+           |    least(n, (seq_id + 1) * $l - start) AS b,
+           |    start + greatest(0, seq_id * $l - start) - seq_id * $l
+           |      AS seq_off FROM x),
+           |pc AS (SELECT shard, seq_id, doc_id, seq_off,
+           |    toks[a + 1 : b] AS piece FROM ab),
+           |g AS (SELECT shard, seq_id,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    arg_min(doc_id, seq_off) AS first_doc,
+           |    flatten(list(piece ORDER BY seq_off)) AS toks
+           |  FROM pc GROUP BY shard, seq_id)
+           |SELECT shard, seq_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST($l - len(toks) AS BIGINT) AS n_pad, n_docs, first_doc,
+           |  md5(array_to_string(toks, ' ')) AS seq_fp
+           |FROM g ORDER BY shard, seq_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_doc_chunk",
       s"Document chunking for embedding/retrieval pipelines: sliding " +
         s"$ChunkW-token windows every $ChunkStride tokens " +
@@ -228,6 +292,87 @@ object PackingQueries {
               |ORDER BY chunk_fp""".stripMargin)
     )
   )
+
+  /** The packed training sequences — the EPOCH INPUT a trainer streams
+    * (r11 verdict #1: the engine could prove the permutation and price
+    * the packing but never wrote the composed artifact). Composes the
+    * deterministic training-order permutation
+    * ([[SampleQueries.shuffleShardPerm]] — `perm` must carry shard /
+    * pos / doc_id / text) with the q_seq_packing concat-and-chunk
+    * layout at a fixed `budget`: within each shard, doc token streams
+    * are concatenated in permutation order and cut every `budget`
+    * tokens, so every sequence is exactly `budget` tokens except the
+    * shard's last (the only padded one — measured by q_packing_waste's
+    * packed column). One row per sequence with the assembled token
+    * array (the trainer payload), its fill/pad counts, and a
+    * fingerprint of the token stream.
+    *
+    * Shape: per-shard cumulative-sum window (the q_seq_packing pass) →
+    * each doc explodes into the 1..k sequences its token interval
+    * overlaps (k = ceil(n/budget)+1, almost always 1) → one
+    * aggregation keyed by (shard, seq_id) assembles pieces in offset
+    * order. Nothing global: the window partitions by shard and the
+    * assembly groups by (shard, seq_id), so at 100 TB every shard
+    * packs independently and the shard COUNT is the parallelism knob
+    * (16 here and in shuffleShardPerm; 256+ in production — same
+    * plan). The corpus shuffles ONCE, keyed by its target sequence —
+    * the unavoidable movement of physically materializing a new
+    * training order.
+    *
+    * Zero-token docs cannot occur: `tokens` of any text is non-empty
+    * (split of a normalized string yields at least [""]), so every doc
+    * occupies at least one token slot and the replay invariant
+    * (unpacking the written sequences == the permutation's token
+    * stream, PackedReplaySpec) quantifies over ALL docs.
+    */
+  private[graft] def packedSequences(perm: org.apache.spark.sql.DataFrame,
+                                     budget: Int
+                                    ): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perm
+      .select(col("shard"), col("pos"), col("doc_id"),
+        tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("start", col("cum") - col("n"))
+      .select(col("shard"), col("doc_id"), col("toks"), col("n"),
+        col("start"),
+        // integral div (not floor of a double quotient): token offsets
+        // at corpus scale exceed double's 2^53 exact-integer range
+        explode(sequence(expr(s"start div $budget"),
+          expr(s"(cum - 1) div $budget"))).as("seq_id"))
+      .withColumn("a", greatest(lit(0L), col("seq_id") * budget - col("start")))
+      .withColumn("b",
+        least(col("n"), (col("seq_id") + 1) * budget - col("start")))
+      .withColumn("seq_off",
+        col("start") + col("a") - col("seq_id") * budget)
+      .select(col("shard"), col("seq_id"), col("doc_id"), col("seq_off"),
+        slice(col("toks"), col("a") + 1, (col("b") - col("a")).cast("int"))
+          .as("piece"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("seq_off")).as("first_doc"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("seq_off"), col("piece")))),
+          p => p.getField("piece"))).as("toks"))
+      .select(col("shard"), col("seq_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (lit(budget.toLong) - size(col("toks"))).as("n_pad"),
+        col("n_docs"), col("first_doc"),
+        md5(array_join(col("toks"), " ")).as("seq_fp"),
+        col("toks"))
+  }
+
+  /** [[packedSequences]] over the corpus at `dir` (permutation derived
+    * in-plan; the pipeline's artifact phase materializes the same
+    * relation to disk in shard-major order).
+    */
+  private def packedRows(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    packedSequences(
+      SampleQueries.shuffleShardPerm(Tables.t(s, dir, "documents")),
+      ArtifactBudget)
 
   /** One row per (doc, chunk) with token span + chunk-text fingerprint
     * for any relation carrying `doc_id` + `text` — the ONE chunker
