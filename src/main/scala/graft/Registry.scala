@@ -35,6 +35,7 @@ object Registry {
       ops.MultimodalQueries.defs ++
       ops.ImageDedup.defs ++
       ops.AudioDedup.defs ++
+      ops.VideoDedup.defs ++
       ops.CorpusQueries.defs ++
       ops.BpeQueries.defs ++
       ops.GraphQueries.defs

@@ -101,6 +101,7 @@ object Pipeline {
       scrubTables: Seq[String] = Nil, // span-scrubbed cleaned corpus
       imageSigTables: Seq[String] = Nil, // stored image dHash signatures
       audioSigTables: Seq[String] = Nil, // stored audio level signatures
+      videoSigTables: Seq[String] = Nil, // stored video folded-dHash sigs
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       buildPqStore: Boolean = false, // stored PQ codes over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
@@ -114,7 +115,7 @@ object Pipeline {
         containIndexTables.isEmpty && shuffleShardTables.isEmpty &&
         packTables.isEmpty &&
         scrubTables.isEmpty && imageSigTables.isEmpty &&
-        audioSigTables.isEmpty &&
+        audioSigTables.isEmpty && videoSigTables.isEmpty &&
         !buildIvfIndex && !buildPqStore &&
         zOrder.isEmpty && compact.isEmpty
   }
@@ -378,6 +379,8 @@ object Pipeline {
       "image_sig_store", graft.ops.ImageDedup.dhashSigs)
     val audSigs = mediaSig(a.audioSigTables, graft.ops.MediaSigStore.audioTag,
       "audio_sig_store", graft.ops.AudioDedup.levelSigs)
+    val vidSigs = mediaSig(a.videoSigTables, graft.ops.MediaSigStore.videoTag,
+      "video_sig_store", graft.ops.VideoDedup.videoSigs)
     val shards = a.shuffleShardTables.map { t =>
       val path = s"$outDir/${t}_shards.parquet"
       val (n, secs) = timed {
@@ -415,7 +418,7 @@ object Pipeline {
       Report.ArtifactResult(t, "packed_sequences", msg, 0L, nSeq, secs)
     }
     band ++ spans ++ charSpans ++ chunks ++ contain ++ scrubs ++
-      imgSigs ++ audSigs ++ shards ++ packs ++ ivf ++ pq ++ zs ++ cps
+      imgSigs ++ audSigs ++ vidSigs ++ shards ++ packs ++ ivf ++ pq ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

@@ -41,6 +41,7 @@ object MediaSigStore {
 
   def imageTag(dir: String): String = BandIndex.tag(dir, "imgsig")
   def audioTag(dir: String): String = BandIndex.tag(dir, "audsig")
+  def videoTag(dir: String): String = BandIndex.tag(dir, "vidsig")
 
   private def sigT(tag: String) = s"${tag}_msig"
   private def bandT(tag: String) = s"${tag}_mband"

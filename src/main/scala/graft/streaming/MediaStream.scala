@@ -29,4 +29,12 @@ object MediaStream {
                       hamT: Int = graft.ops.AudioDedup.HamT): DataFrame =
     graft.ops.MediaSigStore.probe(spark,
       graft.ops.AudioDedup.levelSigs(batch), tag, hamT)
+
+  /** Video twin over the vidsig index (per-frame dHash through the real
+    * AVI demux, XOR-folded — [[graft.ops.VideoDedup.videoSigs]]).
+    */
+  def videoProbeBatch(spark: SparkSession, batch: DataFrame, tag: String,
+                      hamT: Int = graft.ops.VideoDedup.HamT): DataFrame =
+    graft.ops.MediaSigStore.probe(spark,
+      graft.ops.VideoDedup.videoSigs(batch), tag, hamT)
 }
