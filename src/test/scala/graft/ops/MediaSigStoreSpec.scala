@@ -76,5 +76,14 @@ class MediaSigStoreSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(aud.map(_._1).distinct == Seq(183L) && aud.size == 2)
     assert(aud.forall(_._3 <= 2L))
+    // video face (r12): same probe skeleton over the vidsig role
+    val vidTag = "graft_test_msvid_" + System.nanoTime()
+    MediaSigStore.buildOrLoad(spark, docs(Seq(3L, 104L)), vidTag,
+      VideoDedup.videoSigs) // group 3 (mod 101): 3, 104
+    val vid = graft.streaming.MediaStream
+      .videoProbeBatch(spark, docs(Seq(205L)), vidTag) // 205 % 101 = 3
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(vid.map(_._1).distinct == Seq(205L) && vid.size == 2)
+    assert(vid.forall(_._3 <= 2L))
   }
 }
