@@ -311,13 +311,16 @@ object PackingQueries {
     * each doc explodes into the 1..k sequences its token interval
     * overlaps (k = ceil(n/budget)+1, almost always 1) → one
     * aggregation keyed by (shard, seq_id) assembles pieces in offset
-    * order. Nothing global: the window partitions by shard and the
-    * assembly groups by (shard, seq_id), so at 100 TB every shard
-    * packs independently and the shard COUNT is the parallelism knob
-    * (16 here and in shuffleShardPerm; 256+ in production — same
-    * plan). The corpus shuffles ONCE, keyed by its target sequence —
-    * the unavoidable movement of physically materializing a new
-    * training order.
+    * order. Nothing global: the window partitions by shard, and the
+    * (shard, seq_id) assembly's clustering requirement is satisfied BY
+    * the window's hash(shard) partitioning — Catalyst plans the
+    * aggregation exchange-free on top of it (PLANS.md: one corpus
+    * exchange for the window, none between window and assembly). So
+    * the corpus moves ONCE into shard order — the unavoidable movement
+    * of physically materializing a new training order — and at 100 TB
+    * every shard packs independently; the shard COUNT is the
+    * parallelism knob (16 here and in shuffleShardPerm; 256+ in
+    * production — same plan).
     *
     * Zero-token docs cannot occur: `tokens` of any text is non-empty
     * (split of a normalized string yields at least [""]), so every doc
