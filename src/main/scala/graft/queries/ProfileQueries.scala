@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.etl.{Profiler, TypeStandardizer}
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -408,6 +410,125 @@ object ProfileQueries {
               |SELECT key_col, m, exact, estimate,
               |  round((estimate - exact) / exact, 6) AS rel_err
               |FROM est ORDER BY key_col""".stripMargin)
+    ),
+
+    // ------------------------------------- C10: exact discrete quantiles
+    QueryDef(
+      "q_quantile_discrete",
+      "Exact distributed quantiles over a discrete domain (doc token " +
+        "lengths; companion to q_quantile_profile's interpolated " +
+        "continuous quartiles): value-grain histogram -> cumulative " +
+        "counts -> for " +
+        "each percentile p, the smallest value whose cumulative count " +
+        "reaches rank ceil(p*N/100), computed INTEGER-exactly as " +
+        "(p*N + 99) div 100 (no double multiply to disagree at exact " +
+        "boundaries; type-1 / lower-quantile definition stated rather " +
+        "than inherited from either engine's builtin). Shape: the " +
+        "corpus reduces to one value-grain histogram (distinct token " +
+        "lengths are bounded by the context ceiling — ~10^4 at any " +
+        "corpus scale), so the global cumulative window runs on the " +
+        "TINY histogram relation, never the corpus; this is how exact " +
+        "quantiles stay cheap at 100 TB where a sort-based percentile " +
+        "would shuffle everything.",
+      (s, dir) => {
+        val qs = Seq(25, 50, 75, 90, 99)
+        val hist = Tables.t(s, dir, "documents")
+          .select(size(tokens(col("text"))).cast("long").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("c"))
+        val tot = hist.agg(sum(col("c")).as("n"))
+        val cum = hist.crossJoin(broadcast(tot))
+          .withColumn("cum", sum(col("c")).over(
+            Window.orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        cum
+          .select(col("v"), col("cum"), col("n"),
+            explode(array(qs.map(q => lit(q)): _*)).as("q_pct"))
+          .withColumn("rank", expr("(q_pct * n + 99) div 100"))
+          .filter(col("cum") >= col("rank"))
+          .groupBy("q_pct")
+          .agg(min(col("rank")).as("rank"), min(col("v")).as("value"),
+            min(col("n")).as("n_docs"))
+          .select("q_pct", "rank", "value", "n_docs")
+          .orderBy("q_pct")
+      },
+      Some(s"""WITH h AS (SELECT CAST(len(${graft.functions.TextFunctions.toksSql}) AS BIGINT) AS v,
+              |    COUNT(*) AS c FROM documents GROUP BY 1),
+              |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+              |cu AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT)
+              |    AS cum, n FROM h CROSS JOIN t),
+              |e AS (SELECT v, cum, n, unnest([25, 50, 75, 90, 99]) AS q_pct
+              |  FROM cu),
+              |f AS (SELECT q_pct, CAST((q_pct * n + 99) // 100 AS BIGINT)
+              |    AS rank, v, cum, n FROM e)
+              |SELECT q_pct, MIN(rank) AS rank, MIN(v) AS value,
+              |  MIN(n) AS n_docs
+              |FROM f WHERE cum >= rank GROUP BY q_pct
+              |ORDER BY q_pct""".stripMargin)
+    ),
+
+    // ------------------------------------- C11: k-anonymity audit
+    QueryDef(
+      "q_k_anonymity",
+      "k-anonymity privacy audit (Sweeney 2002) over the customer " +
+        "quasi-identifier pair (nation, market segment): equivalence " +
+        "classes = QI groupBy; for each k threshold, how many classes " +
+        "and rows sit BELOW k (the re-identification risk table a " +
+        "release gate reads), plus the class count whose sensitive " +
+        "attribute (negative account balance) is CONSTANT — the " +
+        "l-diversity=1 attribute-disclosure count. Complements the " +
+        "H4e PII scrub: scrubbing hides direct identifiers, this " +
+        "measures what the remaining quasi-identifiers still leak. " +
+        "Shape: ONE class-grain agg (the only corpus-width shuffle), " +
+        "then a single fused threshold agg over the class relation " +
+        "(bounded by QI-combination count) and a 4-row unpivot — " +
+        "identical at any row scale.",
+      (s, dir) => {
+        val ks = Seq(2, 5, 10, 25)
+        val cls = Tables.t(s, dir, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("k"),
+            countDistinct(when(col("c_acctbal") < 0, 1).otherwise(0))
+              .as("lvals"))
+        val aggs = Seq(count(lit(1)).as("n_classes"),
+          sum(col("k")).as("n_rows"),
+          min(col("k")).as("min_k"),
+          sum(when(col("lvals") === 1, 1L).otherwise(0L)).as("l1_classes")) ++
+          ks.flatMap(k0 => Seq(
+            sum(when(col("k") < k0, 1L).otherwise(0L)).as(s"cb_$k0"),
+            sum(when(col("k") < k0, col("k")).otherwise(0L)).as(s"rb_$k0")))
+        val one = cls.agg(aggs.head, aggs.tail: _*)
+        val rows = ks.map(k0 => struct(lit(k0).as("k_threshold"),
+          col(s"cb_$k0").as("classes_below"),
+          col(s"rb_$k0").as("rows_below"),
+          round(col(s"rb_$k0").cast("double") / col("n_rows"), 6)
+            .as("row_frac_below")))
+        one.select(explode(array(rows: _*)).as("r"),
+            col("n_classes"), col("min_k"), col("l1_classes"))
+          .select(col("r.*"), col("n_classes"), col("min_k"),
+            col("l1_classes"))
+          .orderBy("k_threshold")
+      },
+      Some {
+        val ks = Seq(2, 5, 10, 25)
+        val sums = ks.flatMap(k0 => Seq(
+          s"CAST(SUM(CASE WHEN k < $k0 THEN 1 ELSE 0 END) AS BIGINT) AS cb_$k0",
+          s"CAST(SUM(CASE WHEN k < $k0 THEN k ELSE 0 END) AS BIGINT) AS rb_$k0"))
+        val unpiv = ks.map(k0 =>
+          s"SELECT $k0 AS k_threshold, cb_$k0 AS classes_below, " +
+            s"rb_$k0 AS rows_below, " +
+            s"round(rb_$k0::DOUBLE / n_rows, 6) AS row_frac_below, " +
+            "n_classes, min_k, l1_classes FROM a").mkString("\nUNION ALL\n")
+        s"""WITH cls AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS k,
+           |    COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+           |      AS lvals
+           |  FROM customer GROUP BY 1, 2),
+           |a AS (SELECT COUNT(*) AS n_classes,
+           |    CAST(SUM(k) AS BIGINT) AS n_rows, MIN(k) AS min_k,
+           |    CAST(SUM(CASE WHEN lvals = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS l1_classes, ${sums.mkString(", ")}
+           |  FROM cls)
+           |SELECT * FROM ($unpiv) ORDER BY k_threshold""".stripMargin
+      }
     )
   )
 }
