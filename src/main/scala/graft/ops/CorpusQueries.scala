@@ -70,6 +70,17 @@ object CorpusQueries {
     */
   private val MixC = 4
 
+  /** Per-source token-budget cap (q_domain_cap): no source keeps more
+    * than CapNum/CapDen of the UNIFORM per-source share
+    * (total_tokens/n_sources) — budget = (CapNum * total) div
+    * (CapDen * n_sources), integer-exact in both engines. 4/5 binds on
+    * EVERY source of this near-uniform synthetic corpus (each sheds
+    * ~20% of its tokens), so the quality-ranked keeper election is
+    * exercised everywhere rather than only on an outlier mega-domain.
+    */
+  private val CapNum = 4L
+  private val CapDen = 5L
+
   /** PII / blocklist scrub pattern (applied to lowercased text): emails,
     * phone-shaped digit runs, and a term blocklist. The email/phone arms
     * are the real-world PII surface (this synthetic corpus contains no
@@ -462,6 +473,140 @@ object CorpusQueries {
               |SELECT source, max(n_docs) AS n_docs, max(cap) AS sample_cap,
               |  count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tokens_kept
               |FROM k WHERE rn <= cap GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_domain_cap",
+      s"Per-source token-budget cap (the C4/Dolma-style over-" +
+        "representation guard, dual of q_domain_mix's resampling): no " +
+        s"source keeps more than $CapNum/$CapDen of the uniform share " +
+        "total_tokens/n_sources — budget computed INTEGER-exactly as " +
+        s"($CapNum*total) div ($CapDen*n_sources); within a source, " +
+        "docs are kept in quality-then-deterministic-hash rank order " +
+        "(qualityPoints shared VERBATIM with q_quality_score/" +
+        "q_corpus_filter/q_corpus_funnel, md5 tiebreak) while the " +
+        "inclusive running token sum stays <= budget (cumsum is " +
+        "monotone, so the kept set is exactly the rank prefix that " +
+        "fits). Per-source report row: totals, budget, kept/dropped, " +
+        "capped flag, kept fraction. Shape: ONE corpus-width shuffle " +
+        "on source — the rank window, the cumsum window, and the " +
+        "final agg all share the source partitioning — plus a 1-row " +
+        "global-total broadcast; at 100 TB the hazard is a skewed " +
+        "mega-source serializing one window partition, the same " +
+        "documented hazard (and salting remedy) as q_domain_mix.",
+      (s, dir) => {
+        val base = Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("n_tok"),
+            TextQueries.qualityPoints(length(col("text")),
+              size(col("toks")), TextQueries.nStop(col("toks"))).as("qp"))
+        val tot = base.agg(sum(col("n_tok")).cast("long").as("total_tok"),
+          countDistinct(col("source")).as("n_sources"))
+        val wCum = Window.partitionBy("source")
+          .orderBy(col("qp").desc, md5(col("doc_id").cast("string")),
+            col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.crossJoin(broadcast(tot))
+          .withColumn("budget",
+            expr(s"($CapNum * total_tok) div ($CapDen * n_sources)"))
+          .withColumn("cum", sum(col("n_tok")).over(wCum))
+          .withColumn("kept",
+            when(col("cum") <= col("budget"), lit(1L)).otherwise(lit(0L)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"),
+            max(col("budget")).as("budget"),
+            sum(col("kept")).cast("long").as("n_kept"),
+            sum(col("kept") * col("n_tok")).cast("long").as("tokens_kept"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("budget"), col("n_kept"), col("tokens_kept"),
+            when(col("tokens_kept") < col("n_tokens"), lit(1))
+              .otherwise(lit(0)).cast("int").as("capped"),
+            round(col("tokens_kept").cast("double") / col("n_tokens"), 6)
+              .as("frac_tok_kept"))
+          .orderBy("source")
+      },
+      Some {
+        val stop = "[" + TextQueries.stopwords.map(x => s"'$x'")
+          .mkString(",") + "]"
+        s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks
+           |  FROM documents),
+           |m AS (SELECT doc_id, source,
+           |    CAST(len(toks) AS BIGINT) AS n_tok,
+           |    (CASE WHEN len(toks) >= 10 THEN 1 ELSE 0 END
+           |     + CASE WHEN len(list_filter(toks, x ->
+           |         list_contains($stop, x))) > 0 THEN 1 ELSE 0 END
+           |     + CASE WHEN length(text) >= 64 THEN 1 ELSE 0 END) AS qp
+           |  FROM t),
+           |g AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+           |    COUNT(DISTINCT source) AS n_sources FROM m),
+           |c AS (SELECT m.*,
+           |    ($CapNum * total_tok) // ($CapDen * n_sources) AS budget,
+           |    CAST(SUM(n_tok) OVER (PARTITION BY source
+           |      ORDER BY qp DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum
+           |  FROM m CROSS JOIN g),
+           |k AS (SELECT *, CASE WHEN cum <= budget THEN 1 ELSE 0 END
+           |    AS kept FROM c)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |  CAST(MAX(budget) AS BIGINT) AS budget,
+           |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+           |  CAST(SUM(kept * n_tok) AS BIGINT) AS tokens_kept,
+           |  CAST(CASE WHEN SUM(kept * n_tok) < SUM(n_tok) THEN 1 ELSE 0
+           |    END AS INT) AS capped,
+           |  round(CAST(SUM(kept * n_tok) AS DOUBLE) / SUM(n_tok), 6)
+           |    AS frac_tok_kept
+           |FROM k GROUP BY source ORDER BY source""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_token_entropy",
+      "Unigram token-entropy quality signal — the continuous " +
+        "generalization of q_repetition_filter's top-token fraction " +
+        "(low entropy = templated/repetitive text, one of the Gopher-" +
+        "family quality signals, Rae et al. 2021): per doc, " +
+        "H = (n*ln(n) - sum_type c*ln(c)) / (n*ln2) bits. Every " +
+        "transcendental term (n*ln(n) and each c*ln(c)) is rounded to " +
+        "9 decimals BEFORE the exact DECIMAL subtraction (the " +
+        "q_lm_perplexity convention — a last-ulp libm difference " +
+        "between engines cannot reach the sum); the closing /n and " +
+        "/ln2 are single IEEE divisions with ln2 one shared double " +
+        "literal. Shape: explode -> (doc, token)-grain count (map-side " +
+        "partial collapses in-task repeats) -> doc-grain agg; doc_id " +
+        "rides every key, so both aggs are data-parallel at any " +
+        "corpus scale — nothing global, no windows.",
+      (s, dir) => {
+        val cnt = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        cnt.groupBy("doc_id")
+          .agg(sum(col("c")).cast("long").as("n_tok"),
+            count(lit(1)).as("n_types"),
+            sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
+              .cast("decimal(28,9)")).as("s"))
+          .select(col("doc_id"), col("n_tok"), col("n_types"),
+            round((round(col("n_tok").cast("double") *
+                log(col("n_tok").cast("double")), 9).cast("decimal(28,9)")
+                - col("s")).cast("double")
+              / col("n_tok") / lit(Ln2), 6).as("entropy_bits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+              |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+              |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+              |    COUNT(*) AS n_types,
+              |    SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+              |      AS DECIMAL(28,9))) AS s
+              |  FROM c GROUP BY 1)
+              |SELECT doc_id, n_tok, n_types,
+              |  round(CAST(CAST(round(CAST(n_tok AS DOUBLE) *
+              |      ln(CAST(n_tok AS DOUBLE)), 9) AS DECIMAL(28,9)) - s
+              |      AS DOUBLE) / n_tok / $Ln2, 6) AS entropy_bits
+              |FROM d ORDER BY doc_id""".stripMargin)
     ),
 
     QueryDef(
