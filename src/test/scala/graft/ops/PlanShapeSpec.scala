@@ -394,6 +394,65 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_domain_cap: rank/cumsum windows are source-partitioned " +
+    "(never single-partition) and the per-source agg adds no exchange " +
+    "above the window") {
+    val p = plan(Registry.queryMap("q_domain_cap")(spark, dir))
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the cumsum window:\n$p")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"cap window must partition by source:\n$p")
+      // the groupBy(source) above reuses the window's source
+      // partitioning: no shuffle may sit between the window and the
+      // aggregate that consumes it
+      val above = pathTo(p, w).get.dropRight(1)
+      val belowFirstAgg = above.reverse.takeWhile(n =>
+        !n.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+      assert(belowFirstAgg.forall(!_.isInstanceOf[ShuffleExchangeExec]),
+        s"per-source agg re-shuffled above the source window:\n$p")
+    }
+  }
+
+  test("q_token_entropy: window-free, join-free — two data-parallel " +
+    "aggs are the whole query") {
+    val p = plan(Registry.queryMap("q_token_entropy")(spark, dir))
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      s"entropy must not use windows:\n$p")
+    assert(p.collect { case j if isJoin(j) => j }.isEmpty,
+      s"entropy must not join:\n$p")
+  }
+
+  test("q_quantile_discrete: the global cumulative window runs on the " +
+    "REDUCED histogram relation — an aggregate sits between the window " +
+    "and the corpus scan") {
+    val p = plan(Registry.queryMap("q_quantile_discrete")(spark, dir))
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the cumulative window:\n$p")
+    wins.foreach { w =>
+      assert(w.exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }, s"window consumes the raw corpus (histogram agg missing below it):\n$p")
+    }
+  }
+
+  test("q_k_anonymity: window-free; the only join is the broadcast of " +
+    "the 1-row totals relation") {
+    val p = plan(Registry.queryMap("q_k_anonymity")(spark, dir))
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      s"k-anonymity must not use windows:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian allowed:\n$p")
+    p.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      // the broadcast side must be an aggregate output, never a scan
+      assert(j.children.exists(_.exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }), s"broadcast side is not the reduced totals relation:\n$p")
+    }
+  }
+
   test("q_embedding_drift: the corpus feeds ONE aggregation; the LxL " +
     "comparison joins only post-agg centroid rows") {
     val p = plan(Registry.queryMap("q_embedding_drift")(spark, dir))
