@@ -579,22 +579,8 @@ object CorpusQueries {
         "partial collapses in-task repeats) -> doc-grain agg; doc_id " +
         "rides every key, so both aggs are data-parallel at any " +
         "corpus scale — nothing global, no windows.",
-      (s, dir) => {
-        val cnt = Tables.t(s, dir, "documents")
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        cnt.groupBy("doc_id")
-          .agg(sum(col("c")).cast("long").as("n_tok"),
-            count(lit(1)).as("n_types"),
-            sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
-              .cast("decimal(28,9)")).as("s"))
-          .select(col("doc_id"), col("n_tok"), col("n_types"),
-            round((round(col("n_tok").cast("double") *
-                log(col("n_tok").cast("double")), 9).cast("decimal(28,9)")
-                - col("s")).cast("double")
-              / col("n_tok") / lit(Ln2), 6).as("entropy_bits"))
-          .orderBy("doc_id")
-      },
+      (s, dir) =>
+        docEntropy(Tables.t(s, dir, "documents")).orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
               |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
               |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
@@ -994,6 +980,33 @@ object CorpusQueries {
     * ([[graft.streaming.CorpusStream.lmScoreBatch]]) — one definition,
     * no drift.
     */
+  /** Per-doc unigram token entropy in bits over a relation carrying
+    * `doc_id` and `text` — the ONE definition behind `q_token_entropy`
+    * and the ingest-time face
+    * ([[graft.streaming.CorpusStream.entropyBatch]]): H =
+    * (n·ln n − Σ_type c·ln c)/(n·ln2), every transcendental term
+    * rounded to 9 decimals before the exact DECIMAL subtraction (the
+    * q_lm_perplexity libm-neutralization convention). The signal is
+    * stateless per doc — no corpus-relative inputs — so the streaming
+    * face is exact, not watermark-approximate.
+    */
+  private[graft] def docEntropy(docs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val cnt = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    cnt.groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
+          .cast("decimal(28,9)")).as("s"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        round((round(col("n_tok").cast("double") *
+            log(col("n_tok").cast("double")), 9).cast("decimal(28,9)")
+            - col("s")).cast("double")
+          / col("n_tok") / lit(Ln2), 6).as("entropy_bits"))
+  }
+
   private[graft] def lmTrainCounts(train: org.apache.spark.sql.DataFrame)
   : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {

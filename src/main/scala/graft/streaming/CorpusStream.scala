@@ -130,6 +130,16 @@ object CorpusStream {
   def scrubBatch(batch: DataFrame, dupSpans: DataFrame): DataFrame =
     graft.ops.SpanDedup.scrubbed(batch, dupSpans)
 
+  /** Ingest-time token-entropy scoring — the streaming face of
+    * `q_token_entropy` ([[graft.ops.CorpusQueries.docEntropy]]; one
+    * definition, no drift). The signal is stateless per doc (no
+    * corpus-relative inputs, unlike the LM face's frozen reference
+    * model), so a plain `foreachBatch` application is EXACT — stream
+    * union == batch over any micro-batch split, differential-tested.
+    */
+  def entropyBatch(batch: DataFrame): DataFrame =
+    CorpusQueries.docEntropy(batch)
+
   /** Batch-side build of the stored CHAR-winnow span artifact (the
     * [[graft.ops.SpanSet]] skeleton at character granularity, charspans
     * role) — returns the duplicated-fingerprint set for

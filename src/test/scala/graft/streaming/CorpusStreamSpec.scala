@@ -234,4 +234,46 @@ class CorpusStreamSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("entropyBatch: stream union == batch across three micro-batch " +
+    "splits (the signal is stateless per doc, so equality is exact)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x x x x"), (1L, "a a b b"), (2L, "a b c d"),
+      (3L, "spark data table row row row"), (4L, "w"),
+      (5L, "q r q r q r s"))
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-entropy").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.CorpusStream.entropyBatch(b)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      docs.grouped(2).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+      val streamed = sink.synchronized(sink.toSeq).sortBy(_._1)
+      val batch = graft.ops.CorpusQueries
+        .docEntropy(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(_._1)
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      val ent = streamed.map(x => (x._1, x._4)).toMap
+      assert(ent(0L) == 0.0 && ent(1L) == 1.0 && ent(2L) == 2.0 &&
+        ent(4L) == 0.0)
+    } finally q.stop()
+  }
 }
