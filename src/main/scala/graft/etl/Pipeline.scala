@@ -373,7 +373,7 @@ object Pipeline {
           s"capped_buckets=$capB capped_rows=$capR"
         if (capB > 0) log.warn(t, s"artifact $kind", msg)
         else log.info(t, s"artifact $kind", msg)
-        Report.ArtifactResult(t, kind, msg, 0L, capR, secs)
+        Report.ArtifactResult(t, kind, msg, capB, capR, secs)
       }
     val imgSigs = mediaSig(a.imageSigTables, graft.ops.MediaSigStore.imageTag,
       "image_sig_store", graft.ops.ImageDedup.dhashSigs)
@@ -415,7 +415,9 @@ object Pipeline {
         s"budget=${graft.ops.PackingQueries.ArtifactBudget} " +
         f"pad_frac=$padFrac%.4f files=${a.shardFiles} shards=16"
       log.info(t, "artifact packed_sequences", msg)
-      Report.ArtifactResult(t, "packed_sequences", msg, 0L, nSeq, secs)
+      // nothing is capped/skipped in a packed build — the sequence
+      // count lives in msg, NOT in the skipped-rows contract field
+      Report.ArtifactResult(t, "packed_sequences", msg, 0L, 0L, secs)
     }
     band ++ spans ++ charSpans ++ chunks ++ contain ++ scrubs ++
       imgSigs ++ audSigs ++ vidSigs ++ shards ++ packs ++ ivf ++ pq ++ zs ++ cps

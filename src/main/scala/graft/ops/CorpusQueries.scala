@@ -971,15 +971,6 @@ object CorpusQueries {
     )
   )
 
-  /** Bigram-LM count tables from a reference (train) relation carrying
-    * `text`: c2 = (ngram, c2) bigram occurrences; c1 = (w1, c1) context
-    * occurrences, derived FROM c2 (sum over the context's bigrams) so
-    * the two cannot disagree on doc-final tokens; v = 1 row with
-    * distinct train tokens + 1 (unseen mass). Shared by
-    * `q_lm_perplexity` and the ingest-time face
-    * ([[graft.streaming.CorpusStream.lmScoreBatch]]) — one definition,
-    * no drift.
-    */
   /** Per-doc unigram token entropy in bits over a relation carrying
     * `doc_id` and `text` — the ONE definition behind `q_token_entropy`
     * and the ingest-time face
@@ -1007,6 +998,15 @@ object CorpusQueries {
           / col("n_tok") / lit(Ln2), 6).as("entropy_bits"))
   }
 
+  /** Bigram-LM count tables from a reference (train) relation carrying
+    * `text`: c2 = (ngram, c2) bigram occurrences; c1 = (w1, c1) context
+    * occurrences, derived FROM c2 (sum over the context's bigrams) so
+    * the two cannot disagree on doc-final tokens; v = 1 row with
+    * distinct train tokens + 1 (unseen mass). Shared by
+    * `q_lm_perplexity` and the ingest-time face
+    * ([[graft.streaming.CorpusStream.lmScoreBatch]]) — one definition,
+    * no drift.
+    */
   private[graft] def lmTrainCounts(train: org.apache.spark.sql.DataFrame)
   : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {

@@ -66,8 +66,18 @@ object MediaSigStore {
                   targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
                  ): (DataFrame, DataFrame) = {
     val (sT, bT) = (sigT(tag), bandT(tag))
-    // gate on BOTH tables so a crash between the two writes self-heals
-    if (!(spark.catalog.tableExists(sT) && spark.catalog.tableExists(bT))) {
+    // gate on BOTH tables so a crash between the two writes self-heals,
+    // AND on the band table carrying the stored bsz column — a pre-cap
+    // vintage of the artifact (bk, doc_id only) would satisfy an
+    // existence-only gate and then break every capped read path
+    // (hammingPairs/probe/hotBucketAudit filter on bsz) with no
+    // self-heal. Schema drift of a stored artifact rebuilds like any
+    // other partial state.
+    val complete = spark.catalog.tableExists(sT) &&
+      spark.catalog.tableExists(bT) &&
+      spark.table(bT).columns.contains("bsz")
+    if (!complete) {
+      Seq(sT, bT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       BandIndex.dropStaleLocations(spark, Seq(sT, bT))
       val sigs = sigFn(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -158,11 +168,23 @@ object MediaSigStore {
     // the exact-Hamming verify); unshared, the expensive decode+hash
     // mapPartitions pass would run twice per micro-batch on real media
     // (r11 ADVICE #3). probe() is lazy so there is no post-consumption
-    // unpersist point — localCheckpoint (eager) computes the batch ONCE,
-    // both legs read the materialized blocks, and the ContextCleaner
-    // reclaims them when the plan is dropped. Micro-batches are bounded
-    // by the stream trigger, so the materialization is small by design.
-    val sigs = batchSigs.localCheckpoint()
+    // unpersist point, persist() would accumulate CacheManager entries
+    // across micro-batches, and localCheckpoint blocks are UNRECOVERABLE
+    // on executor loss — a permanent micro-batch failure on exactly the
+    // spot/decommission clusters this path targets (r12 review). A
+    // micro-batch is bounded by the stream trigger and a signature is
+    // five ints, so the robust single-computation form is to COLLECT the
+    // batch signatures once and re-plan them as a local relation: the
+    // decode pass runs exactly once, nothing pins executor storage, and
+    // failure recovery is plain lineage over kilobytes.
+    import spark.implicits._
+    val sigs = batchSigs
+      .select(col("doc_id").cast("long"), col("b0").cast("int"),
+        col("b1").cast("int"), col("b2").cast("int"), col("b3").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+      .toSeq.toDF("doc_id", "b0", "b1", "b2", "b3")
     val standing = spark.table(bandT(tag)).filter(col("bsz") <= cap)
     val cand = broadcast(bandRows(sigs)
         .select(col("bk"), col("doc_id")))

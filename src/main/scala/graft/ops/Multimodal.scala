@@ -236,7 +236,12 @@ object Multimodal {
           // size may legitimately exceed the buffer for a truncated
           // capture; frames come from the declared size, clamped.
           dataSize = math.min(size, (bytes.length - payload).toLong)
-        off = payload + size.toInt + (size.toInt & 1) // word alignment
+        // advance in Long space: a size >= 2^31 would wrap negative
+        // through toInt and stall or reverse the walk (a crafted
+        // 0xFFFFFFF8 size loops forever) — clamp past the buffer end
+        // instead, which terminates the loop.
+        off = math.min(payload.toLong + size + (size & 1L),
+          bytes.length.toLong).toInt
       }
       fmt match {
         case Some((rate, ch, bits, block))
@@ -319,6 +324,10 @@ object Multimodal {
         return None
       var w, h, nf, bits = -1
       var fourcc: String = null
+      // stream type of the strl being walked ('vids'/'auds'/...), set by
+      // each strh: an audio-first AVI's WAVEFORMATEXTENSIBLE strf is 40
+      // bytes and would otherwise be misread as the BITMAPINFOHEADER.
+      var strType: String = null
       val frames = Vector.newBuilder[Array[Byte]]
       // walk the chunks of [from, until); LISTs recurse one level at a
       // time — the same word-aligned walk as decodeWav.
@@ -326,7 +335,14 @@ object Multimodal {
         var off = from
         while (off + 8 <= until) {
           val id = tag(off)
-          val size = u32(off + 4).toInt
+          // size stays a Long: a declared size >= 2^31 wraps negative
+          // through toInt and stalls/reverses the walk (0xFFFFFFF8
+          // loops forever); any chunk that cannot fit the buffer is
+          // malformed — bail to the None fallback.
+          val sizeL = u32(off + 4)
+          if (sizeL > (bytes.length - (off + 8)).toLong)
+            throw new IllegalArgumentException(s"chunk $id overruns buffer")
+          val size = sizeL.toInt
           val payload = off + 8
           val end = math.min(until, payload + size)
           if (id == "LIST" && payload + 4 <= until) {
@@ -337,7 +353,9 @@ object Multimodal {
             nf = u32(payload + 16).toInt
             w = u32(payload + 32).toInt
             h = u32(payload + 36).toInt
-          } else if (id == "strf" && size >= 40) {
+          } else if (id == "strh" && size >= 4) {
+            strType = tag(payload)
+          } else if (id == "strf" && size >= 40 && strType == "vids") {
             // BITMAPINFOHEADER of the (first) video stream
             if (bits < 0) {
               bits = u16(payload + 14)
@@ -349,8 +367,7 @@ object Multimodal {
                   ((comp >> 16) & 0xff).toByte, ((comp >> 24) & 0xff).toByte),
                   java.nio.charset.StandardCharsets.US_ASCII)
             }
-          } else if ((id == "00db" || id == "00dc") && size >= 0 &&
-            payload + size <= bytes.length) {
+          } else if (id == "00db" || id == "00dc") {
             frames += java.util.Arrays.copyOfRange(bytes, payload,
               payload + size)
           }

@@ -77,15 +77,20 @@ object SelectionQueries {
         s"'$DsirSeedToken') and the raw corpus, score every doc by its " +
         "summed per-occurrence log importance ratio, and keep the top " +
         s"$DsirTopK by length-normalized weight — the docs most like the " +
-        "seed set. Shape: ONE corpus explode; bucket tables are " +
+        "seed set. Shape: TWO corpus explode passes BY DESIGN (the " +
+        "q_dedup_scrub convention — at corpus scale re-scanning beats " +
+        "materializing a gram-grain intermediate, which is " +
+        "corpus-sized): pass 1 feeds the bucket counts (map-side " +
+        s"partial into $DsirBuckets groups — no corpus-grain shuffle), " +
+        "pass 2 probes the broadcast λ table and ends in the per-doc " +
+        "agg, the only corpus-grain shuffle. Bucket tables are " +
         s"$DsirBuckets rows (broadcast both ways), totals via a 1-row " +
-        "cross join; the only corpus-grain shuffle is the per-doc agg " +
-        "(map-side partial). λ_b is ln() of smoothed count ratios " +
+        "cross join. λ_b is ln() of smoothed count ratios " +
         "rounded 9dp per bucket BEFORE the exact DECIMAL per-doc sum; " +
         "docs with <2 tokens have no bigrams and are absent (the " +
         "lmScore convention). At 100 TB nothing changes: bucket count " +
-        "is a constant, the heavy legs are one explode + one doc-keyed " +
-        "agg.",
+        "is a constant, the heavy legs are the two explode passes + " +
+        "one doc-keyed agg.",
       (s, dir) => {
         val toksD = Tables.par(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))

@@ -75,6 +75,28 @@ class ArtifactSelfHealSpec extends SparkSpec {
     })
   }
 
+  test("MediaSigStore self-heals from SCHEMA DRIFT: a pre-cap mband " +
+    "vintage (no bsz column) rebuilds instead of breaking every " +
+    "capped read path") {
+    val tag = BandIndex.tag("/tmp/selfheal", "imgsigdrift")
+    val (sT, bT) = (s"${tag}_msig", s"${tag}_mband")
+    Seq(sT, bT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    MediaSigStore.buildOrLoad(spark, docs, tag, ImageDedup.dhashSigs)
+    // simulate the pre-r12 artifact: same rows, bsz column absent
+    val old = spark.table(bT).select("bk", "doc_id").collect().toSeq
+    spark.sql(s"DROP TABLE $bT")
+    old.map(r => (r.getInt(0), r.getLong(1))).toDF("bk", "doc_id")
+      .write.bucketBy(4, "bk").sortBy("bk").saveAsTable(bT)
+    val (_, bands) = MediaSigStore.buildOrLoad(spark, docs, tag,
+      ImageDedup.dhashSigs)
+    assert(bands.columns.contains("bsz"),
+      "schema-drifted band table must rebuild with the stored bsz")
+    assert(bands.count() > 0)
+    // the capped read path works again
+    assert(MediaSigStore.hotBucketAudit(spark, tag)._1 >= 0L)
+    Seq(sT, bT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("ChunkStore (single table) self-heals from an external drop") {
     val tag = BandIndex.tag("/tmp/selfheal", "chunks")
     heals(Seq(s"${tag}_chunks"),

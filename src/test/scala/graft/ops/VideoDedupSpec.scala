@@ -48,6 +48,82 @@ class VideoDedupSpec extends SparkSpec {
     assert(VideoDedup.videoBands(odd).isEmpty)
   }
 
+  // little-endian byte builder shared by the malformed-size and
+  // audio-first container tests below
+  private def le(parts: Seq[Either[String, Long]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach {
+      case Left(s) => out.write(s.getBytes("US-ASCII"))
+      case Right(v) => (0 until 4).foreach(i =>
+        out.write(((v >> (8 * i)) & 0xff).toInt))
+    }
+    out.toByteArray
+  }
+  private def a(s: String): Either[String, Long] = Left(s)
+  private def n(v: Long): Either[String, Long] = Right(v)
+
+  test("decodeAvi/decodeWav terminate as None on a crafted chunk size " +
+    "that wraps negative through toInt (0xFFFFFFF8 would stall the " +
+    "walk forever before the r12 guard)") {
+    val avi = le(Seq(a("RIFF"), n(64), a("AVI "),
+      a("JUNK"), n(0xFFFFFFF8L), n(0), n(0), n(0), n(0)))
+    assert(Multimodal.decodeAvi(avi).isEmpty)
+    val wav = le(Seq(a("RIFF"), n(64), a("WAVE"),
+      a("JUNK"), n(0xFFFFFFF8L), n(0), n(0), n(0), n(0),
+      n(0), n(0), n(0), n(0), n(0), n(0)))
+    assert(Multimodal.decodeWav(wav).isEmpty)
+  }
+
+  test("decodeAvi reads the VIDEO stream's strf in an audio-first AVI " +
+    "(a 40-byte WAVEFORMATEXTENSIBLE must not be misread as the " +
+    "BITMAPINFOHEADER)") {
+    // hand-built: hdrl [avih, strl(auds: strh+strf 40B), strl(vids:
+    // strh+strf 40B DIB-8)] + movi [one 00db frame], all sizes exact.
+    val w = 4; val h = 2; val stride = 4 // (w+3)&~3
+    val frame = Array.tabulate(h * stride)(i => (i * 7 % 251).toLong)
+    val avih = Seq(a("avih"), n(56)) ++
+      (0 until 14).map { i =>
+        if (i == 4) n(1L) // dwTotalFrames at payload+16
+        else if (i == 8) n(w.toLong) // dwWidth at payload+32
+        else if (i == 9) n(h.toLong) // dwHeight at payload+36
+        else n(0L)
+      }
+    def strh(fcc: String) = Seq(a("strh"), n(56), a(fcc), a("none")) ++
+      (0 until 12).map(_ => n(0L))
+    // 40-byte audio strf: wBitsPerSample=16 sits at payload+14 — the
+    // bytes the video parse would read as biBitCount
+    val strfAud = Seq(a("strf"), n(40),
+      n(0xFFFEL | (2L << 16)), n(48000), n(192000),
+      n(4L | (16L << 16)), n(22L | (16L << 16)), n(0), n(0),
+      n(0x00000001L), n(0x71L), n(0))
+    // BITMAPINFOHEADER: biSize..biClrImportant (40 bytes), bitCount=8
+    // at payload+14, compression=0 (DIB) at payload+16
+    val strfVid = Seq(a("strf"), n(40),
+      n(40), n(w.toLong), n(h.toLong), n(1L | (8L << 16)), n(0),
+      n((stride * h).toLong), n(0), n(0), n(0), n(0))
+    def list(typ: String, body: Seq[Either[String, Long]]) = {
+      val sz = le(body).length + 4
+      Seq(a("LIST"), n(sz.toLong), a(typ)) ++ body
+    }
+    val strlAud = list("strl", strh("auds") ++ strfAud)
+    val strlVid = list("strl", strh("vids") ++ strfVid)
+    val hdrl = list("hdrl", avih ++ strlAud ++ strlVid)
+    val movi = list("movi",
+      Seq(a("00db"), n((stride * h).toLong)) ++
+        frame.grouped(4).map(g =>
+          n(g.zipWithIndex.map { case (b, i) => b << (8 * i) }.sum)).toSeq)
+    val body = hdrl ++ movi
+    val bytes = le(Seq(a("RIFF"), n((le(body).length + 4).toLong),
+      a("AVI ")) ++ body)
+    val parsed = Multimodal.decodeAvi(bytes)
+    assert(parsed.isDefined, "audio-first AVI must still parse")
+    val (meta, frames) = parsed.get
+    assert(meta.bitCount == 8 && meta.fourcc == "DIB " &&
+      meta.width == w && meta.height == h,
+      s"video strf must win over the audio strf: $meta")
+    assert(frames.size == 1 && frames.head.length == stride * h)
+  }
+
   test("planted twins pair up; cross-group videos don't") {
     val ids = Seq(3L, 104L, 205L, // group 3: 104=3+101, 205=3+2*101 (205%5==0 -> perturbed)
       7L, 108L) // group 7: 108 = 7+101
