@@ -32,6 +32,13 @@ object DedupQueries {
   private val NgramJ = 0.5
   private val CosineTau = 0.4
 
+  /** q_dedup_tau_sweep thresholds — brackets [[MinhashVerifyJ]] so the
+    * sweep shows what moving the committed verify threshold would do
+    * in both directions. ONE Seq feeds the Spark aggs AND the
+    * generated oracle arms (the Bm25Terms no-drift convention).
+    */
+  private val TauSweep = Seq(0.4, 0.5, 0.6, 0.7, 0.8)
+
   /** q_dedup_containment: report threshold on |A∩B|/min(|A|,|B|), and
     * the document-frequency cap above which an n-gram is too common to
     * generate candidate pairs (bounds every posting list — the
@@ -684,6 +691,58 @@ object DedupQueries {
               |    THEN round(CAST(n_hits AS DOUBLE)/n_true_pairs, 6)
               |    ELSE 1.0 END AS recall
               |FROM m""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------ H3m'
+    QueryDef(
+      "q_dedup_tau_sweep",
+      "Dedup threshold sweep — the table that PICKS tau (the H9w 'pick " +
+        "L' pattern on the dedup knob): for each candidate Jaccard " +
+        "threshold, the surviving pair count, the docs a greedy " +
+        "drop-the-larger-id rule would remove, and the removed corpus " +
+        "fraction. The removal column is the standard pairwise " +
+        "estimate — an upper bound on cluster-keeper removal (the " +
+        "exact transitive answer at the CHOSEN tau is q_dedup_clusters " +
+        "+ q_dedup_keep_best; the sweep prices the candidates before " +
+        "committing). Shape: everything is PAIR-grain — the sweep " +
+        "rides the SAME cached banded-candidate relation as " +
+        "q_doc_dedup (one fused conditional agg over it, thresholds " +
+        "unpivoted from a 5-row array) plus a 1-row corpus count; " +
+        "ZERO additional corpus passes at any scale.",
+      (s, dir) => {
+        val cand = candidatesPersisted(s, dir)
+        val tot = Tables.t(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        val aggs = TauSweep.zipWithIndex.flatMap { case (t, i) => Seq(
+          sum(when(col("j") >= t, 1L).otherwise(0L)).as(s"p_$i"),
+          count_distinct(when(col("j") >= t, col("doc_b"))).as(s"d_$i")) }
+        val one = cand.agg(aggs.head, aggs.tail: _*)
+          .crossJoin(broadcast(tot))
+        val rows = TauSweep.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("tau"), col(s"p_$i").as("n_pairs"),
+            col(s"d_$i").as("est_removed_docs"),
+            round(col(s"d_$i").cast("double") / col("n_docs"), 6)
+              .as("est_removed_frac")) }
+        one.select(explode(array(rows: _*)).as("r"), col("n_docs"))
+          .select(col("r.*"), col("n_docs"))
+          .orderBy("tau")
+      },
+      Some {
+        val arms = TauSweep.map(t =>
+          s"""SELECT $t AS tau,
+             |  CAST(SUM(CASE WHEN j >= $t THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pairs,
+             |  CAST(COUNT(DISTINCT CASE WHEN j >= $t THEN doc_b END)
+             |    AS BIGINT) AS est_removed_docs
+             |FROM cand""".stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH $candSqlCtes,
+           |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |sw AS ($arms)
+           |SELECT tau, n_pairs, est_removed_docs,
+           |  round(CAST(est_removed_docs AS DOUBLE) / n_docs, 6)
+           |    AS est_removed_frac, n_docs
+           |FROM sw CROSS JOIN tot ORDER BY tau""".stripMargin
+      }
     ),
 
     // ------------------------------------------------------------- H3+

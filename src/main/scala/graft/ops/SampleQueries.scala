@@ -367,6 +367,71 @@ object SampleQueries {
              |    ORDER BY key, doc_id) AS pos,
              |  ROW_NUMBER() OVER (ORDER BY key, doc_id) AS gpos
              |FROM k ORDER BY gpos""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_shard_balance",
+      "Loader-balance audit of the H8s training shards — the straggler " +
+        "report a run reads BEFORE committing to an epoch: per shard " +
+        "(leading md5 hex digit, the SAME assignment as " +
+        "shuffleShardPerm/writeShardMajor, re-derived here MAP-ONLY — " +
+        "balance needs no ranks, so the window is dropped), doc and " +
+        "token counts, the packed-sequence count at the H9p budget " +
+        "((tok + L-1) div L, integer-exact — each shard packs " +
+        "independently, so this IS the per-shard file row count of the " +
+        "packed artifact), token share, and the global imbalance " +
+        "factor max_tok * 16 / total_tok on every row (epoch " +
+        "wall-clock is the max shard, so imbalance IS the straggler " +
+        "multiplier vs a perfectly even split over the FIXED 16 " +
+        "shards — empty shards count as imbalance, they don't slow " +
+        "the epoch but they waste a file group; ~1.0 expected, md5 " +
+        "is uniform by construction). " +
+        "Shape: ONE corpus pass into a 16-group map-side agg + a " +
+        "16-row broadcast total; no windows, no corpus-grain joins.",
+      (s, dir) => {
+        val l = PackingQueries.ArtifactBudget
+        val per = Tables.t(s, dir, "documents")
+          .select(
+            conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+              .cast("int").as("shard"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("n_tok"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"))
+          .withColumn("n_seqs", expr(s"(n_tokens + ${l - 1}) div $l"))
+        val tot = per.agg(sum(col("n_tokens")).cast("long").as("tot_tok"),
+          max(col("n_tokens")).as("max_tok"))
+        per.crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            col("n_seqs"),
+            round(col("n_tokens").cast("double") / col("tot_tok"), 6)
+              .as("tok_share"),
+            round(col("max_tok").cast("double") * lit(16)
+              / col("tot_tok"), 6).as("imbalance"))
+          .orderBy("shard")
+      },
+      Some {
+        val l = PackingQueries.ArtifactBudget
+        s"""WITH t AS (SELECT
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+           |      AS INT) AS shard,
+           |    CAST(len(${graft.functions.TextFunctions.toksSql}) AS BIGINT)
+           |      AS n_tok
+           |  FROM documents),
+           |p AS (SELECT shard, COUNT(*) AS n_docs,
+           |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           |  FROM t GROUP BY shard),
+           |p2 AS (SELECT *,
+           |    CAST((n_tokens + ${l - 1}) // $l AS BIGINT) AS n_seqs FROM p),
+           |g AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tok,
+           |    CAST(MAX(n_tokens) AS BIGINT) AS max_tok FROM p2)
+           |SELECT shard, n_docs, n_tokens, n_seqs,
+           |  round(CAST(n_tokens AS DOUBLE) / tot_tok, 6) AS tok_share,
+           |  round(CAST(max_tok AS DOUBLE) * 16 / tot_tok, 6)
+           |    AS imbalance
+           |FROM p2 CROSS JOIN g ORDER BY shard""".stripMargin
+      }
     )
   )
 }
