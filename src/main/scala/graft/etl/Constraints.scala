@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Constraints {
 
-  /** Orphan rows in child whose key has no match in parent (0 = FK holds). */
+  /** Orphan rows in child whose key has no match in parent (0 = FK holds).
+    * NULL child keys are NOT orphans — SQL FK constraints accept NULL
+    * (match is simply not enforced for them), so counting them would
+    * flag every legitimately-nullable FK column as violated.
+    */
   def fkOrphanCount(
       child: DataFrame, childCol: String,
       parent: DataFrame, parentCol: String): Long =
     child
+      .filter(col(childCol).isNotNull)
       .join(parent.select(col(parentCol).as("__fk_parent_key")).distinct(),
         child(childCol) === col("__fk_parent_key"), "left_anti")
       .count()
@@ -36,6 +41,7 @@ object Constraints {
       child: DataFrame, childCol: String,
       parent: DataFrame, parentCol: String): DataFrame =
     child
+      .filter(col(childCol).isNotNull)
       .join(parent.select(col(parentCol).as("__fk_parent_key")).distinct(),
         child(childCol) === col("__fk_parent_key"), "left_anti")
       .agg(count(lit(1)).as("orphan_count"))
@@ -68,7 +74,10 @@ object Constraints {
         df.join(p, df(e.childCol) === col(s"__pk_$i"), "left")
     }
     val counts = edges.zipWithIndex.map { case (e, i) =>
-      count(when(col(s"__pk_$i").isNull, 1)).as(s"__orphans_$i")
+      // NULL child keys are not orphans (SQL FK semantics): only a
+      // NON-NULL key with no parent match counts.
+      count(when(col(s"__pk_$i").isNull && col(e.childCol).isNotNull, 1))
+        .as(s"__orphans_$i")
     }
     val rows = edges.zipWithIndex.map { case (e, i) =>
       struct(lit(e.label).as("fk_edge"), col(s"__orphans_$i").as("orphan_count"))

@@ -71,6 +71,13 @@ object Layout {
     val r = df.agg(
       min(col(c1).cast("long")), max(col(c1).cast("long")),
       min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
+    // empty/all-null input: min/max are NULL and getLong would NPE the
+    // artifact phase — there is nothing to cluster, write the (empty)
+    // relation as-is and return
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val (lo1, hi1, lo2, hi2) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val gmax = (1L << bits) - 1

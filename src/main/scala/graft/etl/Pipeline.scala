@@ -215,10 +215,17 @@ object Pipeline {
       log: MigrationLog = MigrationLog.silent): Seq[Report.ArtifactResult] = {
     require(a.bandIndexTables.size <= 1 && a.spanSetTables.size <= 1 &&
       a.charSpanTables.size <= 1 && a.chunkStoreTables.size <= 1 &&
-      a.containIndexTables.size <= 1,
-      "one band/span/charspan/chunk artifact per corpus dir — consumers " +
-        "derive the tag from the dir alone, so a second table would " +
-        "silently reuse the first table's artifact")
+      a.containIndexTables.size <= 1 && a.imageSigTables.size <= 1 &&
+      a.audioSigTables.size <= 1 && a.videoSigTables.size <= 1,
+      "one band/span/charspan/chunk/contain/media-sig artifact per " +
+        "corpus dir — consumers derive the tag from the dir alone, so " +
+        "a second table would silently reuse the first table's artifact")
+    // the scrub REUSES the SpanSet tag: a scrub table differing from the
+    // span-set table would rewrite one population against another's
+    // duplicated-span verdicts — the same cross-poisoning, one level up
+    require((a.spanSetTables ++ a.scrubTables).distinct.size <= 1,
+      "scrubTables and spanSetTables share the corpus dir's SpanSet " +
+        "tag and must name the same single table")
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
@@ -344,9 +351,13 @@ object Pipeline {
         graft.ops.SpanDedup.scrubbed(docs,
           graft.ops.SpanSet.duplicatedSpans(spark, tag), Seq("source"))
           .write.mode(SaveMode.Overwrite).parquet(path)
+        // coalesce: sum() over an empty scrubbed output is NULL, and
+        // getLong on it would NPE the whole artifact phase for a
+        // legitimately empty table
+        val F = org.apache.spark.sql.functions
         val r = spark.read.parquet(path)
-          .agg(org.apache.spark.sql.functions.sum("n_tokens"),
-            org.apache.spark.sql.functions.sum("n_removed")).head()
+          .agg(F.coalesce(F.sum("n_tokens"), F.lit(0L)),
+            F.coalesce(F.sum("n_removed"), F.lit(0L))).head()
         (r.getLong(0), r.getLong(1))
       }
       val msg = s"path=$path tokens=$nTok removed=$nRem " +
@@ -404,10 +415,10 @@ object Pipeline {
           path, a.shardFiles, posCol = "seq_id")
         // padding audit measured from the WRITTEN files — the artifact
         // must price itself (q_packing_waste's packed column)
+        val F = org.apache.spark.sql.functions
         val r = spark.read.parquet(path)
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)),
-            org.apache.spark.sql.functions.sum("n_pad")).head()
+          .agg(F.count(F.lit(1)),
+            F.coalesce(F.sum("n_pad"), F.lit(0L))).head()
         val (ns, pad) = (r.getLong(0), r.getLong(1))
         (ns, if (ns > 0) pad.toDouble / (ns * budget) else 0.0)
       }
@@ -450,16 +461,33 @@ object Pipeline {
         Duration.Inf)
       finally pool.shutdown()
 
-    // E3: constraints strictly after all loads.
-    val fkResults = foreignKeys.map { fk =>
+    // E3: constraints strictly after all loads. FK table names are
+    // SOURCE names (the user declares edges against the schema they
+    // know); the files on disk carry the RENAMED names (B6) and skipped
+    // empty tables (B9) were never written — resolve through the same
+    // outName mapping migrateTable used, and skip (loudly) any edge
+    // whose table has no written file rather than crashing the whole
+    // migration after every load succeeded.
+    val written = results.filterNot(_.skipped).map(_.outputName).toSet
+    val fkResults = foreignKeys.flatMap { fk =>
       val label =
         s"${fk.childTable}.${fk.childCol}->${fk.parentTable}.${fk.parentCol}"
-      val orphans = log.timed(fk.childTable, s"fk $label") {
-        Constraints.fkOrphanCount(
-          spark.read.parquet(s"$outDir/${fk.childTable}.parquet"), fk.childCol,
-          spark.read.parquet(s"$outDir/${fk.parentTable}.parquet"), fk.parentCol)
+      val (childOut, parentOut) =
+        (cfg.tableRenames.getOrElse(fk.childTable, fk.childTable),
+          cfg.tableRenames.getOrElse(fk.parentTable, fk.parentTable))
+      if (!written.contains(childOut) || !written.contains(parentOut)) {
+        log.warn(fk.childTable, s"fk $label",
+          "skipped: table not written this run " +
+            s"(child=$childOut parent=$parentOut written=${written.size})")
+        None
+      } else Some {
+        val orphans = log.timed(fk.childTable, s"fk $label") {
+          Constraints.fkOrphanCount(
+            spark.read.parquet(s"$outDir/$childOut.parquet"), fk.childCol,
+            spark.read.parquet(s"$outDir/$parentOut.parquet"), fk.parentCol)
+        }
+        Report.FkResult(label, orphans)
       }
-      Report.FkResult(label, orphans)
     }
     // E1's slot: artifacts build strictly after loads + validation.
     val artifactResults =

@@ -64,17 +64,42 @@ object StagingWriter {
     df.select(cols: _*)
   }
 
-  /** A3: dialect-correct delimited staging dump. */
-  def writeCsv(df: DataFrame, dialect: Dialect, path: String): Unit =
-    canonicalize(df, dialect).write.mode(SaveMode.Overwrite)
-      .option("sep", dialect.delimiter.take(1))
-      .option("nullValue", dialect.nullToken)
-      .option("emptyValue", if (dialect.emptyStringIsNull) dialect.nullToken else "\"\"")
-      .option("quote", "\"")
-      .option("escape", "\"") // quote-doubling, as the reference emits
-      .option("timestampFormat", dialect.timestampFormat)
-      .option("header", "false")
-      .csv(path)
+  /** A3: dialect-correct delimited staging dump. Spark's CSV writer is
+    * single-character-separator only; a dialect declaring a MULTI-char
+    * terminator (MsSql's "|," — the reference's BULK INSERT
+    * FIELDTERMINATOR, chosen precisely so single '|' in data cannot
+    * collide) is emitted as raw joined text with the FULL terminator —
+    * truncating to '|' (the pre-r12 behavior) staged files no BULK
+    * INSERT configured from the dialect could parse.
+    */
+  def writeCsv(df: DataFrame, dialect: Dialect, path: String): Unit = {
+    val canon = canonicalize(df, dialect)
+    if (dialect.delimiter.length == 1)
+      canon.write.mode(SaveMode.Overwrite)
+        .option("sep", dialect.delimiter)
+        .option("nullValue", dialect.nullToken)
+        .option("emptyValue", if (dialect.emptyStringIsNull) dialect.nullToken else "\"\"")
+        .option("quote", "\"")
+        .option("escape", "\"") // quote-doubling, as the reference emits
+        .option("timestampFormat", dialect.timestampFormat)
+        .option("header", "false")
+        .csv(path)
+    else {
+      // BULK INSERT format: unquoted fields, dialect timestamp format,
+      // nulls as the dialect token (concat_ws drops nulls, so coalesce
+      // FIRST or field counts would collapse per row).
+      val fields = canon.schema.fields.map { f =>
+        val rendered = f.dataType match {
+          case org.apache.spark.sql.types.TimestampType =>
+            date_format(col(f.name), dialect.timestampFormat)
+          case _ => col(f.name).cast(StringType)
+        }
+        coalesce(rendered, lit(dialect.nullToken))
+      }
+      canon.select(concat_ws(dialect.delimiter, fields: _*).as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+    }
+  }
 
   /** A5-A9: the options `df.write.jdbc` needs for bulk-equivalent load
     * speed on each dialect (batched/rewritten inserts replace the

@@ -163,14 +163,17 @@ object SimilarityQueries {
     * decimal-exact ADC score and per-query rank — the scoring tail
     * shared by the flat scan and the IVF-probed scan.
     */
-  private def pqAdcFinish(q: DataFrame, hits: DataFrame): DataFrame = {
+  private def pqAdcFinish(q: DataFrame, hits: DataFrame,
+                          excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    hits.groupBy("query_id", "vec_id", "nrm")
+    val agg = hits.groupBy("query_id", "vec_id", "nrm")
       .agg(sum(round(col("pd"), 9).cast(DecimalType(30, 15)))
         .cast("double").as("ad"))
       .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
-      .filter(col("query_id") =!= col("vec_id"))
+    // excludeSelf: see ivfPqCandidates — corpus self-joins drop the
+    // trivial self-match; standing-index probes keep it
+    (if (excludeSelf) agg.filter(col("query_id") =!= col("vec_id")) else agg)
       .withColumn("score", col("ad") / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("score").desc, col("vec_id").asc)))
@@ -205,13 +208,20 @@ object SimilarityQueries {
     * so batch and ingest-time retrieval cannot drift.
     */
   private[graft] def ivfPqCandidates(q: DataFrame, centn: DataFrame,
-                                     member: DataFrame,
-                                     nProbe: Int): DataFrame =
-    broadcast(probeCells(q, centn, nProbe)
+                                     member: DataFrame, nProbe: Int,
+                                     excludeSelf: Boolean = true): DataFrame = {
+    val cand = broadcast(probeCells(q, centn, nProbe)
         .select(col("query_id"), col("cell")))
       .join(member, "cell")
-      .filter(col("query_id") =!= col("vec_id"))
+    // excludeSelf belongs to CORPUS SELF-JOIN semantics (a vector is
+    // trivially its own neighbor). An ingest-time probe of arriving
+    // vectors against a STANDING index passes false: an at-least-once
+    // redelivery of an already-indexed vec_id MUST surface its stored
+    // twin (cosine 1.0) — dropping it reports "no close neighbor" for
+    // a vector literally in the index.
+    (if (excludeSelf) cand.filter(col("query_id") =!= col("vec_id")) else cand)
       .select(col("query_id"), col("vec_id"))
+  }
 
   /** ADC scoring of an explicit candidate-pair relation against a
     * provided codebook + codes relation (the stored [[PqStore]] tables
@@ -220,13 +230,14 @@ object SimilarityQueries {
     * Returns (query_id, vec_id, nrm, ad, score, rank).
     */
   private[graft] def pqAdcScoredFor(q: DataFrame, cand: DataFrame,
-                                    cb: DataFrame,
-                                    codes: DataFrame): DataFrame = {
+                                    cb: DataFrame, codes: DataFrame,
+                                    excludeSelf: Boolean = true): DataFrame = {
     val encC = cand.join(codes, "vec_id")
       .select(col("query_id"), col("vec_id"), col("nrm"),
         posexplode(col("codes")).as(Seq("sub", "code")))
     pqAdcFinish(q,
-      encC.join(broadcast(pqLookupTable(q, cb)), Seq("query_id", "sub", "code")))
+      encC.join(broadcast(pqLookupTable(q, cb)), Seq("query_id", "sub", "code")),
+      excludeSelf)
   }
 
   /** ADC shortlist size for the exact re-rank (q_pq_rerank): 5K keeps
@@ -590,15 +601,19 @@ object SimilarityQueries {
     * ingest-time search cannot drift.
     */
   private[graft] def ivfTopKFor(q: DataFrame, a2: DataFrame,
-                                centn: DataFrame,
-                                nProbe: Int): DataFrame = {
+                                centn: DataFrame, nProbe: Int,
+                                excludeSelf: Boolean = true): DataFrame = {
     val qp = probeCells(q, centn, nProbe)
     // The probed (query, cell) relation is a query batch ≪ the corpus
     // (same assumption as the exact baseline's broadcast query side), so
     // the inverted-list lookup is a broadcast-HASH join on cell: the
     // corpus-sized a2 is streamed in place, never shuffled.
-    broadcast(qp).join(a2, "cell")
-      .filter(col("query_id") =!= col("vec_id"))
+    // excludeSelf: see ivfPqCandidates — true for corpus self-joins,
+    // false for ingest probes of a standing index (redelivered vec_ids
+    // must surface their stored twin).
+    val joined = broadcast(qp).join(a2, "cell")
+    (if (excludeSelf) joined.filter(col("query_id") =!= col("vec_id"))
+     else joined)
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= K)

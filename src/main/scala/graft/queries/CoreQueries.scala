@@ -128,7 +128,9 @@ object CoreQueries {
       "q_fk_orphans",
       "Referential-integrity check: the semantic payload of reference " +
         "add_fks (ETLAlchemySource.py::add_fks ~L1350-1500) as left-anti " +
-        "join orphan counts per FK edge.",
+        "join orphan counts per FK edge. NULL child keys are not " +
+        "orphans (SQL FK semantics: the constraint is not enforced for " +
+        "NULL keys) — both engines exclude them identically.",
       (s, dir) => {
         // One scan per CHILD table, all of its edges fused
         // (graft.etl.Constraints.fkOrphansFused). Hard broadcast() hints
@@ -164,22 +166,22 @@ object CoreQueries {
       },
       Some("""SELECT * FROM (
              |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
-             |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |    (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
              |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_count
              |  UNION ALL SELECT 'lineitem.l_partkey->part',
-             |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |    (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
              |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
              |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
-             |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |    (SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
              |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
              |  UNION ALL SELECT 'orders.o_custkey->customer',
-             |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             |    (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
              |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
              |  UNION ALL SELECT 'customer.c_nationkey->nation',
-             |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+             |    (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
              |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
              |  UNION ALL SELECT 'nation.n_regionkey->region',
-             |    (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+             |    (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey IS NOT NULL AND NOT EXISTS
              |      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
              |) ORDER BY fk_edge""".stripMargin)
     ),

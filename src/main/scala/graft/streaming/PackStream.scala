@@ -92,6 +92,14 @@ object PackStream {
   /** The stateful packer over a streaming (or batch) `rows` relation
     * carrying shard / pos / doc_id / text. Update-mode compatible: each
     * trigger emits the sequences COMPLETED by that trigger's rows.
+    *
+    * Position contract: `pos` is the 1-BASED within-shard permutation
+    * rank ([[graft.ops.SampleQueries.shuffleShardPerm]]'s `row_number`
+    * column — the only producer of this stream), strictly increasing
+    * per shard across triggers. The fresh-state sentinel `lastPos = 0`
+    * relies on 1-based ranks; a 0-based producer would trip the
+    * ordering require on its FIRST row, so the contract is checked,
+    * not silently mis-packed.
     */
   def packStream(rows: DataFrame)(implicit spark: SparkSession)
   : Dataset[PackedOut] = packStream(rows, graft.ops.PackingQueries.ArtifactBudget)
@@ -120,6 +128,10 @@ object PackStream {
             if (r.doc_id == FlushDocId) {
               st = drain(shard, st, budget, force = true, out)
             } else {
+              require(r.pos >= 1,
+                s"shard $shard: pos ${r.pos} — positions are the 1-BASED " +
+                  "shuffleShardPerm row_number ranks (0-based input " +
+                  "would silently shift the stream contract)")
               require(r.pos > st.lastPos,
                 s"shard $shard: pos ${r.pos} arrived after ${st.lastPos} — " +
                   "permutation stream must be position-ordered across triggers")

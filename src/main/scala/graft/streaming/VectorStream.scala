@@ -32,7 +32,11 @@ object VectorStream {
       .withColumn("qn",
         sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"))
-    graft.ops.SimilarityQueries.ivfTopKFor(q, cells, cents, nProbe)
+    // excludeSelf = false: a redelivered already-indexed vec_id must
+    // surface its stored twin (the probe targets a STANDING index, not
+    // a corpus self-join)
+    graft.ops.SimilarityQueries.ivfTopKFor(q, cells, cents, nProbe,
+        excludeSelf = false)
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
@@ -63,8 +67,9 @@ object VectorStream {
         sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"))
     val cand = graft.ops.SimilarityQueries.ivfPqCandidates(
-      q, cents, member, nProbe)
-    graft.ops.SimilarityQueries.pqAdcScoredFor(q, cand, cb, codes)
+      q, cents, member, nProbe, excludeSelf = false)
+    graft.ops.SimilarityQueries.pqAdcScoredFor(q, cand, cb, codes,
+        excludeSelf = false)
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"),

@@ -15,13 +15,21 @@ class ConstraintsSpec extends SparkSpec {
     assert(row.getString(0) == "edge" && row.getLong(1) == 3L)
   }
 
-  test("null FKs count as orphans of nothing (left-anti semantics)") {
+  test("NULL child keys are NOT orphans (SQL FK semantics) in all " +
+    "three validation variants") {
     import spark.implicits._
     val parent = Seq(1L).toDF("pk")
-    val child = Seq(Option(1L), None).toDF("fk")
-    // null never equi-matches: the null row is reported as an orphan,
-    // matching the reference's NOT-VALIDATED stance (it never checks data)
+    val child = Seq(Option(1L), None, Option(9L)).toDF("fk")
+    // a real FK constraint accepts NULL keys (matching is simply not
+    // enforced); only the NON-NULL unmatched key (9) is an orphan —
+    // the pre-r12 left-anti count flagged every nullable FK column
     assert(Constraints.fkOrphanCount(child, "fk", parent, "pk") == 1)
+    assert(Constraints.fkOrphans("e", child, "fk", parent, "pk")
+      .head().getLong(1) == 1L)
+    val fused = Constraints.fkOrphansFused(child,
+      Seq(Constraints.FkEdge("e", "fk", parent, "pk",
+        broadcastParent = true))).head()
+    assert(fused.getLong(1) == 1L)
   }
 
   test("index-name mangling dedupes and truncates (E1 parity)") {

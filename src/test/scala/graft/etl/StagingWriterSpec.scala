@@ -58,6 +58,22 @@ class StagingWriterSpec extends SparkSpec {
     }
   }
 
+  test("writeCsv emits MsSql's FULL two-char field terminator (the " +
+    "pre-r12 take(1) truncation collided '|' data with the separator)") {
+    val dir = Files.createTempDirectory("graft-csv-mssql").toString
+    writeCsv(sampleDf, MsSql, dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(lines.length == 3)
+    // every row splits into exactly 4 fields on the FULL terminator
+    lines.foreach { l =>
+      assert(l.split(java.util.regex.Pattern.quote("|,"), -1).length == 4, l)
+    }
+    // bool canonicalized to 0/1; single '|' or ',' in data do not split
+    assert(lines.exists(_.split(
+      java.util.regex.Pattern.quote("|,"), -1).toSeq ==
+      Seq("1", "alice", "1", "has, comma")), lines.mkString("\n"))
+  }
+
   test("jdbc bulk-load options select per-dialect batching (A5-A9)") {
     assert(jdbcOptions(MySql)("rewriteBatchedStatements") == "true")
     assert(jdbcOptions(Postgres)("reWriteBatchedInserts") == "true")

@@ -48,9 +48,14 @@ class VectorStreamSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
         .toSeq.sorted
       assert(streamed == expect)
-      // self-exclusion: a probe vector present in the corpus never
-      // returns itself
-      assert(streamed.forall { case (qid, _, n) => qid != n })
+      // redelivery detection (r12): the probe targets a STANDING index,
+      // so a probe vector already IN the index surfaces its stored twin
+      // at rank 1 — the at-least-once duplicate check this face exists
+      // to support (excludeSelf=false; the batch self-join keeps true)
+      Seq(25L, 50L).foreach { qid =>
+        assert(streamed.contains((qid, 1, qid)),
+          s"stored twin of redelivered $qid must rank first: $streamed")
+      }
     } finally q.stop()
   }
 
@@ -121,7 +126,12 @@ class VectorStreamSpec extends SparkSpec {
         assert(probed(qid).contains(cells(n)),
           s"neighbor $n of query $qid not in a probed cell")
       }
-      assert(streamed.forall { case (qid, _, n, _) => qid != n })
+      // redelivery detection (r12): the stored twin of an already-
+      // indexed probe id is a legitimate (ADC-scored) candidate
+      Seq(25L, 50L).foreach { qid =>
+        assert(streamed.exists { case (q2, _, n, _) => q2 == qid && n == qid },
+          s"stored twin of redelivered $qid absent: $streamed")
+      }
     } finally q.stop()
   }
 
