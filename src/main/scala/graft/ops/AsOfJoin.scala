@@ -204,6 +204,10 @@ object AsOfJoin {
               Tables.nanosToEpochSec(col("asof_c_tns"))).as("gap_sec"))
           .orderBy("purchase_id")
       },
+      // Oracle epoch seconds use FLOOR division (subtract the floor-mod
+      // remainder, then exact //): DuckDB's bare `t // 1e9` truncates
+      // toward zero and would diverge from Tables.nanosToEpochSec's
+      // floor for pre-1970 timestamps.
       Some("""WITH u AS (
              |  SELECT user_id, epoch_ns(ts) AS t, 0 AS side, event_id AS purchase_id,
              |         NULL::BIGINT AS click_id
@@ -223,9 +227,9 @@ object AsOfJoin {
              |      ROWS UNBOUNDED PRECEDING) AS asof_t
              |  FROM u)
              |SELECT purchase_id, user_id,
-             |  t // 1000000000 AS p_sec,
+             |  ((t - ((t % 1000000000) + 1000000000) % 1000000000) // 1000000000) AS p_sec,
              |  asof_click_id AS click_id,
-             |  t // 1000000000 - asof_t // 1000000000 AS gap_sec
+             |  ((t - ((t % 1000000000) + 1000000000) % 1000000000) // 1000000000) - ((asof_t - ((asof_t % 1000000000) + 1000000000) % 1000000000) // 1000000000) AS gap_sec
              |FROM w WHERE side = 0 ORDER BY purchase_id""".stripMargin)
     ),
 
@@ -275,9 +279,9 @@ object AsOfJoin {
              |      ROWS UNBOUNDED PRECEDING) AS asof_t
              |  FROM u),
              |g AS (
-             |  SELECT *, asof_t // 1000000000 - t // 1000000000 AS gap
+             |  SELECT *, ((asof_t - ((asof_t % 1000000000) + 1000000000) % 1000000000) // 1000000000) - ((t - ((t % 1000000000) + 1000000000) % 1000000000) // 1000000000) AS gap
              |  FROM w WHERE side = 0)
-             |SELECT click_id, user_id, t // 1000000000 AS c_sec,
+             |SELECT click_id, user_id, ((t - ((t % 1000000000) + 1000000000) % 1000000000) // 1000000000) AS c_sec,
              |  CASE WHEN gap <= 86400 THEN asof_purchase_id END AS purchase_id,
              |  CASE WHEN gap <= 86400 THEN gap END AS wait_sec
              |FROM g ORDER BY click_id""".stripMargin)
@@ -341,10 +345,10 @@ object AsOfJoin {
              |  SELECT *, (b_t IS NOT NULL AND (f_t IS NULL OR t - b_t <= f_t - t))
              |    AS use_b
              |  FROM w WHERE side = 0)
-             |SELECT click_id, user_id, t // 1000000000 AS c_sec,
+             |SELECT click_id, user_id, ((t - ((t % 1000000000) + 1000000000) % 1000000000) // 1000000000) AS c_sec,
              |  CASE WHEN use_b THEN b_id ELSE f_id END AS purchase_id,
-             |  CASE WHEN use_b THEN b_t // 1000000000 - t // 1000000000
-             |       ELSE f_t // 1000000000 - t // 1000000000 END AS gap_sec
+             |  CASE WHEN use_b THEN ((b_t - ((b_t % 1000000000) + 1000000000) % 1000000000) // 1000000000) - ((t - ((t % 1000000000) + 1000000000) % 1000000000) // 1000000000)
+             |       ELSE ((f_t - ((f_t % 1000000000) + 1000000000) % 1000000000) // 1000000000) - ((t - ((t % 1000000000) + 1000000000) % 1000000000) // 1000000000) END AS gap_sec
              |FROM p ORDER BY click_id""".stripMargin)
     )
   )

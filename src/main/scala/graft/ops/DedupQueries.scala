@@ -448,7 +448,14 @@ object DedupQueries {
         .agg(min(col("component")).as("component"))
         .select(col("src").as("id"), col("component"))
     }
-    lbl
+    // The returned plan references the cached edges, so they cannot be
+    // unpersisted lazily — cut the lineage with an eager localCheckpoint
+    // (driver-side iterative variant; the declared path is
+    // clusterComponents) and release the edge cache immediately instead
+    // of leaking one CacheManager entry per invocation.
+    val out = lbl.localCheckpoint(true)
+    symSelf.unpersist()
+    out
   }
 
   /** Connected components by alternating large-star/small-star
@@ -1323,7 +1330,9 @@ object DedupQueries {
           val bkt = ps.map { p =>
             val lits = p.map(v => if (v > 0) "1.0" else "-1.0")
               .mkString("[", ",", "]")
-            s"CASE WHEN list_dot_product(v, $lits::DOUBLE[]) >= 0.0 THEN '1' ELSE '0' END"
+            // NULL dot -> NULL bucket (row drops from the join), as Spark
+            s"CASE WHEN list_dot_product(v, $lits::DOUBLE[]) >= 0.0 THEN '1' " +
+              s"WHEN list_dot_product(v, $lits::DOUBLE[]) < 0.0 THEN '0' END"
           }.mkString("||")
           s"SELECT vec_id, v, nrm, $i AS band, $bkt AS bkt FROM n"
         }.mkString("\nUNION ALL ")

@@ -63,10 +63,18 @@ object EventQueries {
           .orderBy("event_id")
           .limit(1000)
       },
-      Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str,
-             |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-             |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
-             |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)
+      // Cast parity: Spark's non-ANSI string->int cast yields NULL for
+      // anything non-integral ("abc" AND "12.5"); DuckDB's CAST errors
+      // on "abc" and ROUNDS "12.5" to 13. Gate on an integral-literal
+      // regex so both engines agree on every representable input.
+      Some("""WITH j AS (SELECT event_id,
+             |    json_extract_string(props, '$.k') AS k_str FROM events),
+             |t AS (SELECT event_id, k_str,
+             |    CASE WHEN regexp_matches(trim(k_str), '^[+-]?[0-9]+$')
+             |      THEN CAST(trim(k_str) AS INT) END AS k_int
+             |  FROM j)
+             |SELECT event_id, k_str, k_int, k_int % 10 AS k_bucket
+             |FROM t ORDER BY event_id LIMIT 1000""".stripMargin)
     ),
 
     QueryDef(

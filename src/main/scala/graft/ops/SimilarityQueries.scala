@@ -334,9 +334,14 @@ object SimilarityQueries {
   private def planeSqlLits: Seq[String] =
     planes.map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
 
+  // no ELSE arm for the negative side would swallow NULLs: a NULL dot
+  // (null/corrupt vector) must yield a NULL bucket so the row drops
+  // from the equi-join, matching VectorFunctions.hyperplaneBucket —
+  // an ELSE '0' would bucket corrupt rows at '00000000' in DuckDB only.
   private val bucketSql: String =
     planeSqlLits.map(p =>
-      s"CASE WHEN list_dot_product(v, $p::DOUBLE[]) >= 0.0 THEN '1' ELSE '0' END")
+      s"CASE WHEN list_dot_product(v, $p::DOUBLE[]) >= 0.0 THEN '1' " +
+        s"WHEN list_dot_product(v, $p::DOUBLE[]) < 0.0 THEN '0' END")
       .mkString("||")
 
   // ---------------------------------------------------------------- Spark

@@ -416,7 +416,7 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some {
-        val stop = sqlList(langMarkers.flatMap(_._2).distinct.sorted)
+        val stop = sqlList(stopwords) // the ONE shared list — no oracle drift
         s"""WITH t AS (
            |  SELECT doc_id, text, $toksSql AS toks FROM documents
            |), m AS (
@@ -685,7 +685,7 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some {
-        val stop = sqlList(langMarkers.flatMap(_._2).distinct.sorted)
+        val stop = sqlList(stopwords) // the ONE shared list — no oracle drift
         s"""WITH t AS (
            |  SELECT doc_id, lang, text, $toksSql AS toks,
            |    min(doc_id) OVER (PARTITION BY md5($normSql)) AS keeper_id
