@@ -37,6 +37,7 @@ object Registry {
       ops.AudioDedup.defs ++
       ops.VideoDedup.defs ++
       ops.CorpusQueries.defs ++
+      ops.GovernanceQueries.defs ++
       ops.SelectionQueries.defs ++
       ops.BpeQueries.defs ++
       ops.GraphQueries.defs

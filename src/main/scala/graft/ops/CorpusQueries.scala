@@ -87,10 +87,11 @@ object CorpusQueries {
     * digits or '@', so they match zero rows — the blocklist arm carries
     * the test); identical RE2/Java-regex subset in both engines.
     */
+  private[graft] val piiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val piiPhoneRe = "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b"
+  private[graft] val piiBlockRe = "\\b(?:customer|vector)\\b"
   private[graft] val piiPattern =
-    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" +
-      "|\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b" +
-      "|\\b(?:customer|vector)\\b"
+    piiEmailRe + "|" + piiPhoneRe + "|" + piiBlockRe
 
   /** ln(2) as ONE double literal shared by `q_lm_perplexity`'s Spark
     * plan and its DuckDB oracle text (Double.toString round-trips the

@@ -835,6 +835,63 @@ object DedupQueries {
       }
     ),
 
+    // ------------------------------------------------------------ H3+h
+    QueryDef(
+      "q_cluster_size_hist",
+      "Dup-graph cluster-size histogram — the governance summary a " +
+        "dedup review reads before committing to a removal policy: per " +
+        "cluster size, how many near-dup clusters and docs, plus the " +
+        "singleton row (docs in NO verified pair: corpus minus labeled " +
+        "docs — every labeled cluster has size >= 2 since each member " +
+        "has a partner edge). A heavy tail here means template spam " +
+        "(one giant component); mass at size 2 means benign mirror " +
+        "pairs — the distribution picks between keeper election and " +
+        "cluster-cap policies. Shape: rides the SAME memoized CC " +
+        "labels as q_dedup_clusters (star-contraction fixpoint, built " +
+        "once per session — ZERO extra corpus passes), one " +
+        "cluster-grain agg, then a histogram agg on the cluster-count " +
+        "relation (bounded by distinct sizes); singleton accounting is " +
+        "two 1-row aggs cross-joined. At 100 TB every stage after the " +
+        "shared labels is sub-relational.",
+      (s, dir) => {
+        val cc = minhashComponents(s, dir)
+        val tot = Tables.t(s, dir, "documents")
+          .agg(count(lit(1)).as("n_total"))
+        val hist = cc.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        val singles = tot.crossJoin(cc.agg(count(lit(1)).as("n_labeled")))
+          .select(lit(1L).as("cluster_size"),
+            (col("n_total") - col("n_labeled")).as("n_clusters"),
+            (col("n_total") - col("n_labeled")).as("n_docs"))
+        singles.unionAll(hist)
+          .crossJoin(broadcast(tot))
+          .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("n_total"), 6)
+              .as("frac_docs"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $pairsSqlCtes,
+              |$ccSqlCtes,
+              |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+              |lab AS (SELECT COUNT(*) AS n_labeled FROM cc),
+              |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+              |  FROM cc GROUP BY cluster_id),
+              |h AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+              |    n_total - n_labeled AS n_clusters,
+              |    n_total - n_labeled AS n_docs FROM tot CROSS JOIN lab
+              |  UNION ALL
+              |  SELECT cluster_size, COUNT(*) AS n_clusters,
+              |    cluster_size * COUNT(*) AS n_docs
+              |  FROM sz GROUP BY cluster_size)
+              |SELECT cluster_size, n_clusters, n_docs,
+              |  round(CAST(n_docs AS DOUBLE) / tot.n_total, 6) AS frac_docs
+              |FROM h CROSS JOIN tot ORDER BY cluster_size""".stripMargin)
+    ),
+
     // ------------------------------------------------------------- H3'
     QueryDef(
       "q_dedup_simhash",

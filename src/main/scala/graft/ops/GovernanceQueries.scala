@@ -1,0 +1,516 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.etl.Layout
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pre-epoch governance audits — the review tables a training run signs
+  * off on BEFORE spending compute: a published quality-rule bundle
+  * (Rae et al. 2021, "Scaling Language Models" — the Gopher rules), a
+  * MEASURED PII detector (planted ground truth, recall/precision — the
+  * q_lang_id_measured falsifiability pattern applied to q_pii_scrub's
+  * shared regex), temperature-scaled source sampling (Conneau & Lample
+  * 2019; Arivazhagan et al. 2019), quality-annealed curriculum staging
+  * (Bengio et al. 2009), and a zone-map data-skipping audit that prices
+  * physical LAYOUT choices (Moerkotte 1998 small materialized
+  * aggregates; Morton 1966 interleave — shared verbatim with
+  * [[graft.etl.Layout.zValue]], the writer whose clustering it prices).
+  *
+  * Determinism: the repo-wide convention — integer thresholds compared
+  * CROSS-MULTIPLIED (never a float threshold), transcendentals rounded
+  * 9dp before any DECIMAL-exact sum, ratios as single IEEE divisions of
+  * exact operands rounded 6dp on output.
+  */
+object GovernanceQueries {
+
+  /** Gopher rule bounds. Word-count and dup-ratio bounds are scaled to
+    * the synthetic corpus's length regime (10..99 tokens — the
+    * published 50/100k word bounds would flag everything/nothing here;
+    * production swaps the constants, not the shape); mean-word-length
+    * keeps the PUBLISHED [3, 10] bounds (zero violations on this
+    * corpus — GovernanceSpec plants violating docs to prove the rule
+    * fires both ways).
+    */
+  private[graft] val RuleWcLow = 20L
+  private[graft] val RuleWcHigh = 80L
+  private[graft] val RuleMwlLow = 3L
+  private[graft] val RuleMwlHigh = 10L
+  private[graft] val RuleMinStop = 2L
+  // dup-token rule: distinct/total < DupNum/DupDen flags template spam
+  private[graft] val DupNum = 2L
+  private[graft] val DupDen = 5L
+
+  /** Per-doc rule-violation flags over (nt = token count, sl = summed
+    * token length, nd = distinct tokens, ns = stopword count) — ONE
+    * definition consumed by the declared query and GovernanceSpec.
+    * Integer-exact: the mean-word-length and dup-ratio bounds compare
+    * cross-multiplied, so no engine ever evaluates a float threshold.
+    */
+  private[graft] def ruleFlags(nt: Column, sl: Column, nd: Column,
+                               ns: Column): Seq[(String, Column)] = Seq(
+    "1_word_count_low" -> (nt < RuleWcLow),
+    "2_word_count_high" -> (nt > RuleWcHigh),
+    "3_mean_word_len" -> (sl < lit(RuleMwlLow) * nt ||
+      sl > lit(RuleMwlHigh) * nt),
+    "4_stopword_min2" -> (ns < RuleMinStop),
+    "5_dup_token_ratio" -> (lit(DupDen) * nd < lit(DupNum) * nt))
+
+  private def ruleFlagsSql: Seq[(String, String)] = Seq(
+    "1_word_count_low" -> s"nt < $RuleWcLow",
+    "2_word_count_high" -> s"nt > $RuleWcHigh",
+    "3_mean_word_len" -> s"(sl < $RuleMwlLow * nt OR sl > $RuleMwlHigh * nt)",
+    "4_stopword_min2" -> s"ns < $RuleMinStop",
+    "5_dup_token_ratio" -> s"$DupDen * nd < $DupNum * nt")
+
+  /** Temperature-sampling exponents: 1.0 = proportional (q == p, the
+    * spec's identity check riding along would be degenerate — use the
+    * published multilingual settings), 0.3 = XLM-R's heavy flattening,
+    * 0.7 = the common LM-pretraining middle ground.
+    */
+  private[graft] val Alphas = Seq(0.3, 0.7)
+
+  /** Planted-PII periods: every 5th doc gets an email, every 7th a
+    * phone number — co-prime so some docs carry both, some one, most
+    * none (the detector must count per-doc, not per-flag).
+    */
+  private[graft] val EmailMod = 5L
+  private[graft] val PhoneMod = 7L
+
+  // ---- zone-map audit constants --------------------------------------
+  private[graft] val ZBits = 8 // 8-bit grid per dim -> 16-bit z
+  private[graft] val ZFiles = 16 // top-4 z bits -> 4x4 quadtree tiles
+  /** Audit predicate constants (epoch days / custkeys): a ~6-month date
+    * window inside the orders range and the bottom 1/8 custkey band.
+    */
+  private[graft] val DateLo = java.time.LocalDate.of(1998, 1, 1).toEpochDay
+  private[graft] val DateHi = java.time.LocalDate.of(1998, 6, 30).toEpochDay
+  private[graft] val CustLo = 0L
+  private[graft] val CustHi = 187L
+
+  /** DuckDB twin of [[graft.etl.Layout.zValue]] over pre-scaled grid
+    * columns gx/gy — generated from the same bit positions so the two
+    * interleaves cannot drift.
+    */
+  private def zValueSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i})"
+    }.mkString("(", ") | (", ")")
+
+  private val stopSql =
+    TextQueries.stopwords.map(x => s"'$x'").mkString("[", ",", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------- H4n
+    QueryDef(
+      "q_gopher_rules",
+      "Quality-rule bundle profile (Rae et al. 2021's Gopher rules, the " +
+        "per-rule accounting): independent violation counts for five " +
+        "document-quality rules — word-count bounds, mean word length " +
+        "(published [3,10] bounds, integer cross-multiplied), stopword " +
+        "minimum, duplicate-token ratio — plus the any-rule row a " +
+        "filter pipeline would drop. Unlike q_corpus_funnel's " +
+        "FIRST-drop attrition, every rule counts every violator, so " +
+        "the table says which rules overlap. Shape: ONE fused map-only " +
+        "corpus pass (token stats are per-row expressions, no explode) " +
+        "into a single 1-row conditional agg, unpivoted to 6 rows — " +
+        "no shuffle of anything document-sized at any scale.",
+      (s, dir) => {
+        val t = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(
+            size(col("toks")).cast("long").as("nt"),
+            expr("aggregate(transform(toks, t -> length(t)), 0L, " +
+              "(a, x) -> a + x)").as("sl"),
+            size(array_distinct(col("toks"))).cast("long").as("nd"),
+            TextQueries.nStop(col("toks")).cast("long").as("ns"))
+        val flags = ruleFlags(col("nt"), col("sl"), col("nd"), col("ns"))
+        val anyV = flags.map(_._2).reduce(_ || _)
+        val aggs = flags.map { case (n, c) =>
+          sum(when(c, 1L).otherwise(0L)).as(s"v_$n")
+        } :+ sum(when(anyV, 1L).otherwise(0L)).as("v_6_any_rule") :+
+          count(lit(1)).as("n_total")
+        val one = t.agg(aggs.head, aggs.tail: _*)
+        val names = flags.map(_._1) :+ "6_any_rule"
+        val rows = names.map(n => struct(lit(n).as("rule"),
+          col(s"v_$n").as("n_violations")))
+        one.select(explode(array(rows: _*)).as("r"), col("n_total"))
+          .select(col("r.rule").as("rule"), col("r.n_violations"),
+            round(col("r.n_violations").cast("double") / col("n_total"), 6)
+              .as("viol_frac"))
+          .orderBy("rule")
+      },
+      Some {
+        val arms = (ruleFlagsSql :+ ("6_any_rule" ->
+          ruleFlagsSql.map(f => s"(${f._2})").mkString(" OR "))).map {
+          case (n, c) =>
+            s"SELECT '$n' AS rule, CAST(SUM(CASE WHEN $c THEN 1 ELSE 0 " +
+              s"END) AS BIGINT) AS n_violations FROM m"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+           |m AS (SELECT CAST(len(toks) AS BIGINT) AS nt,
+           |    CAST(COALESCE(list_sum(list_transform(toks,
+           |      t -> length(t))), 0) AS BIGINT) AS sl,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+           |    CAST(len(list_filter(toks,
+           |      x -> list_contains($stopSql, x))) AS BIGINT) AS ns
+           |  FROM t),
+           |tot AS (SELECT COUNT(*) AS n_total FROM m),
+           |u AS ($arms)
+           |SELECT rule, n_violations,
+           |  round(CAST(n_violations AS DOUBLE) / tot.n_total, 6)
+           |    AS viol_frac
+           |FROM u CROSS JOIN tot ORDER BY rule""".stripMargin
+      }
+    ),
+
+    // ------------------------------------------------------------ H4e'
+    QueryDef(
+      "q_pii_recall",
+      "MEASURED PII detection (the q_lang_id_measured falsifiability " +
+        "pattern applied to the scrub regex): plant deterministic " +
+        s"ground-truth PII — an md5-derived email into every ${EmailMod}th " +
+        s"doc, a phone number into every ${PhoneMod}th (co-prime, so " +
+        "docs carry 0/1/2 spans) — run q_pii_scrub's SHARED email|phone " +
+        "pattern over the planted corpus, and report recall and " +
+        "precision against the planted truth. False positives are " +
+        "counted on the UNPLANTED text (planting appends, so detected " +
+        "minus pre-existing is exactly the planted hits); this corpus " +
+        "has zero natural matches, so a recall below 1.0 means the " +
+        "regex or the planting broke — falsifiable in both directions " +
+        "(GovernanceSpec breaks each and watches the metric move). " +
+        "Shape: ONE map-only pass (plant + two regexp_count per row) " +
+        "into a 1-row agg; no shuffle at any scale.",
+      (s, dir) => {
+        val det = CorpusQueries.piiEmailRe + "|" + CorpusQueries.piiPhoneRe
+        val email = concat(col("text"), lit(" "),
+          substring(md5(col("doc_id").cast("string")), 1, 8),
+          lit("@example.com"))
+        val t1 = when(col("doc_id") % EmailMod === 0, email)
+          .otherwise(col("text"))
+        val phone = concat(t1, lit(" 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val planted = when(col("doc_id") % PhoneMod === 0, phone)
+          .otherwise(t1)
+        val one = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), planted.as("pt"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") % EmailMod === 0, 1L).otherwise(0L) +
+              when(col("doc_id") % PhoneMod === 0, 1L).otherwise(0L))
+              .as("n_planted"),
+            sum(regexp_count(lower(col("pt")), lit(det))).as("n_detected"),
+            sum(regexp_count(lower(col("text")), lit(det))).as("n_false_pos"))
+        one.select(col("n_docs"), col("n_planted"), col("n_detected"),
+          col("n_false_pos"),
+          (col("n_detected") - col("n_false_pos")).as("n_true"),
+          when(col("n_planted") > 0,
+            round((col("n_detected") - col("n_false_pos")).cast("double") /
+              col("n_planted"), 6)).otherwise(1.0).as("recall"),
+          when(col("n_detected") > 0,
+            round((col("n_detected") - col("n_false_pos")).cast("double") /
+              col("n_detected"), 6)).otherwise(1.0).as("precision"))
+      },
+      Some {
+        val det = (CorpusQueries.piiEmailRe + "|" +
+          CorpusQueries.piiPhoneRe).replace("'", "''")
+        s"""WITH pl AS (SELECT doc_id, text,
+           |    CASE WHEN doc_id % $PhoneMod = 0 THEN t1 || ' 415-555-' ||
+           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |    ELSE t1 END AS pt
+           |  FROM (SELECT doc_id, text,
+           |      CASE WHEN doc_id % $EmailMod = 0 THEN text || ' ' ||
+           |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ||
+           |        '@example.com' ELSE text END AS t1
+           |    FROM documents)),
+           |m AS (SELECT COUNT(*) AS n_docs,
+           |    CAST(SUM((CASE WHEN doc_id % $EmailMod = 0 THEN 1 ELSE 0
+           |      END) + (CASE WHEN doc_id % $PhoneMod = 0 THEN 1 ELSE 0
+           |      END)) AS BIGINT) AS n_planted,
+           |    CAST(SUM(len(regexp_extract_all(lower(pt), '$det')))
+           |      AS BIGINT) AS n_detected,
+           |    CAST(SUM(len(regexp_extract_all(lower(text), '$det')))
+           |      AS BIGINT) AS n_false_pos
+           |  FROM pl)
+           |SELECT n_docs, n_planted, n_detected, n_false_pos,
+           |  n_detected - n_false_pos AS n_true,
+           |  CASE WHEN n_planted > 0 THEN
+           |    round(CAST(n_detected - n_false_pos AS DOUBLE) / n_planted, 6)
+           |  ELSE 1.0 END AS recall,
+           |  CASE WHEN n_detected > 0 THEN
+           |    round(CAST(n_detected - n_false_pos AS DOUBLE) / n_detected, 6)
+           |  ELSE 1.0 END AS precision
+           |FROM m""".stripMargin
+      }
+    ),
+
+    // ------------------------------------------------------------- H4t
+    QueryDef(
+      "q_mixture_temperature",
+      "Temperature-scaled source sampling (Conneau & Lample 2019; " +
+        "Arivazhagan et al. 2019): per (alpha, lang), the raw token " +
+        "share p, the flattened sampling share q ∝ p^alpha, and the " +
+        "repeat factor q/p a low-resource slice gets upsampled by — " +
+        s"at the published alphas ${Alphas.mkString("/")}. p^alpha is " +
+        "computed as exp(alpha·ln p) with BOTH transcendentals rounded " +
+        "9dp (the q_token_entropy engine-neutralization convention); " +
+        "the normalizer is an exact DECIMAL sum of the 9dp weights; q " +
+        "and the repeat factor are single IEEE divisions rounded 6dp. " +
+        "Shape: one lang-grain map-side agg (constant groups) + a " +
+        "broadcast 1-row total; everything after the first agg is " +
+        "constant-size at any corpus scale.",
+      (s, dir) => {
+        val lt = Tables.t(s, dir, "documents")
+          .select(col("lang"), size(tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("lang").agg(sum(col("nt")).as("tok"))
+        val tot = lt.agg(sum(col("tok")).as("ttot"))
+        val p = lt.crossJoin(broadcast(tot))
+          .select(col("lang"), col("tok"),
+            (col("tok").cast("double") / col("ttot").cast("double")).as("p"))
+        val e = p.select(col("*"),
+            explode(array(Alphas.map(lit(_)): _*)).as("alpha"))
+          .withColumn("w", round(exp(col("alpha") * round(log(col("p")), 9)), 9))
+        val ws = e.groupBy("alpha")
+          .agg(sum(col("w").cast(DecimalType(28, 9))).as("ws"))
+        val q = col("w") / col("ws").cast("double")
+        e.join(broadcast(ws), "alpha")
+          .select(col("alpha"), col("lang"), col("tok").as("n_tokens"),
+            round(col("p"), 9).as("p"), round(q, 6).as("q"),
+            round(q / col("p"), 6).as("repeat_factor"))
+          .orderBy("alpha", "lang")
+      },
+      Some {
+        val alphaList = Alphas.map(a => s"CAST($a AS DOUBLE)")
+          .mkString("[", ",", "]")
+        s"""WITH lt AS (SELECT lang,
+           |    CAST(SUM(len($toksSql)) AS BIGINT) AS tok
+           |  FROM documents GROUP BY lang),
+           |tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS ttot FROM lt),
+           |p AS (SELECT lang, tok, CAST(tok AS DOUBLE) / ttot AS p
+           |  FROM lt CROSS JOIN tot),
+           |e AS (SELECT lang, tok, p, alpha,
+           |    round(exp(alpha * round(ln(p), 9)), 9) AS w
+           |  FROM p CROSS JOIN (SELECT unnest($alphaList) AS alpha)),
+           |ws AS (SELECT alpha, SUM(CAST(w AS DECIMAL(28,9))) AS ws
+           |  FROM e GROUP BY alpha)
+           |SELECT alpha, lang, tok AS n_tokens, round(p, 9) AS p,
+           |  round(w / CAST(ws AS DOUBLE), 6) AS q,
+           |  round((w / CAST(ws AS DOUBLE)) / p, 6) AS repeat_factor
+           |FROM e JOIN ws USING (alpha) ORDER BY alpha, lang""".stripMargin
+      }
+    ),
+
+    // ------------------------------------------------------------ H10c
+    QueryDef(
+      "q_curriculum",
+      "Quality-annealed curriculum staging (Bengio et al. 2009): stage " +
+        "s trains on every doc whose quality gate (qualityPoints, " +
+        "shared VERBATIM with q_quality_score/q_corpus_filter) is at " +
+        "least 4-s — stage 1 is the cleanest slice, stage 4 the full " +
+        "corpus — with cumulative doc/token counts, corpus token " +
+        "share, and the stage's mean quality (exact integer sums, one " +
+        "division). A qp level with no docs contributes no stage row " +
+        "(mirrored by construction in both engines). Shape: ONE corpus " +
+        "pass into a qp-grain map-side agg (<= 4 groups); the " +
+        "cumulative window runs over that <= 4-row relation — bounded, " +
+        "never corpus-grain — plus a broadcast 1-row total.",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val g = Tables.t(s, dir, "documents")
+          .select(size(toks).cast("long").as("nt"),
+            TextQueries.qualityPoints(length(col("text")), size(toks),
+              TextQueries.nStop(toks)).cast("long").as("qp"))
+          .groupBy("qp")
+          .agg(count(lit(1)).as("nd"), sum(col("nt")).as("ntok"))
+        val tot = g.agg(sum(col("ntok")).as("ttok"))
+        val w = Window.orderBy(col("qp").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.crossJoin(broadcast(tot))
+          .select((lit(4L) - col("qp")).as("stage"), col("qp").as("qp_floor"),
+            sum(col("nd")).over(w).as("n_docs"),
+            sum(col("ntok")).over(w).as("n_tokens"),
+            round(sum(col("ntok")).over(w).cast("double") /
+              col("ttok"), 6).as("token_frac"),
+            round(sum(col("qp") * col("nd")).over(w).cast("double") /
+              sum(col("nd")).over(w), 6).as("mean_qp"))
+          .orderBy("stage")
+      },
+      Some(s"""WITH t AS (SELECT $toksSql AS toks, length(text) AS n_chars
+              |  FROM documents),
+              |m AS (SELECT CAST(len(toks) AS BIGINT) AS nt,
+              |    CAST((CASE WHEN len(toks) >= 10 THEN 1 ELSE 0 END
+              |     + CASE WHEN len(list_filter(toks,
+              |         x -> list_contains($stopSql, x))) > 0 THEN 1 ELSE 0 END
+              |     + CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS qp FROM t),
+              |g AS (SELECT qp, COUNT(*) AS nd,
+              |    CAST(SUM(nt) AS BIGINT) AS ntok FROM m GROUP BY qp),
+              |tot AS (SELECT CAST(SUM(ntok) AS BIGINT) AS ttok FROM g)
+              |SELECT 4 - qp AS stage, qp AS qp_floor,
+              |  CAST(SUM(nd) OVER w AS BIGINT) AS n_docs,
+              |  CAST(SUM(ntok) OVER w AS BIGINT) AS n_tokens,
+              |  round(CAST(SUM(ntok) OVER w AS DOUBLE) / ttok, 6)
+              |    AS token_frac,
+              |  round(CAST(SUM(qp * nd) OVER w AS DOUBLE) /
+              |    CAST(SUM(nd) OVER w AS DOUBLE), 6) AS mean_qp
+              |FROM g CROSS JOIN tot
+              |WINDOW w AS (ORDER BY qp DESC ROWS UNBOUNDED PRECEDING)
+              |ORDER BY stage""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------- E1'
+    QueryDef(
+      "q_zonemap_prune",
+      "Zone-map data-skipping audit — the table that PRICES a physical " +
+        "layout before an epoch commits to it (the H9w 'pick L' " +
+        "pattern on the layout knob): model orders under three " +
+        "16-file layouts — insertion order, date-sorted, and Z-order " +
+        "on (order date, custkey) with the interleave shared VERBATIM " +
+        s"with Layout.zValue ($ZBits-bit grid, top-4 z bits = a 4x4 " +
+        "quadtree tile per file) — compute each file's min/max zone " +
+        "map (Moerkotte 1998), and report, for a date-window, a " +
+        "custkey-band, and their conjunction, how many files and rows " +
+        "a zone-map-pruned scan reads vs the true matching rows. The " +
+        "expected verdict IS the result: insertion prunes nothing, " +
+        "single-key sort prunes only its own dimension, Z-order prunes " +
+        "both. Shape: one stats agg (broadcast 1-row), one map-only " +
+        "pass assigning 3 file ids per row, a 48-group map-side " +
+        "zone-map agg; everything after is constant-size (48 files x " +
+        "3 predicates). At 100 TB the audit's cost is the two scans — " +
+        "the decision it informs moves petabytes.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("k"),
+            datediff(col("o_orderdate").cast("date"),
+              lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d1"),
+            col("o_custkey").cast("long").as("d2"))
+        val st = o.agg(min(col("d1")).as("lo1"), max(col("d1")).as("hi1"),
+          min(col("d2")).as("lo2"), max(col("d2")).as("hi2"),
+          (max(col("k")) + 1L).as("mk"))
+        val gmax = (1L << ZBits) // grid cells per dim
+        val a = o.crossJoin(broadcast(st))
+          .withColumn("f0", expr(s"(k * $ZFiles) div mk"))
+          .withColumn("f1", expr(s"((d1 - lo1) * $ZFiles) div (hi1 - lo1 + 1)"))
+          .withColumn("gx", expr(s"((d1 - lo1) * $gmax) div (hi1 - lo1 + 1)"))
+          .withColumn("gy", expr(s"((d2 - lo2) * $gmax) div (hi2 - lo2 + 1)"))
+        val fz = shiftrightunsigned(
+          Layout.zValue(col("gx"), col("gy"), ZBits), 2 * ZBits - 4)
+        val u = a.withColumn("fz", fz)
+          .select(col("d1"), col("d2"), explode(array(
+            struct(lit("0_insert").as("layout"), col("f0").as("f")),
+            struct(lit("1_datesort").as("layout"), col("f1").as("f")),
+            struct(lit("2_zorder").as("layout"), col("fz").as("f"))))
+            .as("lf"))
+          .select(col("lf.layout").as("layout"), col("lf.f").as("f"),
+            col("d1"), col("d2"))
+        val zm = u.groupBy("layout", "f")
+          .agg(count(lit(1)).as("cnt"), min(col("d1")).as("mn1"),
+            max(col("d1")).as("mx1"), min(col("d2")).as("mn2"),
+            max(col("d2")).as("mx2"))
+        val nl = lit(null).cast("long")
+        val preds = Seq(
+          ("1_date", lit(DateLo), lit(DateHi), nl, nl),
+          ("2_cust", nl, nl, lit(CustLo), lit(CustHi)),
+          ("3_both", lit(DateLo), lit(DateHi), lit(CustLo), lit(CustHi)))
+        val pr = zm.sparkSession.range(1).select(explode(array(preds.map {
+          case (n, a1, b1, a2, b2) => struct(lit(n).as("pred"),
+            a1.as("p1lo"), b1.as("p1hi"), a2.as("p2lo"), b2.as("p2hi"))
+        }: _*)).as("p")).select(col("p.*"))
+        val mt = o.agg(
+          sum(when(col("d1").between(DateLo, DateHi), 1L).otherwise(0L))
+            .as("m_1_date"),
+          sum(when(col("d2").between(CustLo, CustHi), 1L).otherwise(0L))
+            .as("m_2_cust"),
+          sum(when(col("d1").between(DateLo, DateHi) &&
+            col("d2").between(CustLo, CustHi), 1L).otherwise(0L))
+            .as("m_3_both"))
+        val skip = (col("p1lo").isNotNull &&
+          (col("mx1") < col("p1lo") || col("mn1") > col("p1hi"))) ||
+          (col("p2lo").isNotNull &&
+            (col("mx2") < col("p2lo") || col("mn2") > col("p2hi")))
+        val scan = zm.crossJoin(broadcast(pr))
+          .groupBy("pred", "layout")
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(!skip, 1L).otherwise(0L)).as("files_scanned"),
+            sum(col("cnt")).as("rows_total"),
+            sum(when(!skip, col("cnt")).otherwise(0L)).as("rows_scanned"))
+        val nm = when(col("pred") === "1_date", col("m_1_date"))
+          .when(col("pred") === "2_cust", col("m_2_cust"))
+          .otherwise(col("m_3_both"))
+        scan.crossJoin(broadcast(mt))
+          .select(col("pred").as("predicate"), col("layout"), col("n_files"),
+            col("files_scanned"), col("rows_total"), col("rows_scanned"),
+            nm.as("n_matching"),
+            round(col("rows_scanned").cast("double") / col("rows_total"), 6)
+              .as("scan_frac"),
+            when(nm > 0, round(col("rows_scanned").cast("double") / nm, 6))
+              .otherwise(lit(null).cast("double")).as("read_amp"))
+          .orderBy("predicate", "layout")
+      },
+      Some {
+        val gmax = 1L << ZBits
+        val zSql = zValueSql("gx", "gy", ZBits)
+        s"""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+           |      AS BIGINT) AS d1,
+           |    CAST(o_custkey AS BIGINT) AS d2 FROM orders),
+           |st AS (SELECT MIN(d1) AS lo1, MAX(d1) AS hi1, MIN(d2) AS lo2,
+           |    MAX(d2) AS hi2, MAX(k) + 1 AS mk FROM o),
+           |a AS (SELECT d1, d2, (k * $ZFiles) // mk AS f0,
+           |    ((d1 - lo1) * $ZFiles) // (hi1 - lo1 + 1) AS f1,
+           |    ((d1 - lo1) * $gmax) // (hi1 - lo1 + 1) AS gx,
+           |    ((d2 - lo2) * $gmax) // (hi2 - lo2 + 1) AS gy
+           |  FROM o CROSS JOIN st),
+           |az AS (SELECT d1, d2, f0, f1, ($zSql) >> ${2 * ZBits - 4} AS fz
+           |  FROM a),
+           |u AS (SELECT '0_insert' AS layout, f0 AS f, d1, d2 FROM az
+           |  UNION ALL SELECT '1_datesort', f1, d1, d2 FROM az
+           |  UNION ALL SELECT '2_zorder', fz, d1, d2 FROM az),
+           |zm AS (SELECT layout, f, COUNT(*) AS cnt, MIN(d1) AS mn1,
+           |    MAX(d1) AS mx1, MIN(d2) AS mn2, MAX(d2) AS mx2
+           |  FROM u GROUP BY layout, f),
+           |pr AS (SELECT * FROM (VALUES
+           |    ('1_date', $DateLo, $DateHi, NULL, NULL),
+           |    ('2_cust', NULL, NULL, $CustLo, $CustHi),
+           |    ('3_both', $DateLo, $DateHi, $CustLo, $CustHi))
+           |  AS t(pred, p1lo, p1hi, p2lo, p2hi)),
+           |mt AS (SELECT
+           |    CAST(SUM(CASE WHEN d1 BETWEEN $DateLo AND $DateHi
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS m_1_date,
+           |    CAST(SUM(CASE WHEN d2 BETWEEN $CustLo AND $CustHi
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS m_2_cust,
+           |    CAST(SUM(CASE WHEN d1 BETWEEN $DateLo AND $DateHi
+           |      AND d2 BETWEEN $CustLo AND $CustHi
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS m_3_both FROM o),
+           |sc AS (SELECT pred, layout, COUNT(*) AS n_files,
+           |    CAST(SUM(CASE WHEN NOT ((p1lo IS NOT NULL AND
+           |        (mx1 < p1lo OR mn1 > p1hi)) OR (p2lo IS NOT NULL AND
+           |        (mx2 < p2lo OR mn2 > p2hi))) THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS files_scanned,
+           |    CAST(SUM(cnt) AS BIGINT) AS rows_total,
+           |    CAST(SUM(CASE WHEN NOT ((p1lo IS NOT NULL AND
+           |        (mx1 < p1lo OR mn1 > p1hi)) OR (p2lo IS NOT NULL AND
+           |        (mx2 < p2lo OR mn2 > p2hi))) THEN cnt ELSE 0 END)
+           |      AS BIGINT) AS rows_scanned
+           |  FROM zm CROSS JOIN pr GROUP BY pred, layout)
+           |SELECT pred AS predicate, layout, n_files, files_scanned,
+           |  rows_total, rows_scanned,
+           |  CASE pred WHEN '1_date' THEN m_1_date
+           |    WHEN '2_cust' THEN m_2_cust ELSE m_3_both END AS n_matching,
+           |  round(CAST(rows_scanned AS DOUBLE) / rows_total, 6)
+           |    AS scan_frac,
+           |  CASE WHEN (CASE pred WHEN '1_date' THEN m_1_date
+           |      WHEN '2_cust' THEN m_2_cust ELSE m_3_both END) > 0 THEN
+           |    round(CAST(rows_scanned AS DOUBLE) /
+           |      (CASE pred WHEN '1_date' THEN m_1_date
+           |        WHEN '2_cust' THEN m_2_cust ELSE m_3_both END), 6)
+           |  END AS read_amp
+           |FROM sc CROSS JOIN mt
+           |ORDER BY predicate, layout""".stripMargin
+      }
+    )
+  )
+}

@@ -1,0 +1,216 @@
+package graft.ops
+
+import graft.{Registry, SparkSpec}
+import java.nio.file.Files
+
+/** Pre-epoch governance audits (GovernanceQueries): every claim in the
+  * scaladocs is exercised here with PLANTED ground truth —
+  *
+  *  - Gopher rules fire on exactly the planted violator per rule and on
+  *    nothing else (both directions: the clean doc trips zero rules);
+  *  - the PII detector's recall/precision move with the planted truth
+  *    (clean corpus -> 1.0/1.0 with exact counts; natural-PII corpus ->
+  *    the false-positive arm counts exactly the natural matches and
+  *    precision drops to the predicted value);
+  *  - temperature scaling flattens in the right DIRECTION and by the
+  *    analytically-computed amount on a controlled 90/10 corpus;
+  *  - the curriculum stages are cumulative, end at the full corpus, and
+  *    anneal mean quality downward;
+  *  - the zone-map audit returns the layout verdict it exists to prove:
+  *    insertion prunes nothing, single-key sort prunes only its own
+  *    dimension, Z-order prunes both — and pruning is SOUND (scanned
+  *    rows >= matching rows on every row of the table).
+  */
+class GovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ gopher
+
+  /** One doc per rule violating ONLY that rule, plus one clean doc.
+    * Bounds under test: nt in [20,80], mean word len in [3,10] (cross
+    * multiplied), >= 2 stopword tokens, distinct/total >= 2/5.
+    */
+  private lazy val gopherDir: String = {
+    val d = Files.createTempDirectory("govgopher").toString
+    val w5 = (1 to 28).map(i => f"duck$i%03d") // 7-char distinct words
+    val clean = ("the and " + w5.mkString(" ")) // nt=30 sl=202 nd=30 ns=2
+    val tooShort = "the and " + w5.take(13).mkString(" ") // nt=15
+    val tooLong = "the and " + (1 to 88).map(i => f"gull$i%03d").mkString(" ")
+    val longWords = "the and " + (1 to 28)
+      .map(i => f"pelicanpelican$i%03d").mkString(" ") // sl 3+3+28*17=482>300
+    val noStop = (1 to 30).map(i => f"heron$i%03d").mkString(" ") // ns=0
+    val dupSpam = Seq.fill(15)("the and").mkString(" ") // nt=30 nd=2
+    Seq((1L, clean), (2L, tooShort), (3L, tooLong), (4L, longWords),
+      (5L, noStop), (6L, dupSpam))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("gopher rules: each planted violator trips exactly its rule; the " +
+    "clean doc trips none") {
+    val rows = Registry.queryMap("q_gopher_rules")(spark, gopherDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows.size == 6)
+    for (r <- Seq("1_word_count_low", "2_word_count_high", "3_mean_word_len",
+        "4_stopword_min2", "5_dup_token_ratio")) {
+      assert(rows(r)._2 == 1L, s"rule $r should fire exactly once")
+    }
+    // any-rule == 5 (violators are disjoint) => the clean doc fired nothing
+    assert(rows("6_any_rule")._2 == 5L)
+    assert(rows("6_any_rule")._3 == math.round(5.0 / 6 * 1e6) / 1e6)
+  }
+
+  test("gopher rules: an all-clean corpus reports zero violations") {
+    val d = Files.createTempDirectory("govclean").toString
+    val clean = "the and " + (1 to 28).map(i => f"duck$i%03d").mkString(" ")
+    (1L to 4L).map(i => (i, clean)).toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Registry.queryMap("q_gopher_rules")(spark, d)
+      .as[(String, Long, Double)].collect()
+    assert(rows.length == 6 && rows.forall(_._2 == 0L))
+  }
+
+  // --------------------------------------------------------------- pii
+
+  test("pii recall: clean corpus -> exact planted counts, recall and " +
+    "precision both 1.0") {
+    val d = Files.createTempDirectory("govpii").toString
+    (1L to 70L).map(i => (i, s"doc number $i has only words"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val r = Registry.queryMap("q_pii_recall")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()(0)
+    val planted = (1L to 70L).map(i =>
+      (if (i % 5 == 0) 1L else 0L) + (if (i % 7 == 0) 1L else 0L)).sum
+    assert(r._1 == 70L && r._2 == planted)   // n_docs, n_planted (=24)
+    assert(r._3 == planted && r._4 == 0L)    // n_detected, n_false_pos
+    assert(r._6 == 1.0 && r._7 == 1.0)       // recall, precision
+  }
+
+  test("pii recall: natural PII moves the false-positive arm and " +
+    "precision by exactly the planted amount") {
+    val d = Files.createTempDirectory("govpiinat").toString
+    (1L to 70L).map { i =>
+      val nat = if (i % 3 == 0) " reach bob@corp.net today" else ""
+      (i, s"doc number $i has only words$nat")
+    }.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val r = Registry.queryMap("q_pii_recall")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()(0)
+    val planted = (1L to 70L).map(i =>
+      (if (i % 5 == 0) 1L else 0L) + (if (i % 7 == 0) 1L else 0L)).sum
+    val natural = (1L to 70L).count(_ % 3 == 0).toLong
+    assert(r._3 == planted + natural && r._4 == natural)
+    assert(r._5 == planted)            // n_true: detector still finds all
+    assert(r._6 == 1.0)                // recall unharmed
+    val expPrec = math.round(planted.toDouble / (planted + natural) * 1e6) / 1e6
+    assert(r._7 == expPrec, s"precision ${r._7} != $expPrec")
+  }
+
+  // ------------------------------------------------------- temperature
+
+  test("mixture temperature: flattening direction and magnitude on a " +
+    "90/10 corpus") {
+    val d = Files.createTempDirectory("govtemp").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ((1L to 90L).map(i => (i, text, "en")) ++
+      (91L to 100L).map(i => (i, text, "zh")))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$d/documents.parquet")
+    val rows = Registry.queryMap("q_mixture_temperature")(spark, d)
+      .as[(Double, String, Long, Double, Double, Double)].collect()
+    assert(rows.length == 4) // 2 alphas x 2 langs
+    val q = rows.map(r => (r._1, r._2) -> r._5).toMap
+    val rf = rows.map(r => (r._1, r._2) -> r._6).toMap
+    // every alpha's shares sum to ~1 (6dp rounding on each share)
+    for (a <- GovernanceQueries.Alphas)
+      assert(math.abs(q((a, "en")) + q((a, "zh")) - 1.0) < 1e-5)
+    // direction: lower alpha flattens harder; q_zh always above p_zh=0.1
+    assert(q((0.3, "zh")) > q((0.7, "zh")) && q((0.7, "zh")) > 0.1)
+    assert(rf((0.3, "zh")) > rf((0.7, "zh")) && rf((0.7, "zh")) > 1.0)
+    assert(rf((0.3, "en")) < rf((0.7, "en")) && rf((0.7, "en")) < 1.0)
+    // magnitude: q = p^a / sum(p^a) at p=(0.9,0.1), 6dp
+    for (a <- GovernanceQueries.Alphas; (l, p) <- Seq("en" -> 0.9, "zh" -> 0.1)) {
+      val exp = math.pow(p, a) / (math.pow(0.9, a) + math.pow(0.1, a))
+      assert(math.abs(q((a, l)) - exp) < 1e-5, s"q($a,$l)")
+    }
+  }
+
+  // -------------------------------------------------------- curriculum
+
+  test("curriculum: stages are cumulative, end at the full corpus, and " +
+    "anneal mean quality downward") {
+    val d = Files.createTempDirectory("govcurr").toString
+    val qp3 = "the " + (1 to 11).map(i => f"desert$i%02d").mkString(" ")
+    val qp2 = "the " + (1 to 9).map(i => f"x$i").mkString(" ")
+    val qp1 = "the end"
+    val qp0 = "zz yy"
+    val docs = (1L to 4L).map((_, qp3)) ++ (5L to 7L).map((_, qp2)) ++
+      (8L to 9L).map((_, qp1)) :+ (10L, qp0)
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val rows = Registry.queryMap("q_curriculum")(spark, d)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_._3).toSeq == Seq(4L, 7L, 9L, 10L)) // cumulative docs
+    val last = rows.last
+    assert(last._5 == 1.0) // final stage == full corpus token share
+    // monotone: docs/tokens nondecreasing, mean quality strictly annealing
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    assert(rows.map(_._6).sliding(2).forall(p => p(0) > p(1)))
+    // stage-1 mean is the pure qp=3 slice
+    assert(rows.head._6 == 3.0)
+  }
+
+  // ----------------------------------------------------------- zonemap
+
+  test("zonemap audit: insertion prunes nothing, date-sort prunes only " +
+    "dates, z-order prunes both; pruning is sound") {
+    val d = Files.createTempDirectory("govzone").toString
+    val base = java.time.LocalDate.of(1995, 1, 1)
+    // 2048 orders; date and custkey decorrelated from key and each other
+    (0L until 2048L).map { i =>
+      (i, java.sql.Date.valueOf(base.plusDays((i * 997) % 1461)),
+        (i * 613) % 1500)
+    }.toDF("o_orderkey", "o_orderdate", "o_custkey")
+      .write.parquet(s"$d/orders.parquet")
+    val rows = Registry.queryMap("q_zonemap_prune")(spark, d)
+      .as[(String, String, Long, Long, Long, Long, Long, Double, Option[Double])]
+      .collect()
+    assert(rows.length == 9)
+    val m = rows.map(r => (r._1, r._2) -> r).toMap
+    // soundness everywhere: a pruned scan never reads fewer rows than match
+    rows.foreach(r => assert(r._6 >= r._7, s"${r._1}/${r._2} unsound"))
+    for (p <- Seq("1_date", "2_cust", "3_both")) {
+      val ins = m((p, "0_insert"))
+      assert(ins._4 == ins._3 && ins._8 == 1.0, s"insertion should not prune $p")
+    }
+    val ds = m(("1_date", "1_datesort"))
+    assert(ds._4 < ds._3, "date-sort must prune the date predicate")
+    assert(m(("2_cust", "1_datesort"))._4 == 16L,
+      "date-sort cannot prune the custkey band")
+    for (p <- Seq("1_date", "2_cust", "3_both")) {
+      val z = m((p, "2_zorder"))
+      assert(z._4 < z._3, s"z-order must prune $p")
+    }
+    assert(m(("3_both", "2_zorder"))._4 < m(("3_both", "1_datesort"))._4,
+      "on the conjunction z-order must beat single-key sort")
+  }
+
+  // -------------------------------------------------- cluster-size hist
+
+  test("cluster-size histogram ties to q_dedup_clusters and the corpus " +
+    "total (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val hist = Registry.queryMap("q_cluster_size_hist")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    val nTotal = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(hist.map(_._3).sum == nTotal, "doc mass must cover the corpus")
+    hist.foreach(r => assert(r._3 == r._1 * r._2, "n_docs = size * clusters"))
+    // rows of size >= 2 must reproduce q_dedup_clusters' label relation
+    val labeled = Registry.queryMap("q_dedup_clusters")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val bySize = labeled.groupBy(_._2).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    assert(hist.filter(_._1 >= 2).map(r => r._1 -> r._2).toMap == bySize)
+    // singleton row = corpus minus labeled docs
+    val single = hist.find(_._1 == 1L).get
+    assert(single._2 == nTotal - labeled.length)
+  }
+}
