@@ -59,6 +59,32 @@ object GovernanceQueries {
     "4_stopword_min2" -> (ns < RuleMinStop),
     "5_dup_token_ratio" -> (lit(DupDen) * nd < lit(DupNum) * nt))
 
+  /** Doc-grain token stats + rule flags + the quality gate — the ONE
+    * per-doc relation behind q_gopher_rules' corpus totals,
+    * q_filter_agreement's contingency table, and the streaming ingest
+    * face ([[graft.streaming.CorpusStream.rulesBatch]] — stateless per
+    * doc, so stream union == batch exactly). Passthrough columns beyond
+    * (doc_id, text) are ignored; output is one row per input row.
+    */
+  private[graft] def docRuleFlags(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("nc"),
+        size(col("toks")).cast("long").as("nt"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, " +
+          "(a, x) -> a + x)").as("sl"),
+        size(array_distinct(col("toks"))).cast("long").as("nd"),
+        TextQueries.nStop(col("toks")).cast("long").as("ns"))
+    val flags = ruleFlags(col("nt"), col("sl"), col("nd"), col("ns"))
+    stats.select(col("doc_id") +:
+      flags.map { case (n, c) => c.as(s"v_$n") } :+
+      flags.map(_._2).reduce(_ || _).as("v_any") :+
+      (TextQueries.qualityPoints(col("nc"), col("nt"), col("ns")) < 2)
+        .as("quality_drop"): _*)
+  }
+
   private def ruleFlagsSql: Seq[(String, String)] = Seq(
     "1_word_count_low" -> s"nt < $RuleWcLow",
     "2_word_count_high" -> s"nt > $RuleWcHigh",
@@ -511,6 +537,150 @@ object GovernanceQueries {
            |FROM sc CROSS JOIN mt
            |ORDER BY predicate, layout""".stripMargin
       }
+    ),
+
+    // ------------------------------------------------------------ H4n'
+    QueryDef(
+      "q_filter_agreement",
+      "Inter-filter agreement audit (Cohen 1960 kappa): the 2x2 " +
+        "contingency between the engine's two independent quality " +
+        "verdicts — the Gopher any-rule drop (H4n) and the " +
+        "qualityPoints<2 gate (q_corpus_filter's) — with observed " +
+        "agreement, chance agreement, and kappa. Carries a STRUCTURAL " +
+        "invariant worth pinning: a Gopher-passing doc has >= 20 " +
+        "tokens and >= 2 stopword hits, which alone score 2 quality " +
+        "points, so rules-pass implies quality-pass and n_only_quality " +
+        "is identically ZERO on any corpus (the bundle subsumes the " +
+        "gate) — kappa then measures how much STRICTER the bundle is, " +
+        "not symmetric disagreement. All cells exact integers off one " +
+        "shared docRuleFlags pass; po and pe each ONE IEEE division of " +
+        "exact integers, kappa a deterministic combination, NULL when " +
+        "chance agreement is total (pe=1). Shape: map-only flag pass " +
+        "into a 1-row agg — no shuffle of anything document-sized.",
+      (s, dir) => {
+        val f = docRuleFlags(Tables.t(s, dir, "documents"))
+        val cnt = f.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("v_any"), 1L).otherwise(0L)).as("a1"),
+          sum(when(col("quality_drop"), 1L).otherwise(0L)).as("b1"),
+          sum(when(col("v_any") && col("quality_drop"), 1L).otherwise(0L))
+            .as("n_both"),
+          sum(when(col("v_any") && !col("quality_drop"), 1L).otherwise(0L))
+            .as("n_only_rules"),
+          sum(when(!col("v_any") && col("quality_drop"), 1L).otherwise(0L))
+            .as("n_only_quality"),
+          sum(when(!col("v_any") && !col("quality_drop"), 1L).otherwise(0L))
+            .as("n_neither"))
+        val n = col("n_docs").cast("double")
+        val po = (col("n_both") + col("n_neither")).cast("double") / n
+        val pe = (col("a1") * col("b1") +
+          (col("n_docs") - col("a1")) * (col("n_docs") - col("b1")))
+          .cast("double") / (n * n)
+        cnt.select(col("n_docs"), col("a1").as("n_drop_rules"),
+          col("b1").as("n_drop_quality"), col("n_both"),
+          col("n_only_rules"), col("n_only_quality"), col("n_neither"),
+          round(po, 6).as("agree_frac"),
+          when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6))
+            .otherwise(lit(null).cast("double")).as("kappa"))
+      },
+      Some {
+        val arms = ruleFlagsSql.map(f => s"(${f._2})").mkString(" OR ")
+        s"""WITH t AS (SELECT length(text) AS nc, $toksSql AS toks
+           |  FROM documents),
+           |m AS (SELECT nc, CAST(len(toks) AS BIGINT) AS nt,
+           |    CAST(COALESCE(list_sum(list_transform(toks,
+           |      t -> length(t))), 0) AS BIGINT) AS sl,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+           |    CAST(len(list_filter(toks,
+           |      x -> list_contains($stopSql, x))) AS BIGINT) AS ns
+           |  FROM t),
+           |g AS (SELECT ($arms) AS adrop,
+           |    ((CASE WHEN nt >= 10 THEN 1 ELSE 0 END
+           |      + CASE WHEN ns > 0 THEN 1 ELSE 0 END
+           |      + CASE WHEN nc >= 64 THEN 1 ELSE 0 END) < 2) AS bdrop
+           |  FROM m),
+           |c AS (SELECT COUNT(*) AS n_docs,
+           |    CAST(SUM(CASE WHEN adrop THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+           |    CAST(SUM(CASE WHEN bdrop THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+           |    CAST(SUM(CASE WHEN adrop AND bdrop THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_both,
+           |    CAST(SUM(CASE WHEN adrop AND NOT bdrop THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_only_rules,
+           |    CAST(SUM(CASE WHEN NOT adrop AND bdrop THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_only_quality,
+           |    CAST(SUM(CASE WHEN NOT adrop AND NOT bdrop THEN 1 ELSE 0
+           |      END) AS BIGINT) AS n_neither FROM g)
+           |SELECT n_docs, a1 AS n_drop_rules, b1 AS n_drop_quality,
+           |  n_both, n_only_rules, n_only_quality, n_neither,
+           |  round(CAST(n_both + n_neither AS DOUBLE) / n_docs, 6)
+           |    AS agree_frac,
+           |  CASE WHEN CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1)
+           |      AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs) < 1.0
+           |    THEN round((CAST(n_both + n_neither AS DOUBLE) / n_docs
+           |      - CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1) AS DOUBLE)
+           |        / (CAST(n_docs AS DOUBLE) * n_docs))
+           |      / (1.0 - CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1)
+           |        AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs)), 6)
+           |  END AS kappa
+           |FROM c""".stripMargin
+      }
+    ),
+
+    // ------------------------------------------------------------ H4i'
+    QueryDef(
+      "q_corpus_manifest",
+      "Reproducibility manifest (the receipt next to H4i's data card): " +
+        "per source and for the whole corpus — docs, tokens, chars, " +
+        "distinct langs, and an ORDER-INVARIANT content fingerprint " +
+        "(exact DECIMAL sum of the 60-bit integer value of " +
+        "md5(doc_id || ':' || text) — commutative, so any partitioning, " +
+        "shard order, or ingest schedule of the same rows yields the " +
+        "same receipt; binding doc_id into the hash makes id swaps " +
+        "visible, not just content edits). Two pipeline runs diff " +
+        "manifests to certify identical inputs without a corpus-grain " +
+        "sort or join. Shape: ONE map-only hash pass into a " +
+        "source-grain agg (map-side partial) + the same agg global — " +
+        "nothing document-sized shuffles; the fingerprint sum headroom " +
+        "is 2^126-ish rows before DECIMAL(38,0) could overflow.",
+      (s, dir) => {
+        val fp = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("text"))), 1, 15), 16, 10)
+          .cast("long").cast(DecimalType(38, 0))
+        val base = Tables.t(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("nt"),
+            length(col("text")).cast("long").as("nc"), fp.as("fp"))
+        val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("nc")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          // receipt rendered as DIGITS: a double would round a 60-bit
+          // sum at ~2^11 ulp and could (2^-49-improbably but
+          // structurally) swallow a single-doc edit; strings compare
+          // exactly in both engines
+          sum(col("fp")).cast("string").as("content_fp"))
+        base.groupBy("source").agg(aggs.head, aggs.tail: _*)
+          .unionAll(base.groupBy(lit("*total*").as("source"))
+            .agg(aggs.head, aggs.tail: _*))
+          .orderBy("source")
+      },
+      Some(s"""WITH b AS (SELECT source, lang,
+              |    CAST(len($toksSql) AS BIGINT) AS nt,
+              |    CAST(length(text) AS BIGINT) AS nc,
+              |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              |      || ':' || text), 1, 15)) AS BIGINT)
+              |      AS DECIMAL(38,0)) AS fp
+              |  FROM documents),
+              |u AS (SELECT source, COUNT(*) AS n_docs,
+              |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+              |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+              |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+              |    CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+              |  FROM b GROUP BY source
+              |  UNION ALL
+              |  SELECT '*total*', COUNT(*),
+              |    CAST(SUM(nt) AS BIGINT), CAST(SUM(nc) AS BIGINT),
+              |    CAST(COUNT(DISTINCT lang) AS BIGINT),
+              |    CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) FROM b)
+              |SELECT * FROM u ORDER BY source""".stripMargin)
     )
   )
 }

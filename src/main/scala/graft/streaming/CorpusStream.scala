@@ -140,6 +140,18 @@ object CorpusStream {
   def entropyBatch(batch: DataFrame): DataFrame =
     CorpusQueries.docEntropy(batch)
 
+  /** Ingest-time Gopher-rule screening — the streaming face of
+    * `q_gopher_rules`/`q_filter_agreement`
+    * ([[graft.ops.GovernanceQueries.docRuleFlags]]; one definition, no
+    * drift): per arriving doc, the five rule-violation flags, the
+    * any-rule verdict, and the quality-gate verdict. Every flag is a
+    * per-row integer comparison on the doc's own token stats — stateless,
+    * so stream union == batch EXACTLY over any micro-batch split
+    * (differential-tested in CorpusStreamSpec).
+    */
+  def rulesBatch(batch: DataFrame): DataFrame =
+    graft.ops.GovernanceQueries.docRuleFlags(batch)
+
   /** Batch-side build of the stored CHAR-winnow span artifact (the
     * [[graft.ops.SpanSet]] skeleton at character granularity, charspans
     * role) — returns the duplicated-fingerprint set for

@@ -193,6 +193,104 @@ class GovernanceSpec extends SparkSpec {
       "on the conjunction z-order must beat single-key sort")
   }
 
+  // ----------------------------------------------------------- agreement
+
+  test("filter agreement: structural subsumption (rules-pass implies " +
+    "quality-pass), perfect-agreement corpus scores kappa 1, a " +
+    "disagreeing corpus scores the closed form") {
+    // gopherDir mixes both-drop docs (tooShort/dupSpam/noStop are also
+    // quality-drops) with rules-only drops — n_only_quality must be 0
+    val g = Registry.queryMap("q_filter_agreement")(spark, gopherDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double, Option[Double])]
+      .collect()(0)
+    assert(g._6 == 0L, "gopher-pass must imply quality-pass")
+    assert(g._1 == 6L && g._2 == 5L)
+    // perfect agreement: every doc either passes both or fails both
+    val d = Files.createTempDirectory("govagree").toString
+    val passBoth = "the and " + (1 to 28).map(i => f"duck$i%03d").mkString(" ")
+    val failBoth = "zz yy"
+    ((1L to 3L).map((_, passBoth)) ++ (4L to 6L).map((_, failBoth)))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val p = Registry.queryMap("q_filter_agreement")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double, Option[Double])]
+      .collect()(0)
+    assert(p._4 == 3L && p._7 == 3L && p._8 == 1.0 && p._9.contains(1.0))
+    // disagreement: 2 both-drop, 1 rules-only drop, 3 both-pass
+    val d2 = Files.createTempDirectory("govagree2").toString
+    val rulesOnly = "the and " + (1 to 88).map(i => f"gull$i%03d").mkString(" ")
+    ((1L to 3L).map((_, passBoth)) ++ (4L to 5L).map((_, failBoth)) :+
+      (6L, rulesOnly))
+      .toDF("doc_id", "text").write.parquet(s"$d2/documents.parquet")
+    val q = Registry.queryMap("q_filter_agreement")(spark, d2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double, Option[Double])]
+      .collect()(0)
+    // n=6, a1=3 (rule drops), b1=2, both=2, onlyRules=1, neither=3
+    assert((q._2, q._3, q._4, q._5, q._6, q._7) == ((3L, 2L, 2L, 1L, 0L, 3L)))
+    val po = 5.0 / 6
+    val pe = (3.0 * 2 + 3.0 * 4) / 36
+    val kap = math.round((po - pe) / (1 - pe) * 1e6) / 1e6
+    assert(q._9.contains(kap), s"kappa ${q._9} != $kap")
+  }
+
+  test("filter agreement: kappa is NULL when chance agreement is total") {
+    val d = Files.createTempDirectory("govagreenull").toString
+    val failBoth = "zz yy"
+    (1L to 4L).map((_, failBoth)).toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val r = Registry.queryMap("q_filter_agreement")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double, Option[Double])]
+      .collect()(0)
+    assert(r._8 == 1.0 && r._9.isEmpty)
+  }
+
+  // ------------------------------------------------------------ manifest
+
+  test("corpus manifest: order-invariant (a shuffled rewrite yields the " +
+    "identical receipt), content- and id-sensitive") {
+    val d1 = Files.createTempDirectory("govman1").toString
+    val docs = (1L to 40L).map(i =>
+      (i, s"doc $i body text", if (i % 2 == 0) "en" else "fr",
+        s"src${i % 3}"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d1/documents.parquet")
+    val m1 = Registry.queryMap("q_corpus_manifest")(spark, d1)
+      .collect().map(_.toString).toSeq
+    // same rows, reversed insert order, different partitioning
+    val d2 = Files.createTempDirectory("govman2").toString
+    spark.createDataFrame(docs.reverse)
+      .toDF("doc_id", "text", "lang", "source").repartition(7)
+      .write.parquet(s"$d2/documents.parquet")
+    val m2 = Registry.queryMap("q_corpus_manifest")(spark, d2)
+      .collect().map(_.toString).toSeq
+    assert(m1 == m2, "manifest must not depend on row order or layout")
+    // one flipped char moves the receipt of exactly that source + total
+    val d3 = Files.createTempDirectory("govman3").toString
+    docs.map(r => if (r._1 == 7L) r.copy(_2 = r._2 + "!") else r)
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d3/documents.parquet")
+    val m3 = Registry.queryMap("q_corpus_manifest")(spark, d3)
+      .as[(String, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val m1m = Registry.queryMap("q_corpus_manifest")(spark, d1)
+      .as[(String, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m3("src1")._6 != m1m("src1")._6) // doc 7 lives in src1
+    assert(m3("src0")._6 == m1m("src0")._6 && m3("src2")._6 == m1m("src2")._6)
+    assert(m3("*total*")._6 != m1m("*total*")._6)
+    // id swap with identical text multiset also moves the receipt
+    val d4 = Files.createTempDirectory("govman4").toString
+    docs.map { r =>
+      if (r._1 == 3L) r.copy(_1 = 9L)
+      else if (r._1 == 9L) r.copy(_1 = 3L) else r
+    }.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d4/documents.parquet")
+    val m4 = Registry.queryMap("q_corpus_manifest")(spark, d4)
+      .as[(String, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m4("*total*")._6 != m1m("*total*")._6,
+      "binding doc_id must make id swaps visible")
+  }
+
   // -------------------------------------------------- cluster-size hist
 
   test("cluster-size histogram ties to q_dedup_clusters and the corpus " +

@@ -276,4 +276,40 @@ class CorpusStreamSpec extends SparkSpec {
         ent(4L) == 0.0)
     } finally q.stop()
   }
+
+  test("rulesBatch: stream union == batch across micro-batch splits " +
+    "(rule flags are stateless per doc)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the and " + (1 to 28).map(i => f"duck$i%03d").mkString(" ")),
+      (1L, "zz yy"), // short, no stopwords
+      (2L, Seq.fill(15)("the and").mkString(" ")), // dup-token spam
+      (3L, "the and " + (1 to 88).map(i => f"gull$i%03d").mkString(" ")))
+    val sink = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-rules").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.CorpusStream.rulesBatch(b)
+          .collect().map(_.toString)
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      docs.grouped(2).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+      val streamed = sink.synchronized(sink.toSeq).sorted
+      val batch = graft.ops.GovernanceQueries
+        .docRuleFlags(docs.toDF("doc_id", "text"))
+        .collect().map(_.toString).toSeq.sorted
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }
