@@ -35,6 +35,12 @@ object CorpusQueries {
     */
   private val ContamN = 3
   private val ContamTau = 0.3
+
+  /** Memorization-curve n-gram widths: bracket the regime from "common
+    * phrase" (4) to "unambiguously verbatim" (16). One Seq feeds the
+    * Spark unpivot AND the generated oracle arms.
+    */
+  private[graft] val MemNs = Seq(4, 8, 16)
   /** n-gram concat for the oracle, derived from ContamN so the two
     * engines cannot drift if the gram size changes. */
   private val contamGramSql: String =
@@ -289,6 +295,79 @@ object CorpusQueries {
               |  CASE WHEN CAST(n_hits AS DOUBLE)/n_ngrams >= $ContamTau
               |    THEN 1 ELSE 0 END AS contaminated
               |FROM j ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ----------------------------------------------------------- H4b''
+    QueryDef(
+      "q_memorization_curve",
+      s"Verbatim-overlap curve at widths ${MemNs.mkString("/")} (the " +
+        "memorization-risk read-out of Lee et al. 2022 / Carlini et " +
+        "al. 2021: how long a verbatim span survives from eval into " +
+        "train): per n-gram width, the fraction of the eval slice's " +
+        "DISTINCT word n-grams (src0, the q_contamination convention) " +
+        "that appear verbatim anywhere in the train split — type-level " +
+        "coverage that must DECAY with n for healthy splits (flat = " +
+        "verbatim leakage, the q_split_leakage failure mode at span " +
+        "grain). Complements q_contamination's per-doc flags at ONE " +
+        "fixed n: this is the curve that picks n. Shape: ONE corpus " +
+        "pass computes all three widths (an array-of-structs unpivot " +
+        "inside the scan, then a single explode); eval's distinct-gram " +
+        "relation stays eval-sized and BROADCASTS into a left-semi " +
+        "probe of the train gram stream, so the corpus never shuffles " +
+        "document content — the distinct that follows shuffles only " +
+        "HIT grams (bounded by the eval set) and the final agg is " +
+        s"${MemNs.length} rows.",
+      (s, dir) => {
+        val t = Tables.t(s, dir, "documents")
+          .select(col("source"), tokens(col("text")).as("toks"))
+        val g = t.select(col("source"), explode(array(MemNs.map(n =>
+            struct(lit(n).as("n"),
+              wordNgrams(col("toks"), n).as("ng"))): _*)).as("w"))
+          .select(col("source"), col("w.n").as("n"),
+            explode(col("w.ng")).as("ngram"))
+        val ev = g.filter(col("source") === "src0")
+          .select("n", "ngram").distinct()
+        val hits = g.filter(col("source") =!= "src0")
+          .select("n", "ngram")
+          .join(broadcast(ev), Seq("n", "ngram"), "left_semi")
+          .distinct()
+          .groupBy("n").agg(count(lit(1)).as("n_hit"))
+        ev.groupBy("n").agg(count(lit(1)).as("n_eval_grams"))
+          .join(hits, Seq("n"), "left")
+          .select(col("n").cast("long").as("n"), col("n_eval_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_eval_grams"), 6).as("hit_frac"))
+          .orderBy("n")
+      },
+      Some {
+        val arms = MemNs.map { n =>
+          val gram = (0 until n).map(j =>
+            if (j == 0) "toks[i]" else s"toks[i+$j]").mkString("||' '||")
+          s"""g_$n AS (SELECT source,
+             |    list_distinct(list_transform(range(1, len(toks)-${n - 2}),
+             |      i -> $gram)) AS ng
+             |  FROM t WHERE len(toks) >= $n),
+             |e_$n AS (SELECT DISTINCT unnest(ng) AS ngram FROM g_$n
+             |  WHERE source = 'src0'),
+             |h_$n AS (SELECT COUNT(*) AS nh FROM (SELECT DISTINCT x.ngram
+             |  FROM (SELECT unnest(ng) AS ngram FROM g_$n
+             |    WHERE source <> 'src0') x
+             |  JOIN e_$n e ON x.ngram = e.ngram)),
+             |c_$n AS (SELECT $n AS n,
+             |  (SELECT COUNT(*) FROM e_$n) AS n_eval_grams,
+             |  (SELECT nh FROM h_$n) AS n_hit)""".stripMargin
+        }.mkString(",\n")
+        val union = MemNs.map(n => s"SELECT * FROM c_$n")
+          .mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+           |$arms
+           |SELECT CAST(n AS BIGINT) AS n,
+           |  CAST(n_eval_grams AS BIGINT) AS n_eval_grams,
+           |  CAST(n_hit AS BIGINT) AS n_hit,
+           |  round(CAST(n_hit AS DOUBLE) / n_eval_grams, 6) AS hit_frac
+           |FROM ($union) ORDER BY n""".stripMargin
+      }
     ),
 
     QueryDef(

@@ -681,6 +681,103 @@ object GovernanceQueries {
               |    CAST(COUNT(DISTINCT lang) AS BIGINT),
               |    CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) FROM b)
               |SELECT * FROM u ORDER BY source""".stripMargin)
+    ),
+
+    // ----------------------------------------------------------- H4i''
+    QueryDef(
+      "q_corpus_diff",
+      "Dataset-version diff — the release-note table between two corpus " +
+        "versions (the operator a manifest mismatch triggers): per " +
+        "source and in total, how many docs were added, removed, " +
+        "changed (same doc_id, different content hash), or unchanged. " +
+        "The declared instance derives v2 from v1 deterministically — " +
+        "every 17th doc removed, every surviving 10th edited, every " +
+        "23rd cloned under a fresh id — so expected counts are closed " +
+        "forms (GovernanceSpec pins them and the diff(v,v)==all-" +
+        "unchanged identity); the diff body is a library function " +
+        "(corpusDiff) any two real versions feed. Shape: ONE full-outer " +
+        "equi-join on doc_id (both sides hash-partition on the key — " +
+        "the canonical co-partitioned diff, no skew since doc_id is " +
+        "unique per side) comparing md5 content hashes, then a " +
+        "source-grain conditional agg; nothing wider than (id, source, " +
+        "16-byte hash) ever shuffles — at 100 TB the diff moves keys " +
+        "and hashes, never document bodies.",
+      (s, dir) => {
+        val v1 = Tables.t(s, dir, "documents")
+        val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+          .withColumn("text", when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionAll(v1.filter(col("doc_id") % 23 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000000L)
+            .withColumn("text", concat(col("text"), lit(" new"))))
+        corpusDiff(v1, v2)
+      },
+      Some("""WITH v2 AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text
+             |      END AS text, source
+             |  FROM documents WHERE doc_id % 17 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000, text || ' new', source
+             |  FROM documents WHERE doc_id % 23 = 0),
+             |a AS (SELECT doc_id, source AS src1, md5(text) AS fp1
+             |  FROM documents),
+             |b AS (SELECT doc_id, source AS src2, md5(text) AS fp2 FROM v2),
+             |j AS (SELECT COALESCE(src1, src2) AS source,
+             |    CASE WHEN fp1 IS NULL THEN 'added'
+             |      WHEN fp2 IS NULL THEN 'removed'
+             |      WHEN fp1 <> fp2 THEN 'changed'
+             |      ELSE 'unchanged' END AS status
+             |  FROM a FULL OUTER JOIN b USING (doc_id)),
+             |u AS (SELECT source,
+             |    CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_added,
+             |    CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_removed,
+             |    CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_changed,
+             |    CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_unchanged
+             |  FROM j GROUP BY source
+             |  UNION ALL
+             |  SELECT '*total*',
+             |    CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+             |      AS BIGINT) FROM j)
+             |SELECT * FROM u ORDER BY source""".stripMargin)
     )
   )
+
+  /** Version diff between two corpus relations carrying (doc_id, source,
+    * text): per-source added/removed/changed/unchanged counts + a
+    * '*total*' row. ONE definition for the declared query and any two
+    * real versions (GovernanceSpec feeds it planted pairs). Content
+    * equality is md5 of the raw text — the same binding the manifest
+    * receipt sums, so "manifest differs" and "diff finds the row" can
+    * never disagree about what counts as a change.
+    */
+  private[graft] def corpusDiff(v1: org.apache.spark.sql.DataFrame,
+                                v2: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val a = v1.select(col("doc_id"), col("source").as("src1"),
+      md5(col("text")).as("fp1"))
+    val b = v2.select(col("doc_id"), col("source").as("src2"),
+      md5(col("text")).as("fp2"))
+    val j = a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src1"), col("src2")).as("source"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+    val aggs = Seq("added", "removed", "changed", "unchanged").map(st =>
+      sum(when(col("status") === st, 1L).otherwise(0L)).as(s"n_$st"))
+    j.groupBy("source").agg(aggs.head, aggs.tail: _*)
+      .unionAll(j.groupBy(lit("*total*").as("source"))
+        .agg(aggs.head, aggs.tail: _*))
+      .orderBy("source")
+  }
 }

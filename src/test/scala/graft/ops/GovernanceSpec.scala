@@ -291,6 +291,66 @@ class GovernanceSpec extends SparkSpec {
       "binding doc_id must make id swaps visible")
   }
 
+  // --------------------------------------------------------------- diff
+
+  test("corpusDiff: planted add/remove/change counted exactly; " +
+    "self-diff is all-unchanged") {
+    val v1 = Seq((1L, "alpha text", "sA"), (2L, "beta text", "sA"),
+      (3L, "gamma text", "sB"), (4L, "delta text", "sB"),
+      (5L, "epsilon text", "sB"), (6L, "zeta text", "sB"))
+      .toDF("doc_id", "text", "source")
+    val v2 = Seq((1L, "alpha text", "sA"), // unchanged
+      (3L, "gamma text EDITED", "sB"), // changed
+      (4L, "delta text", "sB"), (5L, "epsilon text", "sB"),
+      (6L, "zeta text", "sB"), // unchanged x3; doc 2 removed
+      (99L, "new doc", "sA")) // added
+      .toDF("doc_id", "text", "source")
+    val got = GovernanceQueries.corpusDiff(v1, v2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("sA") == (("sA", 1L, 1L, 0L, 1L)))
+    assert(got("sB") == (("sB", 0L, 0L, 1L, 3L)))
+    assert(got("*total*") == (("*total*", 1L, 1L, 1L, 4L)))
+    val self = GovernanceQueries.corpusDiff(v1, v1)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(self.forall(r => r._2 == 0L && r._3 == 0L && r._4 == 0L))
+    assert(self.find(_._1 == "*total*").get._5 == 6L)
+  }
+
+  // -------------------------------------------------- memorization curve
+
+  test("memorization curve: a planted 16-token verbatim copy yields the " +
+    "exact closed-form hit counts, decaying with n") {
+    val d = Files.createTempDirectory("govmem").toString
+    val evalDoc = (1 to 20).map(i => s"w$i").mkString(" ") // w1..w20
+    val copyDoc = (1 to 16).map(i => s"w$i").mkString(" ") // verbatim prefix
+    val cleanDoc = (1 to 20).map(i => s"z$i").mkString(" ") // disjoint
+    Seq((1L, evalDoc, "src0"), (2L, copyDoc, "src1"), (3L, cleanDoc, "src2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Registry.queryMap("q_memorization_curve")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // eval grams from a 20-token doc: 21-n of width n; the 16-token copy
+    // contributes 17-n of them as hits
+    assert(rows(4L) == ((4L, 17L, 13L, math.round(13.0 / 17 * 1e6) / 1e6)))
+    assert(rows(8L) == ((8L, 13L, 9L, math.round(9.0 / 13 * 1e6) / 1e6)))
+    assert(rows(16L) == ((16L, 5L, 1L, 0.2)))
+    // decay: each width's hit fraction is below the previous
+    assert(rows(4L)._4 > rows(8L)._4 && rows(8L)._4 > rows(16L)._4)
+  }
+
+  test("memorization curve: a leak-free split reports zero hits at " +
+    "every width") {
+    val d = Files.createTempDirectory("govmem0").toString
+    Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "), "src0"),
+      (2L, (1 to 20).map(i => s"z$i").mkString(" "), "src1"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Registry.queryMap("q_memorization_curve")(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 3 && rows.forall(r => r._3 == 0L && r._4 == 0.0))
+  }
+
   // -------------------------------------------------- cluster-size hist
 
   test("cluster-size histogram ties to q_dedup_clusters and the corpus " +
