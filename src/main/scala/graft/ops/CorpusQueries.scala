@@ -309,13 +309,16 @@ object CorpusQueries {
         "coverage that must DECAY with n for healthy splits (flat = " +
         "verbatim leakage, the q_split_leakage failure mode at span " +
         "grain). Complements q_contamination's per-doc flags at ONE " +
-        "fixed n: this is the curve that picks n. Shape: ONE corpus " +
-        "pass computes all three widths (an array-of-structs unpivot " +
-        "inside the scan, then a single explode); eval's distinct-gram " +
-        "relation stays eval-sized and BROADCASTS into a left-semi " +
-        "probe of the train gram stream, so the corpus never shuffles " +
-        "document content — the distinct that follows shuffles only " +
-        "HIT grams (bounded by the eval set) and the final agg is " +
+        "fixed n: this is the curve that picks n. Shape: each branch " +
+        "computes all three widths in ITS one pass (an array-of-structs " +
+        "unpivot inside the scan, then a single explode) — the eval " +
+        "branch scans only the src0 slice (the source filter reaches " +
+        "the parquet scan, so a source-partitioned layout prunes it to " +
+        "the eval files), the train branch is one map-only scan; eval's " +
+        "distinct-gram relation stays eval-sized and BROADCASTS into a " +
+        "left-semi probe of the train gram stream, so the corpus never " +
+        "shuffles document content — the distinct that follows shuffles " +
+        "only HIT grams (bounded by the eval set) and the final agg is " +
         s"${MemNs.length} rows.",
       (s, dir) => {
         val t = Tables.t(s, dir, "documents")

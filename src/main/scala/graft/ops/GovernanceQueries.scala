@@ -657,9 +657,14 @@ object GovernanceQueries {
           // structurally) swallow a single-doc edit; strings compare
           // exactly in both engines
           sum(col("fp")).cast("string").as("content_fp"))
-        base.groupBy("source").agg(aggs.head, aggs.tail: _*)
-          .unionAll(base.groupBy(lit("*total*").as("source"))
-            .agg(aggs.head, aggs.tail: _*))
+        // rollup = ONE pass for both grains — the total row's n_langs is
+        // a GLOBAL distinct (not derivable from per-source counts, langs
+        // overlap across sources), so a union of two aggs would scan the
+        // corpus twice where grouping sets scan once
+        base.rollup("source").agg(aggs.head, aggs.tail: _*)
+          .select(coalesce(col("source"), lit("*total*")).as("source"),
+            col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
+            col("content_fp"))
           .orderBy("source")
       },
       Some(s"""WITH b AS (SELECT source, lang,
@@ -669,17 +674,13 @@ object GovernanceQueries {
               |      || ':' || text), 1, 15)) AS BIGINT)
               |      AS DECIMAL(38,0)) AS fp
               |  FROM documents),
-              |u AS (SELECT source, COUNT(*) AS n_docs,
+              |u AS (SELECT COALESCE(source, '*total*') AS source,
+              |    COUNT(*) AS n_docs,
               |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
               |    CAST(SUM(nc) AS BIGINT) AS n_chars,
               |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
               |    CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
-              |  FROM b GROUP BY source
-              |  UNION ALL
-              |  SELECT '*total*', COUNT(*),
-              |    CAST(SUM(nt) AS BIGINT), CAST(SUM(nc) AS BIGINT),
-              |    CAST(COUNT(DISTINCT lang) AS BIGINT),
-              |    CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) FROM b)
+              |  FROM b GROUP BY ROLLUP(source))
               |SELECT * FROM u ORDER BY source""".stripMargin)
     ),
 
@@ -773,11 +774,16 @@ object GovernanceQueries {
           .when(col("fp2").isNull, "removed")
           .when(col("fp1") =!= col("fp2"), "changed")
           .otherwise("unchanged").as("status"))
-    val aggs = Seq("added", "removed", "changed", "unchanged").map(st =>
+    val sts = Seq("added", "removed", "changed", "unchanged")
+    val aggs = sts.map(st =>
       sum(when(col("status") === st, 1L).otherwise(0L)).as(s"n_$st"))
-    j.groupBy("source").agg(aggs.head, aggs.tail: _*)
-      .unionAll(j.groupBy(lit("*total*").as("source"))
-        .agg(aggs.head, aggs.tail: _*))
+    val perSrc = j.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    // total row re-aggregates the TINY per-source relation — never the
+    // join subtree (a naive second groupBy over j would re-execute the
+    // full-outer join and all its scans)
+    val totAggs = sts.map(st => sum(col(s"n_$st")).as(s"n_$st"))
+    perSrc.unionAll(perSrc.groupBy(lit("*total*").as("source"))
+        .agg(totAggs.head, totAggs.tail: _*))
       .orderBy("source")
   }
 }
