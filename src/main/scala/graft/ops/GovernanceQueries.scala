@@ -572,9 +572,13 @@ object GovernanceQueries {
             .as("n_neither"))
         val n = col("n_docs").cast("double")
         val po = (col("n_both") + col("n_neither")).cast("double") / n
-        val pe = (col("a1") * col("b1") +
-          (col("n_docs") - col("a1")) * (col("n_docs") - col("b1")))
-          .cast("double") / (n * n)
+        // marginal products as DOUBLES: long*long wraps silently past
+        // 2^63 (a1*b1 at ~1e12 docs is ~1e24 — the 100 TB regime), and
+        // DuckDB's BIGINT* would error where Spark corrupts; double
+        // multiply is deterministic-identical IEEE in both engines
+        val pe = (col("a1").cast("double") * col("b1").cast("double") +
+          (col("n_docs") - col("a1")).cast("double") *
+            (col("n_docs") - col("b1")).cast("double")) / (n * n)
         cnt.select(col("n_docs"), col("a1").as("n_drop_rules"),
           col("b1").as("n_drop_quality"), col("n_both"),
           col("n_only_rules"), col("n_only_quality"), col("n_neither"),
@@ -616,7 +620,7 @@ object GovernanceQueries {
            |  CASE WHEN CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1)
            |      AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs) < 1.0
            |    THEN round((CAST(n_both + n_neither AS DOUBLE) / n_docs
-           |      - CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1) AS DOUBLE)
+           |      - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE) + CAST(n_docs - a1 AS DOUBLE) * CAST(n_docs - b1 AS DOUBLE))
            |        / (CAST(n_docs AS DOUBLE) * n_docs))
            |      / (1.0 - CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1)
            |        AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs)), 6)
