@@ -129,6 +129,96 @@ object GovernanceQueries {
   private val stopSql =
     TextQueries.stopwords.map(x => s"'$x'").mkString("[", ",", "]")
 
+  // ---- manifest semilattice ------------------------------------------
+  // Every manifest statistic is mergeable: counts/sums ADD, the lang set
+  // UNIONs, and the content fingerprint is a commutative DECIMAL sum —
+  // so manifest(standing ∪ batch) == merge(manifest(standing),
+  // manifest(batch)) EXACTLY (the Profiler.merge semilattice argument).
+  // Daily manifest maintenance therefore scans only the batch, never
+  // the standing 100 TB corpus. The declared q_corpus_manifest is
+  // DEFINED as finalize∘partial, so the direct path and the merge path
+  // share one code path and cannot drift.
+
+  /** Source-grain PARTIAL manifest of one snapshot: mergeable columns
+    * only (lang SET, not count — distinct langs are not summable).
+    * Also the streaming ingest face
+    * ([[graft.streaming.CorpusStream.manifestBatch]]).
+    */
+  private[graft] def manifestPartial(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val fp = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("text"))), 1, 15), 16, 10)
+      .cast("long").cast(DecimalType(38, 0))
+    docs.select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"), fp.as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        sort_array(collect_set(col("lang"))).as("langs"),
+        sum(col("fp")).as("fp"))
+  }
+
+  /** Merge any number of unioned partial manifests back to one row per
+    * source — pure re-aggregation of the TINY source-grain relation
+    * (sums add, lang sets union), no corpus access.
+    */
+  private[graft] def manifestMerge(parts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    parts.groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sort_array(array_distinct(flatten(collect_list(col("langs")))))
+          .as("langs"),
+        sum(col("fp")).as("fp"))
+
+  /** Render a merged per-source manifest as the published receipt:
+    * per-source rows + the '*total*' row (global distinct langs = the
+    * union of the per-source sets — computable from the partials, no
+    * corpus rescan). The fingerprint is rendered as DIGITS: a double
+    * would round a 60-bit sum at ~2^11 ulp and could (2^-49-improbably
+    * but structurally) swallow a single-doc edit; strings compare
+    * exactly in both engines.
+    */
+  private[graft] def manifestFinalize(merged: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val per = merged.select(col("source"), col("n_docs"), col("n_tokens"),
+      col("n_chars"), size(col("langs")).cast("long").as("n_langs"),
+      col("fp").cast("string").as("content_fp"))
+    val tot = merged.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        size(array_distinct(flatten(collect_list(col("langs")))))
+          .cast("long").as("n_langs"),
+        sum(col("fp")).cast("string").as("content_fp"))
+      .select(lit("*total*").as("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_langs"), col("content_fp"))
+    per.unionAll(tot).orderBy("source")
+  }
+
+  /** ONE oracle text for q_corpus_manifest AND q_manifest_merge: the
+    * merge of per-snapshot partials must equal the full-corpus manifest
+    * exactly (the C5 q_profile_merge convention), so both queries check
+    * against the same directly-computed receipt.
+    */
+  private def manifestSql: String =
+    s"""WITH b AS (SELECT source, lang,
+       |    CAST(len($toksSql) AS BIGINT) AS nt,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |      || ':' || text), 1, 15)) AS BIGINT)
+       |      AS DECIMAL(38,0)) AS fp
+       |  FROM documents),
+       |u AS (SELECT COALESCE(source, '*total*') AS source,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+       |  FROM b GROUP BY ROLLUP(source))
+       |SELECT * FROM u ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------- H4n
@@ -617,13 +707,13 @@ object GovernanceQueries {
            |  n_both, n_only_rules, n_only_quality, n_neither,
            |  round(CAST(n_both + n_neither AS DOUBLE) / n_docs, 6)
            |    AS agree_frac,
-           |  CASE WHEN CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1)
-           |      AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs) < 1.0
+           |  CASE WHEN (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE) +
+           |        CAST(n_docs - a1 AS DOUBLE) * CAST(n_docs - b1 AS DOUBLE)) / (CAST(n_docs AS DOUBLE) * n_docs) < 1.0
            |    THEN round((CAST(n_both + n_neither AS DOUBLE) / n_docs
            |      - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE) + CAST(n_docs - a1 AS DOUBLE) * CAST(n_docs - b1 AS DOUBLE))
            |        / (CAST(n_docs AS DOUBLE) * n_docs))
-           |      / (1.0 - CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1)
-           |        AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs)), 6)
+           |      / (1.0 - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE) +
+           |          CAST(n_docs - a1 AS DOUBLE) * CAST(n_docs - b1 AS DOUBLE)) / (CAST(n_docs AS DOUBLE) * n_docs)), 6)
            |  END AS kappa
            |FROM c""".stripMargin
       }
@@ -645,47 +735,9 @@ object GovernanceQueries {
         "source-grain agg (map-side partial) + the same agg global — " +
         "nothing document-sized shuffles; the fingerprint sum headroom " +
         "is 2^126-ish rows before DECIMAL(38,0) could overflow.",
-      (s, dir) => {
-        val fp = conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(":"), col("text"))), 1, 15), 16, 10)
-          .cast("long").cast(DecimalType(38, 0))
-        val base = Tables.t(s, dir, "documents")
-          .select(col("source"), col("lang"),
-            size(tokens(col("text"))).cast("long").as("nt"),
-            length(col("text")).cast("long").as("nc"), fp.as("fp"))
-        val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
-          sum(col("nc")).as("n_chars"),
-          countDistinct(col("lang")).as("n_langs"),
-          // receipt rendered as DIGITS: a double would round a 60-bit
-          // sum at ~2^11 ulp and could (2^-49-improbably but
-          // structurally) swallow a single-doc edit; strings compare
-          // exactly in both engines
-          sum(col("fp")).cast("string").as("content_fp"))
-        // rollup = ONE pass for both grains — the total row's n_langs is
-        // a GLOBAL distinct (not derivable from per-source counts, langs
-        // overlap across sources), so a union of two aggs would scan the
-        // corpus twice where grouping sets scan once
-        base.rollup("source").agg(aggs.head, aggs.tail: _*)
-          .select(coalesce(col("source"), lit("*total*")).as("source"),
-            col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
-            col("content_fp"))
-          .orderBy("source")
-      },
-      Some(s"""WITH b AS (SELECT source, lang,
-              |    CAST(len($toksSql) AS BIGINT) AS nt,
-              |    CAST(length(text) AS BIGINT) AS nc,
-              |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-              |      || ':' || text), 1, 15)) AS BIGINT)
-              |      AS DECIMAL(38,0)) AS fp
-              |  FROM documents),
-              |u AS (SELECT COALESCE(source, '*total*') AS source,
-              |    COUNT(*) AS n_docs,
-              |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
-              |    CAST(SUM(nc) AS BIGINT) AS n_chars,
-              |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-              |    CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
-              |  FROM b GROUP BY ROLLUP(source))
-              |SELECT * FROM u ORDER BY source""".stripMargin)
+      (s, dir) =>
+        manifestFinalize(manifestPartial(Tables.t(s, dir, "documents"))),
+      Some(manifestSql)
     ),
 
     // ----------------------------------------------------------- H4i''
@@ -754,6 +806,33 @@ object GovernanceQueries {
              |    CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
              |      AS BIGINT) FROM j)
              |SELECT * FROM u ORDER BY source""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- H4i'''
+    QueryDef(
+      "q_manifest_merge",
+      "Incremental manifest maintenance (the C5 q_profile_merge " +
+        "semilattice argument applied to the receipt): the corpus is " +
+        "split into three snapshots (doc_id mod 3 — stand-ins for " +
+        "daily ingest batches), a PARTIAL manifest is computed per " +
+        "snapshot, the partials are merged (sums add, lang sets " +
+        "union, fingerprints add — every column mergeable), and the " +
+        "merged receipt is finalized. The oracle is the DIRECT " +
+        "full-corpus manifest, so the query asserts merge(partials) == " +
+        "manifest(union) EXACTLY — which is what lets a 100 TB corpus " +
+        "maintain its receipt by scanning only each day's batch. " +
+        "q_corpus_manifest is DEFINED as finalize(partial(corpus)), so " +
+        "the two paths share one code path and cannot drift. Shape: " +
+        "three filtered corpus scans at batch grain (in production " +
+        "each partial already exists), then everything downstream is " +
+        "source-grain — merge and finalize never touch documents.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val parts = (0 to 2).map(i =>
+          manifestPartial(docs.filter(col("doc_id") % 3 === i)))
+        manifestFinalize(manifestMerge(parts.reduce(_ unionAll _)))
+      },
+      Some(manifestSql)
     )
   )
 

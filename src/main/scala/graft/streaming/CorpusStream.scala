@@ -152,6 +152,19 @@ object CorpusStream {
   def rulesBatch(batch: DataFrame): DataFrame =
     graft.ops.GovernanceQueries.docRuleFlags(batch)
 
+  /** Ingest-time manifest maintenance — the streaming face of
+    * `q_corpus_manifest`/`q_manifest_merge`
+    * ([[graft.ops.GovernanceQueries.manifestPartial]]; one definition,
+    * no drift): each micro-batch reduces to its source-grain PARTIAL
+    * manifest (counts, sums, lang set, fingerprint sum — every column a
+    * semilattice), which `manifestMerge` folds into the standing
+    * receipt without rescanning the standing corpus. Merge of streamed
+    * partials == the direct batch manifest EXACTLY
+    * (differential-tested in CorpusStreamSpec).
+    */
+  def manifestBatch(batch: DataFrame): DataFrame =
+    graft.ops.GovernanceQueries.manifestPartial(batch)
+
   /** Batch-side build of the stored CHAR-winnow span artifact (the
     * [[graft.ops.SpanSet]] skeleton at character granularity, charspans
     * role) — returns the duplicated-fingerprint set for

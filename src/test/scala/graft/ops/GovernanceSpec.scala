@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Registry, SparkSpec}
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 /** Pre-epoch governance audits (GovernanceQueries): every claim in the
   * scaladocs is exercised here with PLANTED ground truth —
@@ -289,6 +290,30 @@ class GovernanceSpec extends SparkSpec {
       .map(r => r._1 -> r).toMap
     assert(m4("*total*")._6 != m1m("*total*")._6,
       "binding doc_id must make id swaps visible")
+  }
+
+  // ------------------------------------------------------ manifest merge
+
+  test("manifest semilattice: merge of arbitrary snapshot partials == " +
+    "the direct manifest, including cross-snapshot lang-set union") {
+    // lang deliberately depends on doc_id so every snapshot sees a
+    // DIFFERENT subset of a source's langs — the union must recover all
+    val docs = (1L to 60L).map(i =>
+      (i, s"doc $i body", s"L${i % 5}", s"src${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val direct = GovernanceQueries
+      .manifestFinalize(GovernanceQueries.manifestPartial(docs))
+      .collect().map(_.toString).toSeq
+    for (k <- Seq(2, 3, 7)) { // uneven split arities, incl. one > #langs
+      val parts = (0 until k).map(i =>
+        GovernanceQueries.manifestPartial(
+          docs.filter(col("doc_id") % k === i)))
+      val merged = GovernanceQueries
+        .manifestFinalize(GovernanceQueries.manifestMerge(
+          parts.reduce(_ unionAll _)))
+        .collect().map(_.toString).toSeq
+      assert(merged == direct, s"k=$k merge path diverged")
+    }
   }
 
   // --------------------------------------------------------------- diff

@@ -312,4 +312,48 @@ class CorpusStreamSpec extends SparkSpec {
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("manifestBatch: merging streamed per-batch partials == the " +
+    "direct batch manifest (every receipt column is a semilattice)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, s"doc $i body", s"L${i % 4}", s"src${i % 2}"))
+    // partial manifests accumulate as ROWS (what a standing receipt
+    // table would store between ingests)
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "lang", "source")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-manifest").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val part = graft.streaming.CorpusStream.manifestBatch(b)
+        sink.synchronized {
+          sink ++= part.collect(); schema = part.schema
+        }
+        ()
+      }
+      .start()
+    try {
+      docs.grouped(7).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+      val parts = spark.createDataFrame(
+        spark.sparkContext.parallelize(sink.synchronized(sink.toList)),
+        schema)
+      val merged = graft.ops.GovernanceQueries
+        .manifestFinalize(graft.ops.GovernanceQueries.manifestMerge(parts))
+        .collect().map(_.toString).toSeq
+      val direct = graft.ops.GovernanceQueries
+        .manifestFinalize(graft.ops.GovernanceQueries.manifestPartial(
+          docs.toDF("doc_id", "text", "lang", "source")))
+        .collect().map(_.toString).toSeq
+      assert(merged == direct, s"stream=$merged batch=$direct")
+    } finally q.stop()
+  }
 }
