@@ -466,6 +466,105 @@ object ProfileQueries {
               |ORDER BY q_pct""".stripMargin)
     ),
 
+    // ------------------------------- C12: sampled quantile sketch
+    QueryDef(
+      "q_quantile_sketch",
+      "Sampled quantiles with MEASURED rank error — the mergeable " +
+        "companion to q_quantile_discrete's exact path: a " +
+        "deterministic hash-ordered reservoir (the k=256 smallest " +
+        "md5(doc_id) keys via the MinKAgg Catalyst aggregate — min-k " +
+        "is exactly distributive, so the SAME sample emerges at any " +
+        "partitioning, merge-tree shape, or ingest schedule, where a " +
+        "rand() reservoir is none of those) carries the doc's token " +
+        "length; each percentile is answered from the 256-value " +
+        "sample and measured against the exact histogram answer, with " +
+        "the CDF value at the estimate and the rank error " +
+        "|F(est) - p| — the sketch guarantee a profile consumer " +
+        "actually needs (value error is meaningless on a discrete " +
+        "skewed domain). Integer-exact rank selection ((p*n + 99) div " +
+        "100, type-1) on BOTH paths. Shape: the sample agg collapses " +
+        "each task to <= 256 entries BEFORE the single-partition " +
+        "final merge (O(k) memory, ~k rows on the wire at ANY corpus " +
+        "size); the exact branch exists only to measure the estimate " +
+        "and is itself histogram-cheap; every window here runs on " +
+        "<= 256-row or value-grain relations, never the corpus.",
+      (s, dir) => {
+        val K = 256
+        val qs = Seq(25, 50, 75, 90, 99)
+        val base = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("v"))
+        // hash rank is independent of the value => uniform sample; the
+        // value rides the key (zero-padded so no join is needed to
+        // recover it; the 32-hex md5 prefix dominates the order)
+        val key = concat(md5(col("doc_id").cast("string")), lit("|"),
+          lpad(col("v").cast("string"), 6, "0"))
+        val ranked = base.select(key.as("k0"))
+          .agg(graft.functions.MinKAgg.minK(col("k0"), K).as("ks"))
+          .select(explode(col("ks")).as("key"))
+          .select(split(col("key"), "\\|").getItem(1).cast("long").as("sv"))
+          .withColumn("rk", row_number().over(Window.orderBy("sv"))
+            .cast("long"))
+        val ns = ranked.agg(count(lit(1)).as("ns"))
+        val hist = base.groupBy("v").agg(count(lit(1)).as("c"))
+        val tot = hist.agg(sum(col("c")).as("n"))
+        val cum = hist.withColumn("cum", sum(col("c")).over(
+          Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val pr = ranked.sparkSession.range(1)
+          .select(explode(array(qs.map(q => lit(q)): _*)).as("q_pct"))
+          .crossJoin(broadcast(ns)).crossJoin(broadcast(tot))
+          .withColumn("rank_s", expr("(q_pct * ns + 99) div 100"))
+          .withColumn("rank_e", expr("(q_pct * n + 99) div 100"))
+        val est = pr.join(ranked, col("rank_s") === col("rk"))
+        val exact = pr.select("q_pct", "rank_e")
+          .join(cum.select("v", "cum"), col("cum") >= col("rank_e"))
+          .groupBy("q_pct").agg(min(col("v")).as("exact_value"))
+        val cdf = col("cum_est").cast("double") / col("n").cast("double")
+        est.join(cum.select(col("v"), col("cum").as("cum_est")),
+            col("sv") === col("v"))
+          .join(exact, "q_pct")
+          .select(col("q_pct"), col("exact_value"),
+            col("sv").as("sample_value"), col("ns").as("sample_n"),
+            round(cdf, 6).as("cdf_at_sample"),
+            round(abs(cdf - col("q_pct").cast("double") / 100.0), 6)
+              .as("rank_err"))
+          .orderBy("q_pct")
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+              |    CAST(len(${graft.functions.TextFunctions.toksSql}) AS BIGINT) AS v
+              |  FROM documents),
+              |s0 AS (SELECT v, md5(CAST(doc_id AS VARCHAR)) || '|' ||
+              |    lpad(CAST(v AS VARCHAR), 6, '0') AS k0 FROM b),
+              |sk AS (SELECT v FROM s0 ORDER BY k0 LIMIT 256),
+              |rs AS (SELECT v AS sv,
+              |    CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) AS rk
+              |  FROM sk),
+              |nsr AS (SELECT COUNT(*) AS ns FROM rs),
+              |h AS (SELECT v, COUNT(*) AS c FROM b GROUP BY 1),
+              |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+              |cu AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT)
+              |    AS cum FROM h),
+              |pr AS (SELECT q_pct, ns, n,
+              |    (q_pct * ns + 99) // 100 AS rank_s,
+              |    (q_pct * n + 99) // 100 AS rank_e
+              |  FROM (SELECT unnest([25, 50, 75, 90, 99]) AS q_pct)
+              |  CROSS JOIN nsr CROSS JOIN t),
+              |es AS (SELECT pr.q_pct, pr.ns, pr.n, rs.sv FROM pr
+              |  JOIN rs ON rs.rk = pr.rank_s),
+              |ex AS (SELECT pr.q_pct, MIN(cu.v) AS exact_value FROM pr
+              |  JOIN cu ON cu.cum >= pr.rank_e GROUP BY pr.q_pct),
+              |ce AS (SELECT es.q_pct, es.ns, es.n, es.sv, cu.cum AS cum_est
+              |  FROM es JOIN cu ON cu.v = es.sv)
+              |SELECT ce.q_pct, ex.exact_value, ce.sv AS sample_value,
+              |  ce.ns AS sample_n,
+              |  round(CAST(ce.cum_est AS DOUBLE) / ce.n, 6) AS cdf_at_sample,
+              |  round(abs(CAST(ce.cum_est AS DOUBLE) / ce.n
+              |    - CAST(ce.q_pct AS DOUBLE) / 100.0), 6) AS rank_err
+              |FROM ce JOIN ex ON ex.q_pct = ce.q_pct
+              |ORDER BY ce.q_pct""".stripMargin)
+    ),
+
     // ------------------------------------- C11: k-anonymity audit
     QueryDef(
       "q_k_anonymity",

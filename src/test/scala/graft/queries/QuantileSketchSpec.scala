@@ -42,4 +42,33 @@ class QuantileSketchSpec extends SparkSpec {
       planTxt.contains("partial_percentile_approx"),
       s"expected a partial sketch aggregate in:\n$planTxt")
   }
+
+  test("q_quantile_sketch: exact column matches the closed form on a " +
+    "planted uniform domain; sample estimate is layout-invariant") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("qsketch").toString
+    // 1000 docs, doc i has exactly i tokens -> type-1 q(p) = (p*1000+99)//100
+    (1L to 1000L).map(i => (i, (1L to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val df = graft.Registry.queryMap("q_quantile_sketch")(spark, d)
+    val asStrings = df.collect().map(_.toString).toSeq
+    val rows = df.as[(Int, Long, Long, Long, Double, Double)].collect()
+    val byP = rows.map(r => r._1 -> r).toMap
+    for (p <- Seq(25, 50, 75, 90, 99)) {
+      assert(byP(p)._2 == (p * 1000L + 99) / 100, s"exact q($p)")
+      assert(byP(p)._4 == 256L, "sample_n")
+      // K=256 hash sample: rank error stays well inside 3/sqrt(K)~0.19;
+      // the sample is DETERMINISTIC so this is a stable pin, not a flake
+      assert(byP(p)._6 <= 0.19, s"rank_err($p)=${byP(p)._6}")
+    }
+    // min-k distributivity: identical output under different ambient
+    // parallelism (the merged sample must be bit-identical)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = graft.Registry.queryMap("q_quantile_sketch")(spark, d)
+        .collect().map(_.toString).toSeq
+      assert(again == asStrings)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
