@@ -16,6 +16,49 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   private val K = 5
+
+  /** Analytic ideal DCG at [[K]] (relevance K+1-r, log2 discount),
+    * computed once on the driver, rounded 9dp, and injected as ONE
+    * literal into the Spark plan and the DuckDB oracle (Double.toString
+    * round-trips, the LnTwo convention) — so neither engine's libm
+    * evaluates the normalizer.
+    */
+  private[ops] val IdcgK: Double = {
+    val v = (1 to K).map(r =>
+      (K + 1 - r).toDouble / (math.log(r + 1.0) / math.log(2.0))).sum
+    math.rint(v * 1e9) / 1e9
+  }
+
+  /** Graded-relevance view of an exact top-K list: rel = K+1-rank. */
+  private[ops] def ndcgRelevance(exact: DataFrame): DataFrame =
+    exact.filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id"),
+        (lit(K + 1) - col("rank")).cast("double").as("rel"))
+
+  /** One measured nDCG@K row for an approximate ranking against the
+    * graded exact relevance (see q_ann_ndcg's determinism notes) —
+    * shared by the declared query and SimilaritySpec's identity pin
+    * (nDCG of the exact ranking itself == 1.0).
+    */
+  private[ops] def ndcgRow(ann: DataFrame, ex: DataFrame,
+                           queries: DataFrame, variant: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dcg = ann.filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id"), col("rank").as("arank"))
+      .join(ex, Seq("query_id", "vec_id"))
+      .select(col("query_id"),
+        round(col("rel") / log2(col("arank") + 1), 9).as("term"))
+      .groupBy("query_id")
+      .agg(sum(col("term").cast(DecimalType(20, 10))).as("dcg"))
+    queries.join(dcg, Seq("query_id"), "left")
+      .select(round(coalesce(col("dcg").cast("double"), lit(0.0)) /
+        IdcgK, 9).as("nq"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("nq").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("m"))
+      .select(lit(variant).as("variant"), col("n_queries"),
+        round(col("m"), 6).as(s"ndcg_at_$K"))
+  }
   private val NumPlanes = 8
   private val Dim = 64
   private val planes = makePlanes(NumPlanes, Dim)
@@ -1412,6 +1455,76 @@ object SimilarityQueries {
            |${mrrSelect("ivf_scored", "ivf_sqrtn")}
            |UNION ALL
            |${mrrSelect("pscored", "pq_adc")}
+           |) ORDER BY variant""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_ann_ndcg",
+      s"nDCG@$K of each ANN variant against the exact cosine ranking — " +
+        "the third retrieval metric face (recall counts survivors, MRR " +
+        "locates the single top-1, nDCG grades the WHOLE approximate " +
+        "list by graded position agreement): relevance of a retrieved " +
+        s"vector = $K+1 minus its EXACT rank (0 beyond the exact " +
+        s"top-$K), DCG discounts by log2(position+1), and the " +
+        "normalizer is the analytic ideal-DCG constant — computed ONCE " +
+        "in Scala, rounded 9dp, and injected as the SAME literal into " +
+        "both engines (the LnTwo convention), so the only in-engine " +
+        "transcendental is log2 of small integers, neutralized by " +
+        "rounding each DCG term 9dp before the DECIMAL sum. As with " +
+        "MRR, exact-rerank variants (LSH/IVF) mostly reorder nothing — " +
+        "pq_adc is where graded disagreement is real. Scale: rides the " +
+        "SAME cached panel relations as q_ann_recall/q_ann_mrr; every " +
+        "join is panel-bounded.",
+      (s, dir) => {
+        val ex = ndcgRelevance(exactTopK(s, dir))
+        val queries = ex.select("query_id").distinct()
+        val cells = derivedCells(corpus(s, dir).count())
+        val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
+        ndcgRow(annTopK(s, dir), ex, queries, "single_probe")
+          .union(ndcgRow(annMultiProbeTopK(s, dir), ex, queries,
+            "multiprobe_h2"))
+          .union(ndcgRow(ivfTopKFrom(s, dir, a2, centn, derivedProbe(cells)),
+            ex, queries, "ivf_sqrtn"))
+          .union(ndcgRow(pqAdcScored(s, dir), ex, queries, "pq_adc"))
+          .orderBy("variant")
+      },
+      Some {
+        def ndcgSelect(annCte: String, variant: String) =
+          s"""SELECT '$variant' AS variant, COUNT(*) AS n_queries,
+             |  round(CAST(SUM(CAST(nq AS DECIMAL(20,10))) AS DOUBLE)
+             |    / COUNT(*), 6) AS ndcg_at_$K
+             |FROM (SELECT qs.query_id,
+             |    round(COALESCE(CAST(d.dcg AS DOUBLE), 0) / $IdcgK, 9) AS nq
+             |  FROM qs LEFT JOIN (
+             |    SELECT an.query_id,
+             |      SUM(CAST(round(ex.rel / log2(an.rank + 1), 9)
+             |        AS DECIMAL(20,10))) AS dcg
+             |    FROM (SELECT query_id, vec_id, rank FROM $annCte
+             |      WHERE rank <= $K) an
+             |    JOIN ex ON ex.query_id = an.query_id
+             |      AND ex.vec_id = an.vec_id
+             |    GROUP BY an.query_id) d
+             |  ON d.query_id = qs.query_id)""".stripMargin
+        s"""WITH $baseCte,
+           |$probesCte,
+           |$ivfCtes,
+           |$pqCtes,
+           |$exactScoredCte,
+           |$annScoredCte,
+           |$mpScoredCte,
+           |ex AS (SELECT query_id, vec_id,
+           |    CAST(${K + 1} - rank AS DOUBLE) AS rel
+           |  FROM exact_scored WHERE rank <= $K),
+           |qs AS (SELECT DISTINCT query_id FROM ex)
+           |SELECT * FROM (
+           |${ndcgSelect("ann_scored", "single_probe")}
+           |UNION ALL
+           |${ndcgSelect("mp_scored", "multiprobe_h2")}
+           |UNION ALL
+           |${ndcgSelect("ivf_scored", "ivf_sqrtn")}
+           |UNION ALL
+           |${ndcgSelect("pscored", "pq_adc")}
            |) ORDER BY variant""".stripMargin
       }
     ),

@@ -204,4 +204,20 @@ class SimilaritySpec extends SparkSpec {
     assert(l1.map(_._1).toSeq == Seq(6L, 7L, 8L))
     assert(l1.forall(_._3 == 1.0) && l1.count(_._5 == 1) == 1)
   }
+
+  test("nDCG identity: the exact ranking scores exactly 1.0 against " +
+    "itself; all declared variants land in [0, 1]") {
+    import spark.implicits._
+    val exact = SimilarityQueries.exactTopK(spark, dir)
+    val ex = SimilarityQueries.ndcgRelevance(exact)
+    val queries = ex.select("query_id").distinct()
+    val self = SimilarityQueries.ndcgRow(exact, ex, queries, "self")
+      .as[(String, Long, Double)].collect()(0)
+    assert(self._2 > 0 && self._3 == 1.0,
+      s"exact-vs-exact nDCG must be 1.0, got $self")
+    val rows = graft.Registry.queryMap("q_ann_ndcg")(spark, dir)
+      .as[(String, Long, Double)].collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r._3 >= 0.0 && r._3 <= 1.0, r.toString))
+  }
 }
