@@ -63,6 +63,13 @@ object Pipeline {
     *     `<t>_scrubbed.parquet` with per-doc counts + scrubbed text —
     *     the output a training pipeline consumes; report row carries
     *     corpus-wide removed-token totals.
+    *   - `manifestTables`: per-source reproducibility receipt
+    *     ([[graft.ops.GovernanceQueries]] manifest semilattice; table
+    *     must carry doc_id/text/lang/source): `<t>_manifest.parquet` —
+    *     order-invariant content fingerprints + the '*total*' row; the
+    *     next run diffs receipts (corpusDiff) instead of re-reading
+    *     the corpus, and the streaming face folds ingest batches into
+    *     the same receipt (manifestBatch/manifestMerge).
     *   - `imageSigTables` / `audioSigTables`: stored media perceptual
     *     signatures ([[graft.ops.MediaSigStore]], imgsig/audsig roles;
     *     table must carry doc_id): the decode+hash pass paid once,
@@ -99,6 +106,7 @@ object Pipeline {
       shuffleShardTables: Seq[String] = Nil, // shard-major training order
       packTables: Seq[String] = Nil, // packed training sequences (epoch input)
       scrubTables: Seq[String] = Nil, // span-scrubbed cleaned corpus
+      manifestTables: Seq[String] = Nil, // per-source receipt (q_corpus_manifest)
       imageSigTables: Seq[String] = Nil, // stored image dHash signatures
       audioSigTables: Seq[String] = Nil, // stored audio level signatures
       videoSigTables: Seq[String] = Nil, // stored video folded-dHash sigs
@@ -114,7 +122,8 @@ object Pipeline {
         charSpanTables.isEmpty && chunkStoreTables.isEmpty &&
         containIndexTables.isEmpty && shuffleShardTables.isEmpty &&
         packTables.isEmpty &&
-        scrubTables.isEmpty && imageSigTables.isEmpty &&
+        scrubTables.isEmpty && manifestTables.isEmpty &&
+        imageSigTables.isEmpty &&
         audioSigTables.isEmpty && videoSigTables.isEmpty &&
         !buildIvfIndex && !buildPqStore &&
         zOrder.isEmpty && compact.isEmpty
@@ -365,6 +374,31 @@ object Pipeline {
       log.info(t, "artifact span_scrub", msg)
       Report.ArtifactResult(t, "span_scrub", msg, 0L, nRem, secs)
     }
+    val manifests = a.manifestTables.map { t =>
+      // The reproducibility receipt a run publishes next to its outputs
+      // (q_corpus_manifest is the declared proof of the same receipt):
+      // order-invariant per-source fingerprints + the '*total*' row —
+      // the next run diffs receipts (corpusDiff is the follow-up when
+      // they disagree) instead of re-reading the corpus.
+      val path = s"$outDir/${t}_manifest.parquet"
+      val ((nDocs, fpTot), secs) = timed {
+        val docs = spark.read.parquet(s"$outDir/$t.parquet")
+        graft.ops.GovernanceQueries.manifestFinalize(
+            graft.ops.GovernanceQueries.manifestPartial(docs))
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        val F = org.apache.spark.sql.functions
+        // null-guard: on a legitimately empty table the total row's
+        // sums are NULL (the empty-table NPE class)
+        val r = spark.read.parquet(path)
+          .filter(F.col("source") === "*total*").head()
+        (if (r.isNullAt(r.fieldIndex("n_docs"))) 0L
+         else r.getAs[Long]("n_docs"),
+          Option(r.getAs[String]("content_fp")).getOrElse("0"))
+      }
+      val msg = s"path=$path docs=$nDocs content_fp=$fpTot"
+      log.info(t, "artifact manifest", msg)
+      Report.ArtifactResult(t, "manifest", msg, 0L, 0L, secs)
+    }
     def mediaSig(tables: Seq[String], tagOf: String => String, kind: String,
                  sigFn: org.apache.spark.sql.DataFrame =>
                    org.apache.spark.sql.DataFrame) =
@@ -431,6 +465,7 @@ object Pipeline {
       Report.ArtifactResult(t, "packed_sequences", msg, 0L, 0L, secs)
     }
     band ++ spans ++ charSpans ++ chunks ++ contain ++ scrubs ++
+      manifests ++
       imgSigs ++ audSigs ++ vidSigs ++ shards ++ packs ++ ivf ++ pq ++ zs ++ cps
   }
 

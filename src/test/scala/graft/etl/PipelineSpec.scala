@@ -60,6 +60,7 @@ class PipelineSpec extends SparkSpec {
       (100L, "one unique document with entirely different content here today"))
       .toDF("doc_id", "text")
       .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
       .write.parquet(s"$src/docs.parquet")
     (1L to 200L).map(i => (i, i % 7)).toDF("event_id", "k")
       .repartition(20) // small-files input for compaction
@@ -78,6 +79,7 @@ class PipelineSpec extends SparkSpec {
         charSpanTables = Seq("docs"),
         chunkStoreTables = Seq("docs"),
         containIndexTables = Seq("docs"),
+        manifestTables = Seq("docs"),
         buildIvfIndex = true,
         buildPqStore = true,
         zOrder = Map("evts" -> ("event_id", "k")),
@@ -87,7 +89,8 @@ class PipelineSpec extends SparkSpec {
     // every artifact produced a report row...
     assert(report.artifacts.map(_.kind).sorted ==
       Seq("band_index", "char_span_set", "chunk_store", "compaction",
-        "contain_index", "ivf_index", "pq_store", "span_set", "zorder"))
+        "contain_index", "ivf_index", "manifest", "pq_store", "span_set",
+        "zorder"))
     // the containment index built under the tag the streaming probe
     // derives, with its cap audit in the report row
     val containTag = graft.ops.ContainIndex.tag(dst, "cfull")
@@ -124,6 +127,18 @@ class PipelineSpec extends SparkSpec {
     assert(report.render.contains("CAPPED(3 buckets/18 rows)"))
     val span = report.artifacts.find(_.kind == "span_set").get
     assert(span.detail.contains("duplicated_spans=9"), span.detail)
+    // ...and the written receipt IS the direct manifest of the written
+    // table (one code path), with the total fingerprint in the report
+    val written = spark.read.parquet(s"$dst/docs_manifest.parquet")
+      .collect().map(_.toString).toSeq.sorted
+    val direct = graft.ops.GovernanceQueries.manifestFinalize(
+      graft.ops.GovernanceQueries.manifestPartial(
+        spark.read.parquet(s"$dst/docs.parquet")))
+      .collect().map(_.toString).toSeq.sorted
+    assert(written == direct)
+    val mRow = report.artifacts.find(_.kind == "manifest").get
+    assert(mRow.detail.contains("docs=7") &&
+      mRow.detail.contains("content_fp="), mRow.detail)
   }
 
   test("reflectTables discovers parquet tables (A2)") {
