@@ -333,6 +333,40 @@ object DedupQueries {
   /** CTE chain ending in `pairs(doc_a, doc_b, j)` — the oracle twin of
     * [[minhashPairs]], shared by q_doc_dedup and q_dedup_clusters.
     */
+  /** Per-doc 32-bit SimHash fingerprints — ONE definition for
+    * q_dedup_simhash's clustering and q_simhash_recall's measurement.
+    * md5 is materialized ONCE per token; the 32 bit-sums then slice the
+    * digest attribute (inlining md5 into each sum would hash every
+    * token 32 times — subexpression elimination does not reach across
+    * independent aggregate expressions).
+    */
+  private def simhashFps(s: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val bitSums = (0 until 32).map(i =>
+      sum(when(substring(col("h"), i + 1, 1) >= "8", 1)
+        .otherwise(-1)).as(s"s$i"))
+    val fp = concat((0 until 32).map(i =>
+      when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*)
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** DuckDB twin of [[simhashFps]] ending in `fp(doc_id, simhash)`. */
+  private val simhashFpSqlCtes: String = {
+    val bitSums = (0 until 32).map(i =>
+      s"SUM(CASE WHEN substr(md5(tok),${i + 1},1) >= '8' THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val fp = (0 until 32).map(i =>
+      s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString("||")
+    s"""sh_t AS (SELECT doc_id, unnest(string_split($normSql,' ')) AS tok FROM documents),
+       |sh_sums AS (SELECT doc_id, $bitSums FROM sh_t GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM sh_sums)""".stripMargin
+  }
+
   private[ops] val pairsSqlCtes: String =
     s"""$candSqlCtes,
        |pairs AS (SELECT * FROM cand WHERE j >= $MinhashVerifyJ)""".stripMargin
@@ -899,44 +933,86 @@ object DedupQueries {
         "explode + groupBy; integer sums are order-independent), then " +
         "fingerprint-equality clustering.",
       (s, dir) => {
-        // md5 is materialized ONCE per token; the 32 bit-sums then slice
-        // the digest attribute (inlining md5 into each sum would hash
-        // every token 32 times — subexpression elimination does not reach
-        // across independent aggregate expressions).
-        val bitSums = (0 until 32).map(i =>
-          sum(when(substring(col("h"), i + 1, 1) >= "8", 1)
-            .otherwise(-1)).as(s"s$i"))
-        val fp = concat((0 until 32).map(i =>
-          when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*)
-        val sums = Tables.t(s, dir, "documents")
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .select(col("doc_id"), md5(col("tok")).as("h"))
-          .groupBy("doc_id")
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), fp.as("simhash"))
         // Clustering via a window over the fingerprint: ONE shuffle on
         // simhash, and the explode+md5+bit-sum pipeline runs once — the
         // groupBy-then-self-join alternative evaluates that whole subtree
         // twice (once per join side).
         val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
-        sums.select(col("doc_id"), col("simhash"),
+        simhashFps(s, dir).select(col("doc_id"), col("simhash"),
           count(lit(1)).over(w).as("cluster_size"),
           min("doc_id").over(w).as("cluster_min"))
           .orderBy("doc_id")
       },
       Some {
-        val bitSums = (0 until 32).map(i =>
-          s"SUM(CASE WHEN substr(md5(tok),${i + 1},1) >= '8' THEN 1 ELSE -1 END) AS s$i")
-          .mkString(", ")
-        val fp = (0 until 32).map(i =>
-          s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString("||")
-        s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql,' ')) AS tok FROM documents),
-           |sums AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id),
-           |fp AS (SELECT doc_id, $fp AS simhash FROM sums)
+        s"""WITH $simhashFpSqlCtes
            |SELECT doc_id, simhash,
            |  COUNT(*) OVER (PARTITION BY simhash) AS cluster_size,
            |  MIN(doc_id) OVER (PARTITION BY simhash) AS cluster_min
            |FROM fp ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ------------------------------------------------------------ H3'm
+    QueryDef(
+      "q_simhash_recall",
+      "MEASURED SimHash effectiveness against the engine's own verified " +
+        "near-dup truth (the H3m pattern turned on H3'): the " +
+        "fingerprint-equality pair set is scored against the " +
+        "MinHash-VERIFIED pairs (exact Jaccard >= the committed " +
+        "threshold — the same cached truth q_doc_dedup publishes), " +
+        "emitting recall and precision in one row. The numbers are the " +
+        "point, and they cut BOTH ways at sf0.01: recall 0.56 (only " +
+        "near-exact rewrites survive 32 bit-majorities unchanged) AND " +
+        "precision 0.33 — at this width short docs collide, so the " +
+        "folk claim that whole-fingerprint equality is high-precision " +
+        "is FALSE here; widening the fingerprint, not the threshold, " +
+        "is the fix the table motivates. Shape: both pair sets are " +
+        "equi-joins (fingerprint equality; banded candidates), " +
+        "intersected on the pair key and reduced to ONE row — no " +
+        "all-pairs comparison anywhere; rides the SAME cached " +
+        "candidate relation as q_doc_dedup/q_dedup_recall, so the " +
+        "truth leg adds zero corpus passes.",
+      (s, dir) => {
+        val fps = simhashFps(s, dir)
+        val sh = fps.select(col("doc_id").as("doc_a"), col("simhash"))
+          .join(fps.select(col("doc_id").as("doc_b"), col("simhash")),
+            "simhash")
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+        val truth = minhashPairs(s, dir).select("doc_a", "doc_b")
+        val hit = truth.join(sh, Seq("doc_a", "doc_b"), "left_semi")
+        val one = truth.agg(count(lit(1)).as("n_true_pairs"))
+          .crossJoin(sh.agg(count(lit(1)).as("n_simhash_pairs")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        one.select(col("n_true_pairs"), col("n_simhash_pairs"),
+          col("n_hit"),
+          when(col("n_true_pairs") > 0,
+            round(col("n_hit").cast("double") / col("n_true_pairs"), 6))
+            .otherwise(1.0).as("recall"),
+          when(col("n_simhash_pairs") > 0,
+            round(col("n_hit").cast("double") / col("n_simhash_pairs"), 6))
+            .otherwise(1.0).as("precision"))
+      },
+      Some {
+        s"""WITH $pairsSqlCtes,
+           |$simhashFpSqlCtes,
+           |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM fp a JOIN fp b ON a.simhash = b.simhash
+           |    AND a.doc_id < b.doc_id),
+           |hit AS (SELECT COUNT(*) AS n_hit FROM pairs p
+           |  WHERE EXISTS (SELECT 1 FROM sh
+           |    WHERE sh.doc_a = p.doc_a AND sh.doc_b = p.doc_b)),
+           |m AS (SELECT (SELECT COUNT(*) FROM pairs) AS n_true_pairs,
+           |    (SELECT COUNT(*) FROM sh) AS n_simhash_pairs,
+           |    (SELECT n_hit FROM hit) AS n_hit)
+           |SELECT n_true_pairs, n_simhash_pairs, n_hit,
+           |  CASE WHEN n_true_pairs > 0 THEN
+           |    round(CAST(n_hit AS DOUBLE) / n_true_pairs, 6)
+           |  ELSE 1.0 END AS recall,
+           |  CASE WHEN n_simhash_pairs > 0 THEN
+           |    round(CAST(n_hit AS DOUBLE) / n_simhash_pairs, 6)
+           |  ELSE 1.0 END AS precision
+           |FROM m""".stripMargin
       }
     ),
 

@@ -66,7 +66,7 @@ object SharedCaches {
   val consumers: Map[String, Set[String]] = Map(
     Minhash -> Set("q_doc_dedup", "q_doc_similar", "q_dedup_recall",
       "q_dedup_tau_sweep", "q_dedup_clusters", "q_dedup_keep_best",
-      "q_cluster_size_hist",
+      "q_cluster_size_hist", "q_simhash_recall",
       "q_pagerank", "q_split_leakage", "q_split_cluster_aware"),
     MinhashBatch -> Set("q_dedup_incremental"),
     ContainBatch -> Set("q_containment_incremental"),

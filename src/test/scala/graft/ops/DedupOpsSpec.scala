@@ -158,4 +158,37 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(star == prop)
   }
+
+  test("q_simhash_recall: planted exact-duplicate pairs score 1.0/1.0 " +
+    "(identical text -> identical fingerprint AND verified pair)") {
+    val d = java.nio.file.Files.createTempDirectory("shrecall").toString
+    def doc(seed: Int) = (1 to 24).map { j =>
+      // md5-derived tokens: docs of different seeds share no substrings
+      // beyond hex-chance, so cross-seed Jaccard sits far below the
+      // verify threshold and fingerprints differ (deterministic pin)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 10)
+    }.mkString(" ")
+    // 3 exact-dup pairs + 4 distinct singletons (distinct content ->
+    // distinct 32-bit majorities on this corpus; deterministic, so the
+    // expectation is a stable pin, not a statistical hope)
+    val docs = (0 until 3).flatMap(p =>
+      Seq((p * 2 + 1L, doc(p)), (p * 2 + 2L, doc(p)))) ++
+      (10 until 14).map(i => (i.toLong, doc(i)))
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val r = graft.Registry.queryMap("q_simhash_recall")(spark, d)
+      .as[(Long, Long, Long, Double, Double)].collect()(0)
+    assert(r == ((3L, 3L, 3L, 1.0, 1.0)), s"got $r")
+  }
+
+  test("q_simhash_recall: identities hold on real testdata (hits bounded " +
+    "by both pair sets, ratios consistent)") {
+    val r = graft.Registry.queryMap("q_simhash_recall")(
+      spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double, Double)].collect()(0)
+    assert(r._3 <= r._1 && r._3 <= r._2)
+    assert(r._4 == math.round(r._3.toDouble / r._1 * 1e6) / 1e6)
+    assert(r._5 == math.round(r._3.toDouble / r._2 * 1e6) / 1e6)
+  }
 }
