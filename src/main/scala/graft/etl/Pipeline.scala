@@ -434,7 +434,8 @@ object Pipeline {
         Layout.writeShardMajor(perm, path, a.shardFiles)
         spark.read.parquet(path).count()
       }
-      val msg = s"path=$path rows=$n files=${a.shardFiles} shards=16"
+      val msg = s"path=$path rows=$n files=${a.shardFiles} " +
+        s"shards=${graft.ops.SampleQueries.NumShards}"
       log.info(t, "artifact shuffle_shard", msg)
       Report.ArtifactResult(t, "shuffle_shard", msg, 0L, 0L, secs)
     }
@@ -458,7 +459,8 @@ object Pipeline {
       }
       val msg = s"path=$path sequences=$nSeq " +
         s"budget=${graft.ops.PackingQueries.ArtifactBudget} " +
-        f"pad_frac=$padFrac%.4f files=${a.shardFiles} shards=16"
+        f"pad_frac=$padFrac%.4f files=${a.shardFiles} " +
+        s"shards=${graft.ops.SampleQueries.NumShards}"
       log.info(t, "artifact packed_sequences", msg)
       // nothing is capped/skipped in a packed build — the sequence
       // count lives in msg, NOT in the skipped-rows contract field

@@ -88,10 +88,26 @@ object StagingWriter {
       // BULK INSERT format: unquoted fields, dialect timestamp format,
       // nulls as the dialect token (concat_ws drops nulls, so coalesce
       // FIRST or field counts would collapse per row).
+      //
+      // No-quote contract: BULK INSERT's FIELDTERMINATOR parse has no
+      // quoting or escaping, so a string FIELD containing the
+      // terminator or a row break is unrepresentable — there is no
+      // escape to emit. Such a row must fail the stage LOUDLY (a
+      // per-row codegen'd raise_error, no extra pass), not ship a file
+      // the loader would silently mis-column (r12 advice).
       val fields = canon.schema.fields.map { f =>
         val rendered = f.dataType match {
           case org.apache.spark.sql.types.TimestampType =>
             date_format(col(f.name), dialect.timestampFormat)
+          case StringType =>
+            val c = col(f.name)
+            when(c.contains(dialect.delimiter) || c.contains("\n") ||
+                 c.contains("\r"),
+              raise_error(concat(lit(s"writeCsv[${dialect.name}]: field " +
+                s"'${f.name}' contains the '${dialect.delimiter}' " +
+                "terminator or a newline — unrepresentable under the " +
+                "no-quote BULK INSERT contract: "), c)))
+              .otherwise(c)
           case _ => col(f.name).cast(StringType)
         }
         coalesce(rendered, lit(dialect.nullToken))

@@ -765,6 +765,10 @@ object GovernanceQueries {
           .withColumn("text", when(col("doc_id") % 10 === 0,
             concat(col("text"), lit(" v2"))).otherwise(col("text")))
           .unionAll(v1.filter(col("doc_id") % 23 === 0)
+            // clone-id offset: valid while real doc_ids stay < 1e9 (the
+            // testdata generator's ids are dense from 0 — sf0.1 is ~6e4;
+            // the SYNTHETIC-v2 instance only. corpusDiff itself is
+            // id-agnostic; real version pairs never take this path).
             .withColumn("doc_id", col("doc_id") + 1000000000L)
             .withColumn("text", concat(col("text"), lit(" new"))))
         corpusDiff(v1, v2)

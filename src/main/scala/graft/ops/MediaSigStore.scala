@@ -112,12 +112,25 @@ object MediaSigStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sigs.write.insertInto(sT)
-      // bsz counted WITHIN the batch — a lower bound on the true bucket
-      // size, erring toward KEEPING buckets until [[refreshBucketSizes]]
-      // (the BandIndex append staleness contract, inequality safe-side).
+      // bsz for appended rows = standing bucket count + batch count —
+      // the bucket's TRUE size at insert time, so a bucket crossing
+      // HotBucketCap through appends is capped for every row it gains
+      // from this point on (r12 advice: a per-batch-only count let
+      // build-vintage rows be filtered while fresh appends were kept,
+      // expanding a partial bucket). Standing rows keep their
+      // build-vintage bsz until [[refreshBucketSizes]] — the remaining
+      // staleness errs toward keeping OLD postings, never toward
+      // growing an over-cap bucket.
+      val standing = spark.table(bT).groupBy("bk")
+        .agg(count(lit(1)).as("standing_n"))
       val wb = org.apache.spark.sql.expressions.Window.partitionBy("bk")
       bandRows(sigs)
-        .withColumn("bsz", count(lit(1)).over(wb))
+        .withColumn("batch_n", count(lit(1)).over(wb))
+        .join(standing, Seq("bk"), "left")
+        .withColumn("bsz",
+          col("batch_n") + coalesce(col("standing_n"), lit(0L)))
+        // explicit order: insertInto is positional (table is bk,doc_id,bsz)
+        .select(col("bk"), col("doc_id"), col("bsz"))
         .write.insertInto(bT)
     } finally sigs.unpersist()
   }

@@ -83,19 +83,25 @@ class MediaCapSpec extends SparkSpec {
       "default cap must be inert at test scale")
   }
 
-  test("append keeps bsz a safe (lower-bound) population; refresh exacts it") {
+  test("append stamps insert-time-exact bsz; refresh exacts all rows") {
     val tag = "graft_test_mediacap_refresh_" + System.nanoTime()
     build(tag)
-    // append 2 more hot-class members: their batch-local bsz is 2 (a
-    // lower bound), standing rows keep 40 — the cap errs toward keeping
+    // append 2 more hot-class members: appended rows carry bsz =
+    // standing + batch (42 — the bucket's TRUE size at insert time, so
+    // cap crossings through appends bind immediately for new postings);
+    // standing rows keep their build-vintage 40 until refresh — the
+    // residual staleness errs toward keeping OLD rows only (r12 advice).
     MediaSigStore.append(spark,
       Seq(97L * 62 + 2, 97L * 63 + 2).toDF("doc_id"), tag,
       ImageDedup.dhashSigs)
     spark.catalog.refreshTable(s"${tag}_mband")
     val sizes = spark.table(s"${tag}_mband")
-      .groupBy("bk").agg(max("bsz").as("mx"), count(lit(1)).as("n"))
-    assert(sizes.filter(col("mx") < col("n")).count() > 0,
-      "append must leave stale lower-bound bsz (that is the contract)")
+      .groupBy("bk").agg(max("bsz").as("mx"), min("bsz").as("mn"),
+        count(lit(1)).as("n"))
+    assert(sizes.filter(col("mx") =!= col("n")).count() == 0,
+      "appended rows must carry the exact insert-time population")
+    assert(sizes.filter(col("mn") < col("n")).count() > 0,
+      "standing rows keep build-vintage bsz until refresh (the contract)")
     MediaSigStore.refreshBucketSizes(spark, tag)
     spark.catalog.refreshTable(s"${tag}_mband")
     val after = spark.table(s"${tag}_mband")
