@@ -92,6 +92,14 @@ object Pipeline {
     *     input a trainer streams. Report row carries sequence count +
     *     measured padding fraction of the WRITTEN files (which must
     *     match q_packing_waste's packed column at this budget).
+    *   - `bpeTables`: stored learned tokenizer ([[graft.ops.BpeStore]],
+    *     the eighth family; table must carry text): the merge table +
+    *     (word → segmentation) map written once at pipeline time so
+    *     every downstream encode pass — the declared q_bpe_* queries,
+    *     the streaming face, a trainer's corpus tokenization — reads
+    *     the learned artifact instead of replaying the merge loop.
+    *     Report row carries merge count, vocabulary size, buckets, and
+    *     the corpus-weighted compression the table achieves.
     *   - `zOrder`: table -> (c1, c2) two-dimensional Z-order layout
     *     written alongside the row table ([[Layout.writeZOrdered]]).
     *   - `compact`: table -> sort key small-files compaction
@@ -110,6 +118,7 @@ object Pipeline {
       imageSigTables: Seq[String] = Nil, // stored image dHash signatures
       audioSigTables: Seq[String] = Nil, // stored audio level signatures
       videoSigTables: Seq[String] = Nil, // stored video folded-dHash sigs
+      bpeTables: Seq[String] = Nil, // stored learned tokenizer (BpeStore)
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       buildPqStore: Boolean = false, // stored PQ codes over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
@@ -125,6 +134,7 @@ object Pipeline {
         scrubTables.isEmpty && manifestTables.isEmpty &&
         imageSigTables.isEmpty &&
         audioSigTables.isEmpty && videoSigTables.isEmpty &&
+        bpeTables.isEmpty &&
         !buildIvfIndex && !buildPqStore &&
         zOrder.isEmpty && compact.isEmpty
   }
@@ -426,6 +436,26 @@ object Pipeline {
       "audio_sig_store", graft.ops.AudioDedup.levelSigs)
     val vidSigs = mediaSig(a.videoSigTables, graft.ops.MediaSigStore.videoTag,
       "video_sig_store", graft.ops.VideoDedup.videoSigs)
+    val bpes = a.bpeTables.map { t =>
+      val tag = graft.ops.BpeStore.tag(outDir)
+      val ((nMerges, nWords, comp), secs) = timed {
+        val (merges, segs) = graft.ops.BpeStore.buildOrLoad(spark,
+          spark.read.parquet(s"$outDir/$t.parquet"), tag, log)
+        val F = org.apache.spark.sql.functions
+        val st = segs.agg(
+          F.count(F.lit(1)),
+          F.sum(F.col("cnt") * F.length(F.col("word"))),
+          F.sum(F.col("cnt") * F.size(F.col("syms")))).head()
+        val cx = if (st.isNullAt(2) || st.getLong(2) == 0L) 0.0
+          else st.getLong(1).toDouble / st.getLong(2)
+        (merges.count(), st.getLong(0), cx)
+      }
+      val msg = s"tag=$tag merges=$nMerges vocab_words=$nWords " +
+        s"buckets=${graft.ops.BpeStore.buckets(spark, tag)} " +
+        f"compression_x=$comp%.4f"
+      log.info(t, "artifact bpe_store", msg)
+      Report.ArtifactResult(t, "bpe_store", msg, 0L, 0L, secs)
+    }
     val shards = a.shuffleShardTables.map { t =>
       val path = s"$outDir/${t}_shards.parquet"
       val (n, secs) = timed {
@@ -468,7 +498,8 @@ object Pipeline {
     }
     band ++ spans ++ charSpans ++ chunks ++ contain ++ scrubs ++
       manifests ++
-      imgSigs ++ audSigs ++ vidSigs ++ shards ++ packs ++ ivf ++ pq ++ zs ++ cps
+      imgSigs ++ audSigs ++ vidSigs ++ bpes ++ shards ++ packs ++
+      ivf ++ pq ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

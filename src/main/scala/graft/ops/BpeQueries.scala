@@ -40,45 +40,47 @@ object BpeQueries {
 
   /** Merge rounds learned. 10 keeps the unrolled oracle tractable;
     * production vocabularies run the same loop 30k–50k times at the
-    * same per-round cost.
+    * same per-round cost. Embedded in [[BpeStore.tag]] so a budget
+    * change rebuilds the stored artifact.
     */
-  private val NumMerges = 10
+  private[ops] val NumMerges = 10
 
-  /** (word, cnt, syms) initial state: normalized-token frequencies,
-    * each word split into single-character symbols. The explicit
-    * substring formulation (not split-on-empty) is mirrored verbatim
-    * by the oracle.
+  /** (word, cnt, syms) initial state over an arbitrary documents
+    * relation: normalized-token frequencies, each word split into
+    * single-character symbols. The explicit substring formulation (not
+    * split-on-empty) is mirrored verbatim by the oracle. Shared by the
+    * learn path, [[BpeStore]]'s build, and the append face's
+    * batch-vocabulary derivation.
     */
-  private def vocab0(s: SparkSession, dir: String): DataFrame =
-    Tables.par(s, dir, "documents")
+  private[ops] def vocabOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(TextFunctions.tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
 
-  /** One merge round: (best pair via 1-row fetch, next vocab state) —
-    * None when no adjacent pair remains (every word fully merged; the
-    * oracle's empty-b{r} stage contributes no output row either, so
-    * stopping here keeps the two sides identical).
+  private def vocab0(s: SparkSession, dir: String): DataFrame =
+    vocabOf(Tables.par(s, dir, "documents"))
+
+  /** Symbol-position explosion of a vocabulary state — the shared
+    * prefix of the argmax scan and the merge application.
     */
-  private def mergeRound(v: DataFrame)
-      : Option[((String, String, Long), DataFrame)] = {
-    import org.apache.spark.sql.expressions.Window
-    val e = v.select(col("word"), col("cnt"), col("syms"),
+  private def explodeSyms(v: DataFrame): DataFrame =
+    v.select(col("word"), col("cnt"), col("syms"),
         posexplode(col("syms")).as(Seq("i0", "s")))
       .withColumn("i", (col("i0") + 1).cast("int"))
-    val bestRows = e.filter(col("i") < size(col("syms")))
-      .select(col("s").as("lhs"),
-        element_at(col("syms"), col("i") + 1).as("rhs"), col("cnt"))
-      .groupBy("lhs", "rhs").agg(sum(col("cnt")).as("total"))
-      .orderBy(col("total").desc, col("lhs").asc, col("rhs").asc)
-      .limit(1).collect()
-    if (bestRows.isEmpty) return None
-    val best = bestRows(0)
-    val (l, r, tot) = (best.getString(0), best.getString(1), best.getLong(2))
-    // positional greedy-non-overlap: runs of consecutive matches, merge
-    // at odd run offsets; position i+1 after a merge is consumed
+
+  /** Apply ONE merge (l, r) to an exploded vocabulary state, greedy
+    * non-overlapping: mark matching positions, group CONSECUTIVE
+    * matches into runs, merge at odd run-offsets only (position i+1
+    * after a merge is consumed) — left-to-right greedy semantics in
+    * window functions both engines share. ONE definition for the learn
+    * loop and [[applyMerges]] (the encode-against-standing-merges path)
+    * — the two replays cannot drift.
+    */
+  private def applyMerge(e: DataFrame, l: String, r: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val m = e.withColumn("mt",
       (col("i") < size(col("syms"))) && col("s") === lit(l) &&
         (element_at(col("syms"), col("i") + 1) === lit(r)))
@@ -92,7 +94,7 @@ object BpeQueries {
       .select(col("word"), col("i").as("mi"))
     val maA = mergeAt.select(col("word").as("aw"), col("mi").as("ai"))
     val maP = mergeAt.select(col("word").as("pw"), col("mi").as("pi"))
-    val next = m
+    m
       .join(maA, col("word") === col("aw") && col("i") === col("ai"), "left")
       .join(maP, col("word") === col("pw") && col("i") === col("pi") + 1,
         "left")
@@ -102,7 +104,52 @@ object BpeQueries {
       .groupBy("word", "cnt")
       .agg(transform(array_sort(collect_list(struct(col("i"), col("ns")))),
         x => x.getField("ns")).as("syms"))
-    Some(((l, r, tot), next))
+  }
+
+  /** One merge round: (best pair via 1-row fetch, next vocab state) —
+    * None when no adjacent pair remains (every word fully merged; the
+    * oracle's empty-b{r} stage contributes no output row either, so
+    * stopping here keeps the two sides identical).
+    */
+  private def mergeRound(v: DataFrame)
+      : Option[((String, String, Long), DataFrame)] = {
+    val e = explodeSyms(v)
+    val bestRows = e.filter(col("i") < size(col("syms")))
+      .select(col("s").as("lhs"),
+        element_at(col("syms"), col("i") + 1).as("rhs"), col("cnt"))
+      .groupBy("lhs", "rhs").agg(sum(col("cnt")).as("total"))
+      .orderBy(col("total").desc, col("lhs").asc, col("rhs").asc)
+      .limit(1).collect()
+    if (bestRows.isEmpty) return None
+    val best = bestRows(0)
+    val (l, r, tot) = (best.getString(0), best.getString(1), best.getLong(2))
+    Some(((l, r, tot), applyMerge(e, l, r)))
+  }
+
+  /** ENCODE an arbitrary vocabulary state against an already-learned
+    * merge list, in rank order — the tokenizer's apply pass for words
+    * the learn loop never saw ([[BpeStore.append]]'s body and the
+    * differential-spec reference). No argmax anywhere: the merges are
+    * given, so each round is one window-parity application at the
+    * batch's vocabulary grain. Same per-round checkpoint discipline as
+    * [[learnAndApply]] (each round's state replaces the previous; the
+    * superseded round's blocks are freed immediately).
+    */
+  private[ops] def applyMerges(v0: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var v = v0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ok = false
+    try {
+      for ((l, r) <- merges) {
+        val nv = GraftSqlBridge.freshLocalCheckpoint(applyMerge(explodeSyms(v), l, r))
+        v.unpersist()
+        Checkpoints.free(v)
+        v = nv
+      }
+      ok = true
+    } finally if (!ok) { v.unpersist(); Checkpoints.free(v) }
+    v
   }
 
   /** Run the merge loop to `numMerges` rounds, returning the learned
@@ -118,9 +165,24 @@ object BpeQueries {
   private[graft] def learnAndApply(s: SparkSession, dir: String,
       numMerges: Int = NumMerges,
       onRound: (Int, Double, DataFrame) => Unit = null)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    learnAndApplyVocab(vocab0(s, dir), numMerges, onRound)
+
+  /** [[learnAndApply]] over an arbitrary documents relation — the
+    * [[BpeStore]] build entry point (the store is corpus-agnostic like
+    * BandIndex/MediaSigStore; the declared queries feed it the testdata
+    * corpus, the pipeline feeds it written staging tables).
+    */
+  private[ops] def learnAndApplyDocs(docs: DataFrame)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    learnAndApplyVocab(vocabOf(docs), NumMerges, null)
+
+  private def learnAndApplyVocab(v0: DataFrame,
+      numMerges: Int,
+      onRound: (Int, Double, DataFrame) => Unit)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
-    var v = vocab0(s, dir)
+    var v = v0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rank = 1
     var done = false
@@ -158,30 +220,42 @@ object BpeQueries {
     (merges.toSeq, v)
   }
 
-  /** Learned state memo — [[DedupQueries.minhashComponents]]' pattern
-    * at the BPE family: the 10-round driver loop runs at CONSTRUCTION
-    * time, so a plan-level cache cannot dedup it between the two
-    * declared consumers (q_bpe_merges / q_bpe_encode each replayed the
-    * full loop before r10). Memoized per (session, dir); the final
-    * vocabulary state's checkpoint blocks are freed with the family's
-    * [[SharedCaches]] release — nothing reads the state after its
-    * release point, by the same contract as the CC label memo.
+  /** Corpus-scale encode pass against a segmentation map — ONE
+    * definition for q_bpe_tokenize and the streaming ingest face
+    * ([[graft.streaming.CorpusStream.bpeEncodeBatch]]): broadcast-hash
+    * join of the (word → |segmentation|) map against the token stream,
+    * per-doc integer sums, one IEEE division rounded 6dp. Stateless
+    * per doc given the FROZEN stored map, so stream union == batch
+    * exactly over any micro-batch split.
     */
-  private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String),
-      (Seq[(Int, String, String, Long)], DataFrame)]
+  private[graft] def docTokenCounts(docs: DataFrame,
+                                    segs: DataFrame): DataFrame = {
+    val seg = segs.select(col("word"), size(col("syms")).as("n_sub"))
+    docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(seg), col("w") === col("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(col("n_sub").cast("long")).as("n_bpe"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_bpe"), 6))
+  }
 
-  private def learnedState(s: SparkSession, dir: String)
-      : (Seq[(Int, String, String, Long)], DataFrame) =
-    bpeMemo.getOrElseUpdate((s, dir), {
-      val res = learnAndApply(s, dir)
-      SharedCaches.onRelease(SharedCaches.Bpe) { () =>
-        bpeMemo.remove((s, dir))
-        res._2.unpersist()
-        Checkpoints.free(res._2)
-      }
-      res
-    })
+  /** Stored-artifact state — the r13 replacement of the r10 session
+    * memo: the 10-round driver loop runs ONCE at [[BpeStore]] build
+    * time (first consumer pays, like every other stored family); every
+    * later consumer — the four declared queries, the streaming encode
+    * face, the pipeline — READS the merge table and the
+    * (word → segmentation) map as bucketed scans. No release hook
+    * needed: stored tables have no session-cache residency to manage.
+    */
+  private def storedState(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    BpeStore.buildOrLoad(s, Tables.par(s, dir, "documents"),
+      BpeStore.tag(dir))
 
   /** Oracle stage chain `v0 .. v{NumMerges}` (+ per-round argmax
     * relations `b{r}`) — shared by the learn and encode oracles so the
@@ -242,14 +316,10 @@ object BpeQueries {
         s"$NumMerges rounds as generated CTE stages — same windows, " +
         "same parity rule, same tiebreaks.",
       (s, dir) => {
-        // Single memoized merge driver shared with q_bpe_encode (r8
-        // advice: two copies of the loop could drift; r10: even one
-        // loop ran TWICE per pass — the memo runs it once, released
-        // with the Bpe family after the last consumer).
-        val (merges, _) = learnedState(s, dir)
-        import s.implicits._
-        merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
-          .orderBy("merge_rank")
+        // The stored merge table IS the result (r8 advice: one merge
+        // driver, no drift; r13: the driver loop moved to BpeStore's
+        // build — this query is a scan of the learned artifact).
+        storedState(s, dir)._1.orderBy("merge_rank")
       },
       Some {
         // Unrolled oracle: v0 then NumMerges generated stages (shared
@@ -281,28 +351,25 @@ object BpeQueries {
         "part is exactly this vocabulary-grain replay. Integer counts " +
         "only; the one ratio is a single IEEE division rounded 6dp.",
       (s, dir) => {
-        val (_, vFinal) = learnedState(s, dir)
-        locally {
-          val stats = vFinal.agg(
-            count(lit(1)).as("n_words"),
-            sum(col("cnt") * length(col("word"))).as("chars_total"),
-            sum(col("cnt") * size(col("syms"))).as("syms_total"))
-          val vs = vFinal.select(explode(col("syms")).as("sym"))
-            .agg(countDistinct(col("sym")).as("vocab_syms"))
-          stats.crossJoin(vs).selectExpr(
-            """stack(5,
-              |'n_words', CAST(n_words AS DOUBLE),
-              |'chars_total', CAST(chars_total AS DOUBLE),
-              |'syms_total', CAST(syms_total AS DOUBLE),
-              |'subword_vocab', CAST(vocab_syms AS DOUBLE),
-              |'compression_x', round(CAST(chars_total AS DOUBLE)/syms_total, 6)
-              |) AS (metric, value)""".stripMargin)
-            .orderBy("metric")
-            // the stack source is two 1-row aggregates — materialize
-            // so the result survives the memoized state's family
-            // release (which frees vFinal's checkpoint blocks)
-            .localCheckpoint()
-        }
+        // Steady state this is a SCAN of the stored segmentation map
+        // (the merge replay is paid once at BpeStore build — the
+        // PqStore discipline: codes are encoded at build, ADC scans).
+        val vFinal = storedState(s, dir)._2
+        val stats = vFinal.agg(
+          count(lit(1)).as("n_words"),
+          sum(col("cnt") * length(col("word"))).as("chars_total"),
+          sum(col("cnt") * size(col("syms"))).as("syms_total"))
+        val vs = vFinal.select(explode(col("syms")).as("sym"))
+          .agg(countDistinct(col("sym")).as("vocab_syms"))
+        stats.crossJoin(vs).selectExpr(
+          """stack(5,
+            |'n_words', CAST(n_words AS DOUBLE),
+            |'chars_total', CAST(chars_total AS DOUBLE),
+            |'syms_total', CAST(syms_total AS DOUBLE),
+            |'subword_vocab', CAST(vocab_syms AS DOUBLE),
+            |'compression_x', round(CAST(chars_total AS DOUBLE)/syms_total, 6)
+            |) AS (metric, value)""".stripMargin)
+          .orderBy("metric")
       },
       Some {
         s"""WITH $oracleStages,
@@ -338,25 +405,14 @@ object BpeQueries {
         "token-budget planning number). Integer counts; one IEEE " +
         "division rounded 6dp.",
       (s, dir) => {
-        val (_, vFinal) = learnedState(s, dir)
-        val seg = vFinal.select(col("word"), size(col("syms")).as("n_sub"))
-        Tables.par(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(TextFunctions.tokens(col("text"))).as("w"))
-          .filter(col("w") =!= "")
-          .join(broadcast(seg), col("w") === col("word"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_words"),
-            sum(length(col("w"))).as("n_chars"),
-            sum(col("n_sub").cast("long")).as("n_bpe"))
-          .withColumn("compression",
-            round(col("n_chars").cast("double") / col("n_bpe"), 6))
+        // The 100 TB encode shape, now reading the STORED map: the
+        // vocabulary-grain replay was paid at BpeStore build; this is
+        // a broadcast-hash join of a bucketed scan against the corpus
+        // token stream + per-doc sum (docTokenCounts — one definition
+        // with the streaming ingest face).
+        docTokenCounts(Tables.par(s, dir, "documents"),
+          storedState(s, dir)._2)
           .orderBy("doc_id")
-          // self-contained result (same contract as q_bpe_encode): the
-          // memoized vocabulary state's checkpoint blocks are freed at
-          // the Bpe family's release point, so a later re-execution
-          // must not reach back through this plan into them
-          .localCheckpoint()
       },
       Some {
         s"""WITH $oracleStages,
@@ -387,8 +443,8 @@ object BpeQueries {
         "agg) at language grain — the fairness report a multilingual " +
         "training run reads before fixing the merge budget.",
       (s, dir) => {
-        val (_, vFinal) = learnedState(s, dir)
-        val seg = vFinal.select(col("word"), size(col("syms")).as("n_sub"))
+        val seg = storedState(s, dir)._2
+          .select(col("word"), size(col("syms")).as("n_sub"))
         Tables.par(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             explode(TextFunctions.tokens(col("text"))).as("w"))
@@ -404,9 +460,6 @@ object BpeQueries {
           .withColumn("chars_per_token",
             round(col("n_chars").cast("double") / col("n_bpe"), 6))
           .orderBy("lang")
-          // self-contained result past the Bpe family release (same
-          // contract as q_bpe_encode/q_bpe_tokenize)
-          .localCheckpoint()
       },
       Some {
         s"""WITH $oracleStages,

@@ -52,11 +52,9 @@ object SharedCaches {
     * into the filter, and verify-joined — three readers). */
   val BloomBench = "bloom_bench"
 
-  /** BPE learned state: the merge table + final vocabulary from the
-    * shared driver loop, memoized so the two declared consumers run the
-    * 10-round loop once per session (BpeQueries.learnedState). */
-  val Bpe = "bpe"
-
+  // (the former Bpe memo family moved to a STORED artifact in r13 —
+  // BpeStore, the eighth family: stored tables have no session-cache
+  // residency, so no release bookkeeping remains here)
 
   /** Declared-query consumers per family — the release point for a full
     * run is the LAST of these present in the run (sorted execution
@@ -78,9 +76,7 @@ object SharedCaches {
       "q_ann_recall",
       "q_ann_mrr", "q_kmeans_refine",
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
-    BloomBench -> Set("q_contamination_bloom"),
-    Bpe -> Set("q_bpe_encode", "q_bpe_fertility", "q_bpe_merges",
-      "q_bpe_tokenize")
+    BloomBench -> Set("q_contamination_bloom")
   )
 
   private val refs =

@@ -165,6 +165,20 @@ object CorpusStream {
   def manifestBatch(batch: DataFrame): DataFrame =
     graft.ops.GovernanceQueries.manifestPartial(batch)
 
+  /** Ingest-time BPE encoding — the streaming face of `q_bpe_tokenize`
+    * ([[graft.ops.BpeQueries.docTokenCounts]]; one definition, no
+    * drift): each arriving doc's word/char/BPE-token counts against the
+    * FROZEN stored segmentation map (`segs` = the [[graft.ops.BpeStore]]
+    * `_bpesegs` table — the broadcast side of the 100 TB encode join).
+    * Stateless per doc given the frozen map, so stream union == batch
+    * EXACTLY over any micro-batch split (differential-tested in
+    * CorpusStreamSpec). Words outside the map are new vocabulary — the
+    * ingest pipeline routes those through [[graft.ops.BpeStore.append]]
+    * (encode-against-standing-merges), after which they join here.
+    */
+  def bpeEncodeBatch(batch: DataFrame, segs: DataFrame): DataFrame =
+    graft.ops.BpeQueries.docTokenCounts(batch, segs)
+
   /** Batch-side build of the stored CHAR-winnow span artifact (the
     * [[graft.ops.SpanSet]] skeleton at character granularity, charspans
     * role) — returns the duplicated-fingerprint set for

@@ -80,6 +80,7 @@ class PipelineSpec extends SparkSpec {
         chunkStoreTables = Seq("docs"),
         containIndexTables = Seq("docs"),
         manifestTables = Seq("docs"),
+        bpeTables = Seq("docs"),
         buildIvfIndex = true,
         buildPqStore = true,
         zOrder = Map("evts" -> ("event_id", "k")),
@@ -88,9 +89,9 @@ class PipelineSpec extends SparkSpec {
 
     // every artifact produced a report row...
     assert(report.artifacts.map(_.kind).sorted ==
-      Seq("band_index", "char_span_set", "chunk_store", "compaction",
-        "contain_index", "ivf_index", "manifest", "pq_store", "span_set",
-        "zorder"))
+      Seq("band_index", "bpe_store", "char_span_set", "chunk_store",
+        "compaction", "contain_index", "ivf_index", "manifest",
+        "pq_store", "span_set", "zorder"))
     // the containment index built under the tag the streaming probe
     // derives, with its cap audit in the report row
     val containTag = graft.ops.ContainIndex.tag(dst, "cfull")
@@ -139,6 +140,25 @@ class PipelineSpec extends SparkSpec {
     val mRow = report.artifacts.find(_.kind == "manifest").get
     assert(mRow.detail.contains("docs=7") &&
       mRow.detail.contains("content_fp="), mRow.detail)
+    // ...and the stored tokenizer exists under the tag the query paths
+    // derive, its segmentation map covering EVERY distinct corpus word
+    // (the encode join can never drop a seen word), with the learned
+    // metrics in the report row
+    val bpeTag = graft.ops.BpeStore.tag(dst)
+    val segWords = spark.table(s"${bpeTag}_bpesegs")
+      .select("word").as[String].collect().toSet
+    val corpusWords = spark.read.parquet(s"$dst/docs.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("w"))
+      .filter(org.apache.spark.sql.functions.col("w") =!= "")
+      .distinct().as[String].collect().toSet
+    assert(segWords == corpusWords)
+    assert(spark.table(s"${bpeTag}_bpemerges").count() == 10)
+    val bRow = report.artifacts.find(_.kind == "bpe_store").get
+    assert(bRow.detail.contains("merges=10") &&
+      bRow.detail.contains(s"vocab_words=${corpusWords.size}"),
+      bRow.detail)
   }
 
   test("reflectTables discovers parquet tables (A2)") {

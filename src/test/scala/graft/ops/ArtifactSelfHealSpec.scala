@@ -120,4 +120,12 @@ class ArtifactSelfHealSpec extends SparkSpec {
       Seq(cb, codes)
     })
   }
+
+  test("BpeStore self-heals from either table missing") {
+    val tag = BandIndex.tag("/tmp/selfheal", "bpe")
+    heals(Seq(s"${tag}_bpemerges", s"${tag}_bpesegs"), () => {
+      val (m, sg) = BpeStore.buildOrLoad(spark, docs, tag)
+      Seq(m, sg)
+    })
+  }
 }

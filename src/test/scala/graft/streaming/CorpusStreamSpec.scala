@@ -356,4 +356,55 @@ class CorpusStreamSpec extends SparkSpec {
       assert(merged == direct, s"stream=$merged batch=$direct")
     } finally q.stop()
   }
+
+  test("bpeEncodeBatch: stream union == batch against the FROZEN stored " +
+    "segmentation map across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // learn + store the tokenizer on a standing corpus, then stream new
+    // docs of the SAME vocabulary through the encode face
+    val standing = Seq((1L, "ab ab ab abab cd")).toDF("doc_id", "text")
+    val tag = graft.ops.BandIndex.tag(
+      s"/tmp/bpestream_${System.nanoTime()}", "bpe")
+    val (_, segs) = graft.ops.BpeStore.buildOrLoad(spark, standing, tag)
+    val docs = Seq(
+      (10L, "ab abab ab"), (11L, "cd cd"), (12L, "abab abab abab"),
+      (13L, "ab cd abab"))
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Double)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-bpe").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.CorpusStream.bpeEncodeBatch(b, segs)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4)))
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      docs.grouped(2).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+      val streamed = sink.synchronized(sink.toSeq).sortBy(_._1)
+      val batch = graft.streaming.CorpusStream
+        .bpeEncodeBatch(docs.toDF("doc_id", "text"), segs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .toSeq.sortBy(_._1)
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // spot-pin: "abab" segments to ONE symbol under the learned
+      // merges ((a,b) then (ab,ab)), so doc 12 (3 x abab) counts
+      // 3 words / 12 chars / 3 BPE tokens
+      val d12 = streamed.find(_._1 == 12L).get
+      assert((d12._2, d12._3, d12._4) == ((3L, 12L, 3L)), d12)
+    } finally q.stop()
+  }
 }
