@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * (band index, span sets, chunk store, IVF index, now PQ): the
   * sub-codebooks and the encoded corpus that `q_embedding_pq` scores
   * by asymmetric distance, materialized as tables instead of re-derived
-  * per run. At 100 TB the codes table IS the point: 32× smaller than
-  * the raw vectors, it is what stays resident for the ADC scan while
-  * full-precision vectors are touched only by the final re-rank.
+  * per run. At 100 TB the codes table IS the point: M·log2(k) bits +
+  * a 4 B norm per vector against 4·Dim bytes of float32 (21× at the
+  * r13 default M=8, k=256, Dim=64), it is what stays resident for the
+  * ADC scan while full-precision vectors are touched only by the
+  * final re-rank.
   *
   * Two tables per corpus snapshot:
   *
@@ -36,10 +38,13 @@ import org.apache.spark.sql.functions._
   */
 object PqStore {
 
-  /** Geometry-embedding tag (the IvfIndex convention). */
-  def tag(dir: String): String =
-    BandIndex.tag(dir,
-      s"pq${SimilarityQueries.PqM}x${SimilarityQueries.PqK}")
+  /** Geometry-embedding tag (the IvfIndex convention). `k` is the
+    * per-subspace codebook size — the r13 sweep builds a second store
+    * at the published k=256 point beside the default, and the tag
+    * keeps the two geometries from ever reading each other's codes.
+    */
+  def tag(dir: String, k: Int = SimilarityQueries.PqK): String =
+    BandIndex.tag(dir, s"pq${SimilarityQueries.PqM}x$k")
 
   private def cbT(tag: String) = s"${tag}_pqcodebook"
   private def codesT(tag: String) = s"${tag}_pqcodes"
@@ -54,9 +59,10 @@ object PqStore {
     */
   def buildOrLoad(spark: SparkSession, dir: String,
                   log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
-                  targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
+                  targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket,
+                  k: Int = SimilarityQueries.PqK
                  ): (DataFrame, DataFrame) = {
-    val t = tag(dir)
+    val t = tag(dir, k)
     val (bT, cT) = (cbT(t), codesT(t))
     // both-tables gate (MediaSigStore convention, backported r12): any
     // partial state — crash between writes or an external drop of either
@@ -68,7 +74,7 @@ object PqStore {
       val buckets = BandIndex.derivedBuckets(
         graft.Tables.t(spark, dir, "embeddings").count(), targetRowsPerBucket)
       val n = SimilarityQueries.normalizedCorpus(spark, dir)
-      val cb = SimilarityQueries.buildPqCodebook(n)
+      val cb = SimilarityQueries.buildPqCodebook(n, k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         cb.write.mode(SaveMode.Overwrite).saveAsTable(bT)
@@ -81,9 +87,9 @@ object PqStore {
       // a subspace collapsing onto few codes wastes its bits and
       // deserves a loud line (the hot-bucket convention inverted).
       val (nVec, worstUsed) = codeStats(spark, t)
-      val msg = s"m=${SimilarityQueries.PqM} k=${SimilarityQueries.PqK} " +
+      val msg = s"m=${SimilarityQueries.PqM} k=$k " +
         s"vectors=$nVec worst_subspace_codes_used=$worstUsed"
-      if (worstUsed * 2 < SimilarityQueries.PqK)
+      if (worstUsed * 2 < k)
         log.warn(cT, "pq_store_build", msg)
       else log.info(cT, "pq_store_build", msg)
     }
@@ -119,11 +125,12 @@ object PqStore {
     * the only honest PQ "refresh" (codes are lossy; see class doc).
     */
   def rebuild(spark: SparkSession, dir: String,
-              log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent
+              log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
+              k: Int = SimilarityQueries.PqK
              ): (DataFrame, DataFrame) = {
-    val t = tag(dir)
+    val t = tag(dir, k)
     Seq(cbT(t), codesT(t)).foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS $x"))
-    buildOrLoad(spark, dir, log)
+    buildOrLoad(spark, dir, log, k = k)
   }
 }

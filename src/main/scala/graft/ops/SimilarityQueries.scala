@@ -90,14 +90,26 @@ object SimilarityQueries {
 
   /** Product-quantization geometry: [[PqM]] subspaces of [[PqDsub]]
     * dims, [[PqK]] codes per sub-codebook — codes cost
-    * M·log2(k)/8 = 4 bytes/vector (+4 for the stored norm) against
-    * 256 bytes of float32: 32×. 16 codes keeps the seed pass and the
-    * oracle replay small; production PQ uses k=256 (1 byte/code), same
-    * plan shape.
+    * M·log2(k)/8 bytes/vector (+4 for the stored norm) against
+    * 4·Dim bytes of float32. k widened 16 → 256 in r13 on
+    * q_pq_codebook_sweep's OWN measurement (re-ranked recall@5 0.56 →
+    * 0.91 at sf0.01 for 8 → 12 B/vec — the published Jégou et al. 2011
+    * operating point dominates); the sweep keeps both points priced
+    * side by side.
     */
   private[ops] val PqM = 8
-  private[ops] val PqK = 16
+  private[ops] val PqK = 256
   private val PqDsub = Dim / PqM
+
+  /** Bits per code — exact log2 of [[PqK]] (powers of two only). */
+  private val PqBits = Integer.numberOfTrailingZeros(PqK)
+
+  /** Codebook sizes the r13 sweep prices side by side: the former
+    * default k=16 (4-bit codes) and the published k=256 operating
+    * point (8-bit codes — Jégou et al. 2011), now the default. Powers
+    * of two only (the bytes-per-vector geometry uses exact log2).
+    */
+  private val PqSweepKs = Seq(16, 256)
 
   /** slice of column `v` for the subspace in column `sub` (0-based). */
   private[ops] def pqSliceSub(v: String): org.apache.spark.sql.Column =
@@ -118,14 +130,15 @@ object SimilarityQueries {
     * One definition shared by the declared query, the stored artifact
     * ([[PqStore]]) and its maintenance — no drift.
     */
-  private[ops] def buildPqCodebook(n: DataFrame): DataFrame = {
+  private[ops] def buildPqCodebook(n: DataFrame,
+                                   k: Int = PqK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val s = n.sparkSession
-    // 16-row window: the single-partition WindowExec is on a LIMIT-16
+    // k-row window: the single-partition WindowExec is on a LIMIT-k
     // relation, not the corpus
     val seeds = n.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(PqK)
+      .limit(k)
       .withColumn("code", row_number().over(Window.orderBy(
         md5(col("vec_id").cast("string")), col("vec_id"))))
       .select(col("code"), col("v"))
@@ -184,8 +197,9 @@ object SimilarityQueries {
     * reorders ranks. Shared by q_embedding_pq and q_pq_rerank — one
     * definition, and its oracle twin is [[pqCtes]]' `pscored`.
     */
-  private def pqAdcScored(s: SparkSession, dir: String): DataFrame = {
-    val (cb, codes) = PqStore.buildOrLoad(s, dir)
+  private def pqAdcScored(s: SparkSession, dir: String,
+                          k: Int = PqK): DataFrame = {
+    val (cb, codes) = PqStore.buildOrLoad(s, dir, k = k)
     val enc = codes.select(col("vec_id"), col("nrm"),
       posexplode(col("codes")).as(Seq("sub", "code")))
     val q = pqQueries(s, dir)
@@ -295,49 +309,51 @@ object SimilarityQueries {
     * encode, same decimal-summed lookup-table scores. Shared by
     * q_embedding_pq and q_pq_rerank so the two oracles cannot drift.
     */
-  private lazy val pqCtes: String = {
+  private def pqCtesFor(k: Int, x: String): String = {
     val ds = PqDsub
-    s"""subs AS (SELECT unnest(range(0, $PqM)) AS sub),
-       |pseeds AS (SELECT v, ROW_NUMBER() OVER (
+    s"""subs$x AS (SELECT unnest(range(0, $PqM)) AS sub),
+       |pseeds$x AS (SELECT v, ROW_NUMBER() OVER (
        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code
        |  FROM (SELECT vec_id, v FROM n
-       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
-       |pseedsub AS (SELECT sub, code,
-       |    v[sub*$ds+1 : sub*$ds+$ds] AS cv FROM pseeds, subs),
-       |psv AS (SELECT vec_id, sub, v[sub*$ds+1 : sub*$ds+$ds] AS sv
-       |  FROM n, subs),
-       |pa0 AS (SELECT vec_id, sub, code, sv FROM (
-       |  SELECT psv.vec_id, psv.sub, c.code, psv.sv,
-       |    ROW_NUMBER() OVER (PARTITION BY psv.vec_id, psv.sub
-       |      ORDER BY list_dot_product(psv.sv, psv.sv)
-       |        - 2.0*list_dot_product(psv.sv, c.cv)
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)),
+       |pseedsub$x AS (SELECT sub, code,
+       |    v[sub*$ds+1 : sub*$ds+$ds] AS cv FROM pseeds$x, subs$x),
+       |psv$x AS (SELECT vec_id, sub, v[sub*$ds+1 : sub*$ds+$ds] AS sv
+       |  FROM n, subs$x),
+       |pa0$x AS (SELECT vec_id, sub, code, sv FROM (
+       |  SELECT psv$x.vec_id, psv$x.sub, c.code, psv$x.sv,
+       |    ROW_NUMBER() OVER (PARTITION BY psv$x.vec_id, psv$x.sub
+       |      ORDER BY list_dot_product(psv$x.sv, psv$x.sv)
+       |        - 2.0*list_dot_product(psv$x.sv, c.cv)
        |        + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
-       |  FROM psv JOIN pseedsub c USING (sub)) WHERE rn = 1),
-       |pcm AS (SELECT sub, code, i AS pos,
+       |  FROM psv$x JOIN pseedsub$x c USING (sub)) WHERE rn = 1),
+       |pcm$x AS (SELECT sub, code, i AS pos,
        |    CAST(sum(CAST(sv[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
-       |  FROM pa0, (SELECT unnest(range(1, ${ds + 1})) AS i)
+       |  FROM pa0$x, (SELECT unnest(range(1, ${ds + 1})) AS i)
        |  GROUP BY sub, code, i),
-       |pcb AS (SELECT sub, code, list(m ORDER BY pos) AS cv
-       |  FROM pcm GROUP BY sub, code),
-       |penc AS (SELECT vec_id, sub, code FROM (
-       |  SELECT psv.vec_id, psv.sub, c.code,
-       |    ROW_NUMBER() OVER (PARTITION BY psv.vec_id, psv.sub
-       |      ORDER BY list_dot_product(psv.sv, psv.sv)
-       |        - 2.0*list_dot_product(psv.sv, c.cv)
+       |pcb$x AS (SELECT sub, code, list(m ORDER BY pos) AS cv
+       |  FROM pcm$x GROUP BY sub, code),
+       |penc$x AS (SELECT vec_id, sub, code FROM (
+       |  SELECT psv$x.vec_id, psv$x.sub, c.code,
+       |    ROW_NUMBER() OVER (PARTITION BY psv$x.vec_id, psv$x.sub
+       |      ORDER BY list_dot_product(psv$x.sv, psv$x.sv)
+       |        - 2.0*list_dot_product(psv$x.sv, c.cv)
        |        + list_dot_product(c.cv, c.cv) ASC, c.code ASC) AS rn
-       |  FROM psv JOIN pcb c USING (sub)) WHERE rn = 1),
-       |plt AS (SELECT query_id, sub, code,
+       |  FROM psv$x JOIN pcb$x c USING (sub)) WHERE rn = 1),
+       |plt$x AS (SELECT query_id, sub, code,
        |    list_dot_product(qv[sub*$ds+1 : sub*$ds+$ds], cv) AS pd
-       |  FROM q, pcb),
-       |pad AS (SELECT query_id, vec_id,
+       |  FROM q, pcb$x),
+       |pad$x AS (SELECT query_id, vec_id,
        |    CAST(sum(CAST(round(pd, 9) AS DECIMAL(30,15))) AS DOUBLE) AS ad
-       |  FROM penc JOIN plt USING (sub, code) GROUP BY query_id, vec_id),
-       |pscored AS (SELECT query_id, vec_id, ad/(qn*nrm) AS score,
+       |  FROM penc$x JOIN plt$x USING (sub, code) GROUP BY query_id, vec_id),
+       |pscored$x AS (SELECT query_id, vec_id, ad/(qn*nrm) AS score,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY ad/(qn*nrm) DESC, vec_id ASC) AS rank
-       |  FROM pad JOIN n USING (vec_id) JOIN q USING (query_id)
+       |  FROM pad$x JOIN n USING (vec_id) JOIN q USING (query_id)
        |  WHERE query_id <> vec_id)""".stripMargin
   }
+
+  private lazy val pqCtes: String = pqCtesFor(PqK, "")
 
   /** IVF cells derived from corpus cardinality — SURVEY H2'b's "cells
     * ≫ 16 at scale": cells ≈ √n keeps inverted lists and the centroid
@@ -1046,8 +1062,8 @@ object SimilarityQueries {
         s"$PqK-entry codebook per subspace (hash-ordered seeds + one " +
         "decimal-exact Lloyd step — the IVF derivation convention " +
         "applied per subspace), every vector encoded as " +
-        s"$PqM codes = ${PqM * 4 / 8} bytes (+4B stored norm) vs " +
-        s"${Dim * 4}B float32 — ${Dim * 4 * 8 / (PqM * 4 + 32)}× " +
+        s"$PqM codes = ${PqM * PqBits / 8} bytes (+4B stored norm) vs " +
+        s"${Dim * 4}B float32 — ${Dim * 4 * 8 / (PqM * PqBits + 32)}× " +
         "compression. Queries rank by ASYMMETRIC distance (ADC): one " +
         s"${PqM}×$PqK lookup table of query-subvector·centroid dots " +
         "per query, each corpus vector scored by summing M table hits " +
@@ -1059,7 +1075,8 @@ object SimilarityQueries {
         s"${PqM}×$PqK rows (broadcast anywhere); the ADC scan is " +
         "linear in codes with per-(query,vec) sums decimal-exact (sum " +
         "order must not flip cross-engine ranks); at 100 TB the codes " +
-        "relation IS the resident index — 32× less memory than raw, " +
+        "relation IS the resident index — " +
+        s"${Dim * 4 * 8 / (PqM * PqBits + 32)}× less memory than raw, " +
         "re-rank against full vectors only for the final K.",
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
@@ -1079,7 +1096,7 @@ object SimilarityQueries {
             col("n_queries"), col("n_exact"), col("n_hit"),
             round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"),
             round(col("err"), 6).as("mean_abs_err"),
-            lit(Dim * 4.0 * 8 / (PqM * 4 + 32)).as("compression_x"))
+            lit(Dim * 4.0 * 8 / (PqM * PqBits + 32)).as("compression_x"))
       },
       Some {
         s"""WITH $baseCte,
@@ -1096,7 +1113,7 @@ object SimilarityQueries {
            |    AS BIGINT) / count(*), 4) AS recall_at_$K,
            |  round(CAST(sum(CAST(round(abs(ex.cos - p.score), 9)
            |    AS DECIMAL(30,15))) AS DOUBLE)/count(*), 6) AS mean_abs_err,
-           |  ${Dim * 4.0 * 8 / (PqM * 4 + 32)} AS compression_x
+           |  ${Dim * 4.0 * 8 / (PqM * PqBits + 32)} AS compression_x
            |FROM ex JOIN pscored p USING (query_id, vec_id)""".stripMargin
       }
     ),
@@ -1109,7 +1126,8 @@ object SimilarityQueries {
         s"vectors for an exact cosine re-rank to the final top $K. " +
         "Emits TWO measured rows — recall@5 of the raw ADC ranking vs " +
         "the re-ranked retrieval — so the uplift the re-rank buys (and " +
-        "therefore what the 32× compression actually costs end-to-end) " +
+        s"therefore what the ${Dim * 4 * 8 / (PqM * PqBits + 32)}× " +
+        "compression actually costs end-to-end) " +
         "is a number, not a belief. Re-rank recall == the probability " +
         s"the true top-$K survive into an ADC top-$PqRerankR shortlist, " +
         "the quantity a production system tunes R against. Scale: " +
@@ -1177,6 +1195,102 @@ object SimilarityQueries {
            |${recallSelect("padc", "pq_adc")}
            |UNION ALL
            |${recallSelect("prr", s"pq_rerank$PqRerankR")}
+           |) ORDER BY variant""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_pq_codebook_sweep",
+      "PQ codebook-size sweep (r12 verdict #3 — the codebook-size " +
+        "trade as a measured TABLE, the τ-sweep discipline on PQ " +
+        s"geometry): ADC and re-ranked recall@$K at k=16 (4-bit codes, " +
+        "8 B/vec with the stored norm) AND the published k=256 " +
+        "operating point (Jégou et al. 2011's 8-bit codes, 12 B/vec — " +
+        s"still ${Dim * 4 / 12}× under the ${Dim * 4} B float32 " +
+        "vectors), each against the exact cosine top-k truth. Each k " +
+        "is a separate geometry-tagged PqStore build (the tag embeds " +
+        "M×k, so the two stores can never read each other's codes); " +
+        "the scoring legs are the SAME shared definitions as " +
+        "q_embedding_pq/q_pq_rerank (pqAdcScored → decimal-exact ADC; " +
+        "the R-shortlist exact re-rank), so the sweep measures the " +
+        "geometry, not a reimplementation. Scale: the sweep is an " +
+        "OFFLINE tuning table — production builds one store at the " +
+        "chosen point; both builds here are the one-pass encode the " +
+        "store already prices.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = corpus(s, dir).drop("bucket")
+        val q = pqQueries(s, dir)
+        val exact = exactTopK(s, dir).select(col("query_id"), col("vec_id"))
+        def rowsAt(k: Int): DataFrame = {
+          val scored = pqAdcScored(s, dir, k)
+          val rer = scored.filter(col("rank") <= PqRerankR)
+            .join(n.select(col("vec_id"), col("v")), "vec_id")
+            .join(broadcast(q.select(col("query_id"), col("qv"))),
+              "query_id")
+            .withColumn("cos2",
+              dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .withColumn("rrank", row_number().over(
+              Window.partitionBy("query_id")
+                .orderBy(col("cos2").desc, col("vec_id").asc)))
+            .filter(col("rrank") <= K)
+          // exact integer geometry: bits/vec = M*log2(k), +4 B norm
+          val bytesPerVec =
+            (PqM * Integer.numberOfTrailingZeros(k)) / 8 + 4
+          def row(ann: DataFrame, variant: String): DataFrame =
+            exact.join(ann.select(col("query_id"), col("vec_id"))
+                .withColumn("hit", lit(1)),
+              Seq("query_id", "vec_id"), "left")
+              .agg(count(lit(1)).as("n_exact"),
+                sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+              .select(lit(variant).as("variant"),
+                lit(bytesPerVec).cast("long").as("bytes_per_vec"),
+                col("n_exact"), col("n_hit"),
+                round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"))
+          row(scored.filter(col("rank") <= K), s"adc_k$k")
+            .unionAll(row(rer, s"rerank_k$k"))
+        }
+        PqSweepKs.map(rowsAt).reduce(_.unionAll(_)).orderBy("variant")
+      },
+      Some {
+        def recallSelect(cte: String, variant: String, bpv: Int) =
+          s"""SELECT '$variant' AS variant,
+             |  CAST($bpv AS BIGINT) AS bytes_per_vec,
+             |  count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS n_hit,
+             |  round(CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) / count(*), 4) AS recall_at_$K
+             |FROM ex LEFT JOIN $cte a
+             |  ON ex.query_id = a.query_id AND ex.vec_id = a.vec_id""".stripMargin
+        def legs(k: Int) = {
+          val x = s"_k$k"
+          s"""padc$x AS (SELECT query_id, vec_id FROM pscored$x
+             |  WHERE rank <= $K),
+             |prr$x AS (SELECT query_id, vec_id FROM (
+             |  SELECT p.query_id, p.vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+             |      ORDER BY list_dot_product(q.qv, n.v)/(q.qn*n.nrm) DESC,
+             |        p.vec_id ASC) AS rrank
+             |  FROM (SELECT query_id, vec_id FROM pscored$x
+             |        WHERE rank <= $PqRerankR) p
+             |  JOIN n USING (vec_id) JOIN q USING (query_id))
+             |  WHERE rrank <= $K)""".stripMargin
+        }
+        val selects = PqSweepKs.map { k =>
+          val bpv = (PqM * Integer.numberOfTrailingZeros(k)) / 8 + 4
+          s"""${recallSelect(s"padc_k$k", s"adc_k$k", bpv)}
+             |UNION ALL
+             |${recallSelect(s"prr_k$k", s"rerank_k$k", bpv)}""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $baseCte,
+           |$exactScoredCte,
+           |ex AS (SELECT query_id, vec_id FROM exact_scored
+           |  WHERE rank <= $K),
+           |${PqSweepKs.map(k => pqCtesFor(k, s"_k$k")).mkString(",\n")},
+           |${PqSweepKs.map(legs).mkString(",\n")}
+           |SELECT * FROM (
+           |$selects
            |) ORDER BY variant""".stripMargin
       }
     ),
