@@ -19,6 +19,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object PackingQueries {
 
+  /** Candidate windows of the planning curves (q_packing_waste and
+    * q_context_fit share this list — PackingWasteSpec pins their
+    * trunc_coverage columns equal per window). 16–128 are scaled to
+    * the test corpus; 2048 (r13, the r12 verdict #4 ask) is the
+    * PRODUCTION-context row, so the measured table prices the budget a
+    * real run ships — at the shipped corpus shapes it is the
+    * everything-fits regime (pad-to-L waste ~1, packed waste near the
+    * per-shard remainder bound).
+    */
+  private[ops] val WasteWindows = Seq(16, 32, 64, 128, 2048)
+
   /** Fixed sequence token budget (a typical 2k-context packing target). */
   private val Budget = 2048
 
@@ -111,7 +122,7 @@ object PackingQueries {
         "the two aggs. Integer sums, IEEE divisions rounded 6dp; " +
         "integer-exact ceil via (tok + L-1) div L in both engines.",
       (s, dir) => {
-        val windows = Seq(16, 32, 64, 128)
+        val windows = WasteWindows
         val n = size(tokens(col("text"))).cast("long")
         val sAggs = Seq(count(lit(1)).as("nd"), sum(n).as("tok")) ++
           windows.map(l => sum(least(n, lit(l.toLong))).as(s"cov_$l"))
@@ -151,7 +162,7 @@ object PackingQueries {
           .orderBy("win")
       },
       Some {
-        val windows = Seq(16, 32, 64, 128)
+        val windows = WasteWindows
         val covs = windows.map(l =>
           s"sum(least(n, $l)) AS cov_$l").mkString(", ")
         val globs = windows.map(l =>

@@ -174,7 +174,7 @@ object TextQueries {
         "the test corpus (docs ~40-60 words); production uses the " +
         "same query at 2k-8k.",
       (s, dir) => {
-        val windows = Seq(16, 32, 64, 128)
+        val windows = PackingQueries.WasteWindows
         val n = size(tokens(col("text")))
         val aggs = Seq(count(lit(1)).as("n_docs"),
           sum(n.cast("long")).as("tok_total")) ++
@@ -194,7 +194,7 @@ object TextQueries {
           .orderBy("win")
       },
       Some {
-        val windows = Seq(16, 32, 64, 128)
+        val windows = PackingQueries.WasteWindows
         val sels = windows.map { l =>
           s"""SELECT $l AS win,
              |  CAST(sum(CASE WHEN len($toksSql) <= $l THEN 1 ELSE 0 END)

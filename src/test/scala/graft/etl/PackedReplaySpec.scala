@@ -123,4 +123,51 @@ class PackedReplaySpec extends SparkSpec {
     assert(replayTokens(s"$docsDir/documents_packed.parquet")
       == expectedTokens)
   }
+
+  test("the budget knob holds at PRODUCTION scale: L=2048 on the sf0.01 " +
+    "corpus replays token-exactly, pads only per-shard tails, and its " +
+    "measured padding matches the ceil formula (r12 verdict #4)") {
+    // the r11/r12 proofs ran at L=128 only (the corpus-scaled point);
+    // this run is the same three invariants at the budget a real
+    // training run ships, on the real testdata corpus.
+    val L = 2048
+    val sfDocs = spark.read.parquet(
+      "/root/testdata/sf0.01/documents.parquet")
+    val sfPerm = SampleQueries.shuffleShardPerm(sfDocs)
+    val out = Files.createTempDirectory("pack2048").toString + "/p.parquet"
+    val packed = PackingQueries.packedSequences(sfPerm, L).persist()
+    try {
+      Layout.writeShardMajor(packed, out, 16, posCol = "seq_id")
+      // 1. token-exact loader replay
+      val expected = sfPerm.orderBy("gpos")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+        .as[String].collect().toSeq
+      assert(replayTokens(out) == expected)
+      // 2. only each shard's last sequence is padded; budget accounted
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      assert(packed
+        .withColumn("last", col("seq_id") === max("seq_id").over(w))
+        .filter((col("n_pad") > 0) && !col("last")).count() == 0)
+      assert(packed.filter(col("n_tokens") + col("n_pad") =!= L)
+        .count() == 0)
+      // 3. measured padding == the analytic per-shard ceil formula
+      val shardTok = sfPerm
+        .select(col("shard"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n"))
+        .groupBy("shard").agg(sum("n").as("tok"))
+        .select(col("tok"), expr(s"(tok + ${L - 1}) div $L").as("seqs"))
+      val expSeqs = shardTok.agg(sum("seqs")).head().getLong(0)
+      val expTok = shardTok.agg(sum("tok")).head().getLong(0)
+      val gotPad = packed.agg(sum("n_pad")).head().getLong(0)
+      assert(packed.count() == expSeqs)
+      assert(gotPad == expSeqs * L - expTok)
+      // the measured fraction, recorded beside the L=128 row's ~3.8%:
+      // a real-corpus 2048 run pads only per-shard remainders
+      val padFrac = gotPad.toDouble / (expSeqs * L)
+      info(f"L=$L measured pad_frac=$padFrac%.4f " +
+        f"(sequences=$expSeqs tokens=$expTok)")
+      assert(padFrac >= 0.0 && padFrac < 1.0)
+    } finally packed.unpersist()
+  }
 }

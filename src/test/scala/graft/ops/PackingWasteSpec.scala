@@ -31,7 +31,9 @@ class PackingWasteSpec extends SparkSpec {
     val lens = Map("srcA" -> Seq(10L, 20L, 40L), "srcB" -> Seq(7L, 70L))
     val tokTotal = lens.values.flatten.sum // 147
     val nDocs = 5L
-    for (l <- Seq(16, 32, 64, 128)) {
+    // the shared window list itself (incl. the r13 production-scale
+    // 2048 row — everything fits, so it exercises the ceil==1 regime)
+    for (l <- PackingQueries.WasteWindows) {
       val cov = lens.values.flatten.map(n => math.min(n, l.toLong)).sum
       val seqs = lens.values.map(ns => (ns.sum + l - 1) / l).sum
       // HALF_UP to match Spark's round()
