@@ -680,21 +680,30 @@ object CorpusQueries {
 
     QueryDef(
       "q_corpus_funnel",
-      "Curation-funnel accounting: every doc assigned the FIRST " +
+      "Curation-funnel accounting (stages extended r13 with the r12 " +
+        "gates — the r12 verdict #5 ask): every doc assigned the FIRST " +
         "pipeline stage that drops it — eval slice (src0 is the " +
         "benchmark, never training data), quality gate (< 2 of the " +
-        "q_quality_score points), exact-dup non-keeper (fingerprint-" +
-        "group min rule), decontamination (word-3-gram overlap >= tau " +
-        "vs the benchmark) — or '4_kept'. One row per stage with doc/" +
-        "token counts and corpus fraction: the attrition report a " +
-        "curation run publishes next to its data card (WHERE the corpus " +
-        "went, with each stage's definition shared verbatim with its " +
-        "standalone operator — qualityPoints, the keeper window, the " +
-        "q_contamination join — so the funnel cannot drift from the " +
-        "stages it accounts for). Stage predicates are evaluated per " +
-        "doc with first-reason precedence; shape = the union of the " +
-        "component shapes (one fingerprint window, one broadcast " +
-        "bench join, one final stage agg).",
+        "q_quality_score points), Gopher any-rule violation " +
+        "(docRuleFlags — the q_gopher_rules bundle verbatim), exact-dup " +
+        "non-keeper (fingerprint-group min rule), NEAR-dup non-keeper " +
+        "(the minhash star-contraction clusters with q_dedup_keep_best's " +
+        "quality-then-min-id election — verbatim), decontamination " +
+        "(word-3-gram overlap >= tau vs the benchmark), per-source " +
+        "token-budget cap (q_domain_cap's quality-rank prefix rule " +
+        "verbatim, computed corpus-wide like every other stage " +
+        "predicate — a production run re-derives the cap on survivors; " +
+        "the funnel prices each gate independently, first-reason " +
+        "precedence composing them) — or '7_kept'. One row per stage " +
+        "with doc/token counts and corpus fraction: the attrition " +
+        "report a curation run publishes next to its data card, with " +
+        "each stage's definition shared verbatim with its standalone " +
+        "operator (qualityPoints, ruleFlags, the keeper windows, the " +
+        "q_contamination join, the cap windows) so the funnel cannot " +
+        "drift from the stages it accounts for. Shape = the union of " +
+        "the component shapes; the near-dup stage rides the SAME " +
+        "memoized CC labels as the cluster family (zero extra minhash " +
+        "passes).",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val wFp = Window.partitionBy(md5(normText(col("text"))))
@@ -705,6 +714,19 @@ object CorpusQueries {
           .withColumn("qp", TextQueries.qualityPoints(
             length(col("text")), col("n_tok"), col("n_stop")))
           .withColumn("keeper_id", min(col("doc_id")).over(wFp))
+        // Gopher bundle: the ONE shared per-doc flag relation
+        val rules = GovernanceQueries.docRuleFlags(
+            Tables.t(s, dir, "documents"))
+          .select(col("doc_id"), col("v_any"))
+        // near-dup non-keepers: CC labels (memoized, shared with the
+        // cluster family) + q_dedup_keep_best's election, verbatim
+        val wCl = Window.partitionBy("cluster_id")
+          .orderBy(col("qp").desc, col("doc_id").asc)
+        val ndDrop = DedupQueries.minhashComponents(s, dir)
+          .join(base.select(col("doc_id"), col("qp")), "doc_id")
+          .withColumn("rn", row_number().over(wCl))
+          .filter(col("rn") > 1)
+          .select(col("doc_id"), lit(1).as("near_dup"))
         val g = base.filter(size(col("toks")) >= ContamN)
           .select(col("doc_id"), col("source"),
             wordNgrams(col("toks"), ContamN).as("ng"))
@@ -719,13 +741,37 @@ object CorpusQueries {
           .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
           .filter(col("n_hits").cast("double") / col("n_ngrams") >= ContamTau)
           .select(col("doc_id"), lit(1).as("contam"))
-        val staged = base.join(contam, Seq("doc_id"), "left")
+        // per-source cap verdict: q_domain_cap's windows, verbatim
+        val capTot = base.agg(
+          sum(col("n_tok").cast("long")).cast("long").as("total_tok"),
+          countDistinct(col("source")).as("n_sources"))
+        val wCum = Window.partitionBy("source")
+          .orderBy(col("qp").desc, md5(col("doc_id").cast("string")),
+            col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val capDrop = base
+          .select(col("doc_id"), col("source"), col("qp"),
+            col("n_tok").cast("long").as("ntl"))
+          .crossJoin(broadcast(capTot))
+          .withColumn("budget",
+            expr(s"($CapNum * total_tok) div ($CapDen * n_sources)"))
+          .withColumn("cum", sum(col("ntl")).over(wCum))
+          .filter(col("cum") > col("budget"))
+          .select(col("doc_id"), lit(1).as("capped"))
+        val staged = base
+          .join(rules, Seq("doc_id"), "left")
+          .join(ndDrop, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .join(capDrop, Seq("doc_id"), "left")
           .withColumn("stage",
             when(col("source") === "src0", "0_eval_slice")
               .when(col("qp") < 2, "1_quality")
-              .when(col("keeper_id") =!= col("doc_id"), "2_exact_dup")
-              .when(col("contam") === 1, "3_contaminated")
-              .otherwise("4_kept"))
+              .when(col("v_any"), "2_gopher")
+              .when(col("keeper_id") =!= col("doc_id"), "3_exact_dup")
+              .when(col("near_dup") === 1, "4_near_dup")
+              .when(col("contam") === 1, "5_contaminated")
+              .when(col("capped") === 1, "6_domain_cap")
+              .otherwise("7_kept"))
         staged.groupBy("stage")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok")).cast("long").as("n_tokens"))
@@ -738,37 +784,73 @@ object CorpusQueries {
       Some {
         val stop = "[" + TextQueries.stopwords.map(x => s"'$x'")
           .mkString(",") + "]"
-        s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks,
+        val anyRule = GovernanceQueries.ruleFlagsSql
+          .map { case (_, p) => s"($p)" }.mkString(" OR ")
+        // fn_-prefixed CTEs: the minhash pair/CC chains own the bare
+        // t/d/... names (shared verbatim below)
+        s"""WITH RECURSIVE ${DedupQueries.pairsSqlCtes},
+           |${DedupQueries.ccSqlCtes},
+           |fn_t AS (SELECT doc_id, source, text, $toksSql AS toks,
            |    min(doc_id) OVER (PARTITION BY md5($normSql)) AS keeper_id
            |  FROM documents),
-           |m AS (SELECT doc_id, source, keeper_id, toks,
+           |fn_m AS (SELECT doc_id, source, keeper_id, toks,
            |    len(toks) AS n_tok,
-           |    len(list_filter(toks, x -> list_contains($stop, x))) AS n_stop,
-           |    length(text) AS n_chars FROM t),
-           |q AS (SELECT *, (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END
+           |    CAST(len(toks) AS BIGINT) AS nt,
+           |    CAST(list_sum(list_transform(toks, t -> length(t)))
+           |      AS BIGINT) AS sl,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+           |    CAST(len(list_filter(toks, x -> list_contains($stop, x)))
+           |      AS BIGINT) AS ns,
+           |    len(list_filter(toks, x -> list_contains($stop, x)))
+           |      AS n_stop,
+           |    length(text) AS n_chars FROM fn_t),
+           |fn_q AS (SELECT *, (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END
            |    + CASE WHEN n_stop > 0 THEN 1 ELSE 0 END
-           |    + CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS qp FROM m),
-           |g AS (SELECT doc_id, source,
+           |    + CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS qp,
+           |    ($anyRule) AS v_any FROM fn_m),
+           |fn_nd AS (SELECT doc_id FROM (
+           |  SELECT cc.doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |      ORDER BY fn_q.qp DESC, cc.doc_id ASC) AS rn
+           |  FROM cc JOIN fn_q ON cc.doc_id = fn_q.doc_id)
+           |  WHERE rn > 1),
+           |fn_g AS (SELECT doc_id, source,
            |    list_distinct(list_transform(range(1, len(toks)-${ContamN - 2}),
            |      i -> $contamGramSql)) AS ng
-           |  FROM t WHERE len(toks) >= $ContamN),
-           |bench AS (SELECT DISTINCT unnest(ng) AS ngram FROM g
+           |  FROM fn_t WHERE len(toks) >= $ContamN),
+           |fn_bench AS (SELECT DISTINCT unnest(ng) AS ngram FROM fn_g
            |  WHERE source='src0'),
-           |x AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS ngram
-           |  FROM g WHERE source <> 'src0'),
-           |j AS (SELECT x.doc_id, x.n_ngrams,
+           |fn_x AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS ngram
+           |  FROM fn_g WHERE source <> 'src0'),
+           |fn_j AS (SELECT fn_x.doc_id, fn_x.n_ngrams,
            |    CAST(sum(CASE WHEN b.ngram IS NULL THEN 0 ELSE 1 END)
            |      AS BIGINT) AS n_hits
-           |  FROM x LEFT JOIN bench b ON x.ngram = b.ngram GROUP BY 1,2),
-           |c AS (SELECT doc_id FROM j
+           |  FROM fn_x LEFT JOIN fn_bench b ON fn_x.ngram = b.ngram
+           |  GROUP BY 1,2),
+           |fn_c AS (SELECT doc_id FROM fn_j
            |  WHERE CAST(n_hits AS DOUBLE)/n_ngrams >= $ContamTau),
-           |staged AS (SELECT q.doc_id, q.n_tok,
-           |    CASE WHEN q.source = 'src0' THEN '0_eval_slice'
-           |         WHEN q.qp < 2 THEN '1_quality'
-           |         WHEN q.keeper_id <> q.doc_id THEN '2_exact_dup'
-           |         WHEN c.doc_id IS NOT NULL THEN '3_contaminated'
-           |         ELSE '4_kept' END AS stage
-           |  FROM q LEFT JOIN c USING (doc_id)),
+           |fn_capg AS (SELECT CAST(SUM(nt) AS BIGINT) AS total_tok,
+           |    COUNT(DISTINCT source) AS n_sources FROM fn_q),
+           |fn_capc AS (SELECT doc_id,
+           |    ($CapNum * total_tok) // ($CapDen * n_sources) AS budget,
+           |    CAST(SUM(nt) OVER (PARTITION BY source
+           |      ORDER BY qp DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum
+           |  FROM fn_q CROSS JOIN fn_capg),
+           |fn_cap AS (SELECT doc_id FROM fn_capc WHERE cum > budget),
+           |staged AS (SELECT fn_q.doc_id, fn_q.n_tok,
+           |    CASE WHEN fn_q.source = 'src0' THEN '0_eval_slice'
+           |         WHEN fn_q.qp < 2 THEN '1_quality'
+           |         WHEN fn_q.v_any THEN '2_gopher'
+           |         WHEN fn_q.keeper_id <> fn_q.doc_id THEN '3_exact_dup'
+           |         WHEN nd.doc_id IS NOT NULL THEN '4_near_dup'
+           |         WHEN fn_c.doc_id IS NOT NULL THEN '5_contaminated'
+           |         WHEN cap.doc_id IS NOT NULL THEN '6_domain_cap'
+           |         ELSE '7_kept' END AS stage
+           |  FROM fn_q
+           |  LEFT JOIN fn_nd nd ON fn_q.doc_id = nd.doc_id
+           |  LEFT JOIN fn_c ON fn_q.doc_id = fn_c.doc_id
+           |  LEFT JOIN fn_cap cap ON fn_q.doc_id = cap.doc_id),
            |tot AS (SELECT count(*) AS n FROM staged)
            |SELECT stage, count(*) AS n_docs,
            |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,

@@ -489,7 +489,7 @@ object DedupQueries {
     * split) so the replays cannot drift. Callers must open their WITH
     * as `WITH RECURSIVE`.
     */
-  private val ccSqlCtes: String =
+  private[ops] val ccSqlCtes: String =
     """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
       |walk(doc_id, reach) AS (

@@ -85,7 +85,7 @@ object GovernanceQueries {
         .as("quality_drop"): _*)
   }
 
-  private def ruleFlagsSql: Seq[(String, String)] = Seq(
+  private[ops] def ruleFlagsSql: Seq[(String, String)] = Seq(
     "1_word_count_low" -> s"nt < $RuleWcLow",
     "2_word_count_high" -> s"nt > $RuleWcHigh",
     "3_mean_word_len" -> s"(sl < $RuleMwlLow * nt OR sl > $RuleMwlHigh * nt)",

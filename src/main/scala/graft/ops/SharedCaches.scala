@@ -65,6 +65,7 @@ object SharedCaches {
     Minhash -> Set("q_doc_dedup", "q_doc_similar", "q_dedup_recall",
       "q_dedup_tau_sweep", "q_dedup_clusters", "q_dedup_keep_best",
       "q_cluster_size_hist", "q_simhash_recall",
+      "q_corpus_funnel", // r13: the near-dup funnel stage reads CC labels
       "q_pagerank", "q_split_leakage", "q_split_cluster_aware"),
     MinhashBatch -> Set("q_dedup_incremental"),
     ContainBatch -> Set("q_containment_incremental"),
