@@ -123,6 +123,68 @@ object EventQueries {
     ),
 
     QueryDef(
+      "q_event_paths",
+      "Top-k session paths (the sequence-mining view of the event log — " +
+        "the table a product review reads to see HOW users move): per " +
+        "session (the SAME 30-min-gap sessionization as " +
+        "q_event_sessionize — shared lag+running-sum definition, " +
+        "(sec, event_id) order), the ordered event-type path string " +
+        "capped at the first 8 events (the classic path-explosion " +
+        "guard: distinct paths grow exponentially in length, so the " +
+        "grouping key is BOUNDED by construction), counted across " +
+        "sessions; top 20 paths by (sessions desc, path asc). Shape: " +
+        "the sessionize window pass, one groupBy on the bounded path " +
+        "string, TakeOrdered top-k — no vocab-wide window, nothing " +
+        "wider than (user, session, 8 event types) ever shuffles.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("sec"), col("event_id"))
+        val sess = Tables.t(s, dir, "events")
+          .withColumn("sec", epochSec)
+          .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_sec").isNull ||
+              col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+          .withColumn("session_idx",
+            sum(col("new_session")).over(byUser.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+        sess.groupBy("user_id", "session_idx")
+          .agg(concat_ws(">", slice(transform(array_sort(collect_list(
+            struct(col("sec"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), 1, 8)).as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS sec
+             |  FROM events
+             |), flagged AS (
+             |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+             |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END
+             |    AS new_session
+             |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+             |), sessions AS (
+             |  SELECT user_id, event_type, sec, event_id,
+             |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS session_idx
+             |  FROM flagged
+             |), paths AS (
+             |  SELECT user_id, session_idx,
+             |    array_to_string((list(event_type ORDER BY sec, event_id))[1:8],
+             |      '>') AS path
+             |  FROM sessions GROUP BY 1, 2
+             |)
+             |SELECT path, COUNT(*) AS n_sessions
+             |FROM paths GROUP BY path
+             |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin)
+    ),
+
+    QueryDef(
       "q_event_funnel",
       "Ordered conversion funnel view -> click -> purchase with a 1-day " +
         "conversion window per step: first view, first click strictly " +

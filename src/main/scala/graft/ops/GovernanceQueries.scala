@@ -719,6 +719,169 @@ object GovernanceQueries {
       }
     ),
 
+    // ------------------------------------------------------------- H4q
+    QueryDef(
+      "q_quality_classifier",
+      "TRAINED quality classifier, measured (the CCNet/GPT-3 WebText " +
+        "pattern: bootstrap a LEARNED quality model from rule-based " +
+        "seed labels, then score everything — the production filter " +
+        "when hand rules stop scaling): a multinomial naive-Bayes WORD " +
+        "model (add-1 smoothing, the q_lang_id_measured scorer at word " +
+        "grain) trained on the doc_id%2==0 half with seed label = " +
+        "'good' iff the doc passes BOTH the quality gate and every " +
+        "Gopher rule (docRuleFlags — the same shared verdicts the " +
+        "funnel stages), evaluated on the held-out half; per-label and " +
+        "overall held-out accuracy EMITTED next to the always-predict-" +
+        "majority baseline, falsifiable both directions. The honest " +
+        "measured answer at sf0.01: accuracy 0.792 vs baseline 0.812 — " +
+        "this corpus's quality labels are LENGTH-based (token/char " +
+        "counts), a signal word-identity features cannot see, so the " +
+        "lexical model underperforms majority and the row PROVES it " +
+        "(the q_lang_id_measured no-signal honesty); GovernanceSpec " +
+        "plants a lexically-separable corpus where the same scorer " +
+        "measures 1.0. Scale: the model is (label, " +
+        "word) counts — vocab-sized, broadcast; scoring is one " +
+        "gram-join + per-(doc,label) decimal-exact log-likelihood " +
+        "sums; log terms 9dp-rounded before the DECIMAL sum (the LnTwo " +
+        "convention), priors from the train split.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lbl = docRuleFlags(Tables.par(s, dir, "documents"))
+          .select(col("doc_id"),
+            when(!col("v_any") && !col("quality_drop"), "good")
+              .otherwise("bad").as("label"))
+        val docs = Tables.par(s, dir, "documents").join(lbl, "doc_id")
+          .select(col("doc_id"), col("label"),
+            tokens(col("text")).as("toks"),
+            (col("doc_id") % 2 === 0).as("tr"))
+        val grams = docs.select(col("doc_id"), col("label"), col("tr"),
+            explode(col("toks")).as("g"))
+          .filter(col("g") =!= "")
+        val tg = grams.filter(col("tr"))
+          .groupBy(col("label").as("plabel"), col("g"))
+          .agg(count(lit(1)).as("c"))
+        val tt = tg.groupBy("plabel").agg(sum(col("c")).as("t"))
+        val vv = tg.agg(countDistinct(col("g")).as("v"))
+        val pr = docs.filter(col("tr"))
+          .groupBy(col("label").as("plabel")).agg(count(lit(1)).as("nd"))
+        val ntr = docs.filter(col("tr")).agg(count(lit(1)).as("n"))
+        val li = tt.join(pr, "plabel").crossJoin(vv).crossJoin(ntr)
+          .select(col("plabel"), col("t"), col("v"),
+            round(log(col("nd") / col("n")), 9).as("lp"))
+        val dec = DecimalType(38, 12)
+        val eg = grams.filter(!col("tr"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("m"))
+        val terms = eg.crossJoin(broadcast(li))
+          .join(broadcast(tg), Seq("plabel", "g"), "left")
+          .select(col("doc_id"), col("plabel"),
+            round(col("m") *
+              round(log((coalesce(col("c"), lit(0L)) + 1) /
+                (col("t") + col("v"))), 9), 9).cast(dec).as("term"))
+        val ts = terms.groupBy("doc_id", "plabel")
+          .agg(sum(col("term")).as("ts"))
+        val base = docs.filter(!col("tr")).select("doc_id")
+          .crossJoin(broadcast(li.select(col("plabel"), col("lp"))))
+        val sc = base.join(ts, Seq("doc_id", "plabel"), "left")
+          .select(col("doc_id"), col("plabel"),
+            (coalesce(col("ts"), lit(0).cast(dec)) +
+              col("lp").cast(dec)).as("score"))
+        val pred = sc.withColumn("rn",
+            row_number().over(Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("plabel").asc)))
+          .filter(col("rn") === 1).select("doc_id", "plabel")
+        val mj = broadcast(pr.orderBy(col("nd").desc, col("plabel").asc)
+          .limit(1).select(col("plabel").as("mlabel")))
+        val j = docs.filter(!col("tr"))
+          .select(col("doc_id"), col("label").as("label0"))
+          .join(pred, "doc_id").crossJoin(mj)
+        def accCols(g: org.apache.spark.sql.RelationalGroupedDataset) =
+          g.agg(
+            count(lit(1)).as("n_eval"),
+            sum(when(col("plabel") === col("label0"), 1).otherwise(0))
+              .cast("long").as("n_correct"),
+            round(sum(when(col("plabel") === col("label0"), 1).otherwise(0))
+              .cast("double") / count(lit(1)), 6).as("accuracy"),
+            round(sum(when(col("label0") === col("mlabel"), 1).otherwise(0))
+              .cast("double") / count(lit(1)), 6).as("baseline_acc"))
+        accCols(j.groupBy(lit("*").as("label")))
+          .union(accCols(j.groupBy(col("label0").as("label"))))
+          .orderBy("label")
+      },
+      Some {
+        val arms = ruleFlagsSql.map(f => s"(${f._2})").mkString(" OR ")
+        val acc = (grp: String) =>
+          s"""SELECT $grp AS label, CAST(count(*) AS BIGINT) AS n_eval,
+             |  CAST(sum(CASE WHEN plabel = label0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  round(CAST(sum(CASE WHEN plabel = label0 THEN 1 ELSE 0 END)
+             |    AS DOUBLE)/count(*), 6) AS accuracy,
+             |  round(CAST(sum(CASE WHEN label0 = mlabel THEN 1 ELSE 0 END)
+             |    AS DOUBLE)/count(*), 6) AS baseline_acc
+             |FROM j""".stripMargin
+        s"""WITH d0 AS (SELECT doc_id, length(text) AS nc,
+           |    $toksSql AS toks FROM documents),
+           |st AS (SELECT doc_id, toks, nc,
+           |    CAST(len(toks) AS BIGINT) AS nt,
+           |    CAST(COALESCE(list_sum(list_transform(toks,
+           |      t -> length(t))), 0) AS BIGINT) AS sl,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+           |    CAST(len(list_filter(toks,
+           |      x -> list_contains($stopSql, x))) AS BIGINT) AS ns
+           |  FROM d0),
+           |d AS (SELECT doc_id, toks,
+           |    CASE WHEN NOT ($arms) AND
+           |      (CASE WHEN nt >= 10 THEN 1 ELSE 0 END
+           |       + CASE WHEN ns > 0 THEN 1 ELSE 0 END
+           |       + CASE WHEN nc >= 64 THEN 1 ELSE 0 END) >= 2
+           |      THEN 'good' ELSE 'bad' END AS label,
+           |    doc_id % 2 = 0 AS tr FROM st),
+           |g AS (SELECT doc_id, label, tr, g FROM
+           |    (SELECT doc_id, label, tr, unnest(toks) AS g FROM d)
+           |  WHERE g <> ''),
+           |tg AS (SELECT label AS plabel, g, CAST(count(*) AS BIGINT) AS c
+           |  FROM g WHERE tr GROUP BY 1, 2),
+           |tt AS (SELECT plabel, CAST(sum(c) AS BIGINT) AS t
+           |  FROM tg GROUP BY 1),
+           |vv AS (SELECT count(DISTINCT g) AS v FROM tg),
+           |pr AS (SELECT label AS plabel, CAST(count(*) AS BIGINT) AS nd
+           |  FROM d WHERE tr GROUP BY 1),
+           |ntr AS (SELECT count(*) AS n FROM d WHERE tr),
+           |li AS (SELECT plabel, t, v,
+           |    round(ln(CAST(nd AS DOUBLE)/n), 9) AS lp
+           |  FROM tt JOIN pr USING (plabel), vv, ntr),
+           |eg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS m
+           |  FROM g WHERE NOT tr GROUP BY 1, 2),
+           |terms AS (SELECT eg.doc_id, li.plabel,
+           |    CAST(round(eg.m * round(ln(
+           |      CAST(COALESCE(tg.c, 0) + 1 AS DOUBLE)/(li.t + li.v)), 9), 9)
+           |      AS DECIMAL(38,12)) AS term
+           |  FROM eg CROSS JOIN li
+           |  LEFT JOIN tg ON tg.plabel = li.plabel AND tg.g = eg.g),
+           |tsum AS (SELECT doc_id, plabel, sum(term) AS ts
+           |  FROM terms GROUP BY 1, 2),
+           |b AS (SELECT d.doc_id, li.plabel, li.lp FROM d, li WHERE NOT d.tr),
+           |sc AS (SELECT b.doc_id, b.plabel,
+           |    COALESCE(tsum.ts, CAST(0 AS DECIMAL(38,12)))
+           |      + CAST(b.lp AS DECIMAL(38,12)) AS score
+           |  FROM b LEFT JOIN tsum
+           |    ON b.doc_id = tsum.doc_id AND b.plabel = tsum.plabel),
+           |pred AS (SELECT doc_id, plabel FROM (
+           |  SELECT doc_id, plabel, ROW_NUMBER() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, plabel ASC) AS rn FROM sc)
+           |  WHERE rn = 1),
+           |mj AS (SELECT plabel AS mlabel FROM pr
+           |  ORDER BY nd DESC, plabel ASC LIMIT 1),
+           |j AS (SELECT d.doc_id, d.label AS label0, pred.plabel, mj.mlabel
+           |  FROM d JOIN pred ON d.doc_id = pred.doc_id, mj
+           |  WHERE NOT d.tr)
+           |SELECT * FROM (
+           |${acc("'*'")}
+           |UNION ALL
+           |${acc("label0")} GROUP BY label0
+           |) ORDER BY label""".stripMargin
+      }
+    ),
+
     // ------------------------------------------------------------ H4i'
     QueryDef(
       "q_corpus_manifest",

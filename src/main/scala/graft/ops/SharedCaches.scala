@@ -66,6 +66,7 @@ object SharedCaches {
       "q_dedup_tau_sweep", "q_dedup_clusters", "q_dedup_keep_best",
       "q_cluster_size_hist", "q_simhash_recall",
       "q_corpus_funnel", // r13: the near-dup funnel stage reads CC labels
+      "q_minhash_est_error", // r13: estimator error over cached candidates
       "q_pagerank", "q_split_leakage", "q_split_cluster_aware"),
     MinhashBatch -> Set("q_dedup_incremental"),
     ContainBatch -> Set("q_containment_incremental"),

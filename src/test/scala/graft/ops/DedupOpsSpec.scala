@@ -203,6 +203,32 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_minhash_est_error: planted exact duplicates land in the top " +
+    "bin with zero error; identities hold on real testdata") {
+    val d = java.nio.file.Files.createTempDirectory("mherr").toString
+    def doc(seed: Int) = (1 to 24).map { j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 10)
+    }.mkString(" ")
+    val docs = (0 until 3).flatMap(p =>
+      Seq((p * 2 + 1L, doc(p)), (p * 2 + 2L, doc(p))))
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val rows = graft.Registry.queryMap("q_minhash_est_error")(spark, d)
+      .as[(Int, Long, Double, Double, Double, Double)].collect().toSeq
+    // identical docs: J = 1 (bin 5), signature agreement 12/12 -> est 1
+    assert(rows == Seq((5, 3L, 1.0, 1.0, 0.0, 0.0)), rows)
+    // real-testdata identities: means bounded, |bias| <= mean abs err
+    val real = graft.Registry.queryMap("q_minhash_est_error")(
+      spark, "/root/testdata/sf0.001")
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r._3 >= 0.0 && r._3 <= 1.0 && r._4 >= 0.0 && r._4 <= 1.0)
+      assert(math.abs(r._6) <= r._5 + 1e-9, r)
+    }
+  }
+
   test("q_dedup_simhash_hamming: planted single-bit flips are retrieved " +
     "with their exact Hamming distance; far docs are absent") {
     // Structural pin of the pigeonhole guarantee: a pair at Hamming

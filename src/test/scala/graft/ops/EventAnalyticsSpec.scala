@@ -90,4 +90,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq((100L, 0L, 2L), (100L, 1L, 1L), (100L, 2L, 1L),
       (101L, 0L, 1L)))
   }
+
+  test("q_event_paths: session boundaries split paths, order is by " +
+    "(sec, event_id), the 8-event cap truncates, counts aggregate " +
+    "across users") {
+    val dir = writeEvents(Seq(
+      // users 1 and 2: identical view>click>purchase sessions -> count 2
+      (1L, t0, 0L, "view"), (1L, t0 + 10, 0L, "click"),
+      (1L, t0 + 20, 0L, "purchase"),
+      (2L, t0, 0L, "view"), (2L, t0 + 10, 0L, "click"),
+      (2L, t0 + 20, 0L, "purchase"),
+      // user 3: a 31-min gap splits into view | click (two sessions)
+      (3L, t0, 0L, "view"), (3L, t0 + 1860, 0L, "click"),
+      // user 4: 10 events in one session -> path capped at the first 8
+      (4L, t0, 0L, "view")) ++
+      (1 to 9).map(i => (4L, t0 + i.toLong, 0L, "click")))
+    val got = Registry.queryMap("q_event_paths")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    val capped = "view" + ">click" * 7
+    assert(got == Seq(("view>click>purchase", 2L), ("click", 1L),
+      ("view", 1L), (capped, 1L)), got)
+  }
 }

@@ -396,4 +396,27 @@ class GovernanceSpec extends SparkSpec {
     val single = hist.find(_._1 == 1L).get
     assert(single._2 == nTotal - labeled.length)
   }
+
+  test("quality classifier: a lexically-separable corpus scores 1.0 " +
+    "held-out (the scorer works when word identity carries the label)") {
+    val d = java.nio.file.Files.createTempDirectory("gqc").toString
+    // good docs: one shared 25-token rule-clean text (vocab gw*);
+    // bad docs: one shared 3-token text (vocab zq*) failing the quality
+    // gate AND the word-count rule. Even ids train, odd ids eval, both
+    // classes in both splits; eval vocabulary fully seen in training.
+    val goodText = (Seq("the", "and") ++
+      (1 to 23).map(i => f"gw$i%02d")).mkString(" ")
+    val docs = (1L to 8L).map((_, goodText)) ++
+      (11L to 18L).map((_, "zq wq vq"))
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val rows = graft.Registry.queryMap("q_quality_classifier")(spark, d)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("*")._4 == 1.0, rows("*"))
+    assert(rows("good")._4 == 1.0 && rows("bad")._4 == 1.0)
+    // the baseline is strictly worse on the minority class: with
+    // balanced classes the majority tie resolves to ONE label, so
+    // beating baseline here proves the lexical signal was used
+    assert(rows("*")._5 < 1.0)
+  }
 }

@@ -16,7 +16,7 @@ class PlanningCurveSpec extends SparkSpec {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .sortBy(_._1)
-    assert(rows.map(_._1).toSeq == Seq(16, 32, 64, 128))
+    assert(rows.map(_._1).toSeq == PackingQueries.WasteWindows)
     rows.foreach { case (_, nFit, fitFrac, cov) =>
       assert(nFit >= 0 && fitFrac >= 0.0 && fitFrac <= 1.0)
       assert(cov >= 0.0 && cov <= 1.0)
