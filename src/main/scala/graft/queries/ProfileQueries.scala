@@ -466,6 +466,67 @@ object ProfileQueries {
               |ORDER BY q_pct""".stripMargin)
     ),
 
+    // ------------------------------- C10' : grouped exact quantiles
+    QueryDef(
+      "q_quantile_grouped",
+      "Per-GROUP exact discrete quantiles (q_quantile_discrete's rank " +
+        "trick partitioned by language — the distribution-fairness " +
+        "table a multilingual curation run reads: is the p50/p99 doc " +
+        "length wildly different per language?): per (lang), the " +
+        "value-grain token-length histogram, per-lang cumulative " +
+        "counts, and for each percentile p the smallest value whose " +
+        "cumulative count reaches rank (p*N_lang + 99) div 100 — " +
+        "type-1 semantics, integer-exact, same definition as the " +
+        "global query (one formula, two grains). Shape: the corpus " +
+        "reduces to a (lang × distinct-length) histogram — langs × " +
+        "~10^4 rows at ANY corpus scale — and the cumulative window " +
+        "partitions BY LANG on that tiny relation, so adding the group " +
+        "key costs nothing and serializes nothing (each language's " +
+        "window partition is independent).",
+      (s, dir) => {
+        val qs = Seq(25, 50, 75, 90, 99)
+        val hist = Tables.t(s, dir, "documents")
+          .select(col("lang"),
+            size(tokens(col("text"))).cast("long").as("v"))
+          .groupBy("lang", "v").agg(count(lit(1)).as("c"))
+        val tot = hist.groupBy(col("lang").as("tl"))
+          .agg(sum(col("c")).as("n"))
+        val cum = hist
+          .join(broadcast(tot), col("lang") === col("tl"))
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy("lang").orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        cum
+          .select(col("lang"), col("v"), col("cum"), col("n"),
+            explode(array(qs.map(q => lit(q)): _*)).as("q_pct"))
+          .withColumn("rank", expr("(q_pct * n + 99) div 100"))
+          .filter(col("cum") >= col("rank"))
+          .groupBy("lang", "q_pct")
+          .agg(min(col("rank")).as("rank"), min(col("v")).as("value"),
+            min(col("n")).as("n_docs"))
+          .select("lang", "q_pct", "rank", "value", "n_docs")
+          .orderBy("lang", "q_pct")
+      },
+      Some(s"""WITH h AS (SELECT lang,
+              |    CAST(len(${graft.functions.TextFunctions.toksSql}) AS BIGINT) AS v,
+              |    COUNT(*) AS c FROM documents GROUP BY 1, 2),
+              |t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+              |  FROM h GROUP BY lang),
+              |cu AS (SELECT h.lang, v,
+              |    CAST(SUM(c) OVER (PARTITION BY h.lang ORDER BY v)
+              |      AS BIGINT) AS cum, n
+              |  FROM h JOIN t ON h.lang = t.lang),
+              |e AS (SELECT lang, v, cum, n,
+              |    unnest([25, 50, 75, 90, 99]) AS q_pct FROM cu),
+              |f AS (SELECT lang, q_pct,
+              |    CAST((q_pct * n + 99) // 100 AS BIGINT) AS rank,
+              |    v, cum, n FROM e)
+              |SELECT lang, q_pct, MIN(rank) AS rank, MIN(v) AS value,
+              |  MIN(n) AS n_docs
+              |FROM f WHERE cum >= rank GROUP BY lang, q_pct
+              |ORDER BY lang, q_pct""".stripMargin)
+    ),
+
     // ------------------------------- C12: sampled quantile sketch
     QueryDef(
       "q_quantile_sketch",

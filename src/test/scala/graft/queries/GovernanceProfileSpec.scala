@@ -68,4 +68,27 @@ class GovernanceProfileSpec extends SparkSpec {
     assert(byK(10) == ((3L, 10L, math.rint(10.0 / 22 * 1e6) / 1e6)))
     assert(byK(25) == ((4L, 22L, 1.0)))
   }
+
+  test("q_quantile_grouped: per-lang type-1 quantiles exact on two " +
+    "planted distributions (the group key changes ranks, not the rule)") {
+    val d = Files.createTempDirectory("quantgrpspec").toString
+    // lang aa: lengths 1,2,3,4 (N=4) -> ranks 1,2,3,4,4 -> values 1,2,3,4,4
+    // lang bb: lengths 5,5,10 (N=3) -> ranks 1,2,3,3,3 -> values 5,5,10,10,10
+    val rows = Seq((1, "aa"), (2, "aa"), (3, "aa"), (4, "aa"),
+      (5, "bb"), (5, "bb"), (10, "bb"))
+    rows.zipWithIndex
+      .map { case ((n, l), i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" "), l) }
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$d/documents.parquet")
+    val got = Registry.queryMap("q_quantile_grouped")(spark, d)
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("aa", 25, 1L, 1L, 4L), ("aa", 50, 2L, 2L, 4L),
+      ("aa", 75, 3L, 3L, 4L), ("aa", 90, 4L, 4L, 4L),
+      ("aa", 99, 4L, 4L, 4L),
+      ("bb", 25, 1L, 5L, 3L), ("bb", 50, 2L, 5L, 3L),
+      ("bb", 75, 3L, 10L, 3L), ("bb", 90, 3L, 10L, 3L),
+      ("bb", 99, 3L, 10L, 3L)), got)
+  }
 }
