@@ -212,6 +212,84 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_contamination_sweep",
+      "Decontamination threshold sweep (the q_dedup_tau_sweep " +
+        "discipline on the contamination knob): the per-doc overlap " +
+        "fractions q_contamination computes, priced at every candidate " +
+        s"τ in one pass — per τ: flagged docs, flagged tokens, and the " +
+        "flagged fraction of the non-benchmark corpus. The committed " +
+        s"τ=$ContamTau is one row of its own table (the sweep@" +
+        s"$ContamTau row must equal q_contamination's flagged count — " +
+        "spec-pinned), and the table is monotone non-increasing in τ " +
+        "by construction — how strict decontamination CAN be before it " +
+        "eats the corpus becomes a read, not a guess. Shape: the " +
+        "q_contamination overlap relation (one broadcast bench join, " +
+        "one doc-grain agg) + a τ-literal explode on the tiny per-doc " +
+        "fraction relation — zero extra corpus passes.",
+      (s, dir) => {
+        val taus = Seq(0.1, 0.2, 0.3, 0.5, 0.8)
+        val base = Tables.t(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .filter(size(col("toks")) >= ContamN)
+        val g = base.select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_tok"),
+          wordNgrams(col("toks"), ContamN).as("ng"))
+        val bench = g.filter(col("source") === "src0")
+          .select(explode(col("ng")).as("ngram")).distinct()
+          .withColumn("hit", lit(1))
+        val fr = g.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("n_tok"),
+            size(col("ng")).as("n_ngrams"), explode(col("ng")).as("ngram"))
+          .join(broadcast(bench), Seq("ngram"), "left")
+          .groupBy("doc_id", "n_tok", "n_ngrams")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(col("doc_id"), col("n_tok"),
+            (col("n_hits").cast("double") / col("n_ngrams")).as("frac"))
+        fr.crossJoin(broadcast(fr.agg(
+            count(lit(1)).as("n_total")).select(col("n_total"))))
+          .select(col("n_total"), col("n_tok"), col("frac"),
+            explode(array(taus.map(t => lit(t)): _*)).as("tau"))
+          .groupBy("tau")
+          .agg(sum(when(col("frac") >= col("tau"), 1L).otherwise(0L))
+              .cast("long").as("n_flagged"),
+            sum(when(col("frac") >= col("tau"), col("n_tok"))
+              .otherwise(0L)).cast("long").as("tokens_flagged"),
+            round(sum(when(col("frac") >= col("tau"), 1L).otherwise(0L))
+              .cast("double") / max(col("n_total")), 6).as("frac_flagged"))
+          .orderBy("tau")
+      },
+      Some {
+        val taus = "[0.1, 0.2, 0.3, 0.5, 0.8]"
+        s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+           |g AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+           |    list_distinct(list_transform(range(1, len(toks)-${ContamN - 2}),
+           |      i -> $contamGramSql)) AS ng
+           |  FROM t WHERE len(toks) >= $ContamN),
+           |bench AS (SELECT DISTINCT unnest(ng) AS ngram FROM g
+           |  WHERE source='src0'),
+           |x AS (SELECT doc_id, n_tok, len(ng) AS n_ngrams,
+           |    unnest(ng) AS ngram
+           |  FROM g WHERE source <> 'src0'),
+           |fr AS (SELECT x.doc_id, x.n_tok,
+           |    CAST(sum(CASE WHEN b.ngram IS NULL THEN 0 ELSE 1 END)
+           |      AS DOUBLE)/x.n_ngrams AS frac
+           |  FROM x LEFT JOIN bench b ON x.ngram = b.ngram
+           |  GROUP BY x.doc_id, x.n_tok, x.n_ngrams),
+           |tot AS (SELECT count(*) AS n_total FROM fr),
+           |e AS (SELECT n_total, n_tok, frac, unnest($taus) AS tau
+           |  FROM fr, tot)
+           |SELECT tau,
+           |  CAST(sum(CASE WHEN frac >= tau THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_flagged,
+           |  CAST(sum(CASE WHEN frac >= tau THEN n_tok ELSE 0 END)
+           |    AS BIGINT) AS tokens_flagged,
+           |  round(CAST(sum(CASE WHEN frac >= tau THEN 1 ELSE 0 END)
+           |    AS DOUBLE)/max(n_total), 6) AS frac_flagged
+           |FROM e GROUP BY tau ORDER BY tau""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_contamination_bloom",
       s"Decontamination with a Bloom-filter pre-pass — the eval-sets-" +
         "beyond-broadcast-size path q_contamination documents. The " +

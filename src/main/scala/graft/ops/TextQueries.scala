@@ -463,6 +463,64 @@ object TextQueries {
     ),
 
     QueryDef(
+      "q_vocab_overlap",
+      "Cross-source vocabulary overlap matrix (the H3s' source-overlap " +
+        "idea at VOCABULARY grain — the domain-similarity table a " +
+        "mixture design reads: two sources with near-identical " +
+        "vocabularies are one domain for weighting purposes, however " +
+        "distinct their labels): per source pair (a < b), each side's " +
+        "distinct-word vocabulary size, the shared-word count, and the " +
+        "vocabulary Jaccard |Va∩Vb| / |Va|+|Vb|−|Va∩Vb|. Shape: one " +
+        "corpus pass reduces to the (source, word) DISTINCT relation " +
+        "(vocab grain — MBs at 100 TB); the pair intersection is a " +
+        "word-keyed self-equi-join of that tiny relation; the pair " +
+        "frame is sources² rows (a handful) built from a broadcast " +
+        "cross of the per-source sizes so zero-overlap pairs still " +
+        "emit their row. Integer counts, one IEEE division rounded 6dp.",
+      (s, dir) => {
+        val v = Tables.t(s, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "").distinct()
+        val sizes = v.groupBy("source").agg(count(lit(1)).as("vocab"))
+        val inter = v.select(col("source").as("source_a"), col("w"))
+          .join(v.select(col("source").as("source_b"), col("w")), "w")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared"))
+        val pairs = sizes.select(col("source").as("source_a"),
+            col("vocab").as("vocab_a"))
+          .crossJoin(sizes.select(col("source").as("source_b"),
+            col("vocab").as("vocab_b")))
+          .filter(col("source_a") < col("source_b"))
+        pairs.join(inter, Seq("source_a", "source_b"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .withColumn("jaccard",
+            round(col("n_shared").cast("double") /
+              (col("vocab_a") + col("vocab_b") - col("n_shared")), 6))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH v AS (SELECT DISTINCT source, w FROM (
+              |    SELECT source, unnest($toksSql) AS w FROM documents)
+              |  WHERE w <> ''),
+              |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab
+              |  FROM v GROUP BY source),
+              |iv AS (SELECT a.source AS source_a, b.source AS source_b,
+              |    CAST(count(*) AS BIGINT) AS n_shared
+              |  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+              |  GROUP BY 1, 2),
+              |p AS (SELECT a.source AS source_a, a.vocab AS vocab_a,
+              |    b.source AS source_b, b.vocab AS vocab_b
+              |  FROM sz a, sz b WHERE a.source < b.source)
+              |SELECT source_a, source_b, vocab_a, vocab_b,
+              |  COALESCE(n_shared, 0) AS n_shared,
+              |  round(CAST(COALESCE(n_shared, 0) AS DOUBLE) /
+              |    (vocab_a + vocab_b - COALESCE(n_shared, 0)), 6)
+              |    AS jaccard
+              |FROM p LEFT JOIN iv USING (source_a, source_b)
+              |ORDER BY source_a, source_b""".stripMargin)
+    ),
+
+    QueryDef(
       "q_vocab_ngrams",
       "Corpus vocabulary induction: top-50 word bigrams by term " +
         "frequency (count desc, bigram asc tiebreak) — the n-gram count " +

@@ -126,4 +126,35 @@ class CorpusQueriesSpec extends SparkSpec {
     // n_bigrams = tokens - 1 per doc
     assert(rows(1L)._1 == 9 && rows(2L)._1 == 9 && rows(5L)._1 == 11)
   }
+
+  test("q_contamination_sweep: monotone non-increasing in tau, and the " +
+    "committed-tau row equals q_contamination's flagged count") {
+    val dir = "/root/testdata/sf0.001"
+    val sweep = graft.Registry.queryMap("q_contamination_sweep")(spark, dir)
+      .as[(Double, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(sweep.map(_._1) == Seq(0.1, 0.2, 0.3, 0.5, 0.8))
+    assert(sweep.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      s"flagged docs must be monotone non-increasing in tau: $sweep")
+    assert(sweep.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    val committed = graft.Registry.queryMap("q_contamination")(spark, dir)
+      .filter("contaminated = 1").count()
+    assert(sweep.find(_._1 == 0.3).get._2 == committed,
+      s"sweep@0.3 must equal q_contamination's count $committed")
+  }
+
+  test("q_vocab_overlap: hand-computed Jaccard on a planted two-source " +
+    "corpus; zero-overlap pairs still emit a row") {
+    val d = java.nio.file.Files.createTempDirectory("vocov").toString
+    // srcA vocab {aa,bb,cc}, srcB {bb,cc,dd,ee}, srcC {zz} (disjoint)
+    Seq((1L, "aa bb cc", "srcA"), (2L, "bb cc dd ee", "srcB"),
+      (3L, "zz", "srcC"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = graft.Registry.queryMap("q_vocab_overlap")(spark, d)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      ("srcA", "srcB", 3L, 4L, 2L, 0.4), // |{bb,cc}| / (3+4-2)
+      ("srcA", "srcC", 3L, 1L, 0L, 0.0),
+      ("srcB", "srcC", 4L, 1L, 0L, 0.0)), rows)
+  }
 }
