@@ -383,6 +383,18 @@ object DedupQueries {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** [[simhashFps]] persisted under its [[SharedCaches]] family: three
+    * declared consumers (equality clustering, Hamming banding, the
+    * recall measurement) share ONE fingerprint corpus pass per session
+    * — CacheManager matches the canonicalized plan, so each call's
+    * persist() lands on the same materialization.
+    */
+  private def simhashFpsPersisted(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): DataFrame =
+    SharedCaches.track(SharedCaches.Simhash,
+      simhashFps(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** DuckDB twin of [[simhashFps]] ending in `fp(doc_id, simhash)`. */
   private val simhashFpSqlCtes: String = {
     def hitSql(i: Int) = {
@@ -434,7 +446,7 @@ object DedupQueries {
   private def simhashHammingPairs(s: org.apache.spark.sql.SparkSession,
                                   dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bands = simhashFps(s, dir).select(col("doc_id"), col("simhash"),
+    val bands = simhashFpsPersisted(s, dir).select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimhashBands).map(b =>
         substring(col("simhash"), b * SimhashBandBits + 1, SimhashBandBits))
         : _*)).as(Seq("b", "bk")))
@@ -1055,7 +1067,7 @@ object DedupQueries {
         // groupBy-then-self-join alternative evaluates that whole subtree
         // twice (once per join side).
         val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
-        simhashFps(s, dir).select(col("doc_id"), col("simhash"),
+        simhashFpsPersisted(s, dir).select(col("doc_id"), col("simhash"),
           count(lit(1)).over(w).as("cluster_size"),
           min("doc_id").over(w).as("cluster_min"))
           .orderBy("doc_id")
@@ -1196,7 +1208,7 @@ object DedupQueries {
         "the SAME cached candidate relation as q_doc_dedup/" +
         "q_dedup_recall, so the truth leg adds zero corpus passes.",
       (s, dir) => {
-        val fps = simhashFps(s, dir)
+        val fps = simhashFpsPersisted(s, dir)
         val eq = fps.select(col("doc_id").as("doc_a"), col("simhash"))
           .join(fps.select(col("doc_id").as("doc_b"), col("simhash")),
             "simhash")

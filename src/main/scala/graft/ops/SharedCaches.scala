@@ -52,6 +52,11 @@ object SharedCaches {
     * into the filter, and verify-joined — three readers). */
   val BloomBench = "bloom_bench"
 
+  /** The 64-bit SimHash fingerprint relation (r13: THREE consumers —
+    * equality clustering, Hamming banding, and the recall measurement —
+    * each previously re-ran the explode+md5+64-bit-sum corpus pass). */
+  val Simhash = "simhash"
+
   // (the former Bpe memo family moved to a STORED artifact in r13 —
   // BpeStore, the eighth family: stored tables have no session-cache
   // residency, so no release bookkeeping remains here)
@@ -79,7 +84,9 @@ object SharedCaches {
       "q_ann_recall",
       "q_ann_mrr", "q_kmeans_refine",
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
-    BloomBench -> Set("q_contamination_bloom")
+    BloomBench -> Set("q_contamination_bloom"),
+    Simhash -> Set("q_dedup_simhash", "q_dedup_simhash_hamming",
+      "q_simhash_recall")
   )
 
   private val refs =
