@@ -483,7 +483,10 @@ object TextQueries {
           .filter(col("w") =!= "").distinct()
         val sizes = v.groupBy("source").agg(count(lit(1)).as("vocab"))
         val inter = v.select(col("source").as("source_a"), col("w"))
-          .join(v.select(col("source").as("source_b"), col("w")), "w")
+          // vocabulary-grain relation: MBs at ANY corpus scale (distinct
+          // words × sources), so one side broadcasts justifiably
+          .join(broadcast(v.select(col("source").as("source_b"), col("w"))),
+            "w")
           .filter(col("source_a") < col("source_b"))
           .groupBy("source_a", "source_b")
           .agg(count(lit(1)).as("n_shared"))
