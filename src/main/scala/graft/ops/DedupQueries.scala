@@ -458,11 +458,16 @@ object DedupQueries {
       col("simhash").as("fb"), col("b"), col("bk"))
     x.join(y, Seq("b", "bk"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "fa", "fb").distinct()
+      // popcount BEFORE the pair-dedup: the verify is a few codegen'd
+      // integer ops, so paying it per duplicate candidate is cheaper
+      // than shuffling two 64-char fingerprints through the DISTINCT
+      // exchange — the dedup key is (id, id, tiny int), 128+ chars
+      // narrower per row (a multi-band hit duplicates rows, and each
+      // copy computes the SAME hamming, so distinct-after is exact)
       .withColumn("hamming",
         hammingFp(col("fa"), col("fb")).cast("long"))
       .filter(col("hamming") <= SimhashHamK)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 
   /** DuckDB twin of [[simhashHammingPairs]] ending in
@@ -481,11 +486,11 @@ object DedupQueries {
        |shb AS (SELECT * FROM shb0
        |  QUALIFY count(*) OVER (PARTITION BY b, bk)
        |    BETWEEN 2 AND $HotBucketCap),
-       |shcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |shcand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    x.simhash AS fa, y.simhash AS fb
        |  FROM shb x JOIN shb y ON x.b = y.b AND x.bk = y.bk
        |    AND x.doc_id < y.doc_id),
-       |shham AS (SELECT doc_a, doc_b,
+       |shham AS (SELECT DISTINCT doc_a, doc_b,
        |    CAST(${hammingFpSql("fa", "fb")} AS BIGINT) AS hamming
        |  FROM shcand
        |  WHERE ${hammingFpSql("fa", "fb")} <= $SimhashHamK)""".stripMargin

@@ -266,6 +266,59 @@ object EventQueries {
     ),
 
     QueryDef(
+      "q_event_rolling",
+      "Trailing 7-day rolling revenue (the BI-staple moving average, " +
+        "and the third RANGE-frame face next to q_event_anomaly's " +
+        "trailing baseline): per epoch-day, purchase count, that day's " +
+        "revenue, and the 7-day trailing revenue sum + average — RANGE " +
+        "BETWEEN 6 PRECEDING on the integer day, so a GAP day shrinks " +
+        "the window instead of silently reaching further back (the " +
+        "ROWS-frame hazard on sparse series). Shape: the corpus " +
+        "reduces to one day-grain aggregate (days are bounded — a " +
+        "decade is ~3 653 rows at ANY corpus scale), and the rolling " +
+        "window runs on that tiny relation; revenue sums are " +
+        "DECIMAL-exact (the q_event_window convention), the average " +
+        "one IEEE division of exact operands rounded 6dp.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("sec", epochSec)
+          .select(expr("sec div 86400").as("day"), col("value"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast(DecimalType(18, 6))).as("rev"))
+        val w = Window.orderBy("day").rangeBetween(-6, 0)
+        daily
+          .withColumn("rev7", sum(col("rev")).over(w))
+          .withColumn("d7", count(lit(1)).over(w))
+          .select(col("day"), col("n_purchases"),
+            round(col("rev").cast(DoubleType), 6).as("revenue"),
+            round(col("rev7").cast(DoubleType), 6).as("revenue_7d"),
+            round(col("rev7").cast(DoubleType) / col("d7"), 6)
+              .as("avg_daily_7d"))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (SELECT
+             |    (CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+             |      // 86400) AS day,
+             |    COUNT(*) AS n_purchases,
+             |    SUM(CAST(value AS DECIMAL(18,6))) AS rev
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |r AS (SELECT day, n_purchases, rev,
+             |    SUM(rev) OVER (ORDER BY day
+             |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev7,
+             |    COUNT(*) OVER (ORDER BY day
+             |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS d7
+             |  FROM d)
+             |SELECT day, n_purchases,
+             |  round(CAST(rev AS DOUBLE), 6) AS revenue,
+             |  round(CAST(rev7 AS DOUBLE), 6) AS revenue_7d,
+             |  round(CAST(rev7 AS DOUBLE) / d7, 6) AS avg_daily_7d
+             |FROM r ORDER BY day""".stripMargin)
+    ),
+
+    QueryDef(
       "q_event_anomaly",
       "Event-rate anomaly detection: per-(type, minute) counts scored " +
         "against a trailing 30-minute baseline via a RANGE window frame " +

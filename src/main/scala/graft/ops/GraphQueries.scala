@@ -137,6 +137,71 @@ object GraphQueries {
            |SELECT rank, doc_id, outdeg, round(pr, 6) AS pr
            |FROM fin WHERE rank <= 20 ORDER BY rank""".stripMargin
       }
+    ),
+
+    QueryDef(
+      "q_dup_triangles",
+      "Triangle census + global clustering coefficient of the verified " +
+        "near-dup graph — the structure metric that tells a dedup " +
+        "review WHAT KIND of duplication it is looking at: a " +
+        "coefficient near 1 means cliques (template families — " +
+        "mirrored/boilerplate content where every copy pairs with " +
+        "every other), near 0 means chains (drifted partial overlaps " +
+        "that only adjacent revisions pair) — and the two regimes " +
+        "want different policies (cluster caps vs keeper election). " +
+        "One row: edges, docs-with-an-edge, wedges (Σ deg·(deg−1)/2), " +
+        "triangles (counted once each via the doc_a<doc_b edge " +
+        "orientation: e1=(a,b) ⋈ e2=(b,c) ⋈ closing e3=(a,c)), and " +
+        "coefficient = 3·triangles/wedges (NULL when wedge-free). " +
+        "Scale: the edge relation is the cached verified-pair family — " +
+        "orders of magnitude below corpus rows — and the two-hop join " +
+        "is edge-keyed on it; all integer arithmetic until the one " +
+        "rounded division.",
+      (s, dir) => {
+        val e = DedupQueries.minhashPairs(s, dir)
+          .select(col("doc_a"), col("doc_b"))
+        val deg = e.select(col("doc_a").as("v"))
+          .unionAll(e.select(col("doc_b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d"))
+        val wedges = deg.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+            .cast("long").as("n_wedges"))
+        val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+          .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
+            Seq("a", "c"))
+          .agg(count(lit(1)).as("n_triangles"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(wedges).crossJoin(tri)
+          .select(col("n_edges"), col("n_docs"), col("n_wedges"),
+            col("n_triangles"),
+            when(col("n_wedges") > 0,
+              round(lit(3L) * col("n_triangles") / col("n_wedges"), 6))
+              .otherwise(lit(null).cast("double"))
+              .as("clustering_coeff"))
+      },
+      Some {
+        s"""WITH ${DedupQueries.pairsSqlCtes},
+           |deg AS (SELECT v, COUNT(*) AS d FROM (
+           |    SELECT doc_a AS v FROM pairs
+           |    UNION ALL SELECT doc_b FROM pairs) GROUP BY v),
+           |w AS (SELECT COUNT(*) AS n_docs,
+           |    CAST(COALESCE(SUM(d * (d - 1) / 2), 0) AS BIGINT)
+           |      AS n_wedges FROM deg),
+           |tri AS (SELECT COUNT(*) AS n_triangles
+           |  FROM pairs e1
+           |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+           |  JOIN pairs e3 ON e3.doc_a = e1.doc_a
+           |    AND e3.doc_b = e2.doc_b),
+           |m AS (SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+           |    n_docs, n_wedges, n_triangles FROM w, tri)
+           |SELECT n_edges, n_docs, n_wedges, n_triangles,
+           |  CASE WHEN n_wedges > 0
+           |    THEN round(3 * CAST(n_triangles AS DOUBLE) / n_wedges, 6)
+           |    ELSE NULL END AS clustering_coeff
+           |FROM m""".stripMargin
+      }
     )
   )
 }

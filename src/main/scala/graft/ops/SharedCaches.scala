@@ -72,6 +72,7 @@ object SharedCaches {
       "q_cluster_size_hist", "q_simhash_recall",
       "q_corpus_funnel", // r13: the near-dup funnel stage reads CC labels
       "q_minhash_est_error", // r13: estimator error over cached candidates
+      "q_dup_triangles", // r13: triangle census over cached verified pairs
       "q_pagerank", "q_split_leakage", "q_split_cluster_aware"),
     MinhashBatch -> Set("q_dedup_incremental"),
     ContainBatch -> Set("q_containment_incremental"),

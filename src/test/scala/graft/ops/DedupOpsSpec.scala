@@ -203,6 +203,25 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_dup_triangles: a 3-clique (triple-copied doc) + a mirror pair " +
+    "count one triangle, three wedges, coefficient 1.0") {
+    val d = java.nio.file.Files.createTempDirectory("dtri").toString
+    def doc(seed: Int) = (1 to 24).map { j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 10)
+    }.mkString(" ")
+    // 3 copies of doc(0) -> a 3-clique; 2 copies of doc(1) -> one edge
+    val docs = Seq((1L, doc(0)), (2L, doc(0)), (3L, doc(0)),
+      (10L, doc(1)), (11L, doc(1)), (20L, doc(2)))
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val r = graft.Registry.queryMap("q_dup_triangles")(spark, d)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()(0)
+    // edges 3+1, docs-with-edge 5, wedges 3x(2*1/2)=3, triangles 1,
+    // coeff 3*1/3 = 1.0 (the clique regime)
+    assert(r == ((4L, 5L, 3L, 1L, Some(1.0))), r)
+  }
+
   test("q_minhash_est_error: planted exact duplicates land in the top " +
     "bin with zero error; identities hold on real testdata") {
     val d = java.nio.file.Files.createTempDirectory("mherr").toString

@@ -111,4 +111,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq(("view>click>purchase", 2L), ("click", 1L),
       ("view", 1L), (capped, 1L)), got)
   }
+
+  test("q_event_rolling: the RANGE frame shrinks over gap days instead " +
+    "of reaching back (the ROWS hazard), sums are day-exact") {
+    // purchases of value 1.0 each: days 100 (x2), 101, 102, and 110
+    // after a 7-day gap — day 110's window must contain ONLY day 110.
+    val dir = writeEvents(Seq(
+      (1L, 100 * Day + 10, 0L, "purchase"),
+      (2L, 100 * Day + 20, 0L, "purchase"),
+      (3L, 101 * Day + 10, 0L, "purchase"),
+      (4L, 102 * Day + 10, 0L, "purchase"),
+      (5L, 110 * Day + 10, 0L, "purchase"),
+      // non-purchase noise must not count
+      (6L, 100 * Day + 30, 0L, "view")))
+    val got = Registry.queryMap("q_event_rolling")(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (100L, 2L, 2.0, 2.0, 2.0),
+      (101L, 1L, 1.0, 3.0, 1.5),
+      (102L, 1L, 1.0, 4.0, math.rint(4.0 / 3 * 1e6) / 1e6),
+      (110L, 1L, 1.0, 1.0, 1.0)), got)
+  }
 }
