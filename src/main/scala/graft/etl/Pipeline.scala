@@ -437,18 +437,17 @@ object Pipeline {
     val vidSigs = mediaSig(a.videoSigTables, graft.ops.MediaSigStore.videoTag,
       "video_sig_store", graft.ops.VideoDedup.videoSigs)
     val bpes = a.bpeTables.map { t =>
-      val tag = graft.ops.BpeStore.tag(outDir)
+      // tag per (outDir, TABLE): a tokenizer is learned per corpus
+      // table — a dir-only tag would hand every table after the first
+      // the FIRST table's artifact through the catalog gate (r13
+      // review finding; the mediaSig per-kind convention)
+      val tag = graft.ops.BpeStore.tag(s"$outDir/$t")
       val ((nMerges, nWords, comp), secs) = timed {
-        val (merges, segs) = graft.ops.BpeStore.buildOrLoad(spark,
+        val (merges, _) = graft.ops.BpeStore.buildOrLoad(spark,
           spark.read.parquet(s"$outDir/$t.parquet"), tag, log)
-        val F = org.apache.spark.sql.functions
-        val st = segs.agg(
-          F.count(F.lit(1)),
-          F.sum(F.col("cnt") * F.length(F.col("word"))),
-          F.sum(F.col("cnt") * F.size(F.col("syms")))).head()
-        val cx = if (st.isNullAt(2) || st.getLong(2) == 0L) 0.0
-          else st.getLong(1).toDouble / st.getLong(2)
-        (merges.count(), st.getLong(0), cx)
+        val (w, ch, sy) = graft.ops.BpeStore.segStats(spark, tag)
+        val cx = if (sy == 0L) 0.0 else ch.toDouble / sy
+        (merges.count(), w, cx)
       }
       val msg = s"tag=$tag merges=$nMerges vocab_words=$nWords " +
         s"buckets=${graft.ops.BpeStore.buckets(spark, tag)} " +

@@ -101,12 +101,20 @@ object StagingWriter {
             date_format(col(f.name), dialect.timestampFormat)
           case StringType =>
             val c = col(f.name)
-            when(c.contains(dialect.delimiter) || c.contains("\n") ||
-                 c.contains("\r"),
+            // a non-NULL empty string is also unrepresentable when the
+            // dialect's null token IS the empty field: coalesce would
+            // silently collapse NULL and '' into one loader-ambiguous
+            // token (r13 review; the 1-char branch distinguishes them
+            // via nullValue vs emptyValue)
+            val unrep = c.contains(dialect.delimiter) ||
+              c.contains("\n") || c.contains("\r") ||
+              (if (dialect.nullToken.isEmpty) c === "" else lit(false))
+            when(unrep,
               raise_error(concat(lit(s"writeCsv[${dialect.name}]: field " +
                 s"'${f.name}' contains the '${dialect.delimiter}' " +
-                "terminator or a newline — unrepresentable under the " +
-                "no-quote BULK INSERT contract: "), c)))
+                "terminator, a newline, or an empty string colliding " +
+                "with the dialect's null token — unrepresentable under " +
+                "the no-quote BULK INSERT contract: '"), c, lit("'"))))
               .otherwise(c)
           case _ => col(f.name).cast(StringType)
         }

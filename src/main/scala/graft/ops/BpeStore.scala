@@ -80,14 +80,24 @@ object BpeStore {
       } finally { vFinal.unpersist(); Checkpoints.free(vFinal) }
       // Build-time audit: the numbers that decide whether the merge
       // table is worth shipping (q_bpe_encode's metrics, as a log line).
-      val st = spark.table(sT).agg(
-        count(lit(1)), sum(col("cnt") * length(col("word"))),
-        sum(col("cnt") * size(col("syms")))).head()
-      val msg = s"merges=${merges.size} vocab_words=${st.getLong(0)} " +
-        s"chars=${st.getLong(1)} syms=${st.getLong(2)}"
+      val (w, ch, sy) = segStats(spark, tag)
+      val msg = s"merges=${merges.size} vocab_words=$w chars=$ch syms=$sy"
       log.info(sT, "bpe_store_build", msg)
     }
     (spark.table(mT), spark.table(sT))
+  }
+
+  /** (vocab words, corpus-weighted chars, corpus-weighted symbols) off
+    * the stored segmentation table — ONE aggregate shared by the
+    * build-time audit and the pipeline's report row (vocab-grain scan,
+    * trivial at any corpus scale).
+    */
+  def segStats(spark: SparkSession, tag: String): (Long, Long, Long) = {
+    val r = spark.table(segsT(tag)).agg(
+      count(lit(1)),
+      coalesce(sum(col("cnt") * length(col("word"))), lit(0L)),
+      coalesce(sum(col("cnt") * size(col("syms"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** Stored merge list in rank order — the apply-order input of

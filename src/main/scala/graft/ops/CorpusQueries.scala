@@ -107,6 +107,40 @@ object CorpusQueries {
     */
   private[ops] val Ln2: Double = math.log(2.0)
 
+  /** Per-doc contamination overlap — ONE definition for
+    * q_contamination, q_contamination_sweep, and q_corpus_funnel's
+    * contamination stage (r13 review: three hand-maintained copies of
+    * the bench/overlap pipeline could drift). Input `d0` carries
+    * (doc_id, source, toks) — callers that already tokenized (the
+    * funnel) pass their own relation, so sharing the definition never
+    * forces a second tokenize pass. Output: one row per non-benchmark
+    * doc with >= ContamN tokens — (doc_id, n_tok, n_ngrams, n_hits);
+    * the flagged verdict at any τ is a filter on n_hits/n_ngrams.
+    */
+  private def contamOverlap(d0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val g = d0.filter(size(col("toks")) >= ContamN)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tok"),
+        wordNgrams(col("toks"), ContamN).as("ng"))
+    val bench = g.filter(col("source") === "src0")
+      .select(explode(col("ng")).as("ngram")).distinct()
+      .withColumn("hit", lit(1))
+    g.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("n_tok"),
+        size(col("ng")).as("n_ngrams"), explode(col("ng")).as("ngram"))
+      .join(broadcast(bench), Seq("ngram"), "left")
+      .groupBy("doc_id", "n_tok", "n_ngrams")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+  }
+
+  private def contamOverlapOf(s: org.apache.spark.sql.SparkSession,
+                              dir: String)
+      : org.apache.spark.sql.DataFrame =
+    contamOverlap(Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        tokens(col("text")).as("toks")))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_repetition_filter",
@@ -171,20 +205,9 @@ object CorpusQueries {
         "doc_id agg shuffle. (For eval sets beyond broadcast size: same " +
         "plan with a shuffled equi-join, or a Bloom filter pre-pass.)",
       (s, dir) => {
-        val g = Tables.t(s, dir, "documents")
-          .withColumn("toks", tokens(col("text")))
-          .filter(size(col("toks")) >= ContamN)
-          .select(col("doc_id"), col("source"),
-            wordNgrams(col("toks"), ContamN).as("ng"))
-        val bench = g.filter(col("source") === "src0")
-          .select(explode(col("ng")).as("ngram")).distinct()
-          .withColumn("hit", lit(1))
-        g.filter(col("source") =!= "src0")
-          .select(col("doc_id"), size(col("ng")).as("n_ngrams"),
-            explode(col("ng")).as("ngram"))
-          .join(broadcast(bench), Seq("ngram"), "left")
-          .groupBy("doc_id", "n_ngrams")
-          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        // overlap body: contamOverlap — one definition with the sweep
+        // and the funnel's contamination stage
+        contamOverlapOf(s, dir)
           .select(col("doc_id"), col("n_ngrams"), col("n_hits"),
             round(col("n_hits").cast("double") / col("n_ngrams"), 6)
               .as("overlap_frac"),
@@ -228,21 +251,7 @@ object CorpusQueries {
         "fraction relation — zero extra corpus passes.",
       (s, dir) => {
         val taus = Seq(0.1, 0.2, 0.3, 0.5, 0.8)
-        val base = Tables.t(s, dir, "documents")
-          .withColumn("toks", tokens(col("text")))
-          .filter(size(col("toks")) >= ContamN)
-        val g = base.select(col("doc_id"), col("source"),
-          size(col("toks")).cast("long").as("n_tok"),
-          wordNgrams(col("toks"), ContamN).as("ng"))
-        val bench = g.filter(col("source") === "src0")
-          .select(explode(col("ng")).as("ngram")).distinct()
-          .withColumn("hit", lit(1))
-        val fr = g.filter(col("source") =!= "src0")
-          .select(col("doc_id"), col("n_tok"),
-            size(col("ng")).as("n_ngrams"), explode(col("ng")).as("ngram"))
-          .join(broadcast(bench), Seq("ngram"), "left")
-          .groupBy("doc_id", "n_tok", "n_ngrams")
-          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        val fr = contamOverlapOf(s, dir)
           .select(col("doc_id"), col("n_tok"),
             (col("n_hits").cast("double") / col("n_ngrams")).as("frac"))
         fr.crossJoin(broadcast(fr.agg(
@@ -789,13 +798,19 @@ object CorpusQueries {
           .withColumn("toks", tokens(col("text")))
           .withColumn("n_tok", size(col("toks")))
           .withColumn("n_stop", TextQueries.nStop(col("toks")))
+          .withColumn("sl", expr(
+            "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+          .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
           .withColumn("qp", TextQueries.qualityPoints(
             length(col("text")), col("n_tok"), col("n_stop")))
+          // Gopher bundle off base's OWN token stats (the shared
+          // ruleFlags column bundle — same definition as docRuleFlags,
+          // applied to the pass already running; a docRuleFlags call
+          // here re-tokenized the corpus a second time, r13 review)
+          .withColumn("v_any", GovernanceQueries.ruleFlags(
+            col("n_tok").cast("long"), col("sl"), col("nd"),
+            col("n_stop").cast("long")).map(_._2).reduce(_ || _))
           .withColumn("keeper_id", min(col("doc_id")).over(wFp))
-        // Gopher bundle: the ONE shared per-doc flag relation
-        val rules = GovernanceQueries.docRuleFlags(
-            Tables.t(s, dir, "documents"))
-          .select(col("doc_id"), col("v_any"))
         // near-dup non-keepers: CC labels (memoized, shared with the
         // cluster family) + q_dedup_keep_best's election, verbatim
         val wCl = Window.partitionBy("cluster_id")
@@ -805,18 +820,10 @@ object CorpusQueries {
           .withColumn("rn", row_number().over(wCl))
           .filter(col("rn") > 1)
           .select(col("doc_id"), lit(1).as("near_dup"))
-        val g = base.filter(size(col("toks")) >= ContamN)
-          .select(col("doc_id"), col("source"),
-            wordNgrams(col("toks"), ContamN).as("ng"))
-        val bench = g.filter(col("source") === "src0")
-          .select(explode(col("ng")).as("ngram")).distinct()
-          .withColumn("hit", lit(1))
-        val contam = g.filter(col("source") =!= "src0")
-          .select(col("doc_id"), size(col("ng")).as("n_ngrams"),
-            explode(col("ng")).as("ngram"))
-          .join(broadcast(bench), Seq("ngram"), "left")
-          .groupBy("doc_id", "n_ngrams")
-          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        // contamination verdicts: contamOverlap (one definition with
+        // q_contamination/q_contamination_sweep), fed base's OWN toks
+        val contam = contamOverlap(
+            base.select(col("doc_id"), col("source"), col("toks")))
           .filter(col("n_hits").cast("double") / col("n_ngrams") >= ContamTau)
           .select(col("doc_id"), lit(1).as("contam"))
         // per-source cap verdict: q_domain_cap's windows, verbatim
@@ -837,7 +844,6 @@ object CorpusQueries {
           .filter(col("cum") > col("budget"))
           .select(col("doc_id"), lit(1).as("capped"))
         val staged = base
-          .join(rules, Seq("doc_id"), "left")
           .join(ndDrop, Seq("doc_id"), "left")
           .join(contam, Seq("doc_id"), "left")
           .join(capDrop, Seq("doc_id"), "left")

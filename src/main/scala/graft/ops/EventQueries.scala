@@ -175,7 +175,8 @@ object EventQueries {
              |  FROM flagged
              |), paths AS (
              |  SELECT user_id, session_idx,
-             |    array_to_string((list(event_type ORDER BY sec, event_id))[1:8],
+             |    array_to_string(
+             |      (list(event_type ORDER BY sec, event_id, event_type))[1:8],
              |      '>') AS path
              |  FROM sessions GROUP BY 1, 2
              |)

@@ -135,8 +135,12 @@ object MediaSigStore {
     } finally sigs.unpersist()
   }
 
-  /** Periodic compaction: recompute exact bsz from the signature table
-    * (appends leave per-batch lower bounds), preserving the bucket spec.
+  /** Periodic compaction: recompute exact bsz for EVERY row from the
+    * signature table, preserving the bucket spec. Appends stamp their
+    * own rows insert-time-exact (standing + batch), but STANDING rows
+    * keep build-vintage counts until this runs — refresh re-levels the
+    * whole bucket (r13: comment aligned with the r12-advice append
+    * semantics).
     */
   def refreshBucketSizes(spark: SparkSession, tag: String): Unit = {
     val bT = bandT(tag)

@@ -21,6 +21,14 @@ object SampleQueries {
   private val rates = Seq("en" -> "40") // 0x40/0x100 = 25%
   private val defaultRate = "80"        // 0x80/0x100 = 50%
 
+  /** Shard count of the deterministic permutation — structural, not a
+    * tuning knob: the shard IS the key's leading hex digit, so there
+    * are exactly 16. Report strings derive from this constant so a
+    * future wider-prefix variant cannot silently lie in the logs
+    * (r12 advice).
+    */
+  private[graft] val NumShards = 16
+
   /** The deterministic training-order permutation (q_shuffle_shard's
     * body, factored out so the shard-major WRITER — Pipeline's artifact
     * phase via [[graft.etl.Layout.writeShardMajor]] — materializes the
@@ -30,14 +38,6 @@ object SampleQueries {
     * without a global sort (16-way partitioned window + a 16-row
     * broadcast prefix sum over shard counts).
     */
-  /** Shard count of the deterministic permutation — structural, not a
-    * tuning knob: the shard IS the key's leading hex digit, so there
-    * are exactly 16. Report strings derive from this constant so a
-    * future wider-prefix variant cannot silently lie in the logs
-    * (r12 advice).
-    */
-  private[graft] val NumShards = 16
-
   private[graft] def shuffleShardPerm(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

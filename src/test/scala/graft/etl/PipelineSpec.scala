@@ -144,7 +144,7 @@ class PipelineSpec extends SparkSpec {
     // derive, its segmentation map covering EVERY distinct corpus word
     // (the encode join can never drop a seen word), with the learned
     // metrics in the report row
-    val bpeTag = graft.ops.BpeStore.tag(dst)
+    val bpeTag = graft.ops.BpeStore.tag(s"$dst/docs")
     val segWords = spark.table(s"${bpeTag}_bpesegs")
       .select("word").as[String].collect().toSet
     val corpusWords = spark.read.parquet(s"$dst/docs.parquet")

@@ -61,7 +61,21 @@ class StagingWriterSpec extends SparkSpec {
   test("writeCsv emits MsSql's FULL two-char field terminator (the " +
     "pre-r12 take(1) truncation collided '|' data with the separator)") {
     val dir = Files.createTempDirectory("graft-csv-mssql").toString
-    writeCsv(sampleDf, MsSql, dir)
+    // NULL note (representable as the empty null-token field) instead
+    // of sampleDf's empty STRING (unrepresentable — see the loud-
+    // failure test below)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("active", BooleanType, nullable = true),
+      StructField("note", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1, "alice", true, "has, comma"),
+        Row(2, "bob \"quoted\"", false, null),
+        Row(3, null, null, "plain")),
+      schema)
+    writeCsv(df, MsSql, dir)
     val lines = spark.read.text(dir).collect().map(_.getString(0)).sorted
     assert(lines.length == 3)
     // every row splits into exactly 4 fields on the FULL terminator
@@ -72,6 +86,28 @@ class StagingWriterSpec extends SparkSpec {
     assert(lines.exists(_.split(
       java.util.regex.Pattern.quote("|,"), -1).toSeq ==
       Seq("1", "alice", "1", "has, comma")), lines.mkString("\n"))
+  }
+
+  test("writeCsv fails LOUDLY on fields the no-quote BULK INSERT format " +
+    "cannot represent: the terminator, a newline, and an empty string " +
+    "colliding with the empty null token (r13 review)") {
+    def fails(note: String): Unit = {
+      val dir = Files.createTempDirectory("graft-csv-unrep").toString
+      val schema = StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("note", StringType, nullable = true)))
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(Row(1, note)), schema)
+      val e = intercept[Exception] { writeCsv(df, MsSql, dir) }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("unrepresentable")),
+        s"note=<$note> raised without the contract message: $e")
+    }
+    fails("contains the |, terminator")
+    fails("line\nbreak")
+    fails("") // NULL vs '' collapse under nullToken = ""
   }
 
   test("jdbc bulk-load options select per-dialect batching (A5-A9)") {
