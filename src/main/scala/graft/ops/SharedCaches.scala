@@ -78,7 +78,7 @@ object SharedCaches {
     ContainBatch -> Set("q_containment_incremental"),
     Embeddings -> Set("q_embedding_topk", "q_embedding_quantize",
       "q_embedding_project", "q_embedding_pq", "q_pq_rerank",
-      "q_pq_codebook_sweep",
+      "q_pq_codebook_sweep", "q_ann_probe_sweep",
       "q_hard_negatives",
       "q_ann_hyperplane",
       "q_ann_multiprobe", "q_ann_filtered", "q_ann_ivf", "q_ann_ivfpq",

@@ -1013,6 +1013,81 @@ object SimilarityQueries {
     ),
 
     QueryDef(
+      "q_ann_probe_sweep",
+      s"IVF probe-count sweep (the q_pq_codebook_sweep discipline on " +
+        "the OTHER knob of the IVF trade — how many inverted lists to " +
+        s"touch): recall@$K of the stored-IVF search at nProbe ∈ " +
+        "{1, 2, 4, 8, 16}, one measured row per operating point, " +
+        "against the exact cosine top-k. Every leg runs the SAME " +
+        "shared probe + scan definitions as q_ann_ivf (probeCells / " +
+        "ivfTopKFor — the sweep measures the knob, not a " +
+        "reimplementation), against the ONE stored index. The table a " +
+        "deployment tunes its latency/recall point from: probed work " +
+        "grows linearly in nProbe while recall saturates — measured at " +
+        "sf0.01: 0.16 / 0.27 / 0.45 / 0.70 / 0.91 for p=1/2/4/8/16 " +
+        "(near-linear on isotropic random embeddings — no cluster " +
+        "structure means probes add ~equal mass; real embeddings " +
+        "flatten much earlier, and this table is how a deployment " +
+        "sees that). Scale: the probe leg is a " +
+        "query-panel × centroid broadcast per p; the scan leg touches " +
+        "~p/cells of the resident index per p; the exact-truth join " +
+        "is the cached panel relation (zero new corpus passes).",
+      (s, dir) => {
+        val probes = Seq(1, 2, 4, 8, 16)
+        val cells = derivedCells(corpus(s, dir).count())
+        val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
+        val exact = exactTopK(s, dir).select(col("query_id"), col("vec_id"))
+        def row(p: Int): DataFrame =
+          exact.join(ivfTopKFrom(s, dir, a2, centn, p)
+              .select(col("query_id"), col("vec_id"))
+              .withColumn("hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+            .agg(count(lit(1)).as("n_exact"),
+              sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+            .select(lit(f"ivf_p$p%02d").as("variant"),
+              lit(p).as("n_probe"), col("n_exact"), col("n_hit"),
+              round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"))
+        probes.map(row).reduce(_.unionAll(_)).orderBy("variant")
+      },
+      Some {
+        val probes = Seq(1, 2, 4, 8, 16)
+        def legs(p: Int) =
+          s"""qp_p$p AS (SELECT query_id, qv, qn, cell FROM (
+             |  SELECT q.query_id, q.qv, q.qn, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |      ORDER BY list_dot_product(q.qv, c.cv)/(q.qn*c.cn) DESC,
+             |      c.cell ASC) AS pr
+             |  FROM q, centn c) WHERE pr <= $p),
+             |sc_p$p AS (SELECT query_id, vec_id FROM (
+             |  SELECT query_id, vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY list_dot_product(qv, v)/(qn*nrm) DESC,
+             |        vec_id ASC) AS rank
+             |  FROM qp_p$p JOIN a2 USING (cell)
+             |  WHERE query_id <> vec_id) WHERE rank <= $K)""".stripMargin
+        def sel(p: Int) =
+          s"""SELECT 'ivf_p${f"$p%02d"}' AS variant,
+             |  CAST($p AS INT) AS n_probe,
+             |  count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS n_hit,
+             |  round(CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) / count(*), 4) AS recall_at_$K
+             |FROM ex LEFT JOIN sc_p$p a
+             |  ON ex.query_id = a.query_id AND ex.vec_id = a.vec_id""".stripMargin
+        s"""WITH $baseCte,
+           |${ivfAssignCtes("", sqrtCellsSql)},
+           |$exactScoredCte,
+           |ex AS (SELECT query_id, vec_id FROM exact_scored
+           |  WHERE rank <= $K),
+           |${probes.map(legs).mkString(",\n")}
+           |SELECT * FROM (
+           |${probes.map(sel).mkString("\nUNION ALL\n")}
+           |) ORDER BY variant""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_embedding_quantize",
       "Scalar int8 quantization of the embedding store (4x bandwidth / " +
         "storage at 100 TB): per-vector symmetric scale = max|x|/127, " +

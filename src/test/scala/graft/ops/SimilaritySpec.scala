@@ -220,4 +220,18 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length == 4)
     rows.foreach(r => assert(r._3 >= 0.0 && r._3 <= 1.0, r.toString))
   }
+
+  test("q_ann_probe_sweep: recall is monotone non-decreasing in the " +
+    "probe count and bounded in [0,1] (probing strictly more lists can " +
+    "only add candidates)") {
+    import spark.implicits._
+    val rows = graft.Registry.queryMap("q_ann_probe_sweep")(
+      spark, "/root/testdata/sf0.001")
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+      .sortBy(_._2)
+    assert(rows.map(_._2) == Seq(1, 2, 4, 8, 16))
+    rows.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0, r))
+    assert(rows.map(_._4).sliding(2).forall(p => p.head <= p.last),
+      s"hits must be monotone in nProbe: $rows")
+  }
 }
