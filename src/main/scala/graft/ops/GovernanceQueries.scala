@@ -219,6 +219,71 @@ object GovernanceQueries {
        |  FROM b GROUP BY ROLLUP(source))
        |SELECT * FROM u ORDER BY source""".stripMargin
 
+  /** Multinomial naive-Bayes TRAINER over labeled docs (doc_id, text,
+    * label) at word grain — add-1 smoothing, log terms 9dp-rounded
+    * (the LnTwo convention). Returns the frozen model relations:
+    * `tg (plabel, g, c)` word counts, `li (plabel, t, v, lp)` totals +
+    * vocab + log prior, `pr (plabel, nd)` class doc counts (majority
+    * baseline). ONE definition for q_quality_classifier's train split
+    * and any offline model a streaming scorer freezes.
+    */
+  private[graft] def nbTrain(labeled: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val grams = labeled.select(col("doc_id"), col("label"),
+        explode(tokens(col("text"))).as("g"))
+      .filter(col("g") =!= "")
+    val tg = grams.groupBy(col("label").as("plabel"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val tt = tg.groupBy("plabel").agg(sum(col("c")).as("t"))
+    val vv = tg.agg(countDistinct(col("g")).as("v"))
+    val pr = labeled.groupBy(col("label").as("plabel"))
+      .agg(count(lit(1)).as("nd"))
+    val ntr = labeled.agg(count(lit(1)).as("n"))
+    val li = tt.join(pr, "plabel").crossJoin(vv).crossJoin(ntr)
+      .select(col("plabel"), col("t"), col("v"),
+        round(log(col("nd") / col("n")), 9).as("lp"))
+    (tg, li, pr)
+  }
+
+  /** Score docs (doc_id, text) against a FROZEN naive-Bayes model
+    * (the [[nbTrain]] relations) → (doc_id, plabel). Stateless per doc
+    * given the frozen model — the streaming ingest face
+    * ([[graft.streaming.CorpusStream.qualityClassifyBatch]]) applies
+    * it per micro-batch and stream union == batch exactly. Model
+    * relations broadcast (vocab-sized); scoring is one gram join +
+    * per-(doc, label) decimal-exact log-likelihood sums; docs with no
+    * in-model grams fall back to the log prior.
+    */
+  private[graft] def nbScore(docs: org.apache.spark.sql.DataFrame,
+                             tg: org.apache.spark.sql.DataFrame,
+                             li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = DecimalType(38, 12)
+    val eg = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("g"))
+      .filter(col("g") =!= "")
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("m"))
+    val terms = eg.crossJoin(broadcast(li))
+      .join(broadcast(tg), Seq("plabel", "g"), "left")
+      .select(col("doc_id"), col("plabel"),
+        round(col("m") *
+          round(log((coalesce(col("c"), lit(0L)) + 1) /
+            (col("t") + col("v"))), 9), 9).cast(dec).as("term"))
+    val ts = terms.groupBy("doc_id", "plabel")
+      .agg(sum(col("term")).as("ts"))
+    val base = docs.select("doc_id")
+      .crossJoin(broadcast(li.select(col("plabel"), col("lp"))))
+    base.join(ts, Seq("doc_id", "plabel"), "left")
+      .select(col("doc_id"), col("plabel"),
+        (coalesce(col("ts"), lit(0).cast(dec)) +
+          col("lp").cast(dec)).as("score"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("plabel").asc)))
+      .filter(col("rn") === 1).select("doc_id", "plabel")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------- H4n
@@ -745,50 +810,19 @@ object GovernanceQueries {
         "sums; log terms 9dp-rounded before the DECIMAL sum (the LnTwo " +
         "convention), priors from the train split.",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val lbl = docRuleFlags(Tables.par(s, dir, "documents"))
           .select(col("doc_id"),
             when(!col("v_any") && !col("quality_drop"), "good")
               .otherwise("bad").as("label"))
         val docs = Tables.par(s, dir, "documents").join(lbl, "doc_id")
-          .select(col("doc_id"), col("label"),
-            tokens(col("text")).as("toks"),
+          .select(col("doc_id"), col("label"), col("text"),
             (col("doc_id") % 2 === 0).as("tr"))
-        val grams = docs.select(col("doc_id"), col("label"), col("tr"),
-            explode(col("toks")).as("g"))
-          .filter(col("g") =!= "")
-        val tg = grams.filter(col("tr"))
-          .groupBy(col("label").as("plabel"), col("g"))
-          .agg(count(lit(1)).as("c"))
-        val tt = tg.groupBy("plabel").agg(sum(col("c")).as("t"))
-        val vv = tg.agg(countDistinct(col("g")).as("v"))
-        val pr = docs.filter(col("tr"))
-          .groupBy(col("label").as("plabel")).agg(count(lit(1)).as("nd"))
-        val ntr = docs.filter(col("tr")).agg(count(lit(1)).as("n"))
-        val li = tt.join(pr, "plabel").crossJoin(vv).crossJoin(ntr)
-          .select(col("plabel"), col("t"), col("v"),
-            round(log(col("nd") / col("n")), 9).as("lp"))
-        val dec = DecimalType(38, 12)
-        val eg = grams.filter(!col("tr"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("m"))
-        val terms = eg.crossJoin(broadcast(li))
-          .join(broadcast(tg), Seq("plabel", "g"), "left")
-          .select(col("doc_id"), col("plabel"),
-            round(col("m") *
-              round(log((coalesce(col("c"), lit(0L)) + 1) /
-                (col("t") + col("v"))), 9), 9).cast(dec).as("term"))
-        val ts = terms.groupBy("doc_id", "plabel")
-          .agg(sum(col("term")).as("ts"))
-        val base = docs.filter(!col("tr")).select("doc_id")
-          .crossJoin(broadcast(li.select(col("plabel"), col("lp"))))
-        val sc = base.join(ts, Seq("doc_id", "plabel"), "left")
-          .select(col("doc_id"), col("plabel"),
-            (coalesce(col("ts"), lit(0).cast(dec)) +
-              col("lp").cast(dec)).as("score"))
-        val pred = sc.withColumn("rn",
-            row_number().over(Window.partitionBy("doc_id")
-              .orderBy(col("score").desc, col("plabel").asc)))
-          .filter(col("rn") === 1).select("doc_id", "plabel")
+        // train/score via the SHARED nbTrain/nbScore definitions (the
+        // streaming face scores against the same frozen model shape)
+        val (tg, li, pr) = nbTrain(docs.filter(col("tr"))
+          .select(col("doc_id"), col("text"), col("label")))
+        val pred = nbScore(docs.filter(!col("tr"))
+          .select(col("doc_id"), col("text")), tg, li)
         val mj = broadcast(pr.orderBy(col("nd").desc, col("plabel").asc)
           .limit(1).select(col("plabel").as("mlabel")))
         val j = docs.filter(!col("tr"))

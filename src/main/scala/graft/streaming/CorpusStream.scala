@@ -179,6 +179,20 @@ object CorpusStream {
   def bpeEncodeBatch(batch: DataFrame, segs: DataFrame): DataFrame =
     graft.ops.BpeQueries.docTokenCounts(batch, segs)
 
+  /** Ingest-time quality classification — the streaming face of
+    * `q_quality_classifier` ([[graft.ops.GovernanceQueries.nbScore]];
+    * one definition, no drift): each arriving doc scored against a
+    * FROZEN naive-Bayes model (`tg`/`li` = the [[graft.ops
+    * .GovernanceQueries.nbTrain]] relations, trained offline — the
+    * production shape: the classifier trains on a labeled seed
+    * snapshot, the ingest pipeline applies it). Stateless per doc
+    * given the frozen model, so stream union == batch EXACTLY over any
+    * micro-batch split (differential-tested in CorpusStreamSpec).
+    */
+  def qualityClassifyBatch(batch: DataFrame, tg: DataFrame,
+                           li: DataFrame): DataFrame =
+    graft.ops.GovernanceQueries.nbScore(batch, tg, li)
+
   /** Batch-side build of the stored CHAR-winnow span artifact (the
     * [[graft.ops.SpanSet]] skeleton at character granularity, charspans
     * role) — returns the duplicated-fingerprint set for

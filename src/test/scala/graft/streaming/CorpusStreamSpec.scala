@@ -407,4 +407,56 @@ class CorpusStreamSpec extends SparkSpec {
       assert((d12._2, d12._3, d12._4) == ((3L, 12L, 3L)), d12)
     } finally q.stop()
   }
+
+  test("qualityClassifyBatch: stream union == batch against a FROZEN " +
+    "naive-Bayes model across micro-batch splits; lexical labels " +
+    "predicted correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // frozen model: good docs speak gw*, bad docs speak zq* (the
+    // GovernanceSpec separable construction)
+    val goodText = (Seq("the", "and") ++
+      (1 to 23).map(i => f"gw$i%02d")).mkString(" ")
+    val labeled = Seq(
+      (1L, goodText, "good"), (2L, goodText, "good"),
+      (11L, "zq wq vq", "bad"), (12L, "zq wq vq", "bad"))
+      .toDF("doc_id", "text", "label")
+    val (tg, li, _) = graft.ops.GovernanceQueries.nbTrain(labeled)
+    val tgP = tg.persist(); val liP = li.persist()
+    tgP.count(); liP.count() // freeze the model before streaming
+    val docs = Seq(
+      (20L, "gw01 gw02 the gw03"), (21L, "zq zq wq"),
+      (22L, "gw05 and gw07"), (23L, "vq wq zq"))
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-qc").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.CorpusStream
+          .qualityClassifyBatch(b, tgP, liP)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      docs.grouped(2).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+      val streamed = sink.synchronized(sink.toSeq).sortBy(_._1)
+      val batch = graft.streaming.CorpusStream
+        .qualityClassifyBatch(docs.toDF("doc_id", "text"), tgP, liP)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .toSeq.sortBy(_._1)
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed == Seq((20L, "good"), (21L, "bad"),
+        (22L, "good"), (23L, "bad")), streamed)
+    } finally {
+      q.stop(); tgP.unpersist(); liP.unpersist()
+    }
+  }
 }
