@@ -245,7 +245,12 @@ object CorpusQueries {
         s"$ContamTau row must equal q_contamination's flagged count — " +
         "spec-pinned), and the table is monotone non-increasing in τ " +
         "by construction — how strict decontamination CAN be before it " +
-        "eats the corpus becomes a read, not a guess. Shape: the " +
+        "eats the corpus becomes a read, not a guess. Denominator: " +
+        "frac_flagged divides by the ELIGIBLE population — non-" +
+        s"benchmark docs with ≥ $ContamN tokens (docs too short to " +
+        "form one n-gram can never be flagged at any τ, so they are " +
+        "excluded from both numerator and denominator — same universe " +
+        "q_contamination scores). Shape: the " +
         "q_contamination overlap relation (one broadcast bench join, " +
         "one doc-grain agg) + a τ-literal explode on the tiny per-doc " +
         "fraction relation — zero extra corpus passes.",

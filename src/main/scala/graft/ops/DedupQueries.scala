@@ -346,7 +346,13 @@ object DedupQueries {
     * by pigeonhole, any pair at Hamming distance ≤ [[SimhashHamK]] =
     * SimhashBands − 1 agrees EXACTLY on at least one band — so the
     * band-equality join has recall 1.0 of the Hamming-≤k pair set by
-    * construction, never by luck.
+    * construction — CONDITIONAL on the hot-bucket governance not
+    * binding: simhashHammingPairs drops band buckets larger than
+    * HotBucketCap, so a pair whose ONLY agreeing band lands in a
+    * capped bucket is lost. Structural recall 1.0 therefore holds
+    * exactly for pairs none of whose agreeing bands exceed the cap
+    * (at the test scales no bucket reaches the cap — asserted in
+    * DedupOpsSpec).
     */
   private[ops] val SimhashBands = 4
   private[ops] val SimhashHamK = SimhashBands - 1
@@ -1123,7 +1129,11 @@ object DedupQueries {
         s"geometry): over the cached LSH candidate pairs, Ĵ = " +
         s"(matching components)/$NumHashes is compared against the " +
         "exact Jaccard the verify leg already computed, binned by " +
-        "exact-J quintile — per bin: pair count, mean J, mean Ĵ, mean " +
+        "exact-J quintile via floor(J*5) — bins 0–4 cover [0,1), and " +
+        "exact duplicates (J = 1.0) land in their OWN bin 5 (pinned in " +
+        "DedupOpsSpec), deliberately NOT folded into bin 4 so the " +
+        "perfect-agreement population never dilutes the top " +
+        "quintile's bias read — per bin: pair count, mean J, mean Ĵ, mean " +
         "|Ĵ−J| and the signed bias. Measured at sf0.01 the table says " +
         "something sharper than the textbook σ ≈ √(J(1−J)/12) ≈ 0.14: " +
         "candidate-CONDITIONED signatures are upward-biased at low J " +

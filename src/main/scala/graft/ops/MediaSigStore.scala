@@ -121,12 +121,26 @@ object MediaSigStore {
       // build-vintage bsz until [[refreshBucketSizes]] — the remaining
       // staleness errs toward keeping OLD postings, never toward
       // growing an over-cap bucket.
-      val standing = spark.table(bT).groupBy("bk")
-        .agg(count(lit(1)).as("standing_n"))
+      //
+      // The standing counts are MATERIALIZED (collected) before the
+      // insertInto is issued: the write plan must not scan its own
+      // target (r13 advice — Spark happens to list the target's files
+      // before the append commits, but read-your-write-target breaks
+      // under planning/caching changes). The collect is bounded: only
+      // the BATCH's bks are counted (≤ 4 per signature, micro-batch
+      // sized), one (bk, n) pair each.
+      import spark.implicits._
+      val batchBks = bandRows(sigs).select("bk").distinct()
+      val standing = spark.table(bT)
+        .join(broadcast(batchBks), Seq("bk"), "left_semi")
+        .groupBy("bk").agg(count(lit(1)).as("standing_n"))
+        .select(col("bk").cast("int"), col("standing_n").cast("long"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        .toDF("bk", "standing_n")
       val wb = org.apache.spark.sql.expressions.Window.partitionBy("bk")
       bandRows(sigs)
         .withColumn("batch_n", count(lit(1)).over(wb))
-        .join(standing, Seq("bk"), "left")
+        .join(broadcast(standing), Seq("bk"), "left")
         .withColumn("bsz",
           col("batch_n") + coalesce(col("standing_n"), lit(0L)))
         // explicit order: insertInto is positional (table is bk,doc_id,bsz)

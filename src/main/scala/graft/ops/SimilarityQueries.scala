@@ -1017,13 +1017,20 @@ object SimilarityQueries {
       s"IVF probe-count sweep (the q_pq_codebook_sweep discipline on " +
         "the OTHER knob of the IVF trade — how many inverted lists to " +
         s"touch): recall@$K of the stored-IVF search at nProbe ∈ " +
-        "{1, 2, 4, 8, 16}, one measured row per operating point, " +
-        "against the exact cosine top-k. Every leg runs the SAME " +
-        "shared probe + scan definitions as q_ann_ivf (probeCells / " +
-        "ivfTopKFor — the sweep measures the knob, not a " +
-        "reimplementation), against the ONE stored index. The table a " +
-        "deployment tunes its latency/recall point from: probed work " +
-        "grows linearly in nProbe while recall saturates — measured at " +
+        "{1, 2, 4, 8, 16} PLUS the SHIPPED operating point " +
+        "(derivedProbe = max(floor, ⌈cells/8⌉) — r13 verdict: the " +
+        "default q_ann_ivf actually runs at sat BETWEEN sweep rows, " +
+        "unmeasured on its own table; it is now the 'ivf_pdefault' " +
+        "row, and a spec pins its recall between its bracketing fixed " +
+        "points — the PQ-sweep discipline: the shipped point must be " +
+        "a row on its own table), one measured row per operating " +
+        "point, against the exact cosine top-k. Every leg runs the " +
+        "SAME shared probe + scan definitions as q_ann_ivf " +
+        "(probeCells / ivfTopKFor — the sweep measures the knob, not " +
+        "a reimplementation), against the ONE stored index. The " +
+        "table a deployment tunes its latency/recall point from: " +
+        "probed work grows linearly in nProbe while recall saturates " +
+        "— measured at " +
         "sf0.01: 0.16 / 0.27 / 0.45 / 0.70 / 0.91 for p=1/2/4/8/16 " +
         "(near-linear on isotropic random embeddings — no cluster " +
         "structure means probes add ~equal mass; real embeddings " +
@@ -1033,56 +1040,66 @@ object SimilarityQueries {
         "~p/cells of the resident index per p; the exact-truth join " +
         "is the cached panel relation (zero new corpus passes).",
       (s, dir) => {
-        val probes = Seq(1, 2, 4, 8, 16)
         val cells = derivedCells(corpus(s, dir).count())
+        val probes = Seq(1, 2, 4, 8, 16).map(p => (f"ivf_p$p%02d", p)) :+
+          (("ivf_pdefault", derivedProbe(cells)))
         val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
         val exact = exactTopK(s, dir).select(col("query_id"), col("vec_id"))
-        def row(p: Int): DataFrame =
+        def row(variant: String, p: Int): DataFrame =
           exact.join(ivfTopKFrom(s, dir, a2, centn, p)
               .select(col("query_id"), col("vec_id"))
               .withColumn("hit", lit(1)),
             Seq("query_id", "vec_id"), "left")
             .agg(count(lit(1)).as("n_exact"),
               sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-            .select(lit(f"ivf_p$p%02d").as("variant"),
+            .select(lit(variant).as("variant"),
               lit(p).as("n_probe"), col("n_exact"), col("n_hit"),
               round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"))
-        probes.map(row).reduce(_.unionAll(_)).orderBy("variant")
+        probes.map((row _).tupled).reduce(_.unionAll(_)).orderBy("variant")
       },
       Some {
+        // fixed points embed p as a literal; the default leg embeds the
+        // SAME scalar-subquery twin of derivedProbe that ivfQpCte uses,
+        // so the measured default row IS the shipped search's p
+        val pdefSql =
+          s"""(SELECT GREATEST($NProbe,
+             |    CAST(ceil(GREATEST($NCells, floor(sqrt(count(*)))) / 8.0)
+             |      AS BIGINT)) FROM n)""".stripMargin
         val probes = Seq(1, 2, 4, 8, 16)
-        def legs(p: Int) =
-          s"""qp_p$p AS (SELECT query_id, qv, qn, cell FROM (
+          .map(p => (f"ivf_p$p%02d", p.toString, f"p$p%02d")) :+
+          (("ivf_pdefault", pdefSql, "pdef"))
+        def legs(pSql: String, sfx: String) =
+          s"""qp_$sfx AS (SELECT query_id, qv, qn, cell FROM (
              |  SELECT q.query_id, q.qv, q.qn, c.cell,
              |    ROW_NUMBER() OVER (PARTITION BY q.query_id
              |      ORDER BY list_dot_product(q.qv, c.cv)/(q.qn*c.cn) DESC,
              |      c.cell ASC) AS pr
-             |  FROM q, centn c) WHERE pr <= $p),
-             |sc_p$p AS (SELECT query_id, vec_id FROM (
+             |  FROM q, centn c) WHERE pr <= $pSql),
+             |sc_$sfx AS (SELECT query_id, vec_id FROM (
              |  SELECT query_id, vec_id,
              |    ROW_NUMBER() OVER (PARTITION BY query_id
              |      ORDER BY list_dot_product(qv, v)/(qn*nrm) DESC,
              |        vec_id ASC) AS rank
-             |  FROM qp_p$p JOIN a2 USING (cell)
+             |  FROM qp_$sfx JOIN a2 USING (cell)
              |  WHERE query_id <> vec_id) WHERE rank <= $K)""".stripMargin
-        def sel(p: Int) =
-          s"""SELECT 'ivf_p${f"$p%02d"}' AS variant,
-             |  CAST($p AS INT) AS n_probe,
+        def sel(variant: String, pSql: String, sfx: String) =
+          s"""SELECT '$variant' AS variant,
+             |  CAST($pSql AS INT) AS n_probe,
              |  count(*) AS n_exact,
              |  CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
              |    AS BIGINT) AS n_hit,
              |  round(CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
              |    AS BIGINT) / count(*), 4) AS recall_at_$K
-             |FROM ex LEFT JOIN sc_p$p a
+             |FROM ex LEFT JOIN sc_$sfx a
              |  ON ex.query_id = a.query_id AND ex.vec_id = a.vec_id""".stripMargin
         s"""WITH $baseCte,
            |${ivfAssignCtes("", sqrtCellsSql)},
            |$exactScoredCte,
            |ex AS (SELECT query_id, vec_id FROM exact_scored
            |  WHERE rank <= $K),
-           |${probes.map(legs).mkString(",\n")}
+           |${probes.map { case (_, p, sfx) => legs(p, sfx) }.mkString(",\n")}
            |SELECT * FROM (
-           |${probes.map(sel).mkString("\nUNION ALL\n")}
+           |${probes.map((sel _).tupled).mkString("\nUNION ALL\n")}
            |) ORDER BY variant""".stripMargin
       }
     ),
