@@ -92,6 +92,15 @@ object Pipeline {
     *     input a trainer streams. Report row carries sequence count +
     *     measured padding fraction of the WRITTEN files (which must
     *     match q_packing_waste's packed column at this budget).
+    *   - `buildTrainReady`: the CURATED-MIX packed artifact (r13
+    *     verdict #1 — the end-to-end composition): funnel-kept docs
+    *     ordered by the survivor-derived mixture stride schedule, fed
+    *     through [[graft.ops.PackingQueries.packedSequences]] and
+    *     written shard-major as
+    *     `documents_train_ready.parquet/shard=K/` (q_train_ready's
+    *     relation materialized; TrainReadySpec proves loader replay +
+    *     the packed-docs == funnel-kept-set invariant). Report row
+    *     carries kept docs, sequence count, measured padding.
     *   - `bpeTables`: stored learned tokenizer ([[graft.ops.BpeStore]],
     *     the eighth family; table must carry text): the merge table +
     *     (word → segmentation) map written once at pipeline time so
@@ -119,6 +128,7 @@ object Pipeline {
       audioSigTables: Seq[String] = Nil, // stored audio level signatures
       videoSigTables: Seq[String] = Nil, // stored video folded-dHash sigs
       bpeTables: Seq[String] = Nil, // stored learned tokenizer (BpeStore)
+      buildTrainReady: Boolean = false, // curated-mix packed artifact (docs)
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       buildPqStore: Boolean = false, // stored PQ codes over embeddings.parquet
       zOrder: Map[String, (String, String)] = Map.empty,
@@ -134,7 +144,7 @@ object Pipeline {
         scrubTables.isEmpty && manifestTables.isEmpty &&
         imageSigTables.isEmpty &&
         audioSigTables.isEmpty && videoSigTables.isEmpty &&
-        bpeTables.isEmpty &&
+        bpeTables.isEmpty && !buildTrainReady &&
         !buildIvfIndex && !buildPqStore &&
         zOrder.isEmpty && compact.isEmpty
   }
@@ -495,10 +505,39 @@ object Pipeline {
       // count lives in msg, NOT in the skipped-rows contract field
       Report.ArtifactResult(t, "packed_sequences", msg, 0L, 0L, secs)
     }
+    val trainReady = if (!a.buildTrainReady) Nil else {
+      val path = s"$outDir/documents_train_ready.parquet"
+      val budget = graft.ops.PackingQueries.ArtifactBudget
+      val ((nKept, nSeq, padFrac), secs) = timed {
+        // the curated-mix composition (funnel-kept → survivor stride
+        // schedule → packed), written shard-major exactly like the raw
+        // packed artifact — q_train_ready's relation, materialized
+        val perm = graft.ops.PackingQueries.trainReadyPerm(spark, outDir)
+        Layout.writeShardMajor(
+          graft.ops.PackingQueries.packedSequences(perm, budget),
+          path, a.shardFiles, posCol = "seq_id")
+        val F = org.apache.spark.sql.functions
+        val r = spark.read.parquet(path)
+          .agg(F.count(F.lit(1)),
+            F.coalesce(F.sum("n_pad"), F.lit(0L))).head()
+        val (ns, pad) = (r.getLong(0), r.getLong(1))
+        // kept-doc count from the SAME perm definition (memoized CC +
+        // cached funnel inputs make this a cheap second pass)
+        val kept = graft.ops.PackingQueries.trainReadyPerm(spark, outDir)
+          .count()
+        (kept, ns, if (ns > 0) pad.toDouble / (ns * budget) else 0.0)
+      }
+      val msg = s"path=$path kept_docs=$nKept sequences=$nSeq " +
+        f"budget=$budget pad_frac=$padFrac%.4f files=${a.shardFiles} " +
+        s"shards=${graft.ops.SampleQueries.NumShards}"
+      log.info("documents", "artifact train_ready", msg)
+      Seq(Report.ArtifactResult("documents", "train_ready", msg, 0L, 0L,
+        secs))
+    }
     band ++ spans ++ charSpans ++ chunks ++ contain ++ scrubs ++
       manifests ++
       imgSigs ++ audSigs ++ vidSigs ++ bpes ++ shards ++ packs ++
-      ivf ++ pq ++ zs ++ cps
+      trainReady ++ ivf ++ pq ++ zs ++ cps
   }
 
   /** Full migration: all tables concurrently, then deferred FK validation

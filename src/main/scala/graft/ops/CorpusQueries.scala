@@ -141,6 +141,179 @@ object CorpusQueries {
       .select(col("doc_id"), col("source"),
         tokens(col("text")).as("toks")))
 
+  /** Doc-grain funnel verdicts — ONE definition for q_corpus_funnel's
+    * stage accounting AND the train-ready composition
+    * (q_train_ready / the pipeline's train_ready artifact, r13 verdict
+    * #1: the kept set the funnel accounts for must BE the doc set the
+    * packed artifact trains on, which it can only be by construction
+    * if both read the same relation). Every doc with the FIRST
+    * pipeline stage that drops it ('0_eval_slice'…'6_domain_cap') or
+    * '7_kept', plus the source/text/toks/n_tok/qp columns downstream
+    * composition needs. Each stage predicate is the standalone
+    * operator's definition verbatim (qualityPoints, ruleFlags, the
+    * keeper windows, contamOverlap, the q_domain_cap windows); the
+    * near-dup stage rides the memoized CC labels (zero extra minhash
+    * passes).
+    */
+  private[graft] def stagedDocs(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wFp = Window.partitionBy(md5(normText(col("text"))))
+    val base = Tables.t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_stop", TextQueries.nStop(col("toks")))
+      .withColumn("sl", expr(
+        "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+      .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("qp", TextQueries.qualityPoints(
+        length(col("text")), col("n_tok"), col("n_stop")))
+      // Gopher bundle off base's OWN token stats (the shared
+      // ruleFlags column bundle — same definition as docRuleFlags,
+      // applied to the pass already running; a docRuleFlags call
+      // here re-tokenized the corpus a second time, r13 review)
+      .withColumn("v_any", GovernanceQueries.ruleFlags(
+        col("n_tok").cast("long"), col("sl"), col("nd"),
+        col("n_stop").cast("long")).map(_._2).reduce(_ || _))
+      .withColumn("keeper_id", min(col("doc_id")).over(wFp))
+    // near-dup non-keepers: CC labels (memoized, shared with the
+    // cluster family) + q_dedup_keep_best's election, verbatim
+    val wCl = Window.partitionBy("cluster_id")
+      .orderBy(col("qp").desc, col("doc_id").asc)
+    val ndDrop = DedupQueries.minhashComponents(s, dir)
+      .join(base.select(col("doc_id"), col("qp")), "doc_id")
+      .withColumn("rn", row_number().over(wCl))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), lit(1).as("near_dup"))
+    // contamination verdicts: contamOverlap (one definition with
+    // q_contamination/q_contamination_sweep), fed base's OWN toks
+    val contam = contamOverlap(
+        base.select(col("doc_id"), col("source"), col("toks")))
+      .filter(col("n_hits").cast("double") / col("n_ngrams") >= ContamTau)
+      .select(col("doc_id"), lit(1).as("contam"))
+    // per-source cap verdict: q_domain_cap's windows, verbatim
+    val capTot = base.agg(
+      sum(col("n_tok").cast("long")).cast("long").as("total_tok"),
+      countDistinct(col("source")).as("n_sources"))
+    val wCum = Window.partitionBy("source")
+      .orderBy(col("qp").desc, md5(col("doc_id").cast("string")),
+        col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val capDrop = base
+      .select(col("doc_id"), col("source"), col("qp"),
+        col("n_tok").cast("long").as("ntl"))
+      .crossJoin(broadcast(capTot))
+      .withColumn("budget",
+        expr(s"($CapNum * total_tok) div ($CapDen * n_sources)"))
+      .withColumn("cum", sum(col("ntl")).over(wCum))
+      .filter(col("cum") > col("budget"))
+      .select(col("doc_id"), lit(1).as("capped"))
+    base
+      .join(ndDrop, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(capDrop, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("source") === "src0", "0_eval_slice")
+          .when(col("qp") < 2, "1_quality")
+          .when(col("v_any"), "2_gopher")
+          .when(col("keeper_id") =!= col("doc_id"), "3_exact_dup")
+          .when(col("near_dup") === 1, "4_near_dup")
+          .when(col("contam") === 1, "5_contaminated")
+          .when(col("capped") === 1, "6_domain_cap")
+          .otherwise("7_kept"))
+  }
+
+  /** The q_mixture_schedule stride rule — ONE definition for the
+    * schedule, the budget table, and the train-ready composition
+    * (q_train_ready orders the funnel-kept docs by this schedule):
+    * upweighted sources src0..src4 interleave at 3× density (stride
+    * 1), the long tail at stride 3.
+    */
+  private[graft] def mixtureStride: org.apache.spark.sql.Column =
+    when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+      lit(1L)).otherwise(lit(3L))
+
+  /** SQL twin of [[mixtureStride]]. */
+  private[graft] val mixtureStrideSql: String =
+    """CASE WHEN source IN ('src0','src1','src2','src3','src4')
+      |      THEN 1 ELSE 3 END""".stripMargin
+
+  /** Oracle twin of [[stagedDocs]] — the CTE chain ending in
+    * `staged(doc_id, source, toks, n_tok, stage)`, shared by the
+    * q_corpus_funnel and q_train_ready oracles (consumers prepend
+    * `WITH RECURSIVE` — the minhash CC chain needs it). fn_-prefixed:
+    * the minhash pair/CC chains own the bare t/d/… names.
+    */
+  private[graft] lazy val funnelStagedSqlCtes: String = {
+    val stop = "[" + TextQueries.stopwords.map(x => s"'$x'")
+      .mkString(",") + "]"
+    val anyRule = GovernanceQueries.ruleFlagsSql
+      .map { case (_, p) => s"($p)" }.mkString(" OR ")
+    s"""${DedupQueries.pairsSqlCtes},
+       |${DedupQueries.ccSqlCtes},
+       |fn_t AS (SELECT doc_id, source, text, $toksSql AS toks,
+       |    min(doc_id) OVER (PARTITION BY md5($normSql)) AS keeper_id
+       |  FROM documents),
+       |fn_m AS (SELECT doc_id, source, keeper_id, toks,
+       |    len(toks) AS n_tok,
+       |    CAST(len(toks) AS BIGINT) AS nt,
+       |    CAST(list_sum(list_transform(toks, t -> length(t)))
+       |      AS BIGINT) AS sl,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+       |    CAST(len(list_filter(toks, x -> list_contains($stop, x)))
+       |      AS BIGINT) AS ns,
+       |    len(list_filter(toks, x -> list_contains($stop, x)))
+       |      AS n_stop,
+       |    length(text) AS n_chars FROM fn_t),
+       |fn_q AS (SELECT *, (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END
+       |    + CASE WHEN n_stop > 0 THEN 1 ELSE 0 END
+       |    + CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS qp,
+       |    ($anyRule) AS v_any FROM fn_m),
+       |fn_nd AS (SELECT doc_id FROM (
+       |  SELECT cc.doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY fn_q.qp DESC, cc.doc_id ASC) AS rn
+       |  FROM cc JOIN fn_q ON cc.doc_id = fn_q.doc_id)
+       |  WHERE rn > 1),
+       |fn_g AS (SELECT doc_id, source,
+       |    list_distinct(list_transform(range(1, len(toks)-${ContamN - 2}),
+       |      i -> $contamGramSql)) AS ng
+       |  FROM fn_t WHERE len(toks) >= $ContamN),
+       |fn_bench AS (SELECT DISTINCT unnest(ng) AS ngram FROM fn_g
+       |  WHERE source='src0'),
+       |fn_x AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS ngram
+       |  FROM fn_g WHERE source <> 'src0'),
+       |fn_j AS (SELECT fn_x.doc_id, fn_x.n_ngrams,
+       |    CAST(sum(CASE WHEN b.ngram IS NULL THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM fn_x LEFT JOIN fn_bench b ON fn_x.ngram = b.ngram
+       |  GROUP BY 1,2),
+       |fn_c AS (SELECT doc_id FROM fn_j
+       |  WHERE CAST(n_hits AS DOUBLE)/n_ngrams >= $ContamTau),
+       |fn_capg AS (SELECT CAST(SUM(nt) AS BIGINT) AS total_tok,
+       |    COUNT(DISTINCT source) AS n_sources FROM fn_q),
+       |fn_capc AS (SELECT doc_id,
+       |    ($CapNum * total_tok) // ($CapDen * n_sources) AS budget,
+       |    CAST(SUM(nt) OVER (PARTITION BY source
+       |      ORDER BY qp DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum
+       |  FROM fn_q CROSS JOIN fn_capg),
+       |fn_cap AS (SELECT doc_id FROM fn_capc WHERE cum > budget),
+       |staged AS (SELECT fn_q.doc_id, fn_q.source, fn_q.toks, fn_q.n_tok,
+       |    CASE WHEN fn_q.source = 'src0' THEN '0_eval_slice'
+       |         WHEN fn_q.qp < 2 THEN '1_quality'
+       |         WHEN fn_q.v_any THEN '2_gopher'
+       |         WHEN fn_q.keeper_id <> fn_q.doc_id THEN '3_exact_dup'
+       |         WHEN nd.doc_id IS NOT NULL THEN '4_near_dup'
+       |         WHEN fn_c.doc_id IS NOT NULL THEN '5_contaminated'
+       |         WHEN cap.doc_id IS NOT NULL THEN '6_domain_cap'
+       |         ELSE '7_kept' END AS stage
+       |  FROM fn_q
+       |  LEFT JOIN fn_nd nd ON fn_q.doc_id = nd.doc_id
+       |  LEFT JOIN fn_c ON fn_q.doc_id = fn_c.doc_id
+       |  LEFT JOIN fn_cap cap ON fn_q.doc_id = cap.doc_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_repetition_filter",
@@ -797,70 +970,7 @@ object CorpusQueries {
         "memoized CC labels as the cluster family (zero extra minhash " +
         "passes).",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val wFp = Window.partitionBy(md5(normText(col("text"))))
-        val base = Tables.t(s, dir, "documents")
-          .withColumn("toks", tokens(col("text")))
-          .withColumn("n_tok", size(col("toks")))
-          .withColumn("n_stop", TextQueries.nStop(col("toks")))
-          .withColumn("sl", expr(
-            "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
-          .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
-          .withColumn("qp", TextQueries.qualityPoints(
-            length(col("text")), col("n_tok"), col("n_stop")))
-          // Gopher bundle off base's OWN token stats (the shared
-          // ruleFlags column bundle — same definition as docRuleFlags,
-          // applied to the pass already running; a docRuleFlags call
-          // here re-tokenized the corpus a second time, r13 review)
-          .withColumn("v_any", GovernanceQueries.ruleFlags(
-            col("n_tok").cast("long"), col("sl"), col("nd"),
-            col("n_stop").cast("long")).map(_._2).reduce(_ || _))
-          .withColumn("keeper_id", min(col("doc_id")).over(wFp))
-        // near-dup non-keepers: CC labels (memoized, shared with the
-        // cluster family) + q_dedup_keep_best's election, verbatim
-        val wCl = Window.partitionBy("cluster_id")
-          .orderBy(col("qp").desc, col("doc_id").asc)
-        val ndDrop = DedupQueries.minhashComponents(s, dir)
-          .join(base.select(col("doc_id"), col("qp")), "doc_id")
-          .withColumn("rn", row_number().over(wCl))
-          .filter(col("rn") > 1)
-          .select(col("doc_id"), lit(1).as("near_dup"))
-        // contamination verdicts: contamOverlap (one definition with
-        // q_contamination/q_contamination_sweep), fed base's OWN toks
-        val contam = contamOverlap(
-            base.select(col("doc_id"), col("source"), col("toks")))
-          .filter(col("n_hits").cast("double") / col("n_ngrams") >= ContamTau)
-          .select(col("doc_id"), lit(1).as("contam"))
-        // per-source cap verdict: q_domain_cap's windows, verbatim
-        val capTot = base.agg(
-          sum(col("n_tok").cast("long")).cast("long").as("total_tok"),
-          countDistinct(col("source")).as("n_sources"))
-        val wCum = Window.partitionBy("source")
-          .orderBy(col("qp").desc, md5(col("doc_id").cast("string")),
-            col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val capDrop = base
-          .select(col("doc_id"), col("source"), col("qp"),
-            col("n_tok").cast("long").as("ntl"))
-          .crossJoin(broadcast(capTot))
-          .withColumn("budget",
-            expr(s"($CapNum * total_tok) div ($CapDen * n_sources)"))
-          .withColumn("cum", sum(col("ntl")).over(wCum))
-          .filter(col("cum") > col("budget"))
-          .select(col("doc_id"), lit(1).as("capped"))
-        val staged = base
-          .join(ndDrop, Seq("doc_id"), "left")
-          .join(contam, Seq("doc_id"), "left")
-          .join(capDrop, Seq("doc_id"), "left")
-          .withColumn("stage",
-            when(col("source") === "src0", "0_eval_slice")
-              .when(col("qp") < 2, "1_quality")
-              .when(col("v_any"), "2_gopher")
-              .when(col("keeper_id") =!= col("doc_id"), "3_exact_dup")
-              .when(col("near_dup") === 1, "4_near_dup")
-              .when(col("contam") === 1, "5_contaminated")
-              .when(col("capped") === 1, "6_domain_cap")
-              .otherwise("7_kept"))
+        val staged = stagedDocs(s, dir)
         staged.groupBy("stage")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok")).cast("long").as("n_tokens"))
@@ -871,75 +981,7 @@ object CorpusQueries {
           .orderBy("stage")
       },
       Some {
-        val stop = "[" + TextQueries.stopwords.map(x => s"'$x'")
-          .mkString(",") + "]"
-        val anyRule = GovernanceQueries.ruleFlagsSql
-          .map { case (_, p) => s"($p)" }.mkString(" OR ")
-        // fn_-prefixed CTEs: the minhash pair/CC chains own the bare
-        // t/d/... names (shared verbatim below)
-        s"""WITH RECURSIVE ${DedupQueries.pairsSqlCtes},
-           |${DedupQueries.ccSqlCtes},
-           |fn_t AS (SELECT doc_id, source, text, $toksSql AS toks,
-           |    min(doc_id) OVER (PARTITION BY md5($normSql)) AS keeper_id
-           |  FROM documents),
-           |fn_m AS (SELECT doc_id, source, keeper_id, toks,
-           |    len(toks) AS n_tok,
-           |    CAST(len(toks) AS BIGINT) AS nt,
-           |    CAST(list_sum(list_transform(toks, t -> length(t)))
-           |      AS BIGINT) AS sl,
-           |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
-           |    CAST(len(list_filter(toks, x -> list_contains($stop, x)))
-           |      AS BIGINT) AS ns,
-           |    len(list_filter(toks, x -> list_contains($stop, x)))
-           |      AS n_stop,
-           |    length(text) AS n_chars FROM fn_t),
-           |fn_q AS (SELECT *, (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END
-           |    + CASE WHEN n_stop > 0 THEN 1 ELSE 0 END
-           |    + CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS qp,
-           |    ($anyRule) AS v_any FROM fn_m),
-           |fn_nd AS (SELECT doc_id FROM (
-           |  SELECT cc.doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
-           |      ORDER BY fn_q.qp DESC, cc.doc_id ASC) AS rn
-           |  FROM cc JOIN fn_q ON cc.doc_id = fn_q.doc_id)
-           |  WHERE rn > 1),
-           |fn_g AS (SELECT doc_id, source,
-           |    list_distinct(list_transform(range(1, len(toks)-${ContamN - 2}),
-           |      i -> $contamGramSql)) AS ng
-           |  FROM fn_t WHERE len(toks) >= $ContamN),
-           |fn_bench AS (SELECT DISTINCT unnest(ng) AS ngram FROM fn_g
-           |  WHERE source='src0'),
-           |fn_x AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS ngram
-           |  FROM fn_g WHERE source <> 'src0'),
-           |fn_j AS (SELECT fn_x.doc_id, fn_x.n_ngrams,
-           |    CAST(sum(CASE WHEN b.ngram IS NULL THEN 0 ELSE 1 END)
-           |      AS BIGINT) AS n_hits
-           |  FROM fn_x LEFT JOIN fn_bench b ON fn_x.ngram = b.ngram
-           |  GROUP BY 1,2),
-           |fn_c AS (SELECT doc_id FROM fn_j
-           |  WHERE CAST(n_hits AS DOUBLE)/n_ngrams >= $ContamTau),
-           |fn_capg AS (SELECT CAST(SUM(nt) AS BIGINT) AS total_tok,
-           |    COUNT(DISTINCT source) AS n_sources FROM fn_q),
-           |fn_capc AS (SELECT doc_id,
-           |    ($CapNum * total_tok) // ($CapDen * n_sources) AS budget,
-           |    CAST(SUM(nt) OVER (PARTITION BY source
-           |      ORDER BY qp DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |      AS BIGINT) AS cum
-           |  FROM fn_q CROSS JOIN fn_capg),
-           |fn_cap AS (SELECT doc_id FROM fn_capc WHERE cum > budget),
-           |staged AS (SELECT fn_q.doc_id, fn_q.n_tok,
-           |    CASE WHEN fn_q.source = 'src0' THEN '0_eval_slice'
-           |         WHEN fn_q.qp < 2 THEN '1_quality'
-           |         WHEN fn_q.v_any THEN '2_gopher'
-           |         WHEN fn_q.keeper_id <> fn_q.doc_id THEN '3_exact_dup'
-           |         WHEN nd.doc_id IS NOT NULL THEN '4_near_dup'
-           |         WHEN fn_c.doc_id IS NOT NULL THEN '5_contaminated'
-           |         WHEN cap.doc_id IS NOT NULL THEN '6_domain_cap'
-           |         ELSE '7_kept' END AS stage
-           |  FROM fn_q
-           |  LEFT JOIN fn_nd nd ON fn_q.doc_id = nd.doc_id
-           |  LEFT JOIN fn_c ON fn_q.doc_id = fn_c.doc_id
-           |  LEFT JOIN fn_cap cap ON fn_q.doc_id = cap.doc_id),
+        s"""WITH RECURSIVE $funnelStagedSqlCtes,
            |tot AS (SELECT count(*) AS n FROM staged)
            |SELECT stage, count(*) AS n_docs,
            |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
@@ -947,6 +989,7 @@ object CorpusQueries {
            |FROM staged, tot GROUP BY stage, tot.n ORDER BY stage""".stripMargin
       }
     ),
+
 
     QueryDef(
       "q_mixture_schedule",
@@ -969,16 +1012,14 @@ object CorpusQueries {
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
         Tables.t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
-              lit(1L)).otherwise(lit(3L)).as("stride"))
+            mixtureStride.as("stride"))
           .withColumn("src_rank", row_number().over(wOrd).cast("long"))
           .select(col("doc_id"), col("source"), col("src_rank"),
             (col("src_rank") * col("stride")).as("sched_key"))
           .orderBy("sched_key", "source", "doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id, source,
-             |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
-             |      THEN 1 ELSE 3 END AS stride FROM documents),
+      Some(s"""WITH w AS (SELECT doc_id, source,
+             |    $mixtureStrideSql AS stride FROM documents),
              |r AS (SELECT doc_id, source, stride,
              |    ROW_NUMBER() OVER (PARTITION BY source
              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS src_rank
@@ -1006,8 +1047,7 @@ object CorpusQueries {
         val per = Tables.t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             size(tokens(col("text"))).cast("long").as("n_tok"),
-            when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
-              lit(1L)).otherwise(lit(3L)).as("stride"))
+            mixtureStride.as("stride"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok")).as("n_tokens"),
@@ -1022,8 +1062,7 @@ object CorpusQueries {
           .orderBy("source")
       },
       Some(s"""WITH t AS (SELECT source, len($toksSql) AS n_tok,
-              |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
-              |      THEN 1 ELSE 3 END AS stride FROM documents),
+              |    $mixtureStrideSql AS stride FROM documents),
               |p AS (SELECT source, count(*) AS n_docs,
               |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
               |    CAST(max(stride) AS BIGINT) AS stride FROM t GROUP BY source),

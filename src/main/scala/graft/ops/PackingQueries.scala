@@ -247,6 +247,82 @@ object PackingQueries {
     ),
 
     QueryDef(
+      "q_train_ready",
+      s"The END-TO-END training artifact (r13 verdict #1 — the " +
+        "capstone composition the engine was one join short of): " +
+        "funnel-KEPT docs (q_corpus_funnel's '7_kept' verdicts, every " +
+        "stage predicate verbatim via the shared stagedDocs relation) " +
+        "ordered by the q_mixture_schedule stride interleave " +
+        "RE-DERIVED ON THE SURVIVORS (a production run schedules the " +
+        "curated corpus, not the raw one — per-source md5 rank × the " +
+        "shared mixtureStride rule), then fed through packedSequences " +
+        s"at the $ArtifactBudget-token artifact budget. Docs shard by " +
+        "the shuffleShardPerm hash (leading md5 hex digit) and each " +
+        "shard packs its docs in SCHEDULE order — the exact layout a " +
+        "16-worker data-parallel run consumes: each worker streams its " +
+        "shard in mixture order, and because the hash is independent " +
+        "of source, every worker's prefix carries the schedule's " +
+        "target mix. One row per packed sequence (fill/pad counts, " +
+        "first doc, token-stream fingerprint). The oracle recomputes " +
+        "the WHOLE composition naively — funnel stages, survivor " +
+        "schedule, global per-shard reassembly — and meets the Spark " +
+        "result at the md5; TrainReadySpec adds the loader replay and " +
+        "the packed-docs == funnel-kept-set invariant. Shape: the " +
+        "funnel's corpus pass + two partitioned windows (per-source " +
+        "rank, per-shard cumsum) + the pack assembly — nothing " +
+        "global; at 100 TB the shard count is the parallelism knob.",
+      (s, dir) => trainReadyPerm(s, dir)
+        .transform(p => packedSequences(p, ArtifactBudget))
+        .drop("toks")
+        .orderBy("shard", "seq_id"),
+      Some {
+        val l = ArtifactBudget
+        s"""WITH RECURSIVE ${CorpusQueries.funnelStagedSqlCtes},
+           |tr_kept AS (SELECT doc_id, source, toks FROM staged
+           |  WHERE stage = '7_kept'),
+           |tr_s AS (SELECT doc_id, source, toks,
+           |    ${CorpusQueries.mixtureStrideSql} AS stride,
+           |    ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS src_rank
+           |  FROM tr_kept),
+           |tr_k AS (SELECT doc_id, source, toks,
+           |    CAST(src_rank * stride AS BIGINT) AS sched_key FROM tr_s),
+           |tr_sh AS (SELECT doc_id, toks,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+           |      AS INT) AS shard,
+           |    ROW_NUMBER() OVER (
+           |      PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           |      ORDER BY sched_key, source, doc_id) AS pos
+           |  FROM tr_k),
+           |tr_c AS (SELECT shard, doc_id, toks,
+           |    CAST(len(toks) AS BIGINT) AS n,
+           |    CAST(SUM(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY shard
+           |      ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |      AS cum FROM tr_sh),
+           |tr_d AS (SELECT *, cum - n AS start FROM tr_c),
+           |tr_x AS (SELECT shard, doc_id, toks, n, start,
+           |    unnest(range(start // $l, (cum - 1) // $l + 1)) AS seq_id
+           |  FROM tr_d),
+           |tr_ab AS (SELECT shard, seq_id, doc_id, toks,
+           |    greatest(0, seq_id * $l - start) AS a,
+           |    least(n, (seq_id + 1) * $l - start) AS b,
+           |    start + greatest(0, seq_id * $l - start) - seq_id * $l
+           |      AS seq_off FROM tr_x),
+           |tr_pc AS (SELECT shard, seq_id, doc_id, seq_off,
+           |    toks[a + 1 : b] AS piece FROM tr_ab),
+           |tr_g AS (SELECT shard, seq_id,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    arg_min(doc_id, seq_off) AS first_doc,
+           |    flatten(list(piece ORDER BY seq_off)) AS toks
+           |  FROM tr_pc GROUP BY shard, seq_id)
+           |SELECT shard, seq_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST($l - len(toks) AS BIGINT) AS n_pad, n_docs, first_doc,
+           |  md5(array_to_string(toks, ' ')) AS seq_fp
+           |FROM tr_g ORDER BY shard, seq_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_doc_chunk",
       s"Document chunking for embedding/retrieval pipelines: sliding " +
         s"$ChunkW-token windows every $ChunkStride tokens " +
@@ -387,6 +463,50 @@ object PackingQueries {
     packedSequences(
       SampleQueries.shuffleShardPerm(Tables.t(s, dir, "documents")),
       ArtifactBudget)
+
+  /** The curated-mix training permutation q_train_ready packs — the
+    * composition input (shard, pos, doc_id, text):
+    *
+    *   1. KEEP: [[CorpusQueries.stagedDocs]]' '7_kept' docs — every
+    *      funnel gate verbatim, so the packed doc set IS the funnel's
+    *      kept set by construction (TrainReadySpec pins it end to end).
+    *   2. SCHEDULE: the q_mixture_schedule stride interleave re-derived
+    *      on the SURVIVORS (per-source md5-rank × the shared
+    *      [[CorpusQueries.mixtureStride]]) — a production run schedules
+    *      the corpus it trains on; scheduling the raw corpus would
+    *      leave rank holes where dropped docs sat and break the
+    *      integer-exact prefix-mix property on the kept stream.
+    *   3. SHARD: the shuffleShardPerm hash (leading md5 hex digit);
+    *      pos = schedule order within shard. Hash-sharding a stride
+    *      schedule preserves it per worker: each source's kept docs
+    *      split uniformly across shards, so every shard's (and hence
+    *      every worker-prefix's) mix tracks the target ratios — the
+    *      per-shard windows stay the only corpus-grain coordination.
+    *
+    * `text` rides through for [[packedSequences]]' tokenize.
+    */
+  private[graft] def trainReadyPerm(s: org.apache.spark.sql.SparkSession,
+                                    dir: String
+                                   ): org.apache.spark.sql.DataFrame = {
+    val kept = CorpusQueries.stagedDocs(s, dir)
+      .filter(col("stage") === "7_kept")
+      .select(col("doc_id"), col("source"), col("text"))
+    val wOrd = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val sched = kept
+      .withColumn("stride", CorpusQueries.mixtureStride)
+      .withColumn("src_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("sched_key", col("src_rank") * col("stride"))
+    val wPos = Window.partitionBy("shard")
+      .orderBy(col("sched_key"), col("source"), col("doc_id"))
+    sched
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("int"))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("source"),
+        col("sched_key"), col("text"))
+  }
 
   /** One row per (doc, chunk) with token span + chunk-text fingerprint
     * for any relation carrying `doc_id` + `text` — the ONE chunker

@@ -73,6 +73,9 @@ object SharedCaches {
       "q_corpus_funnel", // r13: the near-dup funnel stage reads CC labels
       "q_minhash_est_error", // r13: estimator error over cached candidates
       "q_dup_triangles", // r13: triangle census over cached verified pairs
+      "q_train_ready", // r14: the kept-set stage reads CC labels — and
+      // being alphabetically LAST it relocates the family's release
+      // point here (BASELINE.md billing note)
       "q_pagerank", "q_split_leakage", "q_split_cluster_aware"),
     MinhashBatch -> Set("q_dedup_incremental"),
     ContainBatch -> Set("q_containment_incremental"),
