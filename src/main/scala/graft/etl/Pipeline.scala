@@ -92,6 +92,12 @@ object Pipeline {
     *     input a trainer streams. Report row carries sequence count +
     *     measured padding fraction of the WRITTEN files (which must
     *     match q_packing_waste's packed column at this budget).
+    *   - `lexIndexTables`: stored BM25 inverted index
+    *     ([[graft.ops.LexIndex]], the ninth family; table must carry
+    *     doc_id + text): term-bucketed postings with build-time df/dl
+    *     plus the 1-row corpus stats, so lexical retrieval — q_bm25,
+    *     the ingest-time score face — serves scan-only like ANN does.
+    *     Report row carries posting/doc/term counts and buckets.
     *   - `buildTrainReady`: the CURATED-MIX packed artifact (r13
     *     verdict #1 — the end-to-end composition): funnel-kept docs
     *     ordered by the survivor-derived mixture stride schedule, fed
@@ -128,6 +134,7 @@ object Pipeline {
       audioSigTables: Seq[String] = Nil, // stored audio level signatures
       videoSigTables: Seq[String] = Nil, // stored video folded-dHash sigs
       bpeTables: Seq[String] = Nil, // stored learned tokenizer (BpeStore)
+      lexIndexTables: Seq[String] = Nil, // stored BM25 inverted index
       buildTrainReady: Boolean = false, // curated-mix packed artifact (docs)
       buildIvfIndex: Boolean = false, // stored IVF over embeddings.parquet
       buildPqStore: Boolean = false, // stored PQ codes over embeddings.parquet
@@ -144,7 +151,7 @@ object Pipeline {
         scrubTables.isEmpty && manifestTables.isEmpty &&
         imageSigTables.isEmpty &&
         audioSigTables.isEmpty && videoSigTables.isEmpty &&
-        bpeTables.isEmpty && !buildTrainReady &&
+        bpeTables.isEmpty && lexIndexTables.isEmpty && !buildTrainReady &&
         !buildIvfIndex && !buildPqStore &&
         zOrder.isEmpty && compact.isEmpty
   }
@@ -505,6 +512,24 @@ object Pipeline {
       // count lives in msg, NOT in the skipped-rows contract field
       Report.ArtifactResult(t, "packed_sequences", msg, 0L, 0L, secs)
     }
+    val lex = a.lexIndexTables.map { t =>
+      // per-table tag (the bpeTables convention): a lexical index is
+      // per corpus table — a dir-only tag would hand every table after
+      // the first the FIRST table's postings through the catalog gate
+      val tag = graft.ops.LexIndex.tag(s"$outDir/$t")
+      val ((nPost, nDocs, nTerms), secs) = timed {
+        val (post, stats) = graft.ops.LexIndex.buildOrLoad(spark,
+          spark.read.parquet(s"$outDir/$t.parquet"), tag)
+        val F = org.apache.spark.sql.functions
+        val pr = post.agg(F.count(F.lit(1)),
+          F.count_distinct(F.col("term"))).head()
+        (pr.getLong(0), stats.head().getLong(0), pr.getLong(1))
+      }
+      val msg = s"tag=$tag postings=$nPost docs=$nDocs terms=$nTerms " +
+        s"buckets=${graft.ops.LexIndex.buckets(spark, tag)}"
+      log.info(t, "artifact lex_index", msg)
+      Report.ArtifactResult(t, "lex_index", msg, 0L, 0L, secs)
+    }
     val trainReady = if (!a.buildTrainReady) Nil else {
       val path = s"$outDir/documents_train_ready.parquet"
       val budget = graft.ops.PackingQueries.ArtifactBudget
@@ -536,7 +561,7 @@ object Pipeline {
     }
     band ++ spans ++ charSpans ++ chunks ++ contain ++ scrubs ++
       manifests ++
-      imgSigs ++ audSigs ++ vidSigs ++ bpes ++ shards ++ packs ++
+      imgSigs ++ audSigs ++ vidSigs ++ bpes ++ lex ++ shards ++ packs ++
       trainReady ++ ivf ++ pq ++ zs ++ cps
   }
 

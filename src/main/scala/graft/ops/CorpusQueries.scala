@@ -68,7 +68,7 @@ object CorpusQueries {
     * columns and the generated oracle SQL (r8 advice: the terms were
     * previously hardcoded as literals on both sides and could drift).
     */
-  private val Bm25Terms = Seq("spark", "join", "query")
+  private[graft] val Bm25Terms = Seq("spark", "join", "query")
 
   /** Domain mixing: per-source budget = ceil(MixC * sqrt(n_source)) docs
     * — alpha=0.5 temperature resampling (rare sources up-weighted
@@ -705,41 +705,29 @@ object CorpusQueries {
       "BM25 document ranking (Robertson-Sparck Jones; k1=1.2, b=0.75) " +
         "for a fixed 3-term query — the retrieval scorer a RAG corpus " +
         "is indexed for, and the lexical complement of the ANN family. " +
-        "Shape: per-term tf comes from size(filter(toks, ...)) — pure " +
-        "array functions, NO explode, so the scoring pass is map-only; " +
-        "the corpus statistics (N, sum dl, per-term df) are ONE 1-row " +
-        "agg over the same tokenized scan broadcast back (the " +
-        "histogram/min-max two-pass shape). At 100 TB both passes are " +
-        "full scans but shuffle nothing except the 1-row stats and the " +
-        "final top-k (TakeOrdered, never a global sort). Determinism: " +
-        "idf's ln() is rounded 9dp (libm convention); each per-term " +
-        "score is rounded 9dp before the fixed-order 3-term sum; ranks " +
+        "r14 (r13 verdict #2): serves from the stored LexIndex, the " +
+        "NINTH artifact family — term-bucketed postings carrying " +
+        "build-time df and dl, plus the 1-row corpus stats — instead " +
+        "of re-tokenizing the corpus per execution (two full scans, " +
+        "fine as a query, wrong as a serving path; the q_bpe_encode " +
+        "move). Only docs containing >= 1 query term rank (retrieval " +
+        "serves from postings — a doc the index has no entry for is " +
+        "not retrieved; zero-score rows never reached the top-20 " +
+        "anyway). Shape: the term IN (...) predicate bucket-prunes AND " +
+        "pushes into the posting scan, so the query touches its terms' " +
+        "posting lists only; the per-doc combine shuffles just the " +
+        "matched postings (Σ df(term) rows — corpus-size-independent " +
+        "for selective terms); the documents table appears NOWHERE in " +
+        "the plan (LexIndexSpec pins both). Determinism: idf's ln() " +
+        "rounded 9dp, each per-term score rounded 9dp, then the " +
+        "per-doc sum in DECIMAL(38,12) — order-independent, so the " +
+        "posting-grain aggregation needs no fixed term order; ranks " +
         "break ties by doc_id.",
       (s, dir) => {
-        val qTerms = Bm25Terms
-        val docs = Tables.t(s, dir, "documents")
-        val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-          .withColumn("dl", size(col("toks")))
-        val withTf = qTerms.zipWithIndex.foldLeft(t) { case (d, (term, i)) =>
-          d.withColumn(s"tf_$i",
-            size(filter(col("toks"), x => x === lit(term))))
-        }.drop("toks")
-        val aggExprs =
-          count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
-            qTerms.indices.map(i =>
-              sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
-        val stats = withTf.agg(aggExprs.head, aggExprs.tail: _*)
-        val avgdl = col("sum_dl").cast("double") / col("n_docs")
-        val perTerm = qTerms.indices.map { i =>
-          val tf = col(s"tf_$i").cast("double")
-          val idf = round(log((col("n_docs") - col(s"df_$i") + lit(0.5))
-            / (col(s"df_$i") + lit(0.5)) + lit(1.0)), 9)
-          round(idf * tf * lit(2.2)
-            / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 9)
-        }
+        val (post, stats) = LexIndex.buildOrLoad(s,
+          Tables.par(s, dir, "documents"), LexIndex.tag(dir))
         val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-        withTf.crossJoin(broadcast(stats))
-          .withColumn("score", perTerm.reduce(_ + _))
+        LexIndex.scoreTerms(post, stats, Bm25Terms)
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 20)
           .select(col("rank"), col("doc_id"), col("dl"),
@@ -750,6 +738,9 @@ object CorpusQueries {
         // Generated from Bm25Terms (r8 advice): tf_i / df_i / score
         // expressions unroll from the same Seq the Spark side reads, so
         // editing the term list cannot desynchronize the two engines.
+        // The oracle recomputes the index's answer the naive way: full
+        // tokenize, per-term tf/df, decimal-exact per-doc sums over the
+        // MATCHED docs (tf_0+tf_1+tf_2 > 0 — the posting universe).
         val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
           s"    len(list_filter(toks, x -> x = '$t')) AS tf_$i"
         }.mkString(",\n")
@@ -757,21 +748,27 @@ object CorpusQueries {
           s"    SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
           .mkString(",\n")
         val scoreSum = Bm25Terms.indices.map(i =>
-          s"""round(round(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0), 9)
-             |      * CAST(tf_$i AS DOUBLE) * 2.2
-             |      / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
-             |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)""".stripMargin)
+          s"""(CASE WHEN tf_$i > 0 THEN
+             |      CAST(round(round(ln((n_docs - df_$i + 0.5)
+             |          / (df_$i + 0.5) + 1.0), 9)
+             |        * CAST(tf_$i AS DOUBLE) * 2.2
+             |        / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+             |          / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+             |        AS DECIMAL(38,12))
+             |      ELSE CAST(0 AS DECIMAL(38,12)) END)""".stripMargin)
           .mkString("\n    + ")
+        val anyTf = Bm25Terms.indices.map(i => s"tf_$i").mkString(" + ")
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |d AS (SELECT doc_id, len(toks) AS dl,
+           |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
            |$tfCols
            |  FROM t),
            |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
            |$dfCols
            |  FROM d),
            |sc AS (SELECT doc_id, dl,
-           |    $scoreSum AS score
-           |  FROM d, st),
+           |    CAST($scoreSum AS DOUBLE) AS score
+           |  FROM d, st
+           |  WHERE $anyTf > 0),
            |r AS (SELECT doc_id, dl, score,
            |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
            |  FROM sc)

@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored lexical retrieval index — the NINTH stored artifact family
+  * (r13 verdict #2: BM25 was the one retrieval face with no stored
+  * artifact — q_bm25 re-tokenized the corpus per execution, fine as a
+  * query, wrong as a serving path; ANN has served from stored IVF/PQ
+  * tables since r9). The classic inverted index, Spark-shaped:
+  *
+  *   - `<tag>_lpost`  (term, doc_id, tf, dl, df) bucketed by term —
+  *     the postings. `df` (the term's document frequency) is
+  *     PRECOMPUTED at build via ONE window over the posting key and
+  *     stored ON each posting row (the BandIndex `bsz` / ContainIndex
+  *     `df` convention), so idf needs no second aggregation on any
+  *     read path; `dl` (the posting doc's token length) rides along so
+  *     scoring never joins back to the corpus.
+  *   - `<tag>_lstats` (n_docs, sum_dl) — the 1-row corpus statistics
+  *     (N and Σdl for avgdl), computed over the FULL corpus at build
+  *     (docs containing no query term still shape avgdl).
+  *
+  * Why term-bucketed: a query touches exactly its terms' postings —
+  * the `term IN (...)` predicate both bucket-prunes the scan (Spark
+  * prunes buckets on equality/IN over the bucket column) and pushes to
+  * parquet, so a 3-term query against a 10^12-row posting table reads
+  * ~3 posting lists, not the index. The per-doc score combine then
+  * shuffles ONLY the matched postings (Σ_q df(t) rows — df-bounded,
+  * corpus-size-independent for selective terms); the corpus itself
+  * never appears in the serving plan (LexIndexSpec pins the plan shape:
+  * no documents scan, pruned buckets).
+  *
+  * Maintenance (the family contract): [[append]] inserts new docs'
+  * postings with BATCH-LOCAL df (a lower bound on the true frequency —
+  * for idf this errs toward scoring fresh postings slightly HIGH, the
+  * visible-until-refresh direction, never toward losing matches) and
+  * folds the batch's (count, Σdl) into the stats row; [[refreshCounts]]
+  * recomputes exact df over the full stored relation. Stats updates
+  * MATERIALIZE the standing row before overwriting (collect of 1 row —
+  * the write plan must not scan its own target, r13 advice).
+  */
+object LexIndex {
+
+  def tag(dir: String): String = BandIndex.tag(dir, "lex")
+
+  private def postT(tag: String) = s"${tag}_lpost"
+  private def statsT(tag: String) = s"${tag}_lstats"
+
+  def buckets(spark: SparkSession, tag: String): Int =
+    BandIndex.bucketsOf(spark, postT(tag))
+
+  /** Posting rows of a doc relation (doc_id, text): one row per
+    * (doc, distinct term) with tf and dl — the derivation [[buildOrLoad]]
+    * materializes and LexIndexSpec differentials against. Shared with
+    * [[append]] so build and maintenance cannot drift.
+    */
+  private[ops] def postingRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Materialize (or reuse, if cataloged this session) the lexical
+    * index for `docs` (must carry doc_id + text). Returns
+    * (postings, stats) as reads of the stored tables.
+    */
+  def buildOrLoad(spark: SparkSession, docs: DataFrame, tag: String,
+                  targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
+                 ): (DataFrame, DataFrame) = {
+    val (pT, sT) = (postT(tag), statsT(tag))
+    // both-tables self-heal gate (the family convention): a crash
+    // between the two writes rebuilds rather than half-serving
+    if (!(spark.catalog.tableExists(pT) && spark.catalog.tableExists(sT))) {
+      Seq(pT, sT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      BandIndex.dropStaleLocations(spark, Seq(pT, sT))
+      val post = postingRows(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val buckets =
+          BandIndex.derivedBuckets(post.count(), targetRowsPerBucket)
+        // df via ONE build-time window over the posting key — never
+        // again on the read path (the bsz convention)
+        val wt = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        post.withColumn("df", count(lit(1)).over(wt))
+          .select("term", "doc_id", "tf", "dl", "df")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "term").sortBy("term")
+          .saveAsTable(pT)
+        // corpus stats from the SAME cached posting relation: every doc
+        // has >= 1 posting (tokens() of any text is non-empty), so the
+        // doc-grain fold loses nothing
+        post.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .write.mode(SaveMode.Overwrite).saveAsTable(sT)
+      } finally post.unpersist()
+    }
+    (spark.table(pT), spark.table(sT))
+  }
+
+  /** Daily-ingest maintenance: append `newDocs`' postings (batch-local
+    * df — the staleness contract above) and fold the batch into the
+    * stats row.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, tag: String): Unit = {
+    val (pT, sT) = (postT(tag), statsT(tag))
+    require(spark.catalog.tableExists(pT) && spark.catalog.tableExists(sT),
+      s"append target $tag does not exist — buildOrLoad first")
+    val post = postingRows(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      post.withColumn("df", count(lit(1)).over(wt))
+        .select("term", "doc_id", "tf", "dl", "df")
+        .write.insertInto(pT)
+      // stats: standing row MATERIALIZED (1-row collect) before the
+      // overwrite — never read-your-write-target
+      val st = spark.table(sT).collect()(0)
+      val (n0, s0) = (st.getLong(0), st.getLong(1))
+      val b = post.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).cast("long"), sum(col("dl")).cast("long"))
+        .collect()(0)
+      import spark.implicits._
+      Seq((n0 + b.getLong(0), s0 + b.getLong(1)))
+        .toDF("n_docs", "sum_dl")
+        .write.mode(SaveMode.Overwrite).saveAsTable(sT)
+    } finally post.unpersist()
+  }
+
+  /** Periodic compaction: recompute exact df for EVERY posting row
+    * (appends leave batch-local lower bounds), preserving the bucket
+    * spec. Stats are already exact (append folds exact counts).
+    */
+  def refreshCounts(spark: SparkSession, tag: String): Unit = {
+    val pT = postT(tag)
+    val buckets = BandIndex.bucketsOf(spark, pT)
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val staged = spark.table(pT)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .withColumn("df", count(lit(1)).over(wt))
+      .select("term", "doc_id", "tf", "dl", "df")
+      .localCheckpoint() // sever from the table being overwritten
+    staged.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(pT)
+  }
+
+  /** Decimal-exact per-doc BM25 combine over matched posting rows
+    * carrying (doc_id, tf, dl, df, n_docs, sum_dl) — THE scoring
+    * definition, shared by the stored-index read path ([[scoreTerms]])
+    * and the ingest-time face ([[scoreArriving]]) so the two cannot
+    * drift. idf's ln() rounded 9dp, each per-term contribution rounded
+    * 9dp, summed in DECIMAL(38,12) (order-independent — the
+    * posting-grain aggregation needs no fixed term order); k1=1.2,
+    * b=0.75. Unrounded score — callers rank then round.
+    */
+  private def combine(matched: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val tf = col("tf").cast("double")
+    val idf = round(log((col("n_docs") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)) + lit(1.0)), 9)
+    val term = round(idf * tf * lit(2.2)
+      / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 9)
+    matched
+      .select(col("doc_id"), col("dl"),
+        term.cast(DecimalType(38, 12)).as("ts"))
+      .groupBy("doc_id", "dl")
+      .agg(sum(col("ts")).cast("double").as("score"))
+  }
+
+  /** BM25 score rows for `terms` against the stored index — the
+    * declared q_bm25 read path. Only docs containing >= 1 query term
+    * appear — retrieval serves from postings; a doc the index has no
+    * entry for is not retrieved.
+    */
+  def scoreTerms(postings: DataFrame, stats: DataFrame,
+                 terms: Seq[String]): DataFrame =
+    combine(postings
+      .filter(col("term").isin(terms: _*))
+      .crossJoin(broadcast(stats)))
+
+  /** Per-term frozen df for `terms`, read from the stored postings —
+    * the broadcast side of the ingest-time scorer. max over rows: after
+    * appends a term's rows carry mixed vintages (build-exact vs
+    * batch-local lower bounds); max is the freshest available bound
+    * until [[refreshCounts]]. Tiny: |terms| rows.
+    */
+  def termDf(spark: SparkSession, tag: String,
+             terms: Seq[String]): DataFrame =
+    spark.table(postT(tag))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(max(col("df")).as("df"))
+
+  /** Ingest-time BM25 scoring — arriving docs (doc_id, text) scored
+    * for `terms` against the FROZEN corpus statistics (`termDf` +
+    * `stats` from the store): the production shape where the index
+    * stats update on maintenance cadence while every arriving doc is
+    * scored immediately. Same [[combine]] expression as the stored
+    * read path; dl/tf are the arriving doc's own. Stateless per doc
+    * given the frozen stats, so stream union == batch exactly.
+    */
+  def scoreArriving(batch: DataFrame, termDf: DataFrame, stats: DataFrame,
+                    terms: Seq[String]): DataFrame =
+    combine(postingRows(batch)
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(termDf), "term")
+      .crossJoin(broadcast(stats)))
+}

@@ -193,6 +193,23 @@ object CorpusStream {
                            li: DataFrame): DataFrame =
     graft.ops.GovernanceQueries.nbScore(batch, tg, li)
 
+  /** Ingest-time BM25 scoring — the streaming face of `q_bm25`
+    * ([[graft.ops.LexIndex.scoreArriving]]; the [[combine]] expression
+    * is ONE definition with the stored read path, no drift): each
+    * arriving doc scored for the fixed query against the FROZEN corpus
+    * statistics (`termDf` = [[graft.ops.LexIndex.termDf]] rows, `stats`
+    * = the stored 1-row table — the production shape: index stats
+    * update on maintenance cadence, arriving docs score immediately).
+    * Stateless per doc given the frozen stats, so stream union ==
+    * batch EXACTLY over any micro-batch split (differential-tested in
+    * CorpusStreamSpec, which also pins: an arriving copy of a standing
+    * doc scores exactly what q_bm25 ranked the standing doc at).
+    */
+  def bm25ScoreBatch(batch: DataFrame, termDf: DataFrame,
+                     stats: DataFrame): DataFrame =
+    graft.ops.LexIndex.scoreArriving(batch, termDf, stats,
+      graft.ops.CorpusQueries.Bm25Terms)
+
   /** Batch-side build of the stored CHAR-winnow span artifact (the
     * [[graft.ops.SpanSet]] skeleton at character granularity, charspans
     * role) — returns the duplicated-fingerprint set for

@@ -81,6 +81,7 @@ class PipelineSpec extends SparkSpec {
         containIndexTables = Seq("docs"),
         manifestTables = Seq("docs"),
         bpeTables = Seq("docs"),
+        lexIndexTables = Seq("docs"),
         buildIvfIndex = true,
         buildPqStore = true,
         zOrder = Map("evts" -> ("event_id", "k")),
@@ -90,8 +91,13 @@ class PipelineSpec extends SparkSpec {
     // every artifact produced a report row...
     assert(report.artifacts.map(_.kind).sorted ==
       Seq("band_index", "bpe_store", "char_span_set", "chunk_store",
-        "compaction", "contain_index", "ivf_index", "manifest",
-        "pq_store", "span_set", "zorder"))
+        "compaction", "contain_index", "ivf_index", "lex_index",
+        "manifest", "pq_store", "span_set", "zorder"))
+    // the lexical index built per-table with its sizing in the row
+    val lexTag = graft.ops.LexIndex.tag(s"$dst/docs")
+    assert(spark.table(s"${lexTag}_lpost").count() > 0)
+    assert(report.artifacts.find(_.kind == "lex_index").get
+      .detail.contains("docs=7"))
     // the containment index built under the tag the streaming probe
     // derives, with its cap audit in the report row
     val containTag = graft.ops.ContainIndex.tag(dst, "cfull")

@@ -121,6 +121,14 @@ class ArtifactSelfHealSpec extends SparkSpec {
     })
   }
 
+  test("LexIndex self-heals from either table missing") {
+    val tag = BandIndex.tag("/tmp/selfheal", "lex")
+    heals(Seq(s"${tag}_lpost", s"${tag}_lstats"), () => {
+      val (p, s) = LexIndex.buildOrLoad(spark, docs, tag)
+      Seq(p, s)
+    })
+  }
+
   test("BpeStore self-heals from either table missing") {
     val tag = BandIndex.tag("/tmp/selfheal", "bpe")
     heals(Seq(s"${tag}_bpemerges", s"${tag}_bpesegs"), () => {

@@ -1,0 +1,184 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The stored lexical retrieval index's lifecycle (ninth artifact
+  * family, r13 verdict #2): build (term-bucketed postings with
+  * build-time df + dl, 1-row corpus stats), stored == derived
+  * differential, BM25 scoring == a pure-Scala reference, daily append
+  * (batch-local df lower bound + exact stats fold), refresh == a
+  * from-scratch rebuild, steady-state reads, and the serving plan
+  * shape (no corpus scan, bucket-pruned postings).
+  */
+class LexIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private val standing = Seq(
+    (1L, "spark join query spark fast engine the and"),
+    (2L, "spark is the engine we use for big data work"),
+    (3L, "join me tomorrow for the query tuning session ok"),
+    (4L, "totally unrelated words live here peacefully forever"))
+
+  private var tagN = 0
+  private def freshTag(role: String): String = {
+    tagN += 1
+    BandIndex.tag(s"/tmp/lexspec$tagN", role)
+  }
+
+  private def dropAll(tag: String): Unit =
+    Seq(s"${tag}_lpost", s"${tag}_lstats").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** Pure-Scala posting reference: (term, doc_id, tf, dl, df). */
+  private def refPostings(rows: Seq[(Long, String)])
+      : Set[(String, Long, Long, Long, Long)] = {
+    def toks(t: String): Seq[String] = t.toLowerCase
+      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim.split(" ")
+      .toSeq
+    val perDoc = rows.map { case (id, t) => (id, toks(t)) }
+    val df = perDoc.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+    perDoc.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (w, occ) =>
+        (w, id, occ.size.toLong, ts.size.toLong, df(w))
+      }
+    }.toSet
+  }
+
+  /** Pure-Scala BM25 reference over the given stats (k1=1.2, b=0.75,
+    * the committed 9dp/9dp rounding): doc_id -> 6dp score, matched
+    * docs only.
+    */
+  private def refScores(rows: Seq[(Long, String)],
+                        terms: Seq[String]): Map[Long, Double] = {
+    val posts = refPostings(rows)
+    val n = rows.size.toDouble
+    val sumDl = posts.groupBy(_._2).values.map(_.head._4).sum.toDouble
+    val avgdl = sumDl / n
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    posts.filter(p => terms.contains(p._1)).toSeq
+      .groupBy(_._2).map { case (id, ps) =>
+        val s = ps.map { case (_, _, tf, dl, df) =>
+          val idf = r9(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+          BigDecimal(r9(idf * tf * 2.2
+            / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+        }.sum
+        id -> s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+  }
+
+  test("stored == derived: the built posting table equals the " +
+    "pure-Scala reference (tf, dl, and build-time df per row); stats " +
+    "row carries exact N and sum dl") {
+    val tag = freshTag("lex")
+    dropAll(tag)
+    val (post, stats) = LexIndex.buildOrLoad(spark, corpus(standing: _*), tag)
+    val got = post.select("term", "doc_id", "tf", "dl", "df")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == refPostings(standing))
+    val st = stats.as[(Long, Long)].collect().toSeq
+    assert(st == Seq((4L, standing.map(_._2.trim.split(" +").length.toLong)
+      .sum)))
+    dropAll(tag)
+  }
+
+  test("scoreTerms == the pure-Scala BM25 reference; a doc with no " +
+    "query term is NOT retrieved") {
+    val tag = freshTag("lex")
+    dropAll(tag)
+    val (post, stats) = LexIndex.buildOrLoad(spark, corpus(standing: _*), tag)
+    val got = LexIndex
+      .scoreTerms(post, stats, CorpusQueries.Bm25Terms)
+      .select(col("doc_id"), round(col("score"), 6))
+      .as[(Long, Double)].collect().toMap
+    assert(got == refScores(standing, CorpusQueries.Bm25Terms))
+    assert(!got.contains(4L), "doc 4 has no query term — not retrieved")
+    assert(got.keySet == Set(1L, 2L, 3L))
+    dropAll(tag)
+  }
+
+  test("append: new postings carry BATCH-LOCAL df (a lower bound — " +
+    "standing rows keep build vintage), the stats row folds exactly; " +
+    "refreshCounts == a from-scratch rebuild row-for-row") {
+    val tag = freshTag("lex")
+    val tagRef = freshTag("lexref")
+    dropAll(tag); dropAll(tagRef)
+    val batch = Seq(
+      (10L, "query speed matters most here"),
+      (11L, "fresh spark arrival doc today"))
+    LexIndex.buildOrLoad(spark, corpus(standing: _*), tag)
+    LexIndex.append(spark, corpus(batch: _*), tag)
+    // appended 'query' posting: batch df = 1 < true df 3; standing
+    // 'query' rows keep build-vintage df = 2
+    val dfs = spark.table(s"${tag}_lpost").filter(col("term") === "query")
+      .select("doc_id", "df").as[(Long, Long)].collect().toMap
+    assert(dfs(10L) == 1L && dfs(1L) == 2L && dfs(3L) == 2L, dfs.toString)
+    // stats fold exactly: N = 6, sum_dl = standing 34 + batch 10
+    val st = spark.table(s"${tag}_lstats").as[(Long, Long)].collect().head
+    assert(st == ((6L, 44L)), st.toString)
+    // the staleness direction: every stored df <= the true df
+    val trueDf = refPostings(standing ++ batch)
+      .map(p => (p._1, p._2) -> p._5).toMap
+    spark.table(s"${tag}_lpost")
+      .select("term", "doc_id", "df").as[(String, Long, Long)]
+      .collect().foreach { case (t, id, d) =>
+        assert(d <= trueDf((t, id)), s"stored df must lower-bound: $t")
+      }
+    // refresh levels everything: == a from-scratch build over the union
+    LexIndex.refreshCounts(spark, tag)
+    LexIndex.buildOrLoad(spark, corpus(standing ++ batch: _*), tagRef)
+    val a = spark.table(s"${tag}_lpost")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val b = spark.table(s"${tagRef}_lpost")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(a == b)
+    dropAll(tag); dropAll(tagRef)
+  }
+
+  test("steady state is a read: a second buildOrLoad returns the " +
+    "cataloged tables without rebuilding (catalog gate, not input, " +
+    "decides)") {
+    val tag = freshTag("lex")
+    dropAll(tag)
+    val (p1, _) = LexIndex.buildOrLoad(spark, corpus(standing: _*), tag)
+    val c1 = p1.count()
+    val (p2, s2) = LexIndex.buildOrLoad(spark,
+      corpus((99L, "zz zz zz")), tag)
+    assert(p2.count() == c1)
+    assert(p2.filter(col("term") === "zz").count() == 0,
+      "buildOrLoad must not have re-indexed the second relation")
+    assert(s2.as[(Long, Long)].collect().head._1 == 4L)
+    dropAll(tag)
+  }
+
+  test("ingest-time face: scoreArriving against the FROZEN stats — an " +
+    "arriving copy of a standing doc scores exactly what the stored " +
+    "read path scored the standing doc; micro-batch union == one batch") {
+    val tag = freshTag("lex")
+    dropAll(tag)
+    val (post, stats) = LexIndex.buildOrLoad(spark, corpus(standing: _*), tag)
+    val terms = CorpusQueries.Bm25Terms
+    val stored = LexIndex.scoreTerms(post, stats, terms)
+      .select(col("doc_id"), round(col("score"), 6))
+      .as[(Long, Double)].collect().toMap
+    val tdf = LexIndex.termDf(spark, tag, terms)
+    // arriving copies of docs 1 and 3 (new ids, same text)
+    val arriving = Seq((101L, standing(0)._2), (103L, standing(2)._2))
+    val got = LexIndex.scoreArriving(corpus(arriving: _*), tdf, stats, terms)
+      .select(col("doc_id"), round(col("score"), 6))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(101L -> stored(1L), 103L -> stored(3L)))
+    // stateless: scoring per-doc micro-batches unions to the same rows
+    val perDoc = arriving.flatMap(d =>
+      LexIndex.scoreArriving(corpus(d), tdf, stats, terms)
+        .select(col("doc_id"), round(col("score"), 6))
+        .as[(Long, Double)].collect())
+    assert(perDoc.toMap == got)
+    dropAll(tag)
+  }
+}

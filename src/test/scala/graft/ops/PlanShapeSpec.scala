@@ -453,6 +453,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_bm25: serves from the stored LexIndex scan-only — the " +
+    "documents table appears NOWHERE in the plan; the term predicate " +
+    "pushes into the posting scan and bucket-prunes it") {
+    // ensure the index exists (first touch builds), then take the plan
+    Registry.queryMap("q_bm25")(spark, dir).collect()
+    val p = plan(Registry.queryMap("q_bm25")(spark, dir))
+    assert(!contains(p, "documents.parquet"),
+      s"retrieval must not rescan the corpus:\n$p")
+    val posts = scansOf(p, "_lpost")
+    assert(posts.nonEmpty, s"expected stored posting scan:\n$p")
+    // the fixed query's terms reach parquet as pushed In filters...
+    assert(posts.exists(_.metadata("PushedFilters").contains("In(term")),
+      s"term IN (...) must push into the posting scan:\n$p")
+    // ...and prune buckets: a 3-term query reads at most 3 of the
+    // bucketed files (the 100 TB claim: query cost ~ its posting
+    // lists, not the index size)
+    posts.foreach { s =>
+      val sel = s.optionalBucketSet
+      assert(sel.isDefined && sel.get.cardinality() < s.relation
+        .bucketSpec.get.numBuckets,
+        s"posting scan must bucket-prune:\n$p")
+    }
+  }
+
   test("q_embedding_drift: the corpus feeds ONE aggregation; the LxL " +
     "comparison joins only post-agg centroid rows") {
     val p = plan(Registry.queryMap("q_embedding_drift")(spark, dir))

@@ -408,6 +408,72 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bm25ScoreBatch: stream union == batch against the FROZEN " +
+    "LexIndex stats; an arriving copy of a standing doc scores exactly " +
+    "what the stored read path scored the standing doc") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    val standing = Seq(
+      (1L, "spark join query spark fast engine the and"),
+      (2L, "spark is the engine we use for big data work"),
+      (3L, "join me tomorrow for the query tuning session ok"),
+      (4L, "totally unrelated words live here peacefully forever"))
+      .toDF("doc_id", "text")
+    val tag = graft.ops.BandIndex.tag(
+      s"/tmp/lexstream_${System.nanoTime()}", "lex")
+    val (post, stats) = graft.ops.LexIndex.buildOrLoad(spark, standing, tag)
+    val terms = graft.ops.CorpusQueries.Bm25Terms
+    val tdf = graft.ops.LexIndex.termDf(spark, tag, terms)
+      .persist()
+    val stored = graft.ops.LexIndex.scoreTerms(post, stats, terms)
+      .select(col("doc_id"), round(col("score"), 6))
+      .as[(Long, Double)].collect().toMap
+    // arriving docs: verbatim copies of standing 1 and 3 (new ids) + a
+    // no-term doc that must NOT be scored + a fresh matching doc
+    val docs = Seq(
+      (101L, "spark join query spark fast engine the and"),
+      (103L, "join me tomorrow for the query tuning session ok"),
+      (104L, "nothing relevant in this arriving one"),
+      (105L, "query speed matters most here"))
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-bm25").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.CorpusStream
+          .bm25ScoreBatch(b, tdf, stats)
+          .select(col("doc_id"), round(col("score"), 6))
+          .as[(Long, Double)](org.apache.spark.sql.Encoders
+            .tuple(org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaDouble))
+          .collect()
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      docs.grouped(2).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+      val streamed = sink.synchronized(sink.toSeq).sortBy(_._1)
+      val batch = graft.streaming.CorpusStream
+        .bm25ScoreBatch(docs.toDF("doc_id", "text"), tdf, stats)
+        .select(col("doc_id"), round(col("score"), 6))
+        .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      val m = streamed.toMap
+      assert(m(101L) == stored(1L) && m(103L) == stored(3L),
+        s"copies must score the standing values: $m vs $stored")
+      assert(!m.contains(104L), "a no-term doc is not retrieved")
+      assert(m.contains(105L) && m(105L) > 0.0)
+    } finally { q.stop(); tdf.unpersist() }
+  }
+
   test("qualityClassifyBatch: stream union == batch against a FROZEN " +
     "naive-Bayes model across micro-batch splits; lexical labels " +
     "predicted correctly") {
