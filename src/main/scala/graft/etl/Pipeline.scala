@@ -337,10 +337,17 @@ object Pipeline {
       val (_, secs) = timed {
         graft.ops.IvfIndex.buildOrLoad(spark, outDir, cells, log)
       }
+      // balance maintenance (r13 verdict #3): split any cell grown past
+      // 2x the mean — a no-op on a fresh Lloyd build, load-bearing on a
+      // rebuilt-over-appends index; the report row carries the receipt
+      val (nSplit, maxBefore, maxAfter) =
+        graft.ops.IvfIndex.splitHotCells(spark, t)
       val (nVec, nUsed, maxCell) = graft.ops.IvfIndex.cellStats(spark, t)
       val msg = s"tag=$t buckets=${graft.ops.IvfIndex.buckets(spark, t)} " +
-        s"cells=$cells used=$nUsed vectors=$nVec max_cell=$maxCell"
-      log.info("embeddings", "artifact ivf_index", msg)
+        s"cells=$cells used=$nUsed vectors=$nVec max_cell=$maxCell " +
+        s"split_cells=$nSplit max_before=$maxBefore max_after=$maxAfter"
+      if (nSplit > 0) log.warn("embeddings", "artifact ivf_index", msg)
+      else log.info("embeddings", "artifact ivf_index", msg)
       Seq(Report.ArtifactResult("embeddings", "ivf_index", msg, 0L, 0L, secs))
     }
     val pq = if (!a.buildPqStore) Nil else {

@@ -94,4 +94,119 @@ class IvfIndexSpec extends SparkSpec {
     assert(joined.isEmpty, "refreshed centroids must equal exact means")
     dropAll(tag)
   }
+
+  test("splitHotCells (r13 verdict #3): a cell grown hot by appends " +
+    "splits into two deterministic children — reassignment equals an " +
+    "independent recomputation, cold cells/centroids are untouched, " +
+    "and the balance audit's max cell returns under the bound") {
+    val tag = IvfIndex.tag(dir, 16) + "_split"
+    dropAll(tag)
+    // the direct saveAsTable below bypasses buildOrLoad's stale-location
+    // sweep — clear any leftover warehouse dirs from an aborted run
+    Seq(s"${tag}_ivfcells", s"${tag}_ivfcentroids").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    val (a2, centn) = SimilarityQueries.buildIvf(
+      SimilarityQueries.normalizedCorpus(spark, dir), 16)
+    a2.write.bucketBy(8, "cell").sortBy("cell").saveAsTable(s"${tag}_ivfcells")
+    centn.write.saveAsTable(s"${tag}_ivfcentroids")
+    // a bi-modal swarm aimed at ONE centroid: 60 vectors near c0 (two
+    // sub-populations offset in different dims) — each appends into
+    // c0's cell (nearest standing centroid), growing it past 2x mean
+    val c0 = spark.table(s"${tag}_ivfcentroids")
+      .orderBy("cell").limit(1)
+      .select(col("cell").as[Long], col("cv").as[Seq[Double]]).collect()(0)
+    val swarm = (1L to 60L).map { i =>
+      val bump = if (i % 2 == 0) 0 else 1
+      (900000L + i, c0._2.updated(bump, c0._2(bump) + 0.4))
+    }
+    val batch = swarm.toDF("vec_id", "v")
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+    IvfIndex.append(spark, batch, tag)
+    spark.catalog.refreshTable(s"${tag}_ivfcells")
+    val before = spark.table(s"${tag}_ivfcells")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val sizesBefore = before.values.groupBy(identity).map {
+      case (c, l) => c -> l.size.toLong }
+    val (nv, nc) = (before.size.toLong, sizesBefore.size.toLong)
+    val bound = math.max(1L, math.ceil(2.0 * nv / nc).toLong)
+    val hotCells = sizesBefore.filter(_._2 > bound).keySet
+    assert(hotCells.nonEmpty, s"test must create a hot cell: $sizesBefore")
+    // independent recomputation of the split from the BEFORE snapshot:
+    // per hot cell, seeds = first two members by (md5(id), id); each
+    // member to its nearest seed (cos desc, seed asc)
+    val members = spark.table(s"${tag}_ivfcells")
+      .filter(col("cell").isin(hotCells.toSeq: _*))
+      .select(col("vec_id"), col("v").as[Seq[Double]], col("cell"))
+      .as[(Long, Seq[Double], Long)].collect().toSeq
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    // child ids: max standing cell id + rank in (parent asc, seed-rank
+    // asc) order — the collision-free scheme (a seed vec_id can equal a
+    // COLD cell's id, so vec_ids are not reusable as labels)
+    val maxId = before.values.max
+    val childIdOf = hotCells.toSeq.sorted.flatMap { c =>
+      members.filter(_._3 == c)
+        .sortBy(m => (md5hex(m._1.toString), m._1)).take(2).map(_._1)
+    }.zipWithIndex.map { case (seedVec, i) =>
+      seedVec -> (maxId + i + 1) }.toMap
+    val expected = members.groupBy(_._3).flatMap { case (_, ms) =>
+      val seeds = ms.sortBy(m => (md5hex(m._1.toString), m._1)).take(2)
+      ms.map { m =>
+        val best = seeds.map(s => (childIdOf(s._1), cos(m._2, s._2)))
+          .minBy { case (cid, c) => (-c, cid) }
+        m._1 -> best._1
+      }
+    }
+    val (nSplit, maxBefore, maxAfter) = IvfIndex.splitHotCells(spark, tag)
+    assert(nSplit == hotCells.size)
+    assert(maxBefore == sizesBefore.values.max)
+    assert(maxAfter < maxBefore && maxAfter <= bound,
+      s"audit must return under the bound: $maxAfter vs $bound")
+    val after = spark.table(s"${tag}_ivfcells")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    // cold vectors keep their assignment; hot-cell vectors match the
+    // independent recomputation exactly
+    before.foreach { case (id, c) =>
+      if (!hotCells.contains(c)) assert(after(id) == c, s"cold $id moved")
+      else assert(after(id) == expected(id),
+        s"vec $id: got ${after(id)} expected ${expected(id)}")
+    }
+    // the centroid table holds exactly the cold ids + the child seed
+    // ids (a parent's own id may legitimately REAPPEAR as a child if
+    // the parent seed vector is among the split seeds — ids are labels,
+    // membership is the contract); children are decimal-exact means
+    val cents = spark.table(s"${tag}_ivfcentroids")
+    val coldIds = before.values.toSet -- hotCells
+    val childIds = expected.values.toSet
+    assert(cents.select("cell").as[Long].collect().toSet ==
+      (coldIds ++ childIds),
+      "centroid ids must be exactly cold + child ids")
+    import org.apache.spark.sql.types.DecimalType
+    val expectCv = spark.table(s"${tag}_ivfcells")
+      .filter(!col("cell").isin(before.values.toSeq.distinct
+        .filterNot(hotCells.contains): _*))
+      .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("cell", "p")
+      .agg((sum(col("x").cast(DecimalType(30, 15))).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        t => t.getField("m")).as("cv"))
+    val childBad = cents.alias("r").join(expectCv.alias("e"), "cell")
+      .filter(expr("r.cv <> e.cv"))
+    assert(childBad.isEmpty, "child centroids must equal exact means")
+    // a second pass finds nothing left to split
+    val (n2, _, _) = IvfIndex.splitHotCells(spark, tag)
+    assert(n2 == 0, "split must converge on this corpus")
+    dropAll(tag)
+  }
 }
