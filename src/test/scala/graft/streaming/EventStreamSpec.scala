@@ -294,4 +294,157 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(f => (f.stage, f.sec)).sorted.toSeq
     assert(out == Seq((1, 10L), (2, 20L), (3, 30L)))
   }
+
+  test("sessionPaths: cross-batch session continuation, gap close, and " +
+    "the 8-event path cap as bounded state") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStream.sessionPaths(input.toDS(), idleTimeout = None)
+      .writeStream.queryName("paths_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-paths").toString)
+      .format("memory")
+      .start()
+    try {
+      // batch 1: user 1 opens a session (2 events); user 2 a 10-event
+      // burst (path must cap at 8)
+      input.addData(Seq((1L, 100L, 1L, "view"), (1L, 200L, 2L, "click")) ++
+        (1L to 10L).map(i => (2L, 100L + i, 10L + i, s"e$i")): _*)
+      q.processAllAvailable()
+      // batch 2: user 1 continues within the gap, then a >30-min gap
+      // opens a NEW session — the old one must emit closed with the
+      // full cross-batch path
+      input.addData((1L, 300L, 3L, "purchase"), (1L, 9999L, 4L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("paths_test")
+        .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+      val u1Closed = rows.filter(r => r._1 == 1L && !r._5)
+      assert(u1Closed.map(r => (r._2, r._3, r._4)) ==
+        Seq((100L, 3L, "view>click>purchase")),
+        s"cross-batch session must close with the full path: $rows")
+      val u2 = rows.filter(r => r._1 == 2L && r._5).last
+      assert(u2._3 == 10L &&
+        u2._4 == (1 to 8).map(i => s"e$i").mkString(">"),
+        s"path must cap at 8 of 10 events: $u2")
+    } finally q.stop()
+  }
+
+  test("sessionPaths on one batch equals q_event_paths' top-k on real " +
+    "data (the shared sessionization + path definitions)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val F = org.apache.spark.sql.functions
+    val ev = graft.Tables.t(spark, dir, "events")
+      .select(F.col("user_id"),
+        graft.Tables.nanosToEpochSec(F.col("ts")).as("sec"),
+        F.col("event_id"), F.col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStream.sessionPaths(input.toDS(), idleTimeout = None)
+      .writeStream.queryName("paths_diff")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-pathsdiff").toString)
+      .format("memory")
+      .start()
+    try {
+      input.addData(ev: _*)
+      q.processAllAvailable()
+      // one micro-batch: every session emits exactly once (closed or
+      // open snapshot) — reduce by the batch query's top-k tail
+      val streamed = spark.table("paths_diff")
+        .groupBy("path").agg(F.count(F.lit(1)).as("n_sessions"))
+        .orderBy(F.col("n_sessions").desc, F.col("path").asc)
+        .limit(20)
+        .as[(String, Long)].collect().toSeq
+      val batch = graft.Registry.queryMap("q_event_paths")(spark, dir)
+        .as[(String, Long)].collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("rollingRevenue: a day straddling micro-batches re-emits its " +
+    "updated trailing values; a gap day SHRINKS the window") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val q = EventStream.rollingRevenue(input.toDS())
+      .writeStream.queryName("roll_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-roll").toString)
+      .format("memory")
+      .start()
+    try {
+      // day 0: 10.5; day 1: 2.0 — then day 1 gains 3.0 in batch 2, and
+      // day 5 (gap: days 2-4 empty) closes a shrunken 2-day window
+      input.addData((10L, 10500000L), (86410L, 2000000L))
+      q.processAllAvailable()
+      input.addData((86420L, 3000000L), (5L * 86400L + 9L, 7000000L))
+      q.processAllAvailable()
+      val rows = spark.table("roll_test")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      // day 1 emitted twice: first (1 purchase, 2.0, trailing 12.5),
+      // then re-emitted updated (2 purchases, 5.0, trailing 15.5)
+      assert(rows.filter(_._1 == 1L).sortBy(_._2) ==
+        Seq((1L, 1L, 2000000L, 12500000L, 2L),
+          (1L, 2L, 5000000L, 15500000L, 2L)), rows.toString)
+      // day 5's RANGE −6 window is [−1..5]: present days {0, 1, 5} all
+      // qualify — sum 10.5+5.0+7.0 = 22.5 over a SHRUNKEN 3-day count
+      // (the gap days 2–4 contribute nothing, exactly the batch
+      // query's gap-day semantics)
+      assert(rows.filter(_._1 == 5L) ==
+        Seq((5L, 1L, 7000000L, 22500000L, 3L)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("rollingRevenue on one batch equals q_event_rolling on real data") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val F = org.apache.spark.sql.functions
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val ev = graft.Tables.t(spark, dir, "events")
+      .filter(F.col("event_type") === "purchase")
+      .select(graft.Tables.nanosToEpochSec(F.col("ts")).as("sec"),
+        (F.col("value").cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType).as("micros"))
+      .as[(Long, Long)].collect().toSeq
+    val input = MemoryStream[(Long, Long)]
+    val q = EventStream.rollingRevenue(input.toDS())
+      .writeStream.queryName("roll_diff")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-rolldiff").toString)
+      .format("memory")
+      .start()
+    try {
+      input.addData(ev: _*)
+      q.processAllAvailable()
+      // map micros back through the SAME decimal-cast/round tail as the
+      // batch query so the doubles are computed identically
+      val streamed = spark.table("roll_diff")
+        .select(F.col("day"), F.col("nPurchases").as("n_purchases"),
+          F.round((F.col("revMicros").cast(DecimalType(38, 6)) /
+            1000000).cast(DoubleType), 6).as("revenue"),
+          F.round((F.col("rev7Micros").cast(DecimalType(38, 6)) /
+            1000000).cast(DoubleType), 6).as("revenue_7d"),
+          F.round((F.col("rev7Micros").cast(DecimalType(38, 6)) /
+            1000000).cast(DoubleType) / F.col("d7"), 6)
+            .as("avg_daily_7d"))
+        .as[(Long, Long, Double, Double, Double)]
+        .collect().sortBy(_._1).toSeq
+      val batch = graft.Registry.queryMap("q_event_rolling")(spark, dir)
+        .as[(Long, Long, Double, Double, Double)]
+        .collect().sortBy(_._1).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
 }
