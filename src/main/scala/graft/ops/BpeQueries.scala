@@ -173,9 +173,10 @@ object BpeQueries {
     * BandIndex/MediaSigStore; the declared queries feed it the testdata
     * corpus, the pipeline feeds it written staging tables).
     */
-  private[ops] def learnAndApplyDocs(docs: DataFrame)
+  private[ops] def learnAndApplyDocs(docs: DataFrame,
+                                     numMerges: Int = NumMerges)
       : (Seq[(Int, String, String, Long)], DataFrame) =
-    learnAndApplyVocab(vocabOf(docs), NumMerges, null)
+    learnAndApplyVocab(vocabOf(docs), numMerges, null)
 
   private def learnAndApplyVocab(v0: DataFrame,
       numMerges: Int,
@@ -257,12 +258,13 @@ object BpeQueries {
     BpeStore.buildOrLoad(s, Tables.par(s, dir, "documents"),
       BpeStore.tag(dir))
 
-  /** Oracle stage chain `v0 .. v{NumMerges}` (+ per-round argmax
-    * relations `b{r}`) — shared by the learn and encode oracles so the
-    * two replays cannot drift.
+  /** Oracle stage chain `v0 .. v{n}` (+ per-round argmax relations
+    * `b{r}`) — shared by the learn and encode oracles (at
+    * [[NumMerges]]) and the merge-budget sweep oracle (at the sweep's
+    * max budget) so every replay is the one definition.
     */
-  private val oracleStages: String = {
-    val stages = (1 to NumMerges).map { r =>
+  private def oracleStagesTo(n: Int): String = {
+    val stages = (1 to n).map { r =>
       val p = r - 1
       s"""e$r AS MATERIALIZED (SELECT word, cnt, syms,
          |    unnest(range(1, len(syms) + 1)) AS i FROM v$p),
@@ -298,6 +300,20 @@ object BpeQueries {
        |    i -> substr(word, i, 1)) AS syms FROM wf),
        |$stages""".stripMargin
   }
+
+  private lazy val oracleStages: String = oracleStagesTo(NumMerges)
+
+  /** Merge budgets the declared sweep prices: the SHIPPED default
+    * [[NumMerges]] bracketed both ways (the probe/codebook-sweep
+    * discipline — the shipped point must be a row on its own table).
+    * Bounded by the corpus: the driver testdata's vocabulary caps at
+    * ~89 learnable merges (measured, BpeScale), so 20 is a real
+    * budget here; the PRODUCTION 500-merge point is measured through
+    * the same store by [[graft.tools.BpeSweep]] on the synth
+    * vocabulary (committed as BPE_SWEEP.json) — its oracle-tractable
+    * twin is this table.
+    */
+  private[ops] val SweepBudgets = Seq(5, NumMerges, 20)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -477,6 +493,68 @@ object BpeQueries {
            |  round(CAST(sum(length(w)) AS DOUBLE) / sum(n_sub), 6)
            |    AS chars_per_token
            |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_bpe_merge_sweep",
+      s"Tokenizer merge-budget sweep (the q_pq_codebook_sweep " +
+        s"discipline on the tokenizer knob, r13 verdict #7): budgets " +
+        s"${SweepBudgets.mkString("{", ", ", "}")} each as its own " +
+        s"geometry-tagged stored BpeStore — the shipped $NumMerges-" +
+        "merge default is a row of its own table, bracketed both " +
+        "ways — reporting per budget: merges actually learned (an " +
+        "exhaust tripwire — the loop stops at the vocabulary's " +
+        "capacity), vocabulary words, corpus-weighted chars and " +
+        "symbols, and the encode compression chars/syms the budget " +
+        "buys. The marginal-compression read is the table a run " +
+        "fixes its merge budget from; the PRODUCTION 500-merge point " +
+        "runs the SAME store build on the synth vocabulary " +
+        "(tools.BpeSweep -> BPE_SWEEP.json — the testdata corpus " +
+        "exhausts at ~89 merges, measured). Shape: each budget reads " +
+        "its stored tables (vocab-grain scans, built once per " +
+        "session); the oracle replays the merge loop UNROLLED to the " +
+        "max budget and slices each budget's row from the one chain, " +
+        "learned counts from per-round EXISTS — the deliberate " +
+        "exhaust-mismatch tripwire.",
+      (s, dir) => {
+        val docs = Tables.par(s, dir, "documents")
+        SweepBudgets.map { b =>
+          val tg = BpeStore.tag(dir, b)
+          val (merges, segs) = BpeStore.buildOrLoad(s, docs, tg,
+            numMerges = b)
+          val m = merges.agg(count(lit(1)).as("merges_learned"))
+          segs.agg(
+              count(lit(1)).as("vocab_words"),
+              sum(col("cnt") * length(col("word"))).as("chars_total"),
+              sum(col("cnt") * size(col("syms"))).as("syms_total"))
+            .crossJoin(broadcast(m))
+            .select(lit(b).as("merge_budget"), col("merges_learned"),
+              col("vocab_words"), col("chars_total"), col("syms_total"),
+              round(col("chars_total").cast("double") /
+                col("syms_total"), 6).as("compression_x"))
+        }.reduce(_.unionAll(_)).orderBy("merge_budget")
+      },
+      Some {
+        val maxB = SweepBudgets.max
+        def learned(b: Int) = (1 to b)
+          .map(r => s"(CASE WHEN EXISTS(SELECT 1 FROM b$r) " +
+            "THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val rows = SweepBudgets.map { b =>
+          s"""SELECT $b AS merge_budget,
+             |  CAST(${learned(b)} AS BIGINT) AS merges_learned,
+             |  CAST(count(*) AS BIGINT) AS vocab_words,
+             |  CAST(sum(cnt * length(word)) AS BIGINT) AS chars_total,
+             |  CAST(sum(cnt * len(syms)) AS BIGINT) AS syms_total,
+             |  round(CAST(sum(cnt * length(word)) AS DOUBLE)
+             |    / sum(cnt * len(syms)), 6) AS compression_x
+             |FROM v$b""".stripMargin
+        }
+        s"""WITH ${oracleStagesTo(maxB)}
+           |SELECT * FROM (
+           |${rows.mkString("\nUNION ALL\n")}
+           |) ORDER BY merge_budget""".stripMargin
       }
     )
   )

@@ -44,9 +44,15 @@ import org.apache.spark.sql.functions._
   */
 object BpeStore {
 
-  /** Budget-embedding tag (the IvfIndex/PqStore convention). */
-  def tag(dir: String): String =
-    BandIndex.tag(dir, s"bpe${BpeQueries.NumMerges}")
+  /** Budget-embedding tag (the IvfIndex/PqStore convention): a budget
+    * change builds a NEW artifact — r14's merge-budget sweep reads
+    * several geometry tags side by side with zero cross-tag reads
+    * (BpeStoreSpec pins the isolation).
+    */
+  def tag(dir: String): String = tag(dir, BpeQueries.NumMerges)
+
+  def tag(dir: String, merges: Int): String =
+    BandIndex.tag(dir, s"bpe$merges")
 
   private def mergesT(tag: String) = s"${tag}_bpemerges"
   private def segsT(tag: String) = s"${tag}_bpesegs"
@@ -60,7 +66,8 @@ object BpeStore {
     * (merges, segmentations) as reads of the stored tables.
     */
   def buildOrLoad(spark: SparkSession, docs: DataFrame, tag: String,
-                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent
+                  log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
+                  numMerges: Int = BpeQueries.NumMerges
                  ): (DataFrame, DataFrame) = {
     val (mT, sT) = (mergesT(tag), segsT(tag))
     // both-tables gate (MediaSigStore convention): any partial state —
@@ -68,7 +75,7 @@ object BpeStore {
     // self-heals by rebuilding.
     if (!(spark.catalog.tableExists(mT) && spark.catalog.tableExists(sT))) {
       BandIndex.dropStaleLocations(spark, Seq(mT, sT))
-      val (merges, vFinal) = BpeQueries.learnAndApplyDocs(docs)
+      val (merges, vFinal) = BpeQueries.learnAndApplyDocs(docs, numMerges)
       try {
         import spark.implicits._
         merges.toDF("merge_rank", "lhs", "rhs", "pair_count")

@@ -41,7 +41,11 @@ import graft.ops.BpeQueries
 object BpeScale {
 
   /** Write a documents.parquet of `n` distinct deterministic words with
-    * Zipf counts under a temp dir; returns the dir. */
+    * Zipf counts under a temp dir; returns the dir. Shared with
+    * [[BpeSweep]] (same corpus family for both measurement mains). */
+  private[tools] def synthCorpusFor(s: SparkSession, n: Int): String =
+    synthCorpus(s, n)
+
   private def synthCorpus(s: SparkSession, n: Int): String = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-bpe-synth").toString

@@ -101,6 +101,38 @@ class BpeStoreSpec extends SparkSpec {
     assert(inserted.map(_._1) == Set("theory", "thesis", "other"))
   }
 
+  test("merge-budget geometry tags coexist with NO cross-tag reads " +
+    "(r13 verdict #7): two budgets over one corpus learn different " +
+    "depths, each q read hits only its own tables, and dropping one " +
+    "tag leaves the other fully readable") {
+    // 'abab' x4 + 'abcd': budget 1 learns only (a,b); budget 3 also
+    // learns (ab,ab) and more — segmentations must differ per tag
+    val docs = corpus((1L, "abab abab abab abab abcd"))
+    val base = s"/tmp/bpesweep_${System.nanoTime()}"
+    val tag1 = BandIndex.tag(base, "bpe1")
+    val tag3 = BandIndex.tag(base, "bpe3")
+    assert(tag1 != tag3, "budget must be part of the tag")
+    val (m1, s1) = BpeStore.buildOrLoad(spark, docs, tag1, numMerges = 1)
+    val (m3, s3) = BpeStore.buildOrLoad(spark, docs, tag3, numMerges = 3)
+    assert(m1.count() == 1L && m3.count() == 3L)
+    def segOf(segs: org.apache.spark.sql.DataFrame, w: String) =
+      segs.filter(col("word") === w).select("syms")
+        .as[Seq[String]].collect().head
+    // budget 1: abab -> ab|ab (one merge applied twice);
+    // budget 3: (a,b) then (ab,ab) -> abab is ONE symbol
+    assert(segOf(s1, "abab") == Seq("ab", "ab"))
+    assert(segOf(s3, "abab") == Seq("abab"))
+    // isolation: the deeper store's tables never entered the shallow
+    // read's plan — drop tag3 entirely, tag1 still reads end to end
+    Seq(s"${tag3}_bpemerges", s"${tag3}_bpesegs").foreach(t =>
+      spark.sql(s"DROP TABLE $t"))
+    assert(BpeStore.mergeList(spark, tag1) == Seq(("a", "b")))
+    assert(segOf(spark.table(s"${tag1}_bpesegs"), "abcd")
+      == Seq("ab", "c", "d"))
+    Seq(s"${tag1}_bpemerges", s"${tag1}_bpesegs").foreach(t =>
+      spark.sql(s"DROP TABLE $t"))
+  }
+
   test("steady state is a read: a second buildOrLoad returns the " +
     "cataloged tables without relearning (same physical rows)") {
     val docs = corpus((1L, "ab ab"))
