@@ -338,17 +338,25 @@ object Pipeline {
         graft.ops.IvfIndex.buildOrLoad(spark, outDir, cells, log)
       }
       // balance maintenance (r13 verdict #3): split any cell grown past
-      // 2x the mean — a no-op on a fresh Lloyd build, load-bearing on a
-      // rebuilt-over-appends index; the report row carries the receipt
-      val (nSplit, maxBefore, maxAfter) =
+      // 2x the mean — usually a no-op on a fresh Lloyd build,
+      // load-bearing on a rebuilt-over-appends index; the report row
+      // carries the receipt. A triggered split intentionally diverges
+      // the stored index from the fresh-build assignment (the
+      // documented IvfIndex.splitHotCells maintenance semantics — the
+      // oracle-checked declared queries read un-split tags). Timed
+      // INSIDE the artifact's self-pricing (r14 review: the split's
+      // table rewrites dominate exactly when it is load-bearing).
+      val ((nSplit, maxBefore, maxAfter), splitSecs) = timed {
         graft.ops.IvfIndex.splitHotCells(spark, t)
+      }
       val (nVec, nUsed, maxCell) = graft.ops.IvfIndex.cellStats(spark, t)
       val msg = s"tag=$t buckets=${graft.ops.IvfIndex.buckets(spark, t)} " +
         s"cells=$cells used=$nUsed vectors=$nVec max_cell=$maxCell " +
         s"split_cells=$nSplit max_before=$maxBefore max_after=$maxAfter"
       if (nSplit > 0) log.warn("embeddings", "artifact ivf_index", msg)
       else log.info("embeddings", "artifact ivf_index", msg)
-      Seq(Report.ArtifactResult("embeddings", "ivf_index", msg, 0L, 0L, secs))
+      Seq(Report.ArtifactResult("embeddings", "ivf_index", msg, 0L, 0L,
+        secs + splitSecs))
     }
     val pq = if (!a.buildPqStore) Nil else {
       val t = graft.ops.PqStore.tag(outDir)
@@ -543,26 +551,38 @@ object Pipeline {
       val ((nKept, nSeq, padFrac), secs) = timed {
         // the curated-mix composition (funnel-kept → survivor stride
         // schedule → packed), written shard-major exactly like the raw
-        // packed artifact — q_train_ready's relation, materialized
+        // packed artifact — q_train_ready's relation, materialized.
+        // Persisted for its TWO actions (count + pack) — only the
+        // minhash CC leg of the funnel is memoized, so an unpersisted
+        // second derivation would re-run the whole corpus pass (r14
+        // review); the count also guards the everything-dropped edge,
+        // where reading back an all-empty partitioned write would fail
+        // schema inference instead of reporting an honest zero row.
         val perm = graft.ops.PackingQueries.trainReadyPerm(spark, outDir)
-        Layout.writeShardMajor(
-          graft.ops.PackingQueries.packedSequences(perm, budget),
-          path, a.shardFiles, posCol = "seq_id")
-        val F = org.apache.spark.sql.functions
-        val r = spark.read.parquet(path)
-          .agg(F.count(F.lit(1)),
-            F.coalesce(F.sum("n_pad"), F.lit(0L))).head()
-        val (ns, pad) = (r.getLong(0), r.getLong(1))
-        // kept-doc count from the SAME perm definition (memoized CC +
-        // cached funnel inputs make this a cheap second pass)
-        val kept = graft.ops.PackingQueries.trainReadyPerm(spark, outDir)
-          .count()
-        (kept, ns, if (ns > 0) pad.toDouble / (ns * budget) else 0.0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val kept = perm.count()
+          if (kept == 0L) (0L, 0L, 0.0)
+          else {
+            Layout.writeShardMajor(
+              graft.ops.PackingQueries.packedSequences(perm, budget),
+              path, a.shardFiles, posCol = "seq_id")
+            val F = org.apache.spark.sql.functions
+            val r = spark.read.parquet(path)
+              .agg(F.count(F.lit(1)),
+                F.coalesce(F.sum("n_pad"), F.lit(0L))).head()
+            val (ns, pad) = (r.getLong(0), r.getLong(1))
+            (kept, ns, if (ns > 0) pad.toDouble / (ns * budget) else 0.0)
+          }
+        } finally perm.unpersist()
       }
       val msg = s"path=$path kept_docs=$nKept sequences=$nSeq " +
         f"budget=$budget pad_frac=$padFrac%.4f files=${a.shardFiles} " +
         s"shards=${graft.ops.SampleQueries.NumShards}"
-      log.info("documents", "artifact train_ready", msg)
+      if (nKept == 0L)
+        log.warn("documents", "artifact train_ready",
+          s"funnel kept ZERO docs — nothing written; $msg")
+      else log.info("documents", "artifact train_ready", msg)
       Seq(Report.ArtifactResult("documents", "train_ready", msg, 0L, 0L,
         secs))
     }

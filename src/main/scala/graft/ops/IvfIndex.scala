@@ -146,7 +146,14 @@ object IvfIndex {
     *
     * Cold cells' rows and centroids are untouched (IvfIndexSpec pins
     * both, plus reassignment == an independent recomputation and the
-    * audit's max cell returning under the bound). Cost: one sizes agg
+    * audit's max cell returning under the bound). A split index
+    * INTENTIONALLY diverges from the fresh-build assignment — the same
+    * class of documented drift as [[append]]'s stale centroids; the
+    * declared oracle-checked queries read buildOrLoad tags that are
+    * never split, and a pipeline-maintained index trades fresh-build
+    * bit-equality for the balance bound (the tag still names the
+    * BUILD-time cell count; post-split occupancy is the cellStats
+    * read). Cost: one sizes agg
     * + work proportional to the HOT cells only — the split never
     * touches the balanced part of a 10^10-vector index. Both table
     * rewrites stage through localCheckpoint — the write plan must not
@@ -221,6 +228,15 @@ object IvfIndex {
         .filter(!col("cell").isin(hot: _*))
         .unionByName(childCents)
         .localCheckpoint()
+      // Crash-safe write order (r14 review): both staged relations are
+      // materialized, so BREAK the buildOrLoad gate first — drop the
+      // centroid table — then rewrite cells, then restore centroids.
+      // A crash anywhere between leaves mT missing, which the
+      // both-tables gate turns into a rebuild; the naive
+      // overwrite-then-overwrite order could crash with BOTH tables
+      // present but inconsistent (child rows without centroids), a
+      // corruption no existence gate can see.
+      spark.sql(s"DROP TABLE IF EXISTS $mT")
       stagedCells.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, "cell").sortBy("cell")
         .saveAsTable(cT)

@@ -199,13 +199,20 @@ object LexIndex {
     * `stats` from the store): the production shape where the index
     * stats update on maintenance cadence while every arriving doc is
     * scored immediately. Same [[combine]] expression as the stored
-    * read path; dl/tf are the arriving doc's own. Stateless per doc
-    * given the frozen stats, so stream union == batch exactly.
+    * read path; dl/tf are the arriving doc's own. A query term the
+    * standing index has NEVER seen has df = 0 (left join + coalesce —
+    * r14 review: an inner join silently dropped the term, leaving a
+    * doc matching only unseen terms unscored; df = 0 is the honest
+    * standing frequency and yields the maximal idf, exactly what
+    * q_bm25 would compute the moment the index appends such a doc).
+    * Stateless per doc given the frozen stats, so stream union ==
+    * batch exactly.
     */
   def scoreArriving(batch: DataFrame, termDf: DataFrame, stats: DataFrame,
                     terms: Seq[String]): DataFrame =
     combine(postingRows(batch)
       .filter(col("term").isin(terms: _*))
-      .join(broadcast(termDf), "term")
+      .join(broadcast(termDf), Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
       .crossJoin(broadcast(stats)))
 }

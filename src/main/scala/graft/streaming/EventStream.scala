@@ -355,10 +355,16 @@ object EventStream {
     * before the stateful op). Emits a row per day touched by each
     * batch with values seen SO FAR — a day straddling micro-batches
     * re-emits updated (the anomalyStream append-mode caveat); days
-    * older than the horizon below the max evict, so a very-late event
-    * re-enters with a shrunken window — watermark-bounded lateness is
-    * the deployment's job. With the log in one micro-batch the twin
-    * equals the batch query exactly (EventStreamSpec differential).
+    * older than the horizon below the max seen evict, and an event
+    * LATER arriving for an evicted day is DROPPED, not re-entered
+    * (r14 review: re-entering would emit a row whose own count and
+    * revenue RESET to the late batch — under the freshest-row-wins
+    * semantics that would regress the day's previously-correct
+    * figures; dropping below the horizon is the explicit lateness
+    * bound, exactly what a watermark does) — bound your upstream
+    * lateness to under `windowDays` days. With the log in one
+    * micro-batch days ascend, nothing drops, and the twin equals the
+    * batch query exactly (EventStreamSpec differential).
     *
     * Input rows: (epoch_sec, value_micros) of purchase events.
     */
@@ -372,10 +378,16 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[RollState]) =>
           var days = state.getOption.map(_.days).getOrElse(Map.empty)
+          // the lateness bound: a day already evicted (below the
+          // standing max's horizon) cannot re-enter — its state is
+          // gone, so any row it emitted would reset the day's own
+          // aggregates (see scaladoc)
+          val floor = if (days.isEmpty) Long.MinValue
+            else days.keysIterator.max - (windowDays - 1)
           val batchDays = rows.toSeq
             .groupBy(r => Math.floorDiv(r._1, 86400L))
             .view.mapValues(rs => (rs.size.toLong, rs.map(_._2).sum))
-            .toSeq.sortBy(_._1)
+            .toSeq.filter(_._1 >= floor).sortBy(_._1)
           val out = batchDays.map { case (d, (n, rev)) =>
             val (n0, r0) = days.getOrElse(d, (0L, 0L))
             val upd = (n0 + n, r0 + rev)

@@ -179,6 +179,17 @@ class LexIndexSpec extends SparkSpec {
         .select(col("doc_id"), round(col("score"), 6))
         .as[(Long, Double)].collect())
     assert(perDoc.toMap == got)
+    // a query term the standing index has NEVER seen scores at df = 0
+    // (maximal idf) instead of silently dropping the doc (r14 review)
+    val terms2 = Seq("spark", "zzunseen")
+    val tdf2 = LexIndex.termDf(spark, tag, terms2)
+    assert(tdf2.filter(col("term") === "zzunseen").isEmpty)
+    val unseenScore = LexIndex.scoreArriving(
+        corpus((201L, "zzunseen appears only here")), tdf2, stats, terms2)
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(unseenScore.contains(201L) && unseenScore(201L) > 0.0,
+      s"a doc matching only an unseen term must still score: $unseenScore")
     dropAll(tag)
   }
 }

@@ -139,4 +139,19 @@ class TrainReadySpec extends SparkSpec {
     val kept = perm.count()
     assert(r.head.detail.contains(s"kept_docs=$kept"), r.head.detail)
   }
+
+  test("a funnel that keeps ZERO docs reports kept_docs=0 instead of " +
+    "crashing on an all-empty partitioned write (r14 review)") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("trainready0").toString
+    // every doc is benchmark (src0) -> stage 0_eval_slice, nothing kept
+    Seq((1L, doc("eva", 30), "en", "src0", 100L),
+      (2L, doc("evb", 30), "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = Pipeline.artifactPhase(spark, d,
+      Pipeline.ArtifactConfig(buildTrainReady = true))
+    assert(r.size == 1 && r.head.kind == "train_ready")
+    assert(r.head.detail.contains("kept_docs=0"), r.head.detail)
+  }
 }

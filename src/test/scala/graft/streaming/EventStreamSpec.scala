@@ -401,6 +401,18 @@ class EventStreamSpec extends SparkSpec {
       // query's gap-day semantics)
       assert(rows.filter(_._1 == 5L) ==
         Seq((5L, 1L, 7000000L, 22500000L, 3L)), rows.toString)
+      // lateness bound (r14 review): day 20 advances the horizon past
+      // day 0; a later day-0 event must be DROPPED — re-entering would
+      // emit a day-0 row with count/revenue RESET to the late batch,
+      // regressing the correct figures already emitted
+      input.addData((20L * 86400L + 3L, 1000000L))
+      q.processAllAvailable()
+      input.addData((30L, 9000000L)) // very-late day-0 purchase
+      q.processAllAvailable()
+      val after = spark.table("roll_test")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(after.count(_._1 == 0L) == rows.count(_._1 == 0L),
+        "an evicted day must not re-emit on late data")
     } finally q.stop()
   }
 
