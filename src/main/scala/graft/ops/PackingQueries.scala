@@ -323,6 +323,91 @@ object PackingQueries {
     ),
 
     QueryDef(
+      "q_train_mix_audit",
+      "MEASURED per-shard mixture fidelity of the train-ready " +
+        "composition (the falsifiability discipline turned on r14's " +
+        "own claim — 'hash-sharding a scheduled stream preserves the " +
+        "mix per worker' is a theorem about expectations, and THIS " +
+        "table is what it actually measures at a finite corpus): per " +
+        "source over the funnel-KEPT docs, the global kept share vs " +
+        "its per-shard share across all 16 hash shards — min, max, " +
+        "and the worst absolute deviation any worker sees. Small " +
+        "sources wobble hard at small corpora (a 25-doc source over " +
+        "16 shards cannot sit near its mean everywhere) — the audit " +
+        "quantifies exactly how far a worker's local mix strays from " +
+        "the schedule's target before a run commits to hash-sharding " +
+        "vs contiguous range sharding. Zero-kept sources emit no row " +
+        "(nothing to shard); shards missing a source count as share " +
+        "0 (the deviation they contribute is real). Shape: the " +
+        "funnel's corpus pass (shared stagedDocs — memoized CC), one " +
+        "(shard × source)-grain count, a 16×|sources| grid join — " +
+        "constant-size after the first agg at any corpus scale.",
+      (s, dir) => {
+        val kept = CorpusQueries.stagedDocs(s, dir)
+          .filter(col("stage") === "7_kept")
+          .select(col("doc_id"), col("source"))
+          .withColumn("shard",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+              .cast("int"))
+        val ss = kept.groupBy("shard", "source")
+          .agg(count(lit(1)).as("n_sg"))
+        val ns = kept.groupBy("shard").agg(count(lit(1)).as("n_s"))
+        val ng = kept.groupBy("source").agg(count(lit(1)).as("n_g"))
+        val nt = kept.agg(count(lit(1)).as("n"))
+        val grid = ns.select("shard").distinct()
+          .crossJoin(broadcast(ng))
+          .join(ss, Seq("shard", "source"), "left")
+          .join(ns, "shard")
+          .crossJoin(broadcast(nt))
+          .withColumn("n_sg", coalesce(col("n_sg"), lit(0L)))
+          .withColumn("frac", col("n_sg").cast("double") / col("n_s"))
+          .withColumn("dev",
+            abs(col("frac") - col("n_g").cast("double") / col("n")))
+        grid.groupBy("source")
+          .agg(max(col("n_g")).as("n_kept"),
+            round(max(col("n_g").cast("double") / col("n")), 6)
+              .as("global_frac"),
+            round(min(col("frac")), 6).as("min_shard_frac"),
+            round(max(col("frac")), 6).as("max_shard_frac"),
+            round(max(col("dev")), 6).as("max_abs_dev"))
+          .orderBy("source")
+      },
+      Some {
+        s"""WITH RECURSIVE ${CorpusQueries.funnelStagedSqlCtes},
+           |tk AS (SELECT doc_id, source FROM staged
+           |  WHERE stage = '7_kept'),
+           |tsh AS (SELECT doc_id, source,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+           |      AS INT) AS shard FROM tk),
+           |tss AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS n_sg
+           |  FROM tsh GROUP BY 1, 2),
+           |tns AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_s
+           |  FROM tsh GROUP BY 1),
+           |tng AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+           |  FROM tsh GROUP BY 1),
+           |tnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tsh),
+           |tgrid AS (SELECT sh.shard, g.source,
+           |    coalesce(tss.n_sg, 0) AS n_sg, tns.n_s, g.n_g, tnt.n
+           |  FROM (SELECT DISTINCT shard FROM tsh) sh
+           |  CROSS JOIN tng g
+           |  LEFT JOIN tss ON tss.shard = sh.shard
+           |    AND tss.source = g.source
+           |  JOIN tns ON tns.shard = sh.shard, tnt),
+           |td AS (SELECT source, n_g, n,
+           |    CAST(n_sg AS DOUBLE)/n_s AS frac,
+           |    abs(CAST(n_sg AS DOUBLE)/n_s - CAST(n_g AS DOUBLE)/n)
+           |      AS dev
+           |  FROM tgrid)
+           |SELECT source, max(n_g) AS n_kept,
+           |  round(max(CAST(n_g AS DOUBLE)/n), 6) AS global_frac,
+           |  round(min(frac), 6) AS min_shard_frac,
+           |  round(max(frac), 6) AS max_shard_frac,
+           |  round(max(dev), 6) AS max_abs_dev
+           |FROM td GROUP BY source ORDER BY source""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_doc_chunk",
       s"Document chunking for embedding/retrieval pipelines: sliding " +
         s"$ChunkW-token windows every $ChunkStride tokens " +

@@ -76,6 +76,8 @@ object SharedCaches {
       "q_train_ready", // r14: the kept-set stage reads CC labels — and
       // being alphabetically LAST it relocates the family's release
       // point here (BASELINE.md billing note)
+      "q_train_mix_audit", // r14: per-shard mix fidelity off the same
+      // kept set (sorts before q_train_ready — release unchanged)
       "q_pagerank", "q_split_leakage", "q_split_cluster_aware"),
     MinhashBatch -> Set("q_dedup_incremental"),
     ContainBatch -> Set("q_containment_incremental"),

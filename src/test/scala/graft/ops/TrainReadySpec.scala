@@ -140,6 +140,27 @@ class TrainReadySpec extends SparkSpec {
     assert(r.head.detail.contains(s"kept_docs=$kept"), r.head.detail)
   }
 
+  test("q_train_mix_audit: one row per KEPT source, kept counts sum to " +
+    "the kept set, shares are probabilities, and deviations are " +
+    "consistent with the min/max shard shares") {
+    val kept = CorpusQueries.stagedDocs(spark, dir)
+      .filter(col("stage") === "7_kept")
+    val keptBySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val rows = graft.Registry.queryMap("q_train_mix_audit")(spark, dir)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(rows.map(_._1).toSet == keptBySrc.keySet)
+    assert(rows.map(_._2).sum == keptBySrc.values.sum)
+    rows.foreach { case (src, n, g, mn, mx, dev) =>
+      assert(n == keptBySrc(src))
+      assert(g >= 0 && g <= 1 && mn >= 0 && mn <= mx && mx <= 1, src)
+      // the worst deviation is achieved at one of the extreme shares
+      // (6dp rounding of independently-rounded terms -> 2e-6 slack)
+      assert(math.abs(dev - math.max(mx - g, g - mn)) < 2e-6,
+        s"$src: dev=$dev g=$g mn=$mn mx=$mx")
+    }
+  }
+
   test("a funnel that keeps ZERO docs reports kept_docs=0 instead of " +
     "crashing on an all-empty partitioned write (r14 review)") {
     import java.nio.file.Files
