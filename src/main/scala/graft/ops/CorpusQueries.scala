@@ -154,9 +154,32 @@ object CorpusQueries {
     * keeper windows, contamOverlap, the q_domain_cap windows); the
     * near-dup stage rides the memoized CC labels (zero extra minhash
     * passes).
+    *
+    * Memoized per (session, dir) and persisted under the
+    * [[SharedCaches.Funnel]] family (r14: with the mix audit the
+    * relation gained a THIRD consumer, and only the CC leg was shared
+    * — each consumer re-ran the tokenize/gopher/contamination/cap
+    * corpus passes; the minhashComponents memo pattern applied one
+    * level up).
     */
+  private val stagedMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
   private[graft] def stagedDocs(s: org.apache.spark.sql.SparkSession,
-                                dir: String): org.apache.spark.sql.DataFrame = {
+                                dir: String): org.apache.spark.sql.DataFrame =
+    stagedMemo.getOrElseUpdate((s, dir), {
+      val staged = SharedCaches.track(SharedCaches.Funnel,
+        stagedDocsUncached(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      SharedCaches.onRelease(SharedCaches.Funnel) { () =>
+        stagedMemo.remove((s, dir)); ()
+      }
+      staged
+    })
+
+  private def stagedDocsUncached(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wFp = Window.partitionBy(md5(normText(col("text"))))
     val base = Tables.t(s, dir, "documents")

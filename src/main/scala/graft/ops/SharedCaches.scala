@@ -57,6 +57,13 @@ object SharedCaches {
     * each previously re-ran the explode+md5+64-bit-sum corpus pass). */
   val Simhash = "simhash"
 
+  /** The doc-grain funnel verdict relation (r14: THREE consumers —
+    * the funnel accounting, the train-ready composition, and the
+    * shard-mix audit — each otherwise re-runs the corpus tokenize +
+    * gopher + contamination + cap passes; only the CC leg was
+    * memoized). */
+  val Funnel = "funnel"
+
   // (the former Bpe memo family moved to a STORED artifact in r13 —
   // BpeStore, the eighth family: stored tables have no session-cache
   // residency, so no release bookkeeping remains here)
@@ -92,7 +99,8 @@ object SharedCaches {
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
     BloomBench -> Set("q_contamination_bloom"),
     Simhash -> Set("q_dedup_simhash", "q_dedup_simhash_hamming",
-      "q_simhash_recall")
+      "q_simhash_recall"),
+    Funnel -> Set("q_corpus_funnel", "q_train_mix_audit", "q_train_ready")
   )
 
   private val refs =
