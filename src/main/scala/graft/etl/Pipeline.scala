@@ -552,18 +552,25 @@ object Pipeline {
         // the curated-mix composition (funnel-kept → survivor stride
         // schedule → packed), written shard-major exactly like the raw
         // packed artifact — q_train_ready's relation, materialized.
-        // Persisted for its TWO actions (count + pack) — only the
-        // minhash CC leg of the funnel is memoized, so an unpersisted
-        // second derivation would re-run the whole corpus pass (r14
-        // review); the count also guards the everything-dropped edge,
-        // where reading back an all-empty partitioned write would fail
-        // schema inference instead of reporting an honest zero row.
+        // Persisted for its TWO actions (count + pack) — the schedule
+        // windows on TOP of the shared staged cache still re-run per
+        // action unpersisted; the count also guards the
+        // everything-dropped edge, where reading back an all-empty
+        // partitioned write would fail schema inference instead of
+        // reporting an honest zero row.
         val perm = graft.ops.PackingQueries.trainReadyPerm(spark, outDir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val kept = perm.count()
-          if (kept == 0L) (0L, 0L, 0.0)
-          else {
+          if (kept == 0L) {
+            // remove any PREVIOUS vintage at the path — a stale packed
+            // artifact under a kept_docs=0 report would feed a trainer
+            // the prior corpus's sequences (r14 review)
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+            if (fs.exists(p)) fs.delete(p, true)
+            (0L, 0L, 0.0)
+          } else {
             Layout.writeShardMajor(
               graft.ops.PackingQueries.packedSequences(perm, budget),
               path, a.shardFiles, posCol = "seq_id")
@@ -574,7 +581,19 @@ object Pipeline {
             val (ns, pad) = (r.getLong(0), r.getLong(1))
             (kept, ns, if (ns > 0) pad.toDouble / (ns * budget) else 0.0)
           }
-        } finally perm.unpersist()
+        } finally {
+          perm.unpersist()
+          // the funnel verdicts and CC labels feeding this WRITE are
+          // (session, dir)-memoized; a re-migration into the same
+          // outDir within one session must re-derive them over the
+          // RE-WRITTEN corpus, not serve the first migration's
+          // verdicts (r14 review) — release both families here so the
+          // next build rebuilds transparently (declared-query runs
+          // manage these releases via SharedCaches.releasePoints; the
+          // pipeline is its own run)
+          graft.ops.SharedCaches.release(graft.ops.SharedCaches.Funnel)
+          graft.ops.SharedCaches.release(graft.ops.SharedCaches.Minhash)
+        }
       }
       val msg = s"path=$path kept_docs=$nKept sequences=$nSeq " +
         f"budget=$budget pad_frac=$padFrac%.4f files=${a.shardFiles} " +

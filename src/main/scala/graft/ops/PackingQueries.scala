@@ -337,30 +337,37 @@ object PackingQueries {
         "quantifies exactly how far a worker's local mix strays from " +
         "the schedule's target before a run commits to hash-sharding " +
         "vs contiguous range sharding. Zero-kept sources emit no row " +
-        "(nothing to shard); shards missing a source count as share " +
-        "0 (the deviation they contribute is real). Shape: the " +
-        "funnel's corpus pass (shared stagedDocs — memoized CC), one " +
-        "(shard × source)-grain count, a 16×|sources| grid join — " +
+        "(nothing to shard); ALL 16 shards count — a shard missing a " +
+        "source contributes share 0, and an ENTIRELY empty shard " +
+        "contributes share 0 for every source (that worker sees " +
+        "nothing, the maximal deviation; its starvation also shows in " +
+        "q_shard_balance). Shape: the " +
+        "funnel's corpus pass (shared stagedDocs — the memoized " +
+        "family cache), ONE (shard × source)-grain count whose " +
+        "marginals derive everything else, a 16×|sources| grid join — " +
         "constant-size after the first agg at any corpus scale.",
       (s, dir) => {
-        val kept = CorpusQueries.stagedDocs(s, dir)
+        val ss = CorpusQueries.stagedDocs(s, dir)
           .filter(col("stage") === "7_kept")
-          .select(col("doc_id"), col("source"))
-          .withColumn("shard",
-            conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
-              .cast("int"))
-        val ss = kept.groupBy("shard", "source")
+          .select(SampleQueries.shardOf(col("doc_id")).as("shard"),
+            col("source"))
+          .groupBy("shard", "source")
           .agg(count(lit(1)).as("n_sg"))
-        val ns = kept.groupBy("shard").agg(count(lit(1)).as("n_s"))
-        val ng = kept.groupBy("source").agg(count(lit(1)).as("n_g"))
-        val nt = kept.agg(count(lit(1)).as("n"))
-        val grid = ns.select("shard").distinct()
+        // marginals of the ONE aggregate (<= 16 x |sources| rows)
+        val ns = ss.groupBy("shard").agg(sum(col("n_sg")).as("n_s"))
+        val ng = ss.groupBy("source").agg(sum(col("n_sg")).as("n_g"))
+        val nt = ss.agg(sum(col("n_sg")).as("n"))
+        val allShards = s.range(SampleQueries.NumShards)
+          .select(col("id").cast("int").as("shard"))
+        val grid = allShards
           .crossJoin(broadcast(ng))
           .join(ss, Seq("shard", "source"), "left")
-          .join(ns, "shard")
+          .join(ns, Seq("shard"), "left")
           .crossJoin(broadcast(nt))
           .withColumn("n_sg", coalesce(col("n_sg"), lit(0L)))
-          .withColumn("frac", col("n_sg").cast("double") / col("n_s"))
+          .withColumn("n_s", coalesce(col("n_s"), lit(0L)))
+          .withColumn("frac", when(col("n_s") === 0L, lit(0.0))
+            .otherwise(col("n_sg").cast("double") / col("n_s")))
           .withColumn("dev",
             abs(col("frac") - col("n_g").cast("double") / col("n")))
         grid.groupBy("source")
@@ -374,29 +381,31 @@ object PackingQueries {
       },
       Some {
         s"""WITH RECURSIVE ${CorpusQueries.funnelStagedSqlCtes},
-           |tk AS (SELECT doc_id, source FROM staged
-           |  WHERE stage = '7_kept'),
-           |tsh AS (SELECT doc_id, source,
+           |tss AS (SELECT
            |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
-           |      AS INT) AS shard FROM tk),
-           |tss AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS n_sg
-           |  FROM tsh GROUP BY 1, 2),
-           |tns AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_s
-           |  FROM tsh GROUP BY 1),
-           |tng AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
-           |  FROM tsh GROUP BY 1),
-           |tnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tsh),
+           |      AS INT) AS shard,
+           |    source, CAST(count(*) AS BIGINT) AS n_sg
+           |  FROM staged WHERE stage = '7_kept' GROUP BY 1, 2),
+           |tns AS (SELECT shard, CAST(sum(n_sg) AS BIGINT) AS n_s
+           |  FROM tss GROUP BY 1),
+           |tng AS (SELECT source, CAST(sum(n_sg) AS BIGINT) AS n_g
+           |  FROM tss GROUP BY 1),
+           |tnt AS (SELECT CAST(sum(n_sg) AS BIGINT) AS n FROM tss),
            |tgrid AS (SELECT sh.shard, g.source,
-           |    coalesce(tss.n_sg, 0) AS n_sg, tns.n_s, g.n_g, tnt.n
-           |  FROM (SELECT DISTINCT shard FROM tsh) sh
+           |    coalesce(tss.n_sg, 0) AS n_sg,
+           |    coalesce(tns.n_s, 0) AS n_s, g.n_g, tnt.n
+           |  FROM (SELECT unnest(range(0, ${SampleQueries.NumShards}))
+           |    AS shard) sh
            |  CROSS JOIN tng g
            |  LEFT JOIN tss ON tss.shard = sh.shard
            |    AND tss.source = g.source
-           |  JOIN tns ON tns.shard = sh.shard, tnt),
+           |  LEFT JOIN tns ON tns.shard = sh.shard, tnt),
            |td AS (SELECT source, n_g, n,
-           |    CAST(n_sg AS DOUBLE)/n_s AS frac,
-           |    abs(CAST(n_sg AS DOUBLE)/n_s - CAST(n_g AS DOUBLE)/n)
-           |      AS dev
+           |    CASE WHEN n_s = 0 THEN 0.0
+           |      ELSE CAST(n_sg AS DOUBLE)/n_s END AS frac,
+           |    abs((CASE WHEN n_s = 0 THEN 0.0
+           |      ELSE CAST(n_sg AS DOUBLE)/n_s END)
+           |      - CAST(n_g AS DOUBLE)/n) AS dev
            |  FROM tgrid)
            |SELECT source, max(n_g) AS n_kept,
            |  round(max(CAST(n_g AS DOUBLE)/n), 6) AS global_frac,
@@ -585,9 +594,7 @@ object PackingQueries {
     val wPos = Window.partitionBy("shard")
       .orderBy(col("sched_key"), col("source"), col("doc_id"))
     sched
-      .withColumn("shard",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
-          .cast("int"))
+      .withColumn("shard", SampleQueries.shardOf(col("doc_id")))
       .withColumn("pos", row_number().over(wPos).cast("long"))
       .select(col("shard"), col("pos"), col("doc_id"), col("source"),
         col("sched_key"), col("text"))

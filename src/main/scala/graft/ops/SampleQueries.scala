@@ -38,13 +38,27 @@ object SampleQueries {
     * without a global sort (16-way partitioned window + a 16-row
     * broadcast prefix sum over shard counts).
     */
+  /** THE shard assignment (leading hex digit of a doc's md5 key) — one
+    * definition for the training-order permutation, the train-ready
+    * composition, and the mix audit (r14 review: three inline copies
+    * meant the audit could silently keep measuring an OLD sharding if
+    * the pack's function ever changed). [[NumShards]] == 16 is this
+    * function's range by construction.
+    */
+  private[graft] def shardOfKey(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(key, 1, 1), 16, 10).cast("int")
+
+  private[graft] def shardOf(docId: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    shardOfKey(md5(docId.cast("string")))
+
   private[graft] def shuffleShardPerm(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs
       .withColumn("key", md5(col("doc_id").cast("string")))
-      .withColumn("shard",
-        conv(substring(col("key"), 1, 1), 16, 10).cast("int"))
+      .withColumn("shard", shardOfKey(col("key")))
     val pos = d.withColumn("pos",
       row_number().over(
         Window.partitionBy("shard").orderBy(col("key"), col("doc_id")))

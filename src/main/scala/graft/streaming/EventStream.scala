@@ -354,17 +354,20 @@ object EventStream {
     * upstream; at extreme rates pre-aggregate per day in the batch
     * before the stateful op). Emits a row per day touched by each
     * batch with values seen SO FAR — a day straddling micro-batches
-    * re-emits updated (the anomalyStream append-mode caveat); days
-    * older than the horizon below the max seen evict, and an event
-    * LATER arriving for an evicted day is DROPPED, not re-entered
-    * (r14 review: re-entering would emit a row whose own count and
-    * revenue RESET to the late batch — under the freshest-row-wins
-    * semantics that would regress the day's previously-correct
-    * figures; dropping below the horizon is the explicit lateness
-    * bound, exactly what a watermark does) — bound your upstream
-    * lateness to under `windowDays` days. With the log in one
-    * micro-batch days ascend, nothing drops, and the twin equals the
-    * batch query exactly (EventStreamSpec differential).
+    * re-emits updated, and an in-horizon LATE day also re-emits every
+    * STANDING day whose trailing window contains it (r14 review: the
+    * late revenue changes those days' rolling figures too; emitting
+    * only the touched day would leave their freshest rows stale) —
+    * the anomalyStream append-mode caveat, kept consistent across the
+    * whole window. Days older than the horizon below the max seen
+    * evict, and an event LATER arriving for an evicted day is
+    * DROPPED, not re-entered (re-entering would emit a row whose own
+    * count and revenue RESET to the late batch — regressing the day's
+    * previously-correct figures; dropping below the horizon is the
+    * explicit lateness bound, exactly what a watermark does) — bound
+    * your upstream lateness to under `windowDays` days. With the log
+    * in one micro-batch days ascend, nothing drops, and the twin
+    * equals the batch query exactly (EventStreamSpec differential).
     *
     * Input rows: (epoch_sec, value_micros) of purchase events.
     */
@@ -388,18 +391,30 @@ object EventStream {
             .groupBy(r => Math.floorDiv(r._1, 86400L))
             .view.mapValues(rs => (rs.size.toLong, rs.map(_._2).sum))
             .toSeq.filter(_._1 >= floor).sortBy(_._1)
-          val out = batchDays.map { case (d, (n, rev)) =>
+          // fold ALL of the batch's updates first, THEN emit — each
+          // emitted row reflects the post-batch state, and a late
+          // in-horizon day re-emits every standing day whose trailing
+          // window it sits in (see scaladoc)
+          batchDays.foreach { case (d, (n, rev)) =>
             val (n0, r0) = days.getOrElse(d, (0L, 0L))
-            val upd = (n0 + n, r0 + rev)
-            days = days.updated(d, upd)
+            days = days.updated(d, (n0 + n, r0 + rev))
+          }
+          val touched = batchDays.map(_._1).toSet
+          val affected = days.keysIterator.filter(k =>
+            touched.exists(d => k >= d && k <= d + (windowDays - 1)))
+            .toSeq.sorted
+          val out = affected.map { d =>
+            val (n, rev) = days(d)
             val win = days.collect {
               case (dd, (_, r)) if dd >= d - (windowDays - 1) && dd <= d => r
             }
-            RollOut(d, upd._1, upd._2, win.sum, win.size.toLong)
+            RollOut(d, n, rev, win.sum, win.size.toLong)
           }
-          val maxD = days.keysIterator.max
-          state.update(RollState(
-            days.filter(_._1 >= maxD - (windowDays - 1))))
+          if (days.nonEmpty) {
+            val maxD = days.keysIterator.max
+            state.update(RollState(
+              days.filter(_._1 >= maxD - (windowDays - 1))))
+          }
           out.iterator
       }
   }

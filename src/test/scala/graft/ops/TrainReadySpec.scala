@@ -158,6 +158,9 @@ class TrainReadySpec extends SparkSpec {
       // (6dp rounding of independently-rounded terms -> 2e-6 slack)
       assert(math.abs(dev - math.max(mx - g, g - mn)) < 2e-6,
         s"$src: dev=$dev g=$g mn=$mn mx=$mx")
+      // < 16 kept docs guarantee empty shards, and ALL 16 count
+      // (r14 review: occupied-only grids hid the starved workers)
+      assert(mn == 0.0, s"$src: with empty shards min share must be 0")
     }
   }
 

@@ -416,6 +416,38 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingRevenue: an in-horizon LATE day re-emits every standing " +
+    "day whose trailing window contains it (r14 review: the late " +
+    "revenue changes their rolling figures; freshest-row-wins must " +
+    "not leave them stale)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val q = EventStream.rollingRevenue(input.toDS())
+      .writeStream.queryName("roll_late")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-rolllate").toString)
+      .format("memory")
+      .start()
+    try {
+      input.addData((10L, 2000000L), (2L * 86400L + 5L, 3000000L))
+      q.processAllAvailable()
+      // late day-1 arrives inside the horizon: day 1 emits AND day 2
+      // re-emits with the late revenue folded into its trailing sum
+      input.addData((86400L + 7L, 10000000L))
+      q.processAllAvailable()
+      val rows = spark.table("roll_late")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(rows.contains((1L, 1L, 10000000L, 12000000L, 2L)), rows)
+      val day2 = rows.filter(_._1 == 2L)
+      assert(day2.head == ((2L, 1L, 3000000L, 5000000L, 2L)), rows)
+      assert(day2.last == ((2L, 1L, 3000000L, 15000000L, 3L)),
+        s"day 2 must re-emit with the late day-1 revenue: $rows")
+    } finally q.stop()
+  }
+
   test("rollingRevenue on one batch equals q_event_rolling on real data") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
