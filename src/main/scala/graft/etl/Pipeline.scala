@@ -334,25 +334,35 @@ object Pipeline {
       val n = spark.read.parquet(s"$outDir/embeddings.parquet").count()
       val cells = graft.ops.SimilarityQueries.derivedCells(n)
       val t = graft.ops.IvfIndex.tag(outDir, cells)
+      // Split gating (r14 advice): splitHotCells runs ONLY when the
+      // index pre-existed this call (built by an earlier migration /
+      // grown by appends). A fresh Lloyd build on clustered data can
+      // legitimately exceed the 2x-mean bound, and splitting at build
+      // time would diverge the EXACT tag the declared oracle-checked
+      // ANN queries (q_ann_ivf / q_ann_probe_sweep / q_ann_ivfpq) load
+      // for this dir — fresh-build tags must stay oracle-faithful;
+      // the split is maintenance for indexes that have LIVED.
+      val preExisting = graft.ops.IvfIndex.exists(spark, t)
       val (_, secs) = timed {
         graft.ops.IvfIndex.buildOrLoad(spark, outDir, cells, log)
       }
       // balance maintenance (r13 verdict #3): split any cell grown past
-      // 2x the mean — usually a no-op on a fresh Lloyd build,
-      // load-bearing on a rebuilt-over-appends index; the report row
-      // carries the receipt. A triggered split intentionally diverges
-      // the stored index from the fresh-build assignment (the
-      // documented IvfIndex.splitHotCells maintenance semantics — the
-      // oracle-checked declared queries read un-split tags). Timed
-      // INSIDE the artifact's self-pricing (r14 review: the split's
-      // table rewrites dominate exactly when it is load-bearing).
+      // 2x the mean on a PRE-EXISTING index; the report row carries the
+      // receipt. A triggered split intentionally diverges the stored
+      // index from the fresh-build assignment (the documented
+      // IvfIndex.splitHotCells maintenance semantics). Timed INSIDE the
+      // artifact's self-pricing (r14 review: the split's table rewrites
+      // dominate exactly when it is load-bearing).
       val ((nSplit, maxBefore, maxAfter), splitSecs) = timed {
-        graft.ops.IvfIndex.splitHotCells(spark, t)
+        if (preExisting) graft.ops.IvfIndex.splitHotCells(spark, t)
+        else (0, -1L, -1L)
       }
       val (nVec, nUsed, maxCell) = graft.ops.IvfIndex.cellStats(spark, t)
+      val splitMsg =
+        if (!preExisting) "split=skipped_fresh_build"
+        else s"split_cells=$nSplit max_before=$maxBefore max_after=$maxAfter"
       val msg = s"tag=$t buckets=${graft.ops.IvfIndex.buckets(spark, t)} " +
-        s"cells=$cells used=$nUsed vectors=$nVec max_cell=$maxCell " +
-        s"split_cells=$nSplit max_before=$maxBefore max_after=$maxAfter"
+        s"cells=$cells used=$nUsed vectors=$nVec max_cell=$maxCell $splitMsg"
       if (nSplit > 0) log.warn("embeddings", "artifact ivf_index", msg)
       else log.info("embeddings", "artifact ivf_index", msg)
       Seq(Report.ArtifactResult("embeddings", "ivf_index", msg, 0L, 0L,

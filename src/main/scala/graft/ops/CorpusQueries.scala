@@ -741,7 +741,12 @@ object CorpusQueries {
         "posting lists only; the per-doc combine shuffles just the " +
         "matched postings (Σ df(term) rows — corpus-size-independent " +
         "for selective terms); the documents table appears NOWHERE in " +
-        "the plan (LexIndexSpec pins both). Determinism: idf's ln() " +
+        "the plan (LexIndexSpec pins both). r15: stop-term governance " +
+        "(LexIndex.StopTermDfFrac) — a query term with df over " +
+        "floor(0.9·N) is skipped (idf ≈ 0, posting list ≈ the corpus); " +
+        "the df cap is a literal on the stored df column so it pushes " +
+        "into the scan, and the oracle applies the identical cap. " +
+        "Determinism: idf's ln() " +
         "rounded 9dp, each per-term score rounded 9dp, then the " +
         "per-doc sum in DECIMAL(38,12) — order-independent, so the " +
         "posting-grain aggregation needs no fixed term order; ranks " +
@@ -770,8 +775,15 @@ object CorpusQueries {
         val dfCols = Bm25Terms.indices.map(i =>
           s"    SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
           .mkString(",\n")
+        // Stop-term governance mirrored (r15): a term with df over
+        // floor(StopTermDfFrac * n_docs) is skipped by the index read
+        // path (its posting list is O(corpus), its idf ~ 0) — the
+        // oracle applies the identical cap so the two engines agree by
+        // construction, not by the test data happening to lack
+        // stopword query terms.
+        val capSql = s"floor(${LexIndex.StopTermDfFrac} * n_docs)"
         val scoreSum = Bm25Terms.indices.map(i =>
-          s"""(CASE WHEN tf_$i > 0 THEN
+          s"""(CASE WHEN tf_$i > 0 AND df_$i <= $capSql THEN
              |      CAST(round(round(ln((n_docs - df_$i + 0.5)
              |          / (df_$i + 0.5) + 1.0), 9)
              |        * CAST(tf_$i AS DOUBLE) * 2.2
@@ -780,7 +792,9 @@ object CorpusQueries {
              |        AS DECIMAL(38,12))
              |      ELSE CAST(0 AS DECIMAL(38,12)) END)""".stripMargin)
           .mkString("\n    + ")
-        val anyTf = Bm25Terms.indices.map(i => s"tf_$i").mkString(" + ")
+        val anyTf = Bm25Terms.indices.map(i =>
+          s"(CASE WHEN df_$i <= $capSql THEN tf_$i ELSE 0 END)")
+          .mkString(" + ")
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
            |$tfCols

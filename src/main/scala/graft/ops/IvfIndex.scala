@@ -40,6 +40,17 @@ object IvfIndex {
   private def cellsT(tag: String) = s"${tag}_ivfcells"
   private def centT(tag: String) = s"${tag}_ivfcentroids"
 
+  /** Whether the stored index for `tag` is fully cataloged — the
+    * buildOrLoad gate, exposed so callers (the pipeline's artifact
+    * phase) can distinguish "pre-existing index" from "freshly built
+    * this call" BEFORE buildOrLoad erases the difference. r14 advice:
+    * maintenance like [[splitHotCells]] must not run on a fresh build
+    * under a tag that declared oracle-checked queries read.
+    */
+  def exists(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(cellsT(tag)) &&
+      spark.catalog.tableExists(centT(tag))
+
   /** Derived bucket count this tag was built with (report-row metric). */
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, cellsT(tag))
@@ -148,12 +159,15 @@ object IvfIndex {
     * both, plus reassignment == an independent recomputation and the
     * audit's max cell returning under the bound). A split index
     * INTENTIONALLY diverges from the fresh-build assignment — the same
-    * class of documented drift as [[append]]'s stale centroids; the
-    * declared oracle-checked queries read buildOrLoad tags that are
-    * never split, and a pipeline-maintained index trades fresh-build
-    * bit-equality for the balance bound (the tag still names the
-    * BUILD-time cell count; post-split occupancy is the cellStats
-    * read). Cost: one sizes agg
+    * class of documented drift as [[append]]'s stale centroids. The
+    * pipeline therefore runs this ONLY on indexes that PRE-EXISTED the
+    * migration call (r14 advice: a fresh Lloyd build on clustered data
+    * can legitimately trip the bound, and splitting at build time would
+    * diverge the exact tag the declared oracle-checked queries load;
+    * gate via [[exists]] before buildOrLoad). A maintained index trades
+    * fresh-build bit-equality for the balance bound (the tag still
+    * names the BUILD-time cell count; post-split occupancy is the
+    * cellStats read). Cost: one sizes agg
     * + work proportional to the HOT cells only — the split never
     * touches the balanced part of a 10^10-vector index. Both table
     * rewrites stage through localCheckpoint — the write plan must not
@@ -176,25 +190,35 @@ object IvfIndex {
       val (nv, nc, maxBefore) = (st.getLong(0), st.getLong(1), st.getLong(2))
       if (nv == 0L) return (0, 0L, 0L)
       val bound = math.max(1L, math.ceil(factor * nv.toDouble / nc).toLong)
+      // hot ids come to the driver ONCE (bounded by the cell count —
+      // already the driver-side grain of this method's return) and go
+      // back out as a BROADCAST relation, never as isin(...) literals:
+      // with many hot cells the literal list bloats every plan that
+      // embeds it three times, where a broadcast hash join's build side
+      // is one exchange (r14 advice). Child ids are computed on the
+      // collected list — maxId + 2·rank(parent) + seedRank over hot
+      // ids sorted ascending, EXACTLY the row numbering the previous
+      // global Window.orderBy(cell, sr) produced, without the
+      // single-partition sort that window forced on the cluster.
       val hot = sizes.filter(col("n") > bound)
-        .select(col("cell").cast("long")).collect().map(_.getLong(0)).toSeq
+        .select(col("cell").cast("long")).collect().map(_.getLong(0))
+        .sorted.toSeq
       if (hot.isEmpty) return (0, maxBefore, maxBefore)
-      val hotRows = cells.filter(col("cell").isin(hot: _*))
+      val maxId = cells.agg(coalesce(max(col("cell")), lit(0L)))
+        .collect()(0).getLong(0)
+      import spark.implicits._
+      val childMap = broadcast(hot.zipWithIndex.flatMap { case (c, i) =>
+        Seq((c, 1, maxId + 2L * i + 1L), (c, 2, maxId + 2L * i + 2L))
+      }.toDF("cell", "sr", "child"))
+      val hotSet = broadcast(hot.toDF("cell"))
+      val hotRows = cells.join(hotSet, Seq("cell"), "left_semi")
       // two deterministic child seeds per hot cell (the build seed rule,
       // applied locally — a cell-partitioned window, parallel per cell)
       val wSeed = Window.partitionBy("cell")
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      // fresh child ids above the standing max (see scaladoc: seed
-      // vec_ids can collide with cold cell ids). The id window is
-      // global but runs over 2 rows per hot cell — bounded by the hot
-      // count, never corpus-grain.
-      val maxId = cells.agg(coalesce(max(col("cell")), lit(0L)))
-        .collect()(0).getLong(0)
-      val wChild = Window.orderBy(col("cell"), col("sr"))
       val seeds = hotRows.withColumn("sr", row_number().over(wSeed))
         .filter(col("sr") <= 2)
-        .withColumn("child", lit(maxId) + row_number().over(wChild)
-          .cast("long"))
+        .join(childMap, Seq("cell", "sr"))
         .select(col("cell"), col("child"),
           col("v").as("sv"), col("nrm").as("sn"))
       val wA = Window.partitionBy("vec_id")
@@ -208,7 +232,7 @@ object IvfIndex {
         .select(col("vec_id"), col("v"), col("nrm"),
           col("child").as("cell"))
       val buckets = BandIndex.bucketsOf(spark, cT)
-      val stagedCells = cells.filter(!col("cell").isin(hot: _*))
+      val stagedCells = cells.join(hotSet, Seq("cell"), "left_anti")
         .unionByName(reassigned)
         .localCheckpoint()
       // child centroids: the refreshCentroids expression over the
@@ -225,7 +249,7 @@ object IvfIndex {
         .withColumn("cn",
           sqrt(graft.functions.VectorFunctions.dot(col("cv"), col("cv"))))
       val stagedCents = spark.table(mT)
-        .filter(!col("cell").isin(hot: _*))
+        .join(hotSet, Seq("cell"), "left_anti")
         .unionByName(childCents)
         .localCheckpoint()
       // Crash-safe write order (r14 review): both staged relations are

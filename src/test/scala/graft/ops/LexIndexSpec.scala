@@ -102,6 +102,39 @@ class LexIndexSpec extends SparkSpec {
     dropAll(tag)
   }
 
+  test("stop-term governance (StopTermDfFrac): a query term with df " +
+    "over floor(0.9·N) is skipped on BOTH scoring faces — a doc whose " +
+    "only match is the stop-term is not retrieved; other docs score " +
+    "as if the term were absent from the query") {
+    val tag = freshTag("lex")
+    dropAll(tag)
+    // 'common' in all 4 docs: df = 4 > floor(0.9*4) = 3 -> capped.
+    // 'spark' in 1 doc: df = 1 -> scored normally.
+    val rows = Seq(
+      (1L, "common spark engine runs here"),
+      (2L, "common words fill this doc"),
+      (3L, "common text again and again"),
+      (4L, "common filler sentence four"))
+    val (post, stats) = LexIndex.buildOrLoad(spark, corpus(rows: _*), tag)
+    val terms = Seq("common", "spark")
+    val got = LexIndex.scoreTerms(post, stats, terms)
+      .select(col("doc_id"), round(col("score"), 6))
+      .as[(Long, Double)].collect().toMap
+    // the cap makes the query equivalent to querying 'spark' alone
+    assert(got == refScores(rows, Seq("spark")), got.toString)
+    assert(got.keySet == Set(1L),
+      "docs matching only the capped stop-term must not be retrieved")
+    // ingest face applies the SAME cap: an arriving copy of doc 1
+    // scores exactly what the stored path scored it
+    val tdf = LexIndex.termDf(spark, tag, terms)
+    val arr = LexIndex.scoreArriving(
+        corpus((101L, rows(0)._2)), tdf, stats, terms)
+      .select(col("doc_id"), round(col("score"), 6))
+      .as[(Long, Double)].collect().toMap
+    assert(arr == Map(101L -> got(1L)), arr.toString)
+    dropAll(tag)
+  }
+
   test("append: new postings carry BATCH-LOCAL df (a lower bound — " +
     "standing rows keep build vintage), the stats row folds exactly; " +
     "refreshCounts == a from-scratch rebuild row-for-row") {

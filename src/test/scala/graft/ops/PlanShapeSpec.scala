@@ -466,6 +466,12 @@ class PlanShapeSpec extends SparkSpec {
     // the fixed query's terms reach parquet as pushed In filters...
     assert(posts.exists(_.metadata("PushedFilters").contains("In(term")),
       s"term IN (...) must push into the posting scan:\n$p")
+    // ...the stop-term df cap pushes too (r15 governance: the cap is a
+    // LITERAL on the stored df column precisely so a stopword's
+    // corpus-sized posting list is pruned at the source)...
+    assert(posts.exists(_.metadata("PushedFilters")
+        .contains("LessThanOrEqual(df")),
+      s"df <= cap must push into the posting scan:\n$p")
     // ...and prune buckets: a 3-term query reads at most 3 of the
     // bucketed files (the 100 TB claim: query cost ~ its posting
     // lists, not the index size)

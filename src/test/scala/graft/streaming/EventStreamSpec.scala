@@ -448,6 +448,58 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingRevenue: a late in-horizon day whose OWN trailing window " +
+    "reaches below the acceptance floor still re-emits with the FULL " +
+    "sums — state retains 2w−1 days, so retention never truncates an " +
+    "accepted day's window (r14 advice: w-day retention emitted " +
+    "regressed rolling figures for exactly this shape)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val q = EventStream.rollingRevenue(input.toDS())
+      .writeStream.queryName("roll_retain")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-rollretain").toString)
+      .format("memory")
+      .start()
+    try {
+      // day 1: 1.0, day 8: 2.0 — under w-day retention day 1 would
+      // evict here (floor 8−6 = 2); under 2w−1 it is retained as a
+      // window input
+      input.addData((86400L + 10L, 1000000L), (8L * 86400L + 10L, 2000000L))
+      q.processAllAvailable()
+      // late day 3 (>= acceptance floor 2): its window [−3..3] must
+      // include day 1's revenue — the buggy retention emitted 5.0/1
+      input.addData((3L * 86400L + 10L, 5000000L))
+      q.processAllAvailable()
+      val rows = spark.table("roll_retain")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(rows.filter(_._1 == 3L) ==
+        Seq((3L, 1L, 5000000L, 6000000L, 2L)),
+        s"day 3's window must include retained day 1: $rows")
+      assert(rows.filter(_._1 == 8L).last ==
+        ((8L, 1L, 2000000L, 7000000L, 2L)),
+        s"day 8 re-emits with the late day-3 revenue: $rows")
+      // eviction still bounds state: day 20 moves the retention floor
+      // to 8; a very-late day-7 event (below acceptance floor 14) is
+      // dropped, and day 14's window still reaches the retained day 8
+      input.addData((20L * 86400L + 10L, 4000000L))
+      q.processAllAvailable()
+      input.addData((7L * 86400L + 10L, 9000000L), // dropped (< 14)
+        (14L * 86400L + 10L, 3000000L))            // accepted
+      q.processAllAvailable()
+      val after = spark.table("roll_retain")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(after.count(_._1 == 7L) == 0,
+        s"below the acceptance floor must drop: $after")
+      assert(after.filter(_._1 == 14L) ==
+        Seq((14L, 1L, 3000000L, 5000000L, 2L)),
+        s"day 14's window [8..14] must include retained day 8: $after")
+    } finally q.stop()
+  }
+
   test("rollingRevenue on one batch equals q_event_rolling on real data") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
