@@ -210,7 +210,8 @@ object LexIndex {
     * posting-grain aggregation needs no fixed term order); k1=1.2,
     * b=0.75. Unrounded score — callers rank then round.
     */
-  private def combine(matched: DataFrame): DataFrame = {
+  private def combine(matched: DataFrame,
+                      extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val tf = col("tf").cast("double")
@@ -218,10 +219,10 @@ object LexIndex {
       / (col("df") + lit(0.5)) + lit(1.0)), 9)
     val term = round(idf * tf * lit(2.2)
       / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 9)
+    val keys = extraKeys :+ "doc_id" :+ "dl"
     matched
-      .select(col("doc_id"), col("dl"),
-        term.cast(DecimalType(38, 12)).as("ts"))
-      .groupBy("doc_id", "dl")
+      .select(keys.map(col) :+ term.cast(DecimalType(38, 12)).as("ts"): _*)
+      .groupBy(keys.map(col): _*)
       .agg(sum(col("ts")).cast("double").as("score"))
   }
 
@@ -248,6 +249,29 @@ object LexIndex {
     combine(postings
       .filter(col("term").isin(terms: _*) && col("df") <= lit(dfCap(stats)))
       .crossJoin(broadcast(stats)))
+
+  /** Per-query BM25 over a PANEL of queries — the hybrid-retrieval
+    * lexical leg (r14 verdict #4). `queryTerms` is the tiny
+    * (query_id, term) relation of each panel query's distinct terms;
+    * `allTerms` is its driver-collected term universe (vocabulary-
+    * bounded — the panel is |queries| ≪ corpus rows and the corpus
+    * vocabulary is sublinear in corpus size, so the literal list stays
+    * plan-sized). The SAME two pushed literals as [[scoreTerms]] — the
+    * `term IN` bucket-prune and the [[StopTermDfFrac]] df cap — bound
+    * the posting scan; the broadcast queryTerms join then attributes
+    * each matched posting to the panel queries containing that term
+    * (the classic document-at-a-time fan-out: ≤ Σ_t df(t)·|panel(t)|
+    * narrow rows, panel-bounded, corpus-scan-free), and the shared
+    * [[combine]] expression folds per (query, doc). A query retrieving
+    * its own doc is the trivial self-match; the hybrid face drops it to
+    * mirror the ANN legs' excludeSelf convention — callers filter.
+    */
+  def scorePanel(postings: DataFrame, stats: DataFrame,
+                 queryTerms: DataFrame, allTerms: Seq[String]): DataFrame =
+    combine(postings
+      .filter(col("term").isin(allTerms: _*) && col("df") <= lit(dfCap(stats)))
+      .join(broadcast(queryTerms), Seq("term"))
+      .crossJoin(broadcast(stats)), Seq("query_id"))
 
   /** Per-term frozen df for `terms`, read from the stored postings —
     * the broadcast side of the ingest-time scorer. max over rows: after

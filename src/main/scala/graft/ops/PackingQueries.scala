@@ -325,94 +325,115 @@ object PackingQueries {
     QueryDef(
       "q_train_mix_audit",
       "MEASURED per-shard mixture fidelity of the train-ready " +
-        "composition (the falsifiability discipline turned on r14's " +
-        "own claim — 'hash-sharding a scheduled stream preserves the " +
-        "mix per worker' is a theorem about expectations, and THIS " +
-        "table is what it actually measures at a finite corpus): per " +
-        "source over the funnel-KEPT docs, the global kept share vs " +
-        "its per-shard share across all 16 hash shards — min, max, " +
-        "and the worst absolute deviation any worker sees. Small " +
-        "sources wobble hard at small corpora (a 25-doc source over " +
-        "16 shards cannot sit near its mean everywhere) — the audit " +
-        "quantifies exactly how far a worker's local mix strays from " +
-        "the schedule's target before a run commits to hash-sharding " +
-        "vs contiguous range sharding. Zero-kept sources emit no row " +
-        "(nothing to shard); ALL 16 shards count — a shard missing a " +
-        "source contributes share 0, and an ENTIRELY empty shard " +
-        "contributes share 0 for every source (that worker sees " +
-        "nothing, the maximal deviation; its starvation also shows in " +
-        "q_shard_balance). Shape: the " +
+        "composition, now for BOTH shard rules (r14 verdict #5 — the " +
+        "audit→remedy pattern: r14 measured the hash rule's wobble, " +
+        "r15 ships the remedy and prices the two side by side): per " +
+        "(rule, source) over the funnel-KEPT docs, the global kept " +
+        "share vs its per-shard share across all 16 shards — min, " +
+        "max, and the worst absolute deviation any worker sees. Rule " +
+        "'hash' is the shipped default (leading md5 hex digit — shard " +
+        "stable under append; small sources wobble binomially: a " +
+        "25-doc source over 16 shards cannot sit near its mean " +
+        "everywhere). Rule 'stratified' is the remedy " +
+        "(per-source round-robin on the survivor schedule rank — " +
+        "every (shard, source) count within 1 doc of n_g/16 BY " +
+        "CONSTRUCTION, TrainReadySpec pins it; the trade is rank " +
+        "stability: appends re-rank, so it fits frozen snapshots). " +
+        "Zero-kept sources emit no row; ALL 16 shards count — a shard " +
+        "missing a source contributes share 0, an ENTIRELY empty " +
+        "shard contributes share 0 for every source. Shape: the " +
         "funnel's corpus pass (shared stagedDocs — the memoized " +
-        "family cache), ONE (shard × source)-grain count whose " +
-        "marginals derive everything else, a 16×|sources| grid join — " +
-        "constant-size after the first agg at any corpus scale.",
+        "family cache) + ONE per-source rank window (the " +
+        "trainReadyPerm window, reused), ONE (rule × shard × source)-" +
+        "grain count whose marginals derive everything else, a " +
+        "2×16×|sources| grid join — constant-size after the first agg " +
+        "at any corpus scale.",
       (s, dir) => {
-        val ss = CorpusQueries.stagedDocs(s, dir)
+        val wOrd = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        val kept = CorpusQueries.stagedDocs(s, dir)
           .filter(col("stage") === "7_kept")
-          .select(SampleQueries.shardOf(col("doc_id")).as("shard"),
+          .select(col("doc_id"), col("source"))
+          .withColumn("src_rank", row_number().over(wOrd).cast("long"))
+        val shards = kept.select(col("source"),
+          SampleQueries.shardOf(col("doc_id")).as("hash"),
+          SampleQueries.stratifiedShardOf(col("src_rank")).as("stratified"))
+        val ss = shards
+          .select(lit("hash").as("rule"), col("hash").as("shard"),
             col("source"))
-          .groupBy("shard", "source")
+          .unionByName(shards.select(lit("stratified").as("rule"),
+            col("stratified").as("shard"), col("source")))
+          .groupBy("rule", "shard", "source")
           .agg(count(lit(1)).as("n_sg"))
-        // marginals of the ONE aggregate (<= 16 x |sources| rows)
-        val ns = ss.groupBy("shard").agg(sum(col("n_sg")).as("n_s"))
-        val ng = ss.groupBy("source").agg(sum(col("n_sg")).as("n_g"))
-        val nt = ss.agg(sum(col("n_sg")).as("n"))
+        // marginals of the ONE aggregate (<= 2 x 16 x |sources| rows)
+        val ns = ss.groupBy("rule", "shard").agg(sum(col("n_sg")).as("n_s"))
+        val ng = ss.groupBy("rule", "source").agg(sum(col("n_sg")).as("n_g"))
+        val nt = ss.groupBy("rule").agg(sum(col("n_sg")).as("n"))
         val allShards = s.range(SampleQueries.NumShards)
           .select(col("id").cast("int").as("shard"))
         val grid = allShards
           .crossJoin(broadcast(ng))
-          .join(ss, Seq("shard", "source"), "left")
-          .join(ns, Seq("shard"), "left")
-          .crossJoin(broadcast(nt))
+          .join(ss, Seq("rule", "shard", "source"), "left")
+          .join(ns, Seq("rule", "shard"), "left")
+          .join(broadcast(nt), Seq("rule"))
           .withColumn("n_sg", coalesce(col("n_sg"), lit(0L)))
           .withColumn("n_s", coalesce(col("n_s"), lit(0L)))
           .withColumn("frac", when(col("n_s") === 0L, lit(0.0))
             .otherwise(col("n_sg").cast("double") / col("n_s")))
           .withColumn("dev",
             abs(col("frac") - col("n_g").cast("double") / col("n")))
-        grid.groupBy("source")
+        grid.groupBy("rule", "source")
           .agg(max(col("n_g")).as("n_kept"),
             round(max(col("n_g").cast("double") / col("n")), 6)
               .as("global_frac"),
             round(min(col("frac")), 6).as("min_shard_frac"),
             round(max(col("frac")), 6).as("max_shard_frac"),
             round(max(col("dev")), 6).as("max_abs_dev"))
-          .orderBy("source")
+          .orderBy("rule", "source")
       },
       Some {
         s"""WITH RECURSIVE ${CorpusQueries.funnelStagedSqlCtes},
-           |tss AS (SELECT
+           |tsr AS (SELECT source,
            |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
-           |      AS INT) AS shard,
-           |    source, CAST(count(*) AS BIGINT) AS n_sg
-           |  FROM staged WHERE stage = '7_kept' GROUP BY 1, 2),
-           |tns AS (SELECT shard, CAST(sum(n_sg) AS BIGINT) AS n_s
+           |      AS INT) AS hash_shard,
+           |    CAST((ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+           |      % ${SampleQueries.NumShards} AS INT) AS strat_shard
+           |  FROM staged WHERE stage = '7_kept'),
+           |tss AS (SELECT 'hash' AS rule, hash_shard AS shard, source,
+           |    CAST(count(*) AS BIGINT) AS n_sg FROM tsr GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  SELECT 'stratified', strat_shard, source,
+           |    CAST(count(*) AS BIGINT) FROM tsr GROUP BY 1, 2, 3),
+           |tns AS (SELECT rule, shard, CAST(sum(n_sg) AS BIGINT) AS n_s
+           |  FROM tss GROUP BY 1, 2),
+           |tng AS (SELECT rule, source, CAST(sum(n_sg) AS BIGINT) AS n_g
+           |  FROM tss GROUP BY 1, 2),
+           |tnt AS (SELECT rule, CAST(sum(n_sg) AS BIGINT) AS n
            |  FROM tss GROUP BY 1),
-           |tng AS (SELECT source, CAST(sum(n_sg) AS BIGINT) AS n_g
-           |  FROM tss GROUP BY 1),
-           |tnt AS (SELECT CAST(sum(n_sg) AS BIGINT) AS n FROM tss),
-           |tgrid AS (SELECT sh.shard, g.source,
+           |tgrid AS (SELECT g.rule, sh.shard, g.source,
            |    coalesce(tss.n_sg, 0) AS n_sg,
            |    coalesce(tns.n_s, 0) AS n_s, g.n_g, tnt.n
            |  FROM (SELECT unnest(range(0, ${SampleQueries.NumShards}))
            |    AS shard) sh
            |  CROSS JOIN tng g
-           |  LEFT JOIN tss ON tss.shard = sh.shard
+           |  LEFT JOIN tss ON tss.rule = g.rule AND tss.shard = sh.shard
            |    AND tss.source = g.source
-           |  LEFT JOIN tns ON tns.shard = sh.shard, tnt),
-           |td AS (SELECT source, n_g, n,
+           |  LEFT JOIN tns ON tns.rule = g.rule AND tns.shard = sh.shard
+           |  JOIN tnt ON tnt.rule = g.rule),
+           |td AS (SELECT rule, source, n_g, n,
            |    CASE WHEN n_s = 0 THEN 0.0
            |      ELSE CAST(n_sg AS DOUBLE)/n_s END AS frac,
            |    abs((CASE WHEN n_s = 0 THEN 0.0
            |      ELSE CAST(n_sg AS DOUBLE)/n_s END)
            |      - CAST(n_g AS DOUBLE)/n) AS dev
            |  FROM tgrid)
-           |SELECT source, max(n_g) AS n_kept,
+           |SELECT rule, source, max(n_g) AS n_kept,
            |  round(max(CAST(n_g AS DOUBLE)/n), 6) AS global_frac,
            |  round(min(frac), 6) AS min_shard_frac,
            |  round(max(frac), 6) AS max_shard_frac,
            |  round(max(dev), 6) AS max_abs_dev
-           |FROM td GROUP BY source ORDER BY source""".stripMargin
+           |FROM td GROUP BY rule, source ORDER BY rule, source""".stripMargin
       }
     ),
 
@@ -578,9 +599,19 @@ object PackingQueries {
     *      per-shard windows stay the only corpus-grain coordination.
     *
     * `text` rides through for [[packedSequences]]' tokenize.
+    *
+    * `stratified = true` swaps the shard rule for
+    * [[SampleQueries.stratifiedShardOf]] — the mixture-fidelity REMEDY
+    * (r14 verdict #5): per-source round-robin on the schedule rank
+    * bounds every (shard, source) count within 1 doc of n_g/16 BY
+    * CONSTRUCTION (TrainReadySpec pins it), where the hash default's
+    * per-worker mix wobble is the measured finding of
+    * q_train_mix_audit. The default stays hash: shard stability under
+    * append is the property most pipelines need; the audit prices both.
     */
   private[graft] def trainReadyPerm(s: org.apache.spark.sql.SparkSession,
-                                    dir: String
+                                    dir: String,
+                                    stratified: Boolean = false
                                    ): org.apache.spark.sql.DataFrame = {
     val kept = CorpusQueries.stagedDocs(s, dir)
       .filter(col("stage") === "7_kept")
@@ -594,7 +625,9 @@ object PackingQueries {
     val wPos = Window.partitionBy("shard")
       .orderBy(col("sched_key"), col("source"), col("doc_id"))
     sched
-      .withColumn("shard", SampleQueries.shardOf(col("doc_id")))
+      .withColumn("shard",
+        if (stratified) SampleQueries.stratifiedShardOf(col("src_rank"))
+        else SampleQueries.shardOf(col("doc_id")))
       .withColumn("pos", row_number().over(wPos).cast("long"))
       .select(col("shard"), col("pos"), col("doc_id"), col("source"),
         col("sched_key"), col("text"))

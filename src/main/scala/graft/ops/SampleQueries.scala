@@ -53,6 +53,26 @@ object SampleQueries {
       : org.apache.spark.sql.Column =
     shardOfKey(md5(docId.cast("string")))
 
+  /** STRATIFIED shard assignment — the mixture-fidelity REMEDY (r14
+    * verdict #5, the q_split_leakage → q_split_cluster_aware
+    * audit→remedy pattern applied to q_train_mix_audit's finding):
+    * per-source round-robin on the survivor schedule rank, so each
+    * source's kept docs land ⌊n_g/16⌋-or-⌈n_g/16⌉ per shard BY
+    * CONSTRUCTION — the worst per-(shard, source) deviation is ≤ 1 doc
+    * where the hash rule's is a measured binomial wobble (brutal for
+    * small sources). Still deterministic (the rank is the md5-ordered
+    * schedule rank) and still source-independent within a shard (ranks
+    * interleave sources exactly as the schedule does). The trade the
+    * audit prices: hash sharding keeps a doc's shard stable under
+    * corpus growth (append-only pipelines re-shard nothing); the
+    * stratified rule re-ranks — appending docs to a source can move
+    * every later rank's shard, so it fits frozen-snapshot training
+    * runs, not incrementally-maintained ones.
+    */
+  private[graft] def stratifiedShardOf(srcRank: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    ((srcRank - lit(1)) % lit(NumShards)).cast("int")
+
   private[graft] def shuffleShardPerm(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -17,6 +17,16 @@ object SimilarityQueries {
 
   private val K = 5
 
+  /** Hybrid-retrieval fusion geometry (q_hybrid_fusion): each stack
+    * contributes its top-[[FuseN]] shortlist, fused by reciprocal-rank
+    * fusion with the published constant k=[[RrfK]] (Cormack, Clarke &
+    * Buettcher 2009 — "k=60 worked well" and has been the standard
+    * ever since; larger k flattens rank differences, smaller k
+    * overweights rank 1). 20 matches q_bm25's declared list depth.
+    */
+  private val FuseN = 20
+  private val RrfK = 60
+
   /** Analytic ideal DCG at [[K]] (relevance K+1-r, log2 discount),
     * computed once on the driver, rounded 9dp, and injected as ONE
     * literal into the Spark plan and the DuckDB oracle (Double.toString
@@ -1731,6 +1741,220 @@ object SimilarityQueries {
            |${ndcgSelect("ivf_scored", "ivf_sqrtn")}
            |UNION ALL
            |${ndcgSelect("pscored", "pq_adc")}
+           |) ORDER BY variant""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_hybrid_fusion",
+      s"Hybrid lexical+vector retrieval fusion (r14 verdict #4 — the " +
+        "shape every production RAG stack actually serves; the engine " +
+        "had BOTH stored serving stacks and no composed face): " +
+        s"reciprocal-rank fusion (k=$RrfK, the Cormack/Clarke/Buettcher " +
+        s"2009 constant) of the BM25 top-$FuseN from the stored " +
+        s"LexIndex and the IVFADC top-$FuseN from the stored IVF+PQ " +
+        "tables, for the SHARED query panel (every panel vector is its " +
+        "own doc's embedding — the doc_id == vec_id bridge " +
+        "q_ann_filtered established; each query's lexical form is its " +
+        "doc's distinct terms, its vector form its embedding). Three " +
+        s"measured rows against the exact-cosine panel — recall@$K, " +
+        s"MRR@$K, nDCG@$K for bm25_only / ivfpq_only / rrf_fusion — so " +
+        "the fusion's lift (or its honest NON-lift on synthetic data, " +
+        "where text and embedding are independently generated and the " +
+        "lexical leg cannot predict cosine truth) is a measured table, " +
+        "not a belief. Legs shared VERBATIM: LexIndex.scorePanel is " +
+        "scoreTerms' combine + the same two pushed literals (term IN, " +
+        "StopTermDfFrac df cap) with a broadcast (query_id, term) " +
+        "attribution join; the vector leg is ivfPqCandidates + the " +
+        "stored-codes ADC scorer — q_ann_ivfpq's exact plan. RRF " +
+        "determinism: each reciprocal 1/(k+rank) is one IEEE division " +
+        "of exact integers, rounded 9dp, cast DECIMAL(20,10); the " +
+        "two-list sum is decimal-exact, so fused ranks are engine-" +
+        "independent (ties break by vec_id). Scale: every leg is " +
+        "panel-bounded — the posting scan is bucket-pruned to the " +
+        "panel's (vocabulary-bounded) term universe and df-capped, the " +
+        "ADC scan touches ~probe/cells of the codes, the fusion join " +
+        s"is 2×$FuseN rows per query; the corpus appears in NO leg's " +
+        "plan.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val q = pqQueries(s, dir)
+        // ---- lexical leg: the standing LexIndex over the full corpus
+        // (same tag q_bm25 serves from), panel terms = each query doc's
+        // distinct tokens, term universe collected once (vocab-bounded)
+        val (post, stats) = LexIndex.buildOrLoad(s,
+          Tables.par(s, dir, "documents"), LexIndex.tag(dir))
+        val qt = Tables.t(s, dir, "documents")
+          .join(q.select(col("query_id")), col("doc_id") === col("query_id"))
+          .select(col("query_id"), explode(array_distinct(
+            graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+        val allTerms = qt.select("term").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val lexW = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val lexTop = LexIndex.scorePanel(post, stats, qt, allTerms)
+          .filter(col("doc_id") =!= col("query_id")) // excludeSelf, as ANN
+          .withColumn("rank", row_number().over(lexW))
+          .filter(col("rank") <= FuseN)
+          .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
+        // ---- vector leg: IVFADC, q_ann_ivfpq's shared definitions
+        val cells = derivedCells(corpus(s, dir).count())
+        val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
+        val cand = ivfPqCandidates(q, centn,
+          a2.select(col("vec_id"), col("cell")), derivedProbe(cells))
+        val vecTop = pqAdcScoredWithin(s, dir, cand)
+          .filter(col("rank") <= FuseN)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+        // ---- RRF fusion: decimal-exact two-list sum, full outer union
+        val rrfOf = (r: org.apache.spark.sql.Column) =>
+          coalesce(round(lit(1.0) / (lit(RrfK) + r), 9), lit(0.0))
+            .cast(DecimalType(20, 10))
+        val fusedW = Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("vec_id").asc)
+        val fusedTop = lexTop
+          .select(col("query_id"), col("vec_id"), col("rank").as("lrank"))
+          .join(vecTop
+              .select(col("query_id"), col("vec_id"), col("rank").as("vrank")),
+            Seq("query_id", "vec_id"), "full")
+          .withColumn("rrf", rrfOf(col("lrank")) + rrfOf(col("vrank")))
+          .withColumn("rank", row_number().over(fusedW))
+          .select(col("query_id"), col("vec_id"), col("rank"))
+        // ---- measured rows against the exact panel (the q_ann_ivfpq
+        // recall/MRR machinery + the shared ndcgRow)
+        val exact = exactTopK(s, dir)
+        val ex = exact.filter(col("rank") <= K)
+          .select(col("query_id"), col("vec_id"))
+        val ex1 = exact.filter(col("rank") === 1)
+          .select(col("query_id"), col("vec_id"))
+        val rel = ndcgRelevance(exact)
+        val queries = q.select("query_id")
+        def row(ann: DataFrame, variant: String): DataFrame = {
+          val rec = ex.join(ann.select(col("query_id"), col("vec_id"))
+              .withColumn("hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+            .agg(countDistinct(col("query_id")).as("n_queries"),
+              count(lit(1)).as("n_exact"),
+              sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+          val mrr = ex1.join(
+              ann.select(col("query_id"), col("vec_id"), col("rank")),
+              Seq("query_id", "vec_id"), "left")
+            .agg((sum(round(coalesce(lit(1.0) / col("rank"), lit(0.0)), 9)
+              .cast(DecimalType(20, 10))).cast("double") / count(lit(1)))
+              .as("mrr"))
+          val nd = ndcgRow(ann, rel, queries, variant)
+            .select(col("variant"), col(s"ndcg_at_$K"))
+          rec.crossJoin(mrr)
+            .select(lit(variant).as("variant"), col("n_queries"),
+              col("n_exact"), col("n_hit"),
+              round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"),
+              round(col("mrr"), 6).as(s"mrr_at_$K"))
+            .join(nd, "variant")
+        }
+        row(lexTop.filter(col("rank") <= K), "bm25_only")
+          .union(row(vecTop.filter(col("rank") <= K), "ivfpq_only"))
+          .union(row(fusedTop.filter(col("rank") <= K), "rrf_fusion"))
+          .orderBy("variant")
+      },
+      Some {
+        val capSql = s"floor(${LexIndex.StopTermDfFrac} * n_docs)"
+        def measured(cte: String, variant: String) =
+          s"""SELECT '$variant' AS variant,
+             |  count(DISTINCT ex.query_id) AS n_queries,
+             |  count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN an.vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS n_hit,
+             |  round(CAST(sum(CASE WHEN an.vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) / count(*), 4) AS recall_at_$K,
+             |  (SELECT round(CAST(sum(CAST(round(COALESCE(1.0/m.rank, 0), 9)
+             |      AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
+             |   FROM ex1 LEFT JOIN (SELECT query_id, vec_id, rank
+             |       FROM $cte WHERE rank <= $K) m
+             |     ON ex1.query_id = m.query_id AND ex1.vec_id = m.vec_id)
+             |    AS mrr_at_$K,
+             |  (SELECT round(CAST(SUM(CAST(nq AS DECIMAL(20,10))) AS DOUBLE)
+             |      / COUNT(*), 6)
+             |   FROM (SELECT qs.query_id,
+             |       round(COALESCE(CAST(d.dcg AS DOUBLE), 0) / $IdcgK, 9)
+             |         AS nq
+             |     FROM qs LEFT JOIN (
+             |       SELECT an2.query_id,
+             |         SUM(CAST(round(exr.rel / log2(an2.rank + 1), 9)
+             |           AS DECIMAL(20,10))) AS dcg
+             |       FROM (SELECT query_id, vec_id, rank FROM $cte
+             |         WHERE rank <= $K) an2
+             |       JOIN exr ON exr.query_id = an2.query_id
+             |         AND exr.vec_id = an2.vec_id
+             |       GROUP BY an2.query_id) d
+             |     ON d.query_id = qs.query_id)) AS ndcg_at_$K
+             |FROM ex LEFT JOIN (SELECT query_id, vec_id FROM $cte
+             |    WHERE rank <= $K) an
+             |  ON ex.query_id = an.query_id AND ex.vec_id = an.vec_id""".stripMargin
+        s"""WITH $baseCte,
+           |$pqCtes,
+           |${ivfAssignCtes("", sqrtCellsSql)},
+           |$ivfQpCte,
+           |$exactScoredCte,
+           |lt AS (SELECT doc_id, ${graft.functions.TextFunctions.toksSql}
+           |  AS toks FROM documents),
+           |lstat AS (SELECT COUNT(*) AS n_docs,
+           |  CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS sum_dl
+           |  FROM lt),
+           |lpost AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
+           |    CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM lt)
+           |  GROUP BY 1, 2, 3),
+           |ldf AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |  FROM lpost GROUP BY 1),
+           |lqt AS (SELECT q.query_id, unnest(list_distinct(lt.toks)) AS term
+           |  FROM q JOIN lt ON lt.doc_id = q.query_id),
+           |lmatch AS (SELECT t.query_id, p.doc_id, p.tf, p.dl, f.df
+           |  FROM lqt t JOIN lpost p USING (term)
+           |  JOIN ldf f ON p.term = f.term, lstat
+           |  WHERE f.df <= $capSql AND p.doc_id <> t.query_id),
+           |lscore AS (SELECT query_id, doc_id,
+           |    CAST(sum(CAST(round(round(ln((n_docs - df + 0.5)
+           |        / (df + 0.5) + 1.0), 9)
+           |      * CAST(tf AS DOUBLE) * 2.2
+           |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+           |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+           |      AS DECIMAL(38,12))) AS DOUBLE) AS score
+           |  FROM lmatch, lstat GROUP BY 1, 2),
+           |ltop AS (SELECT query_id, vec_id, rank FROM (
+           |  SELECT query_id, doc_id AS vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, doc_id ASC) AS rank
+           |  FROM lscore) WHERE rank <= $FuseN),
+           |vcand AS (SELECT qp.query_id, a2.vec_id, a2.nrm FROM qp
+           |  JOIN a2 USING (cell) WHERE qp.query_id <> a2.vec_id),
+           |vtop AS (SELECT query_id, vec_id, rank FROM (
+           |  SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, vec_id ASC) AS rank
+           |  FROM (SELECT c.query_id, c.vec_id, p.ad/(q.qn*c.nrm) AS score
+           |    FROM vcand c JOIN pad p USING (query_id, vec_id)
+           |    JOIN q USING (query_id))) WHERE rank <= $FuseN),
+           |fused AS (SELECT query_id, vec_id,
+           |    CAST(COALESCE(round(CAST(1.0 AS DOUBLE)/($RrfK + l.rank), 9),
+           |      0) AS DECIMAL(20,10))
+           |    + CAST(COALESCE(round(CAST(1.0 AS DOUBLE)/($RrfK + v.rank), 9),
+           |      0) AS DECIMAL(20,10)) AS rrf
+           |  FROM ltop l FULL JOIN vtop v USING (query_id, vec_id)),
+           |ftop AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY rrf DESC, vec_id ASC) AS rank FROM fused),
+           |ex AS (SELECT query_id, vec_id FROM exact_scored WHERE rank <= $K),
+           |ex1 AS (SELECT query_id, vec_id FROM exact_scored WHERE rank = 1),
+           |exr AS (SELECT query_id, vec_id,
+           |    CAST(${K + 1} - rank AS DOUBLE) AS rel
+           |  FROM exact_scored WHERE rank <= $K),
+           |qs AS (SELECT query_id FROM q)
+           |SELECT * FROM (
+           |${measured("ltop", "bm25_only")}
+           |UNION ALL
+           |${measured("vtop", "ivfpq_only")}
+           |UNION ALL
+           |${measured("ftop", "rrf_fusion")}
            |) ORDER BY variant""".stripMargin
       }
     ),

@@ -225,4 +225,30 @@ class LexIndexSpec extends SparkSpec {
       s"a doc matching only an unseen term must still score: $unseenScore")
     dropAll(tag)
   }
+
+  test("scorePanel == scoreTerms per panel query: the hybrid-fusion " +
+    "lexical leg (r14 verdict #4) shares the combine expression and " +
+    "both pushed caps VERBATIM — a panel of queries scores each doc " +
+    "exactly as |panel| independent scoreTerms calls would") {
+    val tag = freshTag("lex")
+    dropAll(tag)
+    val (post, stats) = LexIndex.buildOrLoad(spark, corpus(standing: _*), tag)
+    val panel = Map(10L -> Seq("spark", "join"), 20L -> Seq("query"),
+      30L -> Seq("engine", "the"))
+    val qt = panel.toSeq.flatMap { case (q, ts) => ts.map((q, _)) }
+      .toDF("query_id", "term")
+    val allTerms = panel.values.flatten.toSeq.distinct.sorted
+    val got = LexIndex.scorePanel(post, stats, qt, allTerms)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    panel.foreach { case (q, ts) =>
+      val solo = LexIndex.scoreTerms(post, stats, ts)
+        .select(col("doc_id"), round(col("score"), 6))
+        .as[(Long, Double)].collect().toMap
+      assert(got.getOrElse(q, Map.empty) == solo,
+        s"panel query $q diverged from its solo scoreTerms run")
+    }
+    dropAll(tag)
+  }
 }

@@ -140,27 +140,68 @@ class TrainReadySpec extends SparkSpec {
     assert(r.head.detail.contains(s"kept_docs=$kept"), r.head.detail)
   }
 
-  test("q_train_mix_audit: one row per KEPT source, kept counts sum to " +
-    "the kept set, shares are probabilities, and deviations are " +
-    "consistent with the min/max shard shares") {
+  test("q_train_mix_audit: one row per (rule, KEPT source), kept " +
+    "counts sum to the kept set under each rule, shares are " +
+    "probabilities, and deviations are consistent with the min/max " +
+    "shard shares") {
     val kept = CorpusQueries.stagedDocs(spark, dir)
       .filter(col("stage") === "7_kept")
     val keptBySrc = kept.groupBy("source").count()
       .as[(String, Long)].collect().toMap
     val rows = graft.Registry.queryMap("q_train_mix_audit")(spark, dir)
-      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
-    assert(rows.map(_._1).toSet == keptBySrc.keySet)
-    assert(rows.map(_._2).sum == keptBySrc.values.sum)
-    rows.foreach { case (src, n, g, mn, mx, dev) =>
-      assert(n == keptBySrc(src))
-      assert(g >= 0 && g <= 1 && mn >= 0 && mn <= mx && mx <= 1, src)
-      // the worst deviation is achieved at one of the extreme shares
-      // (6dp rounding of independently-rounded terms -> 2e-6 slack)
-      assert(math.abs(dev - math.max(mx - g, g - mn)) < 2e-6,
-        s"$src: dev=$dev g=$g mn=$mn mx=$mx")
-      // < 16 kept docs guarantee empty shards, and ALL 16 count
-      // (r14 review: occupied-only grids hid the starved workers)
-      assert(mn == 0.0, s"$src: with empty shards min share must be 0")
+      .as[(String, String, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(rows.map(_._1).toSet == Set("hash", "stratified"))
+    Seq("hash", "stratified").foreach { rule =>
+      val rr = rows.filter(_._1 == rule)
+      assert(rr.map(_._2).toSet == keptBySrc.keySet, rule)
+      assert(rr.map(_._3).sum == keptBySrc.values.sum, rule)
+      rr.foreach { case (_, src, n, g, mn, mx, dev) =>
+        assert(n == keptBySrc(src))
+        assert(g >= 0 && g <= 1 && mn >= 0 && mn <= mx && mx <= 1, src)
+        // the worst deviation is achieved at one of the extreme shares
+        // (6dp rounding of independently-rounded terms -> 2e-6 slack)
+        assert(math.abs(dev - math.max(mx - g, g - mn)) < 2e-6,
+          s"$rule/$src: dev=$dev g=$g mn=$mn mx=$mx")
+        // < 16 kept docs guarantee empty shards, and ALL 16 count
+        // (r14 review: occupied-only grids hid the starved workers)
+        assert(mn == 0.0,
+          s"$rule/$src: with empty shards min share must be 0")
+      }
+    }
+  }
+
+  test("stratified remedy (r14 verdict #5): per-(shard, source) counts " +
+    "deviate <= 1 doc from n_g/16 BY CONSTRUCTION, the permutation is " +
+    "still a permutation of the kept set, and within-shard order is " +
+    "still the schedule's") {
+    val perm = PackingQueries.trainReadyPerm(spark, dir, stratified = true)
+    val rows = perm.select("shard", "source", "doc_id", "sched_key", "pos")
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    // same doc set as the hash rule (the rule only MOVES docs)
+    val hashDocs = PackingQueries.trainReadyPerm(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._3).toSet == hashDocs)
+    assert(rows.map(_._3).distinct.size == rows.size)
+    // the <= 1-doc bound: every (shard, source) count is floor or ceil
+    // of n_g / NumShards
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (src, rs) =>
+      val perShard = rs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val ng = rs.size.toLong
+      val lo = ng / SampleQueries.NumShards
+      val hi = if (ng % SampleQueries.NumShards == 0) lo else lo + 1
+      (0 until SampleQueries.NumShards).foreach { sh =>
+        val c = perShard.getOrElse(sh, 0L)
+        assert(c == lo || c == hi,
+          s"$src shard $sh: count $c outside {$lo,$hi} for n_g=$ng")
+      }
+    }
+    // within-shard order is still the schedule restricted to the shard
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byPos = rs.sortBy(_._5).map(r => (r._4, r._2, r._3))
+      assert(byPos == byPos.sorted)
+      assert(rs.map(_._5).sorted == (1L to rs.size.toLong))
     }
   }
 
