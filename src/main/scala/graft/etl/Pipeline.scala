@@ -357,16 +357,27 @@ object Pipeline {
         if (preExisting) graft.ops.IvfIndex.splitHotCells(spark, t)
         else (0, -1L, -1L)
       }
+      // ... and MERGE any cell starved below mean/2 (r14 verdict #7 —
+      // the split's dual; same pre-existing gate, same documented
+      // maintenance drift). Split runs first: the two act on disjoint
+      // cells (> 2x mean vs < mean/2), and a split's fresh children
+      // are ~half the parent — far above the cold bound.
+      val ((nMerged, minBefore, minAfter), mergeSecs) = timed {
+        if (preExisting) graft.ops.IvfIndex.mergeColdCells(spark, t)
+        else (0, -1L, -1L)
+      }
       val (nVec, nUsed, maxCell) = graft.ops.IvfIndex.cellStats(spark, t)
-      val splitMsg =
-        if (!preExisting) "split=skipped_fresh_build"
-        else s"split_cells=$nSplit max_before=$maxBefore max_after=$maxAfter"
+      val balanceMsg =
+        if (!preExisting) "split=skipped_fresh_build merge=skipped_fresh_build"
+        else s"split_cells=$nSplit max_before=$maxBefore max_after=$maxAfter " +
+          s"merged_cells=$nMerged min_before=$minBefore min_after=$minAfter"
       val msg = s"tag=$t buckets=${graft.ops.IvfIndex.buckets(spark, t)} " +
-        s"cells=$cells used=$nUsed vectors=$nVec max_cell=$maxCell $splitMsg"
-      if (nSplit > 0) log.warn("embeddings", "artifact ivf_index", msg)
+        s"cells=$cells used=$nUsed vectors=$nVec max_cell=$maxCell $balanceMsg"
+      if (nSplit > 0 || nMerged > 0)
+        log.warn("embeddings", "artifact ivf_index", msg)
       else log.info("embeddings", "artifact ivf_index", msg)
       Seq(Report.ArtifactResult("embeddings", "ivf_index", msg, 0L, 0L,
-        secs + splitSecs))
+        secs + splitSecs + mergeSecs))
     }
     val pq = if (!a.buildPqStore) Nil else {
       val t = graft.ops.PqStore.tag(outDir)

@@ -274,6 +274,99 @@ object IvfIndex {
     } finally sizes.unpersist()
   }
 
+  /** Cold-cell MERGE maintenance — [[splitHotCells]]' dual (r14
+    * verdict #7): sustained append + split leaves STARVED cells where
+    * the data is NOT — every probe of a 2-vector cell pays a broadcast
+    * centroid row, a probe-join task, and returns almost nothing, so
+    * the probe budget (a fixed cells/8 count) buys a shrinking
+    * searched fraction as dead cells accumulate. Every cell smaller
+    * than mean/`factor` retires: its members reassign to their nearest
+    * SURVIVING (non-cold) centroid by the [[append]] assignment rule
+    * VERBATIM (cosine desc, cell asc tiebreak — IvfIndexSpec pins
+    * merge == an independent recomputation), and its centroid row is
+    * removed. Surviving centroids do NOT move — the append staleness
+    * contract; [[refreshCentroids]] is the exactness follow-up — and
+    * surviving cells' member rows are byte-untouched except for the
+    * absorbed arrivals. The largest cell is ≥ mean > mean/factor for
+    * factor > 1, so a survivor always exists (no all-cold corner).
+    *
+    * Cost: one sizes agg + work proportional to the COLD cells' ROWS
+    * only (each below mean/factor by definition) × the broadcast
+    * surviving-centroid relation (~√n rows — the append join shape);
+    * the balanced part of a 10^10-vector index is never touched. Cold
+    * ids come to the driver once (bounded by the cell count) and ship
+    * back as a broadcast relation, never isin literals (the r14-advice
+    * rule). Same crash-safe write order as the split: both staged
+    * relations materialize, the centroid table drops FIRST (a crash
+    * anywhere between leaves the both-tables gate broken → rebuild,
+    * never a cells/centroids mismatch), then cells rewrite, then
+    * centroids restore. A merged index INTENTIONALLY diverges from the
+    * fresh-build assignment — the same documented-drift class as
+    * append and split; the pipeline runs it only on indexes that
+    * pre-existed the migration call (the [[exists]] gate).
+    *
+    * Returns (cells merged, min occupied cell before, min after) —
+    * with [[splitHotCells]]' (split, max before/after) the pipeline
+    * row bounds BOTH tails of the cell-size distribution.
+    */
+  def mergeColdCells(spark: SparkSession, tag: String,
+                     factor: Double = 2.0): (Int, Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    require(factor > 1.0, s"merge factor must exceed 1 (got $factor): " +
+      "at factor <= 1 every cell below the mean would retire, " +
+      "including the balanced ones")
+    val (cT, mT) = (cellsT(tag), centT(tag))
+    require(spark.catalog.tableExists(cT) && spark.catalog.tableExists(mT),
+      s"merge target $tag does not exist — buildOrLoad first")
+    val cells = spark.table(cT)
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = sizes.agg(coalesce(sum(col("n")), lit(0L)),
+        count(lit(1)), coalesce(min(col("n")), lit(0L))).collect()(0)
+      val (nv, nc, minBefore) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      if (nv == 0L) return (0, 0L, 0L)
+      val bound = nv.toDouble / nc / factor
+      val cold = sizes.filter(col("n") < lit(bound))
+        .select(col("cell").cast("long")).collect().map(_.getLong(0))
+        .sorted.toSeq
+      if (cold.isEmpty) return (0, minBefore, minBefore)
+      import spark.implicits._
+      val coldSet = broadcast(cold.toDF("cell"))
+      val survCents = spark.table(mT)
+        .join(coldSet, Seq("cell"), "left_anti")
+      // reassign the cold members against SURVIVING centroids — the
+      // append rule verbatim, restricted to survivors
+      val wA = Window.partitionBy("vec_id")
+        .orderBy(col("cosc").desc, col("cell").asc)
+      val reassigned = cells.join(coldSet, Seq("cell"), "left_semi")
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .crossJoin(broadcast(survCents))
+        .withColumn("cosc",
+          graft.functions.VectorFunctions.dot(col("v"), col("cv"))
+            / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      val buckets = BandIndex.bucketsOf(spark, cT)
+      val stagedCells = cells.join(coldSet, Seq("cell"), "left_anti")
+        .unionByName(reassigned)
+        .localCheckpoint()
+      val stagedCents = survCents.localCheckpoint()
+      spark.sql(s"DROP TABLE IF EXISTS $mT")
+      stagedCells.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "cell").sortBy("cell")
+        .saveAsTable(cT)
+      stagedCents.write.mode(SaveMode.Overwrite).saveAsTable(mT)
+      spark.catalog.refreshTable(cT)
+      spark.catalog.refreshTable(mT)
+      val minAfter = spark.table(cT)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(coalesce(min(col("n")), lit(0L))).collect()(0).getLong(0)
+      (cold.size, minBefore, minAfter)
+    } finally sizes.unpersist()
+  }
+
   /** Periodic compaction: recompute exact Lloyd means (and norms) from
     * the stored cell assignment — the centroid refresh an IVF system
     * schedules after enough appends.

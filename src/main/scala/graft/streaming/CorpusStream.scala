@@ -210,6 +210,36 @@ object CorpusStream {
     graft.ops.LexIndex.scoreArriving(batch, termDf, stats,
       graft.ops.CorpusQueries.Bm25Terms)
 
+  /** Ingest-time LexIndex APPEND — the lexical family's other ingest
+    * face (r14 verdict #6: [[bm25ScoreBatch]] SCORES arriving docs but
+    * nothing fed them into the standing index; SpanSet / BandIndex /
+    * ContainIndex all close this loop). Each micro-batch appends its
+    * postings into the STORED index via [[graft.ops.LexIndex.append]]
+    * (df stamped as a MICRO-BATCH-LOCAL lower bound — the append
+    * staleness contract; the stats row folds exactly) from a
+    * `foreachBatch` sink, the SpanSet-append pattern. Consequence of
+    * the df contract under streaming: the lower bound is per
+    * MICRO-batch, so a finer trigger yields smaller (more
+    * conservative-scoring) bounds than one big batch-append of the same
+    * docs — postings/tf/dl/stats are IDENTICAL under any split, and
+    * [[graft.ops.LexIndex.refreshCounts]] converges both to the exact
+    * df (CorpusStreamSpec pins all three). Exactly-once caveat: append
+    * is an INSERT, so a replayed micro-batch double-inserts — run with
+    * checkpointed foreachBatch and idempotent batch ids upstream, or
+    * follow with the periodic refresh + a doc_id-grain dedup sweep.
+    */
+  def lexAppendBatch(spark: SparkSession, batch: DataFrame,
+                     tag: String): Unit = {
+    graft.ops.LexIndex.append(spark, batch.select("doc_id", "text"), tag)
+    // The insert runs on the micro-batch's CLONED session (foreachBatch
+    // hands a batch whose writes invalidate the clone's relation cache,
+    // not the caller's) — refresh on the CALLER's session so standing
+    // readers see the appended postings, the refreshCounts /
+    // splitHotCells convention (r14 advice applied one layer up).
+    Seq(s"${tag}_lpost", s"${tag}_lstats")
+      .foreach(spark.catalog.refreshTable)
+  }
+
   /** Batch-side build of the stored CHAR-winnow span artifact (the
     * [[graft.ops.SpanSet]] skeleton at character granularity, charspans
     * role) — returns the duplicated-fingerprint set for

@@ -209,4 +209,72 @@ class IvfIndexSpec extends SparkSpec {
     assert(n2 == 0, "split must converge on this corpus")
     dropAll(tag)
   }
+
+  test("mergeColdCells (the split's dual, r14 verdict #7): a starved " +
+    "cell retires into its members' nearest surviving centroid — " +
+    "merge == an independent recomputation of the append rule over " +
+    "survivors, surviving rows/centroids untouched, and the balance " +
+    "audit's min cell returns over the bound") {
+    val tag = IvfIndex.tag(dir, 16) + "_merge"
+    dropAll(tag)
+    Seq(s"${tag}_ivfcells", s"${tag}_ivfcentroids").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    // hand-built 2-D index: two healthy clusters (20 vectors each) and
+    // one starved 2-vector cell between them, both members closer to
+    // cluster A by cosine. mean = 42/3 = 14, bound = 14/2 = 7 -> only
+    // cell 3 (n=2) is cold.
+    def nrmOf(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val a = (1L to 20L).map(i =>
+      (i, Seq(1.0, 0.001 * i), 1L))
+    val b = (21L to 40L).map(i =>
+      (i, Seq(0.001 * i, 1.0), 2L))
+    val c = Seq((41L, Seq(0.9, 0.4), 3L), (42L, Seq(0.95, 0.3), 3L))
+    (a ++ b ++ c).map { case (id, v, cell) => (id, v, nrmOf(v), cell) }
+      .toDF("vec_id", "v", "nrm", "cell")
+      .write.bucketBy(2, "cell").sortBy("cell")
+      .saveAsTable(s"${tag}_ivfcells")
+    val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.7, 0.7)))
+    cents.map { case (cell, cv) => (cell, cv, nrmOf(cv)) }
+      .toDF("cell", "cv", "cn")
+      .write.saveAsTable(s"${tag}_ivfcentroids")
+    val before = spark.table(s"${tag}_ivfcells")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val centsBefore = spark.table(s"${tag}_ivfcentroids")
+      .select("cell", "cv", "cn").as[(Long, Seq[Double], Double)]
+      .collect().toSet
+    // independent recomputation: each cold member to its nearest
+    // SURVIVING centroid (cosine desc, cell asc)
+    def cos(v: Seq[Double], w: Seq[Double]) =
+      v.zip(w).map { case (x, y) => x * y }.sum / (nrmOf(v) * nrmOf(w))
+    val expected = c.map { case (id, v, _) =>
+      id -> cents.filter(_._1 != 3L)
+        .map { case (cell, cv) => (cell, cos(v, cv)) }
+        .minBy { case (cell, s) => (-s, cell) }._1
+    }.toMap
+    assert(expected == Map(41L -> 1L, 42L -> 1L),
+      s"fixture must aim both cold members at cluster A: $expected")
+    val (nMerged, minBefore, minAfter) = IvfIndex.mergeColdCells(spark, tag)
+    assert(nMerged == 1 && minBefore == 2L)
+    assert(minAfter >= 7L,
+      s"min occupied cell must return over the bound: $minAfter")
+    val after = spark.table(s"${tag}_ivfcells")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    before.foreach { case (id, cell) =>
+      if (cell != 3L) assert(after(id) == cell, s"surviving $id moved")
+      else assert(after(id) == expected(id),
+        s"vec $id: got ${after(id)} expected ${expected(id)}")
+    }
+    // surviving centroid rows are byte-untouched; the cold row is gone
+    val centsAfter = spark.table(s"${tag}_ivfcentroids")
+      .select("cell", "cv", "cn").as[(Long, Seq[Double], Double)]
+      .collect().toSet
+    assert(centsAfter == centsBefore.filter(_._1 != 3L))
+    // a second pass finds nothing cold (min = 20 > mean/2 = 10.5)
+    val (n2, mb2, ma2) = IvfIndex.mergeColdCells(spark, tag)
+    assert(n2 == 0 && mb2 == ma2, "merge must converge")
+    dropAll(tag)
+  }
 }

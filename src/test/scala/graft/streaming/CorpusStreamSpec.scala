@@ -474,6 +474,73 @@ class CorpusStreamSpec extends SparkSpec {
     } finally { q.stop(); tdf.unpersist() }
   }
 
+  test("lexAppendBatch closes the lexical ingest loop: streamed " +
+    "micro-batch appends == one batch append on postings/tf/dl and " +
+    "the stats fold (df is the documented batch-LOCAL lower bound), " +
+    "and refreshCounts converges both to the exact rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val standing = Seq(
+      (1L, "spark join query spark fast engine the and"),
+      (2L, "spark is the engine we use for big data work"))
+    val arriving = Seq(
+      (11L, "spark query spark again here"),
+      (12L, "join the fast query crowd now"),
+      (13L, "fresh words only in this one"),
+      (14L, "spark and join appear together finally"))
+    val n = System.nanoTime()
+    val tagS = graft.ops.BandIndex.tag(s"/tmp/lexapp_s$n", "lex")
+    val tagB = graft.ops.BandIndex.tag(s"/tmp/lexapp_b$n", "lex")
+    graft.ops.LexIndex.buildOrLoad(spark, standing.toDF("doc_id", "text"), tagS)
+    graft.ops.LexIndex.buildOrLoad(spark, standing.toDF("doc_id", "text"), tagB)
+    // reference: ONE batch append of all four arriving docs
+    graft.ops.LexIndex.append(spark, arriving.toDF("doc_id", "text"), tagB)
+    // streamed: the same docs in 2-doc micro-batches through the sink
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-lexapp").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.CorpusStream.lexAppendBatch(spark, b, tagS)
+        ()
+      }
+      .start()
+    try {
+      arriving.grouped(2).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def postings(tag: String) = spark.table(s"${tag}_lpost")
+      .select("term", "doc_id", "tf", "dl")
+      .as[(String, Long, Long, Long)].collect().toSet
+    def full(tag: String) = spark.table(s"${tag}_lpost")
+      .select("term", "doc_id", "tf", "dl", "df")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    def statsRow(tag: String) = spark.table(s"${tag}_lstats")
+      .as[(Long, Long)].collect().head
+    // postings modulo df and the exact stats fold agree under any split
+    assert(postings(tagS) == postings(tagB))
+    assert(statsRow(tagS) == statsRow(tagB))
+    assert(statsRow(tagS)._1 == standing.size + arriving.size)
+    // a term split ACROSS micro-batches ('spark' in batch 1 and 2)
+    // carries a smaller per-batch df bound than the one-batch append —
+    // the finer trigger is more conservative, never less
+    val dfOf = (tag: String) => spark.table(s"${tag}_lpost")
+      .filter(col("term") === "spark" && col("doc_id") >= 11L)
+      .select("doc_id", "df").as[(Long, Long)].collect().toMap
+    assert(dfOf(tagS).values.forall(d => d <= dfOf(tagB).values.max))
+    // refreshCounts converges both to the exact same rebuilt rows
+    graft.ops.LexIndex.refreshCounts(spark, tagS)
+    graft.ops.LexIndex.refreshCounts(spark, tagB)
+    assert(full(tagS) == full(tagB))
+    Seq(tagS, tagB).foreach(t => Seq(s"${t}_lpost", s"${t}_lstats")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x")))
+  }
+
   test("qualityClassifyBatch: stream union == batch against a FROZEN " +
     "naive-Bayes model across micro-batch splits; lexical labels " +
     "predicted correctly") {
