@@ -96,6 +96,11 @@ object SharedCaches {
       "q_ann_multiprobe", "q_ann_filtered", "q_ann_ivf", "q_ann_ivfpq",
       "q_ann_recall",
       "q_ann_mrr", "q_kmeans_refine",
+      "q_ann_ndcg", // r15 registry gap-fill: reads the same cached
+      // panel relations as recall/MRR (sorts before q_pq_rerank, so
+      // the omission never released early — contract accuracy only)
+      "q_hybrid_fusion", // r15: panel + exact truth + IVF parts off the
+      // cached corpus (sorts before q_pq_rerank — release unchanged)
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
     BloomBench -> Set("q_contamination_bloom"),
     Simhash -> Set("q_dedup_simhash", "q_dedup_simhash_hamming",

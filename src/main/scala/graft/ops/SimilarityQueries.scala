@@ -1770,12 +1770,18 @@ object SimilarityQueries {
         "determinism: each reciprocal 1/(k+rank) is one IEEE division " +
         "of exact integers, rounded 9dp, cast DECIMAL(20,10); the " +
         "two-list sum is decimal-exact, so fused ranks are engine-" +
-        "independent (ties break by vec_id). Scale: every leg is " +
-        "panel-bounded — the posting scan is bucket-pruned to the " +
-        "panel's (vocabulary-bounded) term universe and df-capped, the " +
-        "ADC scan touches ~probe/cells of the codes, the fusion join " +
-        s"is 2×$FuseN rows per query; the corpus appears in NO leg's " +
-        "plan.",
+        "independent (ties break by vec_id). Scale: both RETRIEVAL " +
+        "legs are panel-bounded — the posting scan is bucket-pruned to " +
+        "the panel's (vocabulary-bounded) term universe and df-capped, " +
+        "the ADC scan touches ~probe/cells of the codes, the fusion " +
+        s"join is 2×$FuseN rows per query. The one corpus touch " +
+        "outside them is the panel-TEXT fetch (queries here are corpus " +
+        "members, so their lexical form comes from a column-pruned " +
+        "documents scan filtered by the broadcast panel join) — in " +
+        "production queries ARRIVE as text, and at scale the fetch is " +
+        "a point lookup on a doc_id-bucketed table; the exact-cosine " +
+        "truth leg is the measurement-only panel convention every " +
+        "retrieval metric query shares.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.types.DecimalType

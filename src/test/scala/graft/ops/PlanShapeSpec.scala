@@ -483,6 +483,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_hybrid_fusion lexical leg (LexIndex.scorePanel): the panel " +
+    "term universe and the stop-term df cap push into the bucket-" +
+    "pruned posting scan, attribution is a broadcast join, and the " +
+    "corpus appears nowhere in the scoring subtree") {
+    val (post, stats) = LexIndex.buildOrLoad(spark,
+      graft.Tables.par(spark, dir, "documents"), LexIndex.tag(dir))
+    import spark.implicits._
+    val qt = Seq((1L, "spark"), (1L, "join"), (2L, "query"))
+      .toDF("query_id", "term")
+    val p = plan(LexIndex.scorePanel(post, stats, qt,
+      Seq("join", "query", "spark")))
+    assert(!contains(p, "documents.parquet"),
+      s"panel scoring must not rescan the corpus:\n$p")
+    val posts = scansOf(p, "_lpost")
+    assert(posts.nonEmpty, s"expected stored posting scan:\n$p")
+    assert(posts.exists(_.metadata("PushedFilters").contains("In(term")),
+      s"the panel term universe must push into the posting scan:\n$p")
+    assert(posts.exists(_.metadata("PushedFilters")
+        .contains("LessThanOrEqual(df")),
+      s"df <= cap must push into the posting scan:\n$p")
+    posts.foreach { s =>
+      val sel = s.optionalBucketSet
+      assert(sel.isDefined && sel.get.cardinality() < s.relation
+        .bucketSpec.get.numBuckets,
+        s"posting scan must bucket-prune to the panel terms:\n$p")
+    }
+    // the (query_id, term) attribution join broadcasts the tiny panel
+    assert(p.exists {
+      case _: BroadcastHashJoinExec => true
+      case _ => false
+    }, s"queryTerms attribution must be a broadcast join:\n$p")
+  }
+
   test("q_embedding_drift: the corpus feeds ONE aggregation; the LxL " +
     "comparison joins only post-agg centroid rows") {
     val p = plan(Registry.queryMap("q_embedding_drift")(spark, dir))
