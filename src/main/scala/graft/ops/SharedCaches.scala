@@ -101,6 +101,7 @@ object SharedCaches {
       // the omission never released early — contract accuracy only)
       "q_hybrid_fusion", // r15: panel + exact truth + IVF parts off the
       // cached corpus (sorts before q_pq_rerank — release unchanged)
+      "q_fusion_weight_sweep", // r15: same legs as q_hybrid_fusion
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
     BloomBench -> Set("q_contamination_bloom"),
     Simhash -> Set("q_dedup_simhash", "q_dedup_simhash_hamming",

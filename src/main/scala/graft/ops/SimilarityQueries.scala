@@ -24,8 +24,100 @@ object SimilarityQueries {
     * ever since; larger k flattens rank differences, smaller k
     * overweights rank 1). 20 matches q_bm25's declared list depth.
     */
-  private val FuseN = 20
-  private val RrfK = 60
+  private[graft] val FuseN = 20
+  private[graft] val RrfK = 60
+
+  /** Decimal-exact reciprocal-rank fusion of two ranked shortlists —
+    * ONE definition shared by the declared q_hybrid_fusion and the
+    * ingest-time face ([[graft.streaming.VectorStream
+    * .hybridRetrieveBatch]]) so batch and serving-time fusion cannot
+    * drift. Inputs carry (query_id, vec_id, rank); a doc absent from
+    * one list contributes 0 from it (full outer union). Each
+    * reciprocal 1/(RrfK + rank) is one IEEE division of exact
+    * integers, rounded 9dp, cast DECIMAL(20,10); the two-term sum is
+    * decimal-exact, so fused ranks are engine-independent (ties break
+    * by vec_id). Returns (query_id, vec_id, rank).
+    */
+  private[graft] def rrfFuse(lexTop: DataFrame,
+                             vecTop: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val rrfOf = (r: org.apache.spark.sql.Column) =>
+      coalesce(round(lit(1.0) / (lit(RrfK) + r), 9), lit(0.0))
+        .cast(DecimalType(20, 10))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+    lexTop.select(col("query_id"), col("vec_id"), col("rank").as("lrank"))
+      .join(vecTop
+          .select(col("query_id"), col("vec_id"), col("rank").as("vrank")),
+        Seq("query_id", "vec_id"), "full")
+      .withColumn("rrf", rrfOf(col("lrank")) + rrfOf(col("vrank")))
+      .withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("vec_id"), col("rank"))
+  }
+
+  /** Per-query BM25 top-`n` shortlist over a panel — [[LexIndex
+    * .scorePanel]] ranked and cut, shared by the declared fusion query
+    * (excludeSelf = true: panel queries are corpus members) and the
+    * streaming face (false: arriving queries are not). Returns
+    * (query_id, vec_id, rank).
+    */
+  private[graft] def lexPanelTop(post: DataFrame, stats: DataFrame,
+                                 qt: DataFrame, allTerms: Seq[String],
+                                 n: Int, excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val scored = LexIndex.scorePanel(post, stats, qt, allTerms)
+    (if (excludeSelf) scored.filter(col("doc_id") =!= col("query_id"))
+     else scored)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
+  }
+
+  /** The two fusion shortlists for the STANDARD corpus panel —
+    * (BM25 top-[[FuseN]] from the stored LexIndex, IVFADC
+    * top-[[FuseN]] from the stored IVF+PQ tables), each
+    * (query_id, vec_id, rank) with self excluded (panel queries are
+    * corpus members). ONE derivation shared by q_hybrid_fusion and
+    * q_fusion_weight_sweep so the sweep prices exactly the lists the
+    * declared fusion serves.
+    */
+  private def fusionLegs(s: SparkSession, dir: String
+                        ): (DataFrame, DataFrame) = {
+    val q = pqQueries(s, dir)
+    // lexical leg: the standing LexIndex over the full corpus (the
+    // q_bm25 tag); panel terms = each query doc's distinct tokens,
+    // term universe collected once (vocabulary-bounded)
+    val (post, stats) = LexIndex.buildOrLoad(s,
+      Tables.par(s, dir, "documents"), LexIndex.tag(dir))
+    val qt = Tables.t(s, dir, "documents")
+      .join(q.select(col("query_id")), col("doc_id") === col("query_id"))
+      .select(col("query_id"), explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+    val allTerms = qt.select("term").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val lexTop = lexPanelTop(post, stats, qt, allTerms, FuseN,
+      excludeSelf = true)
+    // vector leg: IVFADC, q_ann_ivfpq's shared definitions
+    val cells = derivedCells(corpus(s, dir).count())
+    val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
+    val cand = ivfPqCandidates(q, centn,
+      a2.select(col("vec_id"), col("cell")), derivedProbe(cells))
+    val vecTop = pqAdcScoredWithin(s, dir, cand)
+      .filter(col("rank") <= FuseN)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    (lexTop, vecTop)
+  }
+
+  /** Weights the fusion sweep prices: w is the LEXICAL reciprocal's
+    * share (0 = pure vector, 1 = pure lexical, 0.5 ≡ unweighted RRF —
+    * positive scaling preserves ranking, spec-pinned). All five are
+    * exact in both binary and decimal, so the DECIMAL-weighted sums
+    * are engine-independent.
+    */
+  private val FusionWeights = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
 
   /** Analytic ideal DCG at [[K]] (relevance K+1-r, log2 discount),
     * computed once on the driver, rounded 9dp, and injected as ONE
@@ -737,6 +829,56 @@ object SimilarityQueries {
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY list_dot_product(qv, v)/(qn*nrm) DESC, vec_id ASC) AS rank
        |  FROM probes JOIN n USING (bucket) WHERE query_id <> vec_id)""".stripMargin
+
+  /** CTE chain ending in `ltop` / `vtop` — the oracle twin of
+    * [[fusionLegs]] (stored-LexIndex BM25 top-[[FuseN]] + IVFADC
+    * top-[[FuseN]] for the corpus panel, self excluded, both caps
+    * applied), shared by q_hybrid_fusion and q_fusion_weight_sweep so
+    * the sweep prices EXACTLY the lists the fusion serves. Assumes
+    * baseCte / pqCtes / ivfAssignCtes("") / ivfQpCte precede it.
+    */
+  private lazy val fusionListCtes: String = {
+    val capSql = s"floor(${LexIndex.StopTermDfFrac} * n_docs)"
+    s"""lt AS (SELECT doc_id, ${graft.functions.TextFunctions.toksSql}
+       |  AS toks FROM documents),
+       |lstat AS (SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS sum_dl
+       |  FROM lt),
+       |lpost AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM lt)
+       |  GROUP BY 1, 2, 3),
+       |ldf AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM lpost GROUP BY 1),
+       |lqt AS (SELECT q.query_id, unnest(list_distinct(lt.toks)) AS term
+       |  FROM q JOIN lt ON lt.doc_id = q.query_id),
+       |lmatch AS (SELECT t.query_id, p.doc_id, p.tf, p.dl, f.df
+       |  FROM lqt t JOIN lpost p USING (term)
+       |  JOIN ldf f ON p.term = f.term, lstat
+       |  WHERE f.df <= $capSql AND p.doc_id <> t.query_id),
+       |lscore AS (SELECT query_id, doc_id,
+       |    CAST(sum(CAST(round(round(ln((n_docs - df + 0.5)
+       |        / (df + 0.5) + 1.0), 9)
+       |      * CAST(tf AS DOUBLE) * 2.2
+       |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+       |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS score
+       |  FROM lmatch, lstat GROUP BY 1, 2),
+       |ltop AS (SELECT query_id, vec_id, rank FROM (
+       |  SELECT query_id, doc_id AS vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM lscore) WHERE rank <= $FuseN),
+       |vcand AS (SELECT qp.query_id, a2.vec_id, a2.nrm FROM qp
+       |  JOIN a2 USING (cell) WHERE qp.query_id <> a2.vec_id),
+       |vtop AS (SELECT query_id, vec_id, rank FROM (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM (SELECT c.query_id, c.vec_id, p.ad/(q.qn*c.nrm) AS score
+       |    FROM vcand c JOIN pad p USING (query_id, vec_id)
+       |    JOIN q USING (query_id))) WHERE rank <= $FuseN)""".stripMargin
+  }
 
   /** Scalar-subquery SQL for the two cell-count derivations — the
     * oracle-side twins of [[derivedCells]] / [[derivedCellsForTarget]].
@@ -1783,49 +1925,11 @@ object SimilarityQueries {
         "truth leg is the measurement-only panel convention every " +
         "retrieval metric query shares.",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.types.DecimalType
         val q = pqQueries(s, dir)
-        // ---- lexical leg: the standing LexIndex over the full corpus
-        // (same tag q_bm25 serves from), panel terms = each query doc's
-        // distinct tokens, term universe collected once (vocab-bounded)
-        val (post, stats) = LexIndex.buildOrLoad(s,
-          Tables.par(s, dir, "documents"), LexIndex.tag(dir))
-        val qt = Tables.t(s, dir, "documents")
-          .join(q.select(col("query_id")), col("doc_id") === col("query_id"))
-          .select(col("query_id"), explode(array_distinct(
-            graft.functions.TextFunctions.tokens(col("text")))).as("term"))
-        val allTerms = qt.select("term").distinct()
-          .collect().map(_.getString(0)).sorted.toSeq
-        val lexW = Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id").asc)
-        val lexTop = LexIndex.scorePanel(post, stats, qt, allTerms)
-          .filter(col("doc_id") =!= col("query_id")) // excludeSelf, as ANN
-          .withColumn("rank", row_number().over(lexW))
-          .filter(col("rank") <= FuseN)
-          .select(col("query_id"), col("doc_id").as("vec_id"), col("rank"))
-        // ---- vector leg: IVFADC, q_ann_ivfpq's shared definitions
-        val cells = derivedCells(corpus(s, dir).count())
-        val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
-        val cand = ivfPqCandidates(q, centn,
-          a2.select(col("vec_id"), col("cell")), derivedProbe(cells))
-        val vecTop = pqAdcScoredWithin(s, dir, cand)
-          .filter(col("rank") <= FuseN)
-          .select(col("query_id"), col("vec_id"), col("rank"))
-        // ---- RRF fusion: decimal-exact two-list sum, full outer union
-        val rrfOf = (r: org.apache.spark.sql.Column) =>
-          coalesce(round(lit(1.0) / (lit(RrfK) + r), 9), lit(0.0))
-            .cast(DecimalType(20, 10))
-        val fusedW = Window.partitionBy("query_id")
-          .orderBy(col("rrf").desc, col("vec_id").asc)
-        val fusedTop = lexTop
-          .select(col("query_id"), col("vec_id"), col("rank").as("lrank"))
-          .join(vecTop
-              .select(col("query_id"), col("vec_id"), col("rank").as("vrank")),
-            Seq("query_id", "vec_id"), "full")
-          .withColumn("rrf", rrfOf(col("lrank")) + rrfOf(col("vrank")))
-          .withColumn("rank", row_number().over(fusedW))
-          .select(col("query_id"), col("vec_id"), col("rank"))
+        val (lexTop, vecTop) = fusionLegs(s, dir)
+        // ---- RRF fusion: the shared decimal-exact definition
+        val fusedTop = rrfFuse(lexTop, vecTop)
         // ---- measured rows against the exact panel (the q_ann_ivfpq
         // recall/MRR machinery + the shared ndcgRow)
         val exact = exactTopK(s, dir)
@@ -1863,7 +1967,6 @@ object SimilarityQueries {
           .orderBy("variant")
       },
       Some {
-        val capSql = s"floor(${LexIndex.StopTermDfFrac} * n_docs)"
         def measured(cte: String, variant: String) =
           s"""SELECT '$variant' AS variant,
              |  count(DISTINCT ex.query_id) AS n_queries,
@@ -1901,45 +2004,7 @@ object SimilarityQueries {
            |${ivfAssignCtes("", sqrtCellsSql)},
            |$ivfQpCte,
            |$exactScoredCte,
-           |lt AS (SELECT doc_id, ${graft.functions.TextFunctions.toksSql}
-           |  AS toks FROM documents),
-           |lstat AS (SELECT COUNT(*) AS n_docs,
-           |  CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS sum_dl
-           |  FROM lt),
-           |lpost AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
-           |    CAST(count(*) AS BIGINT) AS tf
-           |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM lt)
-           |  GROUP BY 1, 2, 3),
-           |ldf AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-           |  FROM lpost GROUP BY 1),
-           |lqt AS (SELECT q.query_id, unnest(list_distinct(lt.toks)) AS term
-           |  FROM q JOIN lt ON lt.doc_id = q.query_id),
-           |lmatch AS (SELECT t.query_id, p.doc_id, p.tf, p.dl, f.df
-           |  FROM lqt t JOIN lpost p USING (term)
-           |  JOIN ldf f ON p.term = f.term, lstat
-           |  WHERE f.df <= $capSql AND p.doc_id <> t.query_id),
-           |lscore AS (SELECT query_id, doc_id,
-           |    CAST(sum(CAST(round(round(ln((n_docs - df + 0.5)
-           |        / (df + 0.5) + 1.0), 9)
-           |      * CAST(tf AS DOUBLE) * 2.2
-           |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
-           |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
-           |      AS DECIMAL(38,12))) AS DOUBLE) AS score
-           |  FROM lmatch, lstat GROUP BY 1, 2),
-           |ltop AS (SELECT query_id, vec_id, rank FROM (
-           |  SELECT query_id, doc_id AS vec_id,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY score DESC, doc_id ASC) AS rank
-           |  FROM lscore) WHERE rank <= $FuseN),
-           |vcand AS (SELECT qp.query_id, a2.vec_id, a2.nrm FROM qp
-           |  JOIN a2 USING (cell) WHERE qp.query_id <> a2.vec_id),
-           |vtop AS (SELECT query_id, vec_id, rank FROM (
-           |  SELECT query_id, vec_id,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY score DESC, vec_id ASC) AS rank
-           |  FROM (SELECT c.query_id, c.vec_id, p.ad/(q.qn*c.nrm) AS score
-           |    FROM vcand c JOIN pad p USING (query_id, vec_id)
-           |    JOIN q USING (query_id))) WHERE rank <= $FuseN),
+           |$fusionListCtes,
            |fused AS (SELECT query_id, vec_id,
            |    CAST(COALESCE(round(CAST(1.0 AS DOUBLE)/($RrfK + l.rank), 9),
            |      0) AS DECIMAL(20,10))
@@ -1962,6 +2027,128 @@ object SimilarityQueries {
            |UNION ALL
            |${measured("ftop", "rrf_fusion")}
            |) ORDER BY variant""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_fusion_weight_sweep",
+      "Fusion-weight sweep — the τ-sweep discipline applied to the " +
+        "hybrid blend (how much LEXICAL should a deployment mix in is " +
+        "the knob a RAG stack actually tunes): weighted RRF " +
+        "w·r_lex + (1−w)·r_vec over the SAME two top-20 shortlists " +
+        "q_hybrid_fusion serves (ONE shared derivation — fusionLegs / " +
+        "the shared oracle CTE chain), w ∈ {0, .25, .5, .75, 1}, one " +
+        s"measured row per w with recall@$K and MRR@$K against the " +
+        "exact-cosine panel. w=0.5 ranks identically to the unweighted " +
+        "RRF (positive scaling — spec-pinned against q_hybrid_fusion's " +
+        "rrf_fusion row); w=0/1 are the single-stack ends RESTRICTED " +
+        "to the union shortlist (a doc present only in the other list " +
+        "ties at 0 and can backfill when a query has under K hits of " +
+        "its own — documented union-shortlist semantics, not quite " +
+        "bm25_only/ivfpq_only). Determinism: reciprocals 9dp-rounded " +
+        "and DECIMAL(20,10)-cast as in rrfFuse; weights are " +
+        "DECIMAL(6,4) literals exact in binary AND decimal, so the " +
+        "weighted sums are decimal-exact and engine-independent. " +
+        "Scale: the five arms re-rank ONE materialized 2×20×|panel|-" +
+        "row join — the sweep costs five window passes over a " +
+        "constant-size relation, nothing touches the corpus or the " +
+        "stores again.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val (lexTop, vecTop) = fusionLegs(s, dir)
+        val rrfOf = (r: org.apache.spark.sql.Column) =>
+          coalesce(round(lit(1.0) / (lit(RrfK) + r), 9), lit(0.0))
+            .cast(DecimalType(20, 10))
+        val joined = lexTop
+          .select(col("query_id"), col("vec_id"), col("rank").as("lrank"))
+          .join(vecTop
+              .select(col("query_id"), col("vec_id"), col("rank").as("vrank")),
+            Seq("query_id", "vec_id"), "full")
+          .withColumn("rl", rrfOf(col("lrank")))
+          .withColumn("rv", rrfOf(col("vrank")))
+        val exact = exactTopK(s, dir)
+        val ex = exact.filter(col("rank") <= K)
+          .select(col("query_id"), col("vec_id"))
+        val ex1 = exact.filter(col("rank") === 1)
+          .select(col("query_id"), col("vec_id"))
+        def arm(w: Double): DataFrame = {
+          val sw = lit(w).cast(DecimalType(6, 4)) * col("rl") +
+            lit(1.0 - w).cast(DecimalType(6, 4)) * col("rv")
+          val wW = Window.partitionBy("query_id")
+            .orderBy(col("sw").desc, col("vec_id").asc)
+          val top = joined.withColumn("sw", sw)
+            .withColumn("rank", row_number().over(wW))
+            .filter(col("rank") <= K)
+            .select(col("query_id"), col("vec_id"), col("rank"))
+          val rec = ex.join(top.select(col("query_id"), col("vec_id"))
+              .withColumn("hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+            .agg(countDistinct(col("query_id")).as("n_queries"),
+              count(lit(1)).as("n_exact"),
+              sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+          val mrr = ex1.join(
+              top.select(col("query_id"), col("vec_id"), col("rank")),
+              Seq("query_id", "vec_id"), "left")
+            .agg((sum(round(coalesce(lit(1.0) / col("rank"), lit(0.0)), 9)
+              .cast(DecimalType(20, 10))).cast("double") / count(lit(1)))
+              .as("mrr"))
+          rec.crossJoin(mrr)
+            .select(lit(f"w$w%.2f").as("w_lex"), col("n_queries"),
+              col("n_exact"), col("n_hit"),
+              round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"),
+              round(col("mrr"), 6).as(s"mrr_at_$K"))
+        }
+        FusionWeights.map(arm).reduce(_.union(_)).orderBy("w_lex")
+      },
+      Some {
+        def armSql(w: Double) = {
+          val tag = f"w$w%.2f"
+          val cte = s"fw_${tag.replace(".", "_")}"
+          val ranked =
+            s"""$cte AS (SELECT query_id, vec_id, rank FROM (
+               |  SELECT query_id, vec_id,
+               |    ROW_NUMBER() OVER (PARTITION BY query_id
+               |      ORDER BY CAST($w AS DECIMAL(6,4)) * rl
+               |        + CAST(${1.0 - w} AS DECIMAL(6,4)) * rv DESC,
+               |        vec_id ASC) AS rank
+               |  FROM fjoin) WHERE rank <= $K)""".stripMargin
+          val sel =
+            s"""SELECT '$tag' AS w_lex,
+               |  count(DISTINCT ex.query_id) AS n_queries,
+               |  count(*) AS n_exact,
+               |  CAST(sum(CASE WHEN an.vec_id IS NULL THEN 0 ELSE 1 END)
+               |    AS BIGINT) AS n_hit,
+               |  round(CAST(sum(CASE WHEN an.vec_id IS NULL THEN 0 ELSE 1
+               |    END) AS BIGINT) / count(*), 4) AS recall_at_$K,
+               |  (SELECT round(CAST(sum(CAST(round(COALESCE(1.0/m.rank, 0),
+               |      9) AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
+               |   FROM ex1 LEFT JOIN $cte m
+               |     ON ex1.query_id = m.query_id AND ex1.vec_id = m.vec_id)
+               |    AS mrr_at_$K
+               |FROM ex LEFT JOIN $cte an
+               |  ON ex.query_id = an.query_id AND ex.vec_id = an.vec_id""".stripMargin
+          (ranked, sel)
+        }
+        val arms = FusionWeights.map(armSql)
+        s"""WITH $baseCte,
+           |$pqCtes,
+           |${ivfAssignCtes("", sqrtCellsSql)},
+           |$ivfQpCte,
+           |$exactScoredCte,
+           |$fusionListCtes,
+           |fjoin AS (SELECT query_id, vec_id,
+           |    CAST(COALESCE(round(CAST(1.0 AS DOUBLE)/($RrfK + l.rank), 9),
+           |      0) AS DECIMAL(20,10)) AS rl,
+           |    CAST(COALESCE(round(CAST(1.0 AS DOUBLE)/($RrfK + v.rank), 9),
+           |      0) AS DECIMAL(20,10)) AS rv
+           |  FROM ltop l FULL JOIN vtop v USING (query_id, vec_id)),
+           |${arms.map(_._1).mkString(",\n")},
+           |ex AS (SELECT query_id, vec_id FROM exact_scored WHERE rank <= $K),
+           |ex1 AS (SELECT query_id, vec_id FROM exact_scored WHERE rank = 1)
+           |SELECT * FROM (
+           |${arms.map(_._2).mkString("\nUNION ALL\n")}
+           |) ORDER BY w_lex""".stripMargin
       }
     ),
 

@@ -76,6 +76,59 @@ object VectorStream {
         round(col("score"), 6).as("adc_score"))
   }
 
+  /** HYBRID retrieval for one micro-batch of QUERIES — the serving
+    * face of `q_hybrid_fusion` (the fusion family's streaming column):
+    * each arriving query carries BOTH forms a production RAG request
+    * has — `text` (its lexical form) and `v` (its embedding) — and
+    * retrieves the RRF-fused top-k from the two STANDING stores in one
+    * call. Legs and fusion are the declared query's definitions
+    * VERBATIM: [[graft.ops.SimilarityQueries.lexPanelTop]] (scorePanel
+    * with both pushed caps) over the stored LexIndex `lexTag`,
+    * [[graft.ops.SimilarityQueries.ivfPqCandidates]] +
+    * `pqAdcScoredFor` over the stored `ivfTag`/`pqTag`, folded by
+    * [[graft.ops.SimilarityQueries.rrfFuse]] — so serving-time fusion
+    * cannot drift from the measured batch face. excludeSelf = false on
+    * both legs (arriving queries are NOT corpus members; a query
+    * textually/vectorially equal to a standing doc MUST surface that
+    * doc — the redelivery convention of the other probe faces).
+    * Stateless per query given the frozen stores, so stream union ==
+    * batch EXACTLY over any micro-batch split (VectorStreamSpec).
+    * Per micro-batch: the batch's term universe is collected once
+    * (micro-batch- and vocabulary-bounded) and pushes into the
+    * bucket-pruned posting scan; centroids/lookup tables broadcast;
+    * postings, cells, and codes stream in place, scan-only. Returns
+    * (query_id, rank, neighbor_id).
+    */
+  def hybridRetrieveBatch(spark: SparkSession, batch: DataFrame,
+                          lexTag: String, ivfTag: String, pqTag: String,
+                          nProbe: Int = 4, fuseN: Int = 20,
+                          k: Int = 5): DataFrame = {
+    val post = spark.table(s"${lexTag}_lpost")
+    val stats = spark.table(s"${lexTag}_lstats")
+    val qt = batch.select(col("query_id"), explode(array_distinct(
+      graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+    val allTerms = qt.select("term").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val lexTop = graft.ops.SimilarityQueries.lexPanelTop(
+      post, stats, qt, allTerms, fuseN, excludeSelf = false)
+    val q = batch
+      .withColumn("qn",
+        sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+      .select(col("query_id"), col("v").as("qv"), col("qn"))
+    val cand = graft.ops.SimilarityQueries.ivfPqCandidates(
+      q, spark.table(s"${ivfTag}_ivfcentroids"),
+      spark.table(s"${ivfTag}_ivfcells").select(col("vec_id"), col("cell")),
+      nProbe, excludeSelf = false)
+    val vecTop = graft.ops.SimilarityQueries.pqAdcScoredFor(
+        q, cand, spark.table(s"${pqTag}_pqcodebook"),
+        spark.table(s"${pqTag}_pqcodes"), excludeSelf = false)
+      .filter(col("rank") <= fuseN)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    graft.ops.SimilarityQueries.rrfFuse(lexTop, vecTop)
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** Ingest-time PQ encoding of one micro-batch of vectors (vec_id, v)
     * against the STORED codebook of the [[graft.ops.PqStore]] artifact
     * `tag` — the compression step an embedding pipeline applies as

@@ -246,4 +246,28 @@ class SimilaritySpec extends SparkSpec {
     assert(d._5 >= lo && d._5 <= hi,
       s"default recall ${d._5} not within [$lo, $hi] at p=${d._2}")
   }
+
+  test("q_fusion_weight_sweep: w=0.5 reproduces the unweighted RRF's " +
+    "metrics exactly (positive scaling preserves ranking — the " +
+    "theorem that ties the sweep to q_hybrid_fusion), and every row " +
+    "is a probability over the same panel") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val sweep = graft.Registry.queryMap("q_fusion_weight_sweep")(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(sweep.map(_._1) ==
+      Seq("w0.00", "w0.25", "w0.50", "w0.75", "w1.00"))
+    sweep.foreach { r =>
+      assert(r._5 >= 0.0 && r._5 <= 1.0 && r._6 >= 0.0 && r._6 <= 1.0, r)
+      assert(r._2 == sweep.head._2 && r._3 == sweep.head._3,
+        s"all arms must measure the same panel: $r")
+    }
+    val fusion = graft.Registry.queryMap("q_hybrid_fusion")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("variant") === "rrf_fusion")
+      .select("n_hit", s"recall_at_5", s"mrr_at_5")
+      .as[(Long, Double, Double)].collect().head
+    val w05 = sweep.find(_._1 == "w0.50").get
+    assert((w05._4, w05._5, w05._6) == fusion,
+      s"w=0.5 must equal unweighted RRF: $w05 vs $fusion")
+  }
 }

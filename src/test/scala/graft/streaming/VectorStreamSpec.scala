@@ -135,6 +135,100 @@ class VectorStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HYBRID retrieval (lex + IVFADC + RRF against the " +
+    "standing stores) matches the batch call for the same queries, " +
+    "equals a pure-Scala RRF of the two legs' own outputs, and " +
+    "surfaces the stored twin of a query equal to a standing doc") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ivfTag = graft.ops.IvfIndex.tag(dir, 16)
+    graft.ops.IvfIndex.buildOrLoad(spark, dir, 16)
+    val pqTag = graft.ops.PqStore.tag(dir)
+    graft.ops.PqStore.buildOrLoad(spark, dir)
+    val lexTag = graft.ops.LexIndex.tag(dir)
+    graft.ops.LexIndex.buildOrLoad(spark,
+      graft.Tables.par(spark, dir, "documents"), lexTag)
+    // arriving queries = (id, text, embedding) twins of standing docs
+    // 25 and 50 — a production request carries both forms
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id").isin(25L, 50L))
+    val queries = emb
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("vec_id"), col("text")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("text"), col("v"))
+      .as[(Long, String, Seq[Double])].collect().toSeq
+    assert(queries.size == 2)
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val q = input.toDF().toDF("query_id", "text", "v")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-hybrid").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = VectorStream
+          .hybridRetrieveBatch(spark, b, lexTag, ivfTag, pqTag)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      // one query per micro-batch — the stateless-given-frozen-stores
+      // claim is exactly that the split cannot matter
+      queries.foreach { qr =>
+        input.addData(qr)
+        q.processAllAvailable()
+      }
+      val streamed = sink.synchronized(sink.toSeq).sorted
+      assert(streamed.nonEmpty)
+      val batchQ = spark.createDataset(queries).toDF("query_id", "text", "v")
+      val expect = VectorStream
+        .hybridRetrieveBatch(spark, batchQ, lexTag, ivfTag, pqTag)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(streamed == expect, s"stream=$streamed batch=$expect")
+      // cross-definition pin: the face == a pure-Scala RRF (k=60) of
+      // the two legs' OWN outputs (lexPanelTop / ivfPqProbeBatch)
+      val qt = batchQ.select(col("query_id"), explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      val allTerms = qt.select("term").distinct()
+        .as[String].collect().sorted.toSeq
+      val lex = graft.ops.SimilarityQueries.lexPanelTop(
+          spark.table(s"${lexTag}_lpost"), spark.table(s"${lexTag}_lstats"),
+          qt, allTerms, 20, excludeSelf = false)
+        .as[(Long, Long, Int)].collect()
+        .map { case (qid, n, r) => (qid, n) -> r }.toMap
+      val vec = VectorStream
+        .ivfPqProbeBatch(spark, batchQ.select(
+          col("query_id").as("vec_id"), col("v")), ivfTag, pqTag, k = 20)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect()
+        .map { case (qid, n, r) => (qid, n) -> r }.toMap
+      def r9(x: Double) = BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val rrf = (lex.keySet ++ vec.keySet).toSeq.map { k =>
+        val s = lex.get(k).map(r => r9(1.0 / (60 + r))).getOrElse(BigDecimal(0)) +
+          vec.get(k).map(r => r9(1.0 / (60 + r))).getOrElse(BigDecimal(0))
+        (k._1, k._2, s)
+      }
+      val expectFused = rrf.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).zipWithIndex
+          .take(5).map { case ((_, n, _), i) => (qid, i + 1, n) }
+      }.sorted
+      assert(streamed == expectFused,
+        s"face=$streamed scalaRRF=$expectFused")
+      // a query equal to a standing doc surfaces that doc in the fused
+      // top-5 (both legs rank the twin high; excludeSelf=false)
+      Seq(25L, 50L).foreach { qid =>
+        assert(streamed.exists { case (q2, _, n) => q2 == qid && n == qid },
+          s"stored twin of query $qid absent from fused top-5: $streamed")
+      }
+    } finally q.stop()
+  }
+
   test("streaming PQ encode against the stored codebook matches the " +
     "batch encoder and the stored codes for the same vectors") {
     implicit val sqlCtx = spark.sqlContext
