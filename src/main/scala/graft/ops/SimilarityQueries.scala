@@ -85,31 +85,50 @@ object SimilarityQueries {
     * declared fusion serves.
     */
   private def fusionLegs(s: SparkSession, dir: String
-                        ): (DataFrame, DataFrame) = {
-    val q = pqQueries(s, dir)
-    // lexical leg: the standing LexIndex over the full corpus (the
-    // q_bm25 tag); panel terms = each query doc's distinct tokens,
-    // term universe collected once (vocabulary-bounded)
-    val (post, stats) = LexIndex.buildOrLoad(s,
-      Tables.par(s, dir, "documents"), LexIndex.tag(dir))
-    val qt = Tables.t(s, dir, "documents")
-      .join(q.select(col("query_id")), col("doc_id") === col("query_id"))
-      .select(col("query_id"), explode(array_distinct(
-        graft.functions.TextFunctions.tokens(col("text")))).as("term"))
-    val allTerms = qt.select("term").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val lexTop = lexPanelTop(post, stats, qt, allTerms, FuseN,
-      excludeSelf = true)
-    // vector leg: IVFADC, q_ann_ivfpq's shared definitions
-    val cells = derivedCells(corpus(s, dir).count())
-    val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
-    val cand = ivfPqCandidates(q, centn,
-      a2.select(col("vec_id"), col("cell")), derivedProbe(cells))
-    val vecTop = pqAdcScoredWithin(s, dir, cand)
-      .filter(col("rank") <= FuseN)
-      .select(col("query_id"), col("vec_id"), col("rank"))
-    (lexTop, vecTop)
-  }
+                        ): (DataFrame, DataFrame) =
+    fusionLegsMemo.getOrElseUpdate((s, dir), {
+      val q = pqQueries(s, dir)
+      // lexical leg: the standing LexIndex over the full corpus (the
+      // q_bm25 tag); panel terms = each query doc's distinct tokens,
+      // term universe collected once (vocabulary-bounded)
+      val (post, stats) = LexIndex.buildOrLoad(s,
+        Tables.par(s, dir, "documents"), LexIndex.tag(dir))
+      val qt = Tables.t(s, dir, "documents")
+        .join(q.select(col("query_id")), col("doc_id") === col("query_id"))
+        .select(col("query_id"), explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      val allTerms = qt.select("term").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val lexTop = lexPanelTop(post, stats, qt, allTerms, FuseN,
+        excludeSelf = true)
+      // vector leg: IVFADC, q_ann_ivfpq's shared definitions
+      val cells = derivedCells(corpus(s, dir).count())
+      val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
+      val cand = ivfPqCandidates(q, centn,
+        a2.select(col("vec_id"), col("cell")), derivedProbe(cells))
+      val vecTop = pqAdcScoredWithin(s, dir, cand)
+        .filter(col("rank") <= FuseN)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      val legs = (
+        SharedCaches.track(SharedCaches.Embeddings, lexTop
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+        SharedCaches.track(SharedCaches.Embeddings, vecTop
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      SharedCaches.onRelease(SharedCaches.Embeddings)(() =>
+        fusionLegsMemo.remove((s, dir)))
+      legs
+    })
+
+  /** Memoized [[fusionLegs]] per (session, dir) — the ccMemo pattern:
+    * the legs' construction includes a driver-side term-universe
+    * collect, so plan-level caching cannot dedup it; both consumers
+    * (q_hybrid_fusion, q_fusion_weight_sweep) would otherwise each
+    * re-pay the lexical DAAT pass and the ADC probe (~2.5 s of the
+    * family's ~5.9 s at sf0.1). Evicted with the Embeddings family's
+    * release, so each bench pass / re-migration re-derives.
+    */
+  private val fusionLegsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
   /** Weights the fusion sweep prices: w is the LEXICAL reciprocal's
     * share (0 = pure vector, 1 = pure lexical, 0.5 ≡ unweighted RRF —
