@@ -632,6 +632,137 @@ object Pipeline {
       trainReady ++ ivf ++ pq ++ zs ++ cps
   }
 
+  /** Takedown phase (r15 verdict #1 — the lifecycle verb the artifact
+    * families were missing): remove `docIds` from every doc-grain
+    * stored artifact that EXISTS under this corpus dir's standard tags
+    * (the exact tags [[artifactPhase]] builds and the query/streaming
+    * paths derive — see each family's `delete` for its staleness
+    * contract and crash-safe write order). One report row per family
+    * actually touched, with per-table removal counts; families not
+    * built for this dir are skipped silently (there is nothing to
+    * take down). BpeStore is exempt by design — it is a learned MODEL,
+    * not an index of documents; unlearning is a retrain.
+    *
+    * `vecIds` keys the vector families (IvfIndex cells, PqStore codes,
+    * keyed by vec_id); it defaults to `docIds`' values under the
+    * vec_id name — the 1:1 doc↔vector correspondence of the standard
+    * corpus layout — and is a separate parameter for corpora where the
+    * two id spaces differ.
+    *
+    * NOTE the scope boundary, stated rather than hidden: this removes
+    * the ids from the STORED ARTIFACTS (what serving paths read). The
+    * written parquet corpus tables themselves are plain files the
+    * migration owns — removing rows there is a rewrite of the
+    * affected tables, a separate storage-level operation; callers
+    * doing a full takedown filter-and-rewrite the corpus first, then
+    * call this for the nine serving artifacts.
+    */
+  def deleteDocs(
+      spark: SparkSession,
+      outDir: String,
+      docIds: org.apache.spark.sql.DataFrame,
+      lexTables: Seq[String] = Nil,
+      vecIds: Option[org.apache.spark.sql.DataFrame] = None,
+      log: MigrationLog = MigrationLog.silent): Seq[Report.ArtifactResult] = {
+    import graft.ops._
+    val F = org.apache.spark.sql.functions
+    val vids = vecIds.getOrElse(
+      docIds.select(F.col("doc_id").as("vec_id")))
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def row(table: String, kind: String, detail: String, secs: Double) = {
+      log.info(table, s"delete $kind", detail)
+      Report.ArtifactResult(table, kind, detail, 0L, 0L, secs)
+    }
+    val band = {
+      val tag = BandIndex.tag(outDir, "full")
+      if (!BandIndex.exists(spark, tag)) Nil else {
+        val ((sh, bd), secs) = timed(BandIndex.delete(spark, docIds, tag))
+        Seq(row(tag, "delete_band_index",
+          s"tag=$tag shingle_rows_removed=$sh band_rows_removed=$bd " +
+            "bsz=stale_upper_bound_until_refreshBucketSizes", secs))
+      }
+    }
+    val spans = Seq(SpanSet.tag(outDir) -> "delete_span_set",
+      SpanSet.charTag(outDir) -> "delete_char_span_set").flatMap {
+      case (tag, kind) =>
+        if (!SpanSet.exists(spark, tag)) Nil else {
+          val ((rows, negs), secs) = timed(SpanSet.delete(spark, docIds, tag))
+          Seq(row(tag, kind,
+            s"tag=$tag span_rows_removed=$rows neg_delta_rows=$negs " +
+              "counts=exact_immediately", secs))
+        }
+    }
+    val chunks = {
+      val tag = ChunkStore.tag(outDir)
+      if (!ChunkStore.exists(spark, tag)) Nil else {
+        val (n, secs) = timed(ChunkStore.delete(spark, docIds, tag))
+        Seq(row(tag, "delete_chunk_store",
+          s"tag=$tag chunk_rows_removed=$n exact_immediately", secs))
+      }
+    }
+    val contain = {
+      val tag = ContainIndex.tag(outDir, "cfull")
+      if (!ContainIndex.exists(spark, tag)) Nil else {
+        val ((ng, dc), secs) = timed(ContainIndex.delete(spark, docIds, tag))
+        Seq(row(tag, "delete_contain_index",
+          s"tag=$tag posting_rows_removed=$ng doc_rows_removed=$dc " +
+            "df_oc=stale_upper_bounds_until_refreshCounts", secs))
+      }
+    }
+    val lex = lexTables.flatMap { t =>
+      val tag = LexIndex.tag(s"$outDir/$t")
+      if (!LexIndex.exists(spark, tag)) Nil else {
+        val (n, secs) = timed(LexIndex.delete(spark, docIds, tag))
+        Seq(row(tag, "delete_lex_index",
+          s"tag=$tag posting_rows_removed=$n stats=exact " +
+            "df=stale_upper_bound_until_refreshCountsPartial", secs))
+      }
+    }
+    val media = Seq(
+      (MediaSigStore.imageTag(outDir), "delete_image_sigs"),
+      (MediaSigStore.audioTag(outDir), "delete_audio_sigs"),
+      (MediaSigStore.videoTag(outDir), "delete_video_sigs")).flatMap {
+      case (tag, kind) =>
+        if (!MediaSigStore.exists(spark, tag)) Nil else {
+          val ((s, b), secs) = timed(MediaSigStore.delete(spark, docIds, tag))
+          Seq(row(tag, kind,
+            s"tag=$tag sig_rows_removed=$s band_rows_removed=$b " +
+              "bsz=stale_upper_bound_until_refreshBucketSizes", secs))
+        }
+    }
+    val ivf = {
+      // the artifact phase's cell derivation: tag embeds the cell count
+      val embPath = s"$outDir/embeddings.parquet"
+      val fs = new org.apache.hadoop.fs.Path(embPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(embPath))) Nil else {
+        val cells = SimilarityQueries.derivedCells(
+          spark.read.parquet(embPath).count())
+        val tag = IvfIndex.tag(outDir, cells)
+        if (!IvfIndex.exists(spark, tag)) Nil else {
+          val (n, secs) = timed(IvfIndex.delete(spark, vids, tag))
+          Seq(row(tag, "delete_ivf_index",
+            s"tag=$tag cell_rows_removed=$n " +
+              "centroids=stale_until_refreshCentroids", secs))
+        }
+      }
+    }
+    val pq = {
+      val tag = PqStore.tag(outDir)
+      if (!PqStore.exists(spark, tag)) Nil else {
+        val (n, secs) = timed(PqStore.delete(spark, vids, tag))
+        Seq(row(tag, "delete_pq_store",
+          s"tag=$tag code_rows_removed=$n codebook=untouched_by_design",
+          secs))
+      }
+    }
+    band ++ spans ++ chunks ++ contain ++ lex ++ media ++ ivf ++ pq
+  }
+
   /** Full migration: all tables concurrently, then deferred FK validation
     * (E2/E3), then the artifact phase (E1's slot). Returns the report
     * (F1).

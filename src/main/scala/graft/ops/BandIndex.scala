@@ -102,6 +102,14 @@ object BandIndex {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
 
+  /** Whether the stored index for `tag` is fully cataloged (the
+    * IvfIndex convention — maintenance callers gate on this before
+    * buildOrLoad erases the fresh-vs-pre-existing difference).
+    */
+  def exists(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(s"${tag}_shingles") &&
+      spark.catalog.tableExists(s"${tag}_bands")
+
   /** Materialize (or reuse, if already cataloged this session) the band
     * index for `standingDocs` (must carry doc_id + text). Returns
     * (shingleStore, bandIndex) as reads of the stored bucketed tables.
@@ -199,6 +207,57 @@ object BandIndex {
         .select("doc_id", "band", "bh", "bsz")
         .write.insertInto(bdT)
     } finally sh.unpersist()
+  }
+
+  /** Takedown maintenance (r15 verdict #1 — the missing lifecycle verb,
+    * dual of [[append]]): remove every shingle and band row of `docIds`
+    * (a doc_id relation). A deleted doc can never be emitted as a
+    * candidate or a match again — both its posting rows and its
+    * signature rows are gone (the guarantee a takedown needs,
+    * regardless of count staleness). Surviving band rows keep their
+    * stored `bsz`, now a stale UPPER bound — the bucket was counted
+    * over a population that included the deleted docs — so the
+    * hot-bucket cap errs toward SKIPPING a bucket deletion brought back
+    * under the cap (cost-safe, recall-lossy at the cap margin): exactly
+    * the dual of append's batch-local LOWER bound, which errs toward
+    * keeping. [[refreshBucketSizes]] re-levels, after which probe ==
+    * rebuild-over-survivors exactly (BandIndexSpec differential on the
+    * serving face). Both survivor relations are staged
+    * (localCheckpoint), then the band table — written second at build —
+    * is dropped FIRST: a crash anywhere between leaves the both-tables
+    * gate broken → rebuild, never a shingles/bands mismatch (the
+    * IvfIndex split/merge write order). Returns (shingle rows removed,
+    * band rows removed).
+    */
+  def delete(spark: SparkSession, docIds: DataFrame,
+             tag: String): (Long, Long) = {
+    val shT = s"${tag}_shingles"
+    val bdT = s"${tag}_bands"
+    require(spark.catalog.tableExists(shT) && spark.catalog.tableExists(bdT),
+      s"delete target $tag does not exist — buildOrLoad first")
+    val ids = broadcast(docIds.select(col("doc_id")).distinct())
+    val sh = spark.table(shT)
+    val bd = spark.table(bdT)
+    val shRemoved = sh.join(ids, Seq("doc_id"), "left_semi").count()
+    val bdRemoved = bd.join(ids, Seq("doc_id"), "left_semi").count()
+    if (shRemoved == 0L && bdRemoved == 0L) return (0L, 0L)
+    val shBuckets = bucketsOf(spark, shT)
+    val bdBuckets = bucketsOf(spark, bdT)
+    val stagedSh = sh.join(ids, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val stagedBd = bd.join(ids, Seq("doc_id"), "left_anti")
+      .select("doc_id", "band", "bh", "bsz")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $bdT")
+    stagedSh.write.mode(SaveMode.Overwrite)
+      .bucketBy(shBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(shT)
+    stagedBd.write.mode(SaveMode.Overwrite)
+      .bucketBy(bdBuckets, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(bdT)
+    spark.catalog.refreshTable(shT)
+    spark.catalog.refreshTable(bdT)
+    (shRemoved, bdRemoved)
   }
 
   /** Periodic compaction: rebuild the band table from the shingle store

@@ -43,6 +43,12 @@ object ChunkStore {
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, chunksT(tag))
 
+  /** Whether the stored table for `tag` is cataloged (the IvfIndex
+    * convention).
+    */
+  def exists(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(chunksT(tag))
+
   /** Materialize (or reuse, if already cataloged this session) the
     * chunk table for `docs` (must carry doc_id + text). Returns the
     * stored relation.
@@ -107,5 +113,36 @@ object ChunkStore {
     PackingQueries.chunkRowsOf(newDocs)
       .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tok", "chunk_fp")
       .write.insertInto(cT)
+  }
+
+  /** Takedown maintenance (r15 verdict #1 — the missing lifecycle
+    * verb): remove every chunk row of `docIds` (a doc_id relation).
+    * Chunk rows are pure per-doc facts, so this family's delete has NO
+    * staleness window at all: post-delete reads equal a from-scratch
+    * build over the surviving corpus (ChunkStoreSpec differentials
+    * [[keepers]] — a keeper owned by a deleted doc re-elects to the
+    * surviving minimum automatically, since keepers is a read-path agg
+    * over stored rows). Anti-join rewrite preserving the bucket spec;
+    * the staged survivors are materialized (localCheckpoint) before the
+    * overwrite — the write plan must not scan its own target. Returns
+    * chunk rows removed.
+    */
+  def delete(spark: SparkSession, docIds: DataFrame, tag: String): Long = {
+    val cT = chunksT(tag)
+    require(spark.catalog.tableExists(cT),
+      s"delete target $tag does not exist — buildOrLoad first")
+    val ids = broadcast(docIds.select(col("doc_id")).distinct())
+    val t = spark.table(cT)
+    val removed = t.join(ids, Seq("doc_id"), "left_semi").count()
+    if (removed == 0L) return 0L
+    val buckets = BandIndex.bucketsOf(spark, cT)
+    val staged = t.join(ids, Seq("doc_id"), "left_anti")
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tok", "chunk_fp")
+      .localCheckpoint()
+    staged.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "chunk_fp").sortBy("chunk_fp")
+      .saveAsTable(cT)
+    spark.catalog.refreshTable(cT)
+    removed
   }
 }

@@ -148,6 +148,59 @@ object ContainIndex {
     } finally post.unpersist()
   }
 
+  /** Takedown maintenance (r15 verdict #1, dual of [[append]]): remove
+    * every posting and doc-array row of `docIds`. A deleted doc can
+    * never be emitted as a candidate or verified as a match again —
+    * its postings AND its n-gram array are gone. Surviving counts go
+    * stale in the DUAL direction of append's batch-local lower bounds:
+    *   - posting `df` becomes a stale UPPER bound (it counted deleted
+    *     docs), so the `df <= cap` candidate restriction may SKIP an
+    *     n-gram deletion brought back under the cap — cost-safe but
+    *     recall-lossy at the cap margin (append's lower bound erred the
+    *     recall-safe way; the two verbs bracket the truth);
+    *   - doc-array `oc` becomes a stale UPPER bound, so the support
+    *     prefilter's `bound − min(oca, ocb)` threshold drops — MORE
+    *     candidates pass, recall-safe and cost-unsafe (same direction
+    *     as append here: oc only ever over-subtracts).
+    * [[refreshCounts]] re-levels both, after which [[probe]] ==
+    * rebuild-over-survivors exactly (ContainIndexSpec differential on
+    * the serving face). Survivors staged (localCheckpoint); the
+    * doc-array table — written second at build — drops FIRST so a
+    * crash between the writes breaks the both-tables gate into a
+    * rebuild (the IvfIndex split/merge write order). Returns
+    * (posting rows removed, doc-array rows removed).
+    */
+  def delete(spark: SparkSession, docIds: DataFrame,
+             tag: String): (Long, Long) = {
+    val ngT = s"${tag}_cngrams"
+    val dcT = s"${tag}_cdocs"
+    require(spark.catalog.tableExists(ngT) && spark.catalog.tableExists(dcT),
+      s"delete target $tag does not exist — buildOrLoad first")
+    val ids = broadcast(docIds.select(col("doc_id")).distinct())
+    val ng = spark.table(ngT)
+    val dc = spark.table(dcT)
+    val ngRemoved = ng.join(ids, Seq("doc_id"), "left_semi").count()
+    val dcRemoved = dc.join(ids, Seq("doc_id"), "left_semi").count()
+    if (ngRemoved == 0L && dcRemoved == 0L) return (0L, 0L)
+    val buckets = BandIndex.bucketsOf(spark, ngT)
+    val stagedNg = ng.join(ids, Seq("doc_id"), "left_anti")
+      .select("g1", "doc_id", "na", "df")
+      .localCheckpoint()
+    val stagedDc = dc.join(ids, Seq("doc_id"), "left_anti")
+      .select("doc_id", "ng", "na", "oc")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $dcT")
+    stagedNg.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "g1").sortBy("g1")
+      .saveAsTable(ngT)
+    stagedDc.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(dcT)
+    spark.catalog.refreshTable(ngT)
+    spark.catalog.refreshTable(dcT)
+    (ngRemoved, dcRemoved)
+  }
+
   /** What the df cap silently excludes from candidate generation on
     * the stored index: (over-cap distinct n-grams, posting rows inside
     * them). Scan-only — `df` is a stored column — so the pipeline can
@@ -169,6 +222,13 @@ object ContainIndex {
     */
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, s"${tag}_cngrams")
+
+  /** Whether the stored index for `tag` is fully cataloged (the
+    * IvfIndex convention).
+    */
+  def exists(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(s"${tag}_cngrams") &&
+      spark.catalog.tableExists(s"${tag}_cdocs")
 
   /** The probe — ONE definition shared by the declared incremental
     * query and the streaming ingest face, so batch and stream cannot

@@ -280,8 +280,13 @@ object IvfIndex {
     * centroid row, a probe-join task, and returns almost nothing, so
     * the probe budget (a fixed cells/8 count) buys a shrinking
     * searched fraction as dead cells accumulate. Every cell smaller
-    * than mean/`factor` retires: its members reassign to their nearest
-    * SURVIVING (non-cold) centroid by the [[append]] assignment rule
+    * than mean/`factor` retires — including EMPTY cells (a centroid
+    * with zero member rows: every member deleted, or a split child
+    * that won nothing), which the occupancy bound alone cannot see
+    * because the sizes relation only carries occupied cells (r15
+    * advice): their centroids anti-join away with no members to move.
+    * An occupied cold cell's members reassign to their nearest
+    * SURVIVING (non-retired) centroid by the [[append]] assignment rule
     * VERBATIM (cosine desc, cell asc tiebreak — IvfIndexSpec pins
     * merge == an independent recomputation), and its centroid row is
     * removed. Surviving centroids do NOT move — the append staleness
@@ -330,11 +335,23 @@ object IvfIndex {
       val cold = sizes.filter(col("n") < lit(bound))
         .select(col("cell").cast("long")).collect().map(_.getLong(0))
         .sorted.toSeq
-      if (cold.isEmpty) return (0, minBefore, minBefore)
+      // EMPTY cells — a centroid row with no member rows at all (every
+      // member deleted, or a split child that won nothing) — are the
+      // extreme of the dead-probe-budget motivation, yet invisible to
+      // the occupancy bound (the sizes relation only has occupied
+      // cells; r15 advice). Retire them too: anti-join the centroid
+      // table against the occupied cell ids. No members to reassign.
+      val empties = spark.table(mT)
+        .join(sizes.select(col("cell")), Seq("cell"), "left_anti")
+        .select(col("cell").cast("long")).collect().map(_.getLong(0))
+        .sorted.toSeq
+      if (cold.isEmpty && empties.isEmpty)
+        return (0, minBefore, minBefore)
       import spark.implicits._
       val coldSet = broadcast(cold.toDF("cell"))
+      val retiredSet = broadcast((cold ++ empties).toDF("cell"))
       val survCents = spark.table(mT)
-        .join(coldSet, Seq("cell"), "left_anti")
+        .join(retiredSet, Seq("cell"), "left_anti")
       // reassign the cold members against SURVIVING centroids — the
       // append rule verbatim, restricted to survivors
       val wA = Window.partitionBy("vec_id")
@@ -363,13 +380,52 @@ object IvfIndex {
       val minAfter = spark.table(cT)
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .agg(coalesce(min(col("n")), lit(0L))).collect()(0).getLong(0)
-      (cold.size, minBefore, minAfter)
+      (cold.size + empties.size, minBefore, minAfter)
     } finally sizes.unpersist()
+  }
+
+  /** Takedown maintenance (r15 verdict #1): remove `vecIds`' cell rows.
+    * Assignments are per-vector facts, so the CELLS table is exact
+    * immediately: a deleted vector can never be probed, scored, or
+    * returned again — its row is gone from the only table the serving
+    * joins scan (IvfIndexSpec pins the serving face). CENTROIDS are
+    * untouched and go stale in the DUAL direction of [[append]]: each
+    * surviving centroid is the mean of a member set that still counts
+    * the deleted vectors, until [[refreshCentroids]] recomputes exact
+    * means over survivors (and drops any cell deletion emptied —
+    * [[mergeColdCells]] also retires empty cells' centroids). Stale
+    * centroids shift which cells are PROBED, never which vectors exist:
+    * recall against the surviving corpus may drift until refresh, but
+    * no deleted content is served — the direction a takedown needs.
+    * Anti-join rewrite preserving the bucket spec; survivors staged
+    * (localCheckpoint) before the overwrite. A crash mid-overwrite
+    * leaves the cells table partial/missing, which the both-tables gate
+    * turns into a rebuild. Returns cell rows removed.
+    */
+  def delete(spark: SparkSession, vecIds: DataFrame, tag: String): Long = {
+    val (cT, mT) = (cellsT(tag), centT(tag))
+    require(spark.catalog.tableExists(cT) && spark.catalog.tableExists(mT),
+      s"delete target $tag does not exist — buildOrLoad first")
+    val ids = broadcast(vecIds.select(col("vec_id")).distinct())
+    val cells = spark.table(cT)
+    val removed = cells.join(ids, Seq("vec_id"), "left_semi").count()
+    if (removed == 0L) return 0L
+    val buckets = BandIndex.bucketsOf(spark, cT)
+    val staged = cells.join(ids, Seq("vec_id"), "left_anti")
+      .select("vec_id", "v", "nrm", "cell")
+      .localCheckpoint()
+    staged.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(cT)
+    spark.catalog.refreshTable(cT)
+    removed
   }
 
   /** Periodic compaction: recompute exact Lloyd means (and norms) from
     * the stored cell assignment — the centroid refresh an IVF system
-    * schedules after enough appends.
+    * schedules after enough appends. A cell with no member rows
+    * (every member deleted) gets no centroid row here — the refresh is
+    * the empty-cell retirement path, alongside [[mergeColdCells]].
     */
   def refreshCentroids(spark: SparkSession, tag: String): Unit = {
     import org.apache.spark.sql.types.DecimalType
@@ -384,5 +440,9 @@ object IvfIndex {
       .withColumn("cn",
         sqrt(graft.functions.VectorFunctions.dot(col("cv"), col("cv"))))
       .write.mode(SaveMode.Overwrite).saveAsTable(centT(tag))
+    // drop any session-cached plan over the pre-refresh centroids (the
+    // splitHotCells/refreshCounts convention — saveAsTable's implicit
+    // invalidation does not reach persisted reads; r15 verdict #1)
+    spark.catalog.refreshTable(centT(tag))
   }
 }

@@ -49,6 +49,13 @@ object MediaSigStore {
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, sigT(tag))
 
+  /** Whether the stored artifact for `tag` is fully cataloged (the
+    * IvfIndex convention).
+    */
+  def exists(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(sigT(tag)) &&
+      spark.catalog.tableExists(bandT(tag))
+
   /** (bk, doc_id) postings of a signature relation. */
   private[ops] def bandRows(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
@@ -147,6 +154,51 @@ object MediaSigStore {
         .select(col("bk"), col("doc_id"), col("bsz"))
         .write.insertInto(bT)
     } finally sigs.unpersist()
+  }
+
+  /** Takedown maintenance (r15 verdict #1, dual of [[append]]): remove
+    * every signature and band-posting row of `docIds`. A deleted item
+    * can never be emitted as a candidate or verified as a match again —
+    * its postings and its signature row are gone from both serving
+    * joins. Surviving band rows keep their stored `bsz`, now a stale
+    * UPPER bound (the bucket was counted over a population that
+    * included the deleted items), so the hot-bucket cap errs toward
+    * SKIPPING a bucket deletion brought back under the cap — the exact
+    * dual of append's insert-time-true counts that only ever grow.
+    * [[refreshBucketSizes]] re-levels, after which [[probe]] ==
+    * rebuild-over-survivors exactly (MediaSigStoreSpec differential on
+    * the serving face). Survivors staged (localCheckpoint); the band
+    * table — written second at build — drops FIRST so a crash between
+    * the writes breaks the both-tables gate into a rebuild. Returns
+    * (signature rows removed, band rows removed).
+    */
+  def delete(spark: SparkSession, docIds: DataFrame,
+             tag: String): (Long, Long) = {
+    val (sT, bT) = (sigT(tag), bandT(tag))
+    require(spark.catalog.tableExists(sT) && spark.catalog.tableExists(bT),
+      s"delete target $tag does not exist — buildOrLoad first")
+    val ids = broadcast(docIds.select(col("doc_id")).distinct())
+    val sigs = spark.table(sT)
+    val bands = spark.table(bT)
+    val sRemoved = sigs.join(ids, Seq("doc_id"), "left_semi").count()
+    val bRemoved = bands.join(ids, Seq("doc_id"), "left_semi").count()
+    if (sRemoved == 0L && bRemoved == 0L) return (0L, 0L)
+    val buckets = BandIndex.bucketsOf(spark, sT)
+    val stagedSigs = sigs.join(ids, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val stagedBands = bands.join(ids, Seq("doc_id"), "left_anti")
+      .select("bk", "doc_id", "bsz")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $bT")
+    stagedSigs.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(sT)
+    stagedBands.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(bT)
+    spark.catalog.refreshTable(sT)
+    spark.catalog.refreshTable(bT)
+    (sRemoved, bRemoved)
   }
 
   /** Periodic compaction: recompute exact bsz for EVERY row from the

@@ -53,6 +53,13 @@ object PqStore {
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, codesT(tag))
 
+  /** Whether the stored artifact for `tag` is fully cataloged (the
+    * IvfIndex convention).
+    */
+  def exists(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(cbT(tag)) &&
+      spark.catalog.tableExists(codesT(tag))
+
   /** Materialize (or reuse, if already cataloged this session) the PQ
     * artifact for the corpus at `dir`. Returns (codebook, codes) as
     * reads of the stored tables.
@@ -119,6 +126,39 @@ object PqStore {
       s"append target $tag does not exist — buildOrLoad first")
     SimilarityQueries.encodePq(newVectors, spark.table(bT))
       .write.insertInto(cT)
+  }
+
+  /** Takedown maintenance (r15 verdict #1): remove `vecIds`' code rows.
+    * Codes are per-vector facts encoded against the shared codebook, so
+    * the CODES table is exact immediately: post-delete it equals
+    * `encodePq(survivors, codebook)` row for row (PqStoreSpec
+    * differential), and a deleted vector can never appear in an ADC
+    * shortlist again — its code row is gone. The CODEBOOK is untouched:
+    * it was trained on a corpus that included the deleted vectors, the
+    * same model-grain drift as [[append]]'s un-retrained codebook; the
+    * exactness follow-up is [[rebuild]] (retrain + re-encode), as the
+    * class doc argues for every codebook change. Anti-join rewrite
+    * preserving the bucket spec, survivors staged (localCheckpoint)
+    * before the overwrite. Returns code rows removed.
+    */
+  def delete(spark: SparkSession, vecIds: DataFrame, tag: String): Long = {
+    val cT = codesT(tag)
+    require(spark.catalog.tableExists(cbT(tag)) &&
+      spark.catalog.tableExists(cT),
+      s"delete target $tag does not exist — buildOrLoad first")
+    val ids = broadcast(vecIds.select(col("vec_id")).distinct())
+    val t = spark.table(cT)
+    val removed = t.join(ids, Seq("vec_id"), "left_semi").count()
+    if (removed == 0L) return 0L
+    val buckets = BandIndex.bucketsOf(spark, cT)
+    val staged = t.join(ids, Seq("vec_id"), "left_anti")
+      .select("vec_id", "nrm", "codes")
+      .localCheckpoint()
+    staged.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(cT)
+    spark.catalog.refreshTable(cT)
+    removed
   }
 
   /** Offline retrain: drop both tables and rebuild from the corpus —

@@ -71,6 +71,13 @@ object SpanSet {
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, rowsT(tag))
 
+  /** Whether the stored artifact for `tag` is fully cataloged (the
+    * IvfIndex convention).
+    */
+  def exists(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(rowsT(tag)) &&
+      spark.catalog.tableExists(setT(tag))
+
   /** Materialize (or reuse, if already cataloged this session) the span
     * artifact for `docs` (must carry doc_id + source + text). Returns
     * (spanRows, spanCounts) as reads of the stored bucketed tables.
@@ -147,6 +154,10 @@ object SpanSet {
     */
   private def mergedCounts(spark: SparkSession, tag: String): DataFrame =
     spark.table(setT(tag)).groupBy("sh").agg(sum(col("nd")).as("nd"))
+      // a fingerprint whose inserts and [[delete]]'s negative deltas
+      // cancel to zero is not a span of the corpus any more — it must
+      // not count in spanAudit's distinct-span total
+      .filter(col("nd") > 0)
 
   /** The duplicated-span set read off the stored artifact: delta rows
     * sum-merged per fingerprint (bucket-local), then the MinDocs
@@ -195,6 +206,56 @@ object SpanSet {
       rows.write.insertInto(rT)
       rows.groupBy("sh").agg(count(lit(1)).as("nd")).write.insertInto(sT)
     } finally rows.unpersist()
+  }
+
+  /** Takedown maintenance (r15 verdict #1): remove every span row of
+    * `docIds` and insert the deleted rows' per-fingerprint counts as
+    * NEGATIVE sum-lattice delta rows — the count lattice that makes
+    * appends exact-on-read absorbs deletions the same way, so this is
+    * the one count-bearing family whose delete has NO staleness window:
+    * `sum(nd) group by sh` over any delta state equals the
+    * from-scratch count, and a span that deletion pushed under MinDocs
+    * leaves [[duplicatedSpans]] IMMEDIATELY (SpanSetSpec differential
+    * vs a rebuild over survivors, no refresh needed). Extractor-
+    * independent — the deltas derive from the STORED rows, so one
+    * delete serves both the word-gram and char-winnow families.
+    * Write order: the rows table (the content-bearing one) rewrites
+    * FIRST, then the deltas insert; a crash between leaves counts
+    * stale UPPER bounds — spans stay flagged duplicated slightly
+    * longer, the safe direction for a dedup artifact — and
+    * [[refreshSpanCounts]] heals exactly (it rebuilds counts from
+    * rows). Returns (span rows removed, negative delta rows inserted).
+    */
+  def delete(spark: SparkSession, docIds: DataFrame,
+             tag: String): (Long, Long) = {
+    val (rT, sT) = (rowsT(tag), setT(tag))
+    require(spark.catalog.tableExists(rT) && spark.catalog.tableExists(sT),
+      s"delete target $tag does not exist — buildOrLoad first")
+    val ids = broadcast(docIds.select(col("doc_id")).distinct())
+    val rows = spark.table(rT)
+    val gone = rows.join(ids, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val removed = gone.count()
+      if (removed == 0L) return (0L, 0L)
+      // negated per-fingerprint counts of the deleted rows, staged
+      // BEFORE the rows rewrite (they derive from the table being
+      // rewritten)
+      val stagedNegs = gone.groupBy("sh")
+        .agg((-count(lit(1))).as("nd"))
+        .localCheckpoint()
+      val nNegs = stagedNegs.count()
+      val stagedRows = rows.join(ids, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val buckets = BandIndex.bucketsOf(spark, rT)
+      stagedRows.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "sh").sortBy("sh")
+        .saveAsTable(rT)
+      stagedNegs.select(col("sh"), col("nd")).write.insertInto(sT)
+      spark.catalog.refreshTable(rT)
+      spark.catalog.refreshTable(sT)
+      (removed, nNegs)
+    } finally gone.unpersist()
   }
 
   /** Periodic compaction: fold the accumulated delta rows back to one

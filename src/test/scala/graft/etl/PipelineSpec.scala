@@ -167,6 +167,71 @@ class PipelineSpec extends SparkSpec {
       bRow.detail)
   }
 
+  test("deleteDocs takedown phase (r15 verdict #1): one report row per " +
+    "existing artifact family with removal counts; deleted ids leave " +
+    "every serving path; absent families are skipped") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-del-src").toString
+    val dst = Files.createTempDirectory("graft-del-dst").toString
+    val boiler = "this is the same boilerplate license header text " +
+      "repeated verbatim across many documents in the corpus"
+    ((1L to 6L).map(i => (i, boiler)) :+
+      (100L, "one unique document with entirely different content here today"))
+      .toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.parquet(s"$src/docs.parquet")
+    val rnd = new scala.util.Random(5)
+    (1L to 40L).map(i => (i, Seq.fill(4)(rnd.nextFloat()), "en"))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$src/embeddings.parquet")
+    Pipeline.migrate(
+      spark, Pipeline.SourceConfig(dir = src), outDir = dst,
+      artifacts = Pipeline.ArtifactConfig(
+        bandIndexTables = Seq("docs"),
+        spanSetTables = Seq("docs"),
+        charSpanTables = Seq("docs"),
+        chunkStoreTables = Seq("docs"),
+        containIndexTables = Seq("docs"),
+        lexIndexTables = Seq("docs"),
+        buildIvfIndex = true,
+        buildPqStore = true))
+    val rows = Pipeline.deleteDocs(spark, dst,
+      Seq(2L, 3L, 999L).toDF("doc_id"), lexTables = Seq("docs"))
+    // one row per family that exists under this dir (no media sigs
+    // were built -> none reported)
+    assert(rows.map(_.kind).sorted == Seq("delete_band_index",
+      "delete_char_span_set", "delete_chunk_store",
+      "delete_contain_index", "delete_ivf_index", "delete_lex_index",
+      "delete_pq_store", "delete_span_set"),
+      rows.map(_.kind).sorted.toString)
+    // counts are in the rows (2 indexed docs removed everywhere;
+    // vec_ids 2 and 3 removed from the vector families)
+    assert(rows.find(_.kind == "delete_chunk_store").get
+      .detail.contains("chunk_rows_removed=2"))
+    assert(rows.find(_.kind == "delete_ivf_index").get
+      .detail.contains("cell_rows_removed=2"))
+    assert(rows.find(_.kind == "delete_pq_store").get
+      .detail.contains("code_rows_removed=2"))
+    // the serving surfaces no longer know the ids
+    val bandTag = graft.ops.BandIndex.tag(dst, "full")
+    assert(spark.table(s"${bandTag}_shingles")
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(2L, 3L))
+      .count() == 0)
+    val lexTag = graft.ops.LexIndex.tag(s"$dst/docs")
+    val (post, stats) = (spark.table(s"${lexTag}_lpost"),
+      spark.table(s"${lexTag}_lstats"))
+    assert(stats.as[(Long, Long)].collect().head._1 == 5L,
+      "lex stats must subtract the two deleted docs")
+    assert(post.filter(org.apache.spark.sql.functions
+      .col("doc_id").isin(2L, 3L)).count() == 0)
+    // idempotent end-to-end: a second pass removes nothing
+    val again = Pipeline.deleteDocs(spark, dst,
+      Seq(2L, 3L).toDF("doc_id"), lexTables = Seq("docs"))
+    assert(again.forall(r => !r.detail.matches(".*removed=[1-9].*")),
+      again.map(_.detail).mkString("; "))
+  }
+
   test("reflectTables discovers parquet tables (A2)") {
     val d = Files.createTempDirectory("graft-reflect").toString
     import spark.implicits._

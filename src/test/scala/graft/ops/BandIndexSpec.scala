@@ -108,4 +108,52 @@ class BandIndexSpec extends SparkSpec {
       "refreshed index must equal a from-scratch rebuild")
     dropAll(tagA); dropAll(tagB)
   }
+
+  test("delete (r15 verdict #1, the append dual): a deleted doc can " +
+    "never be a candidate again — immediately, pre-refresh; surviving " +
+    "bsz is a stale UPPER bound; delete + refreshBucketSizes == a " +
+    "from-scratch rebuild over the survivors") {
+    val tagA = "graft_test_bi_del"
+    val tagB = "graft_test_bi_del_ref"
+    dropAll(tagA); dropAll(tagB)
+    // docs 1 and 3 are identical; delete 1 (and a never-indexed 99)
+    val standing = Seq((1L, copyText), (2L, otherText), (3L, copyText))
+      .toDF("doc_id", "text")
+    BandIndex.buildOrLoad(spark, standing, tagA)
+    val (shR, bdR) = BandIndex.delete(spark,
+      Seq(1L, 99L).toDF("doc_id"), tagA)
+    assert(shR == 1L && bdR == 3L, s"got ($shR, $bdR)")
+    // the takedown guarantee holds with stale counts and all: a probe
+    // batch carrying the deleted text (the nearDupCandidates band join)
+    // pairs with the SURVIVING copy only
+    val cands = DedupQueries.bandRows(
+        Seq((50L, copyText)).toDF("doc_id", "text"))
+      .join(spark.table(s"${tagA}_bands")
+          .filter(col("bsz") <= DedupQueries.HotBucketCap)
+          .select(col("doc_id").as("match_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("match_id").distinct().as[Long].collect().toSet
+    assert(cands == Set(3L), s"probe must see only the survivor: $cands")
+    // the survivor's buckets keep the pre-delete population — a stale
+    // UPPER bound (2 >= true 1), the dual of append's lower bound
+    val bsz3 = spark.table(s"${tagA}_bands")
+      .filter(col("doc_id") === 3L).select("bsz").as[Long].collect()
+    assert(bsz3.nonEmpty && bsz3.forall(_ == 2L), bsz3.toSeq.toString)
+    // re-level: both tables equal a from-scratch rebuild over survivors
+    BandIndex.refreshBucketSizes(spark, tagA)
+    BandIndex.buildOrLoad(spark,
+      standing.filter(col("doc_id") =!= 1L), tagB)
+    for ((t, cols) <- Seq(
+      ("shingles", Seq("doc_id", "sh")),
+      ("bands", Seq("doc_id", "band", "bh", "bsz")))) {
+      val a = spark.table(s"${tagA}_$t").select(cols.map(col): _*)
+      val b = spark.table(s"${tagB}_$t").select(cols.map(col): _*)
+      assert(a.except(b).isEmpty && b.except(a).isEmpty,
+        s"$t must equal the rebuild over survivors")
+    }
+    // idempotent: a second delete of the same ids removes nothing
+    assert(BandIndex.delete(spark, Seq(1L).toDF("doc_id"), tagA) ==
+      ((0L, 0L)))
+    dropAll(tagA); dropAll(tagB)
+  }
 }

@@ -70,4 +70,33 @@ class ChunkStoreSpec extends SparkSpec {
     assert(BandIndex.derivedBuckets(600L, 1L) == 1024)
     drop(tagI); drop(tagF)
   }
+
+  test("delete (r15 verdict #1): per-doc facts make the delete exact " +
+    "with NO staleness window — post-delete table == rebuild over the " +
+    "survivors, and a keeper owned by the deleted doc re-elects to the " +
+    "surviving minimum automatically") {
+    val tagA = "graft_test_cs_del"
+    val tagB = "graft_test_cs_del_ref"
+    drop(tagA); drop(tagB)
+    // docs 1 and 3 share all fingerprints; doc 1 is the build-time keeper
+    ChunkStore.buildOrLoad(spark, docs(1L -> a, 2L -> b, 3L -> a), tagA)
+    assert(ChunkStore.keepers(spark, tagA)
+      .filter(col("keeper_doc") === 3L).count() == 0)
+    val removed = ChunkStore.delete(spark,
+      Seq(1L, 99L).toDF("doc_id"), tagA)
+    assert(removed == 2L, s"got $removed")
+    // keepers re-elect: doc 3 now owns the shared fingerprints
+    val k = ChunkStore.keepers(spark, tagA)
+      .select("keeper_doc").distinct().as[Long].collect().toSet
+    assert(k == Set(2L, 3L), s"keeper must re-elect to the survivor: $k")
+    // delete == rebuild-minus exactly (no refresh step exists or is
+    // needed — the family's no-staleness contract covers delete too)
+    ChunkStore.buildOrLoad(spark, docs(2L -> b, 3L -> a), tagB)
+    val da = spark.table(s"${tagA}_chunks")
+    val db = spark.table(s"${tagB}_chunks")
+    assert(da.except(db).isEmpty && db.except(da).isEmpty,
+      "post-delete table must equal the rebuild over survivors")
+    assert(ChunkStore.delete(spark, Seq(1L).toDF("doc_id"), tagA) == 0L)
+    drop(tagA); drop(tagB)
+  }
 }

@@ -159,4 +159,53 @@ class ContainIndexSpec extends SparkSpec {
     assert(canonD(s"${tagA}_cdocs") == canonD(s"${tagB}_cdocs"))
     dropAll(tagA); dropAll(tagB)
   }
+
+  test("delete (r15 verdict #1, the append dual): a deleted doc is " +
+    "never matched again on the probe face — immediately, pre-refresh " +
+    "— and delete + refreshCounts == a from-scratch rebuild over the " +
+    "survivors on both tables AND on probe results") {
+    val tagA = "graft_test_ci_del"
+    val tagB = "graft_test_ci_del_ref"
+    dropAll(tagA); dropAll(tagB)
+    // two copies of the book (1, 3) + filler (2); delete copy 1
+    val standing = Seq((1L, book), (2L, filler), (3L, book + " extra tail"))
+    ContainIndex.buildOrLoad(spark, standing.toDF("doc_id", "text"), tagA)
+    val (ngR, dcR) = ContainIndex.delete(spark,
+      Seq(1L, 99L).toDF("doc_id"), tagA)
+    assert(ngR == 28L && dcR == 1L, s"got ($ngR, $dcR)") // 30 words -> 28 3-grams
+    // the takedown guarantee pre-refresh: a probing quote of the book
+    // matches the SURVIVING copy, never doc 1
+    val probes = Seq((50L, words.take(10).mkString(" ")))
+    val got = ContainIndex.probe(
+        DedupQueries.ngramDocs(probes.toDF("doc_id", "text")),
+        spark.table(s"${tagA}_cngrams"), spark.table(s"${tagA}_cdocs"))
+      .select("doc_id", "match_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(50L -> 3L), s"probe must see only the survivor: $got")
+    // re-level, then: tables == rebuild over survivors, and the probe
+    // face equals the rebuild's probe row for row
+    ContainIndex.refreshCounts(spark, tagA)
+    val survivors = standing.filterNot(_._1 == 1L)
+    ContainIndex.buildOrLoad(spark, survivors.toDF("doc_id", "text"), tagB)
+    def canon(t: String) = spark.table(t)
+      .select(col("g1"), col("doc_id"), col("na"), col("df"))
+      .orderBy("g1", "doc_id").collect().toSeq
+    assert(canon(s"${tagA}_cngrams") == canon(s"${tagB}_cngrams"))
+    def canonD(t: String) = spark.table(t)
+      .select(col("doc_id"), col("na"), col("oc"))
+      .orderBy("doc_id").collect().toSeq
+    assert(canonD(s"${tagA}_cdocs") == canonD(s"${tagB}_cdocs"))
+    val pa = ContainIndex.probe(
+        DedupQueries.ngramDocs(probes.toDF("doc_id", "text")),
+        spark.table(s"${tagA}_cngrams"), spark.table(s"${tagA}_cdocs"))
+      .collect().toSeq
+    val pb = ContainIndex.probe(
+        DedupQueries.ngramDocs(probes.toDF("doc_id", "text")),
+        spark.table(s"${tagB}_cngrams"), spark.table(s"${tagB}_cdocs"))
+      .collect().toSeq
+    assert(pa == pb, "probe == rebuild's probe after re-level")
+    // idempotent
+    assert(ContainIndex.delete(spark, Seq(1L).toDF("doc_id"), tagA) ==
+      ((0L, 0L)))
+    dropAll(tagA); dropAll(tagB)
+  }
 }

@@ -30,7 +30,7 @@ class LexIndexSpec extends SparkSpec {
   }
 
   private def dropAll(tag: String): Unit =
-    Seq(s"${tag}_lpost", s"${tag}_lstats").foreach(t =>
+    Seq(s"${tag}_lpost", s"${tag}_lstats", s"${tag}_ltouched").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   /** Pure-Scala posting reference: (term, doc_id, tf, dl, df). */
@@ -166,8 +166,10 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.refreshCounts(spark, tag)
     LexIndex.buildOrLoad(spark, corpus(standing ++ batch: _*), tagRef)
     val a = spark.table(s"${tag}_lpost")
+      .select("term", "doc_id", "tf", "dl", "df")
       .as[(String, Long, Long, Long, Long)].collect().toSet
     val b = spark.table(s"${tagRef}_lpost")
+      .select("term", "doc_id", "tf", "dl", "df")
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(a == b)
     dropAll(tag); dropAll(tagRef)
@@ -226,6 +228,123 @@ class LexIndexSpec extends SparkSpec {
     dropAll(tag)
   }
 
+  test("delete (r15 verdict #1): a deleted doc is never retrieved " +
+    "again on the serving face, stats subtract exactly, surviving df " +
+    "is a stale UPPER bound (the append dual), and delete + " +
+    "refreshCountsPartial == a from-scratch rebuild over the " +
+    "survivors row-for-row") {
+    val tag = freshTag("lex")
+    val tagRef = freshTag("lexref")
+    dropAll(tag); dropAll(tagRef)
+    LexIndex.buildOrLoad(spark, corpus(standing: _*), tag)
+    // delete docs 1 and 3 (both match query terms) + a never-indexed id
+    val removed = LexIndex.delete(spark,
+      Seq(1L, 3L, 999L).toDF("doc_id"), tag)
+    assert(removed == refPostings(standing)
+      .count(p => p._2 == 1L || p._2 == 3L),
+      "removed rows must equal the deleted docs' posting count")
+    val survivors = standing.filterNot(d => Set(1L, 3L)(d._1))
+    // the takedown guarantee holds IMMEDIATELY (stale df and all):
+    // scoring any query can never return the deleted docs
+    val (post, stats) = (spark.table(s"${tag}_lpost"),
+      spark.table(s"${tag}_lstats"))
+    val got = LexIndex.scoreTerms(post, stats, CorpusQueries.Bm25Terms)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!got.contains(1L) && !got.contains(3L),
+      s"deleted docs must never be retrieved: $got")
+    // stats row is exact over the survivors
+    assert(stats.as[(Long, Long)].collect().head ==
+      ((2L, survivors.map(_._2.trim.split(" +").length.toLong).sum)))
+    // staleness direction: every surviving df UPPER-bounds the truth
+    val trueDf = refPostings(survivors).map(p => (p._1, p._2) -> p._5).toMap
+    post.select("term", "doc_id", "df").as[(String, Long, Long)]
+      .collect().foreach { case (t, id, d) =>
+        assert(d >= trueDf((t, id)), s"df must upper-bound after delete: $t")
+      }
+    // the ledger holds the deleted docs' terms; the partial re-level
+    // equals a from-scratch rebuild over the survivors
+    assert(spark.table(s"${tag}_ltouched").count() > 0)
+    val nPb = LexIndex.refreshCountsPartial(spark, tag)
+    assert(nPb > 0)
+    LexIndex.buildOrLoad(spark, corpus(survivors: _*), tagRef)
+    val a = spark.table(s"${tag}_lpost")
+      .select("term", "doc_id", "tf", "dl", "df")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val b = spark.table(s"${tagRef}_lpost")
+      .select("term", "doc_id", "tf", "dl", "df")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(a == b, "partial re-level after delete must equal a rebuild")
+    // idempotent: deleting the same ids again removes nothing
+    assert(LexIndex.delete(spark, Seq(1L, 3L).toDF("doc_id"), tag) == 0L)
+    dropAll(tag); dropAll(tagRef)
+  }
+
+  test("refreshCountsPartial (r15 verdict #4): only the buckets " +
+    "holding touched terms rewrite — result == the full refreshCounts " +
+    "row-for-row, and every untouched partition's files are " +
+    "byte-identical on disk") {
+    val tag = freshTag("lex")
+    val tagFull = freshTag("lexfull")
+    dropAll(tag); dropAll(tagFull)
+    // twin indexes, same build + same append
+    val batch = Seq((10L, "query speed matters most here"))
+    LexIndex.buildOrLoad(spark, corpus(standing: _*), tag)
+    LexIndex.buildOrLoad(spark, corpus(standing: _*), tagFull)
+    LexIndex.append(spark, corpus(batch: _*), tag)
+    LexIndex.append(spark, corpus(batch: _*), tagFull)
+    // the touched partitions, from the ledger (what partial will rewrite)
+    val nb = LexIndex.buckets(spark, tag)
+    val touchedPbs = spark.table(s"${tag}_ltouched")
+      .select(expr(s"pmod(hash(term), $nb)").cast("int")).distinct()
+      .as[Int].collect().toSet
+    val allPbs = spark.table(s"${tag}_lpost")
+      .select(col("pb").cast("int")).distinct().as[Int].collect().toSet
+    assert(touchedPbs.nonEmpty && (allPbs -- touchedPbs).nonEmpty,
+      s"fixture must leave untouched partitions: $touchedPbs of $allPbs")
+    // snapshot the untouched partitions' files (path -> length, mtime)
+    def files(pbs: Set[Int]): Map[String, (Long, Long)] = pbs.flatMap { k =>
+      val d = new java.io.File(s"spark-warehouse/${tag}_lpost/pb=$k")
+      Option(d.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified()))
+    }.toMap
+    val untouched = allPbs -- touchedPbs
+    val before = files(untouched)
+    assert(before.nonEmpty, "untouched partitions must have files")
+    val nPb = LexIndex.refreshCountsPartial(spark, tag)
+    assert(nPb == touchedPbs.size.toLong)
+    assert(files(untouched) == before,
+      "untouched partitions must be byte-identical (same files, " +
+        "sizes, and modification times)")
+    LexIndex.refreshCounts(spark, tagFull)
+    val a = spark.table(s"${tag}_lpost")
+      .select("term", "doc_id", "tf", "dl", "df")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val b = spark.table(s"${tagFull}_lpost")
+      .select("term", "doc_id", "tf", "dl", "df")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(a == b, "partial == full re-level row-for-row")
+    // both ledgers reset
+    assert(spark.table(s"${tag}_ltouched").count() == 0)
+    assert(spark.table(s"${tagFull}_ltouched").count() == 0)
+    // a second partial pass is a no-op (nothing touched)
+    assert(LexIndex.refreshCountsPartial(spark, tag) == 0L)
+    // the BUCKET-PRUNED read path sees the rewritten rows: if the
+    // dynamic-partition overwrite had mis-bucketed its files, the
+    // term-IN pruned scan would silently lose postings
+    val terms = Seq("query", "spark")
+    val sp = LexIndex.scoreTerms(spark.table(s"${tag}_lpost"),
+        spark.table(s"${tag}_lstats"), terms)
+      .select(col("doc_id"), round(col("score"), 6))
+      .as[(Long, Double)].collect().toMap
+    val sf = LexIndex.scoreTerms(spark.table(s"${tagFull}_lpost"),
+        spark.table(s"${tagFull}_lstats"), terms)
+      .select(col("doc_id"), round(col("score"), 6))
+      .as[(Long, Double)].collect().toMap
+    assert(sp == sf && sp.nonEmpty,
+      s"bucket-pruned scoring must agree after the partial rewrite: $sp")
+    dropAll(tag); dropAll(tagFull)
+  }
+
   test("scorePanel == scoreTerms per panel query: the hybrid-fusion " +
     "lexical leg (r14 verdict #4) shares the combine expression and " +
     "both pushed caps VERBATIM — a panel of queries scores each doc " +
@@ -249,6 +368,18 @@ class LexIndexSpec extends SparkSpec {
       assert(got.getOrElse(q, Map.empty) == solo,
         s"panel query $q diverged from its solo scoreTerms run")
     }
+    // PanelTermCap overflow (r15 verdict 'what's wrong' #2): forcing
+    // the cap under the panel vocabulary switches to the broadcast
+    // semi-join fallback — identical rows, no literal list in the plan
+    val fallback = LexIndex.scorePanel(post, stats, qt, allTerms,
+        panelTermCap = 0)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+    val literal = LexIndex.scorePanel(post, stats, qt, allTerms)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fallback == literal,
+      "over-cap fallback must score identically to the literal path")
     dropAll(tag)
   }
 }

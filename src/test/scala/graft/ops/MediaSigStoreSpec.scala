@@ -60,6 +60,47 @@ class MediaSigStoreSpec extends SparkSpec {
     assert(exp.nonEmpty, "differential should exercise real matches")
   }
 
+  test("delete (r15 verdict #1, the append dual): a deleted item is " +
+    "never matched again — immediately, pre-refresh — surviving bsz " +
+    "upper-bounds, and delete + refreshBucketSizes makes probe == a " +
+    "from-scratch rebuild over the survivors") {
+    val tagA = "graft_test_msdel_" + System.nanoTime()
+    val tagB = "graft_test_msdelref_" + System.nanoTime()
+    // standing: twins 3 and 197 (group 3) + disjoint 7; delete 3
+    MediaSigStore.buildOrLoad(spark, docs(Seq(3L, 7L, 197L)), tagA,
+      ImageDedup.dhashSigs)
+    val (sR, bR) = MediaSigStore.delete(spark,
+      Seq(3L, 999L).toDF("doc_id"), tagA)
+    assert(sR == 1L && bR == 4L, s"got ($sR, $bR)")
+    // the takedown guarantee pre-refresh: the probe of group-3's
+    // perturbed twin sees only the SURVIVING twin 197
+    val batch = ImageDedup.dhashSigs(docs(Seq(100L)))
+    val hits = MediaSigStore.probe(spark, batch, tagA, ImageDedup.HamT)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) == Seq((100L, 197L)),
+      s"probe must see only the survivor: $hits")
+    // surviving band rows keep the pre-delete bucket population (a
+    // stale upper bound); the re-level restores exactness: probe ==
+    // the rebuild-over-survivors' probe
+    MediaSigStore.refreshBucketSizes(spark, tagA)
+    MediaSigStore.buildOrLoad(spark, docs(Seq(7L, 197L)), tagB,
+      ImageDedup.dhashSigs)
+    val pa = MediaSigStore.probe(spark, batch, tagA, ImageDedup.HamT)
+      .as[(Long, Long, Long)].collect().toSet
+    val pb = MediaSigStore.probe(spark, batch, tagB, ImageDedup.HamT)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pa == pb, "probe must equal the rebuild over survivors")
+    // ...and the tables themselves agree
+    for (suffix <- Seq("_msig", "_mband")) {
+      val a = spark.table(s"$tagA$suffix")
+      val b = spark.table(s"$tagB$suffix")
+      assert(a.except(b).isEmpty && b.except(a).isEmpty,
+        s"$suffix must equal the rebuild over survivors")
+    }
+    assert(MediaSigStore.delete(spark, Seq(3L).toDF("doc_id"), tagA) ==
+      ((0L, 0L)))
+  }
+
   test("streaming faces == the shared probe definition (image and audio)") {
     val imgTag = "graft_test_msimg_" + System.nanoTime()
     val audTag = "graft_test_msaud_" + System.nanoTime()

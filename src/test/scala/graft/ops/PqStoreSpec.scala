@@ -74,4 +74,40 @@ class PqStoreSpec extends SparkSpec {
         "standing codebook")
     dropAll(tag)
   }
+
+  test("delete (r15 verdict #1): the codes table is exact immediately " +
+    "— post-delete it equals encodePq(survivors, codebook) row for " +
+    "row, a deleted vector can never reach an ADC shortlist, and the " +
+    "codebook is untouched (retraining is rebuild, the class contract)") {
+    val tag = PqStore.tag(dir) + "_del"
+    dropAll(tag)
+    val n = SimilarityQueries.normalizedCorpus(spark, dir)
+    val cb = SimilarityQueries.buildPqCodebook(n)
+    cb.write.saveAsTable(s"${tag}_pqcodebook")
+    SimilarityQueries.encodePq(n, cb)
+      .write.bucketBy(8, "vec_id").sortBy("vec_id")
+      .saveAsTable(s"${tag}_pqcodes")
+    val cbBefore = spark.table(s"${tag}_pqcodebook").collect().toSet
+    val victims = n.orderBy("vec_id").limit(3)
+      .select("vec_id").as[Long].collect().toSeq
+    val removed = PqStore.delete(spark,
+      (victims :+ 999999L).toDF("vec_id"), tag)
+    assert(removed == 3L, s"got $removed")
+    val after = spark.table(s"${tag}_pqcodes")
+    assert(after.filter(col("vec_id").isin(victims: _*)).count() == 0,
+      "deleted vectors' codes must be gone — nothing to shortlist")
+    // exact differential: == encoding the survivors under the SAME
+    // codebook (rebuild would retrain — a different, documented verb)
+    val expect = SimilarityQueries.encodePq(
+      n.filter(!col("vec_id").isin(victims: _*)), cb)
+    assert(after.select("vec_id", "codes")
+      .except(expect.select("vec_id", "codes")).isEmpty &&
+      expect.select("vec_id", "codes")
+        .except(after.select("vec_id", "codes")).isEmpty,
+      "post-delete codes must equal encodePq over the survivors")
+    assert(spark.table(s"${tag}_pqcodebook").collect().toSet == cbBefore,
+      "delete must not touch the codebook")
+    assert(PqStore.delete(spark, victims.toDF("vec_id"), tag) == 0L)
+    dropAll(tag)
+  }
 }

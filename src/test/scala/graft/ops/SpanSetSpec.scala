@@ -191,4 +191,48 @@ class SpanSetSpec extends SparkSpec {
     assert(SpanSet.charTag("/x/y") != SpanSet.tag("/x/y"))
     dropAll(tagInc); dropAll(tagFull)
   }
+
+  test("delete (r15 verdict #1): negative count deltas make the delete " +
+    "exact-on-read IMMEDIATELY — a span pushed under MinDocs leaves " +
+    "duplicatedSpans with NO refresh step — and reads equal a rebuild " +
+    "over the survivors; refresh compacts to the same answer") {
+    val tagA = "graft_test_ss_del"
+    val tagB = "graft_test_ss_del_ref"
+    dropAll(tagA); dropAll(tagB)
+    // docs 1 and 10 share 2 spans (duplicated); 3 is lonely
+    SpanSet.buildOrLoad(spark,
+      docs(1L -> sharedA, 10L -> sharedB, 3L -> lonely), tagA)
+    assert(SpanSet.duplicatedSpans(spark, tagA).count() == 2)
+    val (rowsR, negR) = SpanSet.delete(spark,
+      Seq(10L, 99L).toDF("doc_id"), tagA)
+    assert(rowsR == 3L && negR == 3L, s"got ($rowsR, $negR)")
+    // exact immediately — the straddling spans drop under MinDocs with
+    // no refresh (the count lattice absorbs negative deltas the same
+    // way appends surface straddling spans instantly)
+    assert(SpanSet.duplicatedSpans(spark, tagA).count() == 0,
+      "deleted doc's spans must leave the duplicated set immediately")
+    assert(SpanSet.spanAudit(spark, tagA) == (6L, 0L),
+      "zero-sum fingerprints must not count as spans")
+    assert(spark.table(s"${tagA}_spanrows")
+      .filter(col("doc_id") === 10L).count() == 0)
+    // == a from-scratch rebuild over the survivors on the serving face
+    SpanSet.buildOrLoad(spark, docs(1L -> sharedA, 3L -> lonely), tagB)
+    assert(SpanSet.spanAudit(spark, tagA) == SpanSet.spanAudit(spark, tagB))
+    val a = SpanSet.duplicatedSpans(spark, tagA).as[String].collect().sorted
+    val b = SpanSet.duplicatedSpans(spark, tagB).as[String].collect().sorted
+    assert(a.toSeq == b.toSeq)
+    // refresh compacts the delta rows away; answers unchanged
+    SpanSet.refreshSpanCounts(spark, tagA)
+    assert(SpanSet.spanAudit(spark, tagA) == (6L, 0L))
+    val refreshed = spark.table(s"${tagA}_spanset")
+    val rebuilt = spark.table(s"${tagB}_spanset")
+    assert(refreshed.except(rebuilt).isEmpty &&
+      rebuilt.except(refreshed).isEmpty,
+      "compacted span set must equal the rebuild over survivors")
+    // idempotent; and extractor-independent — the char family deletes
+    // through the same verb
+    assert(SpanSet.delete(spark, Seq(10L).toDF("doc_id"), tagA) ==
+      ((0L, 0L)))
+    dropAll(tagA); dropAll(tagB)
+  }
 }
