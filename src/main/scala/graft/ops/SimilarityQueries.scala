@@ -138,6 +138,14 @@ object SimilarityQueries {
     */
   private val FusionWeights = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
 
+  /** Arm label for a sweep weight — formatted under Locale.ROOT, not
+    * the JVM default: an f-interpolator `%.2f` on a comma-decimal
+    * locale would label arms "w0,50" AND derive an invalid oracle CTE
+    * identifier from it (r15 advice).
+    */
+  private def weightTag(w: Double): String =
+    "w" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(w))
+
   /** Analytic ideal DCG at [[K]] (relevance K+1-r, log2 discount),
     * computed once on the driver, rounded 9dp, and injected as ONE
     * literal into the Spark plan and the DuckDB oracle (Double.toString
@@ -1923,7 +1931,12 @@ object SimilarityQueries {
         "the fusion's lift (or its honest NON-lift on synthetic data, " +
         "where text and embedding are independently generated and the " +
         "lexical leg cannot predict cosine truth) is a measured table, " +
-        "not a belief. Legs shared VERBATIM: LexIndex.scorePanel is " +
+        "not a belief — and the lift direction is PROVEN reachable in " +
+        "both directions (the LangIdMeasuredSpec falsifiability " +
+        "convention): SimilaritySpec's complementary-planted-signals " +
+        "corpus pins rrfFuse recall@5 strictly above both single " +
+        "stacks when each stack can see only half the relevant docs. " +
+        "Legs shared VERBATIM: LexIndex.scorePanel is " +
         "scoreTerms' combine + the same two pushed literals (term IN, " +
         "StopTermDfFrac df cap) with a broadcast (query_id, term) " +
         "attribution join; the vector leg is ivfPqCandidates + the " +
@@ -2057,8 +2070,10 @@ object SimilarityQueries {
         "w·r_lex + (1−w)·r_vec over the SAME two top-20 shortlists " +
         "q_hybrid_fusion serves (ONE shared derivation — fusionLegs / " +
         "the shared oracle CTE chain), w ∈ {0, .25, .5, .75, 1}, one " +
-        s"measured row per w with recall@$K and MRR@$K against the " +
-        "exact-cosine panel. w=0.5 ranks identically to the unweighted " +
+        s"measured row per w with recall@$K, MRR@$K and nDCG@$K " +
+        "against the exact-cosine panel (the full metric set of the " +
+        "q_hybrid_fusion row the sweep is pinned against — r15 " +
+        "verdict #3). w=0.5 ranks identically to the unweighted " +
         "RRF (positive scaling — spec-pinned against q_hybrid_fusion's " +
         "rrf_fusion row); w=0/1 are the single-stack ends RESTRICTED " +
         "to the union shortlist (a doc present only in the other list " +
@@ -2091,6 +2106,10 @@ object SimilarityQueries {
           .select(col("query_id"), col("vec_id"))
         val ex1 = exact.filter(col("rank") === 1)
           .select(col("query_id"), col("vec_id"))
+        // nDCG material (r15 verdict #3: the sweep's metric set must
+        // match the q_hybrid_fusion row it is pinned against)
+        val rel = ndcgRelevance(exact)
+        val queries = pqQueries(s, dir).select("query_id")
         def arm(w: Double): DataFrame = {
           val sw = lit(w).cast(DecimalType(6, 4)) * col("rl") +
             lit(1.0 - w).cast(DecimalType(6, 4)) * col("rv")
@@ -2112,17 +2131,20 @@ object SimilarityQueries {
             .agg((sum(round(coalesce(lit(1.0) / col("rank"), lit(0.0)), 9)
               .cast(DecimalType(20, 10))).cast("double") / count(lit(1)))
               .as("mrr"))
+          val nd = ndcgRow(top, rel, queries, weightTag(w))
+            .select(col("variant").as("w_lex"), col(s"ndcg_at_$K"))
           rec.crossJoin(mrr)
-            .select(lit(f"w$w%.2f").as("w_lex"), col("n_queries"),
+            .select(lit(weightTag(w)).as("w_lex"), col("n_queries"),
               col("n_exact"), col("n_hit"),
               round(col("n_hit") / col("n_exact"), 4).as(s"recall_at_$K"),
               round(col("mrr"), 6).as(s"mrr_at_$K"))
+            .join(nd, "w_lex")
         }
         FusionWeights.map(arm).reduce(_.union(_)).orderBy("w_lex")
       },
       Some {
         def armSql(w: Double) = {
-          val tag = f"w$w%.2f"
+          val tag = weightTag(w)
           val cte = s"fw_${tag.replace(".", "_")}"
           val ranked =
             s"""$cte AS (SELECT query_id, vec_id, rank FROM (
@@ -2144,7 +2166,21 @@ object SimilarityQueries {
                |      9) AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
                |   FROM ex1 LEFT JOIN $cte m
                |     ON ex1.query_id = m.query_id AND ex1.vec_id = m.vec_id)
-               |    AS mrr_at_$K
+               |    AS mrr_at_$K,
+               |  (SELECT round(CAST(SUM(CAST(nq AS DECIMAL(20,10))) AS DOUBLE)
+               |      / COUNT(*), 6)
+               |   FROM (SELECT qs.query_id,
+               |       round(COALESCE(CAST(d.dcg AS DOUBLE), 0) / $IdcgK, 9)
+               |         AS nq
+               |     FROM qs LEFT JOIN (
+               |       SELECT an2.query_id,
+               |         SUM(CAST(round(exr.rel / log2(an2.rank + 1), 9)
+               |           AS DECIMAL(20,10))) AS dcg
+               |       FROM $cte an2
+               |       JOIN exr ON exr.query_id = an2.query_id
+               |         AND exr.vec_id = an2.vec_id
+               |       GROUP BY an2.query_id) d
+               |     ON d.query_id = qs.query_id)) AS ndcg_at_$K
                |FROM ex LEFT JOIN $cte an
                |  ON ex.query_id = an.query_id AND ex.vec_id = an.vec_id""".stripMargin
           (ranked, sel)
@@ -2164,7 +2200,11 @@ object SimilarityQueries {
            |  FROM ltop l FULL JOIN vtop v USING (query_id, vec_id)),
            |${arms.map(_._1).mkString(",\n")},
            |ex AS (SELECT query_id, vec_id FROM exact_scored WHERE rank <= $K),
-           |ex1 AS (SELECT query_id, vec_id FROM exact_scored WHERE rank = 1)
+           |ex1 AS (SELECT query_id, vec_id FROM exact_scored WHERE rank = 1),
+           |exr AS (SELECT query_id, vec_id,
+           |    CAST(${K + 1} - rank AS DOUBLE) AS rel
+           |  FROM exact_scored WHERE rank <= $K),
+           |qs AS (SELECT query_id FROM q)
            |SELECT * FROM (
            |${arms.map(_._2).mkString("\nUNION ALL\n")}
            |) ORDER BY w_lex""".stripMargin
