@@ -240,6 +240,41 @@ object CorpusStream {
       .foreach(spark.catalog.refreshTable)
   }
 
+  /** Streaming TAKEDOWN face — [[lexAppendBatch]]'s delete dual (the
+    * lifecycle verb r16 added to every family, closed in streaming
+    * too): a stream of takedown ids applied to the standing LexIndex
+    * per micro-batch via a `foreachBatch` sink. Deletion is id-keyed
+    * and idempotent by construction (an id already deleted — or a
+    * replayed micro-batch — anti-joins away nothing), so unlike the
+    * append face this one needs NO exactly-once caveat; and because
+    * each delete subtracts exact stats and rewrites survivors,
+    * streamed micro-batch deletes == one batch delete on every table,
+    * under ANY split (CorpusStreamSpec pins it). Returns rows removed.
+    */
+  def lexDeleteBatch(spark: SparkSession, ids: DataFrame,
+                     tag: String): Long = {
+    val n = graft.ops.LexIndex.delete(spark, ids.select("doc_id"), tag)
+    // caller-session visibility, as in the append face
+    Seq(s"${tag}_lpost", s"${tag}_lstats")
+      .foreach(spark.catalog.refreshTable)
+    n
+  }
+
+  /** Streaming takedown for the near-dup index — [[lexDeleteBatch]]'s
+    * BandIndex sibling: takedown ids applied per micro-batch, after
+    * which [[nearDupCandidates]] can never emit the deleted ids as
+    * matches (the immediate guarantee; surviving bsz stays a stale
+    * upper bound until the scheduled refreshBucketSizes, exactly the
+    * batch contract). Idempotent; returns (shingle, band) rows removed.
+    */
+  def bandDeleteBatch(spark: SparkSession, ids: DataFrame,
+                      tag: String): (Long, Long) = {
+    val r = graft.ops.BandIndex.delete(spark, ids.select("doc_id"), tag)
+    Seq(s"${tag}_shingles", s"${tag}_bands")
+      .foreach(spark.catalog.refreshTable)
+    r
+  }
+
   /** Batch-side build of the stored CHAR-winnow span artifact (the
     * [[graft.ops.SpanSet]] skeleton at character granularity, charspans
     * role) — returns the duplicated-fingerprint set for

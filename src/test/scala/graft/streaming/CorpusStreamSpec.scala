@@ -541,6 +541,74 @@ class CorpusStreamSpec extends SparkSpec {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x")))
   }
 
+  test("lexDeleteBatch / bandDeleteBatch close the takedown loop in " +
+    "streaming (r16): streamed micro-batch deletes == one batch delete " +
+    "on every table under any split — deletion is idempotent and " +
+    "exact, so the streaming face carries no exactly-once caveat") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark join query spark fast engine the and"),
+      (2L, "spark is the engine we use for big data work"),
+      (3L, "join me tomorrow for the query tuning session ok"),
+      (4L, "totally unrelated words live here peacefully forever"),
+      (5L, "spark query spark again here"),
+      (6L, "fresh words only in this one"))
+    val victims = Seq(2L, 3L, 5L, 6L)
+    val n = System.nanoTime()
+    val tagS = graft.ops.BandIndex.tag(s"/tmp/lexdel_s$n", "lex")
+    val tagB = graft.ops.BandIndex.tag(s"/tmp/lexdel_b$n", "lex")
+    graft.ops.LexIndex.buildOrLoad(spark, corpus.toDF("doc_id", "text"), tagS)
+    graft.ops.LexIndex.buildOrLoad(spark, corpus.toDF("doc_id", "text"), tagB)
+    val bTagS = graft.ops.BandIndex.tag(s"/tmp/banddel_s$n", "full")
+    val bTagB = graft.ops.BandIndex.tag(s"/tmp/banddel_b$n", "full")
+    graft.ops.BandIndex.buildOrLoad(spark, corpus.toDF("doc_id", "text"), bTagS)
+    graft.ops.BandIndex.buildOrLoad(spark, corpus.toDF("doc_id", "text"), bTagB)
+    // reference: ONE batch delete of all four ids on both families
+    graft.ops.LexIndex.delete(spark, victims.toDF("doc_id"), tagB)
+    graft.ops.BandIndex.delete(spark, victims.toDF("doc_id"), bTagB)
+    // streamed: the same ids in 2-id micro-batches through the sinks
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("doc_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-lexdel").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.CorpusStream.lexDeleteBatch(spark, b, tagS)
+        graft.streaming.CorpusStream.bandDeleteBatch(spark, b, bTagS)
+        ()
+      }
+      .start()
+    try {
+      victims.grouped(2).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // FULL equality including df: deletes never restamp survivor
+    // counts, so stream == batch holds with no refresh step at all
+    def full(tag: String) = spark.table(s"${tag}_lpost")
+      .select("term", "doc_id", "tf", "dl", "df")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    def statsRow(tag: String) = spark.table(s"${tag}_lstats")
+      .as[(Long, Long)].collect().head
+    assert(full(tagS) == full(tagB))
+    assert(statsRow(tagS) == statsRow(tagB))
+    assert(statsRow(tagS)._1 == 2L)
+    for (t <- Seq("shingles", "bands")) {
+      val a = spark.table(s"${bTagS}_$t")
+      val b = spark.table(s"${bTagB}_$t")
+      assert(a.except(b).isEmpty && b.except(a).isEmpty,
+        s"band-family $t must agree stream vs batch")
+    }
+    (Seq(tagS, tagB).flatMap(t =>
+      Seq(s"${t}_lpost", s"${t}_lstats", s"${t}_ltouched")) ++
+      Seq(bTagS, bTagB).flatMap(t =>
+        Seq(s"${t}_shingles", s"${t}_bands")))
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("qualityClassifyBatch: stream union == batch against a FROZEN " +
     "naive-Bayes model across micro-batch splits; lexical labels " +
     "predicted correctly") {
