@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +70,28 @@ object CorpusQueries {
     * previously hardcoded as literals on both sides and could drift).
     */
   private[graft] val Bm25Terms = Seq("spark", "join", "query")
+
+  /** Pseudo-relevance feedback (q_prf_expansion) knobs: feedback depth
+    * (BM25 top-K docs assumed relevant), expansion width (top-M terms
+    * mined from them), and the expanded terms' score weight. Lavrenko &
+    * Croft 2001 (relevance models) / Abdul-Jaleel et al. 2004 (RM3)
+    * give the shape; the weight rule here is the RM3 interpolation with
+    * the original query at weight 1. Term mining weights by Σ tf over
+    * the feedback docs — an INTEGER sum, order-independent and exact in
+    * both engines, where RM1's tf/dl mixture would be a float sum whose
+    * accumulation order the oracle could not pin.
+    */
+  private[graft] val PrfFeedbackK = 10
+  private[graft] val PrfExpandM = 5
+  private[graft] val PrfLambda = 0.5
+
+  /** Dirichlet query-likelihood smoothing mass (q_ql_dirichlet) —
+    * Zhai & Lafferty 2001 suggest ~1000–2500 for news-length docs; the
+    * synthetic corpus runs 10–99 tokens, so the prior is scaled to the
+    * length regime the same way the Gopher bounds are (production
+    * swaps the constant, not the shape).
+    */
+  private[graft] val QlMu = 100L
 
   /** Domain mixing: per-source budget = ceil(MixC * sqrt(n_source)) docs
     * — alpha=0.5 temperature resampling (rare sources up-weighted
@@ -815,6 +838,155 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_ql_dirichlet",
+      s"Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty " +
+        s"2001, mu=$QlMu) for the same fixed query as q_bm25, from the " +
+        s"same stored LexIndex — the language-modeling retrieval " +
+        s"scorer next to the probabilistic one, sharing one artifact " +
+        s"(a production index serves BOTH; storing per-scorer indexes " +
+        s"would double the 10^12-row table for a formula change). " +
+        s"ln P(q|d) decomposes DAAT-style: Σ_match ln(1 + tf·|C| / " +
+        s"(mu·cf)) + |q|·ln(mu/(dl+mu)) — the first leg needs only " +
+        s"MATCHED postings, the second only dl, so docs match exactly " +
+        s"as q_bm25 (>= 1 uncapped query term; StopTermDfFrac governs " +
+        s"every scorer face of the index, mirrored in the oracle, and " +
+        s"|q| counts uncapped terms so the dl leg and the match leg " +
+        s"agree on the effective query). cf (collection term " +
+        s"frequency) is NOT stored on postings — df is — but the " +
+        s"term's matched rows ARE its full posting list, so cf " +
+        s"derives from the already-pruned scan with one tiny " +
+        s"term-grain agg: no second index pass, no corpus touch. " +
+        s"Determinism: 1 + tf·|C|/(mu·cf) is one IEEE division of " +
+        s"exact integers (tf·|C| exact in long to ~1e18 — documented " +
+        s"headroom at 10^14 collection tokens), each ln rounded 9dp " +
+        s"into DECIMAL(38,12) sums; the dl leg is literal-int × " +
+        s"9dp-rounded ln, one IEEE multiply-add; ranks tie-break by " +
+        s"doc_id. Scores are negative log-probabilities — closer to " +
+        s"zero ranks higher.",
+      (s, dir) => qlDirichlet(s, Tables.par(s, dir, "documents"),
+        LexIndex.tag(dir), Bm25Terms),
+      Some {
+        val qVals = Bm25Terms.map(t => s"('$t')").mkString(",")
+        val capSql = s"floor(${LexIndex.StopTermDfFrac} * n_docs)"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+           |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+           |  GROUP BY 1, 2),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+           |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+           |    CAST(sum(tf) AS BIGINT) AS cf FROM p GROUP BY 1),
+           |q(term) AS (VALUES $qVals),
+           |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq
+           |  FROM q JOIN dfq USING (term), st WHERE df <= $capSql),
+           |ts AS (SELECT doc_id,
+           |    CAST(round(ln(1.0 + CAST(tf * sum_dl AS DOUBLE)
+           |      / ($QlMu * cf)), 9) AS DECIMAL(38,12)) AS ts
+           |  FROM p JOIN q USING (term) JOIN dfq USING (term), st
+           |  WHERE df <= $capSql),
+           |sc AS (SELECT doc_id, dl,
+           |    CAST(sum(ts) AS DOUBLE)
+           |      + nq * round(ln(CAST($QlMu AS DOUBLE) / (dl + $QlMu)),
+           |          9) AS score
+           |  FROM ts JOIN d USING (doc_id), nq
+           |  GROUP BY doc_id, dl, nq),
+           |r AS (SELECT doc_id, dl, score,
+           |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+           |      AS rank FROM sc)
+           |SELECT rank, doc_id, dl, round(score, 6) AS score
+           |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "q_prf_expansion",
+      s"Pseudo-relevance-feedback query expansion (RM3 shape — " +
+        s"Lavrenko & Croft 2001; Abdul-Jaleel et al. 2004), served " +
+        s"from the stored LexIndex: the base ${Bm25Terms.size}-term " +
+        s"query's BM25 top-$PrfFeedbackK docs are assumed relevant, " +
+        s"the top-$PrfExpandM non-query terms by Σtf over them (an " +
+        s"integer weight — exact and order-independent in both " +
+        s"engines; stop-capped terms are ineligible, the expansion " +
+        s"must not buy back what StopTermDfFrac pruned) become " +
+        s"expansion terms, and the final ranking scores base terms at " +
+        s"weight 1 + expansion terms at $PrfLambda — so docs matching " +
+        s"ONLY expansion vocabulary enter the candidate set (the " +
+        s"recall win PRF exists for; score_base = 0 rows in the " +
+        s"output are exactly those). Shape: the base leg is q_bm25's " +
+        s"bucket-pruned posting scan; term mining tokenizes ONLY the " +
+        s"$PrfFeedbackK feedback docs (a pushed doc_id point-lookup " +
+        s"on the corpus — the one legitimate documents touch, " +
+        s"$PrfFeedbackK rows); candidate df arrives from the postings " +
+        s"via the scorePanel literal-IN convention (feedback " +
+        s"vocabulary is $PrfFeedbackK-doc-bounded, far under " +
+        s"PanelTermCap); the expanded leg is ONE scorePanel pass over " +
+        s"base+expansion terms (two query_ids, one bucket-pruned " +
+        s"scan), so the whole operator reads posting lists + " +
+        s"$PrfFeedbackK docs — the corpus never shuffles. " +
+        s"Determinism: feedback and final ranks tie-break by doc_id " +
+        s"over decimal-exact BM25 sums; term election ties break by " +
+        s"term; the interpolation is one IEEE multiply-add of exact " +
+        s"operands, identical in both engines.",
+      (s, dir) => prfExpansion(s, Tables.par(s, dir, "documents"),
+        LexIndex.tag(dir), Bm25Terms),
+      Some {
+        // Relational BM25 (per (doc, term) contribution CTE) instead of
+        // q_bm25's unrolled per-term columns: the expansion terms are
+        // DATA here (elected by the query itself), so the oracle mines
+        // them with the same relations the Spark side reads.
+        val baseVals = Bm25Terms.map(t => s"('$t')").mkString(",")
+        val capSql = s"floor(${LexIndex.StopTermDfFrac} * n_docs)"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+           |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+           |  GROUP BY 1, 2),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+           |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |  FROM p GROUP BY 1),
+           |contrib AS (SELECT p.doc_id, p.term,
+           |    CAST(round(round(ln((n_docs - df + 0.5) / (df + 0.5)
+           |        + 1.0), 9)
+           |      * CAST(tf AS DOUBLE) * 2.2
+           |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+           |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+           |      AS DECIMAL(38,12)) AS ts
+           |  FROM p JOIN d USING (doc_id) JOIN dfq USING (term), st
+           |  WHERE df <= $capSql),
+           |base(term) AS (VALUES $baseVals),
+           |bscore AS (SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score
+           |  FROM contrib JOIN base USING (term) GROUP BY 1),
+           |fb AS (SELECT doc_id FROM (SELECT doc_id,
+           |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+           |  FROM bscore) rb WHERE r <= $PrfFeedbackK),
+           |cand AS (SELECT term, CAST(sum(tf) AS BIGINT) AS w
+           |  FROM p JOIN fb USING (doc_id)
+           |  WHERE term NOT IN (SELECT term FROM base) AND term <> ''
+           |  GROUP BY 1),
+           |expt AS (SELECT term FROM (SELECT c.term,
+           |    ROW_NUMBER() OVER (ORDER BY w DESC, c.term ASC) AS r
+           |  FROM cand c JOIN dfq USING (term), st
+           |  WHERE df <= $capSql) re WHERE r <= $PrfExpandM),
+           |escore AS (SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score
+           |  FROM contrib JOIN expt USING (term) GROUP BY 1),
+           |comb AS (SELECT COALESCE(b.doc_id, e.doc_id) AS doc_id,
+           |    COALESCE(b.score, 0.0)
+           |      + $PrfLambda * COALESCE(e.score, 0.0) AS score,
+           |    COALESCE(b.score, 0.0) AS score_base
+           |  FROM bscore b FULL OUTER JOIN escore e
+           |    ON b.doc_id = e.doc_id),
+           |r AS (SELECT doc_id, score, score_base,
+           |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+           |      AS rank FROM comb)
+           |SELECT rank, doc_id, round(score, 6) AS score,
+           |  round(score_base, 6) AS score_base
+           |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_domain_mix",
       s"Domain-mixture resampling: per-source doc budget = ceil($MixC * " +
         "sqrt(n_source)) — alpha=0.5 temperature reweighting (rare " +
@@ -1385,5 +1557,108 @@ object CorpusQueries {
       .select(col("doc_id") +: keep :+ col("n_bigrams") :+
         round(col("xs").cast("double") / col("n_bigrams"), 6)
           .as("xent"): _*)
+  }
+
+  /** Dirichlet query-likelihood ranking over an arbitrary corpus
+    * relation against the stored LexIndex at `tagL` — ONE definition
+    * for the declared q_ql_dirichlet and QlSpec's planted corpora.
+    * Decomposition, governance, and determinism documented on the
+    * QueryDef.
+    */
+  private[graft] def qlDirichlet(s: SparkSession, docs: DataFrame,
+                                 tagL: String,
+                                 terms: Seq[String]): DataFrame = {
+    val (post, stats) = LexIndex.buildOrLoad(s, docs, tagL)
+    import org.apache.spark.sql.types.DecimalType
+    val st = stats.collect()(0)
+    val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
+    val cap = math.floor(LexIndex.StopTermDfFrac * nDocs).toLong
+    // effective query size = uncapped terms (|terms|-row driver fetch,
+    // the same literal-cap convention as the scan predicate)
+    val nq = LexIndex.termDf(s, tagL, terms)
+      .filter(col("df") <= cap).count()
+    val matched = post
+      .filter(col("term").isin(terms: _*) && col("df") <= cap)
+    // cf from the SAME pruned scan: an uncapped term's matched rows
+    // are its whole posting list, so the term-grain sum is exact
+    val cf = matched.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val ts = round(log(lit(1.0)
+      + (col("tf") * lit(sumDl)).cast("double")
+        / (lit(QlMu) * col("cf"))), 9).cast(DecimalType(38, 12))
+    val dlLeg = lit(nq) * round(log(lit(QlMu).cast("double")
+      / (col("dl") + lit(QlMu))), 9)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    matched.join(broadcast(cf), Seq("term"))
+      .select(col("doc_id"), col("dl"), ts.as("ts"))
+      .groupBy("doc_id", "dl")
+      .agg(sum(col("ts")).cast("double").as("match_leg"))
+      .select(col("doc_id"), col("dl"),
+        (col("match_leg") + dlLeg).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("doc_id"), col("dl"),
+        round(col("score"), 6).as("score"))
+      .orderBy("rank")
+  }
+
+  /** The full PRF pipeline over an arbitrary corpus relation (doc_id,
+    * text) against the stored LexIndex at `tagL` — ONE definition for
+    * the declared q_prf_expansion and PrfSpec's planted corpora (the
+    * both-directions falsifiability convention: the spec plants a doc
+    * findable ONLY through expansion vocabulary and proves it is
+    * retrieved, next to a control corpus where it is not). Stages and
+    * scale shape are documented on the QueryDef.
+    */
+  private[graft] def prfExpansion(s: SparkSession, docs: DataFrame,
+                                  tagL: String,
+                                  baseTerms: Seq[String]): DataFrame = {
+    import s.implicits._
+    val (post, stats) = LexIndex.buildOrLoad(s, docs, tagL)
+    val nDocs = stats.collect()(0).getLong(0)
+    val cap = math.floor(LexIndex.StopTermDfFrac * nDocs).toLong
+    // 1. feedback: base BM25 top-K doc ids (decimal-exact scores,
+    //    doc_id tiebreak — K driver-collected longs)
+    val wr = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val fbIds = LexIndex.scoreTerms(post, stats, baseTerms)
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= PrfFeedbackK)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // 2. candidate mining: tokenize the K feedback docs (pushed
+    //    point lookup), weight = Σ tf, integer-exact; the '' token
+    //    of empty docs is never query vocabulary
+    val cand = LexIndex.postingRows(
+        docs.filter(col("doc_id").isin(fbIds: _*)))
+      .filter(!col("term").isin(baseTerms: _*) && col("term") =!= "")
+      .groupBy("term").agg(sum(col("tf")).as("w"))
+    val candTerms = cand.select("term").collect()
+      .map(_.getString(0)).toSeq
+    // 3. election: drop stop-capped candidates (their posting
+    //    contribution would be skipped anyway), top-M by (w, term)
+    val expTerms = cand
+      .join(LexIndex.termDf(s, tagL, candTerms), Seq("term"))
+      .filter(col("df") <= cap)
+      .orderBy(col("w").desc, col("term").asc)
+      .limit(PrfExpandM)
+      .select("term").collect().map(_.getString(0)).toSeq
+    // 4. expanded scoring: ONE panel pass, two query_ids
+    val qt = (baseTerms.map(("base", _)) ++ expTerms.map(("exp", _)))
+      .toDF("query_id", "term")
+    val scored = LexIndex.scorePanel(post, stats, qt,
+      (baseTerms ++ expTerms).distinct)
+    val per = scored.groupBy("doc_id").agg(
+      coalesce(max(when(col("query_id") === "base", col("score"))),
+        lit(0.0)).as("score_base"),
+      coalesce(max(when(col("query_id") === "exp", col("score"))),
+        lit(0.0)).as("score_exp"))
+    val w2 = Window.orderBy(col("score").desc, col("doc_id").asc)
+    per
+      .withColumn("score",
+        col("score_base") + lit(PrfLambda) * col("score_exp"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("doc_id"),
+        round(col("score"), 6).as("score"),
+        round(col("score_base"), 6).as("score_base"))
+      .orderBy("rank")
   }
 }

@@ -26,7 +26,7 @@ object DedupQueries {
   // (the corpus separates cleanly: background ~0.3, true near-dups >= 0.9).
   private val ShingleK = 5
   private val NumHashes = 12
-  private val Bands = 3
+  private[graft] val Bands = 3
   private val RowsPerBand = 4
   private val MinhashVerifyJ = 0.6
   private val NgramJ = 0.5

@@ -55,18 +55,25 @@ object PackingQueries {
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
   private val toksSql = s"string_split($normSql,' ')"
 
+  /** DuckDB list of KEPT chunk starts over a token-count column `n` —
+    * the full-tail-coverage rule, exported (private[graft]) so the
+    * q_takedown_audit oracle counts a doc's chunk rows with the SAME
+    * expression the chunk CTEs explode, and the two cannot drift.
+    */
+  private[graft] val chunkStartsSql: String = {
+    val over = ChunkW - ChunkStride
+    s"""list_filter(range(0, n, $ChunkStride),
+       |    st -> st = 0 OR st < n - $over)""".stripMargin
+  }
+
   /** CTE chain ending in `chunks(doc_id, chunk_idx, start_tok,
     * n_chunk_tok, chunk_fp)` — the oracle twin of [[chunkRows]].
     */
   private val chunkSqlCtes: String = {
-    val over = ChunkW - ChunkStride
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
-       |st AS (SELECT doc_id, toks, n, unnest(list_filter(
-       |    range(0, n, $ChunkStride),
-       |    st -> st = 0 OR st < n - $over)) AS start,
-       |  generate_subscripts(list_filter(range(0, n, $ChunkStride),
-       |    st -> st = 0 OR st < n - $over), 1) - 1 AS chunk_idx
+       |st AS (SELECT doc_id, toks, n, unnest($chunkStartsSql) AS start,
+       |  generate_subscripts($chunkStartsSql, 1) - 1 AS chunk_idx
        |  FROM nn),
        |chunks AS (SELECT doc_id, chunk_idx, start + 1 AS start_tok,
        |  least($ChunkW, n - start) AS n_chunk_tok,
