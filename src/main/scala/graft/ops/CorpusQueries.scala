@@ -1569,9 +1569,7 @@ object CorpusQueries {
                                  tagL: String,
                                  terms: Seq[String]): DataFrame = {
     val (post, stats) = LexIndex.buildOrLoad(s, docs, tagL)
-    import org.apache.spark.sql.types.DecimalType
-    val st = stats.collect()(0)
-    val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
+    val nDocs = stats.collect()(0).getLong(0)
     val cap = math.floor(LexIndex.StopTermDfFrac * nDocs).toLong
     // effective query size = uncapped terms (|terms|-row driver fetch,
     // the same literal-cap convention as the scan predicate)
@@ -1582,18 +1580,9 @@ object CorpusQueries {
     // cf from the SAME pruned scan: an uncapped term's matched rows
     // are its whole posting list, so the term-grain sum is exact
     val cf = matched.groupBy("term").agg(sum(col("tf")).as("cf"))
-    val ts = round(log(lit(1.0)
-      + (col("tf") * lit(sumDl)).cast("double")
-        / (lit(QlMu) * col("cf"))), 9).cast(DecimalType(38, 12))
-    val dlLeg = lit(nq) * round(log(lit(QlMu).cast("double")
-      / (col("dl") + lit(QlMu))), 9)
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    matched.join(broadcast(cf), Seq("term"))
-      .select(col("doc_id"), col("dl"), ts.as("ts"))
-      .groupBy("doc_id", "dl")
-      .agg(sum(col("ts")).cast("double").as("match_leg"))
-      .select(col("doc_id"), col("dl"),
-        (col("match_leg") + dlLeg).as("score"))
+    LexIndex.qlCombine(matched.join(broadcast(cf), Seq("term"))
+        .crossJoin(broadcast(stats)), QlMu, nq)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 20)
       .select(col("rank"), col("doc_id"), col("dl"),

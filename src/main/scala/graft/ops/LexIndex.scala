@@ -508,6 +508,76 @@ object LexIndex {
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(max(col("df")).as("df"))
 
+  /** [[termDf]] plus the collection term frequency cf = Σ tf — the
+    * frozen broadcast side of the Dirichlet-QL faces (cf is not a
+    * stored column; a term's rows are its whole posting list, so the
+    * term-grain sum over the pruned scan is exact). Same staleness
+    * vintage rules as termDf. Tiny: |terms| rows.
+    */
+  def termCorpusStats(spark: SparkSession, tag: String,
+                      terms: Seq[String]): DataFrame =
+    spark.table(postT(tag))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(max(col("df")).as("df"),
+        sum(col("tf")).as("cf"))
+
+  /** Decimal-exact Dirichlet query-likelihood combine over matched
+    * rows carrying (doc_id, tf, dl, cf, sum_dl) — THE scoring
+    * definition, shared by the stored read path
+    * ([[graft.ops.CorpusQueries.qlDirichlet]]) and the ingest-time
+    * face ([[scoreArrivingQl]]) so the two cannot drift. Per matched
+    * term: ln(1 + tf·|C|/(mu·cf)) rounded 9dp, summed in
+    * DECIMAL(38,12) (order-independent); the doc-length leg
+    * nq·ln(mu/(dl+mu)) is a literal-int × 9dp-rounded-ln IEEE
+    * multiply-add, where `nq` is the EFFECTIVE query size the caller
+    * derived (uncapped — and for the arriving face, index-known —
+    * terms). tf·|C| stays exact in a long through ~1e18 (headroom
+    * documented on the QueryDef). Unrounded score — callers rank then
+    * round.
+    */
+  private[ops] def qlCombine(matched: DataFrame, mu: Long,
+                             nq: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ts = round(log(lit(1.0)
+      + (col("tf") * col("sum_dl")).cast("double")
+        / (lit(mu) * col("cf"))), 9).cast(DecimalType(38, 12))
+    val dlLeg = lit(nq) * round(log(lit(mu).cast("double")
+      / (col("dl") + lit(mu))), 9)
+    matched
+      .select(col("doc_id"), col("dl"), ts.as("ts"))
+      .groupBy("doc_id", "dl")
+      .agg(sum(col("ts")).cast("double").as("match_leg"))
+      .select(col("doc_id"), col("dl"),
+        (col("match_leg") + dlLeg).as("score"))
+  }
+
+  /** Ingest-time Dirichlet-QL scoring — the [[scoreArriving]] sibling:
+    * arriving docs (doc_id, text) scored against the FROZEN collection
+    * statistics (`termStats` = [[termCorpusStats]] rows, `stats` = the
+    * stored 1-row table). One deliberate divergence from the BM25
+    * face's unseen-term rule: a query term the standing index has
+    * NEVER seen has cf = 0 — the frozen collection LM assigns it no
+    * mass and the Dirichlet score is undefined (ln of ∞), so unseen
+    * terms are EXCLUDED from the effective query (both legs: no match
+    * rows, and nq counts only index-known uncapped terms) — the
+    * moment the index appends such a doc, q_ql_dirichlet includes the
+    * term and both faces agree again. BM25's df = 0 maximal-idf rule
+    * has no such analog: idf(0) is finite, p(t|C) = 0 is not.
+    * Stateless per doc given the frozen stats, so stream union ==
+    * batch exactly; an arriving copy of a standing doc scores exactly
+    * the stored read path's value (CorpusStreamSpec pins both).
+    */
+  def scoreArrivingQl(batch: DataFrame, termStats: DataFrame,
+                      stats: DataFrame, terms: Seq[String],
+                      mu: Long): DataFrame = {
+    val eligible = termStats.filter(col("df") <= lit(dfCap(stats)))
+    val nq = eligible.count()
+    qlCombine(postingRows(batch)
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(eligible), Seq("term"))
+      .crossJoin(broadcast(stats)), mu, nq)
+  }
+
   /** Ingest-time BM25 scoring — arriving docs (doc_id, text) scored
     * for `terms` against the FROZEN corpus statistics (`termDf` +
     * `stats` from the store): the production shape where the index

@@ -210,6 +210,24 @@ object CorpusStream {
     graft.ops.LexIndex.scoreArriving(batch, termDf, stats,
       graft.ops.CorpusQueries.Bm25Terms)
 
+  /** Ingest-time Dirichlet-QL scoring — [[bm25ScoreBatch]]'s sibling
+    * for the language-modeling scorer (r16): arriving docs scored
+    * against FROZEN collection statistics (`termStats` =
+    * [[graft.ops.LexIndex.termCorpusStats]] rows — df for the stop
+    * cap, cf for the collection LM). Unseen-term rule differs from
+    * BM25's by necessity (documented at
+    * [[graft.ops.LexIndex.scoreArrivingQl]]): cf = 0 gives the term
+    * no collection mass, so unseen terms leave the effective query
+    * entirely instead of scoring at a maximal weight. Stateless per
+    * doc, so stream union == batch exactly; an arriving copy of a
+    * standing doc scores exactly what q_ql_dirichlet ranked the
+    * standing doc at (CorpusStreamSpec pins both).
+    */
+  def qlScoreBatch(batch: DataFrame, termStats: DataFrame,
+                   stats: DataFrame): DataFrame =
+    graft.ops.LexIndex.scoreArrivingQl(batch, termStats, stats,
+      graft.ops.CorpusQueries.Bm25Terms, graft.ops.CorpusQueries.QlMu)
+
   /** Ingest-time LexIndex APPEND — the lexical family's other ingest
     * face (r14 verdict #6: [[bm25ScoreBatch]] SCORES arriving docs but
     * nothing fed them into the standing index; SpanSet / BandIndex /

@@ -474,6 +474,87 @@ class CorpusStreamSpec extends SparkSpec {
     } finally { q.stop(); tdf.unpersist() }
   }
 
+  test("qlScoreBatch: stream union == batch against FROZEN collection " +
+    "stats; an arriving copy scores the stored q_ql_dirichlet value; " +
+    "unseen query terms leave the effective query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    val standing = Seq(
+      (1L, "spark join query spark fast engine the and"),
+      (2L, "spark is the engine we use for big data work"),
+      (3L, "join me tomorrow for the query tuning session ok"),
+      (4L, "totally unrelated words live here peacefully forever"))
+      .toDF("doc_id", "text")
+    val tag = graft.ops.BandIndex.tag(
+      s"/tmp/qlstream_${System.nanoTime()}", "lex")
+    graft.ops.LexIndex.buildOrLoad(spark, standing, tag)
+    val terms = graft.ops.CorpusQueries.Bm25Terms
+    val (_, stats) = graft.ops.LexIndex.buildOrLoad(spark, standing, tag)
+    val tcs = graft.ops.LexIndex.termCorpusStats(spark, tag, terms)
+      .persist()
+    // the stored read path's scores for the standing docs (same tag,
+    // same frozen stats)
+    val stored = graft.ops.CorpusQueries
+      .qlDirichlet(spark, standing, tag, terms)
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    val docs = Seq(
+      (101L, "spark join query spark fast engine the and"),
+      (103L, "join me tomorrow for the query tuning session ok"),
+      (104L, "nothing relevant in this arriving one"),
+      (105L, "query speed matters most here"))
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-ql").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.CorpusStream
+          .qlScoreBatch(b, tcs, stats)
+          .select(col("doc_id"), round(col("score"), 6))
+          .as[(Long, Double)](org.apache.spark.sql.Encoders
+            .tuple(org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaDouble))
+          .collect()
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      docs.grouped(2).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+      val streamed = sink.synchronized(sink.toSeq).sortBy(_._1)
+      val batch = graft.streaming.CorpusStream
+        .qlScoreBatch(docs.toDF("doc_id", "text"), tcs, stats)
+        .select(col("doc_id"), round(col("score"), 6))
+        .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      val m = streamed.toMap
+      assert(m(101L) == stored(1L) && m(103L) == stored(3L),
+        s"copies must score the standing values: $m vs $stored")
+      assert(!m.contains(104L), "a no-term doc is not retrieved")
+      assert(m.contains(105L), "a matching arriving doc is scored")
+      // unseen-term rule: an arriving doc whose only query-term match
+      // is a term the index knows scores the SAME whether or not the
+      // frozen panel carries additional unseen terms — the unseen term
+      // contributes to neither leg
+      val tcsWide = graft.ops.LexIndex.termCorpusStats(spark, tag,
+        terms :+ "neverseenterm")
+      val wide = graft.ops.LexIndex.scoreArrivingQl(
+          docs.toDF("doc_id", "text"), tcsWide, stats,
+          terms :+ "neverseenterm", graft.ops.CorpusQueries.QlMu)
+        .select(col("doc_id"), round(col("score"), 6))
+        .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(wide == batch,
+        s"an unseen query term must change nothing: $wide vs $batch")
+    } finally { q.stop(); tcs.unpersist() }
+  }
+
   test("lexAppendBatch closes the lexical ingest loop: streamed " +
     "micro-batch appends == one batch append on postings/tf/dl and " +
     "the stats fold (df is the documented batch-LOCAL lower bound), " +
