@@ -483,6 +483,49 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_ql_dirichlet: same serving shape as q_bm25 — no corpus " +
+    "scan, pushed term + df-cap literals, bucket-pruned postings " +
+    "(the one-artifact-serves-every-scorer claim, checked on the " +
+    "second scorer)") {
+    Registry.queryMap("q_ql_dirichlet")(spark, dir).collect()
+    val p = plan(Registry.queryMap("q_ql_dirichlet")(spark, dir))
+    assert(!contains(p, "documents.parquet"),
+      s"retrieval must not rescan the corpus:\n$p")
+    val posts = scansOf(p, "_lpost")
+    assert(posts.nonEmpty, s"expected stored posting scan:\n$p")
+    assert(posts.exists(_.metadata("PushedFilters").contains("In(term")),
+      s"term IN (...) must push into the posting scan:\n$p")
+    assert(posts.exists(_.metadata("PushedFilters")
+        .contains("LessThanOrEqual(df")),
+      s"df <= cap must push into the posting scan:\n$p")
+    posts.foreach { s =>
+      val sel = s.optionalBucketSet
+      assert(sel.isDefined && sel.get.cardinality() < s.relation
+        .bucketSpec.get.numBuckets,
+        s"posting scan must bucket-prune:\n$p")
+    }
+  }
+
+  test("q_prf_expansion: the RETURNED ranking plan serves from the " +
+    "stored LexIndex only — the corpus touch (tokenizing the K " +
+    "feedback docs) happens in the eager mining stage, never in the " +
+    "serving subtree") {
+    Registry.queryMap("q_prf_expansion")(spark, dir).collect()
+    val p = plan(Registry.queryMap("q_prf_expansion")(spark, dir))
+    assert(!contains(p, "documents.parquet"),
+      s"the serving plan must not scan the corpus:\n$p")
+    val posts = scansOf(p, "_lpost")
+    assert(posts.nonEmpty, s"expected stored posting scan:\n$p")
+    assert(posts.exists(_.metadata("PushedFilters").contains("In(term")),
+      s"base+expansion terms must push into the posting scan:\n$p")
+    posts.foreach { s =>
+      val sel = s.optionalBucketSet
+      assert(sel.isDefined && sel.get.cardinality() < s.relation
+        .bucketSpec.get.numBuckets,
+        s"posting scan must bucket-prune:\n$p")
+    }
+  }
+
   test("q_hybrid_fusion lexical leg (LexIndex.scorePanel): the panel " +
     "term universe and the stop-term df cap push into the bucket-" +
     "pruned posting scan, attribution is a broadcast join, and the " +
