@@ -96,6 +96,8 @@ object SharedCaches {
       "q_ann_multiprobe", "q_ann_filtered", "q_ann_ivf", "q_ann_ivfpq",
       "q_ann_recall",
       "q_ann_mrr", "q_kmeans_refine",
+      "q_mmr_rerank", // r16: shortlist + sims off the cached corpus
+      // (sorts before q_pq_rerank — release point unchanged)
       "q_ann_ndcg", // r15 registry gap-fill: reads the same cached
       // panel relations as recall/MRR (sorts before q_pq_rerank, so
       // the omission never released early — contract accuracy only)

@@ -17,6 +17,18 @@ object SimilarityQueries {
 
   private val K = 5
 
+  /** MMR re-ranking geometry (q_mmr_rerank): shortlist depth, picks,
+    * and the relevance weight λ (Carbonell & Goldstein 1998; 0.7 is
+    * the common relevance-leaning setting). 1−λ is a SEPARATE literal,
+    * never derived by float subtraction (1.0 − 0.7 is
+    * 0.30000000000000004 in IEEE — a last-ulp mismatch against the
+    * oracle's 0.3 literal that could flip a near-tie pick).
+    */
+  private val MmrShortlist = 20
+  private val MmrK = 10
+  private val MmrLambda = 0.7
+  private val MmrOneMinusLambda = 0.3
+
   /** Hybrid-retrieval fusion geometry (q_hybrid_fusion): each stack
     * contributes its top-[[FuseN]] shortlist, fused by reciprocal-rank
     * fusion with the published constant k=[[RrfK]] (Cormack, Clarke &
@@ -571,6 +583,83 @@ object SimilarityQueries {
       .filter(col("rank") <= k)
   }
 
+  /** The greedy MMR selection (q_mmr_rerank) — see the QueryDef for
+    * semantics and scale shape. Each of the [[MmrK]]−1 rounds is one
+    * query-grain join + per-query window; the new picks are
+    * localCheckpointed per round so the final plan is a union of
+    * [[MmrK]] bounded pieces, not a [[MmrK]]-deep join tower.
+    */
+  private[ops] def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val sl = exactTopK(s, dir, MmrShortlist)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("v"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sims = sl.as("a")
+      .join(sl.as("b"), col("a.query_id") === col("b.query_id")
+        && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (dot(col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      mmrSelect(sl.select("query_id", "vec_id", "cos"), sims, MmrK)
+        .select(col("query_id"), col("step"),
+          col("pick").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"),
+          round(col("penalty"), 6).as("penalty"),
+          round(lit(MmrLambda) * col("cos")
+            - lit(MmrOneMinusLambda) * col("penalty"), 6).as("mmr"))
+        .orderBy("query_id", "step")
+    } finally { sl.unpersist(); sims.unpersist() }
+  }
+
+  /** The greedy selection itself, over any shortlist relation
+    * `cand (query_id, vec_id, cos)` and pairwise sims
+    * `sims (query_id, va, vb, sim)` — separated from the corpus
+    * plumbing so MmrSpec can plant redundancy and prove the penalty
+    * changes the picks in both directions. Returns one UNROUNDED row
+    * per (query_id, step 1..k): (pick, cos, penalty).
+    */
+  private[ops] def mmrSelect(cand: DataFrame, sims: DataFrame,
+                             k: Int): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    var pieces = Seq(cand
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("query_id"), lit(1).as("step"),
+        col("vec_id").as("pick"), col("cos"), lit(0.0).as("penalty"))
+      .localCheckpoint())
+    for (i <- 2 to k) {
+      val sel = pieces.reduce(_ unionByName _)
+        .select(col("query_id"), col("pick"))
+      val remaining = cand.join(
+        sel.withColumnRenamed("pick", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+      // penalty(d) = max sim(d, r) over selected r — sims joined to
+      // the selected set, folded per candidate; inner joins are
+      // total (the selected set is non-empty and sims covers every
+      // shortlist pair)
+      val pen = sims
+        .join(sel.withColumnRenamed("pick", "vb"), Seq("query_id", "vb"))
+        .select(col("query_id"), col("va").as("vec_id"), col("sim"))
+        .groupBy("query_id", "vec_id")
+        .agg(max(col("sim")).as("penalty"))
+      val next = remaining.join(pen, Seq("query_id", "vec_id"))
+        .withColumn("score", lit(MmrLambda) * col("cos")
+          - lit(MmrOneMinusLambda) * col("penalty"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(i).as("step"),
+          col("vec_id").as("pick"), col("cos"), col("penalty"))
+        .localCheckpoint()
+      pieces = pieces :+ next
+    }
+    pieces.reduce(_ unionByName _)
+  }
+
   /** ANN top-k: candidates restricted to the query's LSH bucket. */
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
@@ -1061,6 +1150,78 @@ object SimilarityQueries {
               |$exactScoredCte
               |SELECT query_id, rank, vec_id AS neighbor_id, round(cos,6) AS cosine
               |FROM exact_scored WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    QueryDef(
+      "q_mmr_rerank",
+      s"Maximal-marginal-relevance diversity re-ranking (Carbonell & " +
+        s"Goldstein 1998) of the exact cosine shortlist: from each " +
+        s"query's top-$MmrShortlist, greedily select $MmrK — step 1 " +
+        s"takes the most relevant, every later step takes argmax of " +
+        s"${MmrLambda}·rel(d) − ${MmrOneMinusLambda}·max_sim(d, selected) " +
+        s"— so near-duplicate neighbors cost each other their rank " +
+        s"and the result page covers the query's distinct senses " +
+        s"(the redundancy problem top-k alone cannot fix; the " +
+        s"retrieval-side complement of q_diverse_sample's corpus-side " +
+        s"diversity). Output: one row per (query, step) with the " +
+        s"pick, its relevance, the penalty it paid, and its MMR " +
+        s"score; step 1's penalty is 0 by definition. Shape: the " +
+        s"shortlist rides the exact-top-k definition (broadcast " +
+        s"query side, corpus never shuffles); candidate-candidate " +
+        s"sims are a shortlist self-join ($MmrShortlist² rows per " +
+        s"query — panel-bounded, corpus-independent); then $MmrK−1 " +
+        s"selection rounds, each ONE query-grain join + window over " +
+        s"≤ $MmrShortlist rows per query, new picks localCheckpointed " +
+        s"so the plan stays round-bounded — at 10⁶ queries each round " +
+        s"is one small shuffle over queries×shortlist, and the loop " +
+        s"count is the fixed $MmrK, not data-dependent. Greedy " +
+        s"selection is inherently sequential in k — MMR's definition " +
+        s"— but embarrassingly parallel across queries, which is the " +
+        s"axis that scales. Determinism: rel and sim are the " +
+        s"index-order dot products both engines share; λ and 1−λ are " +
+        s"literal constants (never derived by float subtraction); " +
+        s"ties break by vec_id; the oracle replays the same greedy " +
+        s"recursion as a recursive CTE carrying the selected set.",
+      (s, dir) => mmrRerank(s, dir),
+      Some(s"""WITH RECURSIVE $baseCte,
+           |$exactScoredCte,
+           |sl AS (SELECT query_id, vec_id, cos FROM exact_scored
+           |  WHERE rank <= $MmrShortlist),
+           |sv AS (SELECT s.query_id, s.vec_id, s.cos, n.v, n.nrm
+           |  FROM sl s JOIN n USING (vec_id)),
+           |sims AS (SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+           |    list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS sim
+           |  FROM sv a JOIN sv b ON a.query_id = b.query_id
+           |    AND a.vec_id <> b.vec_id),
+           |mmr AS (
+           |  SELECT query_id, 1 AS step, vec_id AS pick, cos,
+           |    CAST(0.0 AS DOUBLE) AS penalty, [vec_id] AS sel
+           |  FROM (SELECT query_id, vec_id, cos,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY cos DESC, vec_id ASC) AS rn FROM sl) t
+           |  WHERE rn = 1
+           |  UNION ALL
+           |  SELECT m.query_id, m.step + 1, c.pick, c.cos, c.penalty,
+           |    list_append(m.sel, c.pick)
+           |  FROM mmr m, LATERAL (
+           |    SELECT s.vec_id AS pick, s.cos,
+           |      (SELECT max(x.sim) FROM sims x
+           |         WHERE x.query_id = m.query_id AND x.va = s.vec_id
+           |           AND list_contains(m.sel, x.vb)) AS penalty
+           |    FROM sl s
+           |    WHERE s.query_id = m.query_id
+           |      AND NOT list_contains(m.sel, s.vec_id)
+           |    ORDER BY $MmrLambda*s.cos
+           |        - $MmrOneMinusLambda*(SELECT max(x.sim) FROM sims x
+           |          WHERE x.query_id = m.query_id AND x.va = s.vec_id
+           |            AND list_contains(m.sel, x.vb)) DESC,
+           |      s.vec_id ASC
+           |    LIMIT 1) c
+           |  WHERE m.step < $MmrK)
+           |SELECT query_id, step, pick AS neighbor_id,
+           |  round(cos, 6) AS cosine, round(penalty, 6) AS penalty,
+           |  round($MmrLambda*cos - $MmrOneMinusLambda*penalty, 6) AS mmr
+           |FROM mmr ORDER BY query_id, step""".stripMargin)
     ),
 
     QueryDef(

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.{Registry, SparkSpec}
+
+/** q_mmr_rerank falsifiability: the redundancy penalty must CHANGE the
+  * greedy picks when near-duplicates sit in the shortlist, and must
+  * change nothing when they don't — both directions on planted
+  * shortlists (the selection loop is corpus-free, so the spec drives
+  * it directly), plus output-shape receipts on the declared query.
+  */
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sims(rows: (Long, Long, Long, Double)*) =
+    rows.toSeq.toDF("query_id", "va", "vb", "sim")
+
+  // candidates: A(1) rel .9, B(2) rel .89 — a near-dup of A — and
+  // C(3) rel .5, unrelated
+  private val cand = Seq(
+    (1L, 1L, 0.9), (1L, 2L, 0.89), (1L, 3L, 0.5))
+    .toDF("query_id", "vec_id", "cos")
+
+  test("the penalty breaks redundancy: a near-dup of the first pick " +
+    "loses step 2 to a diverse candidate") {
+    val s = sims((1L, 1L, 2L, 0.99), (1L, 2L, 1L, 0.99),
+      (1L, 1L, 3L, 0.0), (1L, 3L, 1L, 0.0),
+      (1L, 2L, 3L, 0.0), (1L, 3L, 2L, 0.0))
+    val out = SimilarityQueries.mmrSelect(cand, s, 2)
+      .orderBy("step").collect()
+    // step 1: pure relevance -> A; step 2: B pays 0.3*0.99 and scores
+    // 0.326 < C's 0.35 -> the diverse C wins despite lower relevance
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 3L),
+      s"got ${out.mkString(",")}")
+    assert(out(1).getDouble(4) == 0.0, "C is unrelated to A: penalty 0")
+  }
+
+  test("control: without redundancy the greedy order is relevance " +
+    "order") {
+    val s = sims((1L, 1L, 2L, 0.0), (1L, 2L, 1L, 0.0),
+      (1L, 1L, 3L, 0.0), (1L, 3L, 1L, 0.0),
+      (1L, 2L, 3L, 0.0), (1L, 3L, 2L, 0.0))
+    val out = SimilarityQueries.mmrSelect(cand, s, 3)
+      .orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L),
+      s"got ${out.mkString(",")}")
+  }
+
+  test("declared query shape: every query gets exactly k distinct " +
+    "picks, step 1 is the exact nearest neighbor") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Registry.queryMap("q_mmr_rerank")(spark, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    for ((q, rows) <- byQ) {
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 10),
+        s"query $q steps")
+      assert(rows.map(_.getLong(2)).distinct.length == 10,
+        s"query $q picks must be distinct")
+      val s1 = rows.find(_.getInt(1) == 1).get
+      assert(s1.getDouble(4) == 0.0, s"query $q step-1 penalty")
+      assert(s1.getDouble(3) == rows.map(_.getDouble(3)).max,
+        s"query $q step 1 must be the most relevant pick")
+    }
+  }
+}
