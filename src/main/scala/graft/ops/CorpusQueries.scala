@@ -900,6 +900,89 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_proximity_rerank",
+      s"Positional proximity re-ranking (Clarke et al. 2000 cover " +
+        s"density; the Tao & Zhai 2007 MinCover statistic) of the BM25 " +
+        s"top-20: retrieval from the stored LexIndex cannot see WHERE " +
+        s"terms sit — a doc mentioning the query terms in one phrase " +
+        s"and a doc scattering them across sections score the same " +
+        s"bag-of-words BM25 — so stage two re-reads ONLY the 20 " +
+        s"shortlisted docs and computes each one's minimal token " +
+        s"window covering ALL query terms (min over position " +
+        s"combinations of max−min+1 — exact, integer, " +
+        s"offset-invariant), then re-ranks by (has-window, window " +
+        s"asc, bm25 desc, doc_id). Docs missing a term have no " +
+        s"window and fall behind every covered doc, BM25-ordered. " +
+        s"The window leg deliberately uses the FULL query (no " +
+        s"StopTermDfFrac cap): a stopword carries no idf evidence " +
+        s"but its POSITION is still phrase evidence — the two legs " +
+        s"measure different things, and both engines apply the same " +
+        s"rule. Shape: stage one is q_bm25's bucket-pruned serving " +
+        s"plan; stage two is a pushed doc_id point lookup (20 rows) " +
+        s"whose per-doc position cross-product is bounded by " +
+        s"occurrence counts (≤ dl³ worst case on 20 SHORT relations " +
+        s"— panel-bounded, corpus-independent; the classic trade of " +
+        s"positional re-rank: pay positions only for the shortlist, " +
+        s"never index them). Determinism: integer windows, " +
+        s"decimal-exact BM25, doc_id tiebreak.",
+      (s, dir) => proximityRerank(s, Tables.par(s, dir, "documents"),
+        LexIndex.tag(dir), Bm25Terms),
+      Some {
+        val capSql = s"floor(${LexIndex.StopTermDfFrac} * n_docs)"
+        val qVals = Bm25Terms.map(t => s"('$t')").mkString(",")
+        // per-term position legs a/b/c... unrolled from the SAME Seq
+        // as the Spark side (the q_bm25 generated-oracle convention)
+        val alias = Bm25Terms.indices.map(i => s"p$i")
+        val posJoins = alias.zipWithIndex.map { case (a, i) =>
+          s"JOIN pos $a ON $a.doc_id = w0.doc_id AND $a.term = '${Bm25Terms(i)}'"
+        }.mkString("\n  ")
+        val ps = alias.map(a => s"$a.p").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+           |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+           |  GROUP BY 1, 2),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+           |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |  FROM p GROUP BY 1),
+           |q(term) AS (VALUES $qVals),
+           |contrib AS (SELECT p.doc_id, p.term,
+           |    CAST(round(round(ln((n_docs - df + 0.5) / (df + 0.5)
+           |        + 1.0), 9)
+           |      * CAST(tf AS DOUBLE) * 2.2
+           |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+           |        / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+           |      AS DECIMAL(38,12)) AS ts
+           |  FROM p JOIN q USING (term) JOIN d USING (doc_id)
+           |    JOIN dfq USING (term), st
+           |  WHERE df <= $capSql),
+           |bscore AS (SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score
+           |  FROM contrib GROUP BY 1),
+           |w0 AS (SELECT doc_id, score FROM (SELECT doc_id, score,
+           |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+           |  FROM bscore) rb WHERE r <= 20),
+           |pos AS (SELECT t.doc_id,
+           |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS p,
+           |    unnest(toks) AS term
+           |  FROM t JOIN w0 ON t.doc_id = w0.doc_id),
+           |win AS (SELECT w0.doc_id,
+           |    min(greatest($ps) - least($ps) + 1) AS w
+           |  FROM w0
+           |  $posJoins
+           |  GROUP BY 1),
+           |r AS (SELECT w0.doc_id, w0.score, win.w,
+           |    ROW_NUMBER() OVER (ORDER BY
+           |      CASE WHEN win.w IS NULL THEN 1 ELSE 0 END ASC,
+           |      win.w ASC, w0.score DESC, w0.doc_id ASC) AS rank
+           |  FROM w0 LEFT JOIN win ON w0.doc_id = win.doc_id)
+           |SELECT rank, doc_id, w AS window,
+           |  round(score, 6) AS score
+           |FROM r ORDER BY rank""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_prf_expansion",
       s"Pseudo-relevance-feedback query expansion (RM3 shape — " +
         s"Lavrenko & Croft 2001; Abdul-Jaleel et al. 2004), served " +
@@ -1557,6 +1640,49 @@ object CorpusQueries {
       .select(col("doc_id") +: keep :+ col("n_bigrams") :+
         round(col("xs").cast("double") / col("n_bigrams"), 6)
           .as("xent"): _*)
+  }
+
+  /** Two-stage proximity re-ranking over an arbitrary corpus relation
+    * against the stored LexIndex at `tagL` — ONE definition for the
+    * declared q_proximity_rerank and ProximitySpec's planted corpora.
+    * Stages, window semantics, and the no-cap rule for the positional
+    * leg are documented on the QueryDef.
+    */
+  private[graft] def proximityRerank(s: SparkSession, docs: DataFrame,
+                                     tagL: String,
+                                     terms: Seq[String]): DataFrame = {
+    val (post, stats) = LexIndex.buildOrLoad(s, docs, tagL)
+    val wr = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val top = LexIndex.scoreTerms(post, stats, terms)
+      .withColumn("r", row_number().over(wr)).filter(col("r") <= 20)
+      .select(col("doc_id"), col("score"))
+      .localCheckpoint() // 20 rows; consumed twice (id fetch + re-rank)
+    val ids = top.select("doc_id").collect().map(_.getLong(0)).toSeq
+    // positions of the query terms inside the shortlisted docs only —
+    // the pushed point lookup is the operator's whole corpus touch
+    val pos = docs.filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("p", "term")))
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("term"))
+      .localCheckpoint() // tiny; feeds one leg per term below
+    val legs = terms.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term") === t)
+        .select(col("doc_id"), col("p").as(s"p$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val pcols = terms.indices.map(i => col(s"p$i"))
+    val span = if (terms.size == 1) lit(1L)
+      else greatest(pcols: _*) - least(pcols: _*) + lit(1L)
+    val win = joined.select(col("doc_id"), span.as("wspan"))
+      .groupBy("doc_id").agg(min(col("wspan")).as("window"))
+    val wOrd = Window.orderBy(col("window").asc_nulls_last,
+      col("score").desc, col("doc_id").asc)
+    top.join(win, Seq("doc_id"), "left")
+      .withColumn("rank", row_number().over(wOrd))
+      .select(col("rank"), col("doc_id"), col("window"),
+        round(col("score"), 6).as("score"))
+      .orderBy("rank")
   }
 
   /** Dirichlet query-likelihood ranking over an arbitrary corpus
