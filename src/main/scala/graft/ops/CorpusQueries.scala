@@ -1670,7 +1670,10 @@ object CorpusQueries {
       pos.filter(col("term") === t)
         .select(col("doc_id"), col("p").as(s"p$i"))
     }
-    val joined = legs.reduce((a, b) => a.join(b, Seq("doc_id")))
+    // the legs are stats-free checkpointed relations (Catalyst would
+    // default the equi-join to sort-merge); they are ≤ 20 docs ×
+    // occurrences rows by construction, so broadcast explicitly
+    val joined = legs.reduce((a, b) => a.join(broadcast(b), Seq("doc_id")))
     val pcols = terms.indices.map(i => col(s"p$i"))
     val span = if (terms.size == 1) lit(1L)
       else greatest(pcols: _*) - least(pcols: _*) + lit(1L)
@@ -1678,7 +1681,7 @@ object CorpusQueries {
       .groupBy("doc_id").agg(min(col("wspan")).as("window"))
     val wOrd = Window.orderBy(col("window").asc_nulls_last,
       col("score").desc, col("doc_id").asc)
-    top.join(win, Seq("doc_id"), "left")
+    top.join(broadcast(win), Seq("doc_id"), "left")
       .withColumn("rank", row_number().over(wOrd))
       .select(col("rank"), col("doc_id"), col("window"),
         round(col("score"), 6).as("score"))
