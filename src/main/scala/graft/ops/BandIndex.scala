@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   *   - `<tag>_bands`    (doc_id, band, bh, bsz) bucketed by (band, bh)
   *
   * `bsz` — the (band, bh) bucket's population — is PRECOMPUTED at build
-  * time, so the hot-bucket cap is a pushed parquet predicate on the
-  * stored column; the previous shape recomputed it as a window
-  * `count(*) over (partition by band, bh)` over the WHOLE index on every
-  * incremental run — a full index shuffle that contradicted the
-  * operator's own "only the arriving batch shuffles" claim.
+  * time via the skew-safe [[withKeyCount]] (groupBy + join-back, never
+  * a bucket-key window), so the hot-bucket cap is a pushed parquet
+  * predicate on the stored column; the previous shape recomputed it as
+  * a window over the WHOLE index on every incremental run — a full
+  * index shuffle that contradicted the operator's own "only the
+  * arriving batch shuffles" claim.
   *
   * Bucketing on the probe key means a probe equi-join on (band, bh)
   * satisfies the join's required distribution straight off the scan:
@@ -70,6 +71,40 @@ object BandIndex {
     b
   }
 
+  /** `out` = the per-`keys` row population stamped onto every row of
+    * `df` — groupBy + join-back, NEVER `Window.partitionBy(keys)`. This
+    * is the LexIndex df rule (`ops/LexIndex.scala` scaladoc, r14
+    * verdict #1) hoisted to ONE shared definition (r16 verdict #1) so
+    * no family can regress it independently: a window colocates every
+    * row of a key in one partition and sorts it on a single task, so
+    * under the Zipfian key distributions these artifacts govern — the
+    * boilerplate n-gram / band bucket / solid-color media class that
+    * HotBucketCap and the df caps exist FOR — the hottest key is an
+    * unsplittable O(hot-key) straggler at the families' 10^12-row
+    * target scale. The groupBy's partial aggregation collapses that key
+    * to one row per map task before any shuffle, and the join-back
+    * equi-join is AQE-skew-splittable. Callers re-select their column
+    * order (join-back puts the keys first). KeyCountSpec pins
+    * join-back == window row-for-row on a planted hot key; each
+    * family's build/probe differentials pin the stored column's
+    * downstream semantics.
+    */
+  private[ops] def withKeyCount(df: DataFrame, keys: Seq[String],
+                                out: String): DataFrame = {
+    // Null-safe (<=>) join-back: a window treats a null key as its own
+    // group, and so must the replacement — BandIndex band hashes ARE
+    // null for an empty-shingle doc (MinHashBands scaladoc), and a
+    // plain equi-join would silently drop those rows. <=> is still an
+    // equi-join key for the planner (hash-joinable, AQE-splittable).
+    val renamed = keys.map(k => k -> s"__kc_$k")
+    val counts = renamed.foldLeft(
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(out))) {
+      case (d, (k, a)) => d.withColumnRenamed(k, a)
+    }
+    val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
+    df.join(counts, cond).drop(renamed.map(_._2): _*)
+  }
+
   /** The bucket count a stored table was actually written with — for
     * report rows and refresh paths (which must preserve, not silently
     * re-spec, the family's bucketing).
@@ -101,6 +136,13 @@ object BandIndex {
       val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+
+  /** Every table this family stores for `tag` — the one list reset
+    * paths (q_takedown_audit) reuse so they cannot drift from the
+    * storage layout (r16 ADVICE #2).
+    */
+  def tables(tag: String): Seq[String] =
+    Seq(s"${tag}_shingles", s"${tag}_bands")
 
   /** Whether the stored index for `tag` is fully cataloged (the
     * IvfIndex convention — maintenance callers gate on this before
@@ -140,11 +182,12 @@ object BandIndex {
           .bucketBy(buckets, "doc_id").sortBy("doc_id")
           .saveAsTable(shT)
         // Bands derive from the stored shingles (one shingling pass
-        // total); the bucket-size window runs ONCE here, at build time
-        // — never again on the read path.
-        val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-        DedupQueries.bandsFromShingles(spark.table(shT))
-          .withColumn("bsz", count(lit(1)).over(wb))
+        // total); the bucket-size derivation runs ONCE here, at build
+        // time — never again on the read path — and via the skew-safe
+        // [[withKeyCount]], never a (band, bh) window.
+        withKeyCount(DedupQueries.bandsFromShingles(spark.table(shT)),
+            Seq("band", "bh"), "bsz")
+          .select("doc_id", "band", "bh", "bsz")
           .write.mode(SaveMode.Overwrite)
           .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
           .saveAsTable(bdT)
@@ -201,9 +244,8 @@ object BandIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sh.write.insertInto(shT)
-      val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-      DedupQueries.bandsFromShingles(sh)
-        .withColumn("bsz", count(lit(1)).over(wb))
+      withKeyCount(DedupQueries.bandsFromShingles(sh),
+          Seq("band", "bh"), "bsz")
         .select("doc_id", "band", "bh", "bsz")
         .write.insertInto(bdT)
     } finally sh.unpersist()
@@ -273,9 +315,9 @@ object BandIndex {
     // Preserve the family's bucket spec (derived at build): a refresh
     // compacts content, it must not silently re-spec the layout.
     val buckets = bucketsOf(spark, bdT)
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    DedupQueries.bandsFromShingles(spark.table(shT))
-      .withColumn("bsz", count(lit(1)).over(wb))
+    withKeyCount(DedupQueries.bandsFromShingles(spark.table(shT)),
+        Seq("band", "bh"), "bsz")
+      .select("doc_id", "band", "bh", "bsz")
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
       .saveAsTable(bdT)

@@ -46,6 +46,11 @@ object MediaSigStore {
   private def sigT(tag: String) = s"${tag}_msig"
   private def bandT(tag: String) = s"${tag}_mband"
 
+  /** Every table this family stores for `tag` (r16 ADVICE #2: reset
+    * paths reuse this so they cannot drift from the layout).
+    */
+  def tables(tag: String): Seq[String] = Seq(sigT(tag), bandT(tag))
+
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, sigT(tag))
 
@@ -95,10 +100,12 @@ object MediaSigStore {
           .bucketBy(buckets, "doc_id").sortBy("doc_id")
           .saveAsTable(sT)
         // bucket-population column computed ONCE at build — the cap on
-        // the read paths is then a pushed scan predicate (BandIndex bsz)
-        val wb = org.apache.spark.sql.expressions.Window.partitionBy("bk")
-        bandRows(spark.table(sT))
-          .withColumn("bsz", count(lit(1)).over(wb))
+        // the read paths is then a pushed scan predicate (BandIndex
+        // bsz) — via the skew-safe BandIndex.withKeyCount, never a bk
+        // window: the hottest bk IS the degenerate media class
+        // (solid color, silence) the cap exists for
+        BandIndex.withKeyCount(bandRows(spark.table(sT)), Seq("bk"), "bsz")
+          .select("bk", "doc_id", "bsz")
           .write.mode(SaveMode.Overwrite)
           .bucketBy(buckets, "bk").sortBy("bk")
           .saveAsTable(bT)
@@ -144,9 +151,7 @@ object MediaSigStore {
         .select(col("bk").cast("int"), col("standing_n").cast("long"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
         .toDF("bk", "standing_n")
-      val wb = org.apache.spark.sql.expressions.Window.partitionBy("bk")
-      bandRows(sigs)
-        .withColumn("batch_n", count(lit(1)).over(wb))
+      BandIndex.withKeyCount(bandRows(sigs), Seq("bk"), "batch_n")
         .join(broadcast(standing), Seq("bk"), "left")
         .withColumn("bsz",
           col("batch_n") + coalesce(col("standing_n"), lit(0L)))
@@ -211,9 +216,8 @@ object MediaSigStore {
   def refreshBucketSizes(spark: SparkSession, tag: String): Unit = {
     val bT = bandT(tag)
     val buckets = BandIndex.bucketsOf(spark, bT)
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy("bk")
-    bandRows(spark.table(sigT(tag)))
-      .withColumn("bsz", count(lit(1)).over(wb))
+    BandIndex.withKeyCount(bandRows(spark.table(sigT(tag))), Seq("bk"), "bsz")
+      .select("bk", "doc_id", "bsz")
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "bk").sortBy("bk")
       .saveAsTable(bT)

@@ -39,6 +39,32 @@ class BandIndexSpec extends SparkSpec {
     dropAll(tag)
   }
 
+  test("a sub-ShingleK doc (empty shingle set) still stores 1 shingle " +
+    "row and Bands band rows — null band hashes form their own counted " +
+    "group (r16 ADVICE #3: the takedown oracle's per-doc expectations " +
+    "hold for EVERY doc, not only >= ShingleK-char ones)") {
+    val tag = "graft_test_bi_short"
+    dropAll(tag)
+    // "hi" normalizes to < 5 chars -> zero 5-char shingles
+    val docs = Seq((1L, copyText), (2L, "hi"), (3L, otherText))
+      .toDF("doc_id", "text")
+    val (sh, bd) = BandIndex.buildOrLoad(spark, docs, tag)
+    assert(sh.filter(col("doc_id") === 2L).count() == 1L,
+      "one shingle row per doc, even with an empty shingle set")
+    val shortBands = bd.filter(col("doc_id") === 2L)
+      .select("bh", "bsz").collect()
+    assert(shortBands.length == DedupQueries.Bands,
+      s"Bands rows per doc, got ${shortBands.length}")
+    assert(shortBands.forall(_.isNullAt(0)),
+      "empty-shingle band hashes are null by construction")
+    assert(shortBands.forall(_.getLong(1) == 1L),
+      "the null group is its own counted bucket (the <=> join-back)")
+    // the takedown verb removes them like any other doc's rows
+    val (shR, bdR) = BandIndex.delete(spark, Seq(2L).toDF("doc_id"), tag)
+    assert(shR == 1L && bdR == DedupQueries.Bands.toLong)
+    dropAll(tag)
+  }
+
   test("bucket derivation: ceil(rows/target) to a power of two, floored " +
     "at 8 — local corpora stay at the floor, 100 TB row counts do not") {
     assert(BandIndex.derivedBuckets(0L) == 8)
