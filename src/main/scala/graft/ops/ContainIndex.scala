@@ -10,10 +10,22 @@ import org.apache.spark.sql.functions._
   * ingest probe ([[graft.streaming.CorpusStream.containmentProbe]])
   * read, instead of re-deriving the standing corpus's n-grams per run.
   *
-  * Two bucketed tables per corpus snapshot:
+  * Two bucketed tables (plus a tiny ledger) per corpus snapshot:
   *
-  *   - `<tag>_cngrams` (g1, doc_id, na, df)   bucketed by g1
-  *   - `<tag>_cdocs`   (doc_id, ng, na, oc)   bucketed by doc_id
+  *   - `<tag>_cngrams` (g1, doc_id, na, df)   bucketed by g1,
+  *     partitioned by pb = pmod(hash(g1), nb) — the LexIndex pb
+  *     mirror: a g1's rows are hash-confined to one partition, so
+  *     df recomputed within a partition subset is EXACT for every
+  *     g1 it contains, which is what makes [[refreshCountsPartial]]
+  *     a bounded maintenance op (r16 verdict #4)
+  *   - `<tag>_cdocs`   (doc_id, ng, na, oc)   bucketed by doc_id,
+  *     partitioned by pd = pmod(hash(doc_id), nb) — same idea at doc
+  *     grain, so the oc re-level rewrites only partitions holding
+  *     docs whose oc actually changed
+  *   - `<tag>_ctouched` (g1) — the touched-n-gram ledger [[append]]
+  *     and [[delete]] maintain (recorded BEFORE mutation, the
+  *     LexIndex crash-order), [[refreshCounts]]/[[refreshCountsPartial]]
+  *     reset
   *
   * `df` — each n-gram's standing document frequency — and `oc` — each
   * doc's count of OVER-CAP n-grams — are PRECOMPUTED at build time, so
@@ -38,6 +50,75 @@ object ContainIndex {
     */
   def tag(dir: String, role: String): String = BandIndex.tag(dir, role)
 
+  private def ngramT(tag: String) = s"${tag}_cngrams"
+  private def docT(tag: String) = s"${tag}_cdocs"
+  private def touchT(tag: String) = s"${tag}_ctouched"
+
+  /** Every table this family stores for `tag` — the one list reset
+    * paths (q_takedown_audit) and drop helpers reuse so they cannot
+    * drift from the storage layout (r16 ADVICE #2).
+    */
+  def tables(tag: String): Seq[String] =
+    Seq(ngramT(tag), docT(tag), touchT(tag))
+
+  /** Drop every stored table of `tag` (catalog + files). */
+  def dropAll(spark: SparkSession, tag: String): Unit = {
+    tables(tag).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    BandIndex.dropStaleLocations(spark, tables(tag))
+  }
+
+  /** pb/pd partition columns mirroring the bucket hash (the LexIndex
+    * withPb convention — see that scaladoc for why a bucketed table
+    * needs a partition mirror to be partially rewritable).
+    */
+  private def withPg(df: DataFrame, nb: Int): DataFrame =
+    df.withColumn("pb", expr(s"pmod(hash(g1), $nb)").cast("int"))
+  private def withPd(df: DataFrame, nb: Int): DataFrame =
+    df.withColumn("pd", expr(s"pmod(hash(doc_id), $nb)").cast("int"))
+
+  private def writePostings(staged: DataFrame, nb: Int,
+                            table: String): Unit =
+    staged.select("g1", "doc_id", "na", "df", "pb")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("pb")
+      .bucketBy(nb, "g1").sortBy("g1")
+      .saveAsTable(table)
+
+  private def writeDocs(staged: DataFrame, nb: Int, table: String): Unit =
+    staged.select("doc_id", "ng", "na", "oc", "pd")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("pd")
+      .bucketBy(nb, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
+
+  /** Touched-n-gram ledger (the LexIndex pattern verbatim): recorded
+    * BEFORE the index mutates, so a crash between the two leaves only
+    * harmless extra ledger rows (a partial re-level of an already-exact
+    * partition is idempotent), never a stale n-gram the ledger missed.
+    */
+  private def ensureTouched(spark: SparkSession, tag: String): Unit = {
+    val tT = touchT(tag)
+    if (!spark.catalog.tableExists(tT)) {
+      BandIndex.dropStaleLocations(spark, Seq(tT))
+      import spark.implicits._
+      Seq.empty[String].toDF("g1")
+        .write.mode(SaveMode.Overwrite).saveAsTable(tT)
+    }
+  }
+
+  private def recordTouched(spark: SparkSession, tag: String,
+                            grams: DataFrame): Unit = {
+    ensureTouched(spark, tag)
+    grams.select(col("g1")).distinct().write.insertInto(touchT(tag))
+  }
+
+  private def clearTouched(spark: SparkSession, tag: String): Unit = {
+    import spark.implicits._
+    Seq.empty[String].toDF("g1")
+      .write.mode(SaveMode.Overwrite).saveAsTable(touchT(tag))
+    spark.catalog.refreshTable(touchT(tag))
+  }
+
   /** Materialize (or reuse, if already cataloged this session) the
     * containment index for `standingDocs` (must carry doc_id + text).
     * Returns (postings, docArrays) as reads of the stored tables.
@@ -46,42 +127,47 @@ object ContainIndex {
                   tag: String,
                   targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
                  ): (DataFrame, DataFrame) = {
-    val ngT = s"${tag}_cngrams"
-    val dcT = s"${tag}_cdocs"
-    // Gate on BOTH tables (r10 ADVICE #3): a crash between the two
-    // saveAsTable calls would otherwise leave ngT cataloged with dcT
-    // missing, and every later call would short-circuit into a
-    // missing-table error until manual repair. Requiring both means a
-    // partial build self-heals by rebuilding.
-    if (!(spark.catalog.tableExists(ngT) && spark.catalog.tableExists(dcT))) {
-      BandIndex.dropStaleLocations(spark, Seq(ngT, dcT))
+    val ngT = ngramT(tag)
+    val dcT = docT(tag)
+    // Gate on BOTH tables (r10 ADVICE #3) AND on the r17 partition
+    // columns being present (the MediaSigStore schema-drift rule): a
+    // crash between the two saveAsTable calls, or a pre-pb vintage of
+    // the artifact, self-heals by rebuilding rather than breaking the
+    // partial re-level with no repair path.
+    val complete = spark.catalog.tableExists(ngT) &&
+      spark.catalog.tableExists(dcT) &&
+      spark.table(ngT).columns.contains("pb") &&
+      spark.table(dcT).columns.contains("pd")
+    if (!complete) {
+      Seq(ngT, dcT, touchT(tag)).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      BandIndex.dropStaleLocations(spark, Seq(ngT, dcT, touchT(tag)))
       val g = DedupQueries.ngramDocs(standingDocs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val inv = g.select(col("doc_id"), size(col("ng")).as("na"),
           explode(col("ng")).as("g1"))
-        // df via ONE build-time window over the posting key — never
-        // again on the read path (the bsz convention)
-        val wg = org.apache.spark.sql.expressions.Window.partitionBy("g1")
-        val post = inv.withColumn("df", count(lit(1)).over(wg))
+        // df derived ONCE at build — never again on the read path (the
+        // bsz convention) — and via the skew-safe groupBy + join-back
+        // (BandIndex.withKeyCount), never a g1 window: the hottest g1
+        // is a boilerplate n-gram, the exact key the df cap governs
+        val post = BandIndex.withKeyCount(inv, Seq("g1"), "df")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val buckets =
             BandIndex.derivedBuckets(post.count(), targetRowsPerBucket)
-          post.select("g1", "doc_id", "na", "df")
-            .write.mode(SaveMode.Overwrite)
-            .bucketBy(buckets, "g1").sortBy("g1")
-            .saveAsTable(ngT)
+          writePostings(withPg(post, buckets), buckets, ngT)
           // per-doc over-cap count from the SAME df relation, joined
           // back to the arrays; docs whose n-grams are all rare get 0
           val oc = post.filter(col("df") > DedupQueries.ContainDfCap)
             .groupBy("doc_id").agg(count(lit(1)).as("oc"))
-          g.join(oc, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("ng"), size(col("ng")).as("na"),
-              coalesce(col("oc"), lit(0L)).as("oc"))
-            .write.mode(SaveMode.Overwrite)
-            .bucketBy(buckets, "doc_id").sortBy("doc_id")
-            .saveAsTable(dcT)
+          writeDocs(withPd(
+            g.join(oc, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("ng"), size(col("ng")).as("na"),
+                coalesce(col("oc"), lit(0L)).as("oc")), buckets),
+            buckets, dcT)
+          // fresh build is exact everywhere — an empty touched ledger
+          ensureTouched(spark, tag)
         } finally post.unpersist()
       } finally g.unpersist()
     }
@@ -96,23 +182,28 @@ object ContainIndex {
     * the inequality pointing the same (safe) way.
     */
   def append(spark: SparkSession, newDocs: DataFrame, tag: String): Unit = {
-    val ngT = s"${tag}_cngrams"
-    val dcT = s"${tag}_cdocs"
+    val ngT = ngramT(tag)
+    val dcT = docT(tag)
     require(spark.catalog.tableExists(ngT) && spark.catalog.tableExists(dcT),
       s"append target $tag does not exist — buildOrLoad first")
+    val nb = BandIndex.bucketsOf(spark, ngT)
     val g = DedupQueries.ngramDocs(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val inv = g.select(col("doc_id"), size(col("ng")).as("na"),
         explode(col("ng")).as("g1"))
-      val wg = org.apache.spark.sql.expressions.Window.partitionBy("g1")
-      val post = inv.withColumn("df", count(lit(1)).over(wg))
-      post.select("g1", "doc_id", "na", "df").write.insertInto(ngT)
+      // ledger first (crash order: extra ledger rows are harmless,
+      // missed ones are not), then the postings
+      recordTouched(spark, tag, inv.select("g1"))
+      val post = BandIndex.withKeyCount(inv, Seq("g1"), "df")
+      withPg(post, nb).select("g1", "doc_id", "na", "df", "pb")
+        .write.insertInto(ngT)
       val oc = post.filter(col("df") > DedupQueries.ContainDfCap)
         .groupBy("doc_id").agg(count(lit(1)).as("oc"))
-      g.join(oc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("ng"), size(col("ng")).as("na"),
-          coalesce(col("oc"), lit(0L)).as("oc"))
+      withPd(g.join(oc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ng"), size(col("ng")).as("na"),
+            coalesce(col("oc"), lit(0L)).as("oc")), nb)
+        .select("doc_id", "ng", "na", "oc", "pd")
         .write.insertInto(dcT)
     } finally g.unpersist()
   }
@@ -120,32 +211,117 @@ object ContainIndex {
   /** Periodic compaction: recompute exact df over the full stored
     * posting relation and exact oc per doc, rewriting both tables with
     * their bucket specs preserved (appends leave df/oc per-batch lower
-    * bounds).
+    * bounds). This is the full-table re-level; [[refreshCountsPartial]]
+    * is the bounded form that only rewrites partitions the ledger says
+    * are stale (r16 verdict #4).
     */
   def refreshCounts(spark: SparkSession, tag: String): Unit = {
-    val ngT = s"${tag}_cngrams"
-    val dcT = s"${tag}_cdocs"
+    val ngT = ngramT(tag)
+    val dcT = docT(tag)
     val buckets = BandIndex.bucketsOf(spark, ngT)
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g1")
-    val post = spark.table(ngT)
-      .select(col("g1"), col("doc_id"), col("na"))
-      .withColumn("df", count(lit(1)).over(wg))
+    val post = BandIndex.withKeyCount(
+        spark.table(ngT).select(col("g1"), col("doc_id"), col("na")),
+        Seq("g1"), "df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val stagedNg = post.select("g1", "doc_id", "na", "df")
+      val stagedNg = withPg(post, buckets)
+        .select("g1", "doc_id", "na", "df", "pb")
         .localCheckpoint() // sever from the table being overwritten
       val oc = post.filter(col("df") > DedupQueries.ContainDfCap)
         .groupBy("doc_id").agg(count(lit(1)).as("oc"))
-      val stagedDc = spark.table(dcT).select("doc_id", "ng", "na")
-        .join(oc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("ng"), col("na"),
-          coalesce(col("oc"), lit(0L)).as("oc"))
+      val stagedDc = withPd(spark.table(dcT).select("doc_id", "ng", "na")
+          .join(oc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ng"), col("na"),
+            coalesce(col("oc"), lit(0L)).as("oc")), buckets)
+        .select("doc_id", "ng", "na", "oc", "pd")
         .localCheckpoint()
-      stagedNg.write.mode(SaveMode.Overwrite)
-        .bucketBy(buckets, "g1").sortBy("g1").saveAsTable(ngT)
-      stagedDc.write.mode(SaveMode.Overwrite)
-        .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(dcT)
+      writePostings(stagedNg, buckets, ngT)
+      writeDocs(stagedDc, buckets, dcT)
+      spark.catalog.refreshTable(ngT)
+      spark.catalog.refreshTable(dcT)
+      // everything is exact again — the ledger resets
+      clearTouched(spark, tag)
     } finally post.unpersist()
+  }
+
+  /** BOUNDED re-level (r16 verdict #4 — the LexIndex
+    * [[LexIndex.refreshCountsPartial]] pattern applied to this family):
+    * re-level df for ONLY the posting partitions holding n-grams
+    * touched since the last exact level, then re-level oc for ONLY the
+    * doc partitions whose stored oc actually changed — leaving every
+    * other partition's files byte-identical on disk. At the family's
+    * advertised scale [[refreshCounts]] is an O(index) rewrite of BOTH
+    * tables; this does daily-batch-proportional posting work plus a
+    * scan-grade oc audit:
+    *
+    *   1. touched g1s → their partitions pb = pmod(hash(g1), nb); ONE
+    *      partition-pruned scan re-derives df exactly (a g1's rows are
+    *      hash-confined to its pb) and dynamic-overwrites exactly those
+    *      partitions (staged via localCheckpoint);
+    *   2. oc: exact per-doc over-cap counts from the NOW-EXACT stored
+    *      df — `postings.filter(df > cap)` is a pushed predicate scan,
+    *      and the count is a doc-grain groupBy (fine-grained keys, no
+    *      straggler); compared against the stored oc via a
+    *      column-pruned (doc_id, oc, pd) read of the doc table. This
+    *      audit is vintage-proof where a delta rule is not: stored oc
+    *      mixes build-exact rows with append-time batch-local rows, so
+    *      "which docs changed" is only decidable against ground truth.
+    *      Only partitions holding a changed doc are rewritten;
+    *   3. ledger reset.
+    *
+    * Equals [[refreshCounts]] exactly on both tables (ContainIndexSpec
+    * differential), and untouched partitions are not rewritten
+    * (byte-identical files — spec-pinned). Returns (posting partitions
+    * rewritten, doc partitions rewritten).
+    */
+  def refreshCountsPartial(spark: SparkSession, tag: String): (Long, Long) = {
+    val ngT = ngramT(tag)
+    val dcT = docT(tag)
+    ensureTouched(spark, tag)
+    val nb = BandIndex.bucketsOf(spark, ngT)
+    val touchedPbs = spark.table(touchT(tag))
+      .select(expr(s"pmod(hash(g1), $nb)").cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (touchedPbs.isEmpty) return (0L, 0L)
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(conf)
+    // 1. posting df re-level, partition-pruned
+    val stagedNg = withPg(BandIndex.withKeyCount(
+        spark.table(ngT).filter(col("pb").isin(touchedPbs: _*))
+          .select(col("g1"), col("doc_id"), col("na")),
+        Seq("g1"), "df"), nb)
+      .select("g1", "doc_id", "na", "df", "pb")
+      .localCheckpoint()
+    spark.conf.set(conf, "dynamic")
+    try {
+      stagedNg.write.mode(SaveMode.Overwrite).insertInto(ngT)
+      spark.catalog.refreshTable(ngT)
+      // 2. oc re-level: exact over-cap counts off the now-exact df
+      val ocExact = spark.table(ngT)
+        .filter(col("df") > DedupQueries.ContainDfCap)
+        .groupBy("doc_id").agg(count(lit(1)).as("oc_x"))
+      val changedPds = spark.table(dcT).select("doc_id", "oc", "pd")
+        .join(ocExact, Seq("doc_id"), "left")
+        .filter(col("oc") =!= coalesce(col("oc_x"), lit(0L)))
+        .select(col("pd").cast("int"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+      if (changedPds.nonEmpty) {
+        val stagedDc = spark.table(dcT)
+          .filter(col("pd").isin(changedPds: _*))
+          .select("doc_id", "ng", "na", "pd")
+          .join(ocExact, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ng"), col("na"),
+            coalesce(col("oc_x"), lit(0L)).as("oc"), col("pd"))
+          .localCheckpoint()
+        stagedDc.write.mode(SaveMode.Overwrite).insertInto(dcT)
+        spark.catalog.refreshTable(dcT)
+      }
+      clearTouched(spark, tag)
+      (touchedPbs.size.toLong, changedPds.size.toLong)
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
   }
 
   /** Takedown maintenance (r15 verdict #1, dual of [[append]]): remove
@@ -172,8 +348,8 @@ object ContainIndex {
     */
   def delete(spark: SparkSession, docIds: DataFrame,
              tag: String): (Long, Long) = {
-    val ngT = s"${tag}_cngrams"
-    val dcT = s"${tag}_cdocs"
+    val ngT = ngramT(tag)
+    val dcT = docT(tag)
     require(spark.catalog.tableExists(ngT) && spark.catalog.tableExists(dcT),
       s"delete target $tag does not exist — buildOrLoad first")
     val ids = broadcast(docIds.select(col("doc_id")).distinct())
@@ -182,20 +358,20 @@ object ContainIndex {
     val ngRemoved = ng.join(ids, Seq("doc_id"), "left_semi").count()
     val dcRemoved = dc.join(ids, Seq("doc_id"), "left_semi").count()
     if (ngRemoved == 0L && dcRemoved == 0L) return (0L, 0L)
+    // ledger first (crash order): the deleted docs' n-grams are exactly
+    // the keys whose surviving df is about to go stale
+    recordTouched(spark, tag,
+      ng.join(ids, Seq("doc_id"), "left_semi").select("g1"))
     val buckets = BandIndex.bucketsOf(spark, ngT)
     val stagedNg = ng.join(ids, Seq("doc_id"), "left_anti")
-      .select("g1", "doc_id", "na", "df")
+      .select("g1", "doc_id", "na", "df", "pb")
       .localCheckpoint()
     val stagedDc = dc.join(ids, Seq("doc_id"), "left_anti")
-      .select("doc_id", "ng", "na", "oc")
+      .select("doc_id", "ng", "na", "oc", "pd")
       .localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $dcT")
-    stagedNg.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "g1").sortBy("g1")
-      .saveAsTable(ngT)
-    stagedDc.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(dcT)
+    writePostings(stagedNg, buckets, ngT)
+    writeDocs(stagedDc, buckets, dcT)
     spark.catalog.refreshTable(ngT)
     spark.catalog.refreshTable(dcT)
     (ngRemoved, dcRemoved)
@@ -209,7 +385,7 @@ object ContainIndex {
     */
   def capAudit(spark: SparkSession, tag: String,
                cap: Int = DedupQueries.ContainDfCap): (Long, Long) = {
-    val r = spark.table(s"${tag}_cngrams")
+    val r = spark.table(ngramT(tag))
       .filter(col("df") > cap)
       .agg(count_distinct(col("g1")).as("n_grams"),
         count(lit(1)).as("n_rows"))
@@ -221,14 +397,14 @@ object ContainIndex {
     * metric (the sizing choice must be visible).
     */
   def buckets(spark: SparkSession, tag: String): Int =
-    BandIndex.bucketsOf(spark, s"${tag}_cngrams")
+    BandIndex.bucketsOf(spark, ngramT(tag))
 
   /** Whether the stored index for `tag` is fully cataloged (the
     * IvfIndex convention).
     */
   def exists(spark: SparkSession, tag: String): Boolean =
-    spark.catalog.tableExists(s"${tag}_cngrams") &&
-      spark.catalog.tableExists(s"${tag}_cdocs")
+    spark.catalog.tableExists(ngramT(tag)) &&
+      spark.catalog.tableExists(docT(tag))
 
   /** The probe — ONE definition shared by the declared incremental
     * query and the streaming ingest face, so batch and stream cannot

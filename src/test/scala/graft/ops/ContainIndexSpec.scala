@@ -19,7 +19,7 @@ class ContainIndexSpec extends SparkSpec {
   private val filler = "completely different standing content lives here okay fine"
 
   private def dropAll(tag: String): Unit =
-    Seq(s"${tag}_cngrams", s"${tag}_cdocs").foreach(t =>
+    ContainIndex.tables(tag).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   /** Pure-Scala reference: best standing match by containment (>= 0.8,
@@ -206,6 +206,127 @@ class ContainIndexSpec extends SparkSpec {
     // idempotent
     assert(ContainIndex.delete(spark, Seq(1L).toDF("doc_id"), tagA) ==
       ((0L, 0L)))
+    dropAll(tagA); dropAll(tagB)
+  }
+
+  test("refreshCountsPartial (r16 verdict #4): only partitions holding " +
+    "touched n-grams / changed docs rewrite — result == the full " +
+    "refreshCounts on BOTH tables row-for-row, untouched partitions' " +
+    "files byte-identical, ledger reset, second pass a no-op") {
+    val tagP = "graft_test_ci_partial"
+    val tagF = "graft_test_ci_partfull"
+    dropAll(tagP); dropAll(tagF)
+    // standing corpus with a boilerplate class already OVER the cap
+    // (df 20 > ContainDfCap) plus unique docs; the append is a SMALL
+    // batch (2 n-grams — the daily-delta shape the ledger exists for)
+    // sharing one n-gram with the book, so that n-gram's stored df
+    // goes stale (batch-local 1, true 2) in 1-2 pb partitions while
+    // the rest stay untouched
+    val boiler = "all rights reserved by the original publisher entity"
+    val standing = Seq((1L, book), (2L, filler)) ++
+      (50L to 69L).map(i => (i, boiler))
+    val batch = Seq((100L, "w1 w2 w3 freshtail"))
+    for (t <- Seq(tagP, tagF)) {
+      ContainIndex.buildOrLoad(spark, standing.toDF("doc_id", "text"), t)
+      ContainIndex.append(spark, batch.toDF("doc_id", "text"), t)
+    }
+    // fixture sanity: the ledger must leave untouched partitions
+    val nb = ContainIndex.buckets(spark, tagP)
+    val touchedPbs = spark.table(s"${tagP}_ctouched")
+      .select(expr(s"pmod(hash(g1), $nb)").cast("int")).distinct()
+      .as[Int].collect().toSet
+    val allPbs = spark.table(s"${tagP}_cngrams")
+      .select(col("pb").cast("int")).distinct().as[Int].collect().toSet
+    assert(touchedPbs.nonEmpty && (allPbs -- touchedPbs).nonEmpty,
+      s"fixture must leave untouched pb partitions: $touchedPbs of $allPbs")
+    def files(table: String, part: String, ks: Set[Int]): Map[String, (Long, Long)] =
+      ks.flatMap { k =>
+        val d = new java.io.File(s"spark-warehouse/$table/$part=$k")
+        Option(d.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified()))
+      }.toMap
+    val beforeNg = files(s"${tagP}_cngrams", "pb", allPbs -- touchedPbs)
+    assert(beforeNg.nonEmpty, "untouched pb partitions must have files")
+    val allPds = spark.table(s"${tagP}_cdocs")
+      .select(col("pd").cast("int")).distinct().as[Int].collect().toSet
+    val beforeDc = files(s"${tagP}_cdocs", "pd", allPds)
+    val (nPb, nPd) = ContainIndex.refreshCountsPartial(spark, tagP)
+    assert(nPb == touchedPbs.size.toLong)
+    assert(files(s"${tagP}_cngrams", "pb", allPbs -- touchedPbs) == beforeNg,
+      "untouched pb partitions must be byte-identical")
+    // doc partitions NOT holding a changed-oc doc are byte-identical too
+    val rewrittenPds = allPds.filter(k =>
+      files(s"${tagP}_cdocs", "pd", Set(k)) !=
+        beforeDc.filter(_._1.contains(s"pd=$k/")))
+    assert(rewrittenPds.size.toLong == nPd,
+      s"rewritten pd partitions ($rewrittenPds) must match the return ($nPd)")
+    // the reference: a FULL re-level on the twin
+    ContainIndex.refreshCounts(spark, tagF)
+    def canonNg(t: String) = spark.table(t)
+      .select("g1", "doc_id", "na", "df")
+      .as[(String, Long, Int, Long)].collect().toSet
+    def canonDc(t: String) = spark.table(t)
+      .select("doc_id", "na", "oc")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(canonNg(s"${tagP}_cngrams") == canonNg(s"${tagF}_cngrams"),
+      "partial == full on the posting table")
+    assert(canonDc(s"${tagP}_cdocs") == canonDc(s"${tagF}_cdocs"),
+      "partial == full on the doc table")
+    // ledger reset; a second partial pass is a no-op
+    assert(spark.table(s"${tagP}_ctouched").count() == 0)
+    assert(ContainIndex.refreshCountsPartial(spark, tagP) == ((0L, 0L)))
+    // the probe face reads the re-leveled index correctly (the pruned
+    // dynamic overwrite must not mis-bucket its files)
+    val probes = Seq((200L, words.take(10).mkString(" ")))
+    val pa = ContainIndex.probe(
+        DedupQueries.ngramDocs(probes.toDF("doc_id", "text")),
+        spark.table(s"${tagP}_cngrams"), spark.table(s"${tagP}_cdocs"))
+      .collect().toSeq
+    val pf = ContainIndex.probe(
+        DedupQueries.ngramDocs(probes.toDF("doc_id", "text")),
+        spark.table(s"${tagF}_cngrams"), spark.table(s"${tagF}_cdocs"))
+      .collect().toSeq
+    assert(pa == pf && pa.nonEmpty, "probe over partial == probe over full")
+    dropAll(tagP); dropAll(tagF)
+  }
+
+  test("delete then refreshCountsPartial == a from-scratch rebuild " +
+    "over the survivors (both tables), and oc re-levels when the " +
+    "delete moves an n-gram back UNDER the cap") {
+    val tagA = "graft_test_ci_delpart"
+    val tagB = "graft_test_ci_delpart_ref"
+    dropAll(tagA); dropAll(tagB)
+    // 20 boilerplate copies put its n-grams over the cap (oc > 0 for
+    // those docs); deleting 15 copies brings df back under the cap, so
+    // survivors' oc must re-level to 0 — the crossing case the pruned
+    // oc audit exists for
+    val boiler = "all rights reserved by the original publisher entity"
+    val standing = Seq((1L, book), (2L, filler)) ++
+      (50L to 69L).map(i => (i, boiler))
+    ContainIndex.buildOrLoad(spark, standing.toDF("doc_id", "text"), tagA)
+    assert(spark.table(s"${tagA}_cdocs")
+      .filter(col("doc_id") === 50L).select("oc").as[Long].head() > 0L)
+    val removedIds = (55L to 69L)
+    val (ngR, dcR) = ContainIndex.delete(spark,
+      removedIds.toDF("doc_id"), tagA)
+    assert(ngR > 0L && dcR == removedIds.size.toLong)
+    val (nPb, nPd) = ContainIndex.refreshCountsPartial(spark, tagA)
+    assert(nPb > 0L && nPd > 0L,
+      s"the cap crossing must force an oc rewrite: ($nPb, $nPd)")
+    val survivors = standing.filterNot(d => removedIds.contains(d._1))
+    ContainIndex.buildOrLoad(spark, survivors.toDF("doc_id", "text"), tagB)
+    def canonNg(t: String) = spark.table(t)
+      .select("g1", "doc_id", "na", "df")
+      .as[(String, Long, Int, Long)].collect().toSet
+    def canonDc(t: String) = spark.table(t)
+      .select("doc_id", "na", "oc")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(canonNg(s"${tagA}_cngrams") == canonNg(s"${tagB}_cngrams"))
+    assert(canonDc(s"${tagA}_cdocs") == canonDc(s"${tagB}_cdocs"))
+    // surviving boilerplate docs' oc re-leveled to 0 (df 5 <= cap)
+    assert(spark.table(s"${tagA}_cdocs")
+      .filter(col("doc_id") === 50L).select("oc").as[Long].head() == 0L)
     dropAll(tagA); dropAll(tagB)
   }
 }
