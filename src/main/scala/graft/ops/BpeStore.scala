@@ -57,6 +57,11 @@ object BpeStore {
   private def mergesT(tag: String) = s"${tag}_bpemerges"
   private def segsT(tag: String) = s"${tag}_bpesegs"
 
+  /** Every table this family stores for `tag` (r16 ADVICE #2: reset
+    * paths reuse this so they cannot drift from the layout).
+    */
+  def tables(tag: String): Seq[String] = Seq(mergesT(tag), segsT(tag))
+
   /** Derived bucket count this tag was built with (report-row metric). */
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, segsT(tag))

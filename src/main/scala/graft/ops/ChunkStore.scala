@@ -39,6 +39,11 @@ object ChunkStore {
 
   private def chunksT(tag: String) = s"${tag}_chunks"
 
+  /** Every table this family stores for `tag` (r16 ADVICE #2: reset
+    * paths reuse this so they cannot drift from the layout).
+    */
+  def tables(tag: String): Seq[String] = Seq(chunksT(tag))
+
   /** Derived bucket count this tag was built with (report-row metric). */
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, chunksT(tag))

@@ -1069,7 +1069,12 @@ object GovernanceQueries {
         "verb (SCALE.md prices it), and the counts are scan-side " +
         "aggregates. Surviving counts' staleness after delete (df/bsz " +
         "become UPPER bounds) is each family's documented contract — " +
-        "row PRESENCE, what this audit checks, is exact immediately.",
+        "row PRESENCE, what this audit checks, is exact immediately. " +
+        "The oracle's per-doc row expectations (1 shingle row, Bands " +
+        "band rows) hold for EVERY doc including sub-ShingleK ones — " +
+        "an empty shingle set stores one empty-array row and Bands " +
+        "null-hash band rows (MinHashBands scaladoc; BandIndexSpec " +
+        "pins it, r16 ADVICE #3), so no corpus precondition is needed.",
       (s, dir) => {
         import s.implicits._
         val docs = Tables.par(s, dir, "documents")
@@ -1079,9 +1084,12 @@ object GovernanceQueries {
         val tagB = BandIndex.tag(dir, "tdband")
         val tagC = BandIndex.tag(dir, "tdchunk")
         // fresh per execution: a prior run's post-delete tables would
-        // make the second run a no-op delete over different state
-        Seq(s"${tagL}_lpost", s"${tagL}_lstats", s"${tagL}_ltouched",
-          s"${tagB}_shingles", s"${tagB}_bands", s"${tagC}_chunks")
+        // make the second run a no-op delete over different state.
+        // The drop list is each family's OWN tables(tag) (r16 ADVICE
+        // #2) so a renamed or added table cannot silently survive the
+        // reset and break the manufactured idempotence.
+        (LexIndex.tables(tagL) ++ BandIndex.tables(tagB) ++
+          ChunkStore.tables(tagC))
           .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         val (post0, stats0) = LexIndex.buildOrLoad(s, sub, tagL)
         val (sh0, bd0) = BandIndex.buildOrLoad(s, sub, tagB)

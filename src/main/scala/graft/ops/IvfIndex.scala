@@ -40,6 +40,11 @@ object IvfIndex {
   private def cellsT(tag: String) = s"${tag}_ivfcells"
   private def centT(tag: String) = s"${tag}_ivfcentroids"
 
+  /** Every table this family stores for `tag` (r16 ADVICE #2: reset
+    * paths reuse this so they cannot drift from the layout).
+    */
+  def tables(tag: String): Seq[String] = Seq(cellsT(tag), centT(tag))
+
   /** Whether the stored index for `tag` is fully cataloged — the
     * buildOrLoad gate, exposed so callers (the pipeline's artifact
     * phase) can distinguish "pre-existing index" from "freshly built

@@ -103,6 +103,13 @@ object LexIndex {
   private def statsT(tag: String) = s"${tag}_lstats"
   private def touchT(tag: String) = s"${tag}_ltouched"
 
+  /** Every table this family stores for `tag` — the one list reset
+    * paths (q_takedown_audit) reuse so they cannot drift from the
+    * storage layout (r16 ADVICE #2).
+    */
+  def tables(tag: String): Seq[String] =
+    Seq(postT(tag), statsT(tag), touchT(tag))
+
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, postT(tag))
 
@@ -202,15 +209,12 @@ object LexIndex {
 
   /** df stamped onto each posting row — ONE definition shared by
     * build, append, and refresh so the three cannot drift. groupBy +
-    * join-back, NOT a term-partitioned window: the partial aggregation
-    * collapses the hottest term to one row per map task before any
-    * shuffle, and the join-back equi-join is AQE-skew-splittable where
-    * a window's per-key sort is a single unsplittable straggler task
-    * at Zipf-head terms (r14 verdict #1).
+    * join-back, NOT a term-partitioned window (r14 verdict #1); the
+    * derivation itself is [[BandIndex.withKeyCount]], the rule hoisted
+    * r17 so every artifact family shares the one skew-safe definition.
     */
   private def withDf(post: DataFrame): DataFrame =
-    post
-      .join(post.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
+    BandIndex.withKeyCount(post, Seq("term"), "df")
       .select("term", "doc_id", "tf", "dl", "df")
 
   /** Materialize (or reuse, if cataloged this session) the lexical
@@ -531,15 +535,21 @@ object LexIndex {
     * nq·ln(mu/(dl+mu)) is a literal-int × 9dp-rounded-ln IEEE
     * multiply-add, where `nq` is the EFFECTIVE query size the caller
     * derived (uncapped — and for the arriving face, index-known —
-    * terms). tf·|C| stays exact in a long through ~1e18 (headroom
-    * documented on the QueryDef). Unrounded score — callers rank then
-    * round.
+    * terms). tf·|C| is multiplied in DECIMAL(38,0) — exact through
+    * 10^38, so a 100 TB corpus (sum_dl ~ 10^13 × a boilerplate tf ~
+    * 10^6 exceeds a long's ~9.2e18) can never silently wrap (r16
+    * ADVICE #4: the long multiply wrapped where the DuckDB oracle's
+    * BIGINT raises; now Spark stays exact far past the boundary where
+    * DuckDB fails loudly, and below it the correctly-rounded
+    * decimal→double equals the long→double bit-for-bit, so the oracle
+    * hash is unchanged). Unrounded score — callers rank then round.
     */
   private[ops] def qlCombine(matched: DataFrame, mu: Long,
                              nq: Long): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val ts = round(log(lit(1.0)
-      + (col("tf") * col("sum_dl")).cast("double")
+      + (col("tf").cast(DecimalType(38, 0))
+          * col("sum_dl").cast(DecimalType(38, 0))).cast("double")
         / (lit(mu) * col("cf"))), 9).cast(DecimalType(38, 12))
     val dlLeg = lit(nq) * round(log(lit(mu).cast("double")
       / (col("dl") + lit(mu))), 9)
@@ -570,7 +580,16 @@ object LexIndex {
   def scoreArrivingQl(batch: DataFrame, termStats: DataFrame,
                       stats: DataFrame, terms: Seq[String],
                       mu: Long): DataFrame = {
-    val eligible = termStats.filter(col("df") <= lit(dfCap(stats)))
+    // eligible is restricted to the `terms` argument BEFORE nq is
+    // counted (r16 ADVICE #1): the match leg below filters postings to
+    // `terms`, so if a caller passed a termStats relation covering
+    // MORE seen terms than the query, an unfiltered count would
+    // inflate |q| on the doc-length leg while the match leg stayed
+    // query-bounded — the two legs must agree on the query by
+    // construction, not by caller convention.
+    val eligible = termStats
+      .filter(col("term").isin(terms: _*))
+      .filter(col("df") <= lit(dfCap(stats)))
     val nq = eligible.count()
     qlCombine(postingRows(batch)
       .filter(col("term").isin(terms: _*))

@@ -49,6 +49,11 @@ object PqStore {
   private def cbT(tag: String) = s"${tag}_pqcodebook"
   private def codesT(tag: String) = s"${tag}_pqcodes"
 
+  /** Every table this family stores for `tag` (r16 ADVICE #2: reset
+    * paths reuse this so they cannot drift from the layout).
+    */
+  def tables(tag: String): Seq[String] = Seq(cbT(tag), codesT(tag))
+
   /** Derived bucket count this tag was built with (report-row metric). */
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, codesT(tag))

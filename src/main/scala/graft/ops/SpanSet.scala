@@ -67,6 +67,11 @@ object SpanSet {
   private def rowsT(tag: String) = s"${tag}_spanrows"
   private def setT(tag: String) = s"${tag}_spanset"
 
+  /** Every table this family stores for `tag` (r16 ADVICE #2: reset
+    * paths reuse this so they cannot drift from the layout).
+    */
+  def tables(tag: String): Seq[String] = Seq(rowsT(tag), setT(tag))
+
   /** Derived bucket count this tag was built with (report-row metric). */
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, rowsT(tag))

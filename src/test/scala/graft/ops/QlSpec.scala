@@ -97,4 +97,26 @@ class QlSpec extends SparkSpec {
     assert(math.abs(r3.getDouble(3) - want3) <= 1e-6,
       s"got ${r3.getDouble(3)} want $want3")
   }
+
+  test("scoreArrivingQl derives |q| from the terms argument, not the " +
+    "termStats relation's row count (r16 ADVICE #1): an over-wide " +
+    "termStats must score identically to the properly-paired one") {
+    val docs = corpus.toDF("doc_id", "text")
+    val tag = freshTag()
+    val (_, stats) = LexIndex.buildOrLoad(spark, docs, tag)
+    val terms = Seq("apple")
+    val narrow = LexIndex.termCorpusStats(spark, tag, terms)
+    // covers two extra seen, uncapped terms the query does NOT ask for
+    val wide = LexIndex.termCorpusStats(spark, tag,
+      Seq("apple", "orchard", "field"))
+    val batch = Seq((100L, "apple arrives fresh today"),
+      (101L, "orchard rows but no query term")).toDF("doc_id", "text")
+    def scores(ts: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      LexIndex.scoreArrivingQl(batch, ts, stats, terms, CorpusQueries.QlMu)
+        .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val a = scores(narrow)
+    val b = scores(wide)
+    assert(a == b, s"wide termStats skewed the dl leg: narrow=$a wide=$b")
+    assert(a.keySet == Set(100L), "only the query-term match scores")
+  }
 }
