@@ -983,6 +983,100 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_passage_retrieval",
+      s"Passage-grain retrieval with best-passage (maxP) document " +
+        s"election (Callan 1994 passage-level evidence; Dai & Callan " +
+        s"2019) — the grain a RAG deployment actually serves (r16 " +
+        s"verdict missing #1). Composes three standing artifacts: the " +
+        s"stored ChunkStore's token spans reconstruct chunk texts " +
+        s"(${PackingQueries.ChunkW}-token windows every " +
+        s"${PackingQueries.ChunkStride}), a CHUNK-grain LexIndex " +
+        s"(role 'plex' — the family's tag parameterization, so the " +
+        s"same append/refresh/delete verbs maintain it) serves BM25 " +
+        s"where N = chunk count and dl = chunk length, and docs rank " +
+        s"by their best passage with the earliest chunk breaking " +
+        s"ties. Doc-grain BM25 dilutes a sharp passage inside a long " +
+        s"document (dl in the denominator is the WHOLE doc); passage " +
+        s"grain scores the evidence where it sits — PassageSpec pins " +
+        s"both directions (a long doc with one relevant passage WINS " +
+        s"under passage grain and loses under doc grain; on a " +
+        s"single-chunk corpus the two rankings are IDENTICAL). Shape: " +
+        s"chunk-index build is one corpus tokenize + the family's " +
+        s"bucketed write (per session, like every build); serving is " +
+        s"q_bm25's bucket-pruned posting scan at chunk grain, the " +
+        s"maxP election one doc-grain ordered-struct aggregate over " +
+        s"df-bounded matched chunks — the corpus never shuffles at " +
+        s"query time, and chunk ids pack doc and index into one long " +
+        s"(2^20 chunks/doc — ~25M-token headroom). StopTermDfFrac " +
+        s"governs at chunk grain, mirrored in the oracle. " +
+        s"Determinism: decimal-exact per-chunk BM25 sums, integer " +
+        s"tiebreaks (chunk_idx, doc_id).",
+      (s, dir) => passageRetrieval(s, Tables.par(s, dir, "documents"),
+        ChunkStore.tag(dir), BandIndex.tag(dir, "plex"), Bm25Terms),
+      Some {
+        // Generated from Bm25Terms (the q_bm25 convention) at CHUNK
+        // grain: the chunk CTEs mirror PackingQueries.chunkRowsOf
+        // (full-tail-coverage starts, clamped token slices), then
+        // tf/df/score unroll per term over ctoks, best passage per doc
+        // by (score desc, chunk_idx asc), docs ranked by best score.
+        val w = PackingQueries.ChunkW
+        val stride = PackingQueries.ChunkStride
+        val startsSql = PackingQueries.chunkStartsSql
+        val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"    len(list_filter(ctoks, x -> x = '$t')) AS tf_$i"
+        }.mkString(",\n")
+        val dfCols = Bm25Terms.indices.map(i =>
+          s"    SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+          .mkString(",\n")
+        val capSql = s"floor(${LexIndex.StopTermDfFrac} * n_docs)"
+        val scoreSum = Bm25Terms.indices.map(i =>
+          s"""(CASE WHEN tf_$i > 0 AND df_$i <= $capSql THEN
+             |      CAST(round(round(ln((n_docs - df_$i + 0.5)
+             |          / (df_$i + 0.5) + 1.0), 9)
+             |        * CAST(tf_$i AS DOUBLE) * 2.2
+             |        / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+             |          / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+             |        AS DECIMAL(38,12))
+             |      ELSE CAST(0 AS DECIMAL(38,12)) END)""".stripMargin)
+          .mkString("\n    + ")
+        val anyTf = Bm25Terms.indices.map(i =>
+          s"(CASE WHEN df_$i <= $capSql THEN tf_$i ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t
+           |  WHERE len(toks) > 0),
+           |stx AS (SELECT doc_id, toks, n, unnest($startsSql) AS start,
+           |  generate_subscripts($startsSql, 1) - 1 AS chunk_idx
+           |  FROM nn),
+           |c AS (SELECT doc_id, chunk_idx,
+           |    toks[start+1:start+$w] AS ctoks FROM stx),
+           |d AS (SELECT doc_id, chunk_idx,
+           |    CAST(len(ctoks) AS BIGINT) AS dl,
+           |$tfCols
+           |  FROM c),
+           |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+           |$dfCols
+           |  FROM d),
+           |sc AS (SELECT doc_id, chunk_idx,
+           |    CAST($scoreSum AS DOUBLE) AS score
+           |  FROM d, st
+           |  WHERE $anyTf > 0),
+           |best AS (SELECT doc_id, chunk_idx, score FROM (
+           |    SELECT doc_id, chunk_idx, score,
+           |      ROW_NUMBER() OVER (PARTITION BY doc_id
+           |        ORDER BY score DESC, chunk_idx ASC) AS rb
+           |    FROM sc) b WHERE rb = 1),
+           |r AS (SELECT doc_id, chunk_idx, score,
+           |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+           |      AS rank FROM best)
+           |SELECT rank, doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           |  CAST(chunk_idx * $stride + 1 AS INTEGER) AS start_tok,
+           |  round(score, 6) AS score
+           |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_prf_expansion",
       s"Pseudo-relevance-feedback query expansion (RM3 shape — " +
         s"Lavrenko & Croft 2001; Abdul-Jaleel et al. 2004), served " +
@@ -1694,6 +1788,67 @@ object CorpusQueries {
     * Decomposition, governance, and determinism documented on the
     * QueryDef.
     */
+  /** Chunk-id packing for the chunk-grain ("passage") LexIndex:
+    * chunk_id = doc_id · PassageIdStride + chunk_idx, decoded by one
+    * div/mod on the serving path. 2^20 chunk slots per doc bounds
+    * supported docs at ~25M tokens (ChunkStride 24) — far past any
+    * training document — while leaving 2^43 doc ids of headroom.
+    */
+  private[graft] val PassageIdStride = 1L << 20
+
+  /** Passage-grain retrieval (r16 verdict missing #1 — the RAG serving
+    * grain) over an arbitrary corpus relation: chunk texts reconstructed
+    * from the STORED ChunkStore's token spans (`tagC`) + one corpus
+    * join, indexed as a chunk-grain LexIndex (`tagP` — the family is
+    * tag-parameterized, so the same build/append/refresh/delete verbs
+    * maintain it), BM25-scored at chunk grain, then aggregated to docs
+    * by BEST PASSAGE (maxP — Callan 1994; Dai & Callan 2019), ties to
+    * the earliest chunk. ONE definition for the declared
+    * q_passage_retrieval and PassageSpec's planted corpora (the
+    * falsifiability convention: passage grain must WIN the
+    * long-doc-with-one-relevant-passage case and DEGRADE EXACTLY to
+    * doc-grain ranking when every doc is a single chunk).
+    */
+  private[graft] def passageRetrieval(s: SparkSession, docs: DataFrame,
+                                      tagC: String, tagP: String,
+                                      terms: Seq[String]): DataFrame = {
+    val chunks = ChunkStore.buildOrLoad(s, docs, tagC)
+    // chunk texts: the stored spans sliced out of ONE tokenize pass
+    // over the corpus — paid once per session at chunk-index build,
+    // like every family's build scan
+    val chunkDocs = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(chunks.select("doc_id", "chunk_idx", "start_tok", "n_chunk_tok"),
+        Seq("doc_id"))
+      .select(
+        (col("doc_id") * PassageIdStride + col("chunk_idx")).as("doc_id"),
+        array_join(slice(col("toks"), col("start_tok"), col("n_chunk_tok")),
+          " ").as("text"))
+    val (post, stats) = LexIndex.buildOrLoad(s, chunkDocs, tagP)
+    // chunk-grain BM25 off the stored index (N = chunk count, dl =
+    // chunk length — the StopTermDfFrac cap governs at chunk grain)
+    val cs = LexIndex.scoreTerms(post, stats, terms)
+      .select(floor(col("doc_id") / PassageIdStride).cast("long")
+          .as("doc_id"),
+        pmod(col("doc_id"), lit(PassageIdStride)).cast("int")
+          .as("chunk_idx"),
+        col("score"))
+    // maxP election as ONE doc-grain aggregate (ordered-struct max with
+    // negated idx for the earliest-chunk tiebreak — no window, no
+    // join-back; matched chunks are df-bounded)
+    val best = cs.groupBy("doc_id")
+      .agg(max(struct(col("score"), (-col("chunk_idx")).as("nci"))).as("b"))
+      .select(col("doc_id"), col("b.score").as("score"),
+        (-col("b.nci")).cast("int").as("chunk_idx"))
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    best.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * PackingQueries.ChunkStride + 1).as("start_tok"),
+        round(col("score"), 6).as("score"))
+      .orderBy("rank")
+  }
+
   private[graft] def qlDirichlet(s: SparkSession, docs: DataFrame,
                                  tagL: String,
                                  terms: Seq[String]): DataFrame = {

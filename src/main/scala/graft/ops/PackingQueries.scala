@@ -48,8 +48,8 @@ object PackingQueries {
     * (overlap = W - stride). Small against the synthetic docs so the
     * multi-chunk path is exercised; at real doc lengths use e.g. 512/384.
     */
-  private val ChunkW = 32
-  private val ChunkStride = 24
+  private[graft] val ChunkW = 32
+  private[graft] val ChunkStride = 24
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q_passage_retrieval's falsifiability pins (r16 verdict missing #1):
+  * passage-grain (chunk BM25 + maxP) must WIN the case it exists for —
+  * a long document whose relevance is one sharp passage, diluted to a
+  * loss under doc-grain BM25 by the whole-document dl — and must
+  * DEGRADE EXACTLY to doc-grain ranking (ranks AND scores) when every
+  * doc is a single chunk.
+  */
+class PassageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val terms = Seq("needle", "haystack")
+
+  private var tagN = 0
+  private def freshTags(): (String, String) = {
+    tagN += 1
+    val tagC = BandIndex.tag(s"/tmp/passspec$tagN", "chunks")
+    val tagP = BandIndex.tag(s"/tmp/passspec$tagN", "plex")
+    (ChunkStore.tables(tagC) ++ LexIndex.tables(tagP)).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    (tagC, tagP)
+  }
+
+  private def freshLexTag(): String = {
+    tagN += 1
+    val tag = BandIndex.tag(s"/tmp/passspecd$tagN", "lex")
+    LexIndex.tables(tag).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    tag
+  }
+
+  /** Doc-grain BM25 ranking — the q_bm25 shape, the control arm. */
+  private def docGrain(docs: org.apache.spark.sql.DataFrame)
+      : Seq[(Int, Long, Double)] = {
+    val (post, stats) = LexIndex.buildOrLoad(spark, docs, freshLexTag())
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    LexIndex.scoreTerms(post, stats, terms)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("doc_id"),
+        round(col("score"), 6).as("score"))
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+  }
+
+  private def passage(docs: org.apache.spark.sql.DataFrame)
+      : Seq[(Int, Long, Int, Double)] = {
+    val (tagC, tagP) = freshTags()
+    CorpusQueries.passageRetrieval(spark, docs, tagC, tagP, terms)
+      .select(col("rank"), col("doc_id"), col("chunk_idx"), col("score"))
+      .as[(Int, Long, Int, Double)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("a long doc with ONE sharp relevant passage loses under " +
+    "doc-grain BM25 (whole-doc dl dilutes it) and WINS under passage " +
+    "grain — and the elected chunk is the passage's") {
+    // doc 1: 200 junk tokens then the sharp passage (the tail chunk);
+    // doc 2: a short doc with weaker evidence of BOTH terms — its tiny
+    // dl wins doc-grain BM25, but its best chunk loses to the passage
+    val junk = (1 to 200).map(i => s"f$i").mkString(" ")
+    val sharp = "needle haystack needle haystack needle haystack " +
+      "needle haystack stitch work done now"
+    val doc1 = junk + " " + sharp
+    val doc2 = "needle haystack needle on a small table right here"
+    val docs = (Seq((1L, doc1), (2L, doc2)) ++
+      (10L to 17L).map(i => (i, (1 to 30).map(j => s"g${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val dg = docGrain(docs)
+    val pg = passage(docs)
+    assert(dg.head._2 == 2L,
+      s"doc grain must prefer the short doc (the dilution premise): $dg")
+    assert(pg.head._2 == 1L,
+      s"passage grain must surface the sharp passage's doc: $pg")
+    // the winning evidence is the TAIL chunk holding the passage, not
+    // chunk 0 of the junk prefix
+    val winner = pg.head
+    assert(winner._3 > 0, s"elected chunk must be the passage's: $winner")
+  }
+
+  test("single-chunk corpus: passage retrieval degrades to doc-grain " +
+    "ranking EXACTLY — same ranks, same docs, same scores") {
+    // every doc <= 32 tokens -> exactly one chunk spanning the doc
+    val docs = Seq(
+      (1L, "needle haystack sewing kit on the table"),
+      (2L, "needle found in the haystack yesterday needle"),
+      (3L, "a haystack stands alone in the field"),
+      (4L, "entirely unrelated content about weather patterns"),
+      (5L, "needle threads and fabric scraps everywhere"))
+      .toDF("doc_id", "text")
+    val dg = docGrain(docs)
+    val pg = passage(docs)
+    assert(pg.map(r => (r._1, r._2, r._4)) == dg,
+      s"single-chunk passage != doc grain:\npassage $pg\ndoc     $dg")
+    assert(pg.forall(_._3 == 0), "every elected chunk must be chunk 0")
+  }
+}
