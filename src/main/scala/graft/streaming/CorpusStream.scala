@@ -254,8 +254,7 @@ object CorpusStream {
     // not the caller's) — refresh on the CALLER's session so standing
     // readers see the appended postings, the refreshCounts /
     // splitHotCells convention (r14 advice applied one layer up).
-    Seq(s"${tag}_lpost", s"${tag}_lstats")
-      .foreach(spark.catalog.refreshTable)
+    refreshFamily(spark, graft.ops.LexIndex.tables(tag))
   }
 
   /** Streaming TAKEDOWN face — [[lexAppendBatch]]'s delete dual (the
@@ -272,9 +271,9 @@ object CorpusStream {
   def lexDeleteBatch(spark: SparkSession, ids: DataFrame,
                      tag: String): Long = {
     val n = graft.ops.LexIndex.delete(spark, ids.select("doc_id"), tag)
-    // caller-session visibility, as in the append face
-    Seq(s"${tag}_lpost", s"${tag}_lstats")
-      .foreach(spark.catalog.refreshTable)
+    // caller-session visibility, as in the append face; the refresh
+    // list is the family's own tables(tag) (r16 ADVICE #2)
+    refreshFamily(spark, graft.ops.LexIndex.tables(tag))
     n
   }
 
@@ -288,10 +287,63 @@ object CorpusStream {
   def bandDeleteBatch(spark: SparkSession, ids: DataFrame,
                       tag: String): (Long, Long) = {
     val r = graft.ops.BandIndex.delete(spark, ids.select("doc_id"), tag)
-    Seq(s"${tag}_shingles", s"${tag}_bands")
-      .foreach(spark.catalog.refreshTable)
+    refreshFamily(spark, graft.ops.BandIndex.tables(tag))
     r
   }
+
+  /** Streaming takedown for the containment index — the
+    * [[lexDeleteBatch]] pattern on [[graft.ops.ContainIndex]] (r16
+    * verdict missing #2: a takedown STREAM previously covered only the
+    * two retrieval-critical families; the remaining doc-grain families
+    * now carry the same face, each a thin idempotent wrapper over the
+    * family's own exact delete verb). After a micro-batch returns,
+    * [[containmentProbe]] can never emit the deleted ids; surviving
+    * df/oc staleness is the batch contract, healed by the bounded
+    * partial re-level. Returns (posting, doc-array) rows removed.
+    */
+  def containDeleteBatch(spark: SparkSession, ids: DataFrame,
+                         tag: String): (Long, Long) = {
+    val r = graft.ops.ContainIndex.delete(spark, ids.select("doc_id"), tag)
+    refreshFamily(spark, graft.ops.ContainIndex.tables(tag))
+    r
+  }
+
+  /** Streaming takedown for the chunk store — the family with NO
+    * staleness window at all (chunk rows are per-doc facts), so after
+    * a micro-batch returns, [[embeddedChunkHits]]'s keeper relation
+    * re-elects automatically and equals a rebuild over the survivors.
+    * Returns chunk rows removed.
+    */
+  def chunkDeleteBatch(spark: SparkSession, ids: DataFrame,
+                       tag: String): Long = {
+    val n = graft.ops.ChunkStore.delete(spark, ids.select("doc_id"), tag)
+    refreshFamily(spark, graft.ops.ChunkStore.tables(tag))
+    n
+  }
+
+  /** Streaming takedown for the word-span artifact: the delete verb
+    * inserts NEGATIVE sum-lattice delta rows, so the count set is
+    * exact-on-read immediately and [[boilerplateHits]]' duplicated-span
+    * probe forgets the deleted docs' contribution at once. Returns
+    * (span rows removed, delta rows inserted).
+    */
+  def spanDeleteBatch(spark: SparkSession, ids: DataFrame,
+                      tag: String): (Long, Long) = {
+    val r = graft.ops.SpanSet.delete(spark, ids.select("doc_id"), tag)
+    refreshFamily(spark, graft.ops.SpanSet.tables(tag))
+    r
+  }
+
+  /** Caller-session cache invalidation for a family's stored tables
+    * (foreachBatch hands a CLONED session whose writes do not reach
+    * the caller's relation cache — the refreshCounts convention one
+    * layer up). Exists-filtered: ledger tables may not be cataloged
+    * until the first append.
+    */
+  private def refreshFamily(spark: SparkSession,
+                            tables: Seq[String]): Unit =
+    tables.filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
 
   /** Batch-side build of the stored CHAR-winnow span artifact (the
     * [[graft.ops.SpanSet]] skeleton at character granularity, charspans

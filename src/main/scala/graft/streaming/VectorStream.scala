@@ -147,4 +147,34 @@ object VectorStream {
     graft.ops.SimilarityQueries.encodePq(
       n, spark.table(s"${tag}_pqcodebook"))
   }
+
+  /** Streaming takedown for the IVF index — the
+    * CorpusStream.lexDeleteBatch pattern (r16 verdict missing #2) at
+    * vec grain: a takedown-id stream applied per micro-batch via the
+    * family's exact, idempotent delete verb; [[annProbeBatch]] can
+    * never emit the deleted ids afterwards (centroid staleness shifts
+    * which cells are PROBED, never which vectors exist — the batch
+    * contract, healed by refreshCentroids). Returns cell rows removed.
+    */
+  def ivfDeleteBatch(spark: SparkSession, ids: DataFrame,
+                     tag: String): Long = {
+    val n = graft.ops.IvfIndex.delete(spark, ids.select("vec_id"), tag)
+    graft.ops.IvfIndex.tables(tag)
+      .filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
+    n
+  }
+
+  /** Streaming takedown for the PQ store — same pattern; code rows are
+    * per-vector facts, so post-delete reads equal a rebuild over the
+    * survivors under the frozen codebook. Returns code rows removed.
+    */
+  def pqDeleteBatch(spark: SparkSession, ids: DataFrame,
+                    tag: String): Long = {
+    val n = graft.ops.PqStore.delete(spark, ids.select("vec_id"), tag)
+    graft.ops.PqStore.tables(tag)
+      .filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
+    n
+  }
 }

@@ -127,4 +127,41 @@ class MediaSigStoreSpec extends SparkSpec {
     assert(vid.map(_._1).distinct == Seq(205L) && vid.size == 2)
     assert(vid.forall(_._3 <= 2L))
   }
+
+  test("mediaSigDeleteBatch (r17, r16 missing #2): streamed micro-batch " +
+    "deletes == one batch delete on both tables under any split, the " +
+    "probe face forgets the deleted ids immediately, and a replayed " +
+    "micro-batch is a no-op") {
+    val tagS = "graft_test_msdel_s" + System.nanoTime()
+    val tagB = "graft_test_msdel_b" + System.nanoTime()
+    // standing: twins 3 and 197 (same dhash group) + disjoint 7 and 50
+    val standing = Seq(3L, 7L, 50L, 197L)
+    MediaSigStore.buildOrLoad(spark, docs(standing), tagS,
+      ImageDedup.dhashSigs)
+    MediaSigStore.buildOrLoad(spark, docs(standing), tagB,
+      ImageDedup.dhashSigs)
+    // reference: one batch delete; streamed: two 1-id micro-batches
+    MediaSigStore.delete(spark, docs(Seq(197L, 50L)), tagB)
+    for (id <- Seq(197L, 50L))
+      graft.streaming.MediaStream.mediaSigDeleteBatch(spark,
+        docs(Seq(id)), tagS)
+    def sigs(t: String) = spark.table(s"${t}_msig")
+      .select("doc_id").as[Long].collect().toSet
+    def bands(t: String) = spark.table(s"${t}_mband")
+      .select("bk", "doc_id", "bsz")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(sigs(tagS) == sigs(tagB) && sigs(tagS) == Set(3L, 7L))
+    assert(bands(tagS) == bands(tagB))
+    // serving receipt: 100 is group-3's twin — its probe may match 3
+    // but can never emit the deleted 197
+    val got = graft.streaming.MediaStream
+      .imageProbeBatch(spark, docs(Seq(100L)), tagS)
+      .select("match_id").as[Long].collect().toSet
+    assert(!got.contains(197L) && got.contains(3L), s"got $got")
+    // idempotent replay
+    assert(graft.streaming.MediaStream.mediaSigDeleteBatch(spark,
+      docs(Seq(197L)), tagS) == ((0L, 0L)))
+    (MediaSigStore.tables(tagS) ++ MediaSigStore.tables(tagB))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

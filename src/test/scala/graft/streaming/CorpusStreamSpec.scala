@@ -690,6 +690,97 @@ class CorpusStreamSpec extends SparkSpec {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("containDeleteBatch / chunkDeleteBatch / spanDeleteBatch extend " +
+    "the streaming takedown loop to the remaining doc-grain families " +
+    "(r17, r16 missing #2): streamed micro-batch deletes == one batch " +
+    "delete on every table under any split, and the bounded partial " +
+    "re-level converges both") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark join query spark fast engine the and more words"),
+      (2L, "spark is the engine we use for big data work"),
+      (3L, "join me tomorrow for the query tuning session ok"),
+      (4L, "totally unrelated words live here peacefully forever today"),
+      (5L, "spark is the engine we use for big data work"),
+      (6L, "fresh words only in this one document right now"))
+    val victims = Seq(2L, 3L, 6L)
+    val n = System.nanoTime()
+    val (cTagS, cTagB) = (graft.ops.BandIndex.tag(s"/tmp/cdel_s$n", "c"),
+      graft.ops.BandIndex.tag(s"/tmp/cdel_b$n", "c"))
+    val (kTagS, kTagB) = (graft.ops.BandIndex.tag(s"/tmp/kdel_s$n", "chunks"),
+      graft.ops.BandIndex.tag(s"/tmp/kdel_b$n", "chunks"))
+    val (sTagS, sTagB) = (graft.ops.BandIndex.tag(s"/tmp/sdel_s$n", "spans"),
+      graft.ops.BandIndex.tag(s"/tmp/sdel_b$n", "spans"))
+    val docs = corpus.map { case (id, t) => (id, t, s"s${id % 2}") }
+      .toDF("doc_id", "text", "source")
+    for (t <- Seq(cTagS, cTagB)) graft.ops.ContainIndex.buildOrLoad(spark, docs, t)
+    for (t <- Seq(kTagS, kTagB)) graft.ops.ChunkStore.buildOrLoad(spark, docs, t)
+    for (t <- Seq(sTagS, sTagB)) graft.ops.SpanSet.buildOrLoad(spark, docs, t)
+    // reference: ONE batch delete on the B twins
+    graft.ops.ContainIndex.delete(spark, victims.toDF("doc_id"), cTagB)
+    graft.ops.ChunkStore.delete(spark, victims.toDF("doc_id"), kTagB)
+    graft.ops.SpanSet.delete(spark, victims.toDF("doc_id"), sTagB)
+    // streamed: the same ids in 2-id micro-batches through the faces
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("doc_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-cdel").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.CorpusStream.containDeleteBatch(spark, b, cTagS)
+        graft.streaming.CorpusStream.chunkDeleteBatch(spark, b, kTagS)
+        graft.streaming.CorpusStream.spanDeleteBatch(spark, b, sTagS)
+        ()
+      }
+      .start()
+    try {
+      victims.grouped(2).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // containment: postings AND doc arrays equal (deletes never restamp
+    // survivor counts, so stream == batch with no refresh at all)
+    def cNg(t: String) = spark.table(s"${t}_cngrams")
+      .select("g1", "doc_id", "na", "df")
+      .as[(String, Long, Int, Long)].collect().toSet
+    def cDc(t: String) = spark.table(s"${t}_cdocs")
+      .select("doc_id", "na", "oc")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(cNg(cTagS) == cNg(cTagB) && cDc(cTagS) == cDc(cTagB))
+    // ... and the bounded partial re-level converges both twins
+    graft.ops.ContainIndex.refreshCountsPartial(spark, cTagS)
+    graft.ops.ContainIndex.refreshCountsPartial(spark, cTagB)
+    assert(cNg(cTagS) == cNg(cTagB) && cDc(cTagS) == cDc(cTagB))
+    // chunk store: rows and the re-elected keeper relation equal
+    def kRows(t: String) = spark.table(s"${t}_chunks")
+      .select("doc_id", "chunk_idx", "chunk_fp")
+      .as[(Long, Int, String)].collect().toSet
+    assert(kRows(kTagS) == kRows(kTagB))
+    assert(graft.ops.ChunkStore.keepers(spark, kTagS).collect().toSet ==
+      graft.ops.ChunkStore.keepers(spark, kTagB).collect().toSet)
+    // span set: surviving rows equal; the SERVED duplicated-span set
+    // equal (the delta lattice may hold different row splits — two
+    // micro-batch deltas vs one — but sums on read are exact)
+    def sRows(t: String) = spark.table(s"${t}_spanrows")
+      .select("doc_id", "sh").as[(Long, String)].collect().toSet
+    assert(sRows(sTagS) == sRows(sTagB))
+    assert(graft.ops.SpanSet.duplicatedSpans(spark, sTagS)
+        .collect().toSet ==
+      graft.ops.SpanSet.duplicatedSpans(spark, sTagB).collect().toSet)
+    // idempotent: replaying a micro-batch removes nothing
+    assert(graft.streaming.CorpusStream.containDeleteBatch(spark,
+      victims.take(2).toDF("doc_id"), cTagS) == ((0L, 0L)))
+    (graft.ops.ContainIndex.tables(cTagS) ++
+      graft.ops.ContainIndex.tables(cTagB) ++
+      graft.ops.ChunkStore.tables(kTagS) ++
+      graft.ops.ChunkStore.tables(kTagB) ++
+      graft.ops.SpanSet.tables(sTagS) ++ graft.ops.SpanSet.tables(sTagB))
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("qualityClassifyBatch: stream union == batch against a FROZEN " +
     "naive-Bayes model across micro-batch splits; lexical labels " +
     "predicted correctly") {

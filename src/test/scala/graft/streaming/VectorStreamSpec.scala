@@ -229,6 +229,63 @@ class VectorStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfDeleteBatch / pqDeleteBatch (r17, r16 missing #2): streamed " +
+    "micro-batch deletes == one batch delete on the vec-grain stores " +
+    "under any split; probes never emit deleted ids; replay is a no-op") {
+    import spark.implicits._
+    // twin corpora: the sf0.001 embeddings copied into two fresh dirs so
+    // the deletes cannot touch the shared session artifacts other tests
+    // read (tags derive from the dir)
+    val src = java.nio.file.Paths.get(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val (dirS, dirB) = (Files.createTempDirectory("graft-vecdel-s"),
+      Files.createTempDirectory("graft-vecdel-b"))
+    for (d <- Seq(dirS, dirB))
+      java.nio.file.Files.copy(src, d.resolve("embeddings.parquet"))
+    val (ivfTagS, ivfTagB) = (graft.ops.IvfIndex.tag(dirS.toString, 16),
+      graft.ops.IvfIndex.tag(dirB.toString, 16))
+    val (pqTagS, pqTagB) = (graft.ops.PqStore.tag(dirS.toString),
+      graft.ops.PqStore.tag(dirB.toString))
+    graft.ops.IvfIndex.buildOrLoad(spark, dirS.toString, 16)
+    graft.ops.IvfIndex.buildOrLoad(spark, dirB.toString, 16)
+    graft.ops.PqStore.buildOrLoad(spark, dirS.toString)
+    graft.ops.PqStore.buildOrLoad(spark, dirB.toString)
+    val victims = Seq(10L, 25L, 40L)
+    // reference: one batch delete; streamed: 1-id micro-batches (the
+    // foreachBatch body — deletion is id-keyed and stateless, so the
+    // face's semantics are exactly these calls)
+    graft.ops.IvfIndex.delete(spark, victims.toDF("vec_id"), ivfTagB)
+    graft.ops.PqStore.delete(spark, victims.toDF("vec_id"), pqTagB)
+    for (id <- victims) {
+      VectorStream.ivfDeleteBatch(spark, Seq(id).toDF("vec_id"), ivfTagS)
+      VectorStream.pqDeleteBatch(spark, Seq(id).toDF("vec_id"), pqTagS)
+    }
+    def cells(t: String) = spark.table(s"${t}_ivfcells")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    def codes(t: String) = spark.table(s"${t}_pqcodes")
+      .select("vec_id").as[Long].collect().toSet
+    assert(cells(ivfTagS) == cells(ivfTagB))
+    assert(codes(pqTagS) == codes(pqTagB))
+    assert((codes(pqTagS) & victims.toSet).isEmpty)
+    // serving receipt: a probe for a deleted vector's own embedding
+    // cannot return the deleted id
+    val probe = spark.read.parquet(s"$dirS/embeddings.parquet")
+      .filter(col("vec_id") === 25L)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val got = VectorStream.annProbeBatch(spark, probe, ivfTagS)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((got & victims.toSet).isEmpty, s"deleted ids served: $got")
+    // idempotent replay
+    assert(VectorStream.ivfDeleteBatch(spark,
+      Seq(25L).toDF("vec_id"), ivfTagS) == 0L)
+    assert(VectorStream.pqDeleteBatch(spark,
+      Seq(25L).toDF("vec_id"), pqTagS) == 0L)
+    (graft.ops.IvfIndex.tables(ivfTagS) ++ graft.ops.IvfIndex.tables(ivfTagB) ++
+      graft.ops.PqStore.tables(pqTagS) ++ graft.ops.PqStore.tables(pqTagB))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming PQ encode against the stored codebook matches the " +
     "batch encoder and the stored codes for the same vectors") {
     implicit val sqlCtx = spark.sqlContext
