@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * near-dup probe ([[graft.streaming.CorpusStream.nearDupCandidates]])
   * read, instead of re-deriving the standing corpus's bands per run.
   *
-  * Two bucketed tables per corpus snapshot:
+  * Two bucketed tables (plus a tiny ledger) per corpus snapshot:
   *
   *   - `<tag>_shingles` (doc_id, sh)            bucketed by doc_id
-  *   - `<tag>_bands`    (doc_id, band, bh, bsz) bucketed by (band, bh)
+  *   - `<tag>_bands`    (doc_id, band, bh, bsz) bucketed by (band, bh),
+  *     partitioned by pbk = pmod(hash(band, bh), nb) — the LexIndex pb
+  *     mirror enabling [[refreshBucketSizesPartial]] (r17)
+  *   - `<tag>_btouched` (band, bh) — the touched-bucket ledger
+  *     appends/deletes record BEFORE mutating, refresh paths reset
   *
   * `bsz` — the (band, bh) bucket's population — is PRECOMPUTED at build
   * time via the skew-safe [[withKeyCount]] (groupBy + join-back, never
@@ -142,7 +146,55 @@ object BandIndex {
     * storage layout (r16 ADVICE #2).
     */
   def tables(tag: String): Seq[String] =
-    Seq(s"${tag}_shingles", s"${tag}_bands")
+    Seq(s"${tag}_shingles", s"${tag}_bands", s"${tag}_btouched")
+
+  /** pbk partition column mirroring the (band, bh) bucket hash — the
+    * LexIndex withPb convention applied to this family (r17): a
+    * bucketed table can only be rewritten whole, but partitions can be
+    * dynamically overwritten one at a time, and since a (band, bh)
+    * bucket's rows are hash-confined to one pbk, bsz recomputed over a
+    * partition subset is EXACT for every bucket it contains. That is
+    * what makes [[refreshBucketSizesPartial]] a daily-batch-sized op
+    * instead of the O(index) [[refreshBucketSizes]] rewrite.
+    */
+  private def withPbk(df: DataFrame, nb: Int): DataFrame =
+    df.withColumn("pbk", expr(s"pmod(hash(band, bh), $nb)").cast("int"))
+
+  private def writeBands(staged: DataFrame, nb: Int, table: String): Unit =
+    staged.select("doc_id", "band", "bh", "bsz", "pbk")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("pbk")
+      .bucketBy(nb, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(table)
+
+  /** Touched-bucket ledger backing [[refreshBucketSizesPartial]] —
+    * the LexIndex pattern: appends/deletes record their batch's
+    * (band, bh) keys BEFORE the index mutates (a crash leaves only
+    * harmless extra rows; re-leveling an exact bucket is idempotent).
+    */
+  private def ensureTouched(spark: SparkSession, tag: String): Unit = {
+    val tT = s"${tag}_btouched"
+    if (!spark.catalog.tableExists(tT)) {
+      dropStaleLocations(spark, Seq(tT))
+      import spark.implicits._
+      Seq.empty[(Int, String)].toDF("band", "bh")
+        .write.mode(SaveMode.Overwrite).saveAsTable(tT)
+    }
+  }
+
+  private def recordTouched(spark: SparkSession, tag: String,
+                            keys: DataFrame): Unit = {
+    ensureTouched(spark, tag)
+    keys.select(col("band").cast("int"), col("bh").cast("string"))
+      .distinct().write.insertInto(s"${tag}_btouched")
+  }
+
+  private def clearTouched(spark: SparkSession, tag: String): Unit = {
+    import spark.implicits._
+    Seq.empty[(Int, String)].toDF("band", "bh")
+      .write.mode(SaveMode.Overwrite).saveAsTable(s"${tag}_btouched")
+    spark.catalog.refreshTable(s"${tag}_btouched")
+  }
 
   /** Whether the stored index for `tag` is fully cataloged (the
     * IvfIndex convention — maintenance callers gate on this before
@@ -163,13 +215,17 @@ object BandIndex {
                  ): (DataFrame, DataFrame) = {
     val shT = s"${tag}_shingles"
     val bdT = s"${tag}_bands"
-    // Gate on BOTH tables (the MediaSigStore convention, backported r12):
-    // bdT is written second so ordering alone heals a crash between the
-    // writes, but an externally dropped shT would otherwise leave a
-    // cataloged band table whose every verify join fails until manual
-    // repair. Requiring both makes any partial state rebuild.
-    if (!(spark.catalog.tableExists(shT) && spark.catalog.tableExists(bdT))) {
-      dropStaleLocations(spark, Seq(shT, bdT))
+    // Gate on BOTH tables (the MediaSigStore convention, backported
+    // r12) AND on the r17 pbk partition column being present (the
+    // schema-drift rule): any partial or pre-pbk state self-heals by
+    // rebuilding rather than breaking the partial re-level.
+    val complete = spark.catalog.tableExists(shT) &&
+      spark.catalog.tableExists(bdT) &&
+      spark.table(bdT).columns.contains("pbk")
+    if (!complete) {
+      Seq(shT, bdT, s"${tag}_btouched").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      dropStaleLocations(spark, Seq(shT, bdT, s"${tag}_btouched"))
       // Persist so the sizing count and the write share one shingling
       // pass; buckets derive from the family's primary relation (the
       // shingle rows — the band relation is strictly smaller at
@@ -185,12 +241,11 @@ object BandIndex {
         // total); the bucket-size derivation runs ONCE here, at build
         // time — never again on the read path — and via the skew-safe
         // [[withKeyCount]], never a (band, bh) window.
-        withKeyCount(DedupQueries.bandsFromShingles(spark.table(shT)),
-            Seq("band", "bh"), "bsz")
-          .select("doc_id", "band", "bh", "bsz")
-          .write.mode(SaveMode.Overwrite)
-          .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
-          .saveAsTable(bdT)
+        writeBands(withPbk(
+          withKeyCount(DedupQueries.bandsFromShingles(spark.table(shT)),
+            Seq("band", "bh"), "bsz"), buckets), buckets, bdT)
+        // fresh build is exact everywhere — an empty touched ledger
+        ensureTouched(spark, tag)
       } finally sh.unpersist()
       // Readers cap hot buckets with `bsz <= HotBucketCap`; surface what
       // that cap will silently skip, once, at build time (the stored bsz
@@ -240,13 +295,16 @@ object BandIndex {
     val bdT = s"${tag}_bands"
     require(spark.catalog.tableExists(shT) && spark.catalog.tableExists(bdT),
       s"append target $tag does not exist — buildOrLoad first")
+    val nb = bucketsOf(spark, bdT)
     val sh = DedupQueries.shingleRows(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val bands = DedupQueries.bandsFromShingles(sh)
+      // ledger first (crash order), then the rows
+      recordTouched(spark, tag, bands.select("band", "bh"))
       sh.write.insertInto(shT)
-      withKeyCount(DedupQueries.bandsFromShingles(sh),
-          Seq("band", "bh"), "bsz")
-        .select("doc_id", "band", "bh", "bsz")
+      withPbk(withKeyCount(bands, Seq("band", "bh"), "bsz"), nb)
+        .select("doc_id", "band", "bh", "bsz", "pbk")
         .write.insertInto(bdT)
     } finally sh.unpersist()
   }
@@ -283,20 +341,22 @@ object BandIndex {
     val shRemoved = sh.join(ids, Seq("doc_id"), "left_semi").count()
     val bdRemoved = bd.join(ids, Seq("doc_id"), "left_semi").count()
     if (shRemoved == 0L && bdRemoved == 0L) return (0L, 0L)
+    // ledger first (crash order): the deleted docs' buckets are exactly
+    // the keys whose surviving bsz is about to go stale
+    recordTouched(spark, tag,
+      bd.join(ids, Seq("doc_id"), "left_semi").select("band", "bh"))
     val shBuckets = bucketsOf(spark, shT)
     val bdBuckets = bucketsOf(spark, bdT)
     val stagedSh = sh.join(ids, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val stagedBd = bd.join(ids, Seq("doc_id"), "left_anti")
-      .select("doc_id", "band", "bh", "bsz")
+      .select("doc_id", "band", "bh", "bsz", "pbk")
       .localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $bdT")
     stagedSh.write.mode(SaveMode.Overwrite)
       .bucketBy(shBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(shT)
-    stagedBd.write.mode(SaveMode.Overwrite)
-      .bucketBy(bdBuckets, "band", "bh").sortBy("band", "bh")
-      .saveAsTable(bdT)
+    writeBands(stagedBd, bdBuckets, bdT)
     spark.catalog.refreshTable(shT)
     spark.catalog.refreshTable(bdT)
     (shRemoved, bdRemoved)
@@ -307,7 +367,8 @@ object BandIndex {
     * bound). Recomputing from shingles avoids reading the table being
     * overwritten; at 100 TB this is the index's scheduled compaction
     * job — a snapshot-and-swap in a real table format, a bucketed
-    * overwrite here.
+    * overwrite here. This is the full-table re-level;
+    * [[refreshBucketSizesPartial]] is the bounded form.
     */
   def refreshBucketSizes(spark: SparkSession, tag: String): Unit = {
     val shT = s"${tag}_shingles"
@@ -315,11 +376,52 @@ object BandIndex {
     // Preserve the family's bucket spec (derived at build): a refresh
     // compacts content, it must not silently re-spec the layout.
     val buckets = bucketsOf(spark, bdT)
-    withKeyCount(DedupQueries.bandsFromShingles(spark.table(shT)),
-        Seq("band", "bh"), "bsz")
-      .select("doc_id", "band", "bh", "bsz")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
-      .saveAsTable(bdT)
+    writeBands(withPbk(
+      withKeyCount(DedupQueries.bandsFromShingles(spark.table(shT)),
+        Seq("band", "bh"), "bsz"), buckets), buckets, bdT)
+    spark.catalog.refreshTable(bdT)
+    // everything is exact again — the ledger resets
+    clearTouched(spark, tag)
+  }
+
+  /** BOUNDED bsz re-level (r17 — the LexIndex refreshCountsPartial
+    * pattern applied to this family): rewrite ONLY the band-table
+    * partitions holding (band, bh) buckets touched since the last exact
+    * level — the ledger appends/deletes maintain — leaving every other
+    * partition's files byte-identical on disk. bsz is recomputed from
+    * the band rows THEMSELVES (one partition-pruned scan + skew-safe
+    * [[withKeyCount]]; band rows equal bandsFromShingles(shingles) by
+    * construction at every lifecycle state, so the two derivations
+    * agree — BandIndexSpec pins partial == the from-shingles full
+    * refresh row-for-row), staged via localCheckpoint, then
+    * dynamic-partition-overwritten. At the family's 10^12-row target
+    * the full refresh is an O(index) rewrite; this is O(partitions
+    * touched by the batch's buckets). Returns partitions rewritten.
+    */
+  def refreshBucketSizesPartial(spark: SparkSession, tag: String): Long = {
+    val bdT = s"${tag}_bands"
+    ensureTouched(spark, tag)
+    val nb = bucketsOf(spark, bdT)
+    val touchedPbks = spark.table(s"${tag}_btouched")
+      .select(expr(s"pmod(hash(band, bh), $nb)").cast("int").as("pbk"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (touchedPbks.isEmpty) return 0L
+    val staged = withPbk(withKeyCount(
+        spark.table(bdT).filter(col("pbk").isin(touchedPbks: _*))
+          .select(col("doc_id"), col("band"), col("bh")),
+        Seq("band", "bh"), "bsz"), nb)
+      .select("doc_id", "band", "bh", "bsz", "pbk")
+      .localCheckpoint()
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "dynamic")
+    try staged.write.mode(SaveMode.Overwrite).insertInto(bdT)
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+    spark.catalog.refreshTable(bdT)
+    clearTouched(spark, tag)
+    touchedPbks.size.toLong
   }
 }

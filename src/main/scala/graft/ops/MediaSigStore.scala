@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *
   *   - `<tag>_msig`  (doc_id, b0..b3)  bucketed by doc_id — the
   *     signatures, fetched by id at the exact-Hamming verify
-  *   - `<tag>_mband` (bk, doc_id, bsz) bucketed by bk — band postings
+  *   - `<tag>_mband` (bk, doc_id, bsz) bucketed by bk, partitioned by
+  *     pbk = pmod(hash(bk), nb) (the LexIndex pb mirror enabling
+  *     [[refreshBucketSizesPartial]], r17; `<tag>_mtouched` is the
+  *     bucket ledger) — band postings
   *     with the SINGLE key bk = band_idx * 2^16 + band_value, so the
   *     candidate self-join (and every ingest probe) satisfies its
   *     required distribution straight off the scan: one join key ==
@@ -46,10 +49,55 @@ object MediaSigStore {
   private def sigT(tag: String) = s"${tag}_msig"
   private def bandT(tag: String) = s"${tag}_mband"
 
+  private def touchT(tag: String) = s"${tag}_mtouched"
+
   /** Every table this family stores for `tag` (r16 ADVICE #2: reset
     * paths reuse this so they cannot drift from the layout).
     */
-  def tables(tag: String): Seq[String] = Seq(sigT(tag), bandT(tag))
+  def tables(tag: String): Seq[String] =
+    Seq(sigT(tag), bandT(tag), touchT(tag))
+
+  /** pbk partition column mirroring the bk bucket hash (the LexIndex
+    * withPb convention, r17) — what makes [[refreshBucketSizesPartial]]
+    * a bounded op: a bk bucket's rows are hash-confined to one
+    * partition, so bsz recomputed over a partition subset is exact.
+    */
+  private def withPbk(df: DataFrame, nb: Int): DataFrame =
+    df.withColumn("pbk", expr(s"pmod(hash(bk), $nb)").cast("int"))
+
+  private def writeBands(staged: DataFrame, nb: Int, table: String): Unit =
+    staged.select("bk", "doc_id", "bsz", "pbk")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("pbk")
+      .bucketBy(nb, "bk").sortBy("bk")
+      .saveAsTable(table)
+
+  /** Touched-bucket ledger (the LexIndex crash order: recorded BEFORE
+    * mutation — extra rows are harmless, missed ones are not).
+    */
+  private def ensureTouched(spark: SparkSession, tag: String): Unit = {
+    val tT = touchT(tag)
+    if (!spark.catalog.tableExists(tT)) {
+      BandIndex.dropStaleLocations(spark, Seq(tT))
+      import spark.implicits._
+      Seq.empty[Int].toDF("bk")
+        .write.mode(SaveMode.Overwrite).saveAsTable(tT)
+    }
+  }
+
+  private def recordTouched(spark: SparkSession, tag: String,
+                            keys: DataFrame): Unit = {
+    ensureTouched(spark, tag)
+    keys.select(col("bk").cast("int")).distinct()
+      .write.insertInto(touchT(tag))
+  }
+
+  private def clearTouched(spark: SparkSession, tag: String): Unit = {
+    import spark.implicits._
+    Seq.empty[Int].toDF("bk")
+      .write.mode(SaveMode.Overwrite).saveAsTable(touchT(tag))
+    spark.catalog.refreshTable(touchT(tag))
+  }
 
   def buckets(spark: SparkSession, tag: String): Int =
     BandIndex.bucketsOf(spark, sigT(tag))
@@ -87,10 +135,12 @@ object MediaSigStore {
     // other partial state.
     val complete = spark.catalog.tableExists(sT) &&
       spark.catalog.tableExists(bT) &&
-      spark.table(bT).columns.contains("bsz")
+      spark.table(bT).columns.contains("bsz") &&
+      spark.table(bT).columns.contains("pbk")
     if (!complete) {
-      Seq(sT, bT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      BandIndex.dropStaleLocations(spark, Seq(sT, bT))
+      Seq(sT, bT, touchT(tag)).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      BandIndex.dropStaleLocations(spark, Seq(sT, bT, touchT(tag)))
       val sigs = sigFn(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -104,11 +154,11 @@ object MediaSigStore {
         // bsz) — via the skew-safe BandIndex.withKeyCount, never a bk
         // window: the hottest bk IS the degenerate media class
         // (solid color, silence) the cap exists for
-        BandIndex.withKeyCount(bandRows(spark.table(sT)), Seq("bk"), "bsz")
-          .select("bk", "doc_id", "bsz")
-          .write.mode(SaveMode.Overwrite)
-          .bucketBy(buckets, "bk").sortBy("bk")
-          .saveAsTable(bT)
+        writeBands(withPbk(
+          BandIndex.withKeyCount(bandRows(spark.table(sT)),
+            Seq("bk"), "bsz"), buckets), buckets, bT)
+        // fresh build is exact everywhere — an empty touched ledger
+        ensureTouched(spark, tag)
       } finally sigs.unpersist()
     }
     (spark.table(sT), spark.table(bT))
@@ -144,6 +194,9 @@ object MediaSigStore {
       // the BATCH's bks are counted (≤ 4 per signature, micro-batch
       // sized), one (bk, n) pair each.
       import spark.implicits._
+      val nb = BandIndex.bucketsOf(spark, bT)
+      // ledger first (crash order), then the rows
+      recordTouched(spark, tag, bandRows(sigs).select("bk"))
       val batchBks = bandRows(sigs).select("bk").distinct()
       val standing = spark.table(bT)
         .join(broadcast(batchBks), Seq("bk"), "left_semi")
@@ -151,12 +204,12 @@ object MediaSigStore {
         .select(col("bk").cast("int"), col("standing_n").cast("long"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
         .toDF("bk", "standing_n")
-      BandIndex.withKeyCount(bandRows(sigs), Seq("bk"), "batch_n")
-        .join(broadcast(standing), Seq("bk"), "left")
-        .withColumn("bsz",
-          col("batch_n") + coalesce(col("standing_n"), lit(0L)))
-        // explicit order: insertInto is positional (table is bk,doc_id,bsz)
-        .select(col("bk"), col("doc_id"), col("bsz"))
+      withPbk(BandIndex.withKeyCount(bandRows(sigs), Seq("bk"), "batch_n")
+          .join(broadcast(standing), Seq("bk"), "left")
+          .withColumn("bsz",
+            col("batch_n") + coalesce(col("standing_n"), lit(0L))), nb)
+        // explicit order: insertInto is positional (bk,doc_id,bsz,pbk)
+        .select(col("bk"), col("doc_id"), col("bsz"), col("pbk"))
         .write.insertInto(bT)
     } finally sigs.unpersist()
   }
@@ -188,19 +241,21 @@ object MediaSigStore {
     val sRemoved = sigs.join(ids, Seq("doc_id"), "left_semi").count()
     val bRemoved = bands.join(ids, Seq("doc_id"), "left_semi").count()
     if (sRemoved == 0L && bRemoved == 0L) return (0L, 0L)
+    // ledger first (crash order): the deleted items' buckets are the
+    // keys whose surviving bsz is about to go stale
+    recordTouched(spark, tag,
+      bands.join(ids, Seq("doc_id"), "left_semi").select("bk"))
     val buckets = BandIndex.bucketsOf(spark, sT)
     val stagedSigs = sigs.join(ids, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val stagedBands = bands.join(ids, Seq("doc_id"), "left_anti")
-      .select("bk", "doc_id", "bsz")
+      .select("bk", "doc_id", "bsz", "pbk")
       .localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $bT")
     stagedSigs.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(sT)
-    stagedBands.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "bk").sortBy("bk")
-      .saveAsTable(bT)
+    writeBands(stagedBands, buckets, bT)
     spark.catalog.refreshTable(sT)
     spark.catalog.refreshTable(bT)
     (sRemoved, bRemoved)
@@ -216,11 +271,50 @@ object MediaSigStore {
   def refreshBucketSizes(spark: SparkSession, tag: String): Unit = {
     val bT = bandT(tag)
     val buckets = BandIndex.bucketsOf(spark, bT)
-    BandIndex.withKeyCount(bandRows(spark.table(sigT(tag))), Seq("bk"), "bsz")
-      .select("bk", "doc_id", "bsz")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "bk").sortBy("bk")
-      .saveAsTable(bT)
+    writeBands(withPbk(
+      BandIndex.withKeyCount(bandRows(spark.table(sigT(tag))),
+        Seq("bk"), "bsz"), buckets), buckets, bT)
+    spark.catalog.refreshTable(bT)
+    // everything is exact again — the ledger resets
+    clearTouched(spark, tag)
+  }
+
+  /** BOUNDED bsz re-level (r17 — the LexIndex refreshCountsPartial
+    * pattern): rewrite ONLY the band-table partitions holding bk
+    * buckets touched since the last exact level (the ledger
+    * appends/deletes maintain), recomputing bsz from the band rows
+    * themselves over ONE partition-pruned scan (a bk's rows are
+    * hash-confined to its pbk partition, so partition-local counts are
+    * exact; band rows equal bandRows(sigs) by construction at every
+    * lifecycle state — MediaSigStoreSpec pins partial == the
+    * from-signatures full refresh row-for-row, untouched partitions
+    * byte-identical). Returns partitions rewritten.
+    */
+  def refreshBucketSizesPartial(spark: SparkSession, tag: String): Long = {
+    val bT = bandT(tag)
+    ensureTouched(spark, tag)
+    val nb = BandIndex.bucketsOf(spark, bT)
+    val touchedPbks = spark.table(touchT(tag))
+      .select(expr(s"pmod(hash(bk), $nb)").cast("int").as("pbk"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (touchedPbks.isEmpty) return 0L
+    val staged = withPbk(BandIndex.withKeyCount(
+        spark.table(bT).filter(col("pbk").isin(touchedPbks: _*))
+          .select(col("bk"), col("doc_id")),
+        Seq("bk"), "bsz"), nb)
+      .select("bk", "doc_id", "bsz", "pbk")
+      .localCheckpoint()
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "dynamic")
+    try staged.write.mode(SaveMode.Overwrite).insertInto(bT)
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+    spark.catalog.refreshTable(bT)
+    clearTouched(spark, tag)
+    touchedPbks.size.toLong
   }
 
   /** What the hot-bucket cap silently skips on the stored index:

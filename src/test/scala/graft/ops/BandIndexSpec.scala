@@ -17,8 +17,61 @@ class BandIndexSpec extends SparkSpec {
     "alpha beta gamma delta epsilon zeta eta theta iota kappa"
 
   private def dropAll(tag: String): Unit =
-    Seq(s"${tag}_shingles", s"${tag}_bands").foreach(t =>
+    BandIndex.tables(tag).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("refreshBucketSizesPartial (r17): only partitions holding " +
+    "touched (band, bh) buckets rewrite — result == the full " +
+    "from-shingles refresh row-for-row, untouched partitions' files " +
+    "byte-identical, ledger reset, second pass a no-op") {
+    import org.apache.spark.sql.functions.expr
+    val tagP = "graft_test_bi_partial"
+    val tagF = "graft_test_bi_partfull"
+    dropAll(tagP); dropAll(tagF)
+    // 8 FULLY-DISTINCT standing docs (no shared shingles — every
+    // bucket size 1) spread across partitions; the append adds a COPY
+    // of doc 1, so exactly its 3 buckets are touched and go 1 -> 2
+    val standing = (1L to 8L).map(i => (i,
+      (1 to 12).map(j => s"uq${i}zz$j").mkString(" ")))
+    val batch = Seq((100L, standing.head._2))
+    for (t <- Seq(tagP, tagF)) {
+      BandIndex.buildOrLoad(spark, standing.toDF("doc_id", "text"), t)
+      BandIndex.append(spark, batch.toDF("doc_id", "text"), t)
+    }
+    val nb = BandIndex.buckets(spark, tagP)
+    val touched = spark.table(s"${tagP}_btouched")
+      .select(expr(s"pmod(hash(band, bh), $nb)").cast("int")).distinct()
+      .as[Int].collect().toSet
+    val all = spark.table(s"${tagP}_bands")
+      .select(col("pbk").cast("int")).distinct().as[Int].collect().toSet
+    assert(touched.nonEmpty && (all -- touched).nonEmpty,
+      s"fixture must leave untouched partitions: $touched of $all")
+    def files(ks: Set[Int]): Map[String, (Long, Long)] = ks.flatMap { k =>
+      val d = new java.io.File(s"spark-warehouse/${tagP}_bands/pbk=$k")
+      Option(d.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified()))
+    }.toMap
+    val before = files(all -- touched)
+    assert(before.nonEmpty, "untouched partitions must have files")
+    val nPbk = BandIndex.refreshBucketSizesPartial(spark, tagP)
+    assert(nPbk == touched.size.toLong)
+    assert(files(all -- touched) == before,
+      "untouched partitions must be byte-identical")
+    BandIndex.refreshBucketSizes(spark, tagF)
+    def canon(t: String) = spark.table(s"${t}_bands")
+      .select("doc_id", "band", "bh", "bsz")
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(canon(tagP) == canon(tagF),
+      "partial == full from-shingles refresh row-for-row")
+    // the appended copy's buckets re-leveled to the true size 2
+    assert(spark.table(s"${tagP}_bands")
+      .filter(col("doc_id") === 100L).select("bsz").as[Long]
+      .collect().forall(_ == 2L))
+    assert(spark.table(s"${tagP}_btouched").count() == 0)
+    assert(BandIndex.refreshBucketSizesPartial(spark, tagP) == 0L)
+    dropAll(tagP); dropAll(tagF)
+  }
 
   test("buildOrLoad materializes bucketed tables with precomputed bucket sizes") {
     val tag = "graft_test_bi_build"
@@ -94,9 +147,15 @@ class BandIndexSpec extends SparkSpec {
       s"got ${BandIndex.buckets(spark, tagD)}")
     assert(BandIndex.bucketsOf(spark, s"${tagD}_shingles") == 32)
     assert(BandIndex.buckets(spark, tagF) == 8)
-    // bucketing is layout, not semantics: both builds hold identical rows
-    val d = spark.table(s"${tagD}_bands").orderBy("doc_id", "band").collect()
-    val f = spark.table(s"${tagF}_bands").orderBy("doc_id", "band").collect()
+    // bucketing is layout, not semantics: both builds hold identical
+    // CONTENT rows (pbk is layout — it mirrors the bucket count, so it
+    // legitimately differs between the two specs)
+    val d = spark.table(s"${tagD}_bands")
+      .select("doc_id", "band", "bh", "bsz")
+      .orderBy("doc_id", "band").collect()
+    val f = spark.table(s"${tagF}_bands")
+      .select("doc_id", "band", "bh", "bsz")
+      .orderBy("doc_id", "band").collect()
     assert(d.toSeq == f.toSeq)
     // refresh preserves the derived spec instead of re-speccing to 8
     BandIndex.refreshBucketSizes(spark, tagD)

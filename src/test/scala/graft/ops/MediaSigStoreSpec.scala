@@ -128,6 +128,53 @@ class MediaSigStoreSpec extends SparkSpec {
     assert(vid.forall(_._3 <= 2L))
   }
 
+  test("refreshBucketSizesPartial (r17): only partitions holding " +
+    "touched bk buckets rewrite — result == the full from-signatures " +
+    "refresh row-for-row, untouched partitions byte-identical, ledger " +
+    "reset, second pass a no-op") {
+    import org.apache.spark.sql.functions.expr
+    val tagP = "graft_test_msig_part" + System.nanoTime()
+    val tagF = tagP + "f"
+    // standing: three disjoint groups; append adds group-3's twin (its
+    // ~4 bks touched, the rest untouched)
+    val standing = Seq(3L, 7L, 50L, 197L)
+    for (t <- Seq(tagP, tagF)) {
+      MediaSigStore.buildOrLoad(spark, docs(standing), t,
+        ImageDedup.dhashSigs)
+      MediaSigStore.append(spark, docs(Seq(100L)), t, ImageDedup.dhashSigs)
+    }
+    val nb = MediaSigStore.buckets(spark, tagP)
+    val touched = spark.table(s"${tagP}_mtouched")
+      .select(expr(s"pmod(hash(bk), $nb)").cast("int")).distinct()
+      .as[Int].collect().toSet
+    val all = spark.table(s"${tagP}_mband")
+      .select(col("pbk").cast("int")).distinct().as[Int].collect().toSet
+    assert(touched.nonEmpty && (all -- touched).nonEmpty,
+      s"fixture must leave untouched partitions: $touched of $all")
+    def files(ks: Set[Int]): Map[String, (Long, Long)] = ks.flatMap { k =>
+      val d = new java.io.File(s"spark-warehouse/${tagP}_mband/pbk=$k")
+      Option(d.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified()))
+    }.toMap
+    val before = files(all -- touched)
+    assert(before.nonEmpty, "untouched partitions must have files")
+    val nPbk = MediaSigStore.refreshBucketSizesPartial(spark, tagP)
+    assert(nPbk == touched.size.toLong)
+    assert(files(all -- touched) == before,
+      "untouched partitions must be byte-identical")
+    MediaSigStore.refreshBucketSizes(spark, tagF)
+    def canon(t: String) = spark.table(s"${t}_mband")
+      .select("bk", "doc_id", "bsz")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(canon(tagP) == canon(tagF),
+      "partial == full from-signatures refresh row-for-row")
+    assert(spark.table(s"${tagP}_mtouched").count() == 0)
+    assert(MediaSigStore.refreshBucketSizesPartial(spark, tagP) == 0L)
+    (MediaSigStore.tables(tagP) ++ MediaSigStore.tables(tagF))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("mediaSigDeleteBatch (r17, r16 missing #2): streamed micro-batch " +
     "deletes == one batch delete on both tables under any split, the " +
     "probe face forgets the deleted ids immediately, and a replayed " +

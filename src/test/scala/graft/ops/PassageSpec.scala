@@ -80,6 +80,35 @@ class PassageSpec extends SparkSpec {
     assert(winner._3 > 0, s"elected chunk must be the passage's: $winner")
   }
 
+  test("takedown at passage grain: the family verbs work unchanged on " +
+    "the chunk-grain index — deleting a doc's chunk ids removes it " +
+    "from passage results immediately") {
+    // filler docs keep the post-delete chunk count high enough that
+    // the StopTermDfFrac cap (floor(0.9 * N_chunks)) stays above the
+    // survivor's STALE stored df — the cap contract at tiny N, not a
+    // takedown property
+    val junk = (1 to 100).map(i => s"h$i").mkString(" ")
+    val docs = (Seq(
+      (1L, junk + " needle haystack needle haystack sharp passage here"),
+      (2L, "needle haystack on the small table right here")) ++
+      (10L to 15L).map(i => (i, (1 to 10).map(j => s"z${i}q$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val (tagC, tagP) = freshTags()
+    val first = CorpusQueries.passageRetrieval(spark, docs, tagC, tagP, terms)
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(1L, 2L))
+    // doc 1's chunk ids, from the stored chunk spans — the takedown
+    // set at this grain
+    val chunkIds = spark.table(s"${tagC}_chunks")
+      .filter(col("doc_id") === 1L)
+      .select((col("doc_id") * CorpusQueries.PassageIdStride +
+        col("chunk_idx")).as("doc_id"))
+    assert(LexIndex.delete(spark, chunkIds, tagP) > 0L)
+    val after = CorpusQueries.passageRetrieval(spark, docs, tagC, tagP, terms)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == Set(2L), s"deleted doc still served: $after")
+  }
+
   test("single-chunk corpus: passage retrieval degrades to doc-grain " +
     "ranking EXACTLY — same ranks, same docs, same scores") {
     // every doc <= 32 tokens -> exactly one chunk spanning the doc
