@@ -1809,6 +1809,44 @@ object CorpusQueries {
     * long-doc-with-one-relevant-passage case and DEGRADE EXACTLY to
     * doc-grain ranking when every doc is a single chunk).
     */
+  /** (packed chunk_id, chunk text) rows for any relation carrying
+    * doc_id + text, given that relation's chunk spans — ONE definition
+    * shared by the chunk-index build ([[passageRetrieval]], spans from
+    * the stored ChunkStore) and the ingest-time scorer
+    * ([[graft.streaming.CorpusStream.passageScoreBatch]], spans from
+    * the stateless chunker on the arriving batch), so batch and
+    * ingest-time chunk texts cannot drift.
+    */
+  private[graft] def chunkTexts(docs: DataFrame,
+                                spans: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(spans.select("doc_id", "chunk_idx", "start_tok", "n_chunk_tok"),
+        Seq("doc_id"))
+      .select(
+        (col("doc_id") * PassageIdStride + col("chunk_idx")).as("doc_id"),
+        array_join(slice(col("toks"), col("start_tok"), col("n_chunk_tok")),
+          " ").as("text"))
+
+  /** maxP doc election over chunk-grain scored rows (packed chunk_id +
+    * score): decode doc/chunk, then ONE doc-grain ordered-struct
+    * aggregate (negated idx for the earliest-chunk tiebreak — no
+    * window, no join-back; matched chunks are df-bounded). Shared by
+    * [[passageRetrieval]] and the ingest-time face so the election
+    * cannot drift. Returns (doc_id, score, chunk_idx).
+    */
+  private[graft] def maxPElect(scored: DataFrame): DataFrame =
+    scored
+      .select(floor(col("doc_id") / PassageIdStride).cast("long")
+          .as("doc_id"),
+        pmod(col("doc_id"), lit(PassageIdStride)).cast("int")
+          .as("chunk_idx"),
+        col("score"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("score"), (-col("chunk_idx")).as("nci"))).as("b"))
+      .select(col("doc_id"), col("b.score").as("score"),
+        (-col("b.nci")).cast("int").as("chunk_idx"))
+
   private[graft] def passageRetrieval(s: SparkSession, docs: DataFrame,
                                       tagC: String, tagP: String,
                                       terms: Seq[String]): DataFrame = {
@@ -1816,30 +1854,12 @@ object CorpusQueries {
     // chunk texts: the stored spans sliced out of ONE tokenize pass
     // over the corpus — paid once per session at chunk-index build,
     // like every family's build scan
-    val chunkDocs = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .join(chunks.select("doc_id", "chunk_idx", "start_tok", "n_chunk_tok"),
-        Seq("doc_id"))
-      .select(
-        (col("doc_id") * PassageIdStride + col("chunk_idx")).as("doc_id"),
-        array_join(slice(col("toks"), col("start_tok"), col("n_chunk_tok")),
-          " ").as("text"))
+    val chunkDocs = chunkTexts(docs, chunks)
     val (post, stats) = LexIndex.buildOrLoad(s, chunkDocs, tagP)
     // chunk-grain BM25 off the stored index (N = chunk count, dl =
-    // chunk length — the StopTermDfFrac cap governs at chunk grain)
-    val cs = LexIndex.scoreTerms(post, stats, terms)
-      .select(floor(col("doc_id") / PassageIdStride).cast("long")
-          .as("doc_id"),
-        pmod(col("doc_id"), lit(PassageIdStride)).cast("int")
-          .as("chunk_idx"),
-        col("score"))
-    // maxP election as ONE doc-grain aggregate (ordered-struct max with
-    // negated idx for the earliest-chunk tiebreak — no window, no
-    // join-back; matched chunks are df-bounded)
-    val best = cs.groupBy("doc_id")
-      .agg(max(struct(col("score"), (-col("chunk_idx")).as("nci"))).as("b"))
-      .select(col("doc_id"), col("b.score").as("score"),
-        (-col("b.nci")).cast("int").as("chunk_idx"))
+    // chunk length — the StopTermDfFrac cap governs at chunk grain),
+    // then the shared maxP election
+    val best = maxPElect(LexIndex.scoreTerms(post, stats, terms))
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     best.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 20)

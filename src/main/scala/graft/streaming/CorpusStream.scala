@@ -334,6 +334,32 @@ object CorpusStream {
     r
   }
 
+  /** Ingest-time PASSAGE scoring — the [[graft.ops.CorpusQueries
+    * .passageRetrieval]] sibling of bm25ScoreBatch (r17): arriving docs
+    * are chunked by the SAME stateless chunker as the stored build
+    * (PackingQueries.chunkRowsOf), their chunk texts derived by the
+    * SAME [[graft.ops.CorpusQueries.chunkTexts]] definition, each chunk
+    * scored against the FROZEN chunk-grain LexIndex statistics of the
+    * standing 'plex' index (`LexIndex.scoreArriving` — same combine
+    * expression, same StopTermDfFrac cap at chunk grain), and docs
+    * elected by the SAME [[graft.ops.CorpusQueries.maxPElect]] — none
+    * of the three stages can drift from the batch path. Stateless per
+    * doc given the frozen stats, so stream union == batch exactly; an
+    * arriving copy of a standing doc elects exactly the stored read
+    * path's best passage and score (CorpusStreamSpec pins both).
+    * Returns (doc_id, score, chunk_idx) — the caller ranks.
+    */
+  def passageScoreBatch(spark: SparkSession, batch: DataFrame,
+                        tagP: String, terms: Seq[String]): DataFrame = {
+    val stats = spark.table(s"${tagP}_lstats")
+    val termDf = graft.ops.LexIndex.termDf(spark, tagP, terms)
+    val chunkDocs = graft.ops.CorpusQueries.chunkTexts(
+      batch.select("doc_id", "text"),
+      graft.ops.PackingQueries.chunkRowsOf(batch.select("doc_id", "text")))
+    graft.ops.CorpusQueries.maxPElect(
+      graft.ops.LexIndex.scoreArriving(chunkDocs, termDf, stats, terms))
+  }
+
   /** Caller-session cache invalidation for a family's stored tables
     * (foreachBatch hands a CLONED session whose writes do not reach
     * the caller's relation cache — the refreshCounts convention one

@@ -690,6 +690,68 @@ class CorpusStreamSpec extends SparkSpec {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("passageScoreBatch: stream union == batch against the FROZEN " +
+    "chunk-grain index, and an arriving copy of a standing doc elects " +
+    "EXACTLY the stored read path's best passage and score") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val junk = (1 to 100).map(i => s"p$i").mkString(" ")
+    val terms = Seq("spark", "join", "query")
+    val corpus = Seq(
+      (1L, junk + " spark join query spark join query sharp passage"),
+      (2L, "spark join query on one short doc right here"),
+      (3L, (1 to 40).map(i => s"zz$i").mkString(" ")))
+    val n = System.nanoTime()
+    val tagC = graft.ops.BandIndex.tag(s"/tmp/passb$n", "chunks")
+    val tagP = graft.ops.BandIndex.tag(s"/tmp/passb$n", "plex")
+    val stored = graft.ops.CorpusQueries.passageRetrieval(spark,
+        corpus.toDF("doc_id", "text"), tagC, tagP, terms)
+      .select("doc_id", "chunk_idx", "score")
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stored.keySet == Set(1L, 2L))
+    // arriving copies of docs 1 and 2 under fresh ids, streamed in two
+    // micro-batches through the frozen-stats scorer
+    val arriving = Seq((101L, corpus(0)._2), (102L, corpus(1)._2))
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-passb").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.CorpusStream
+          .passageScoreBatch(spark, b, tagP, terms)
+          .as[(Long, Double, Int)].collect()
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      arriving.foreach { d =>
+        input.addData(d)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = sink.map(r => r._1 -> ((r._3,
+      BigDecimal(r._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble))).toMap
+    assert(streamed.keySet == Set(101L, 102L))
+    // copy == standing: same elected chunk, same 6dp score
+    assert(streamed(101L) == stored(1L),
+      s"copy of doc 1: ${streamed(101L)} vs ${stored(1L)}")
+    assert(streamed(102L) == stored(2L),
+      s"copy of doc 2: ${streamed(102L)} vs ${stored(2L)}")
+    // stream union (two micro-batches) == one direct batch call
+    val direct = graft.streaming.CorpusStream.passageScoreBatch(spark,
+        arriving.toDF("doc_id", "text"), tagP, terms)
+      .as[(Long, Double, Int)].collect().toSet
+    assert(direct == sink.toSet, "streamed union must equal one batch")
+    (graft.ops.ChunkStore.tables(tagC) ++ graft.ops.LexIndex.tables(tagP))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("containDeleteBatch / chunkDeleteBatch / spanDeleteBatch extend " +
     "the streaming takedown loop to the remaining doc-grain families " +
     "(r17, r16 missing #2): streamed micro-batch deletes == one batch " +
