@@ -1077,6 +1077,116 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_passage_agg_sweep",
+      s"Passage-evidence aggregation sweep (Callan 1994; Dai & Callan " +
+        s"2019): the four chunk-to-doc combiners — maxP (best " +
+        s"passage), firstP (lead passage), sumP (total evidence, " +
+        s"length-biased), avgP (mean evidence, dilution-biased) — " +
+        s"plus the doc-grain control, ranked side by side; per arm " +
+        s"the top-1 doc with its score and the top-10 overlap vs the " +
+        s"doc-grain arm. This is the operating-point evidence for " +
+        s"CHOOSING an aggregation (the knob q_passage_retrieval " +
+        s"serves as maxP), the sweep convention every governed knob " +
+        s"in the repo follows (dedup tau, PQ codebooks, fusion " +
+        s"weights). All four passage arms fold ONE chunk-score " +
+        s"relation (the stored 'plex' chunk-grain LexIndex scan, " +
+        s"localCheckpointed — scored once, not four times); the " +
+        s"control reads the standing doc-grain index. Determinism: " +
+        s"chunk scores 9dp-rounded into DECIMAL(38,12) BEFORE the " +
+        s"per-doc folds, so sum/avg are order-independent in both " +
+        s"engines; avgP is the exact decimal sum over the exact count " +
+        s"in one IEEE division; every rank ties by doc_id; integer " +
+        s"overlap counts. Scale shape: both index scans are " +
+        s"bucket-pruned + df-capped posting reads; the arms are " +
+        s"doc-grain aggregates over df-bounded matched rows; the " +
+        s"union that ranks them is five top-10 relations.",
+      (s, dir) => passageAggSweep(s, Tables.par(s, dir, "documents"),
+        ChunkStore.tag(dir), BandIndex.tag(dir, "plex"),
+        LexIndex.tag(dir), Bm25Terms),
+      Some {
+        val w = PackingQueries.ChunkW
+        val startsSql = PackingQueries.chunkStartsSql
+        val capSql = s"floor(${LexIndex.StopTermDfFrac} * n_docs)"
+        // chunk-grain tf/df/score generated from Bm25Terms over ctoks
+        // (the q_passage_retrieval oracle's CTEs), doc-grain from the
+        // same Seq over toks (the q_bm25 oracle's CTEs)
+        val tfC = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"    len(list_filter(ctoks, x -> x = '$t')) AS tf_$i"
+        }.mkString(",\n")
+        val tfD = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"    len(list_filter(toks, x -> x = '$t')) AS tf_$i"
+        }.mkString(",\n")
+        val dfCols = Bm25Terms.indices.map(i =>
+          s"    SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+          .mkString(",\n")
+        val scoreSum = Bm25Terms.indices.map(i =>
+          s"""(CASE WHEN tf_$i > 0 AND df_$i <= $capSql THEN
+             |      CAST(round(round(ln((n_docs - df_$i + 0.5)
+             |          / (df_$i + 0.5) + 1.0), 9)
+             |        * CAST(tf_$i AS DOUBLE) * 2.2
+             |        / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+             |          / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+             |        AS DECIMAL(38,12))
+             |      ELSE CAST(0 AS DECIMAL(38,12)) END)""".stripMargin)
+          .mkString("\n    + ")
+        val anyTf = Bm25Terms.indices.map(i =>
+          s"(CASE WHEN df_$i <= $capSql THEN tf_$i ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t
+           |  WHERE len(toks) > 0),
+           |stx AS (SELECT doc_id, toks, n, unnest($startsSql) AS start,
+           |  generate_subscripts($startsSql, 1) - 1 AS chunk_idx
+           |  FROM nn),
+           |c AS (SELECT doc_id, chunk_idx,
+           |    toks[start+1:start+$w] AS ctoks FROM stx),
+           |cd AS (SELECT doc_id, chunk_idx,
+           |    CAST(len(ctoks) AS BIGINT) AS dl,
+           |$tfC
+           |  FROM c),
+           |cst AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+           |$dfCols
+           |  FROM cd),
+           |csc AS (SELECT doc_id, chunk_idx,
+           |    CAST(round(CAST($scoreSum AS DOUBLE), 9)
+           |      AS DECIMAL(38,12)) AS cscore
+           |  FROM cd, cst
+           |  WHERE $anyTf > 0),
+           |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |$tfD
+           |  FROM t),
+           |dst AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+           |$dfCols
+           |  FROM dd),
+           |dsc AS (SELECT doc_id, CAST($scoreSum AS DOUBLE) AS ascore
+           |  FROM dd, dst
+           |  WHERE $anyTf > 0),
+           |arms AS (
+           |  SELECT 'maxp' AS arm, doc_id,
+           |    CAST(max(cscore) AS DOUBLE) AS ascore FROM csc GROUP BY 2
+           |  UNION ALL SELECT 'sump', doc_id,
+           |    CAST(sum(cscore) AS DOUBLE) FROM csc GROUP BY 2
+           |  UNION ALL SELECT 'avgp', doc_id,
+           |    CAST(sum(cscore) AS DOUBLE) / count(*) FROM csc GROUP BY 2
+           |  UNION ALL SELECT 'firstp', doc_id, CAST(cscore AS DOUBLE)
+           |    FROM csc WHERE chunk_idx = 0
+           |  UNION ALL SELECT 'docgrain', doc_id, ascore FROM dsc),
+           |ranked AS (SELECT arm, doc_id, ascore,
+           |    ROW_NUMBER() OVER (PARTITION BY arm
+           |      ORDER BY ascore DESC, doc_id ASC) AS r
+           |  FROM arms),
+           |top AS (SELECT * FROM ranked WHERE r <= 10),
+           |dgtop AS (SELECT doc_id FROM top WHERE arm = 'docgrain'),
+           |t1 AS (SELECT arm, doc_id AS top1_doc,
+           |    round(ascore, 6) AS top1_score FROM top WHERE r = 1),
+           |ov AS (SELECT arm, CAST(count(*) AS BIGINT) AS overlap10
+           |  FROM top JOIN dgtop USING (doc_id) GROUP BY 1)
+           |SELECT arm, top1_doc, top1_score, overlap10
+           |FROM t1 JOIN ov USING (arm) ORDER BY arm""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_prf_expansion",
       s"Pseudo-relevance-feedback query expansion (RM3 shape — " +
         s"Lavrenko & Croft 2001; Abdul-Jaleel et al. 2004), served " +
@@ -1780,6 +1890,66 @@ object CorpusQueries {
       .select(col("rank"), col("doc_id"), col("window"),
         round(col("score"), 6).as("score"))
       .orderBy("rank")
+  }
+
+  /** Passage-aggregation sweep over an arbitrary corpus relation: the
+    * four passage-evidence combiners (maxP / firstP / sumP / avgP —
+    * Callan 1994; Dai & Callan 2019) plus the doc-grain control ranked
+    * side by side off ONE chunk-score relation and the standing
+    * doc-grain index. Per arm: the top-1 doc + its score and the
+    * top-10 overlap with the doc-grain arm — the operating-point
+    * evidence for CHOOSING an aggregation, next to q_passage_retrieval
+    * which serves the chosen one. Chunk scores are 9dp-rounded into
+    * DECIMAL(38,12) before the per-doc folds so sum/avg are
+    * order-independent in both engines; avgP divides the exact decimal
+    * sum by the exact count in ONE IEEE division (the house ratio
+    * rule). ONE definition for the declared query and PassageSpec.
+    */
+  private[graft] def passageAggSweep(s: SparkSession, docs: DataFrame,
+                                     tagC: String, tagP: String,
+                                     tagL: String,
+                                     terms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val chunks = ChunkStore.buildOrLoad(s, docs, tagC)
+    val (post, stats) = LexIndex.buildOrLoad(s, chunkTexts(docs, chunks), tagP)
+    val cs = LexIndex.scoreTerms(post, stats, terms)
+      .select(floor(col("doc_id") / PassageIdStride).cast("long")
+          .as("doc_id"),
+        pmod(col("doc_id"), lit(PassageIdStride)).cast("int")
+          .as("chunk_idx"),
+        round(col("score"), 9).cast(DecimalType(38, 12)).as("cscore"))
+      .localCheckpoint() // one chunk-score relation feeds four arms
+    val (postL, statsL) = LexIndex.buildOrLoad(s, docs, tagL)
+    val dg = LexIndex.scoreTerms(postL, statsL, terms)
+      .select(col("doc_id"), col("score").as("ascore"))
+    val maxp = cs.groupBy("doc_id")
+      .agg(max(col("cscore")).cast("double").as("ascore"))
+    val sump = cs.groupBy("doc_id")
+      .agg(sum(col("cscore")).cast("double").as("ascore"))
+    val avgp = cs.groupBy("doc_id")
+      .agg((sum(col("cscore")).cast("double") / count(lit(1)))
+        .as("ascore"))
+    val firstp = cs.filter(col("chunk_idx") === 0)
+      .select(col("doc_id"), col("cscore").cast("double").as("ascore"))
+    val ranked = Seq("avgp" -> avgp, "docgrain" -> dg, "firstp" -> firstp,
+        "maxp" -> maxp, "sump" -> sump)
+      .map { case (a, df) =>
+        df.withColumn("r", row_number().over(
+            Window.orderBy(col("ascore").desc, col("doc_id").asc)))
+          .filter(col("r") <= 10)
+          .select(lit(a).as("arm"), col("doc_id"), col("ascore"), col("r"))
+      }
+      .reduce(_ unionAll _)
+      .localCheckpoint() // 5 tiny top-10 relations, consumed three ways
+    val dgTop = ranked.filter(col("arm") === "docgrain").select("doc_id")
+    val top1 = ranked.filter(col("r") === 1)
+      .select(col("arm"), col("doc_id").as("top1_doc"),
+        round(col("ascore"), 6).as("top1_score"))
+    val ov = ranked.join(broadcast(dgTop), Seq("doc_id"), "left_semi")
+      .groupBy("arm").agg(count(lit(1)).as("overlap10"))
+    top1.join(ov, Seq("arm"))
+      .select("arm", "top1_doc", "top1_score", "overlap10")
+      .orderBy("arm")
   }
 
   /** Dirichlet query-likelihood ranking over an arbitrary corpus

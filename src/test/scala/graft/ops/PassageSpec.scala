@@ -109,6 +109,44 @@ class PassageSpec extends SparkSpec {
     assert(after == Set(2L), s"deleted doc still served: $after")
   }
 
+  test("passageAggSweep: on the long-doc corpus maxP and doc-grain " +
+    "disagree on the winner (the dilution premise, measured); on a " +
+    "single-chunk corpus every arm elects the same top-1") {
+    val junk = (1 to 200).map(i => s"f$i").mkString(" ")
+    val sharp = "needle haystack needle haystack needle haystack " +
+      "needle haystack stitch work done now"
+    val docs = (Seq((1L, junk + " " + sharp),
+      (2L, "needle haystack needle on a small table right here")) ++
+      (10L to 17L).map(i => (i, (1 to 30).map(j => s"g${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val (tagC, tagP) = freshTags()
+    val lexTag = freshLexTag()
+    def sweep(d: org.apache.spark.sql.DataFrame, tc: String, tp: String,
+              tl: String): Map[String, (Long, Double, Long)] =
+      CorpusQueries.passageAggSweep(spark, d, tc, tp, tl, terms)
+        .as[(String, Long, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val long = sweep(docs, tagC, tagP, lexTag)
+    assert(long.keySet ==
+      Set("avgp", "docgrain", "firstp", "maxp", "sump"))
+    assert(long("docgrain")._1 == 2L && long("maxp")._1 == 1L,
+      s"the grains must disagree on the winner: $long")
+    // single-chunk corpus: every arm == doc grain (same top-1; full
+    // overlap of the ranked sets)
+    val shortDocs = Seq(
+      (1L, "needle haystack sewing kit on the table"),
+      (2L, "needle found in the haystack yesterday needle"),
+      (3L, "a haystack stands alone in the field"),
+      (5L, "needle threads and fabric scraps everywhere"))
+      .toDF("doc_id", "text")
+    val (tagC2, tagP2) = freshTags()
+    val short = sweep(shortDocs, tagC2, tagP2, freshLexTag())
+    val t1s = short.values.map(_._1).toSet
+    assert(t1s.size == 1, s"single-chunk arms must agree on top-1: $short")
+    assert(short.values.map(_._3).toSet.size == 1,
+      s"single-chunk overlap counts must all equal: $short")
+  }
+
   test("single-chunk corpus: passage retrieval degrades to doc-grain " +
     "ranking EXACTLY — same ranks, same docs, same scores") {
     // every doc <= 32 tokens -> exactly one chunk spanning the doc
