@@ -763,6 +763,40 @@ object Pipeline {
     band ++ spans ++ chunks ++ contain ++ lex ++ media ++ ivf ++ pq
   }
 
+  /** Post-mutation re-level step for the stored LexIndexes — the
+    * artifact-phase application of the MEASURED partial-vs-full policy
+    * (r17 verdict missing #2; `RELEVEL_r18.json` + SCALE.md §"Pricing
+    * the re-level knob"): [[graft.ops.LexIndex.relevel]] reads each
+    * index's touched-partition fraction and takes the bounded partial
+    * path below [[graft.ops.LexIndex.RelevelPartialMaxFraction]], the
+    * wholesale re-level at or above it. One report row per index
+    * documents WHICH path was taken and WHY (the fraction and the
+    * threshold) — the policy must be visible in the migration report,
+    * not silent. Run after [[deleteDocs]] (or any append burst) to
+    * restore exact df before the next serving window; kept separate
+    * from the mutation verbs so takedown latency (remove the rows NOW)
+    * never waits on maintenance.
+    */
+  def relevelLexIndexes(
+      spark: SparkSession,
+      outDir: String,
+      lexTables: Seq[String],
+      log: MigrationLog = MigrationLog.silent): Seq[Report.ArtifactResult] =
+    lexTables.flatMap { t =>
+      val tag = graft.ops.LexIndex.tag(s"$outDir/$t")
+      if (!graft.ops.LexIndex.exists(spark, tag)) Nil else {
+        val t0 = System.nanoTime()
+        val (path, frac, parts) = graft.ops.LexIndex.relevel(spark, tag)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val detail = f"tag=$tag path=$path touched_fraction=$frac%.4f " +
+          f"threshold=${graft.ops.LexIndex.RelevelPartialMaxFraction}%.2f " +
+          s"parts_rewritten=$parts"
+        log.info(tag, "relevel_lex_index", detail)
+        Seq(Report.ArtifactResult(tag, "relevel_lex_index", detail, 0L,
+          0L, secs))
+      }
+    }
+
   /** Full migration: all tables concurrently, then deferred FK validation
     * (E2/E3), then the artifact phase (E1's slot). Returns the report
     * (F1).

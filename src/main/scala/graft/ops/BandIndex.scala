@@ -94,19 +94,42 @@ object BandIndex {
     * downstream semantics.
     */
   private[ops] def withKeyCount(df: DataFrame, keys: Seq[String],
-                                out: String): DataFrame = {
+                                out: String): DataFrame =
+    withKeyAgg(df, keys, Seq(count(lit(1)).as(out)))
+
+  /** The general form of [[withKeyCount]] (r17 verdict #1): stamp
+    * arbitrary per-`keys` aggregates (`aggs` must each carry an alias)
+    * onto every row of `df` via groupBy + join-back — the one sanctioned
+    * route for what would otherwise be `agg over (partition by keys)`
+    * windows in the DECLARED-QUERY paths (candidate-bucket caps,
+    * fingerprint keeper election, cluster sizes, argmax-struct keeper
+    * picks). Same straggler rationale as [[withKeyCount]]'s scaladoc;
+    * the groupBy's partial aggregation collapses a Zipf-head key on the
+    * map side, and the join-back is AQE-skew-splittable where a window
+    * partition is one unsplittable task. Trade vs a window: the window
+    * evaluates its input subtree once behind ONE exchange; join-back
+    * references `df` twice — every migrated call site therefore feeds
+    * a persisted/checkpointed relation (or a prunable cheap branch) so
+    * the second reference is a cache read, not a recompute.
+    *
+    * Callers re-select their column order (join-back appends the agg
+    * columns after `df`'s).
+    */
+  private[graft] def withKeyAgg(df: DataFrame, keys: Seq[String],
+                                aggs: Seq[org.apache.spark.sql.Column])
+      : DataFrame = {
     // Null-safe (<=>) join-back: a window treats a null key as its own
     // group, and so must the replacement — BandIndex band hashes ARE
     // null for an empty-shingle doc (MinHashBands scaladoc), and a
     // plain equi-join would silently drop those rows. <=> is still an
     // equi-join key for the planner (hash-joinable, AQE-splittable).
     val renamed = keys.map(k => k -> s"__kc_$k")
-    val counts = renamed.foldLeft(
-        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(out))) {
+    val agged = renamed.foldLeft(
+        df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)) {
       case (d, (k, a)) => d.withColumnRenamed(k, a)
     }
     val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
-    df.join(counts, cond).drop(renamed.map(_._2): _*)
+    df.join(agged, cond).drop(renamed.map(_._2): _*)
   }
 
   /** The bucket count a stored table was actually written with — for
@@ -117,6 +140,94 @@ object BandIndex {
     spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(0)
+
+  /** Dynamic-partition overwrite of `staged` into `table` — the ONE
+    * place the session-global `spark.sql.sources.partitionOverwriteMode`
+    * is flipped (r17 ADVICE adjudicated): the advised per-writer
+    * `option("partitionOverwriteMode", "dynamic")` is NOT honored by
+    * the `insertInto` catalog-table path in Spark 4.1 — tested in r18:
+    * the write ran STATIC and erased every untouched partition
+    * (BandIndexSpec's byte-identical differential caught it). So the
+    * conf flip stays, but centralized here: the set/restore window is
+    * the one write, every partial re-level shares this body, and the
+    * documented constraint is single-writer-per-session during
+    * maintenance (the families' verbs are driver-sequenced everywhere
+    * in this repo). Refreshes the catalog entry after (cached file
+    * listings must not serve the pre-overwrite files).
+    */
+  private[ops] def overwritePartitionsDynamic(spark: SparkSession,
+                                              staged: DataFrame,
+                                              table: String): Unit = {
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "dynamic")
+    try staged.write.mode(SaveMode.Overwrite).insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+    spark.catalog.refreshTable(table)
+  }
+
+  /** The ledgered bounded re-level skeleton, hoisted to ONE definition
+    * (r17 verdict #3: BandIndex and MediaSigStore carried
+    * near-identical ~25-line bodies; LexIndex's df re-level is the same
+    * shape) so the next stored family cannot fork the pattern:
+    *
+    *   1. `touchedParts` — the ledger projected to the partition ints
+    *      its keys hash-confine to — is collected (bounded by the
+    *      table's partition count, itself bounded by derivedBuckets);
+    *   2. ONE partition-pruned scan of exactly those partitions is
+    *      re-staged by the family's `stage` (recompute the per-key
+    *      level column via [[withKeyCount]]/withDf + re-stamp the
+    *      partition mirror + re-select the stored column order), staged
+    *      via localCheckpoint — the write plan must not scan its own
+    *      target;
+    *   3. dynamic-partition overwrite of exactly those partitions
+    *      ([[overwritePartitionsDynamic]] — per-writer option, catalog
+    *      refresh), untouched partitions byte-identical on disk;
+    *   4. the family's `clear` resets its ledger.
+    *
+    * Exactness argument (shared by every caller): a key's rows are
+    * hash-confined to its partition, so a level recomputed within the
+    * touched partitions is exact for every key they contain —
+    * including untouched co-partitioned keys, which re-level to the
+    * value they already carry. Returns partitions rewritten. Families
+    * whose re-level is NOT this shape (ContainIndex's oc leg — an
+    * audit against exact ground truth, because stored oc mixes
+    * vintages) compose [[overwritePartitionsDynamic]] directly.
+    */
+  private[ops] def relevelPartitions(spark: SparkSession, table: String,
+                                     touchedParts: DataFrame,
+                                     partCol: String,
+                                     stage: DataFrame => DataFrame,
+                                     clear: () => Unit): Long = {
+    val parts = touchedParts.distinct().collect().map(_.getInt(0))
+      .sorted.toSeq
+    if (parts.isEmpty) return 0L
+    val staged = stage(spark.table(table)
+        .filter(col(partCol).isin(parts: _*)))
+      .localCheckpoint()
+    overwritePartitionsDynamic(spark, staged, table)
+    clear()
+    parts.size.toLong
+  }
+
+  /** Whether `table` is partitioned by `colName` — the artifact-VINTAGE
+    * half of every family's exists() check (r17 ADVICE): the
+    * append/delete/partial-re-level verbs require the partition-mirror
+    * columns (LexIndex pb, ContainIndex pb/pd, BandIndex/MediaSigStore
+    * pbk), so a pre-mirror vintage store must read as "not exists" and
+    * route through buildOrLoad's documented self-heal rebuild, rather
+    * than pass the maintenance gate and fail mid-verb with a
+    * missing-column AnalysisException.
+    */
+  private[ops] def partitionedBy(spark: SparkSession, table: String,
+                                 colName: String): Boolean =
+    spark.catalog.tableExists(table) &&
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .partitionColumnNames.contains(colName)
 
   /** A catalog-safe table-name prefix for a corpus snapshot: sf dir +
     * role, lowercased, non-alphanumerics folded to `_`.
@@ -198,11 +309,13 @@ object BandIndex {
 
   /** Whether the stored index for `tag` is fully cataloged (the
     * IvfIndex convention — maintenance callers gate on this before
-    * buildOrLoad erases the fresh-vs-pre-existing difference).
+    * buildOrLoad erases the fresh-vs-pre-existing difference) AT the
+    * current vintage: the band table must carry the r17 pbk partition
+    * mirror the maintenance verbs require ([[partitionedBy]]).
     */
   def exists(spark: SparkSession, tag: String): Boolean =
     spark.catalog.tableExists(s"${tag}_shingles") &&
-      spark.catalog.tableExists(s"${tag}_bands")
+      partitionedBy(spark, s"${tag}_bands", "pbk")
 
   /** Materialize (or reuse, if already cataloged this session) the band
     * index for `standingDocs` (must carry doc_id + text). Returns
@@ -216,12 +329,12 @@ object BandIndex {
     val shT = s"${tag}_shingles"
     val bdT = s"${tag}_bands"
     // Gate on BOTH tables (the MediaSigStore convention, backported
-    // r12) AND on the r17 pbk partition column being present (the
-    // schema-drift rule): any partial or pre-pbk state self-heals by
-    // rebuilding rather than breaking the partial re-level.
-    val complete = spark.catalog.tableExists(shT) &&
-      spark.catalog.tableExists(bdT) &&
-      spark.table(bdT).columns.contains("pbk")
+    // r12) AND on the r17 pbk partition mirror (the schema-drift
+    // rule) — the SAME vintage-aware exists() the maintenance callers
+    // gate on, so the two predicates cannot disagree (r17 ADVICE):
+    // any partial or pre-pbk state self-heals by rebuilding rather
+    // than breaking the partial re-level.
+    val complete = exists(spark, tag)
     if (!complete) {
       Seq(shT, bdT, s"${tag}_btouched").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -402,26 +515,14 @@ object BandIndex {
     val bdT = s"${tag}_bands"
     ensureTouched(spark, tag)
     val nb = bucketsOf(spark, bdT)
-    val touchedPbks = spark.table(s"${tag}_btouched")
-      .select(expr(s"pmod(hash(band, bh), $nb)").cast("int").as("pbk"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
-    if (touchedPbks.isEmpty) return 0L
-    val staged = withPbk(withKeyCount(
-        spark.table(bdT).filter(col("pbk").isin(touchedPbks: _*))
-          .select(col("doc_id"), col("band"), col("bh")),
-        Seq("band", "bh"), "bsz"), nb)
-      .select("doc_id", "band", "bh", "bsz", "pbk")
-      .localCheckpoint()
-    val conf = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(conf)
-    spark.conf.set(conf, "dynamic")
-    try staged.write.mode(SaveMode.Overwrite).insertInto(bdT)
-    finally prev match {
-      case Some(v) => spark.conf.set(conf, v)
-      case None => spark.conf.unset(conf)
-    }
-    spark.catalog.refreshTable(bdT)
-    clearTouched(spark, tag)
-    touchedPbks.size.toLong
+    relevelPartitions(spark, bdT,
+      spark.table(s"${tag}_btouched")
+        .select(expr(s"pmod(hash(band, bh), $nb)").cast("int").as("pbk")),
+      "pbk",
+      scan => withPbk(withKeyCount(
+          scan.select(col("doc_id"), col("band"), col("bh")),
+          Seq("band", "bh"), "bsz"), nb)
+        .select("doc_id", "band", "bh", "bsz", "pbk"),
+      () => clearTouched(spark, tag))
   }
 }

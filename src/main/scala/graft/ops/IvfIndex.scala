@@ -67,8 +67,35 @@ object IvfIndex {
   def buildOrLoad(spark: SparkSession, dir: String, nCells: Int,
                   log: graft.etl.MigrationLog = graft.etl.MigrationLog.silent,
                   targetRowsPerBucket: Long = BandIndex.TargetRowsPerBucket
-                 ): (DataFrame, DataFrame) = {
-    val t = tag(dir, nCells)
+                 ): (DataFrame, DataFrame) =
+    // Cell-row cardinality == corpus cardinality (one row per vector),
+    // so the bucket derivation reads the parquet count — metadata-only,
+    // no extra corpus pass.
+    buildOrLoadVectors(spark,
+      SimilarityQueries.normalizedCorpus(spark, dir), tag(dir, nCells),
+      nCells, log, targetRowsPerBucket,
+      nRows = () => graft.Tables.t(spark, dir, "embeddings").count())
+
+  /** [[buildOrLoad]] for an ARBITRARY normalized vector relation
+    * (vec_id, v, nrm) under an explicit family tag — the LexIndex
+    * `plex` precedent applied to the vector stack (r17 verdict next
+    * #3): the chunk-grain index q_passage_fusion probes is THIS family
+    * at a chunk tag, so append/delete/refreshCentroids/split/merge
+    * apply to it unchanged (they read stored tables by tag). `vectors`
+    * is by-name: the build scan only runs when the catalog gate says
+    * build. `nRows` overrides the cardinality read for callers whose
+    * count is metadata-cheap (the embeddings parquet); the default
+    * counts the relation itself (one extra derivation pass, build-time
+    * only).
+    */
+  def buildOrLoadVectors(spark: SparkSession, vectors: => DataFrame,
+                         t: String, nCells: Int,
+                         log: graft.etl.MigrationLog =
+                           graft.etl.MigrationLog.silent,
+                         targetRowsPerBucket: Long =
+                           BandIndex.TargetRowsPerBucket,
+                         nRows: () => Long = null
+                        ): (DataFrame, DataFrame) = {
     val (cT, mT) = (cellsT(t), centT(t))
     // Gate on BOTH tables: cT is written first, so a crash before mT
     // lands would otherwise leave a half-built index that short-circuits
@@ -77,13 +104,10 @@ object IvfIndex {
     // gate table first).
     if (!(spark.catalog.tableExists(cT) && spark.catalog.tableExists(mT))) {
       BandIndex.dropStaleLocations(spark, Seq(cT, mT))
-      // Cell-row cardinality == corpus cardinality (one row per vector),
-      // so the bucket derivation reads the parquet count — metadata-only,
-      // no extra corpus pass.
+      val vecs = vectors
       val buckets = BandIndex.derivedBuckets(
-        graft.Tables.t(spark, dir, "embeddings").count(), targetRowsPerBucket)
-      val (a2, centn) = SimilarityQueries.buildIvf(
-        SimilarityQueries.normalizedCorpus(spark, dir), nCells)
+        if (nRows != null) nRows() else vecs.count(), targetRowsPerBucket)
+      val (a2, centn) = SimilarityQueries.buildIvf(vecs, nCells)
       a2.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, "cell").sortBy("cell")
         .saveAsTable(cT)

@@ -114,10 +114,13 @@ object LexIndex {
     BandIndex.bucketsOf(spark, postT(tag))
 
   /** Whether the stored index for `tag` is fully cataloged (the
-    * IvfIndex convention).
+    * IvfIndex convention) AT the current vintage: the posting table
+    * must carry the r16 pb partition mirror the maintenance verbs
+    * require ([[BandIndex.partitionedBy]]) — a pre-mirror store reads
+    * as absent and self-heals via buildOrLoad.
     */
   def exists(spark: SparkSession, tag: String): Boolean =
-    spark.catalog.tableExists(postT(tag)) &&
+    BandIndex.partitionedBy(spark, postT(tag), "pb") &&
       spark.catalog.tableExists(statsT(tag))
 
   /** The posting table's partition column: pb = pmod(hash(term), nb),
@@ -182,6 +185,71 @@ object LexIndex {
     spark.catalog.refreshTable(touchT(tag))
   }
 
+  /** Ledger seeding for the re-level pricing bench
+    * ([[graft.RelevelBench]]) and policy specs — the ONE sanctioned
+    * external write into the touched ledger, so the bench does not
+    * hand-author the layout. Production paths never call this: append
+    * and delete record their own vocabulary.
+    */
+  private[graft] def seedTouchedForBench(spark: SparkSession, tag: String,
+                                         terms: DataFrame): Unit =
+    recordTouched(spark, tag, terms)
+
+  /** Fraction of the posting table's partitions the current ledger
+    * touches — the re-level POLICY's input ([[relevel]]): |distinct
+    * pmod(hash(term), nb) over the ledger| / nb. Ledger-grain work
+    * (batch vocabulary), no posting scan.
+    */
+  def touchedFraction(spark: SparkSession, tag: String): Double = {
+    val tT = touchT(tag)
+    if (!spark.catalog.tableExists(tT)) return 0.0
+    val nb = BandIndex.bucketsOf(spark, postT(tag))
+    if (nb == 0) return 1.0
+    val touched = spark.table(tT)
+      .select(expr(s"pmod(hash(term), $nb)")).distinct().count()
+    touched.toDouble / nb
+  }
+
+  /** Partial-vs-full re-level policy threshold, set from MEASUREMENT
+    * (r18, `RELEVEL_r18.json` — sf0.1, 32 partitions, medians of 3
+    * reps on fresh identical pre-states; SCALE.md §"Pricing the
+    * re-level knob" holds the table and the why): the partial path
+    * beat the full re-level at EVERY measured touched-fraction,
+    * including true complete cover — 0.51×, 0.50×, 0.58×, 0.63× of
+    * full at f ∈ {1/32, 4/32, 16/32, 32/32} — because the
+    * dynamic-overwrite writer's cost is proportional to touched
+    * partitions while the full path always pays the whole bucketed
+    * rewrite. So the measured crossover does not exist below f = 1,
+    * and the threshold sits AT complete cover: [[relevel]] takes
+    * partial for any proper subset and full only when the ledger
+    * covers every partition — where the two are row-work-equivalent
+    * and full avoids the two costs that DO grow with cover at the
+    * 2^18-partition production layout (a touched-partition `isin`
+    * literal list the planner must carry, and one commit per
+    * partition vs one atomic table rewrite). That extrapolation is
+    * flagged as such: at sf0.1 those terms are sub-noise (0.72 s vs
+    * 1.15 s even at full cover).
+    */
+  val RelevelPartialMaxFraction = 1.0
+
+  /** The re-level POLICY verb the pipeline's artifact phase applies
+    * (r17 verdict missing #2): read the ledger's touched-partition
+    * fraction, take the bounded partial path below
+    * [[RelevelPartialMaxFraction]] and the wholesale full re-level at
+    * or above it. Returns (path, touched fraction, partitions
+    * rewritten) for the caller's report row — the decision must be
+    * visible, not silent.
+    */
+  def relevel(spark: SparkSession, tag: String): (String, Double, Long) = {
+    val f = touchedFraction(spark, tag)
+    if (f < RelevelPartialMaxFraction)
+      ("partial", f, refreshCountsPartial(spark, tag))
+    else {
+      refreshCounts(spark, tag)
+      ("full", f, BandIndex.bucketsOf(spark, postT(tag)).toLong)
+    }
+  }
+
   /** Posting rows of a doc relation (doc_id, text): one row per
     * (doc, distinct term) with tf and dl — the derivation [[buildOrLoad]]
     * materializes and LexIndexSpec differentials against. Shared with
@@ -226,8 +294,11 @@ object LexIndex {
                  ): (DataFrame, DataFrame) = {
     val (pT, sT) = (postT(tag), statsT(tag))
     // both-tables self-heal gate (the family convention): a crash
-    // between the two writes rebuilds rather than half-serving
-    if (!(spark.catalog.tableExists(pT) && spark.catalog.tableExists(sT))) {
+    // between the two writes rebuilds rather than half-serving; the
+    // exists() predicate is also vintage-aware (r17 ADVICE), so a
+    // pre-pb-mirror store rebuilds here instead of failing inside the
+    // partial re-level
+    if (!exists(spark, tag)) {
       Seq(pT, sT, touchT(tag)).foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
       BandIndex.dropStaleLocations(spark, Seq(pT, sT, touchT(tag)))
@@ -335,26 +406,14 @@ object LexIndex {
     val pT = postT(tag)
     ensureTouched(spark, tag)
     val nb = BandIndex.bucketsOf(spark, pT)
-    val touchedPbs = spark.table(touchT(tag))
-      .select(expr(s"pmod(hash(term), $nb)").cast("int").as("pb"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
-    if (touchedPbs.isEmpty) return 0L
-    val staged = withPb(withDf(spark.table(pT)
-        .filter(col("pb").isin(touchedPbs: _*))
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"))), nb)
-      .select("term", "doc_id", "tf", "dl", "df", "pb")
-      .localCheckpoint()
-    val conf = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(conf)
-    spark.conf.set(conf, "dynamic")
-    try staged.write.mode(SaveMode.Overwrite).insertInto(pT)
-    finally prev match {
-      case Some(v) => spark.conf.set(conf, v)
-      case None => spark.conf.unset(conf)
-    }
-    spark.catalog.refreshTable(pT)
-    clearTouched(spark, tag)
-    touchedPbs.size.toLong
+    BandIndex.relevelPartitions(spark, pT,
+      spark.table(touchT(tag))
+        .select(expr(s"pmod(hash(term), $nb)").cast("int").as("pb")),
+      "pb",
+      scan => withPb(withDf(scan
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"))), nb)
+        .select("term", "doc_id", "tf", "dl", "df", "pb"),
+      () => clearTouched(spark, tag))
   }
 
   /** Takedown maintenance (r15 verdict #1, dual of [[append]]): remove
@@ -537,12 +596,16 @@ object LexIndex {
     * derived (uncapped — and for the arriving face, index-known —
     * terms). tf·|C| is multiplied in DECIMAL(38,0) — exact through
     * 10^38, so a 100 TB corpus (sum_dl ~ 10^13 × a boilerplate tf ~
-    * 10^6 exceeds a long's ~9.2e18) can never silently wrap (r16
-    * ADVICE #4: the long multiply wrapped where the DuckDB oracle's
-    * BIGINT raises; now Spark stays exact far past the boundary where
-    * DuckDB fails loudly, and below it the correctly-rounded
-    * decimal→double equals the long→double bit-for-bit, so the oracle
-    * hash is unchanged). Unrounded score — callers rank then round.
+    * 10^6 exceeds a long's ~9.2e18) cannot silently WRAP (r16 ADVICE
+    * #4: the long multiply wrapped where the DuckDB oracle's BIGINT
+    * raises; below 2^63 the correctly-rounded decimal→double equals
+    * the long→double bit-for-bit, so the oracle hash is unchanged).
+    * Beyond 10^38 — unreachable at any documented scale — Spark's
+    * non-ANSI decimal multiply returns NULL rather than failing
+    * loudly like DuckDB's BIGINT: the score would go null and the doc
+    * drop from ranking (r17 ADVICE: exact through 10^38, null-quiet
+    * past it — not "never wrong"). Unrounded score — callers rank
+    * then round.
     */
   private[ops] def qlCombine(matched: DataFrame, mu: Long,
                              nq: Long): DataFrame = {

@@ -103,11 +103,14 @@ object MediaSigStore {
     BandIndex.bucketsOf(spark, sigT(tag))
 
   /** Whether the stored artifact for `tag` is fully cataloged (the
-    * IvfIndex convention).
+    * IvfIndex convention) AT the current vintage: the band table must
+    * carry the r17 pbk partition mirror the maintenance verbs require
+    * ([[BandIndex.partitionedBy]]) — a pre-mirror store reads as
+    * absent and self-heals via buildOrLoad.
     */
   def exists(spark: SparkSession, tag: String): Boolean =
     spark.catalog.tableExists(sigT(tag)) &&
-      spark.catalog.tableExists(bandT(tag))
+      BandIndex.partitionedBy(spark, bandT(tag), "pbk")
 
   /** (bk, doc_id) postings of a signature relation. */
   private[ops] def bandRows(sigs: DataFrame): DataFrame =
@@ -133,10 +136,11 @@ object MediaSigStore {
     // (hammingPairs/probe/hotBucketAudit filter on bsz) with no
     // self-heal. Schema drift of a stored artifact rebuilds like any
     // other partial state.
-    val complete = spark.catalog.tableExists(sT) &&
-      spark.catalog.tableExists(bT) &&
-      spark.table(bT).columns.contains("bsz") &&
-      spark.table(bT).columns.contains("pbk")
+    // the SAME vintage-aware exists() the maintenance callers gate on
+    // (r17 ADVICE), plus the pre-r12 bsz drift check exists() does not
+    // carry (bsz is a stored column, not a partition mirror)
+    val complete = exists(spark, tag) &&
+      spark.table(bT).columns.contains("bsz")
     if (!complete) {
       Seq(sT, bT, touchT(tag)).foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -294,27 +298,15 @@ object MediaSigStore {
     val bT = bandT(tag)
     ensureTouched(spark, tag)
     val nb = BandIndex.bucketsOf(spark, bT)
-    val touchedPbks = spark.table(touchT(tag))
-      .select(expr(s"pmod(hash(bk), $nb)").cast("int").as("pbk"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
-    if (touchedPbks.isEmpty) return 0L
-    val staged = withPbk(BandIndex.withKeyCount(
-        spark.table(bT).filter(col("pbk").isin(touchedPbks: _*))
-          .select(col("bk"), col("doc_id")),
-        Seq("bk"), "bsz"), nb)
-      .select("bk", "doc_id", "bsz", "pbk")
-      .localCheckpoint()
-    val conf = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(conf)
-    spark.conf.set(conf, "dynamic")
-    try staged.write.mode(SaveMode.Overwrite).insertInto(bT)
-    finally prev match {
-      case Some(v) => spark.conf.set(conf, v)
-      case None => spark.conf.unset(conf)
-    }
-    spark.catalog.refreshTable(bT)
-    clearTouched(spark, tag)
-    touchedPbks.size.toLong
+    BandIndex.relevelPartitions(spark, bT,
+      spark.table(touchT(tag))
+        .select(expr(s"pmod(hash(bk), $nb)").cast("int").as("pbk")),
+      "pbk",
+      scan => withPbk(BandIndex.withKeyCount(
+          scan.select(col("bk"), col("doc_id")),
+          Seq("bk"), "bsz"), nb)
+        .select("bk", "doc_id", "bsz", "pbk"),
+      () => clearTouched(spark, tag))
   }
 
   /** What the hot-bucket cap silently skips on the stored index:

@@ -81,20 +81,76 @@ object PackingQueries {
        |FROM st)""".stripMargin
   }
 
+  /** Docs-per-bucket width for the two-level distributed prefix sum
+    * ([[sourcePrefixSum]]): buckets are floor(doc_id / W) —
+    * order-aligned with doc_id by construction (long division is
+    * monotone), so cumulative sums compose across bucket boundaries.
+    * W = 2^20 balances the two window grains at the 10^12-doc target
+    * (≤ 2^20 docs inside a bucket partition; ~10^6 bucket-grain rows
+    * per source at level 2). PackingSpec exercises the multi-bucket
+    * path with a small W.
+    */
+  private[graft] val PackBucketW = 1L << 20
+
+  /** Per-source running token sum in doc_id order — q_seq_packing's
+    * prefix sum — as a TWO-LEVEL distributed prefix sum (r17 verdict
+    * #2: the previous `Window.partitionBy("source")` over the whole
+    * corpus serialized a mega-source into ONE task at 100 TB; source
+    * cardinality is a handful, so that window partition was the
+    * corpus):
+    *
+    *   1. within-bucket cumsum — `Window.partitionBy(source, bkt)`,
+    *      bkt = floor(doc_id / W): fine-grained splittable partitions
+    *      of ≤ W docs each;
+    *   2. bucket offsets — per-(source, bkt) totals (map-side-combined
+    *      groupBy), then the EXCLUSIVE running sum over the
+    *      bucket-GRAIN relation (N/W rows per source — the "partition
+    *      partials" half of the classic two-pass prefix sum, W× smaller
+    *      than the corpus by construction);
+    *   3. cum = bucket offset + within-bucket cumsum, an equi-join on
+    *      the fine-grained (source, bkt) key.
+    *
+    * `base` must carry (source, doc_id, n_tokens); it is
+    * localCheckpointed so the two levels read ONE tokenize pass.
+    * Returns base's columns + `cum`. Exactness: bucket order ==
+    * doc_id order across buckets, so level-2 offsets + level-1 sums
+    * telescope to exactly the single-window cumsum (PackingSpec pins
+    * the differential on a planted mega-source, multi-bucket W).
+    */
+  private[graft] def sourcePrefixSum(base: org.apache.spark.sql.DataFrame,
+                                     bucketW: Long = PackBucketW)
+      : org.apache.spark.sql.DataFrame = {
+    val bkt = base.withColumn("bkt", floor(col("doc_id") / bucketW))
+      .localCheckpoint()
+    val wIn = Window.partitionBy("source", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBk = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = bkt.groupBy("source", "bkt")
+      .agg(sum("n_tokens").as("btok"))
+      .withColumn("boff", coalesce(sum("btok").over(wBk), lit(0L)))
+      .select("source", "bkt", "boff")
+    bkt.withColumn("cum_in", sum("n_tokens").over(wIn))
+      .join(boff, Seq("source", "bkt"))
+      .withColumn("cum", col("boff") + col("cum_in"))
+      .drop("bkt", "cum_in", "boff")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_seq_packing",
       s"Concat-and-chunk sequence packing at a $Budget-token budget: per " +
         "source shard, running token sum over doc_id order; a doc's " +
         "sequence id is floor(start_offset / budget) and its offset " +
-        "within that sequence falls out of the same cumulative sum.",
+        "within that sequence falls out of the same cumulative sum. " +
+        "The cumsum is the two-level distributed prefix sum " +
+        "(sourcePrefixSum — within-bucket windows + bucket-grain " +
+        "offsets), so a mega-source never serializes into one window " +
+        "task (r17 verdict #2).",
       (s, dir) => {
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.t(s, dir, "documents")
-          .select(col("source"), col("doc_id"),
-            size(tokens(col("text"))).cast("long").as("n_tokens"))
-          .withColumn("cum", sum("n_tokens").over(w))
+        sourcePrefixSum(Tables.t(s, dir, "documents")
+            .select(col("source"), col("doc_id"),
+              size(tokens(col("text"))).cast("long").as("n_tokens")))
           .select(col("source"), col("doc_id"), col("n_tokens"),
             floor((col("cum") - col("n_tokens")) / Budget).as("seq_id"),
             ((col("cum") - col("n_tokens")) % Budget).as("seq_offset"))

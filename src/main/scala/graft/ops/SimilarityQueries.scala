@@ -884,7 +884,8 @@ object SimilarityQueries {
     */
   private[graft] def ivfTopKFor(q: DataFrame, a2: DataFrame,
                                 centn: DataFrame, nProbe: Int,
-                                excludeSelf: Boolean = true): DataFrame = {
+                                excludeSelf: Boolean = true,
+                                n: Int = K): DataFrame = {
     val qp = probeCells(q, centn, nProbe)
     // The probed (query, cell) relation is a query batch ≪ the corpus
     // (same assumption as the exact baseline's broadcast query side), so
@@ -892,13 +893,14 @@ object SimilarityQueries {
     // corpus-sized a2 is streamed in place, never shuffled.
     // excludeSelf: see ivfPqCandidates — true for corpus self-joins,
     // false for ingest probes of a standing index (redelivered vec_ids
-    // must surface their stored twin).
+    // must surface their stored twin). `n` widens the cut for
+    // shortlist consumers (the FuseN fusion legs).
     val joined = broadcast(qp).join(a2, "cell")
     (if (excludeSelf) joined.filter(col("query_id") =!= col("vec_id"))
      else joined)
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= n)
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1071,8 +1073,10 @@ object SimilarityQueries {
     * quantize at two settings (the semantic-recall oracle compares the
     * ~√n and target-cluster derivations side by side).
     */
-  private[ops] def ivfAssignCtes(p: String, cellsSql: String): String =
-    s"""${p}seeds AS (SELECT vec_id AS cell0, v AS cv0 FROM n
+  private[ops] def ivfAssignCtes(p: String, cellsSql: String,
+                                 src: String = "n",
+                                 dim: Int = Dim): String =
+    s"""${p}seeds AS (SELECT vec_id AS cell0, v AS cv0 FROM $src
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT $cellsSql),
        |${p}a1 AS (SELECT vec_id, v, cell FROM (
@@ -1081,10 +1085,10 @@ object SimilarityQueries {
        |      ORDER BY list_dot_product(n.v, s.cv0)
        |        /(n.nrm*sqrt(list_dot_product(s.cv0, s.cv0))) DESC,
        |      s.cell0 ASC) AS rn
-       |  FROM n, ${p}seeds s) WHERE rn = 1),
+       |  FROM $src n, ${p}seeds s) WHERE rn = 1),
        |${p}cm AS (SELECT cell, i AS pos,
        |    CAST(sum(CAST(v[i] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS m
-       |  FROM ${p}a1, (SELECT unnest(range(1, ${Dim + 1})) AS i) GROUP BY cell, i),
+       |  FROM ${p}a1, (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY cell, i),
        |${p}centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM
        |  (SELECT cell, list(m ORDER BY pos) AS cv FROM ${p}cm GROUP BY cell)),
        |${p}a2 AS (SELECT vec_id, v, nrm, cell FROM (
@@ -1092,7 +1096,7 @@ object SimilarityQueries {
        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |      ORDER BY list_dot_product(n.v, c.cv)/(n.nrm*c.cn) DESC,
        |      c.cell ASC) AS rn
-       |  FROM n, ${p}centn c) WHERE rn = 1)""".stripMargin
+       |  FROM $src n, ${p}centn c) WHERE rn = 1)""".stripMargin
 
   /** Oracle twin of [[softAssign]]: `<p>soft (vec_id, v, nrm, cell, rn)`
     * with rank <= `k` cells per vector, scored against `<p>centn` with

@@ -232,6 +232,49 @@ class PipelineSpec extends SparkSpec {
       again.map(_.detail).mkString("; "))
   }
 
+  test("relevelLexIndexes applies the MEASURED partial-vs-full policy " +
+    "(r17 verdict missing #2) and the report row documents path + " +
+    "fraction + threshold; each path restores exact df") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-relevel").toString
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to 12).map(j => s"rv${i}w$j").mkString(" ") + " shared"))
+      .toDF("doc_id", "text")
+    val tag = graft.ops.LexIndex.tag(s"$base/docs")
+    graft.ops.LexIndex.tables(tag).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.ops.LexIndex.buildOrLoad(spark, docs, tag)
+    val nb = graft.ops.LexIndex.buckets(spark, tag)
+    // --- partial side: one touched term << threshold·nb
+    graft.ops.LexIndex.seedTouchedForBench(spark, tag,
+      Seq("shared").toDF("term"))
+    val rows1 = Pipeline.relevelLexIndexes(spark, base, Seq("docs"))
+    assert(rows1.size == 1 && rows1.head.kind == "relevel_lex_index")
+    assert(rows1.head.detail.contains("path=partial") &&
+      rows1.head.detail.contains("threshold=1.00"), rows1.head.detail)
+    // --- full side: COMPLETE partition cover (the vocabulary plus
+    // synthesized ledger terms for partitions it misses — the
+    // RelevelBench cover trick) -> fraction 1.0 -> the full path
+    val vocab = spark.table(s"${tag}_lpost").select("term").distinct()
+      .union((0 until 500).map(i => s"x$i").toDF("term"))
+    graft.ops.LexIndex.seedTouchedForBench(spark, tag, vocab)
+    val rows2 = Pipeline.relevelLexIndexes(spark, base, Seq("docs"))
+    assert(rows2.head.detail.contains("path=full") &&
+      rows2.head.detail.contains("touched_fraction=1.0000"),
+      rows2.head.detail)
+    // both paths end exact: stored df == recomputed ground truth
+    val post = spark.table(s"${tag}_lpost")
+    val truth = post.groupBy("term")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df_x"))
+    assert(post.join(truth, "term")
+      .filter(org.apache.spark.sql.functions.col("df") =!=
+        org.apache.spark.sql.functions.col("df_x")).count() == 0)
+    // absent index -> skipped, no row
+    assert(Pipeline.relevelLexIndexes(spark, base, Seq("nosuch")).isEmpty)
+    assert(nb >= 8)
+  }
+
   test("reflectTables discovers parquet tables (A2)") {
     val d = Files.createTempDirectory("graft-reflect").toString
     import spark.implicits._

@@ -97,6 +97,57 @@ class ArtifactSelfHealSpec extends SparkSpec {
     Seq(sT, bT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("vintage-aware exists (r17 ADVICE): a pre-partition-mirror " +
+    "BandIndex vintage reads as ABSENT — the maintenance gate routes " +
+    "to buildOrLoad's self-heal instead of a mid-verb missing-column " +
+    "AnalysisException") {
+    val tag = BandIndex.tag("/tmp/selfheal", "minhashvintage")
+    val (shT, bdT) = (s"${tag}_shingles", s"${tag}_bands")
+    Seq(shT, bdT, s"${tag}_btouched")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    BandIndex.buildOrLoad(spark, docs, tag)
+    assert(BandIndex.exists(spark, tag), "current vintage must exist")
+    // simulate the pre-r17 artifact: same rows, pbk partition absent
+    val old = spark.table(bdT).select("doc_id", "band", "bh", "bsz")
+      .collect().toSeq
+    spark.sql(s"DROP TABLE $bdT")
+    old.map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toDF("doc_id", "band", "bh", "bsz")
+      .write.bucketBy(4, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(bdT)
+    assert(!BandIndex.exists(spark, tag),
+      "pre-mirror vintage must read as absent, not pass the gate")
+    BandIndex.buildOrLoad(spark, docs, tag)
+    assert(BandIndex.exists(spark, tag), "self-heal restores the vintage")
+    // the r17 maintenance verb runs (no missing-pbk AnalysisException)
+    assert(BandIndex.refreshBucketSizesPartial(spark, tag) >= 0L)
+    Seq(shT, bdT, s"${tag}_btouched")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("vintage-aware exists covers LexIndex's pb mirror the same way") {
+    val tag = BandIndex.tag("/tmp/selfheal", "lexvintage")
+    val (pT, sT) = (s"${tag}_lpost", s"${tag}_lstats")
+    Seq(pT, sT, s"${tag}_ltouched")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    LexIndex.buildOrLoad(spark, docs, tag)
+    assert(LexIndex.exists(spark, tag))
+    val old = spark.table(pT).select("term", "doc_id", "tf", "dl", "df")
+      .collect().toSeq
+    spark.sql(s"DROP TABLE $pT")
+    old.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toDF("term", "doc_id", "tf", "dl", "df")
+      .write.bucketBy(4, "term").sortBy("term").saveAsTable(pT)
+    assert(!LexIndex.exists(spark, tag),
+      "pre-pb vintage must read as absent")
+    LexIndex.buildOrLoad(spark, docs, tag)
+    assert(LexIndex.exists(spark, tag))
+    assert(LexIndex.refreshCountsPartial(spark, tag) >= 0L)
+    Seq(pT, sT, s"${tag}_ltouched")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("ChunkStore (single table) self-heals from an external drop") {
     val tag = BandIndex.tag("/tmp/selfheal", "chunks")
     heals(Seq(s"${tag}_chunks"),

@@ -73,6 +73,87 @@ class KeyCountSpec extends SparkSpec {
       viaWindow.exceptAll(viaHelper).isEmpty)
   }
 
+  // ---- withKeyAgg (r17 verdict #1): the generalized form the
+  // declared-query migrations use. One differential per migrated
+  // window shape, each with a planted Zipf-head key.
+
+  test("withKeyAgg min == window min on a planted hot fingerprint " +
+    "(the funnel exact-dup keeper shape)") {
+    val rows = (1 to 3000).map(i => ("fp_boilerplate", i + 100L)) ++
+      (1 to 100).map(k => (s"fp_$k", k.toLong))
+    val df = rows.toDF("fp", "doc_id")
+    val viaHelper = BandIndex.withKeyAgg(df, Seq("fp"),
+        Seq(min(col("doc_id")).as("keeper_id")))
+      .select("fp", "doc_id", "keeper_id")
+    val viaWindow = df.withColumn("keeper_id",
+        min(col("doc_id")).over(Window.partitionBy("fp")))
+      .select("fp", "doc_id", "keeper_id")
+    assert(viaHelper.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaHelper).isEmpty)
+    assert(viaHelper.filter($"fp" === "fp_boilerplate")
+      .agg(min("keeper_id"), max("keeper_id"))
+      .as[(Long, Long)].head() == ((101L, 101L)))
+  }
+
+  test("withKeyAgg count+min multi-agg == the simhash cluster window " +
+    "pair on a planted hot fingerprint class") {
+    val rows = (1 to 2500).map(i => ("1010", 1000L + i)) ++
+      (1 to 80).map(k => (f"$k%04d", k.toLong))
+    val df = rows.toDF("simhash", "doc_id")
+    val viaHelper = BandIndex.withKeyAgg(df, Seq("simhash"),
+        Seq(count(lit(1)).as("cluster_size"),
+          min("doc_id").as("cluster_min")))
+      .select("doc_id", "simhash", "cluster_size", "cluster_min")
+    val w = Window.partitionBy("simhash")
+    val viaWindow = df.select(col("doc_id"), col("simhash"),
+      count(lit(1)).over(w).as("cluster_size"),
+      min("doc_id").over(w).as("cluster_min"))
+    assert(viaHelper.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaHelper).isEmpty)
+  }
+
+  test("argmax-struct election off withKeyAgg == row_number window " +
+    "rank-1 drop (the funnel near-dup shape), qp ties broken by min " +
+    "doc_id") {
+    // One mega-cluster with a qp tie at the top + small clusters.
+    val rows = (1 to 2000).map(i =>
+      (7L, 100L + i, if (i <= 2) 3 else i % 3)) ++
+      (1 to 50).map(k => (k.toLong * 1000, k.toLong, k % 4))
+    val df = rows.toDF("cluster_id", "doc_id", "qp")
+    val best = df.groupBy("cluster_id")
+      .agg(max(struct(col("qp"), (-col("doc_id")).as("nd"))).as("best"))
+      .select(col("cluster_id"), (-col("best.nd")).as("keeper_doc"))
+    val viaAgg = df.join(best, "cluster_id")
+      .filter($"doc_id" =!= $"keeper_doc").select("doc_id")
+    val viaWindow = df.withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("qp").desc, col("doc_id").asc)))
+      .filter($"rn" > 1).select("doc_id")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+    // the tie at the top of the mega-cluster elects the SMALLER doc_id
+    assert(best.filter($"cluster_id" === 7L).select("keeper_doc")
+      .as[Long].head() == 101L)
+  }
+
+  test("capped-bucket filter off withKeyCount == the window-counted " +
+    "cap (the candidateJaccard / simhashHammingPairs shape): planted " +
+    "hot bucket skipped, singletons skipped, mid buckets kept") {
+    val cap = 64
+    val rows = (1 to 500).map(i => (0, 0xB01L, 1000L + i)) ++ // hot: skip
+      (1 to 10).map(i => (1, 0x222L, 2000L + i)) ++ // mid: keep
+      Seq((2, 0x333L, 3000L)) // singleton: skip
+    val df = rows.toDF("band", "bh", "doc_id")
+    val viaHelper = BandIndex.withKeyCount(df, Seq("band", "bh"), "bsz")
+      .filter($"bsz" > 1 && $"bsz" <= cap).select("doc_id", "band", "bh")
+    val viaWindow = df.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter($"bsz" > 1 && $"bsz" <= cap).select("doc_id", "band", "bh")
+    assert(viaHelper.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaHelper).isEmpty)
+    assert(viaHelper.count() == 10L)
+  }
+
   test("withKeyCount plan has no window operator") {
     val df = (1 to 100).map(i => (s"k${i % 5}", i.toLong)).toDF("g1", "doc_id")
     val plan = BandIndex.withKeyCount(df, Seq("g1"), "df")

@@ -12,6 +12,39 @@ import java.nio.file.Files
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sourcePrefixSum (two-level distributed prefix sum) == the " +
+    "single per-source window cumsum on a planted mega-source, " +
+    "multi-bucket W (r17 verdict #2)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // one mega-source holding most docs (the 100 TB hazard: a handful
+    // of sources, one dominating) + a small one; sparse NON-CONTIGUOUS
+    // doc_ids so bucket boundaries don't align with row counts
+    val rows = (1 to 400).map(i =>
+      ("mega", i.toLong * 7, (i % 13 + 1).toLong)) ++
+      (1 to 30).map(i => ("tail", i.toLong * 11, (i % 5 + 1).toLong))
+    val base = rows.toDF("source", "doc_id", "n_tokens")
+    // W=64 over doc_ids up to 2800 → ~44 buckets on the mega source
+    val viaTwoLevel = PackingQueries.sourcePrefixSum(base, bucketW = 64L)
+      .select("source", "doc_id", "n_tokens", "cum")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = base.withColumn("cum", sum("n_tokens").over(w))
+      .select("source", "doc_id", "n_tokens", "cum")
+    assert(viaTwoLevel.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaTwoLevel).isEmpty)
+    // single-bucket degenerate case (the default W at test scale)
+    val viaDefault = PackingQueries.sourcePrefixSum(base)
+      .select("source", "doc_id", "n_tokens", "cum")
+    assert(viaDefault.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaDefault).isEmpty)
+    // no corpus-grain window partitioned by source alone: every Window
+    // operator in the plan either includes the bucket key or runs on
+    // the bucket-GRAIN relation (whose row count is N/W, not N)
+    val plan = viaTwoLevel.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "expected the two window levels")
+  }
+
   test("q_doc_chunk covers every token exactly per the stride/overlap contract") {
     val d = Files.createTempDirectory("chunkspec").toString
     def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")

@@ -54,6 +54,108 @@ class PassageSpec extends SparkSpec {
       .as[(Int, Long, Int, Double)].collect().toSeq.sortBy(_._1)
   }
 
+  // ---- q_passage_fusion (r18): both falsifiability directions for
+  // the hybrid passage face.
+
+  private val fuseTerms = Seq("needle", "haystack", "thread")
+
+  private def freshFusionTags(): (String, String, String) = {
+    tagN += 1
+    val base = s"/tmp/passfuse$tagN"
+    val tagC = BandIndex.tag(base, "chunks")
+    val tagP = BandIndex.tag(base, "plex")
+    val tagV = BandIndex.tag(base, "pvec")
+    (ChunkStore.tables(tagC) ++ LexIndex.tables(tagP)).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(tagV))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    (tagC, tagP, tagV)
+  }
+
+  test("fusion direction 1: a passage findable ONLY by vector " +
+    "alignment (zero query-term overlap) surfaces in q_passage_fusion " +
+    "and NOT in the BM25-only passage face — and a BM25-findable doc " +
+    "still surfaces in fusion") {
+    // the query's token-hash vector
+    val qv = CorpusQueries.tokenHashVecs(
+        Seq((0L, fuseTerms.mkString(" "))).toDF("doc_id", "text"))
+      .select("v").as[Seq[Double]].head()
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    // mimic token: the candidate whose ±1 signature best aligns with
+    // the query vector — found with the SAME derivation the operator
+    // uses, so the plant is deterministic, not lucky
+    val cands = (0 until 20000).map(i => (i.toLong, s"m$i"))
+    val (bestId, bestCos) = CorpusQueries.tokenHashVecs(
+        cands.toDF("doc_id", "text"))
+      .select("vec_id", "v").as[(Long, Seq[Double])].collect()
+      .map { case (id, v) =>
+        val d = v.zip(qv).map { case (a, b) => a * b }.sum
+        (id, d / (math.sqrt(v.map(x => x * x).sum) * qn))
+      }.maxBy(_._2)
+    assert(bestCos > 0.6,
+      s"mimic search must find a well-aligned token (got $bestCos)")
+    // doc 1: one chunk of the mimic token repeated — cosine vs the
+    // query == bestCos (scale-invariant), zero query-term overlap.
+    // doc 2: sharp lexical evidence, vector-unaligned junk otherwise.
+    // 36 junk docs: enough chunks that the FuseN=20 shortlists CUT.
+    val docs = (Seq(
+        (1L, Seq.fill(24)(s"m$bestId").mkString(" ")),
+        (2L, "needle haystack thread needle haystack sewing kit basic")) ++
+      (10L to 45L).map(i =>
+        (i, (1 to 24).map(j => s"j${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val (tagC, tagP, tagV) = freshFusionTags()
+    val bmOnly = CorpusQueries.passageRetrieval(spark, docs, tagC, tagP,
+        fuseTerms)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!bmOnly.contains(1L),
+      "the vector-only doc must be invisible to the BM25-only face")
+    assert(bmOnly.contains(2L))
+    val fused = CorpusQueries.passageFusion(spark, docs, tagC, tagP,
+        tagV, fuseTerms)
+      .select("rank", "doc_id").as[(Int, Long)].collect().toSeq
+    val fusedDocs = fused.map(_._2).toSet
+    assert(fusedDocs.contains(1L),
+      "fusion must surface the vector-only passage the lexical leg " +
+        s"cannot see (fused: $fused)")
+    assert(fusedDocs.contains(2L),
+      "fusion must keep the BM25-findable doc (the other direction)")
+    // the stored chunk IVF index exists under the family tag and the
+    // family verbs apply unchanged (the tag-parameterization claim)
+    val ivfTag = spark.catalog.listTables().collect().map(_.name)
+      .find(n => n.startsWith(tagV) && n.endsWith("_ivfcells"))
+      .map(_.stripSuffix("_ivfcells"))
+    assert(ivfTag.isDefined, "chunk IVF must be a cataloged store")
+    assert(IvfIndex.exists(spark, ivfTag.get))
+    assert(IvfIndex.delete(spark,
+      Seq(1L * CorpusQueries.PassageIdStride).toDF("vec_id"),
+      ivfTag.get) >= 0L)
+  }
+
+  test("fusion direction 2: on a single-chunk corpus the maxP " +
+    "election is the identity — every elected chunk is chunk 0 and " +
+    "the doc ranking IS the fused chunk ranking (doc-grain hybrid " +
+    "shape)") {
+    val docs = (Seq(
+        (1L, "needle haystack thread needle work"),
+        (2L, "needle haystack on the small table")) ++
+      (10L to 30L).map(i =>
+        (i, (1 to 20).map(j => s"k${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val (tagC, tagP, tagV) = freshFusionTags()
+    val out = CorpusQueries.passageFusion(spark, docs, tagC, tagP,
+        tagV, fuseTerms)
+      .select("rank", "doc_id", "chunk_idx", "chunk_rank")
+      .as[(Int, Long, Int, Int)].collect().toSeq.sortBy(_._1)
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 == 0), "single-chunk corpus: chunk_idx == 0")
+    val ranks = out.map(_._4)
+    assert(ranks == ranks.sorted && ranks.distinct == ranks,
+      "doc order must be exactly the fused chunk ranking " +
+        s"(chunk_rank strictly increasing): $ranks")
+  }
+
   test("a long doc with ONE sharp relevant passage loses under " +
     "doc-grain BM25 (whole-doc dl dilutes it) and WINS under passage " +
     "grain — and the elected chunk is the passage's") {
