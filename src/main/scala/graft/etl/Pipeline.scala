@@ -777,6 +777,19 @@ object Pipeline {
     * from the mutation verbs so takedown latency (remove the rows NOW)
     * never waits on maintenance.
     */
+  private def relevelRow(log: MigrationLog, tag: String, kind: String,
+                         f: => (String, Double, Long))
+      : Seq[Report.ArtifactResult] = {
+    val t0 = System.nanoTime()
+    val (path, frac, parts) = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    val detail = f"tag=$tag path=$path touched_fraction=$frac%.4f " +
+      f"threshold=${graft.ops.LexIndex.RelevelPartialMaxFraction}%.2f " +
+      s"parts_rewritten=$parts"
+    log.info(tag, kind, detail)
+    Seq(Report.ArtifactResult(tag, kind, detail, 0L, 0L, secs))
+  }
+
   def relevelLexIndexes(
       spark: SparkSession,
       outDir: String,
@@ -784,18 +797,47 @@ object Pipeline {
       log: MigrationLog = MigrationLog.silent): Seq[Report.ArtifactResult] =
     lexTables.flatMap { t =>
       val tag = graft.ops.LexIndex.tag(s"$outDir/$t")
-      if (!graft.ops.LexIndex.exists(spark, tag)) Nil else {
-        val t0 = System.nanoTime()
-        val (path, frac, parts) = graft.ops.LexIndex.relevel(spark, tag)
-        val secs = (System.nanoTime() - t0) / 1e9
-        val detail = f"tag=$tag path=$path touched_fraction=$frac%.4f " +
-          f"threshold=${graft.ops.LexIndex.RelevelPartialMaxFraction}%.2f " +
-          s"parts_rewritten=$parts"
-        log.info(tag, "relevel_lex_index", detail)
-        Seq(Report.ArtifactResult(tag, "relevel_lex_index", detail, 0L,
-          0L, secs))
-      }
+      if (!graft.ops.LexIndex.exists(spark, tag)) Nil
+      else relevelRow(log, tag, "relevel_lex_index",
+        graft.ops.LexIndex.relevel(spark, tag))
     }
+
+  /** [[relevelLexIndexes]] extended to EVERY stale-able family (r18 —
+    * the policy must not be LexIndex-only once every family has both
+    * verbs): one policy decision + report row per existing stored
+    * index under this dir, each family's own `relevel` applying the
+    * shared measured threshold. Same separation as the lex-only form:
+    * run after mutations, never inside them.
+    */
+  def relevelArtifacts(
+      spark: SparkSession,
+      outDir: String,
+      lexTables: Seq[String] = Nil,
+      log: MigrationLog = MigrationLog.silent): Seq[Report.ArtifactResult] = {
+    import graft.ops._
+    val lex = relevelLexIndexes(spark, outDir, lexTables, log)
+    val band = {
+      val tag = BandIndex.tag(outDir, "full")
+      if (!BandIndex.exists(spark, tag)) Nil
+      else relevelRow(log, tag, "relevel_band_index",
+        BandIndex.relevel(spark, tag))
+    }
+    val contain = {
+      val tag = ContainIndex.tag(outDir, "cfull")
+      if (!ContainIndex.exists(spark, tag)) Nil
+      else relevelRow(log, tag, "relevel_contain_index",
+        ContainIndex.relevel(spark, tag))
+    }
+    val media = Seq(
+      (MediaSigStore.imageTag(outDir), "relevel_image_sigs"),
+      (MediaSigStore.audioTag(outDir), "relevel_audio_sigs"),
+      (MediaSigStore.videoTag(outDir), "relevel_video_sigs")).flatMap {
+      case (tag, kind) =>
+        if (!MediaSigStore.exists(spark, tag)) Nil
+        else relevelRow(log, tag, kind, MediaSigStore.relevel(spark, tag))
+    }
+    lex ++ band ++ contain ++ media
+  }
 
   /** Full migration: all tables concurrently, then deferred FK validation
     * (E2/E3), then the artifact phase (E1's slot). Returns the report

@@ -213,6 +213,52 @@ object BandIndex {
     parts.size.toLong
   }
 
+  /** Touched-partition fraction for a family's ledger — the re-level
+    * POLICY input, hoisted next to [[relevelPartitions]] so the four
+    * mirrors share one definition: |distinct pmod(hash(ledger keys),
+    * nb)| / nb, where nb is the stored table's bucket count.
+    * Ledger-grain work (batch vocabulary), no stored-table scan.
+    */
+  private[ops] def touchedFractionOf(spark: SparkSession, ledger: String,
+                                     table: String,
+                                     hashCols: Seq[String]): Double = {
+    if (!spark.catalog.tableExists(ledger)) return 0.0
+    val nb = bucketsOf(spark, table)
+    if (nb == 0) return 1.0
+    val touched = spark.table(ledger)
+      .select(expr(s"pmod(hash(${hashCols.mkString(", ")}), $nb)"))
+      .distinct().count()
+    touched.toDouble / nb
+  }
+
+  /** The family's re-level POLICY verb (the LexIndex.relevel shape —
+    * threshold measured on the pattern family, RELEVEL_r18.json;
+    * the three mirrors share the same cost structure because their
+    * partial paths are [[relevelPartitions]] instances): partial below
+    * [[LexIndex.RelevelPartialMaxFraction]], full at complete cover.
+    * Returns (path, touched fraction, partitions rewritten).
+    */
+  def relevel(spark: SparkSession, tag: String): (String, Double, Long) = {
+    val f = touchedFractionOf(spark, s"${tag}_btouched", s"${tag}_bands",
+      Seq("band", "bh"))
+    if (f < LexIndex.RelevelPartialMaxFraction)
+      ("partial", f, refreshBucketSizesPartial(spark, tag))
+    else {
+      refreshBucketSizes(spark, tag)
+      ("full", f, bucketsOf(spark, s"${tag}_bands").toLong)
+    }
+  }
+
+  /** Ledger seeding for policy specs/benches — see
+    * [[LexIndex.seedTouchedForBench]]; production paths never call it.
+    */
+  private[graft] def seedTouchedForBench(spark: SparkSession, tag: String,
+                                         keys: DataFrame): Unit = {
+    ensureTouched(spark, tag)
+    keys.select(col("band"), col("bh")).distinct()
+      .write.insertInto(s"${tag}_btouched")
+  }
+
   /** Whether `table` is partitioned by `colName` — the artifact-VINTAGE
     * half of every family's exists() check (r17 ADVICE): the
     * append/delete/partial-re-level verbs require the partition-mirror

@@ -316,6 +316,33 @@ object ContainIndex {
     (touchedPbs.size.toLong, changedPds.size.toLong)
   }
 
+  /** The family's re-level POLICY verb (the LexIndex.relevel shape —
+    * threshold measured on the pattern family, RELEVEL_r18.json):
+    * partial below [[LexIndex.RelevelPartialMaxFraction]], full at
+    * complete cover. Returns (path, touched fraction, partitions
+    * rewritten — posting + doc partitions summed for the partial path).
+    */
+  def relevel(spark: SparkSession, tag: String): (String, Double, Long) = {
+    val f = BandIndex.touchedFractionOf(spark, touchT(tag), ngramT(tag),
+      Seq("g1"))
+    if (f < LexIndex.RelevelPartialMaxFraction) {
+      val (ng, dc) = refreshCountsPartial(spark, tag)
+      ("partial", f, ng + dc)
+    } else {
+      refreshCounts(spark, tag)
+      ("full", f, BandIndex.bucketsOf(spark, ngramT(tag)).toLong)
+    }
+  }
+
+  /** Ledger seeding for policy specs/benches — see
+    * [[LexIndex.seedTouchedForBench]]; production paths never call it.
+    */
+  private[graft] def seedTouchedForBench(spark: SparkSession, tag: String,
+                                         keys: DataFrame): Unit = {
+    ensureTouched(spark, tag)
+    keys.select(col("g1")).distinct().write.insertInto(touchT(tag))
+  }
+
   /** Takedown maintenance (r15 verdict #1, dual of [[append]]): remove
     * every posting and doc-array row of `docIds`. A deleted doc can
     * never be emitted as a candidate or verified as a match again —

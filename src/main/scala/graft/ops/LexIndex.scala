@@ -200,15 +200,9 @@ object LexIndex {
     * pmod(hash(term), nb) over the ledger| / nb. Ledger-grain work
     * (batch vocabulary), no posting scan.
     */
-  def touchedFraction(spark: SparkSession, tag: String): Double = {
-    val tT = touchT(tag)
-    if (!spark.catalog.tableExists(tT)) return 0.0
-    val nb = BandIndex.bucketsOf(spark, postT(tag))
-    if (nb == 0) return 1.0
-    val touched = spark.table(tT)
-      .select(expr(s"pmod(hash(term), $nb)")).distinct().count()
-    touched.toDouble / nb
-  }
+  def touchedFraction(spark: SparkSession, tag: String): Double =
+    BandIndex.touchedFractionOf(spark, touchT(tag), postT(tag),
+      Seq("term"))
 
   /** Partial-vs-full re-level policy threshold, set from MEASUREMENT
     * (r18, `RELEVEL_r18.json` — sf0.1, 32 partitions, medians of 3

@@ -309,6 +309,33 @@ object MediaSigStore {
       () => clearTouched(spark, tag))
   }
 
+  /** The family's re-level POLICY verb (the LexIndex.relevel shape —
+    * threshold measured on the pattern family, RELEVEL_r18.json):
+    * partial below [[LexIndex.RelevelPartialMaxFraction]], full at
+    * complete cover. Returns (path, touched fraction, partitions
+    * rewritten).
+    */
+  def relevel(spark: SparkSession, tag: String): (String, Double, Long) = {
+    val f = BandIndex.touchedFractionOf(spark, touchT(tag), bandT(tag),
+      Seq("bk"))
+    if (f < LexIndex.RelevelPartialMaxFraction)
+      ("partial", f, refreshBucketSizesPartial(spark, tag))
+    else {
+      refreshBucketSizes(spark, tag)
+      ("full", f, BandIndex.bucketsOf(spark, bandT(tag)).toLong)
+    }
+  }
+
+  /** Ledger seeding for policy specs/benches — see
+    * [[LexIndex.seedTouchedForBench]]; production paths never call it.
+    */
+  private[graft] def seedTouchedForBench(spark: SparkSession, tag: String,
+                                         keys: DataFrame): Unit = {
+    ensureTouched(spark, tag)
+    keys.select(col("bk").cast("int")).distinct()
+      .write.insertInto(touchT(tag))
+  }
+
   /** What the hot-bucket cap silently skips on the stored index:
     * (over-cap buckets, posting rows inside them). Scan-only — bsz is a
     * stored column — so the pipeline surfaces every silent cap as a

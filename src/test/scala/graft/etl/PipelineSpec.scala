@@ -275,6 +275,59 @@ class PipelineSpec extends SparkSpec {
     assert(nb >= 8)
   }
 
+  test("relevelArtifacts (r18): one policy decision + report row per " +
+    "existing stale-able family after a real takedown; every stored " +
+    "level column ends exact; an empty ledger re-levels nothing") {
+    import spark.implicits._
+    val F = org.apache.spark.sql.functions
+    val src = Files.createTempDirectory("graft-rlv-src").toString
+    val dst = Files.createTempDirectory("graft-rlv-dst").toString
+    (1L to 30L).map(i =>
+      (i, (1 to 10).map(j => s"ra${i}b$j").mkString(" ") +
+        " common tail words here"))
+      .toDF("doc_id", "text")
+      .withColumn("source", F.lit("s0"))
+      .withColumn("lang", F.lit("en"))
+      .write.parquet(s"$src/docs.parquet")
+    Pipeline.migrate(
+      spark, Pipeline.SourceConfig(dir = src), outDir = dst,
+      artifacts = Pipeline.ArtifactConfig(
+        bandIndexTables = Seq("docs"),
+        containIndexTables = Seq("docs"),
+        lexIndexTables = Seq("docs")))
+    Pipeline.deleteDocs(spark, dst, Seq(2L, 3L).toDF("doc_id"),
+      lexTables = Seq("docs"))
+    val rows = Pipeline.relevelArtifacts(spark, dst,
+      lexTables = Seq("docs"))
+    assert(rows.map(_.kind).sorted == Seq("relevel_band_index",
+      "relevel_contain_index", "relevel_lex_index"),
+      rows.map(_.kind).sorted.toString)
+    assert(rows.forall(_.detail
+        .matches(".*path=(partial|full) .*threshold=1\\.00.*")),
+      rows.map(_.detail).mkString("; "))
+    // stored level columns are exact after the policy ran
+    val bandTag = graft.ops.BandIndex.tag(dst, "full")
+    val b = spark.table(s"${bandTag}_bands")
+    val bTruth = b.groupBy("band", "bh").agg(F.count(F.lit(1)).as("x"))
+      .withColumnRenamed("band", "b2").withColumnRenamed("bh", "h2")
+    assert(b.join(bTruth,
+      F.col("band") <=> F.col("b2") && F.col("bh") <=> F.col("h2"))
+      .filter(F.col("bsz") =!= F.col("x")).count() == 0,
+      "band bsz must be exact post-relevel")
+    val lexTag = graft.ops.LexIndex.tag(s"$dst/docs")
+    val p = spark.table(s"${lexTag}_lpost")
+    val pTruth = p.groupBy("term").agg(F.count(F.lit(1)).as("x"))
+      .withColumnRenamed("term", "t2")
+    assert(p.join(pTruth, F.col("term") === F.col("t2"))
+      .filter(F.col("df") =!= F.col("x")).count() == 0,
+      "lex df must be exact post-relevel")
+    // second pass: ledgers are clear -> partial no-ops everywhere
+    val again = Pipeline.relevelArtifacts(spark, dst,
+      lexTables = Seq("docs"))
+    assert(again.forall(_.detail.contains("parts_rewritten=0")),
+      again.map(_.detail).mkString("; "))
+  }
+
   test("reflectTables discovers parquet tables (A2)") {
     val d = Files.createTempDirectory("graft-reflect").toString
     import spark.implicits._
