@@ -1593,6 +1593,100 @@ object CorpusQueries {
     ),
 
     QueryDef(
+      "q_domain_cap_hash",
+      s"STATELESS per-source token cap — the hash-threshold selector " +
+        s"SCALE.md has documented since r12 as q_domain_cap's " +
+        s"mega-source escape, now shipped as its own face instead of " +
+        s"a note: the same integer-exact budget (($CapNum*total) div " +
+        s"($CapDen*n_sources)) becomes a per-source keep PROBABILITY " +
+        s"tau = min(1, budget/source_tokens), and a doc is kept iff " +
+        s"its deterministic uniform hash u = int(md5(doc_id)[0:13 " +
+        s"hex])/2^52 < tau — no rank, no cumsum, no per-source " +
+        s"window: the mega-source that serializes q_domain_cap's " +
+        s"exact-k election into one task costs NOTHING here (two " +
+        s"map-side-combined source-grain aggs + a broadcast join; " +
+        s"every shuffle key is fine-grained or source-grain-tiny). " +
+        s"The trade is exactness: kept tokens ≈ budget in " +
+        s"expectation, and the report MEASURES the miss per capped " +
+        s"source (rel_dev = (kept_tok - budget)/budget — the " +
+        s"operating-point evidence for choosing stateless vs exact-k, " +
+        s"the sweep discipline's one-row form). Determinism: u is 52 " +
+        s"hash bits over 2^52 (double-EXACT — no mantissa rounding), " +
+        s"tau is one IEEE division of exact integers, so the kept SET " +
+        s"is identical in both engines and under any partitioning " +
+        s"(spec-pinned); uncapped sources have tau = 1 and keep " +
+        s"everything by construction.",
+      (s, dir) => {
+        val base = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+        val tot = base.agg(sum(col("n_tok")).cast("long").as("total_tok"),
+          countDistinct(col("source")).as("n_sources"))
+        val perSrc = base.groupBy("source")
+          .agg(sum(col("n_tok")).cast("long").as("src_tok"))
+          .crossJoin(broadcast(tot))
+          .withColumn("budget",
+            expr(s"($CapNum * total_tok) div ($CapDen * n_sources)"))
+          .withColumn("tau", least(lit(1.0),
+            col("budget").cast("double") / col("src_tok")))
+          .select("source", "budget", "tau")
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+          16, 10).cast("long").cast("double") / lit(4503599627370496L)
+        base.withColumn("u", u)
+          .join(broadcast(perSrc), "source")
+          .withColumn("kept",
+            when(col("u") < col("tau"), lit(1L)).otherwise(lit(0L)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"),
+            max(col("budget")).as("budget"),
+            round(max(col("tau")), 6).as("tau"),
+            sum(col("kept")).cast("long").as("n_kept"),
+            sum(col("kept") * col("n_tok")).cast("long").as("tokens_kept"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("budget"), col("tau"), col("n_kept"), col("tokens_kept"),
+            when(col("n_tokens") > col("budget"), lit(1)).otherwise(lit(0))
+              .cast("int").as("capped"),
+            when(col("n_tokens") > col("budget"),
+              round((col("tokens_kept") - col("budget")).cast("double") /
+                col("budget"), 6)).otherwise(lit(0.0)).as("rel_dev"))
+          .orderBy("source")
+      },
+      Some {
+        s"""WITH t AS (SELECT doc_id, source,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+           |g AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+           |    COUNT(DISTINCT source) AS n_sources FROM t),
+           |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok
+           |  FROM t GROUP BY source),
+           |b AS (SELECT source, src_tok,
+           |    ($CapNum * total_tok) // ($CapDen * n_sources) AS budget,
+           |    LEAST(1.0, CAST(($CapNum * total_tok)
+           |      // ($CapDen * n_sources) AS DOUBLE) / src_tok) AS tau
+           |  FROM s CROSS JOIN g),
+           |k AS (SELECT t.source, t.n_tok, b.budget, b.tau,
+           |    CASE WHEN CAST(CAST('0x' ||
+           |        substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13)
+           |        AS BIGINT) AS DOUBLE) / 4503599627370496 < b.tau
+           |      THEN 1 ELSE 0 END AS kept
+           |  FROM t JOIN b USING (source))
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |  CAST(MAX(budget) AS BIGINT) AS budget,
+           |  round(MAX(tau), 6) AS tau,
+           |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+           |  CAST(SUM(kept * n_tok) AS BIGINT) AS tokens_kept,
+           |  CAST(CASE WHEN SUM(n_tok) > MAX(budget) THEN 1 ELSE 0 END
+           |    AS INT) AS capped,
+           |  CASE WHEN SUM(n_tok) > MAX(budget)
+           |    THEN round((CAST(SUM(kept * n_tok) AS BIGINT)
+           |      - MAX(budget)) / CAST(MAX(budget) AS DOUBLE), 6)
+           |    ELSE 0.0 END AS rel_dev
+           |FROM k GROUP BY source ORDER BY source""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "q_token_entropy",
       "Unigram token-entropy quality signal — the continuous " +
         "generalization of q_repetition_filter's top-token fraction " +

@@ -48,6 +48,42 @@ class DomainCapEntropySpec extends SparkSpec {
     assert(rows("srcB") == (("srcB", 1L, 43L, 40L, 0L, 0L, 1, 0.0)))
   }
 
+  test("q_domain_cap_hash (r18): stateless selector — uncapped sources " +
+    "keep everything (tau=1), a capped mega-source keeps a strict " +
+    "hash-subset with the miss measured, and the kept set is invariant " +
+    "to input partitioning (no window, no order dependence)") {
+    import org.apache.spark.sql.functions._
+    val d = Files.createTempDirectory("domaincaphash").toString
+    // mega-source: 200 x 10-tok docs = 2000 tok; small: 5 x 10-tok.
+    // total=2050, budget=(4*2050) div (5*2)=820 -> mega tau=0.41,
+    // small tau=1.
+    ((1L to 200L).map(i => (i, doc(10), "mega")) ++
+      (500L to 504L).map(i => (i, doc(10), "small")))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Registry.queryMap("q_domain_cap_hash")(spark, d)
+      .as[(String, Long, Long, Long, Double, Long, Long, Int, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val mega = rows("mega")
+    assert(rows("small") ==
+      (("small", 5L, 50L, 820L, 1.0, 5L, 50L, 0, 0.0)))
+    assert(mega._4 == 820L && mega._5 == 0.41 && mega._8 == 1)
+    // strict subset, non-empty, and the measured miss is the report's
+    // own rel_dev column
+    assert(mega._6 > 0L && mega._6 < 200L, s"kept ${mega._6} of 200")
+    assert(mega._9 ==
+      math.rint((mega._7 - 820L).toDouble / 820L * 1e6) / 1e6)
+    // partitioning invariance: the kept SET is a pure function of
+    // doc_id hashes — identical summary under any input layout
+    val base = spark.read.parquet(s"$d/documents.parquet")
+    val d7 = Files.createTempDirectory("domaincaphash7").toString
+    base.repartition(7).write.parquet(s"$d7/documents.parquet")
+    val again = Registry.queryMap("q_domain_cap_hash")(spark, d7)
+      .as[(String, Long, Long, Long, Double, Long, Long, Int, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(again == rows)
+  }
+
   test("q_token_entropy: exact 0/1/2-bit closed forms and type counts") {
     val rows = Registry.queryMap("q_token_entropy")(spark, entDir)
       .as[(Long, Long, Long, Double)].collect()
