@@ -1620,20 +1620,8 @@ object CorpusQueries {
         val base = Tables.t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             size(tokens(col("text"))).cast("long").as("n_tok"))
-        val tot = base.agg(sum(col("n_tok")).cast("long").as("total_tok"),
-          countDistinct(col("source")).as("n_sources"))
-        val perSrc = base.groupBy("source")
-          .agg(sum(col("n_tok")).cast("long").as("src_tok"))
-          .crossJoin(broadcast(tot))
-          .withColumn("budget",
-            expr(s"($CapNum * total_tok) div ($CapDen * n_sources)"))
-          .withColumn("tau", least(lit(1.0),
-            col("budget").cast("double") / col("src_tok")))
-          .select("source", "budget", "tau")
-        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
-          16, 10).cast("long").cast("double") / lit(4503599627370496L)
-        base.withColumn("u", u)
-          .join(broadcast(perSrc), "source")
+        base.withColumn("u", hashCapU)
+          .join(broadcast(hashCapTaus(base)), "source")
           .withColumn("kept",
             when(col("u") < col("tau"), lit(1L)).otherwise(lit(0L)))
           .groupBy("source")
@@ -2319,6 +2307,51 @@ object CorpusQueries {
         round(col("score"), 6).as("score"))
       .orderBy("rank")
   }
+
+  /** The doc's deterministic uniform in [0,1) for the stateless cap —
+    * 52 md5 bits over 2^52, double-EXACT (no mantissa rounding) — ONE
+    * definition for q_domain_cap_hash and the ingest face
+    * ([[graft.streaming.CorpusStream.capHashBatch]]) so batch and
+    * stream selection cannot drift.
+    */
+  private[graft] def hashCapU: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496L)
+
+  /** Per-source (source, budget, tau) from a standing corpus carrying
+    * (source, n_tok) — the frozen relation the ingest face broadcasts:
+    * tau = min(1, budget / source_tokens), budget the q_domain_cap
+    * integer-exact derivation. Two map-side-combined source-grain aggs.
+    */
+  private[graft] def hashCapTaus(base: DataFrame): DataFrame = {
+    val tot = base.agg(sum(col("n_tok")).cast("long").as("total_tok"),
+      countDistinct(col("source")).as("n_sources"))
+    base.groupBy("source")
+      .agg(sum(col("n_tok")).cast("long").as("src_tok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr(s"($CapNum * total_tok) div ($CapDen * n_sources)"))
+      .withColumn("tau", least(lit(1.0),
+        col("budget").cast("double") / col("src_tok")))
+      .select("source", "budget", "tau")
+  }
+
+  /** Stateless cap applied to an arriving relation against FROZEN taus
+    * — the selection [[graft.streaming.CorpusStream.capHashBatch]]
+    * serves: keep iff u < tau; an UNSEEN source defaults to tau = 1
+    * (keep — a source absent from the standing corpus has no
+    * over-representation evidence yet; the next tau re-derivation
+    * prices it). Pure per-row function of (doc_id, source) given the
+    * broadcast taus, so stream union == batch under any micro-batch
+    * split.
+    */
+  private[graft] def hashCapApply(batch: DataFrame,
+                                  taus: DataFrame): DataFrame =
+    batch
+      .join(broadcast(taus.select(col("source"), col("tau"))),
+        Seq("source"), "left")
+      .withColumn("tau", coalesce(col("tau"), lit(1.0)))
+      .filter(hashCapU < col("tau"))
 
   /** Deterministic token-hash signature vectors for any (doc_id, text)
     * relation — the derived chunk-grain vector convention

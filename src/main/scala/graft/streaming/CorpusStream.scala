@@ -228,6 +228,24 @@ object CorpusStream {
     graft.ops.LexIndex.scoreArrivingQl(batch, termStats, stats,
       graft.ops.CorpusQueries.Bm25Terms, graft.ops.CorpusQueries.QlMu)
 
+  /** Ingest-time stateless source cap — q_domain_cap_hash's ingest
+    * face (r18): arriving docs keep/drop against FROZEN per-source
+    * taus derived once from the standing corpus
+    * ([[graft.ops.CorpusQueries.hashCapTaus]], broadcast — a
+    * #sources-row relation) via the SHARED selection
+    * ([[graft.ops.CorpusQueries.hashCapApply]]: keep iff the doc's
+    * 52-bit md5 uniform < tau; an unseen source defaults to tau = 1 —
+    * no over-representation evidence yet, the next tau re-derivation
+    * prices it). This is the cap's production shape: the stateless
+    * selector needs NO rank/cumsum state, so ingest enforcement is a
+    * pure per-row function and stream union == batch under any
+    * micro-batch split (CorpusStreamSpec pins it, plus keep-set
+    * equality with the declared query's kept counts on the standing
+    * corpus itself).
+    */
+  def capHashBatch(batch: DataFrame, taus: DataFrame): DataFrame =
+    graft.ops.CorpusQueries.hashCapApply(batch, taus)
+
   /** Ingest-time LexIndex APPEND — the lexical family's other ingest
     * face (r14 verdict #6: [[bm25ScoreBatch]] SCORES arriving docs but
     * nothing fed them into the standing index; SpanSet / BandIndex /

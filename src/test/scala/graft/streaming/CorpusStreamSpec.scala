@@ -474,6 +474,70 @@ class CorpusStreamSpec extends SparkSpec {
     } finally { q.stop(); tdf.unpersist() }
   }
 
+  test("capHashBatch (r18): stream union == batch against FROZEN taus " +
+    "under any micro-batch split; keep-set equals the declared " +
+    "query's kept counts on the standing corpus; unseen sources pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val standing = ((1L to 60L).map(i => (i, doc(10), "mega")) ++
+      (200L to 204L).map(i => (i, doc(10), "small")))
+      .toDF("doc_id", "text", "source")
+    val base = standing.select(col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("n_tok"))
+    val taus = graft.ops.CorpusQueries.hashCapTaus(base).persist()
+    // keep-set totals over the standing corpus == the declared query
+    val d = Files.createTempDirectory("caphashstream").toString
+    standing.write.parquet(s"$d/documents.parquet")
+    val declared = graft.Registry.queryMap("q_domain_cap_hash")(spark, d)
+      .select(col("source"), col("n_kept"))
+      .as[(String, Long)].collect().toMap
+    val keptBatch = graft.ops.CorpusQueries.hashCapApply(base, taus)
+      .groupBy("source").agg(count(lit(1)).as("k"))
+      .as[(String, Long)].collect().toMap
+    assert(keptBatch == declared,
+      s"apply=$keptBatch declared=$declared")
+    // arriving batch: standing sources + an unseen one (kept whole)
+    val arriving = ((301L to 320L).map(i => (i, "mega")) ++
+      (401L to 405L).map(i => (i, "fresh"))).map {
+      case (id, src) => (id, src, 10L)
+    }
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String, Long)]
+    val q = input.toDF().toDF("doc_id", "source", "n_tok")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-caphash").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.CorpusStream.capHashBatch(b, taus)
+          .select("doc_id").as[Long](
+            org.apache.spark.sql.Encoders.scalaLong).collect()
+        sink.synchronized { sink ++= out }
+        ()
+      }
+      .start()
+    try {
+      arriving.grouped(7).foreach { g =>
+        input.addData(g: _*)
+        q.processAllAvailable()
+      }
+      val streamed = sink.synchronized(sink.toSeq).sorted
+      val batch = graft.streaming.CorpusStream
+        .capHashBatch(arriving.toDF("doc_id", "source", "n_tok"), taus)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // every unseen-source doc survives (tau defaults to 1)
+      assert((401L to 405L).forall(streamed.contains),
+        s"unseen source must pass wholesale: $streamed")
+      // the capped source's arriving docs are a strict subset
+      assert(streamed.count(_ < 400L) < 20,
+        s"capped source must drop some arrivals: $streamed")
+    } finally q.stop()
+  }
+
   test("qlScoreBatch: stream union == batch against FROZEN collection " +
     "stats; an arriving copy scores the stored q_ql_dirichlet value; " +
     "unseen query terms leave the effective query") {
