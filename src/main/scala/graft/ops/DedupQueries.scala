@@ -77,6 +77,20 @@ object DedupQueries {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), wordNgrams(col("toks"), 3).as("ng"))
 
+  /** [[ngramDocs]] over the full corpus, persisted (r18, §3.3/§5):
+    * q_dedup_containment references it 4x (the inverted index feeding
+    * rare + the support counts, and both exact-verify legs) and
+    * q_containment_recall 3x more — each reference previously re-ran
+    * the tokenize + wordNgrams corpus pass. Same cache-vs-recompute
+    * knob as the minhash shingle relation (n-gram sets ~ corpus-sized;
+    * MEMORY_AND_DISK spills, release after the family's last
+    * consumer). */
+  private def containGramsPersisted(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): DataFrame =
+    SharedCaches.track(SharedCaches.ContainGrams,
+      ngramDocs(Tables.par(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Published-SemDeDup operating point (Abbas et al. use τ near 0.99 on
     * near-identical pairs). The shipped corpora have NO natural pairs
     * above cosine ~0.51 (measured: max panel cosine 0.470/0.513 at
@@ -1484,7 +1498,7 @@ object DedupQueries {
         s"pair. Emits pairs with containment >= $ContainTau plus " +
         "their Jaccard, making the asymmetry visible.",
       (s, dir) => {
-        val g = ngramDocs(Tables.par(s, dir, "documents"))
+        val g = containGramsPersisted(s, dir)
         val inv = g.select(col("doc_id"), size(col("ng")).as("na"),
           explode(col("ng")).as("g1"))
         // df-cap: n-grams are distinct per doc (wordNgrams dedups), so
@@ -1579,7 +1593,7 @@ object DedupQueries {
       (s, dir) => {
         def inPanel(c: org.apache.spark.sql.Column) =
           c % RecallMod === 0 || c < RecallPrefix
-        val g = ngramDocs(Tables.par(s, dir, "documents"))
+        val g = containGramsPersisted(s, dir)
         val inv = g.select(col("doc_id"), explode(col("ng")).as("g1"))
         val rare = inv.groupBy("g1").agg(count(lit(1)).as("df"))
           .filter(col("df") <= ContainDfCap)

@@ -233,8 +233,15 @@ object GovernanceQueries {
     val grams = labeled.select(col("doc_id"), col("label"),
         explode(tokens(col("text"))).as("g"))
       .filter(col("g") =!= "")
-    val tg = grams.groupBy(col("label").as("plabel"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    // r18 (§3.3/§5, the q_lang_id_measured fix applied to the shared
+    // trainer): tg is read three times downstream (tt, vv, and the
+    // caller's broadcast scoring join) — un-materialized, each re-ran
+    // the train-half tokenize + explode + count. Model-sized (V×L) at
+    // any corpus scale; eager localCheckpoint truncates all three to
+    // one LogicalRDD scan.
+    val tg = org.apache.spark.sql.GraftSqlBridge.freshLocalCheckpoint(
+      grams.groupBy(col("label").as("plabel"), col("g"))
+        .agg(count(lit(1)).as("c")))
     val tt = tg.groupBy("plabel").agg(sum(col("c")).as("t"))
     val vv = tg.agg(countDistinct(col("g")).as("v"))
     val pr = labeled.groupBy(col("label").as("plabel"))
@@ -1091,27 +1098,57 @@ object GovernanceQueries {
         (LexIndex.tables(tagL) ++ BandIndex.tables(tagB) ++
           ChunkStore.tables(tagC))
           .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-        val (post0, stats0) = LexIndex.buildOrLoad(s, sub, tagL)
-        val (sh0, bd0) = BandIndex.buildOrLoad(s, sub, tagB)
-        val ch0 = ChunkStore.buildOrLoad(s, sub, tagC)
-        val preL = post0.count()
-        val (preSh, preBd, preC) = (sh0.count(), bd0.count(), ch0.count())
-        val preDocs = stats0.collect()(0).getLong(0)
-        LexIndex.delete(s, ids, tagL)
-        BandIndex.delete(s, ids, tagB)
-        ChunkStore.delete(s, ids, tagC)
-        // post-delete counts re-read the STORED tables (buildOrLoad is
-        // a catalog read once the tables exist) — the receipt is what
-        // is on disk, not the verbs' return values
-        val (post1, stats1) = LexIndex.buildOrLoad(s, sub, tagL)
-        val (sh1, bd1) = BandIndex.buildOrLoad(s, sub, tagB)
-        val ch1 = ChunkStore.buildOrLoad(s, sub, tagC)
+        // r18 (§2.6 "overlap independent jobs"): the three families'
+        // build → delete → recount chains are INDEPENDENT (disjoint
+        // table sets, and none of these verbs touches the one
+        // session-global knob — the dynamic-partition-overwrite flip
+        // lives only in the refresh/re-level paths, which this query
+        // never calls), so each family runs on its own driver thread
+        // and one family's straggling write stage back-fills with the
+        // others' tasks. Previously the ~12 actions ran strictly
+        // sequentially — the r17 plan audit priced this query as
+        // "driver-sequenced", the round's single most expensive entry.
+        // Barriers stay BETWEEN phases (every build visible before any
+        // delete; every delete before any recount) so the receipt's
+        // semantics are unchanged.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        def par3[A, B, C](fa: => A, fb: => B, fc: => C): (A, B, C) = {
+          val (a, b, c) = (Future(fa), Future(fb), Future(fc))
+          (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf),
+            Await.result(c, Duration.Inf))
+        }
+        val ((preL, preDocs), (preSh, preBd), preC, lex1, band1, c1) =
+          try {
+            val pre = par3(
+              { val (post0, stats0) = LexIndex.buildOrLoad(s, sub, tagL)
+                (post0.count(), stats0.collect()(0).getLong(0)) },
+              { val (sh0, bd0) = BandIndex.buildOrLoad(s, sub, tagB)
+                (sh0.count(), bd0.count()) },
+              ChunkStore.buildOrLoad(s, sub, tagC).count())
+            par3(LexIndex.delete(s, ids, tagL),
+              BandIndex.delete(s, ids, tagB),
+              ChunkStore.delete(s, ids, tagC))
+            // post-delete counts re-read the STORED tables (buildOrLoad
+            // is a catalog read once the tables exist) — the receipt is
+            // what is on disk, not the verbs' return values
+            val post = par3(
+              { val (post1, stats1) = LexIndex.buildOrLoad(s, sub, tagL)
+                (post1.count(), stats1.collect()(0).getLong(0)) },
+              { val (sh1, bd1) = BandIndex.buildOrLoad(s, sub, tagB)
+                (sh1.count(), bd1.count()) },
+              ChunkStore.buildOrLoad(s, sub, tagC).count())
+            (pre._1, pre._2, pre._3, post._1, post._2, post._3)
+          } finally pool.shutdown()
         Seq(
-          ("band_rows", preBd, bd1.count()),
-          ("band_shingle_rows", preSh, sh1.count()),
-          ("chunk_rows", preC, ch1.count()),
-          ("lex_docs", preDocs, stats1.collect()(0).getLong(0)),
-          ("lex_postings", preL, post1.count()))
+          ("band_rows", preBd, band1._2),
+          ("band_shingle_rows", preSh, band1._1),
+          ("chunk_rows", preC, c1),
+          ("lex_docs", preDocs, lex1._2),
+          ("lex_postings", preL, lex1._1))
           .map { case (f, b, a) => (f, b, b - a, a) }
           .toDF("family", "rows_before", "rows_removed", "rows_after")
           .orderBy("family")

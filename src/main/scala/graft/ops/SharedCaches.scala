@@ -44,6 +44,12 @@ object SharedCaches {
     * side of the stored containment index). */
   val ContainBatch = "containment_batch"
 
+  /** The corpus word-3-gram relation (doc_id, ng) — r18: the two
+    * batch containment queries each re-ran the tokenize + wordNgrams
+    * corpus pass 4-5x (inv, rcnt, and both verify legs reference it);
+    * one materialization serves every reference in both queries. */
+  val ContainGrams = "containment_grams"
+
   /** ANN suite: normalized/bucketed embedding corpus + session-cached
     * IVF parts (SimilarityQueries). */
   val Embeddings = "embeddings"
@@ -88,6 +94,7 @@ object SharedCaches {
       "q_pagerank", "q_split_leakage", "q_split_cluster_aware"),
     MinhashBatch -> Set("q_dedup_incremental"),
     ContainBatch -> Set("q_containment_incremental"),
+    ContainGrams -> Set("q_containment_recall", "q_dedup_containment"),
     Embeddings -> Set("q_embedding_topk", "q_embedding_quantize",
       "q_embedding_project", "q_embedding_pq", "q_pq_rerank",
       "q_pq_codebook_sweep", "q_ann_probe_sweep",

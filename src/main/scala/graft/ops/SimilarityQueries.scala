@@ -570,17 +570,44 @@ object SimilarityQueries {
   /** Exact top-k: tiny query side broadcast against the full corpus.
     * `k` parameterizes the rank budget (the hard-negative query keeps
     * K+1 — positive + K negatives — off the same definition).
+    *
+    * r18 (§5 cache-reused-intermediates / §1.2 "don't compute things
+    * you throw away"): THIRTEEN declared queries read this relation as
+    * their exact-cosine truth leg (every recall/MRR/nDCG row, both
+    * fusion queries, the MMR shortlist, the semantic-dedup recall),
+    * and each previously re-ran the |queries|×|corpus| dot-product
+    * cross join. One ranked relation at the LARGEST budget any
+    * consumer uses ([[MmrShortlist]]) is persisted per (session, dir)
+    * — rank is independent of the cut, so every k is a filter of it —
+    * and evicted with the Embeddings family like [[fusionLegs]]. At
+    * 100 TB the truth leg is panel-bounded (queries × corpus touched
+    * once instead of 13×) — the same argument, bigger constant.
     */
+  private val exactRankedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def exactRanked(s: SparkSession, dir: String): DataFrame =
+    exactRankedMemo.getOrElseUpdate((s, dir), {
+      val e = corpus(s, dir)
+      val q = e.filter(expr(QueryPred))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val ranked = broadcast(q).crossJoin(e.drop("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= MmrShortlist)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      SharedCaches.track(SharedCaches.Embeddings, ranked)
+      SharedCaches.onRelease(SharedCaches.Embeddings)(() =>
+        exactRankedMemo.remove((s, dir)))
+      ranked
+    })
+
   private[ops] def exactTopK(s: SparkSession, dir: String,
                              k: Int = K): DataFrame = {
-    val e = corpus(s, dir)
-    val q = e.filter(expr(QueryPred))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    broadcast(q).crossJoin(e.drop("bucket"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
+    require(k <= MmrShortlist,
+      s"exactTopK budget $k exceeds the persisted rank cut $MmrShortlist")
+    exactRanked(s, dir).filter(col("rank") <= k)
   }
 
   /** The greedy MMR selection (q_mmr_rerank) — see the QueryDef for
@@ -623,37 +650,49 @@ object SimilarityQueries {
     */
   private[ops] def mmrSelect(cand: DataFrame, sims: DataFrame,
                              k: Int): DataFrame = {
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    var pieces = Seq(cand
-      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-      .select(col("query_id"), lit(1).as("step"),
-        col("vec_id").as("pick"), col("cos"), lit(0.0).as("penalty"))
+    // r18 (§2.3 "aggregate before you shuffle", §2.4, §3.1): each
+    // greedy round previously ran a per-query row_number window
+    // (full shuffle + sort of the surviving shortlist) plus
+    // un-hinted joins against the ≤(i−1)·|panel|-row selected set.
+    // The argmax is now the repo's own max(struct(score, −vec_id))
+    // template (identical pick: IEEE max on score, tie → min vec_id —
+    // doc_id unique per group), which partial-aggregates map-side, and
+    // the selected set / per-candidate penalties are explicit
+    // broadcasts (panel-bounded at ≤ k·|queries| and
+    // ≤ shortlist·|queries| rows by construction — the 8 GB broadcast
+    // cap is unreachable at any corpus scale since both are capped by
+    // the query panel, not the corpus). Per round this removes the
+    // sort exchange and both join shuffles; the one remaining
+    // exchange is the penalty fold's map-side-combined groupBy.
+    def argmaxPick(df: DataFrame, step: Int): DataFrame =
+      df.groupBy("query_id")
+        .agg(max(struct(col("ord"), (-col("vec_id")).as("nv"),
+          col("cos").as("cos"), col("penalty").as("penalty"))).as("b"))
+        .select(col("query_id"), lit(step).as("step"),
+          (-col("b.nv")).as("pick"), col("b.cos"), col("b.penalty"))
+    var pieces = Seq(argmaxPick(cand
+        .withColumn("penalty", lit(0.0)).withColumn("ord", col("cos")), 1)
       .localCheckpoint())
     for (i <- 2 to k) {
       val sel = pieces.reduce(_ unionByName _)
         .select(col("query_id"), col("pick"))
       val remaining = cand.join(
-        sel.withColumnRenamed("pick", "vec_id"),
+        broadcast(sel.withColumnRenamed("pick", "vec_id")),
         Seq("query_id", "vec_id"), "left_anti")
       // penalty(d) = max sim(d, r) over selected r — sims joined to
       // the selected set, folded per candidate; inner joins are
       // total (the selected set is non-empty and sims covers every
       // shortlist pair)
       val pen = sims
-        .join(sel.withColumnRenamed("pick", "vb"), Seq("query_id", "vb"))
+        .join(broadcast(sel.withColumnRenamed("pick", "vb")),
+          Seq("query_id", "vb"))
         .select(col("query_id"), col("va").as("vec_id"), col("sim"))
         .groupBy("query_id", "vec_id")
         .agg(max(col("sim")).as("penalty"))
-      val next = remaining.join(pen, Seq("query_id", "vec_id"))
-        .withColumn("score", lit(MmrLambda) * col("cos")
-          - lit(MmrOneMinusLambda) * col("penalty"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-            .orderBy(col("score").desc, col("vec_id").asc)))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), lit(i).as("step"),
-          col("vec_id").as("pick"), col("cos"), col("penalty"))
+      val next = argmaxPick(
+        remaining.join(broadcast(pen), Seq("query_id", "vec_id"))
+          .withColumn("ord", lit(MmrLambda) * col("cos")
+            - lit(MmrOneMinusLambda) * col("penalty")), i)
         .localCheckpoint()
       pieces = pieces :+ next
     }
@@ -2259,13 +2298,23 @@ object SimilarityQueries {
         val rrfOf = (r: org.apache.spark.sql.Column) =>
           coalesce(round(lit(1.0) / (lit(RrfK) + r), 9), lit(0.0))
             .cast(DecimalType(20, 10))
-        val joined = lexTop
+        // r18 (§3.3 "materialising an intermediate truncates the
+        // plan"): the QueryDef's own scale note says the five arms
+        // re-rank ONE materialized 2×FuseN×|panel| join — but the
+        // relation was never actually materialized, so each arm's
+        // three metric legs re-inlined the full-join subtree (58
+        // Exchanges / 25 SMJs in the r17 plan audit). Persist it
+        // (tracked under the Embeddings family, whose consumers list
+        // already names this query) so the 15 legs read one tiny
+        // cached relation.
+        val joined = SharedCaches.track(SharedCaches.Embeddings, lexTop
           .select(col("query_id"), col("vec_id"), col("rank").as("lrank"))
           .join(vecTop
               .select(col("query_id"), col("vec_id"), col("rank").as("vrank")),
             Seq("query_id", "vec_id"), "full")
           .withColumn("rl", rrfOf(col("lrank")))
           .withColumn("rv", rrfOf(col("vrank")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val exact = exactTopK(s, dir)
         val ex = exact.filter(col("rank") <= K)
           .select(col("query_id"), col("vec_id"))

@@ -278,9 +278,18 @@ object TextQueries {
             (col("doc_id") % 2 === 0).as("tr"))
         val grams = docs.select(col("doc_id"), col("lang"), col("tr"),
           explode(graft.functions.CharGramSeq(col("nt"), G)).as("g"))
-        val tg = grams.filter(col("tr"))
+        // r18 (§3.3/§5): the (lang, gram) model relation is read THREE
+        // times downstream (tt, vv, and the broadcast scoring join) —
+        // un-materialized, each reference re-ran the train-half corpus
+        // explode + count (the r17 plan audit's 26 Exchanges). It is
+        // model-sized (V×L rows) by construction at any corpus scale,
+        // so an eager localCheckpoint (the repo's fixpoint-state
+        // pattern — no cache entry to leak) truncates all three to one
+        // LogicalRDD scan.
+        val tg = org.apache.spark.sql.GraftSqlBridge.freshLocalCheckpoint(
+          grams.filter(col("tr"))
           .groupBy(col("lang").as("plang"), col("g"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c")))
         // totals + vocab derive from the (lang, gram) model relation —
         // ONE train-corpus explode pass, not two; these derived aggs
         // are model-sized (V×L rows), not corpus-sized
