@@ -105,7 +105,25 @@ object Tables {
       p.getFileSystem(hconf).getFileStatus(p).getLen
     }.sum
     val estSplits = math.max(files.length.toLong, (bytes + maxSplit - 1) / maxSplit)
-    if (estSplits < target) df.repartition(target) else df
+    if (estSplits < target) {
+      // r18 (§2.5): keyless repartition(n) pays a per-map-task LOCAL
+      // SORT of the whole input (spark.sql.execution.sortBeforeRepartition,
+      // kept ON for retry determinism) — and the guard fires exactly
+      // when the scan is ONE task, so the sort was single-threaded over
+      // the entire table before any fan-out. Hash-repartition on a
+      // deterministic key instead (the guide's deterministic-synthetic-
+      // key rule): no sort, retry-stable by construction. The key is
+      // xxhash64 of the table's FIRST column — every shipped table
+      // leads with its high-cardinality id (doc_id, vec_id, l_orderkey,
+      // …), so the hash spreads ≫ target ways, and hashing one column
+      // costs at most one extra column in the scan where a full-row
+      // hash would defeat column pruning entirely (§6: ReadSchema must
+      // stay the consumer's). Consumers are distribution-agnostic (the
+      // guard exists only to widen narrow compute-heavy scans).
+      import org.apache.spark.sql.functions.xxhash64
+      df.repartition(target, xxhash64(
+        org.apache.spark.sql.functions.col(df.columns.head)))
+    } else df
   }
 
   /** events.ts (Long nanoseconds since epoch) -> epoch seconds, computed

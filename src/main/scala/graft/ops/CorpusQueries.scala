@@ -223,22 +223,30 @@ object CorpusQueries {
   private def stagedDocsUncached(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Tables.t(s, dir, "documents")
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tok", size(col("toks")))
-      .withColumn("n_stop", TextQueries.nStop(col("toks")))
-      .withColumn("sl", expr(
-        "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
-      .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
-      .withColumn("qp", TextQueries.qualityPoints(
-        length(col("text")), col("n_tok"), col("n_stop")))
-      // Gopher bundle off base's OWN token stats (the shared
-      // ruleFlags column bundle — same definition as docRuleFlags,
-      // applied to the pass already running; a docRuleFlags call
-      // here re-tokenized the corpus a second time, r13 review)
-      .withColumn("v_any", GovernanceQueries.ruleFlags(
-        col("n_tok").cast("long"), col("sl"), col("nd"),
-        col("n_stop").cast("long")).map(_._2).reduce(_ || _))
+    // r18 (§3.3/§5): base is referenced FOUR times below (the keeper
+    // agg's input, ndBest's qp join, contamOverlap's toks, capDrop) —
+    // un-materialized, each re-ran the corpus tokenize + token-stat
+    // pass inside the one-time staged build. Persisted under the
+    // Funnel family (same cache-vs-recompute knob as the shingle
+    // relation; MEMORY_AND_DISK, released with the family).
+    val base = SharedCaches.track(SharedCaches.Funnel,
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_stop", TextQueries.nStop(col("toks")))
+        .withColumn("sl", expr(
+          "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+        .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("qp", TextQueries.qualityPoints(
+          length(col("text")), col("n_tok"), col("n_stop")))
+        // Gopher bundle off base's OWN token stats (the shared
+        // ruleFlags column bundle — same definition as docRuleFlags,
+        // applied to the pass already running; a docRuleFlags call
+        // here re-tokenized the corpus a second time, r13 review)
+        .withColumn("v_any", GovernanceQueries.ruleFlags(
+          col("n_tok").cast("long"), col("sl"), col("nd"),
+          col("n_stop").cast("long")).map(_._2).reduce(_ || _))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // near-dup non-keepers: CC labels (memoized, shared with the
     // cluster family) + q_dedup_keep_best's argmax-struct election —
     // the skew-safe template (r17 verdict #1: the previous

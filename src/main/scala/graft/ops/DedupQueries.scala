@@ -393,18 +393,34 @@ object DedupQueries {
     */
   private def simhashFps(s: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame = {
-    def hit(i: Int) = {
-      val c = substring(col("h"), (i % 32) + 1, 1)
-      if (i < 32) c >= "8"
-      else (c >= "4" && c <= "7") || (c >= "c")
+    // r18 (§1.2 per-task work): the 64 bit-sum aggregates previously
+    // each re-sliced the 32-char hex digest per token row (substring +
+    // two string compares ×64 ≈ the whole fingerprint pass's CPU).
+    // The digest's 8 used hex chars per bit never change, so parse the
+    // digest ONCE per row into four 32-bit integer chunks (8 hex chars
+    // each — conv() is unsigned-safe at 32 bits where a single 64-bit
+    // parse would wrap the Long cast) and make each bit-sum a shift/
+    // mask on a long: bit i<32 is nibble i's 8-bit (hex '8'..'f'),
+    // bit i>=32 is nibble (i−32)'s 4-bit (hex '4'..'7' or 'c'..'f') —
+    // the identical bit the string compares extracted, now 64
+    // codegen'd integer ops instead of 64 substring+compare chains.
+    // sum(2·bit − 1) == the previous sum(when(bit,1).otherwise(-1)).
+    def chunk(c: Int) =
+      conv(substring(col("h"), 8 * c + 1, 8), 16, 10).cast("long").as(s"c$c")
+    def bitOf(i: Int) = {
+      val nib = i % 32           // hex-char position 0..31 left-to-right
+      val off = if (i < 32) 3 else 2   // nibble bit the fingerprint uses
+      shiftright(col(s"c${nib / 8}"), 4 * (7 - nib % 8) + off)
+        .bitwiseAND(lit(1L))
     }
     val bitSums = (0 until SimhashBits).map(i =>
-      sum(when(hit(i), 1).otherwise(-1)).as(s"s$i"))
+      sum(bitOf(i) * lit(2L) - lit(1L)).as(s"s$i"))
     val fp = concat((0 until SimhashBits).map(i =>
       when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*)
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id"), chunk(0), chunk(1), chunk(2), chunk(3))
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
@@ -501,6 +517,19 @@ object DedupQueries {
       .filter(col("hamming") <= SimhashHamK)
       .select("doc_a", "doc_b", "hamming").distinct()
   }
+
+  /** [[simhashHammingPairs]] persisted under the Simhash family (r18,
+    * §3.3/§5): the pair set is read three times across its two
+    * declared consumers (q_dedup_simhash_hamming's output, and
+    * q_simhash_recall's n_pairs agg + hit semi-join), and each
+    * reference previously re-ran the banding + self-join + popcount
+    * verify. Pair-set-sized (edges ≪ corpus) at any scale.
+    */
+  private def simhashHammingPersisted(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): DataFrame =
+    SharedCaches.track(SharedCaches.Simhash,
+      simhashHammingPairs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** DuckDB twin of [[simhashHammingPairs]] ending in
     * `shham(doc_a, doc_b, hamming)`; callers must have
@@ -1145,7 +1174,7 @@ object DedupQueries {
         "governance). At 100 TB: candidates are an equi-join on " +
         "bounded buckets shuffling (id, 64-bit fp) pairs only; the " +
         "fingerprint pass is the one corpus scan.",
-      (s, dir) => simhashHammingPairs(s, dir).orderBy("doc_a", "doc_b"),
+      (s, dir) => simhashHammingPersisted(s, dir).orderBy("doc_a", "doc_b"),
       Some {
         s"""WITH $simhashFpSqlCtes,
            |$simhashHammingSqlCtes
@@ -1257,12 +1286,16 @@ object DedupQueries {
         "q_dedup_recall, so the truth leg adds zero corpus passes.",
       (s, dir) => {
         val fps = simhashFpsPersisted(s, dir)
-        val eq = fps.select(col("doc_id").as("doc_a"), col("simhash"))
-          .join(fps.select(col("doc_id").as("doc_b"), col("simhash")),
-            "simhash")
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-        val ham = simhashHammingPairs(s, dir).select("doc_a", "doc_b")
+        // r18: eq is read twice below (n_pairs agg + hit semi-join) —
+        // persist the pair set (edges ≪ corpus) like the hamming leg
+        val eq = SharedCaches.track(SharedCaches.Simhash,
+          fps.select(col("doc_id").as("doc_a"), col("simhash"))
+            .join(fps.select(col("doc_id").as("doc_b"), col("simhash")),
+              "simhash")
+            .filter(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val ham = simhashHammingPersisted(s, dir).select("doc_a", "doc_b")
         val truth = minhashPairs(s, dir).select("doc_a", "doc_b")
         def row(pairs: DataFrame, variant: String): DataFrame = {
           val hit = truth.join(pairs, Seq("doc_a", "doc_b"), "left_semi")
@@ -1810,7 +1843,13 @@ object DedupQueries {
         // for the within-cell pass below. Soft rank-2 rows derive at
         // read time from the stored cells + centroids.
         val (a2, centn) = IvfIndex.buildOrLoad(s, dir, cells)
-        val soft = SimilarityQueries.softAssign(a2, centn)
+        // r18 (§3.3/§5): soft is BOTH legs of the within-cell self-join
+        // — un-materialized, the n×cells soft-assignment scoring pass
+        // (the query's dominant compute; cells ≈ n/target) ran twice
+        // per execution. Persisted under the Embeddings family.
+        val soft = SharedCaches.track(SharedCaches.Embeddings,
+          SimilarityQueries.softAssign(a2, centn)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val l = soft.select(col("cell"), col("vec_id").as("vec_a"),
           col("v").as("va"), col("nrm").as("na"))
         val r = soft.select(col("cell"), col("vec_id").as("vec_b"),

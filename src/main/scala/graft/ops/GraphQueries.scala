@@ -52,11 +52,20 @@ object GraphQueries {
       (s, dir) => {
         val pairs = DedupQueries.minhashPairs(s, dir)
           .select(col("doc_a"), col("doc_b"))
-        val sym = pairs
+        // r18 (§3.3): sym is read once per power round and outdeg twice
+        // per round plus the final join (7-8 references) — eager-
+        // checkpoint both once (edge-scale relations; the same
+        // linear-lineage discipline the rank iterate already uses).
+        // Freed with the minhash family alongside the final iterate.
+        val sym = GraftSqlBridge.freshLocalCheckpoint(pairs
           .unionAll(pairs.select(col("doc_b").as("doc_a"),
             col("doc_a").as("doc_b")))
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val outdeg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val outdeg = GraftSqlBridge.freshLocalCheckpoint(
+          sym.groupBy("src").agg(count(lit(1)).as("outdeg")))
+        SharedCaches.onRelease(SharedCaches.Minhash) { () =>
+          Checkpoints.free(sym); Checkpoints.free(outdeg)
+        }
         val docs = Tables.t(s, dir, "documents").select("doc_id")
         // 1-row scalar fetch (artifact-derivation convention): n seeds
         // the teleport term of every round's plan.

@@ -1805,7 +1805,15 @@ object SimilarityQueries {
         // definition (also the streaming face's).
         val cand = ivfPqCandidates(q, centn,
           a2.select(col("vec_id"), col("cell")), derivedProbe(cells))
-        val scoredP = pqAdcScoredWithin(s, dir, cand)
+        // r18 (§3.3/§5): the probed-ADC ranking feeds FIVE metric legs
+        // (adc rec+mrr, rerank seed, and the rerank row's rec+mrr
+        // through it) — un-materialized, each re-ran the probe join +
+        // codes fetch + lookup-table scoring. Persist the top-R slice
+        // (R rows per query — panel-bounded at any scale).
+        val scoredP = SharedCaches.track(SharedCaches.Embeddings,
+          pqAdcScoredWithin(s, dir, cand)
+            .filter(col("rank") <= PqRerankR)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val n = corpus(s, dir).drop("bucket")
         val rer = scoredP.filter(col("rank") <= PqRerankR)
           .join(n.select(col("vec_id"), col("v")), "vec_id")
@@ -1854,10 +1862,14 @@ object SimilarityQueries {
         // production plan. A deployment drops this row (or gates it
         // behind a sampled panel); the production path is the two rows
         // above it. See SCALE.md §4 "IVFADC".
+        // flat-scan control leg: its rec and mrr legs both read it —
+        // persist the top-K slice so the full codes pass runs once
+        val flatTop = SharedCaches.track(SharedCaches.Embeddings,
+          pqAdcScored(s, dir).filter(col("rank") <= K)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         row(scoredP.filter(col("rank") <= K), "ivfpq_adc", pfProbed)
           .union(row(rer, s"ivfpq_rerank$PqRerankR", pfProbed))
-          .union(row(pqAdcScored(s, dir).filter(col("rank") <= K),
-            "pq_adc_flat", pfFlat))
+          .union(row(flatTop, "pq_adc_flat", pfFlat))
           .orderBy("variant")
       },
       Some {

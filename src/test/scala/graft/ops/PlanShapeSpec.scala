@@ -33,8 +33,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** Children INCLUDING the plan cached behind an InMemoryTableScan —
+    * r18: several queries now persist a shared intermediate (the
+    * §3.3/§5 materializations), which moves the stored-artifact scans
+    * these assertions govern INSIDE the InMemoryRelation. The claims
+    * ("scan-only into its join", "no cartesian") are about the plan
+    * that computes the relation, wherever it sits — so the walk
+    * follows the cached plan too.
+    */
+  private def kids(p: SparkPlan): Seq[SparkPlan] = p.children ++ (p match {
+    case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      Seq(im.relation.cachedPlan)
+    case _ => Nil
+  })
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p +: kids(p).flatMap(allNodes)
+
   private def scansOf(p: SparkPlan, pathPart: String): Seq[FileSourceScanExec] =
-    p.collect {
+    allNodes(p).collect {
       case f: FileSourceScanExec
         if f.relation.location.rootPaths.exists(_.toString.contains(pathPart)) => f
     }
@@ -45,7 +62,7 @@ class PlanShapeSpec extends SparkSpec {
   /** Root-to-target node path (reference equality), if target is in p. */
   private def pathTo(p: SparkPlan, target: SparkPlan): Option[List[SparkPlan]] =
     if (p eq target) Some(List(p))
-    else p.children.view.flatMap(c => pathTo(c, target))
+    else kids(p).view.flatMap(c => pathTo(c, target))
       .headOption.map(p :: _)
 
   private def isJoin(p: SparkPlan): Boolean = p match {
@@ -127,13 +144,13 @@ class PlanShapeSpec extends SparkSpec {
   test("q_ann_ivfpq: probe side broadcasts into the cell-membership " +
     "join; stored codes are scan-only; no cartesian") {
     val p = plan(Registry.queryMap("q_ann_ivfpq")(spark, dir))
-    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+    assert(allNodes(p).collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
       s"probed-candidate join must be broadcast-hash:\n$p")
     // BroadcastNestedLoopJoin appears only as the 1-row metric-assembly
     // crossJoins (rec × mrr × probed-fraction) — sanctioned; what must
     // not appear is a partition-explosive CartesianProduct anywhere in
-    // the candidate/scoring path.
-    assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+    // the candidate/scoring path (cached subplans included).
+    assert(allNodes(p).collect { case j: CartesianProductExec => j }.isEmpty,
       s"no cartesian product in the composition:\n$p")
     // the ADC leg reads the STORED vec_id-bucketed codes table, and the
     // codes rows reach their join without shuffling (scan-only claim —
