@@ -519,9 +519,14 @@ object CorpusQueries {
         "fraction relation — zero extra corpus passes.",
       (s, dir) => {
         val taus = Seq(0.1, 0.2, 0.3, 0.5, 0.8)
-        val fr = contamOverlapOf(s, dir)
-          .select(col("doc_id"), col("n_tok"),
-            (col("n_hits").cast("double") / col("n_ngrams")).as("frac"))
+        // r18 (§3.3): fr is read twice (the eligible-population count
+        // and the τ-explode agg) — un-materialized, the contamination
+        // overlap corpus pass ran twice. Eager-checkpoint the per-doc
+        // fraction relation (3 columns at eligible-doc count).
+        val fr = org.apache.spark.sql.GraftSqlBridge.freshLocalCheckpoint(
+          contamOverlapOf(s, dir)
+            .select(col("doc_id"), col("n_tok"),
+              (col("n_hits").cast("double") / col("n_ngrams")).as("frac")))
         fr.crossJoin(broadcast(fr.agg(
             count(lit(1)).as("n_total")).select(col("n_total"))))
           .select(col("n_total"), col("n_tok"), col("frac"),

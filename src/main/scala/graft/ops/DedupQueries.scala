@@ -493,17 +493,27 @@ object DedupQueries {
     // minhash bucket); the banded relation derives from the PERSISTED
     // fingerprint cache, so the join-back's second reference re-slices
     // cached rows rather than re-running the fingerprint corpus pass.
+    // r18 (§1.2 per-task work): the popcount verify previously parsed
+    // the two 64-char fingerprint bit-strings per CANDIDATE PAIR (four
+    // conv() string parses, and twice over — once in the join
+    // condition, once in the projection). The two long halves are now
+    // hoisted onto the per-doc band rows (2 convs per doc·band row,
+    // not 4 per pair), so the per-pair verify is pure integer
+    // xor/popcount — same hamming value by construction.
+    def half(off: Int) =
+      conv(substring(col("simhash"), off, 32), 2, 10).cast("long")
     val bands = BandIndex.withKeyAgg(
-      simhashFpsPersisted(s, dir).select(col("doc_id"), col("simhash"),
+      simhashFpsPersisted(s, dir).select(col("doc_id"),
+        half(1).as("h1"), half(33).as("h2"),
         posexplode(array((0 until SimhashBands).map(b =>
           substring(col("simhash"), b * SimhashBandBits + 1, SimhashBandBits))
           : _*)).as(Seq("b", "bk"))),
       Seq("b", "bk"), Seq(count(lit(1)).as("bsz")))
       .filter(col("bsz").between(2, HotBucketCap))
     val x = bands.select(col("doc_id").as("doc_a"),
-      col("simhash").as("fa"), col("b"), col("bk"))
+      col("h1").as("ha1"), col("h2").as("ha2"), col("b"), col("bk"))
     val y = bands.select(col("doc_id").as("doc_b"),
-      col("simhash").as("fb"), col("b"), col("bk"))
+      col("h1").as("hb1"), col("h2").as("hb2"), col("b"), col("bk"))
     x.join(y, Seq("b", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       // popcount BEFORE the pair-dedup: the verify is a few codegen'd
@@ -513,7 +523,8 @@ object DedupQueries {
       // narrower per row (a multi-band hit duplicates rows, and each
       // copy computes the SAME hamming, so distinct-after is exact)
       .withColumn("hamming",
-        hammingFp(col("fa"), col("fb")).cast("long"))
+        (bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
+          bit_count(col("ha2").bitwiseXOR(col("hb2")))).cast("long"))
       .filter(col("hamming") <= SimhashHamK)
       .select("doc_a", "doc_b", "hamming").distinct()
   }
@@ -1532,6 +1543,11 @@ object DedupQueries {
         "their Jaccard, making the asymmetry visible.",
       (s, dir) => {
         val g = containGramsPersisted(s, dir)
+        // r18 (§3.3): the df-capped posting relation r below is read
+        // three times (the support counts and both self-join legs) and
+        // the inverted explode twice (df + r) — persist r so the
+        // explode + df filter run once per execution (posting rows are
+        // df-capped, ≤ ContainDfCap per n-gram).
         val inv = g.select(col("doc_id"), size(col("ng")).as("na"),
           explode(col("ng")).as("g1"))
         // df-cap: n-grams are distinct per doc (wordNgrams dedups), so
@@ -1539,7 +1555,9 @@ object DedupQueries {
         val rare = inv.groupBy("g1").agg(count(lit(1)).as("df"))
           .filter(col("df") <= ContainDfCap)
           .select("g1")
-        val r = inv.join(rare, "g1")
+        val r = SharedCaches.track(SharedCaches.ContainGrams,
+          inv.join(rare, "g1")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // Support prefilter (SOUND — the emitted set is unchanged, so
         // the oracle keeps the simple >=1-shared-rare form): a pair
         // with containment >= tau shares >= ceil(tau*min(na,nb))

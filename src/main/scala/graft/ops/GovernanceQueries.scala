@@ -817,10 +817,17 @@ object GovernanceQueries {
         "sums; log terms 9dp-rounded before the DECIMAL sum (the LnTwo " +
         "convention), priors from the train split.",
       (s, dir) => {
-        val lbl = docRuleFlags(Tables.par(s, dir, "documents"))
-          .select(col("doc_id"),
-            when(!col("v_any") && !col("quality_drop"), "good")
-              .otherwise("bad").as("label"))
+        // r18 (§3.3): the seed-label relation is joined back into docs,
+        // which is then referenced by the trainer, the scorer, AND the
+        // accuracy join — un-materialized, the docRuleFlags tokenize
+        // pass ran three times. Eager-checkpoint the (doc_id, label)
+        // pairs (2 columns at corpus row count — the seed-label
+        // artifact a production bootstrap materializes anyway).
+        val lbl = org.apache.spark.sql.GraftSqlBridge.freshLocalCheckpoint(
+          docRuleFlags(Tables.par(s, dir, "documents"))
+            .select(col("doc_id"),
+              when(!col("v_any") && !col("quality_drop"), "good")
+                .otherwise("bad").as("label")))
         val docs = Tables.par(s, dir, "documents").join(lbl, "doc_id")
           .select(col("doc_id"), col("label"), col("text"),
             (col("doc_id") % 2 === 0).as("tr"))

@@ -2566,15 +2566,23 @@ object SimilarityQueries {
           .limit(NCells)
           .select(col("vec_id").as("cell"), col("v").as("cv"))
           .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-        val wA = Window.partitionBy("vec_id")
-          .orderBy(col("cosc").desc, col("cell").asc)
+        // r18 (§2.3 aggregate-before-shuffle): the per-vector argmax was
+        // a row_number window — a full shuffle + sort of corpus×cells
+        // rows (GroupLimit-pruned but still sorted) PER ROUND. The
+        // max(struct(cosc, −cell, v)) aggregate is the repo's argmax
+        // template (identical pick: IEEE max on cosc, tie → min cell —
+        // cell unique per group so v is never compared) and partial-
+        // aggregates map-side, so each round shuffles one pre-reduced
+        // row per vector instead of sorting the scored cross join.
         def assign(cents: DataFrame): DataFrame =
           n.crossJoin(broadcast(cents))
             .withColumn("cosc",
               dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-            .withColumn("rn", row_number().over(wA))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("v"), col("cell"), col("cosc"))
+            .groupBy("vec_id")
+            .agg(max(struct(col("cosc").as("cosc"), (-col("cell")).as("nc"),
+              col("v").as("v"))).as("b"))
+            .select(col("vec_id"), col("b.v").as("v"),
+              (-col("b.nc")).as("cell"), col("b.cosc").as("cosc"))
         def means(a: DataFrame): DataFrame =
           a.select(col("cell"), posexplode(col("v")).as(Seq("pos0", "val")))
             .groupBy(col("cell"), (col("pos0") + lit(1)).as("pos"))
