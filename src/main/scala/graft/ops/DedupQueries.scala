@@ -880,7 +880,13 @@ object DedupQueries {
         def inPanel(c: org.apache.spark.sql.Column) =
           c % RecallMod === 0 || c < RecallPrefix
         val sh = shinglesPersisted(s, dir)
-        val candJ = candidateJaccard(sh, bandsPersisted(sh))
+        // r18 (§5): the candidate side IS the persisted candidate
+        // relation the pair family shares (same candidateJaccard over
+        // the same cached shingles/bands; the panel filter commutes
+        // with the pipeline — it references only the output pair ids),
+        // so read the cache instead of re-running the capped self-join
+        // + exact-Jaccard verify per execution.
+        val candJ = candidatesPersisted(s, dir)
           .filter(inPanel(col("doc_a")) && inPanel(col("doc_b")))
         val samp = sh.filter(inPanel(col("doc_id")))
         val truth = samp.select(col("doc_id").as("doc_a"), col("sh").as("sha"))

@@ -306,7 +306,13 @@ object SampleQueries {
             explode(graft.functions.TextFunctions.tokens(col("text")))
               .as("w"))
           .filter(col("w") =!= "")
-        val cnt = d.groupBy("split", "w").agg(count(lit(1)).as("c"))
+        // r18 (§3.3): cnt is read five times downstream (vocab, the
+        // train slice + its total, the split slices + totals, and the
+        // grid joins) — un-materialized, each reference re-ran the
+        // corpus explode + count. Vocab-grain (split × word) at any
+        // corpus scale; eager localCheckpoint truncates all five.
+        val cnt = org.apache.spark.sql.GraftSqlBridge.freshLocalCheckpoint(
+          d.groupBy("split", "w").agg(count(lit(1)).as("c")))
         val vocab = cnt.select("w").distinct()
         val vrow = vocab.agg(count(lit(1)).as("vsz"))
         val tr = cnt.filter(col("split") === "train")
