@@ -519,14 +519,15 @@ object CorpusQueries {
         "fraction relation — zero extra corpus passes.",
       (s, dir) => {
         val taus = Seq(0.1, 0.2, 0.3, 0.5, 0.8)
-        // r18 (§3.3): fr is read twice (the eligible-population count
-        // and the τ-explode agg) — un-materialized, the contamination
-        // overlap corpus pass ran twice. Eager-checkpoint the per-doc
-        // fraction relation (3 columns at eligible-doc count).
-        val fr = org.apache.spark.sql.GraftSqlBridge.freshLocalCheckpoint(
-          contamOverlapOf(s, dir)
-            .select(col("doc_id"), col("n_tok"),
-              (col("n_hits").cast("double") / col("n_ngrams")).as("frac")))
+        // r18: an eager checkpoint of fr was TRIED here (§3.3 — fr is
+        // read twice: population count + τ-explode agg) and MEASURED
+        // SLOWER (closing bench 1.48 → 1.91 s): at this relation's
+        // size the checkpoint's extra materialization job costs more
+        // than the duplicated lazy overlap pass. Reverted — the
+        // cache-vs-recompute knob turned the recompute way.
+        val fr = contamOverlapOf(s, dir)
+          .select(col("doc_id"), col("n_tok"),
+            (col("n_hits").cast("double") / col("n_ngrams")).as("frac"))
         fr.crossJoin(broadcast(fr.agg(
             count(lit(1)).as("n_total")).select(col("n_total"))))
           .select(col("n_total"), col("n_tok"), col("frac"),
