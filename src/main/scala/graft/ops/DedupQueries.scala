@@ -633,7 +633,10 @@ object DedupQueries {
 
   private[ops] def minhashComponents(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    ccMemo.getOrElseUpdate((s, dir), {
+    // synchronized (r18 ADVICE #4 pattern): the initializer runs the CC
+    // fixpoint and registers persist/track/onRelease — must run once
+    // even if consumers arrive from concurrent driver threads.
+    ccMemo.synchronized { ccMemo.getOrElseUpdate((s, dir), {
       val labels = SharedCaches.track(SharedCaches.Minhash,
         clusterComponents(minhashPairs(s, dir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -647,7 +650,7 @@ object DedupQueries {
         Checkpoints.free(labels)
       }
       labels
-    })
+    }) }
 
   /** Connected components over an undirected edge list (`src`, `dst`) by
     * `iters` rounds of min-label propagation: label(x) := min(label(x),

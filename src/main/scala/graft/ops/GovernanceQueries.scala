@@ -242,6 +242,10 @@ object GovernanceQueries {
     val tg = org.apache.spark.sql.GraftSqlBridge.freshLocalCheckpoint(
       grams.groupBy(col("label").as("plabel"), col("g"))
         .agg(count(lit(1)).as("c")))
+    // r19 (r18 ADVICE #2): checkpoint blocks are not freed by
+    // unpersist/cache release — reclaim them with the NbModel family
+    // instead of waiting for the GC-driven ContextCleaner.
+    SharedCaches.onRelease(SharedCaches.NbModel)(() => Checkpoints.free(tg))
     val tt = tg.groupBy("plabel").agg(sum(col("c")).as("t"))
     val vv = tg.agg(countDistinct(col("g")).as("v"))
     val pr = labeled.groupBy(col("label").as("plabel"))
@@ -289,6 +293,77 @@ object GovernanceQueries {
         row_number().over(Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("plabel").asc)))
       .filter(col("rn") === 1).select("doc_id", "plabel")
+  }
+
+  /** Generous per-phase bound for [[parPhase]] — a wedged family write
+    * fails the query with a diagnostic instead of hanging it forever
+    * (r18 verdict "What's wrong" #4). Orders of magnitude above any
+    * real phase (bench phases run in seconds).
+    */
+  private[graft] val PhaseTimeout: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(10, "min")
+
+  /** Run three independent stored-family verbs concurrently and barrier
+    * on ALL outcomes (r18 §2.6 overlap + r18 ADVICE #3 hardening):
+    *
+    *   - each verb runs under its own Spark job group
+    *     (`interruptOnCancel`), so a failing verb CANCELS its siblings'
+    *     in-flight jobs instead of leaving them writing detached;
+    *   - the phase waits for every future's OUTCOME (success or
+    *     failure) before returning or rethrowing — no verb is still
+    *     running when the barrier is crossed;
+    *   - the await is bounded by [[PhaseTimeout]] (a wedged write fails
+    *     the query, with all three groups cancelled, rather than
+    *     hanging it with no diagnostic);
+    *   - the one session-global knob these verbs must not touch
+    *     (`spark.sql.sources.partitionOverwriteMode` — the dynamic-
+    *     overwrite flip lives only in refresh/re-level paths) is
+    *     ASSERTED unchanged across the phase, turning the comment-level
+    *     single-writer claim into a checked invariant.
+    */
+  private[graft] def parPhase[A, B, C](s: org.apache.spark.sql.SparkSession,
+      phaseTag: String)(fa: => A)(fb: => B)(fc: => C)(
+      implicit ec: scala.concurrent.ExecutionContext): (A, B, C) = {
+    import scala.concurrent.{Await, Future}
+    val OverwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val owBefore = s.conf.getOption(OverwriteKey)
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val tags = Seq("a", "b", "c")
+    def grp(tag: String) = s"$phaseTag-$tag"
+    def run[T](tag: String)(body: => T): Future[T] = Future {
+      s.sparkContext.setJobGroup(grp(tag),
+        s"$phaseTag family $tag", interruptOnCancel = true)
+      try body
+      catch { case t: Throwable =>
+        // fail fast: first failure cancels the siblings' running jobs
+        // (their futures still complete — the barrier below waits for
+        // them — but they stop burning the cluster on doomed work)
+        if (failed.compareAndSet(false, true))
+          tags.filter(_ != tag).foreach(o => s.sparkContext.cancelJobGroup(grp(o)))
+        throw t
+      } finally s.sparkContext.clearJobGroup()
+    }
+    val (a, b, c) = (run("a")(fa), run("b")(fb), run("c")(fc))
+    val allOutcomes = Future.sequence(
+      Seq[Future[scala.util.Try[Any]]](
+        a.transform(scala.util.Success(_)),
+        b.transform(scala.util.Success(_)),
+        c.transform(scala.util.Success(_))))
+    val outcomes =
+      try Await.result(allOutcomes, PhaseTimeout)
+      catch { case e: java.util.concurrent.TimeoutException =>
+        tags.foreach(t => s.sparkContext.cancelJobGroup(grp(t)))
+        throw new RuntimeException(
+          s"$phaseTag: a family verb exceeded $PhaseTimeout — " +
+            "cancelled all three job groups", e)
+      }
+    outcomes.collectFirst { case scala.util.Failure(t) => throw t }
+    val owAfter = s.conf.getOption(OverwriteKey)
+    require(owBefore == owAfter,
+      s"$phaseTag mutated session conf $OverwriteKey: " +
+        s"$owBefore -> $owAfter — family verbs must not touch it")
+    // all three completed successfully past the barrier
+    (a.value.get.get, b.value.get.get, c.value.get.get)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -828,6 +903,11 @@ object GovernanceQueries {
             .select(col("doc_id"),
               when(!col("v_any") && !col("quality_drop"), "good")
                 .otherwise("bad").as("label")))
+        // r19 (r18 ADVICE #2): corpus-row-count-sized checkpoint — free
+        // its blocks with the NbModel family rather than leaving them
+        // to GC under the full bench working set.
+        SharedCaches.onRelease(SharedCaches.NbModel)(() =>
+          Checkpoints.free(lbl))
         val docs = Tables.par(s, dir, "documents").join(lbl, "doc_id")
           .select(col("doc_id"), col("label"), col("text"),
             (col("doc_id") % 2 === 0).as("tr"))
@@ -1110,23 +1190,24 @@ object GovernanceQueries {
         // table sets, and none of these verbs touches the one
         // session-global knob — the dynamic-partition-overwrite flip
         // lives only in the refresh/re-level paths, which this query
-        // never calls), so each family runs on its own driver thread
+        // never calls; parPhase ASSERTS the knob is untouched at every
+        // barrier), so each family runs on its own driver thread
         // and one family's straggling write stage back-fills with the
         // others' tasks. Previously the ~12 actions ran strictly
         // sequentially — the r17 plan audit priced this query as
         // "driver-sequenced", the round's single most expensive entry.
         // Barriers stay BETWEEN phases (every build visible before any
         // delete; every delete before any recount) so the receipt's
-        // semantics are unchanged.
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
+        // semantics are unchanged. r19 (r18 ADVICE #3 / verdict #8):
+        // the Duration.Inf awaits became parPhase — bounded awaits,
+        // all-outcomes barrier, fail-fast sibling cancellation.
         val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        var phaseNo = 0
         def par3[A, B, C](fa: => A, fb: => B, fc: => C): (A, B, C) = {
-          val (a, b, c) = (Future(fa), Future(fb), Future(fc))
-          (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf),
-            Await.result(c, Duration.Inf))
+          phaseNo += 1
+          parPhase(s, s"takedown-audit-p$phaseNo")(fa)(fb)(fc)
         }
         val ((preL, preDocs), (preSh, preBd), preC, lex1, band1, c1) =
           try {

@@ -63,6 +63,16 @@ object SharedCaches {
     * each previously re-ran the explode+md5+64-bit-sum corpus pass). */
   val Simhash = "simhash"
 
+  /** The naive-Bayes model checkpoints (r19, r18 ADVICE #2): the
+    * (label, gram) model relations and q_quality_classifier's seed-label
+    * relation are eager localCheckpoints, whose RDD blocks
+    * `Dataset.unpersist` cannot free (Checkpoints scaladoc) — register
+    * their `Checkpoints.free` here so the debris is reclaimed after the
+    * family's last consumer instead of lingering until GC and evicting
+    * other families' caches. No cached Datasets live under this key —
+    * it exists for the onRelease hooks. */
+  val NbModel = "nb_model"
+
   /** The doc-grain funnel verdict relation (r14: THREE consumers —
     * the funnel accounting, the train-ready composition, and the
     * shard-mix audit — each otherwise re-runs the corpus tokenize +
@@ -113,6 +123,7 @@ object SharedCaches {
       "q_fusion_weight_sweep", // r15: same legs as q_hybrid_fusion
       "q_dedup_semantic", "q_dedup_semantic_recall", "q_diverse_sample"),
     BloomBench -> Set("q_contamination_bloom"),
+    NbModel -> Set("q_lang_id_measured", "q_quality_classifier"),
     Simhash -> Set("q_dedup_simhash", "q_dedup_simhash_hamming",
       "q_simhash_recall"),
     Funnel -> Set("q_corpus_funnel", "q_train_mix_audit", "q_train_ready")

@@ -98,7 +98,9 @@ object SimilarityQueries {
     */
   private def fusionLegs(s: SparkSession, dir: String
                         ): (DataFrame, DataFrame) =
-    fusionLegsMemo.getOrElseUpdate((s, dir), {
+    // synchronized for the same reason as [[exactRanked]] (r18 ADVICE
+    // #4): the initializer's persist/track/onRelease must run once.
+    fusionLegsMemo.synchronized { fusionLegsMemo.getOrElseUpdate((s, dir), {
       val q = pqQueries(s, dir)
       // lexical leg: the standing LexIndex over the full corpus (the
       // q_bm25 tag); panel terms = each query doc's distinct tokens,
@@ -129,7 +131,7 @@ object SimilarityQueries {
       SharedCaches.onRelease(SharedCaches.Embeddings)(() =>
         fusionLegsMemo.remove((s, dir)))
       legs
-    })
+    }) }
 
   /** Memoized [[fusionLegs]] per (session, dir) — the ccMemo pattern:
     * the legs' construction includes a driver-side term-universe
@@ -586,8 +588,14 @@ object SimilarityQueries {
   private val exactRankedMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  // r19 (r18 ADVICE #4): memo initializers have side effects (persist +
+  // SharedCaches.track + onRelease registration); TrieMap.getOrElseUpdate
+  // may run a racing initializer twice and keep one, double-registering
+  // cache refs and release hooks. Serialize initialization — queries now
+  // run from driver thread pools (takedown audit), so "consumers are
+  // sequential" is no longer a structural guarantee.
   private def exactRanked(s: SparkSession, dir: String): DataFrame =
-    exactRankedMemo.getOrElseUpdate((s, dir), {
+    exactRankedMemo.synchronized { exactRankedMemo.getOrElseUpdate((s, dir), {
       val e = corpus(s, dir)
       val q = e.filter(expr(QueryPred))
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -601,7 +609,7 @@ object SimilarityQueries {
       SharedCaches.onRelease(SharedCaches.Embeddings)(() =>
         exactRankedMemo.remove((s, dir)))
       ranked
-    })
+    }) }
 
   private[ops] def exactTopK(s: SparkSession, dir: String,
                              k: Int = K): DataFrame = {
@@ -662,8 +670,9 @@ object SimilarityQueries {
     // ≤ shortlist·|queries| rows by construction — the 8 GB broadcast
     // cap is unreachable at any corpus scale since both are capped by
     // the query panel, not the corpus). Per round this removes the
-    // sort exchange and both join shuffles; the one remaining
-    // exchange is the penalty fold's map-side-combined groupBy.
+    // sort exchange and both join shuffles; r19 then removed the last
+    // per-round exchange too (the penalty fold's groupBy) by carrying
+    // the penalty as a running max on the candidate rows — see below.
     def argmaxPick(df: DataFrame, step: Int): DataFrame =
       df.groupBy("query_id")
         .agg(max(struct(col("ord"), (-col("vec_id")).as("nv"),
@@ -673,26 +682,38 @@ object SimilarityQueries {
     var pieces = Seq(argmaxPick(cand
         .withColumn("penalty", lit(0.0)).withColumn("ord", col("cos")), 1)
       .localCheckpoint())
+    // r19 (§2.3/§2.4 — r18 verdict "Next round" #1): the penalty is a
+    // RUNNING MAX — penalty_i(d) = max(penalty_{i-1}(d), sim(d, newest
+    // pick)) — so each round folds in ONLY the single newest pick per
+    // query instead of re-joining sims against the whole selected set
+    // (which re-scanned sims and re-aggregated O(i·|panel|·shortlist)
+    // rows every round). The running state rides on the candidate rows,
+    // seeded at -Infinity: sims can be NEGATIVE (cosine), and the old
+    // per-round max over the selected set returned that negative value
+    // — a 0.0 seed would silently floor it (MmrSpec pins this edge).
+    // -Infinity never reaches the output: the fold join is total (sims
+    // covers every shortlist pair, the newest pick is in the shortlist,
+    // and d != newest after the anti-join), so from round 2 on the
+    // penalty is a max over >= 1 real sims. Each round's state is
+    // localCheckpointed (panel-bounded rows) so lineage stays flat
+    // instead of re-executing the whole fold chain from cand.
+    var cur = cand.withColumn("penalty", lit(Double.NegativeInfinity))
     for (i <- 2 to k) {
-      val sel = pieces.reduce(_ unionByName _)
-        .select(col("query_id"), col("pick"))
-      val remaining = cand.join(
-        broadcast(sel.withColumnRenamed("pick", "vec_id")),
-        Seq("query_id", "vec_id"), "left_anti")
-      // penalty(d) = max sim(d, r) over selected r — sims joined to
-      // the selected set, folded per candidate; inner joins are
-      // total (the selected set is non-empty and sims covers every
-      // shortlist pair)
-      val pen = sims
-        .join(broadcast(sel.withColumnRenamed("pick", "vb")),
+      val newest = pieces.last.select(col("query_id"), col("pick"))
+      val simNew = sims
+        .join(broadcast(newest.withColumnRenamed("pick", "vb")),
           Seq("query_id", "vb"))
         .select(col("query_id"), col("va").as("vec_id"), col("sim"))
-        .groupBy("query_id", "vec_id")
-        .agg(max(col("sim")).as("penalty"))
+      cur = cur
+        .join(broadcast(newest.withColumnRenamed("pick", "vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(broadcast(simNew), Seq("query_id", "vec_id"))
+        .withColumn("penalty", greatest(col("penalty"), col("sim")))
+        .drop("sim")
+        .localCheckpoint()
       val next = argmaxPick(
-        remaining.join(broadcast(pen), Seq("query_id", "vec_id"))
-          .withColumn("ord", lit(MmrLambda) * col("cos")
-            - lit(MmrOneMinusLambda) * col("penalty")), i)
+        cur.withColumn("ord", lit(MmrLambda) * col("cos")
+          - lit(MmrOneMinusLambda) * col("penalty")), i)
         .localCheckpoint()
       pieces = pieces :+ next
     }

@@ -290,6 +290,10 @@ object TextQueries {
           grams.filter(col("tr"))
           .groupBy(col("lang").as("plang"), col("g"))
           .agg(count(lit(1)).as("c")))
+        // r19 (r18 ADVICE #2): free the model checkpoint's blocks with
+        // the NbModel family instead of leaving them to GC.
+        SharedCaches.onRelease(SharedCaches.NbModel)(() =>
+          Checkpoints.free(tg))
         // totals + vocab derive from the (lang, gram) model relation —
         // ONE train-corpus explode pass, not two; these derived aggs
         // are model-sized (V×L rows), not corpus-sized

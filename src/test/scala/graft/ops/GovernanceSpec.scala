@@ -419,4 +419,61 @@ class GovernanceSpec extends SparkSpec {
     // beating baseline here proves the lexical signal was used
     assert(rows("*")._5 < 1.0)
   }
+
+  // -------------------------------------------- takedown phase runner
+
+  test("parPhase: a failing family verb fails the phase fast, after " +
+    "ALL siblings completed (no detached work, no infinite hang)") {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val slowDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val t0 = System.nanoTime()
+      val e = intercept[RuntimeException] {
+        GovernanceQueries.parPhase(spark, "parphase-test")(
+          { Thread.sleep(300); slowDone.set(true); 1L })(
+          { throw new RuntimeException("wedged family") })(
+          2L)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(e.getMessage == "wedged family")
+      // the barrier waited for the slow sibling's OUTCOME before
+      // rethrowing: nothing is still running detached
+      assert(slowDone.get(), "slow sibling must have completed")
+      // ... and "bounded" means seconds, not PhaseTimeout
+      assert(elapsedMs < GovernanceQueries.PhaseTimeout.toMillis / 2,
+        s"phase took ${elapsedMs}ms")
+    } finally pool.shutdown()
+  }
+
+  test("parPhase: the all-success path returns all three results and " +
+    "leaves the overwrite-mode conf untouched") {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val before = spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      val r = GovernanceQueries.parPhase(spark, "parphase-ok")(
+        spark.range(10).count())("b")(3.5)
+      assert(r == ((10L, "b", 3.5)))
+      assert(spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode") == before)
+      // a verb that MUTATES the single-writer knob is caught by the
+      // barrier assertion (and the conf restored for later tests)
+      val e = intercept[IllegalArgumentException] {
+        GovernanceQueries.parPhase(spark, "parphase-mut")(
+          { spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+            "dynamic"); 1 })(2)(3)
+      }
+      assert(e.getMessage.contains("partitionOverwriteMode"))
+      before match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+    } finally pool.shutdown()
+  }
 }

@@ -45,6 +45,26 @@ class MmrSpec extends SparkSpec {
       s"got ${out.mkString(",")}")
   }
 
+  test("negative sims survive the penalty fold: the reported penalty " +
+    "is the true (negative) max-sim, not floored at zero") {
+    // A(.9) picked first; B and C are ANTI-correlated with A (negative
+    // cosine). penalty(B) = -0.8, penalty(C) = -0.1 — a zero-seeded
+    // running max would floor both to 0.0 and misreport the penalty
+    // column (and mis-rank any candidate whose boost depends on it).
+    val c2 = Seq((1L, 1L, 0.9), (1L, 2L, 0.5), (1L, 3L, 0.4))
+      .toDF("query_id", "vec_id", "cos")
+    val s = sims((1L, 1L, 2L, -0.8), (1L, 2L, 1L, -0.8),
+      (1L, 1L, 3L, -0.1), (1L, 3L, 1L, -0.1),
+      (1L, 2L, 3L, 0.0), (1L, 3L, 2L, 0.0))
+    val out = SimilarityQueries.mmrSelect(c2, s, 2)
+      .orderBy("step").collect()
+    // step 2: B scores 0.7*0.5 - 0.3*(-0.8) = 0.59 > C's 0.31
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L),
+      s"got ${out.mkString(",")}")
+    assert(out(1).getDouble(4) == -0.8,
+      s"penalty must be the negative max-sim, got ${out(1).getDouble(4)}")
+  }
+
   test("declared query shape: every query gets exactly k distinct " +
     "picks, step 1 is the exact nearest neighbor") {
     val dir = "/root/testdata/sf0.001"
