@@ -66,19 +66,26 @@ object GovernanceQueries {
     * doc, so stream union == batch exactly). Passthrough columns beyond
     * (doc_id, text) are ignored; output is one row per input row.
     */
-  private[graft] def docRuleFlags(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def docRuleFlags(docs: org.apache.spark.sql.DataFrame,
+                                  keepToks: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
+    // keepToks (r19): carry the token array through to the output so a
+    // caller that tokenizes again downstream (q_quality_classifier's
+    // trainer/scorer) can reuse THIS pass's arrays instead of
+    // re-running the corpus tokenize — the flags themselves are
+    // identical either way.
+    val keep = if (keepToks) Seq(col("toks")) else Nil
     val stats = docs
       .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
         tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("nc"),
-        size(col("toks")).cast("long").as("nt"),
+      .select(col("doc_id") +: col("nc") +: keep :+
+        size(col("toks")).cast("long").as("nt") :+
         expr("aggregate(transform(toks, t -> length(t)), 0L, " +
-          "(a, x) -> a + x)").as("sl"),
-        size(array_distinct(col("toks"))).cast("long").as("nd"),
-        TextQueries.nStop(col("toks")).cast("long").as("ns"))
+          "(a, x) -> a + x)").as("sl") :+
+        size(array_distinct(col("toks"))).cast("long").as("nd") :+
+        TextQueries.nStop(col("toks")).cast("long").as("ns"): _*)
     val flags = ruleFlags(col("nt"), col("sl"), col("nd"), col("ns"))
-    stats.select(col("doc_id") +:
+    stats.select(col("doc_id") +: keep ++:
       flags.map { case (n, c) => c.as(s"v_$n") } :+
       flags.map(_._2).reduce(_ || _).as("v_any") :+
       (TextQueries.qualityPoints(col("nc"), col("nt"), col("ns")) < 2)
@@ -230,8 +237,15 @@ object GovernanceQueries {
   private[graft] def nbTrain(labeled: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
+    // r19: accept a pre-tokenized `toks` column when the caller already
+    // paid the tokenize pass (q_quality_classifier's seed-label
+    // checkpoint) — toks == tokens(text) by construction there, so the
+    // gram stream is identical either way.
+    val gramSrc =
+      if (labeled.columns.contains("toks")) col("toks")
+      else tokens(col("text"))
     val grams = labeled.select(col("doc_id"), col("label"),
-        explode(tokens(col("text"))).as("g"))
+        explode(gramSrc).as("g"))
       .filter(col("g") =!= "")
     // r18 (§3.3/§5, the q_lang_id_measured fix applied to the shared
     // trainer): tg is read three times downstream (tt, vv, and the
@@ -271,8 +285,11 @@ object GovernanceQueries {
                              li: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val dec = DecimalType(38, 12)
-    val eg = docs.select(col("doc_id"),
-        explode(tokens(col("text"))).as("g"))
+    // pre-tokenized input accepted as in [[nbTrain]]
+    val gramSrc =
+      if (docs.columns.contains("toks")) col("toks")
+      else tokens(col("text"))
+    val eg = docs.select(col("doc_id"), explode(gramSrc).as("g"))
       .filter(col("g") =!= "")
       .groupBy("doc_id", "g").agg(count(lit(1)).as("m"))
     val terms = eg.crossJoin(broadcast(li))
@@ -895,12 +912,20 @@ object GovernanceQueries {
         // r18 (§3.3): the seed-label relation is joined back into docs,
         // which is then referenced by the trainer, the scorer, AND the
         // accuracy join — un-materialized, the docRuleFlags tokenize
-        // pass ran three times. Eager-checkpoint the (doc_id, label)
-        // pairs (2 columns at corpus row count — the seed-label
-        // artifact a production bootstrap materializes anyway).
+        // pass ran three times. r19 (§5 cache-vs-recompute, r18 verdict
+        // "Next round" #7): the checkpoint now ALSO carries the token
+        // arrays (keepToks), so the trainer's and scorer's explodes
+        // read this one tokenize pass instead of re-tokenizing their
+        // halves — ONE corpus tokenize per execution instead of three,
+        // and the documents re-scan + join-back disappears (docs IS
+        // the checkpoint). Trade measured both ways: the token-array
+        // checkpoint is corpus-sized, but its scan is pure
+        // deserialization vs a full re-tokenize; matched isolated
+        // sf0.1 pair: 4.07 -> 3.70 s median, 4.04 -> 3.35 s min
+        // (labels-only checkpoint vs this shape).
         val lbl = org.apache.spark.sql.GraftSqlBridge.freshLocalCheckpoint(
-          docRuleFlags(Tables.par(s, dir, "documents"))
-            .select(col("doc_id"),
+          docRuleFlags(Tables.par(s, dir, "documents"), keepToks = true)
+            .select(col("doc_id"), col("toks"),
               when(!col("v_any") && !col("quality_drop"), "good")
                 .otherwise("bad").as("label")))
         // r19 (r18 ADVICE #2): corpus-row-count-sized checkpoint — free
@@ -908,15 +933,13 @@ object GovernanceQueries {
         // to GC under the full bench working set.
         SharedCaches.onRelease(SharedCaches.NbModel)(() =>
           Checkpoints.free(lbl))
-        val docs = Tables.par(s, dir, "documents").join(lbl, "doc_id")
-          .select(col("doc_id"), col("label"), col("text"),
-            (col("doc_id") % 2 === 0).as("tr"))
+        val docs = lbl.withColumn("tr", col("doc_id") % 2 === 0)
         // train/score via the SHARED nbTrain/nbScore definitions (the
         // streaming face scores against the same frozen model shape)
         val (tg, li, pr) = nbTrain(docs.filter(col("tr"))
-          .select(col("doc_id"), col("text"), col("label")))
+          .select(col("doc_id"), col("toks"), col("label")))
         val pred = nbScore(docs.filter(!col("tr"))
-          .select(col("doc_id"), col("text")), tg, li)
+          .select(col("doc_id"), col("toks")), tg, li)
         val mj = broadcast(pr.orderBy(col("nd").desc, col("plabel").asc)
           .limit(1).select(col("plabel").as("mlabel")))
         val j = docs.filter(!col("tr"))
