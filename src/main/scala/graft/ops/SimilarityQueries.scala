@@ -1831,10 +1831,8 @@ object SimilarityQueries {
         // through it) — un-materialized, each re-ran the probe join +
         // codes fetch + lookup-table scoring. Persist the top-R slice
         // (R rows per query — panel-bounded at any scale).
-        val scoredP = SharedCaches.track(SharedCaches.Embeddings,
-          pqAdcScoredWithin(s, dir, cand)
-            .filter(col("rank") <= PqRerankR)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val scoredP = pqAdcScoredWithin(s, dir, cand)
+          .filter(col("rank") <= PqRerankR)
         val n = corpus(s, dir).drop("bucket")
         val rer = scoredP.filter(col("rank") <= PqRerankR)
           .join(n.select(col("vec_id"), col("v")), "vec_id")
@@ -1885,9 +1883,7 @@ object SimilarityQueries {
         // above it. See SCALE.md §4 "IVFADC".
         // flat-scan control leg: its rec and mrr legs both read it —
         // persist the top-K slice so the full codes pass runs once
-        val flatTop = SharedCaches.track(SharedCaches.Embeddings,
-          pqAdcScored(s, dir).filter(col("rank") <= K)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val flatTop = pqAdcScored(s, dir).filter(col("rank") <= K)
         row(scoredP.filter(col("rank") <= K), "ivfpq_adc", pfProbed)
           .union(row(rer, s"ivfpq_rerank$PqRerankR", pfProbed))
           .union(row(flatTop, "pq_adc_flat", pfFlat))
