@@ -727,11 +727,13 @@ object DedupQueries {
     // iterative fixpoint algorithms (GraphFrames CC does exactly this);
     // superseded checkpoints are dropped by the ContextCleaner when
     // dereferenced.
-    var e = GraftSqlBridge.freshLocalCheckpoint(edges
+    // counted checkpoint (r19): the eager materialization already
+    // counts the RDD — reuse it instead of a second count() job per
+    // round (the loop is driver-dispatch-bound on edge-set-sized data)
+    var (e, eCount) = GraftSqlBridge.freshLocalCheckpointCounted(edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct())
-    var eCount = e.count()
     // Iteration parallelism follows the MEASURED edge count (known free
     // from the convergence check): near-dup pair graphs are orders of
     // magnitude smaller than the corpus, and full shuffle-width rounds
@@ -758,13 +760,12 @@ object DedupQueries {
       // small-star: on the now-canonical edges (v < u), hang u and all
       // its smaller neighbors onto m(u) = min(Γ≤(u) ∪ {u}) = min(Γ≤(u)).
       val smins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
-      val next = GraftSqlBridge.freshLocalCheckpoint(
+      val (next, nextCount) = GraftSqlBridge.freshLocalCheckpointCounted(
         afterLarge.join(smins, "u")
           .select(col("v").as("u"), col("m").as("v"))
           .union(smins.select(col("u"), col("m").as("v")))
           .filter(col("u") =!= col("v")).distinct()
           .repartition(parts(eCount)))
-      val nextCount = next.count()
       converged = nextCount == eCount && next.except(e).isEmpty
       // next is materialized (eager checkpoint) and the except above was
       // the last read of the previous round — free its blocks now

@@ -37,11 +37,21 @@ object GraftSqlBridge {
     * loops never want that) and drops the child's output partitioning
     * (vocabulary-grain states; the next round re-shuffles regardless).
     */
-  def freshLocalCheckpoint(df: Dataset[Row]): DataFrame = {
+  def freshLocalCheckpoint(df: Dataset[Row]): DataFrame =
+    freshLocalCheckpointCounted(df)._1
+
+  /** [[freshLocalCheckpoint]] that also returns the row count the eager
+    * materialization already computed. A fixpoint loop whose
+    * convergence check needs the round's cardinality (star-contraction
+    * CC) otherwise pays a SECOND count() job per round over the
+    * just-checkpointed RDD — pure driver-dispatch latency on
+    * edge-set-sized data (r19, §1.2 driver round-trips).
+    */
+  def freshLocalCheckpointCounted(df: Dataset[Row]): (DataFrame, Long) = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count()
-    ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+    val n = rdd.count()
+    (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema), n)
   }
 }
