@@ -51,6 +51,35 @@ object Registry {
 
 /** Shared table access for declared queries. */
 object Tables {
+
+  /** Construction-time memo of the normalized base-table DataFrame per
+    * (session, path, file signature) — r19 (§6 file listing / r18
+    * verdict "Next round" #9, the dispatch-floor experiment): every
+    * query construction re-ran `spark.read.parquet` on its tables,
+    * which re-lists the directory and re-reads parquet footers for
+    * schema inference ON THE DRIVER — ~10-20 ms per table per query,
+    * a pure fixed cost across the 171-query surface (and at 100 TB,
+    * re-listing a large table per query is exactly the driver-side
+    * cost the guide's file-listing cache exists for; Spark's own
+    * catalog tables memoize their resolved LogicalRelation the same
+    * way). The memo holds the LAZY normalized plan only — every action
+    * still computes from the parquet files, so no data or results are
+    * cached — and the key carries each file's (name, size, mtime), so
+    * a rewritten table (spec temp dirs, streaming fixtures) misses the
+    * memo and re-resolves instead of serving a stale file index.
+    */
+  private val tableMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  private def fileSignature(spark: SparkSession, path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).map(s =>
+          s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString(",")
+    } catch { case _: Throwable => s"unreadable:${System.nanoTime()}" }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
     // for; read it as Long nanos and convert explicitly where needed.
@@ -60,7 +89,19 @@ object Tables {
     // at the scan, so every entry point (Bench included) shares the
     // invariant regardless of host tz.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val sig = fileSignature(spark, path)
+    tableMemo.get((spark, path)) match {
+      case Some((s0, df)) if s0 == sig => df
+      case _ =>
+        val df = resolve(spark, path)
+        tableMemo.put((spark, path), (sig, df))
+        df
+    }
+  }
+
+  private def resolve(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
     // The round-9 testdata regeneration writes events.ts as parquet
     // timestamp[us] (read as TIMESTAMP_NTZ) where earlier vintages wrote
     // TIMESTAMP(NANOS) (read as Long via nanosAsLong). Normalize to the
@@ -89,6 +130,24 @@ object Tables {
     * a serial md5/dot-product scan into a 32-way one for a sub-ms shuffle
     * of kilobyte rows.
     */
+  /** Lead columns the fan-out guard may hash-key on (r19, r18 ADVICE
+    * #1): the keyed repartition below relies on the table's FIRST
+    * column being high-cardinality and non-null — true for every
+    * shipped table that goes through [[par]] (documents.doc_id and
+    * embeddings.vec_id are unique; lineitem.l_orderkey has ~4 rows per
+    * key). A table whose lead column is low-cardinality (nation/region
+    * style) would silently collapse to fewer than `target` partitions
+    * — worse than the round-robin it replaced — so an UNKNOWN lead
+    * column fails loudly here and must be added with a cardinality
+    * argument (or the caller keys explicitly).
+    */
+  private val parFanoutKeys = Set(
+    "doc_id", "vec_id", "event_id", "l_orderkey",
+    // l_partkey: ~30 lineitem rows per part — spec fixtures plant
+    // lineitem slices leading with it (ProfileDiagnosticsSpec)
+    "l_partkey",
+    "c_custkey", "o_orderkey", "p_partkey", "s_suppkey")
+
   def par(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
@@ -120,6 +179,13 @@ object Tables {
       // hash would defeat column pruning entirely (§6: ReadSchema must
       // stay the consumer's). Consumers are distribution-agnostic (the
       // guard exists only to widen narrow compute-heavy scans).
+      // the check lives INSIDE the guard: a table that already arrives
+      // in >= target splits (the 100 TB case) never repartitions and
+      // needs no key vetting
+      require(parFanoutKeys.contains(df.columns.head),
+        s"Tables.par: lead column '${df.columns.head}' of table '$name' " +
+          "is not a known high-cardinality fan-out key; add it to " +
+          "parFanoutKeys (with a cardinality argument) or key explicitly")
       import org.apache.spark.sql.functions.xxhash64
       df.repartition(target, xxhash64(
         org.apache.spark.sql.functions.col(df.columns.head)))
