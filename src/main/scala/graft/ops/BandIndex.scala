@@ -317,12 +317,20 @@ object BandIndex {
   private def withPbk(df: DataFrame, nb: Int): DataFrame =
     df.withColumn("pbk", expr(s"pmod(hash(band, bh), $nb)").cast("int"))
 
-  private def writeBands(staged: DataFrame, nb: Int, table: String): Unit =
-    staged.select("doc_id", "band", "bh", "bsz", "pbk")
+  private def writeBands(staged: DataFrame, nb: Int, table: String,
+                         cluster: Boolean = true): Unit = {
+    // r19 (§6, the LexIndex.writePostings rationale): cluster by the
+    // bucket key into nb partitions first — one file per bucket
+    // instead of (write tasks × buckets) fragments; at scale this is
+    // the hash write-distribution trade. Delete paths pass false
+    // (staged survivors are already bucket-aligned — §2.4).
+    val rows = staged.select("doc_id", "band", "bh", "bsz", "pbk")
+    (if (cluster) rows.repartition(nb, col("band"), col("bh")) else rows)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pbk")
       .bucketBy(nb, "band", "bh").sortBy("band", "bh")
       .saveAsTable(table)
+  }
 
   /** Touched-bucket ledger backing [[refreshBucketSizesPartial]] —
     * the LexIndex pattern: appends/deletes record their batch's
@@ -393,7 +401,10 @@ object BandIndex {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val buckets = derivedBuckets(sh.count(), targetRowsPerBucket)
-        sh.write.mode(SaveMode.Overwrite)
+        // repartition-by-bucket-key: one file per bucket (the
+        // writeBands/writePostings rationale)
+        sh.repartition(buckets, col("doc_id"))
+          .write.mode(SaveMode.Overwrite)
           .bucketBy(buckets, "doc_id").sortBy("doc_id")
           .saveAsTable(shT)
         // Bands derive from the stored shingles (one shingling pass
@@ -512,10 +523,12 @@ object BandIndex {
       .select("doc_id", "band", "bh", "bsz", "pbk")
       .localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $bdT")
+    // no re-clustering: both staged sides are narrow anti-joins of the
+    // bucketed scans, already one aligned partition per bucket
     stagedSh.write.mode(SaveMode.Overwrite)
       .bucketBy(shBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(shT)
-    writeBands(stagedBd, bdBuckets, bdT)
+    writeBands(stagedBd, bdBuckets, bdT, cluster = false)
     spark.catalog.refreshTable(shT)
     spark.catalog.refreshTable(bdT)
     (shRemoved, bdRemoved)

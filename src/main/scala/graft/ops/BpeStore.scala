@@ -86,7 +86,9 @@ object BpeStore {
         merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
           .write.mode(SaveMode.Overwrite).saveAsTable(mT)
         val buckets = BandIndex.derivedBuckets(vFinal.count())
-        vFinal.write.mode(SaveMode.Overwrite)
+        // repartition-by-bucket-key: one file per bucket (r19 §6)
+        vFinal.repartition(buckets, col("word"))
+          .write.mode(SaveMode.Overwrite)
           .bucketBy(buckets, "word").sortBy("word")
           .saveAsTable(sT)
       } finally { vFinal.unpersist(); Checkpoints.free(vFinal) }

@@ -72,7 +72,10 @@ object ChunkStore {
       try {
         val n = rows.count()
         val bk = BandIndex.derivedBuckets(n, targetRowsPerBucket)
-        rows.write.mode(SaveMode.Overwrite)
+        // repartition-by-bucket-key: one file per bucket (the
+        // LexIndex.writePostings rationale, r19 §6)
+        rows.repartition(bk, col("chunk_fp"))
+          .write.mode(SaveMode.Overwrite)
           .bucketBy(bk, "chunk_fp").sortBy("chunk_fp")
           .saveAsTable(cT)
         // Build-time audit (the families' convention): how much of the
@@ -144,6 +147,8 @@ object ChunkStore {
     val staged = t.join(ids, Seq("doc_id"), "left_anti")
       .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tok", "chunk_fp")
       .localCheckpoint()
+    // no re-clustering (r19 §2.4): staged survivors come from a
+    // narrow anti-join of the bucketed scan — already bucket-aligned
     staged.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "chunk_fp").sortBy("chunk_fp")
       .saveAsTable(cT)

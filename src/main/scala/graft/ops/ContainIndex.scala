@@ -76,20 +76,27 @@ object ContainIndex {
   private def withPd(df: DataFrame, nb: Int): DataFrame =
     df.withColumn("pd", expr(s"pmod(hash(doc_id), $nb)").cast("int"))
 
+  // r19 (§6, the LexIndex.writePostings rationale): one file per
+  // bucket via bucket-key clustering; deletes pass false (§2.4)
   private def writePostings(staged: DataFrame, nb: Int,
-                            table: String): Unit =
-    staged.select("g1", "doc_id", "na", "df", "pb")
+                            table: String, cluster: Boolean = true): Unit = {
+    val rows = staged.select("g1", "doc_id", "na", "df", "pb")
+    (if (cluster) rows.repartition(nb, col("g1")) else rows)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pb")
       .bucketBy(nb, "g1").sortBy("g1")
       .saveAsTable(table)
+  }
 
-  private def writeDocs(staged: DataFrame, nb: Int, table: String): Unit =
-    staged.select("doc_id", "ng", "na", "oc", "pd")
+  private def writeDocs(staged: DataFrame, nb: Int, table: String,
+                        cluster: Boolean = true): Unit = {
+    val rows = staged.select("doc_id", "ng", "na", "oc", "pd")
+    (if (cluster) rows.repartition(nb, col("doc_id")) else rows)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pd")
       .bucketBy(nb, "doc_id").sortBy("doc_id")
       .saveAsTable(table)
+  }
 
   /** Touched-n-gram ledger (the LexIndex pattern verbatim): recorded
     * BEFORE the index mutates, so a crash between the two leaves only
@@ -389,8 +396,9 @@ object ContainIndex {
       .select("doc_id", "ng", "na", "oc", "pd")
       .localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $dcT")
-    writePostings(stagedNg, buckets, ngT)
-    writeDocs(stagedDc, buckets, dcT)
+    // no re-clustering: staged survivors are bucket-aligned (§2.4)
+    writePostings(stagedNg, buckets, ngT, cluster = false)
+    writeDocs(stagedDc, buckets, dcT, cluster = false)
     spark.catalog.refreshTable(ngT)
     spark.catalog.refreshTable(dcT)
     (ngRemoved, dcRemoved)

@@ -108,7 +108,10 @@ object IvfIndex {
       val buckets = BandIndex.derivedBuckets(
         if (nRows != null) nRows() else vecs.count(), targetRowsPerBucket)
       val (a2, centn) = SimilarityQueries.buildIvf(vecs, nCells)
-      a2.write.mode(SaveMode.Overwrite)
+      // repartition-by-bucket-key: one file per bucket (r19 §6,
+      // the LexIndex.writePostings rationale)
+      a2.repartition(buckets, col("cell"))
+        .write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, "cell").sortBy("cell")
         .saveAsTable(cT)
       centn.write.mode(SaveMode.Overwrite).saveAsTable(mT)
@@ -290,7 +293,8 @@ object IvfIndex {
       // present but inconsistent (child rows without centroids), a
       // corruption no existence gate can see.
       spark.sql(s"DROP TABLE IF EXISTS $mT")
-      stagedCells.write.mode(SaveMode.Overwrite)
+      stagedCells.repartition(buckets, col("cell"))
+        .write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, "cell").sortBy("cell")
         .saveAsTable(cT)
       stagedCents.write.mode(SaveMode.Overwrite).saveAsTable(mT)
@@ -400,7 +404,8 @@ object IvfIndex {
         .localCheckpoint()
       val stagedCents = survCents.localCheckpoint()
       spark.sql(s"DROP TABLE IF EXISTS $mT")
-      stagedCells.write.mode(SaveMode.Overwrite)
+      stagedCells.repartition(buckets, col("cell"))
+        .write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, "cell").sortBy("cell")
         .saveAsTable(cT)
       stagedCents.write.mode(SaveMode.Overwrite).saveAsTable(mT)
@@ -443,6 +448,8 @@ object IvfIndex {
     val staged = cells.join(ids, Seq("vec_id"), "left_anti")
       .select("vec_id", "v", "nrm", "cell")
       .localCheckpoint()
+    // no re-clustering (r19 §2.4): staged survivors come from a
+    // narrow anti-join of the bucketed scan — already bucket-aligned
     staged.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "cell").sortBy("cell")
       .saveAsTable(cT)

@@ -145,13 +145,31 @@ object LexIndex {
   private def withPb(df: DataFrame, nb: Int): DataFrame =
     df.withColumn("pb", expr(s"pmod(hash(term), $nb)").cast("int"))
 
+  /** r19 (§6 output file sizing / §2.4): `cluster` repartitions by
+    * the bucket key into exactly nb partitions before the bucketed
+    * write. Spark's bucket id and HashPartitioning use the same
+    * murmur3 pmod, so each write task then holds exactly one bucket —
+    * ONE file per bucket instead of (write tasks × buckets) fragments.
+    * Locally this cuts the commit protocol's file count ~tasks-fold
+    * (q_takedown_audit's dominant cost — the r19 c8-vs-c32 record
+    * shows its writes were overhead-bound); at scale it is the
+    * write.distribution-mode=hash trade: one shuffle of the staged
+    * rows buys right-sized files. Delete paths pass cluster = false:
+    * their staged survivors come from a narrow anti-join of the
+    * bucketed scan — already one aligned partition per bucket — so
+    * clustering again would ADD a full shuffle for nothing (§2.4).
+    * Correctness never depends on the file layout (bucket ids are
+    * per-row hashes; sortBy is per-file).
+    */
   private def writePostings(staged: DataFrame, nb: Int,
-                            table: String): Unit =
-    staged.select("term", "doc_id", "tf", "dl", "df", "pb")
+                            table: String, cluster: Boolean = true): Unit = {
+    val rows = staged.select("term", "doc_id", "tf", "dl", "df", "pb")
+    (if (cluster) rows.repartition(nb, col("term")) else rows)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pb")
       .bucketBy(nb, "term").sortBy("term")
       .saveAsTable(table)
+  }
 
   /** The touched-terms ledger backing [[refreshCountsPartial]]: every
     * [[append]] records its batch's distinct terms, every [[delete]]
@@ -461,7 +479,7 @@ object LexIndex {
         .select("term", "doc_id", "tf", "dl", "df", "pb")
         .localCheckpoint()
       spark.sql(s"DROP TABLE IF EXISTS $sT")
-      writePostings(staged, nb, pT)
+      writePostings(staged, nb, pT, cluster = false)
       import spark.implicits._
       Seq((n1, s1)).toDF("n_docs", "sum_dl")
         .write.mode(SaveMode.Overwrite).saveAsTable(sT)

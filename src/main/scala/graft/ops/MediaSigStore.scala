@@ -65,12 +65,17 @@ object MediaSigStore {
   private def withPbk(df: DataFrame, nb: Int): DataFrame =
     df.withColumn("pbk", expr(s"pmod(hash(bk), $nb)").cast("int"))
 
-  private def writeBands(staged: DataFrame, nb: Int, table: String): Unit =
-    staged.select("bk", "doc_id", "bsz", "pbk")
+  private def writeBands(staged: DataFrame, nb: Int, table: String,
+                         cluster: Boolean = true): Unit = {
+    // r19 (§6, the LexIndex.writePostings rationale): one file per
+    // bucket via bucket-key clustering; deletes pass false (§2.4)
+    val rows = staged.select("bk", "doc_id", "bsz", "pbk")
+    (if (cluster) rows.repartition(nb, col("bk")) else rows)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pbk")
       .bucketBy(nb, "bk").sortBy("bk")
       .saveAsTable(table)
+  }
 
   /** Touched-bucket ledger (the LexIndex crash order: recorded BEFORE
     * mutation — extra rows are harmless, missed ones are not).
@@ -150,7 +155,8 @@ object MediaSigStore {
       try {
         val buckets =
           BandIndex.derivedBuckets(sigs.count(), targetRowsPerBucket)
-        sigs.write.mode(SaveMode.Overwrite)
+        sigs.repartition(buckets, col("doc_id"))
+          .write.mode(SaveMode.Overwrite)
           .bucketBy(buckets, "doc_id").sortBy("doc_id")
           .saveAsTable(sT)
         // bucket-population column computed ONCE at build — the cap on
@@ -256,10 +262,11 @@ object MediaSigStore {
       .select("bk", "doc_id", "bsz", "pbk")
       .localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $bT")
+    // no re-clustering: staged survivors are bucket-aligned (§2.4)
     stagedSigs.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(sT)
-    writeBands(stagedBands, buckets, bT)
+    writeBands(stagedBands, buckets, bT, cluster = false)
     spark.catalog.refreshTable(sT)
     spark.catalog.refreshTable(bT)
     (sRemoved, bRemoved)

@@ -90,7 +90,10 @@ object PqStore {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         cb.write.mode(SaveMode.Overwrite).saveAsTable(bT)
+        // repartition-by-bucket-key: one file per bucket (r19 §6,
+        // the LexIndex.writePostings rationale)
         SimilarityQueries.encodePq(n, cb)
+          .repartition(buckets, col("vec_id"))
           .write.mode(SaveMode.Overwrite)
           .bucketBy(buckets, "vec_id").sortBy("vec_id")
           .saveAsTable(cT)

@@ -125,7 +125,11 @@ object SpanSet {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val buckets = BandIndex.derivedBuckets(rows.count(), targetRowsPerBucket)
-        rows.write.mode(SaveMode.Overwrite)
+        // repartition-by-bucket-key: one file per bucket (r19 §6);
+        // the counts write below stays untouched — it is bucket-local
+        // over this table and already aligned
+        rows.repartition(buckets, col("sh"))
+          .write.mode(SaveMode.Overwrite)
           .bucketBy(buckets, "sh").sortBy("sh")
           .saveAsTable(rT)
         // Counts derive from the stored rows (one explode pass total);
